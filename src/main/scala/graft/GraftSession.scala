@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Mirrors the reference's single entry point (main_graph_topraq.py:84-340)
+  * but as a SparkSession: UTC session time zone (the reference normalizes
+  * everything to tz-offset datetimes, app/utils.py:34-57), AQE on for
+  * runtime re-planning at scale, and shuffle partitions sized to the
+  * local core count rather than the 200 default (on a real cluster this
+  * is set per-job; AQE coalesces the rest).
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine defaults to an externally-created session (Verify/Bench
+    * create their own). Idempotent; safe on a running session.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines (builder brief:
+  * language-ID, quality scoring, token counting, fingerprinting). All
+  * pure `Column` expressions over built-ins — codegen-friendly, and
+  * each has an exact ANSI-SQL equivalent for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(t.isNull || t === "", lit(0L))
+      .otherwise(size(split(t, "\\s+")).cast("long"))
+  }
+
+  /** BPE-ish token count: runs of word chars count ceil(len/4) tokens
+    * (a common ~4-chars-per-token heuristic), every non-word non-space
+    * char counts 1. Deterministic, oracle-expressible.
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    val wordChars = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    (ceil(wordChars.cast("double") / 4.0) + punct).cast("long")
+  }
+
+  /** Quality-score components: length, punctuation ratio, digit ratio,
+    * uppercase ratio, mean word length, stopword ratio. Returned as a
+    * struct so pipelines can threshold on any component.
+    */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: high stopword presence and sane
+    * punctuation/digit ratios read as "natural language".
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 3.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 3.0, lit(1.0))
+    round((lenScore + stopScore + (lit(1.0) - punctPenalty) + (lit(1.0) - digitPenalty)) / 4.0, 6)
+  }
+
+  /** Language-ID heuristic: score per language = stopword-hit ratio
+    * over that language's marker list; argmax with "und" fallback when
+    * nothing scores. N-gram-free so both Spark and the SQL oracle
+    * compute identical numbers.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "con", "para", "del"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ama"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isInCollection(markers))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(langScore(text, ms).as("s"), lit(lang).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the normalized text
+    * (document fingerprinting): base 31, mod 2^31-1, over the
+    * lowercased text with whitespace collapsed. The modulus keeps the
+    * accumulator < 2^36 so the arithmetic never overflows a signed
+    * 64-bit int — identical results in Spark and the DuckDB oracle.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
+    val mod = lit(2147483647L) // 2^31 - 1
+    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, mod))
+  }
+
+  /** Character n-gram shingle set of the normalized text (dedup
+    * building block). Empty array when the text is shorter than n. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = when(length(norm) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n)))))
+    coalesce(grams, array().cast("array<string>"))
+  }
+
+  /** Word n-gram shingles. Empty array when there are fewer than n
+    * tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val grams = when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    coalesce(grams, array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; one broadcast of the
+  * query set, no shuffle of the corpus). Scale path: IVF — k-means-ish
+  * coarse centroids assign each vector to a cell; queries probe the
+  * nearest `nProbe` cells, turning top-k into a bucket join that
+  * touches `nProbe / nCells` of the corpus.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine: for each query row, the k
+    * nearest corpus rows. The query side is broadcast (it is small by
+    * construction); the corpus is never shuffled — per-partition
+    * scoring, then a k-row window per query.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, qIdCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))))
+      .withColumn("cos", V.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc_nulls_last, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+
+  /** IVF index: assign every vector to its nearest centroid. Centroids
+    * are sampled corpus vectors (deterministic: lowest ids), which is
+    * the standard cheap coarse quantizer when a full k-means is not
+    * warranted. Returns the corpus with a `cell` column.
+    */
+  def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                nCells: Int): (DataFrame, DataFrame) = {
+    val centroids = corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", V.cosine(col("v"), col("cv")))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos_c").desc_nulls_last, col("cell").asc)
+    val indexed = assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"))
+    (indexed, centroids)
+  }
+
+  /** ANN top-k via IVF: probe the `nProbe` nearest cells per query,
+    * exact cosine within the probed cells only.
+    */
+  def ivfTopK(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+              vecCol: String, qIdCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", V.cosine(col("qv"), col("cv")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos_c").desc_nulls_last, col("cell").asc)
+    val probes = qCells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", V.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc_nulls_last, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify's
+parquet dumps against the DuckDB oracle over the same sf dir.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy array
+        return tuple(norm_cell(x) for x in v.tolist())
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr), sorted(cols)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir, f"{t}.parquet")
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        pq = Path(out_dir, name)
+        if not pq.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            gq = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+            g_cols0 = [d[0] for d in gq.description]
+            got = gq.fetchall()
+            wq = con.execute(oracle[name])
+            w_cols0 = [d[0] for d in wq.description]
+            want = wq.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        g_rows, g_cols = canon(got, g_cols0)
+        w_rows, w_cols = canon(want, w_cols0)
+        if g_cols != w_cols:
+            print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
+            n_fail += 1
+            continue
+        if len(g_rows) != len(w_rows):
+            print(f"FAIL {name}: rows {len(g_rows)} vs {len(w_rows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(g_rows)} row mismatches; first:")
+            print("  spark:", bad[0][0])
+            print("  duck :", bad[0][1])
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
