@@ -13,12 +13,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.j1_broadcast_agg.fn(spark, "/root/testdata/sf0.001")
 
+  private def catalog: Map[String, Queries.Q] = Queries.all ++ Queries2.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map { case (k, q) => k -> q.fn }
+    catalog.map { case (k, q) => k -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+    catalog.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
 }
