@@ -1,0 +1,424 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.streaming.StreamingRollup
+import Queries.Q
+
+/** Batch 3 of the query catalog: training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing),
+  * graph analytics, and the streaming roll-up. Oracles are generated
+  * programmatically where they share parameter lists (stopwords,
+  * language markers, iteration counts) with the Scala implementation,
+  * so the two sides cannot drift.
+  */
+object Queries3 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  // ===========================================================
+  // Text analysis
+  // ===========================================================
+
+  private val sqlToks =
+    """string_split_regex(lower(trim(text)), '\s+')"""
+
+  /** Token counting: whitespace + BPE-ish heuristic. */
+  val txt_token_counts = Q(
+    (s, dir) => T_(s, dir, "documents")
+      .select(col("doc_id"),
+        T.wsTokenCount(col("text")).as("ws_tokens"),
+        T.approxBpeTokenCount(col("text")).as("bpe_tokens")),
+    Some("""SELECT doc_id,
+       CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       CAST(ceil(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / CAST(4.0 AS DOUBLE)) AS BIGINT)
+         + len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS bpe_tokens
+      FROM documents"""))
+
+  /** Quality-score components + composite (length/punct/digit/stopword
+    * signals — the heuristics a pretraining filter thresholds on).
+    */
+  val txt_quality = Q(
+    (s, dir) => T_(s, dir, "documents")
+      .select(col("doc_id"),
+        T.punctRatio(col("text")).as("punct_ratio"),
+        T.digitRatio(col("text")).as("digit_ratio"),
+        T.stopwordRatio(col("text")).as("stopword_ratio"),
+        T.meanWordLen(col("text")).as("mean_word_len"),
+        T.qualityScore(col("text")).as("quality")),
+    Some {
+      val stops = T.defaultStopwords.map(s => s"'$s'").mkString(", ")
+      s"""SELECT doc_id,
+       CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS digit_ratio,
+       CASE WHEN len($sqlToks) > 0
+            THEN CAST(len(list_filter($sqlToks, t -> t IN ($stops))) AS DOUBLE) / len($sqlToks)
+            ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+       CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+            THEN CAST(list_reduce(list_prepend(0,
+                   list_transform(string_split_regex(trim(text), '\\s+'), t -> length(t))),
+                   (a, b) -> a + b) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+'))
+            ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+       round((
+         least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         + least((CASE WHEN len($sqlToks) > 0
+                  THEN CAST(len(list_filter($sqlToks, t -> t IN ($stops))) AS DOUBLE) / len($sqlToks)
+                  ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+         + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+       ) / CAST(4.0 AS DOUBLE), 6) AS quality
+      FROM documents"""
+    })
+
+  /** Language-ID heuristic: argmax of per-language stopword-hit
+    * ratios, tie → lexicographically larger code, all-zero → 'und'.
+    * The marker lists in the SQL are generated from the same Map the
+    * Scala side uses.
+    */
+  val txt_langid = Q(
+    (s, dir) => T_(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        T.langId(col("text")).as("lang_guess")),
+    Some {
+      val langs = T.langMarkers.toSeq.sortBy(_._1)
+      val scoreExprs = langs.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString(", ")
+        s"""CASE WHEN len($sqlToks) > 0
+            THEN CAST(len(list_filter($sqlToks, t -> t IN ($in))) AS DOUBLE) / len($sqlToks)
+            ELSE CAST(0.0 AS DOUBLE) END AS s_$l"""
+      }.mkString(",\n       ")
+      val desc = langs.map(_._1).sorted.reverse
+      val winner = desc.map { l =>
+        val conds = langs.map(_._1).filterNot(_ == l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n         ")
+      val best = langs.map(x => s"s_${x._1}").mkString("greatest(", ", ", ")")
+      s"""WITH sc AS (SELECT doc_id, lang AS lang_label,
+       $scoreExprs
+      FROM documents)
+      SELECT doc_id, lang_label,
+        CASE WHEN $best > 0 THEN
+          CASE $winner END
+        ELSE 'und' END AS lang_guess
+      FROM sc"""
+    })
+
+  /** Document fingerprinting: polynomial rolling hash of the
+    * normalized text + 5-gram shingle count.
+    */
+  val txt_fingerprint = Q(
+    (s, dir) => T_(s, dir, "documents")
+      .select(col("doc_id"),
+        T.fingerprint(col("text")).as("fp"),
+        size(T.charShingles(col("text"), 5)).as("n_shingles")),
+    Some("""WITH n AS (SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+        CASE WHEN length(norm) >= 5
+             THEN len(list_distinct([substr(norm, i, 5) FOR i IN range(1, length(norm) - 3)]))
+             ELSE 0 END AS n_shingles
+      FROM n"""))
+
+  // ===========================================================
+  // Deduplication
+  // ===========================================================
+
+  /** Exact dedup by normalized content: first doc_id per text wins. */
+  val dd_exact = Q(
+    (s, dir) => Dedup.exact(T_(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("source")),
+    Some("""SELECT doc_id, source
+      FROM (SELECT doc_id, source, row_number() OVER (
+              PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+              ORDER BY doc_id ASC) AS rn
+            FROM documents)
+      WHERE rn = 1"""))
+
+  /** N-gram Jaccard near-dup pairs via inverted index with
+    * document-frequency pruning (word 3-grams, df <= 10, sim >= 0.2).
+    */
+  val dd_ngram_jaccard = Q(
+    (s, dir) => Dedup.ngramJaccard(
+      T_(s, dir, "documents"), "text", "doc_id",
+      shingles = T.wordShingles(_, 3), threshold = 0.2, maxDf = Some(10))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH sh AS (
+        SELECT doc_id, list_distinct([
+            concat_ws(' ', t[i], t[i+1], t[i+2]) FOR i IN range(1, len(t) - 1)]) AS g
+        FROM (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(substr(text, 1, 10000))), '\s+', ' ', 'g'), ' ') AS t
+              FROM documents)
+        WHERE len(t) >= 3),
+      inv0 AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM sh),
+      rare AS (SELECT gram FROM inv0 GROUP BY gram HAVING count(*) <= 10),
+      inv AS (SELECT inv0.* FROM inv0 JOIN rare USING (gram)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               count(*) AS inter
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b,
+        CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS sim
+      FROM pairs
+      WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.2
+      ORDER BY id_a, id_b"""))
+
+  /** MinHash + LSH near-dup candidates (Spark murmur3 signatures — not
+    * SQL-replayable, so rows-only).
+    */
+  val dd_minhash_lsh = Q(
+    (s, dir) => Dedup.minhashLsh(T_(s, dir, "documents"), "text", "doc_id",
+      shingleLen = 5, bands = 8, rowsPerBand = 4)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** SimHash fingerprints over word bigrams (rows-only: murmur3). */
+  val dd_simhash = Q(
+    (s, dir) => T_(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text"), 2).as("simhash")),
+    None)
+
+  /** Embedding-cosine near-dup pairs, hyperplane-LSH-bucketed
+    * (rows-only: bucket signatures use murmur3 pseudo-weights).
+    */
+  val dd_embedding_neardup = Q(
+    (s, dir) => Dedup.embeddingNearDup(T_(s, dir, "embeddings"),
+      "embedding", "vec_id", planes = 8, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  // ===========================================================
+  // Similarity search
+  // ===========================================================
+
+  private def cosineSql(v: String, qv: String): String = {
+    def ss(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)]),
+          (x, y) -> x + y)"""
+    s"""CASE WHEN sqrt(${ss(v, v)}) > 0 AND sqrt(${ss(qv, qv)}) > 0
+        THEN ${ss(v, qv)} / (sqrt(${ss(v, v)}) * sqrt(${ss(qv, qv)})) END"""
+  }
+
+  /** Brute-force exact cosine top-k (the ANN baseline): corpus never
+    * shuffles; the 3-row query side is broadcast.
+    */
+  val vec_topk_bruteforce = Q(
+    (s, dir) => {
+      val emb = T_(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+        "embedding", "vec_id", "vec_id", k = 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      s AS (SELECT qid, id, ${cosineSql("v", "qv")} AS cos FROM c, q)
+      SELECT qid, id, cos, rank
+      FROM (SELECT qid, id, cos, row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS rank FROM s)
+      WHERE rank <= 10"""))
+
+  /** IVF-bucketed ANN top-k (scale path): coarse centroids, probe the
+    * 4 nearest cells per query. Fully deterministic arithmetic but the
+    * 3-stage SQL replay is deferred — rows-only for now.
+    */
+  val vec_ivf_ann = Q(
+    (s, dir) => {
+      val emb = T_(s, dir, "embeddings")
+      val (indexed, centroids) = Similarity.ivfAssign(emb, "embedding", "vec_id", nCells = 16)
+      Similarity.ivfTopK(indexed, centroids, emb.filter(col("vec_id") < 3),
+        "embedding", "vec_id", k = 10, nProbe = 4)
+    },
+    None)
+
+  // ===========================================================
+  // Graph analytics (SURVEY §4.2.3 / M7)
+  // ===========================================================
+
+  /** Namespaced long ids so one Long id space covers all node labels. */
+  private val edgesSql =
+    """edges AS (
+        SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst FROM orders
+        UNION ALL SELECT 10000 + c_custkey, 100 + c_nationkey FROM customer
+        UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation)"""
+
+  private def edgesDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = T_(s, dir, "orders")
+      .select((col("o_orderkey") + 10000000L).as("src"), (col("o_custkey") + 10000L).as("dst"))
+    val c = T_(s, dir, "customer")
+      .select((col("c_custkey") + 10000L).as("src"), (col("c_nationkey").cast("long") + 100L).as("dst"))
+    val n = T_(s, dir, "nation")
+      .select((col("n_nationkey").cast("long") + 100L).as("src"), col("n_regionkey").cast("long").as("dst"))
+    o.unionByName(c).unionByName(n)
+  }
+
+  /** Graph view: the typed edge list (vertices/edges builders, §1.3). */
+  val g_edges = Q(
+    (s, dir) => {
+      val o = T_(s, dir, "orders")
+        .select((col("o_orderkey") + 10000000L).as("src"),
+          (col("o_custkey") + 10000L).as("dst"), lit("PLACED_BY").as("rel"))
+      val c = T_(s, dir, "customer")
+        .select((col("c_custkey") + 10000L).as("src"),
+          (col("c_nationkey").cast("long") + 100L).as("dst"), lit("IN_NATION").as("rel"))
+      val n = T_(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 100L).as("src"),
+          col("n_regionkey").cast("long").as("dst"), lit("IN_REGION").as("rel"))
+      o.unionByName(c).unionByName(n)
+    },
+    Some("""SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst, 'PLACED_BY' AS rel FROM orders
+      UNION ALL SELECT 10000 + c_custkey, 100 + c_nationkey, 'IN_NATION' FROM customer
+      UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT), 'IN_REGION' FROM nation"""))
+
+  /** Degrees over the graph view. */
+  val g_degree = Q(
+    (s, dir) => GraphOps.degrees(edgesDf(s, dir)),
+    Some(s"""WITH $edgesSql,
+      o AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+      i AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst)
+      SELECT coalesce(o.id, i.id) AS id,
+        coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+        coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+      FROM o FULL OUTER JOIN i ON o.id = i.id"""))
+
+  /** Motif query: customer co-location — per nation, customer count
+    * and co-located pair count (the DataFrame form of a 2-node motif).
+    */
+  val g_motif_pairs = Q(
+    (s, dir) => T_(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation_id"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("n_pairs", (col("n_customers") * (col("n_customers") - 1) / 2).cast("long")),
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation_id, count(*) AS n_customers,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+      FROM customer GROUP BY 1"""))
+
+  private val prIters = 10
+
+  /** Deterministic PageRank, 10 iterations, decimal-exact per-step
+    * sums — identical bytes on 1 thread or 1000 executors, and the
+    * oracle replays the exact iteration chain.
+    */
+  val g_pagerank = Q(
+    (s, dir) => GraphOps.pageRank(edgesDf(s, dir), prIters),
+    Some {
+      val iters = (1 to prIters).map { t =>
+        val prev = s"r${t - 1}"
+        s"""r$t AS (SELECT v.id,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0.0 AS DOUBLE)) AS rank
+           FROM verts v LEFT JOIN (
+             SELECT ew.dst AS id,
+               CAST(CAST(round(SUM(CAST(r.rank * ew.w AS DECIMAL(27,15))) * 1000000000, 0) AS BIGINT) AS DOUBLE)
+                 / CAST(1000000000.0 AS DOUBLE) AS inflow
+             FROM ew JOIN $prev r ON r.id = ew.src GROUP BY ew.dst) s
+           ON v.id = s.id)"""
+      }.mkString(",\n      ")
+      s"""WITH $edgesSql,
+      verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      ew AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outdeg AS w
+             FROM edges e JOIN deg USING (src)),
+      r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+      $iters
+      SELECT id, rank FROM r$prIters"""
+    })
+
+  private val ccIters = 6
+
+  /** Connected components by min-label propagation (diameter of the
+    * order→customer→nation→region chain is 3; 6 iterations is safely
+    * past convergence).
+    */
+  val g_connected_components = Q(
+    (s, dir) => GraphOps.connectedComponents(edgesDf(s, dir), ccIters),
+    Some {
+      val iters = (1 to ccIters).map { t =>
+        val prev = s"c${t - 1}"
+        s"""c$t AS (SELECT c.id, least(c.comp, coalesce(m.nc, c.comp)) AS comp
+           FROM $prev c LEFT JOIN (
+             SELECT und.dst AS id, MIN(cc.comp) AS nc
+             FROM und JOIN $prev cc ON cc.id = und.src GROUP BY und.dst) m
+           ON m.id = c.id)"""
+      }.mkString(",\n      ")
+      s"""WITH $edgesSql,
+      und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      verts AS (SELECT DISTINCT src AS id FROM und),
+      c0 AS (SELECT id, id AS comp FROM verts),
+      $iters
+      SELECT id, comp FROM c$ccIters"""
+    })
+
+  // ===========================================================
+  // Multimodal + streaming
+  // ===========================================================
+
+  /** Multimodal plumbing: documents → opaque binary payloads →
+    * per-partition fake decode (Multimodal.decodeFeatures — real
+    * mapPartitions pipeline, stubbed codec). Oracle replays the
+    * deterministic fake over the same bytes.
+    */
+  val mm_decode_features = Q(
+    (s, dir) => {
+      val media = T_(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("text/fake").as("media_type"))
+      Multimodal.decodeFeatures(media)
+    },
+    Some("""WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+        FROM documents)
+      SELECT media_id,
+        CAST(n % 640 AS INTEGER) AS width,
+        CAST((n * 31) % 480 AS INTEGER) AS height,
+        CAST(n % 16 AS INTEGER) AS n_frames,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+             (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS DOUBLE) / 1000.0 AS brightness
+      FROM b"""))
+
+  /** Structured-Streaming daily roll-up driven to exhaustion against
+    * the batch oracle — the streaming topology computes exactly the
+    * batch aggregate.
+    */
+  val stream_daily_rollup = Q(
+    (s, dir) => StreamingRollup.dailyRollupOnce(s, s"$dir/events.parquet"),
+    Some("""SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2"""),
+    bench = false)
+
+  val all: Map[String, Q] = Map(
+    "txt_token_counts" -> txt_token_counts,
+    "txt_quality" -> txt_quality,
+    "txt_langid" -> txt_langid,
+    "txt_fingerprint" -> txt_fingerprint,
+    "dd_exact" -> dd_exact,
+    "dd_ngram_jaccard" -> dd_ngram_jaccard,
+    "dd_minhash_lsh" -> dd_minhash_lsh,
+    "dd_simhash" -> dd_simhash,
+    "dd_embedding_neardup" -> dd_embedding_neardup,
+    "vec_topk_bruteforce" -> vec_topk_bruteforce,
+    "vec_ivf_ann" -> vec_ivf_ann,
+    "g_edges" -> g_edges,
+    "g_degree" -> g_degree,
+    "g_motif_pairs" -> g_motif_pairs,
+    "g_pagerank" -> g_pagerank,
+    "g_connected_components" -> g_connected_components,
+    "mm_decode_features" -> mm_decode_features,
+    "stream_daily_rollup" -> stream_daily_rollup,
+  )
+}

@@ -13,11 +13,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.j1_broadcast_agg.fn(spark, "/root/testdata/sf0.001")
 
-  private def catalog: Map[String, Queries.Q] = Queries.all ++ Queries2.all
+  private def catalog: Map[String, Queries.Q] =
+    Queries.all ++ Queries2.all ++ Queries3.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, q) => k -> q.fn }
+
+  /** The BENCH headline subset (excludes entries whose cost model is
+    * not a plain batch plan, e.g. the streaming roll-up). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.collect { case (k, q) if q.bench => k -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

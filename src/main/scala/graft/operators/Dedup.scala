@@ -84,29 +84,43 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs sharing at
-    * least one shingle (inverted-index join on shingle, then
-    * intersection counts — no cross join). Returns pairs with
-    * jaccard >= threshold.
+  /** N-gram Jaccard similarity for candidate pairs sharing at least
+    * one *rare* shingle: inverted-index join on shingle, document-
+    * frequency pruning (`maxDf`) so ubiquitous grams never explode the
+    * self-join — the standard guard for boilerplate-heavy corpora,
+    * where one common gram would otherwise produce df² candidate
+    * pairs. Returns pairs with similarity >= threshold, where
+    * similarity is |rare-gram intersection| / |union| (a lower bound
+    * on true Jaccard; exact when maxDf admits all grams).
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-                   shingleLen: Int = 5, threshold: Double = 0.8,
+                   shingles: Column => Column,
+                   threshold: Double = 0.5,
+                   maxDf: Option[Int] = Some(10),
                    maxDocLen: Int = 10000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      T.charShingles(substring(col(textCol), 1, maxDocLen), shingleLen).as("sh"))
+      shingles(substring(col(textCol), 1, maxDocLen)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("gram"))
-    val a = inv.select(col("gram"), col("id").as("id_a"), size(col("sh")).as("n_a"))
-    val b = inv.select(col("gram"), col("id").as("id_b"), size(col("sh")).as("n_b"))
+    val inv0 = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("gram"))
+    val inv = maxDf match {
+      case Some(df) =>
+        val rare = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= df).select("gram")
+        inv0.join(rare, "gram")
+      case None => inv0
+    }
+    val a = inv.select(col("gram"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = inv.select(col("gram"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
+      .withColumn("sim",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors

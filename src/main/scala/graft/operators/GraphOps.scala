@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph view + graph analytics over DataFrames (SURVEY §4.2.3, §7 M7).
+  *
+  * The reference materializes a property graph of key-joined node
+  * tables (§1.2/§1.3); here the graph IS the pair (vertices DF,
+  * edges DF), and the algorithms are iterative DataFrame programs —
+  * every iteration is a join + aggregate on the edge relation, which
+  * Spark shuffles by dst once per iteration (same plan GraphX's
+  * Pregel generates, but in DataFrames so Catalyst/AQE optimize it
+  * and the DuckDB oracle can replay it).
+  *
+  * Determinism: per-iteration sums go through a decimal cast, so the
+  * ranks are bit-identical regardless of partitioning — an engine
+  * running on 1000 executors produces the same bytes as DuckDB
+  * single-threaded.
+  */
+object GraphOps {
+
+  /** Deterministic PageRank: rank_{t+1}(v) = reset + damp * Σ_{u→v}
+    * rank_t(u) / outdeg(u), fixed iteration count, dangling mass
+    * dropped. Input: edges (src: long, dst: long).
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               reset: Double = 0.15, damp: Double = 0.85): DataFrame = {
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // 1/outdeg as IEEE double (engine-independent), fixed per vertex
+    val withInv = edges.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
+    var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = withInv.join(ranks, withInv("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") * col("inv_outdeg")).as("contrib"))
+      // decimal sum is partition-order-free; the decimal→double hop
+      // goes through an exact integer (×1e9, round, BIGINT) because a
+      // direct decimal→double cast is correctly rounded in the JVM but
+      // 1-ulp off in engines that convert via (int128→double)/10^scale
+      // — that ulp compounds across iterations on hub vertices
+      val summed = contribs.groupBy(col("id"))
+        .agg((round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+          .cast("long").cast("double") / 1.0e9).as("inflow"))
+      ranks = vertices.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit(reset) + lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Connected components by iterative min-label propagation over the
+    * undirected edge set: comp_{t+1}(v) = min(comp_t(v),
+    * min_{(u,v)∈E} comp_t(u)). Converges in diameter iterations;
+    * deterministic (min is order-free).
+    */
+  def connectedComponents(edges: DataFrame, iterations: Int): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val vertices = undirected.select(col("src").as("id")).distinct()
+    var comp = vertices.select(col("id"), col("id").as("comp"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = undirected.join(comp, undirected("src") === comp("id"))
+        .groupBy(col("dst").as("vid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      comp = comp.join(nbrMin, comp("id") === nbrMin("vid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+    }
+    comp
+  }
+
+  /** Degree table: per vertex, out-, in-, and total degree. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("degree", col("out_deg") + col("in_deg"))
+  }
+}

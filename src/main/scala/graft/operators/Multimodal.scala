@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media as
+  * opaque `binary` columns with typed metadata, decoded/featurized
+  * per partition.
+  *
+  * The decode step itself is a STUB — a deterministic fake (this
+  * environment has no image/audio codecs) — but the Spark-side
+  * contract is real: binary payload column + metadata struct in,
+  * fixed-schema feature rows out, batch-at-a-time per partition, no
+  * driver involvement. Swapping the fake for a JNI/codec call changes
+  * one function.
+  *
+  * Scale notes: `mapPartitions` keeps the decode zero-copy per
+  * partition and composes with `repartition(n)` to right-size decode
+  * parallelism independently of upstream file splits; the payload
+  * column should be pruned out of any plan that only needs metadata
+  * (schema is split media/meta for exactly that reason).
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: id + opaque payload + typed meta. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false)))
+
+  /** Deterministic fake decode of one payload — stands in for a real
+    * codec. Pure function of the bytes, so tests and re-runs are
+    * stable.
+    */
+  def fakeDecode(id: Long, payload: Array[Byte]): Row = {
+    val n = if (payload == null) 0 else payload.length
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = (acc * 31 + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+    Row(id, (n % 640).toInt, ((n * 31) % 480).toInt, (n % 16).toInt,
+      (acc % 1000).toDouble / 1000.0)
+  }
+
+  /** Batch decode: payload rows → feature rows, one pass per
+    * partition. Only (media_id, payload) is selected, so the scan
+    * prunes every other column before the decode stage.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rows, featureSchema)
+  }
+}
