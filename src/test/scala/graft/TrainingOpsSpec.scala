@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog"),     // near-dup
+    (4L, "completely different content about spark engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("dedup exact keeps lowest id per normalized text") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id",
+      shingles = T.wordShingles(_, 2), threshold = 0.4, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))   // identical → sim 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH: identical docs collide with est_jaccard 1.0") {
+    val out = Dedup.minhashLsh(docs, "text", "doc_id").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups close") {
+    val fp = docs.select($"doc_id", Dedup.simhash($"text", 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("vector functions: cosine of identical/orthogonal vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(V.cosine($"a", $"b").as("c")).collect().map(_.get(0))
+    assert(out(0) == 1.0)
+    assert(out(1) == 0.0)
+    assert(out(2) == null) // zero norm → null
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
+      "embedding", "vec_id", "vec_id", k = 2).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("id") == 0L && top(0).getAs[Double]("cos") == 1.0)
+    assert(top(1).getAs[Long]("id") == 1L)
+  }
+
+  test("IVF ANN matches brute force when probing enough cells") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    val q = emb.filter($"vec_id" < 2)
+    val bf = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", "vec_id", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (idx, cents) = Similarity.ivfAssign(emb, "embedding", "vec_id", nCells = 4)
+    val ann = Similarity.ivfTopK(idx, cents, q, "embedding", "vec_id", 5, nProbe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == bf) // nProbe == nCells ⇒ exhaustive ⇒ exact
+  }
+
+  test("graph ops on a known toy graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val comps = GraphOps.connectedComponents(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(4L) == 4L && comps(5L) == 4L)
+
+    val deg = GraphOps.degrees(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(deg(2L) == (1L, 1L))
+    assert(deg(5L) == (0L, 1L))
+
+    // chain 1→2→3, 1 iteration by hand:
+    // r(2) = 0.15 + 0.85*(1.0/1) = 1.0 ; r(3) same; r(1)=0.15, r(4)=0.15, r(5)=1.0
+    val pr1 = GraphOps.pageRank(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr1(1L) == 0.15)
+    assert(pr1(2L) == 1.0)
+    assert(math.abs(pr1(3L) - 1.0) < 1e-12)
+  }
+
+  test("multimodal decode is deterministic and null-safe") {
+    val media = docs.select($"doc_id".as("media_id"),
+      encode($"text", "UTF-8").as("payload"))
+      .unionByName(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload"))
+    val out1 = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    val out2 = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out1.toSeq == out2.toSeq)
+    val nullRow = out1.last
+    assert(nullRow.getAs[Long]("media_id") == 99L)
+    assert(nullRow.getAs[Int]("width") == 0)
+    // identical payloads → identical features
+    assert(out1(0).toSeq.drop(1) == out1(1).toSeq.drop(1))
+  }
+
+  test("text functions: tokens, fingerprint stability, shingles") {
+    val d = Seq("The quick  brown fox").toDF("text")
+    val r = d.select(
+      T.wsTokenCount($"text").as("ws"),
+      T.fingerprint($"text").as("fp"),
+      size(T.charShingles($"text", 5)).as("n5"),
+      T.langId($"text").as("lang")).collect()(0)
+    assert(r.getAs[Long]("ws") == 4L)
+    assert(r.getAs[Long]("fp") == Seq("the quick brown fox").toDF("t")
+      .select(T.fingerprint($"t")).collect()(0).getLong(0)) // normalization collapses ws + case
+    assert(r.getAs[Int]("n5") == 15)
+    assert(r.getAs[String]("lang") == "en")
+  }
+}
