@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Upsert}
+import graft.functions.{Functions => F}
+import Queries.Q
+
+/** Batch 4: the remaining SURVEY §2 operator analogs — grouped
+  * first-match/totals extraction, lookup joins with defaults,
+  * decorrelation, melt→meta-join→re-pivot, heterogeneous JSON
+  * normalization, epoch/Z-suffix time handling — plus composed
+  * multi-stage pipeline queries (the reference's §3.2/§3.3 traces).
+  */
+object Queries4 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  /** A4 — mean over an IN-list-filtered measurement subset
+    * (avg flow over Flow_1/Flow_2, graph_irrigation_event.py:119-152).
+    */
+  val a4_filtered_mean = Q(
+    (s, dir) => T_(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(27,8)")).cast("double") /
+        count(col("value"))).as("avg_engagement"),
+        count(lit(1)).as("n")),
+    Some("""SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS avg_engagement,
+       count(*) AS n
+      FROM events WHERE event_type IN ('click','view') GROUP BY user_id"""))
+
+  /** A8 — first-match extraction per group: first row in deterministic
+    * order whose attribute is in an alias set
+    * (ph/ec/sugars pick, graph_sap_analysis.py:42-71).
+    */
+  val a8_first_match = Q(
+    (s, dir) => T_(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), to_date(col("ts")).as("date"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), to_date(col("ts")).as("date"),
+        col("event_type").as("first_type"), col("value").as("first_value")),
+    Some("""SELECT user_id, CAST(ts AS DATE) AS date,
+       event_type AS first_type, value AS first_value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events WHERE event_type IN ('purchase','signup'))
+      WHERE rn = 1"""))
+
+  /** A9 — first-non-null totals derivation: explode-ish rows → alias
+    * map → pivot with a deterministic first
+    * (total-x columns, graph_tnd_analysis.py:66-114). Aliases map the
+    * return flags to named total columns.
+    */
+  val a9_totals_pivot = Q(
+    (s, dir) => {
+      val aliased = T_(s, dir, "lineitem")
+        .withColumn("alias",
+          when(col("l_returnflag") === "R", "returned")
+            .when(col("l_returnflag") === "A", "accepted")
+            .otherwise("neutral"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_orderkey"), col("alias"))
+            .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+              col("l_quantity").asc)))
+        .filter(col("rn") === 1)
+      aliased.groupBy(col("l_orderkey"))
+        .pivot("alias", Seq("returned", "accepted", "neutral"))
+        .agg(first(col("l_quantity"), ignoreNulls = true))
+    },
+    Some("""WITH f AS (
+        SELECT l_orderkey,
+          CASE WHEN l_returnflag = 'R' THEN 'returned'
+               WHEN l_returnflag = 'A' THEN 'accepted'
+               ELSE 'neutral' END AS alias,
+          l_quantity,
+          row_number() OVER (PARTITION BY l_orderkey,
+            CASE WHEN l_returnflag = 'R' THEN 'returned'
+                 WHEN l_returnflag = 'A' THEN 'accepted'
+                 ELSE 'neutral' END
+            ORDER BY l_linenumber ASC, l_partkey ASC, l_quantity ASC) AS rn
+        FROM lineitem)
+      SELECT l_orderkey,
+        max(l_quantity) FILTER (alias = 'returned') AS returned,
+        max(l_quantity) FILTER (alias = 'accepted') AS accepted,
+        max(l_quantity) FILTER (alias = 'neutral') AS neutral
+      FROM f WHERE rn = 1 GROUP BY l_orderkey"""))
+
+  /** J2 — per-key lookup join against a broadcast dim with a coalesce
+    * default (timezone_by_field.get(id, default),
+    * main_graph_topraq.py:110-111).
+    */
+  val j2_lookup_default = Q(
+    (s, dir) => T_(s, dir, "events")
+      .join(broadcast(T_(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))), Seq("user_id"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n_events")),
+    Some("""SELECT coalesce(c_mktsegment, 'unknown') AS segment, count(*) AS n_events
+      FROM events LEFT JOIN customer ON c_custkey = user_id
+      GROUP BY 1"""))
+
+  /** J3 — decorrelated per-entity subquery: the reference fetches root
+    * depths per station inside a loop (graph_stations.py:11 — classic
+    * N+1); the engine form is one scan + one join.
+    */
+  val j3_decorrelated = Q(
+    (s, dir) => T_(s, dir, "nation")
+      .join(T_(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"),
+        (sum(col("s_acctbal").cast("decimal(27,8)")).cast("double") /
+          count(col("s_acctbal"))).as("avg_bal")),
+    Some("""SELECT n_nationkey, n_name, count(s_suppkey) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(27,8))) AS DOUBLE) / COUNT(s_acctbal) AS avg_bal
+      FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_nationkey, n_name"""))
+
+  /** R3 — melt wide measure columns to long, join key→(base, depth)
+    * metadata, re-pivot by base (the soil-layer c167_110 regroup,
+    * graph_soil_layer.py:121-251).
+    */
+  val r3_melt_repivot = Q(
+    (s, dir) => {
+      val li = T_(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+      val long = li.select(col("l_orderkey"), col("l_linenumber"),
+        explode(map(
+          lit("quantity"), col("l_quantity"),
+          lit("extendedprice"), col("l_extendedprice"),
+          lit("discount"), col("l_discount"),
+          lit("tax"), col("l_tax"))).as(Seq("mkey", "val")))
+      val meta = Seq(
+        ("quantity", "qty", 10), ("extendedprice", "price", 10),
+        ("discount", "rate", 20), ("tax", "rate", 30))
+      val metaDf = s.createDataFrame(meta).toDF("mkey", "base", "depth_cm")
+      // max, not first: (l_orderkey, l_linenumber) is not unique in
+      // the data, so "first" would be partition-order-dependent
+      long.join(broadcast(metaDf), "mkey")
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("depth_cm"))
+        .pivot("base", Seq("qty", "price", "rate"))
+        .agg(max(col("val")))
+    },
+    Some("""WITH long AS (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS mkey, l_quantity AS val FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey % 100 = 0),
+      meta AS (SELECT * FROM (VALUES
+        ('quantity', 'qty', 10), ('extendedprice', 'price', 10),
+        ('discount', 'rate', 20), ('tax', 'rate', 30)) AS m(mkey, base, depth_cm))
+      SELECT l_orderkey, l_linenumber, depth_cm,
+        max(val) FILTER (base = 'qty') AS qty,
+        max(val) FILTER (base = 'price') AS price,
+        max(val) FILTER (base = 'rate') AS rate
+      FROM long JOIN meta USING (mkey)
+      GROUP BY 1, 2, 3"""))
+
+  /** R6 — heterogeneous semi-structured normalization: three JSON
+    * shapes (flat object, aliased keys, array-wrapped) coalesced to
+    * one (name, value) form with percent-tolerant numerics
+    * (graph_app_nutrient_content.py:108-135).
+    */
+  val r6_heterogeneous_json = Q(
+    (s, dir) => {
+      val raw = when(col("event_id") % 3 === 0,
+        concat(lit("{\"nutrient\":\"N\",\"value\":\""), col("user_id"), lit("%\"}")))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("{\"name\":\"P\",\"pct\":\""), col("user_id"), lit(",5\"}")))
+        .otherwise(concat(lit("[{\"mineral\":\"K\",\"amount\":\""), col("user_id"), lit("\"}]")))
+      T_(s, dir, "events").select(col("event_id"), raw.as("raw"))
+        .select(col("event_id"),
+          coalesce(
+            get_json_object(col("raw"), "$.nutrient"),
+            get_json_object(col("raw"), "$.name"),
+            get_json_object(col("raw"), "$[0].mineral")).as("nutrient"),
+          F.toNumberPctTolerant(coalesce(
+            get_json_object(col("raw"), "$.value"),
+            get_json_object(col("raw"), "$.pct"),
+            get_json_object(col("raw"), "$[0].amount"))).as("amount"))
+    },
+    Some("""WITH t AS (SELECT event_id,
+        CASE WHEN event_id % 3 = 0 THEN '{"nutrient":"N","value":"' || user_id || '%"}'
+             WHEN event_id % 3 = 1 THEN '{"name":"P","pct":"' || user_id || ',5"}'
+             ELSE '[{"mineral":"K","amount":"' || user_id || '"}]' END AS raw
+      FROM events)
+      SELECT event_id,
+        coalesce(json_extract_string(raw, '$.nutrient'),
+                 json_extract_string(raw, '$.name'),
+                 json_extract_string(raw, '$[0].mineral')) AS nutrient,
+        CASE WHEN regexp_extract(replace(coalesce(
+                 json_extract_string(raw, '$.value'),
+                 json_extract_string(raw, '$.pct'),
+                 json_extract_string(raw, '$[0].amount')), '%', ''),
+                 '([-+]?\d+(?:[.,]\d+)?)', 1) <> ''
+             THEN CAST(replace(regexp_extract(replace(coalesce(
+                 json_extract_string(raw, '$.value'),
+                 json_extract_string(raw, '$.pct'),
+                 json_extract_string(raw, '$[0].amount')), '%', ''),
+                 '([-+]?\d+(?:[.,]\d+)?)', 1), ',', '.') AS DOUBLE)
+        END AS amount
+      FROM t"""))
+
+  /** F18/F19 — Z-suffix-tolerant ISO parsing + epoch seconds
+    * (graph_product_application.py:26-38, 179-197).
+    */
+  val f19_epoch_roundtrip = Q(
+    (s, dir) => {
+      val iso = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+      T_(s, dir, "events")
+        .select(col("event_id"), iso.as("iso_z"),
+          to_timestamp(iso).as("parsed"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+    },
+    Some("""SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso_z,
+       try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z', '%Y-%m-%dT%H:%M:%SZ') AS parsed,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events"""))
+
+  /** §3.2 trace — the composed day-metric pipeline (M3): per
+    * (user, day) roll-up of the wanted event types, pivoted wide, and
+    * idempotently deduplicated by key (scan → filter → agg → pivot →
+    * upsert, one shuffle chain).
+    */
+  val pipeline_day_metrics = Q(
+    (s, dir) => {
+      val wanted = Seq("click", "view", "purchase")
+      val rolled = T_(s, dir, "events")
+        .filter(col("event_type").isin(wanted: _*))
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,8)")).cast("double").as("total"))
+      val wide0 = rolled.groupBy(col("user_id"), col("date"))
+        .pivot("event_type", wanted)
+        .agg(first(col("n"), ignoreNulls = true).as("n"),
+          first(col("total"), ignoreNulls = true).as("total"))
+      // absent (user, day, type) combos pivot to null; the SQL FILTER
+      // count form yields 0 — align counts on 0
+      val wide = wide0.select(wide0.columns.map { c =>
+        if (c.endsWith("_n")) coalesce(col(c), lit(0L)).as(c) else col(c)
+      }.toIndexedSeq: _*)
+      Upsert.dedupByKey(wide, Seq("user_id", "date"), Seq(col("date")))
+    },
+    Some("""SELECT user_id, CAST(ts AS DATE) AS date,
+       count(*) FILTER (event_type = 'click') AS click_n,
+       CAST(SUM(CAST(value AS DECIMAL(27,8))) FILTER (event_type = 'click') AS DOUBLE) AS click_total,
+       count(*) FILTER (event_type = 'view') AS view_n,
+       CAST(SUM(CAST(value AS DECIMAL(27,8))) FILTER (event_type = 'view') AS DOUBLE) AS view_total,
+       count(*) FILTER (event_type = 'purchase') AS purchase_n,
+       CAST(SUM(CAST(value AS DECIMAL(27,8))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_total
+      FROM events
+      WHERE event_type IN ('click','view','purchase')
+      GROUP BY user_id, CAST(ts AS DATE)"""))
+
+  /** §3.3 trace — the application chain as one lineage DAG: stage 1
+    * assigns per-group arrival idx (A10); stage 2 reuses stage 1's
+    * DataFrame (no sink read-back, S5) and as-of-matches each order to
+    * the user's nearest event (J5).
+    */
+  val pipeline_app_chain = Q(
+    (s, dir) => {
+      val stage1 = T_(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .withColumn("idx", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+          col("o_orderdate"), col("idx"))
+      val events = T_(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOfJoin.nearest(stage1, events, Seq("user_id"), "o_orderdate", "ts",
+        tiebreak = Seq("event_id"))
+        .select(col("o_orderkey"), col("user_id"), col("idx"), col("event_id"))
+    },
+    Some("""WITH s1 AS (
+        SELECT o_orderkey, o_custkey AS user_id, o_orderdate,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) AS idx
+        FROM orders WHERE o_orderkey % 50 = 0)
+      SELECT o_orderkey, user_id, idx, event_id
+      FROM (SELECT s1.o_orderkey, s1.user_id, s1.idx, e.event_id,
+              row_number() OVER (PARTITION BY s1.o_orderkey
+                ORDER BY abs(floor(epoch(s1.o_orderdate)) - floor(epoch(e.ts))) ASC NULLS LAST,
+                         e.event_id ASC) AS rn
+            FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id)
+      WHERE rn = 1"""))
+
+  val all: Map[String, Q] = Map(
+    "a4_filtered_mean" -> a4_filtered_mean,
+    "a8_first_match" -> a8_first_match,
+    "a9_totals_pivot" -> a9_totals_pivot,
+    "j2_lookup_default" -> j2_lookup_default,
+    "j3_decorrelated" -> j3_decorrelated,
+    "r3_melt_repivot" -> r3_melt_repivot,
+    "r6_heterogeneous_json" -> r6_heterogeneous_json,
+    "f19_epoch_roundtrip" -> f19_epoch_roundtrip,
+    "pipeline_day_metrics" -> pipeline_day_metrics,
+    "pipeline_app_chain" -> pipeline_app_chain,
+  )
+}
