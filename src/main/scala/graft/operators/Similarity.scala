@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{VectorFunctions => V}
+import graft.plans.VectorExpressions.cosineFast
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -25,7 +26,7 @@ object Similarity {
                      k: Int): DataFrame = {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))))
-      .withColumn("cos", V.cosine(col("v"), col("qv")))
+      .withColumn("cos", cosineFast(col("v"), col("qv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc_nulls_last, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -44,7 +45,7 @@ object Similarity {
       .select(col(idCol).as("cell"), col(vecCol).as("cv"))
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cos_c", V.cosine(col("v"), col("cv")))
+      .withColumn("cos_c", cosineFast(col("v"), col("cv")))
     val w = Window.partitionBy(col("id")).orderBy(col("cos_c").desc_nulls_last, col("cell").asc)
     val indexed = assigned.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -59,13 +60,13 @@ object Similarity {
               vecCol: String, qIdCol: String, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))
     val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", V.cosine(col("qv"), col("cv")))
+      .withColumn("cos_c", cosineFast(col("qv"), col("cv")))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cos_c").desc_nulls_last, col("cell").asc)
     val probes = qCells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qv"), col("cell"))
     val scored = indexed.join(broadcast(probes), Seq("cell"))
-      .withColumn("cos", V.cosine(col("v"), col("qv")))
+      .withColumn("cos", cosineFast(col("v"), col("qv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc_nulls_last, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
