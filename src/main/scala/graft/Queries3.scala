@@ -120,9 +120,10 @@ object Queries3 {
     */
   val txt_fingerprint = Q(
     (s, dir) => T_(s, dir, "documents")
+      .select(col("doc_id"), T.normText(col("text")).as("norm"))
       .select(col("doc_id"),
-        T.fingerprint(col("text")).as("fp"),
-        size(T.charShingles(col("text"), 5)).as("n_shingles")),
+        T.fingerprintFrom(col("norm")).as("fp"),
+        size(T.charShinglesFrom(col("norm"), 5)).as("n_shingles")),
     Some("""WITH n AS (SELECT doc_id,
         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
       SELECT doc_id,
@@ -155,7 +156,9 @@ object Queries3 {
   val dd_ngram_jaccard = Q(
     (s, dir) => Dedup.ngramJaccard(
       T_(s, dir, "documents"), "text", "doc_id",
-      shingles = T.wordShingles(_, 3), threshold = 0.2, maxDf = Some(10))
+      tokenize = t => split(T.normText(t), " "),
+      gramLen = 3,
+      threshold = 0.2, maxDf = Some(10))
       .orderBy(col("id_a"), col("id_b")),
     Some("""WITH sh AS (
         SELECT doc_id, list_distinct([
@@ -190,7 +193,9 @@ object Queries3 {
   /** SimHash fingerprints over word bigrams (rows-only: murmur3). */
   val dd_simhash = Q(
     (s, dir) => T_(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash(col("text"), 2).as("simhash")),
+      .select(col("doc_id"), split(T.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), T.wordShinglesFrom(col("toks"), 2).as("sh"))
+      .select(col("doc_id"), Dedup.simhashFrom(col("sh")).as("simhash")),
     None)
 
   /** Embedding-cosine near-dup pairs, hyperplane-LSH-bucketed

@@ -107,17 +107,30 @@ object TextFunctions {
     * accumulator < 2^36 so the arithmetic never overflows a signed
     * 64-bit int — identical results in Spark and the DuckDB oracle.
     */
-  def fingerprint(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  def fingerprintFrom(norm: Column): Column = {
     val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
     val mod = lit(2147483647L) // 2^31 - 1
     aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, mod))
   }
 
-  /** Character n-gram shingle set of the normalized text (dedup
-    * building block). Empty array when the text is shorter than n. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  def fingerprint(text: Column): Column = fingerprintFrom(normText(text))
+
+  /** Whitespace-collapsed lowercase normalization — the shared
+    * canonical form for dedup/fingerprinting. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-gram shingles over an ALREADY-MATERIALIZED normalized
+    * string column (an attribute, not a composed expression).
+    *
+    * PERF: higher-order-function lambdas re-evaluate captured
+    * expressions per array element — capturing `normText(text)`
+    * directly would recompute the regex normalization for every
+    * substring, turning shingling O(len²). Callers must project the
+    * norm into its own column first (the multi-reference below also
+    * stops CollapseProject from inlining it back).
+    */
+  def charShinglesFrom(norm: Column, n: Int): Column = {
     val grams = when(length(norm) >= n,
       array_distinct(transform(
         sequence(lit(1), length(norm) - (n - 1)),
@@ -125,14 +138,22 @@ object TextFunctions {
     coalesce(grams, array().cast("array<string>"))
   }
 
-  /** Word n-gram shingles. Empty array when there are fewer than n
-    * tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+  /** Convenience one-shot form for short strings / tests. On bulk
+    * paths use `normText` projection + `charShinglesFrom`. */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesFrom(normText(text), n)
+
+  /** Word n-gram shingles over an already-materialized token-array
+    * column (see charShinglesFrom for why). */
+  def wordShinglesFrom(toks: Column, n: Int): Column = {
     val grams = when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
     coalesce(grams, array().cast("array<string>"))
   }
+
+  /** Convenience one-shot form. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFrom(split(normText(text), " "), n)
 }

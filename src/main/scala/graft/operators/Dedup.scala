@@ -43,38 +43,66 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  shingleLen: Int = 5, bands: Int = 8,
-                 rowsPerBand: Int = 4): DataFrame = {
+                 rowsPerBand: Int = 4, maxDocLen: Int = 2000): DataFrame = {
     val k = bands * rowsPerBand
+    // signatures are consumed three times (banding + both sides of the
+    // pair re-join); computing k minhashes over the shingle array is
+    // the expensive part, so materialize it once. The normalization is
+    // projected into its own column BEFORE shingling — see
+    // TextFunctions.charShinglesFrom for the O(len²) capture trap.
+    // Signature computation with NO higher-order functions: generate
+    // shingle positions with explode (a Generate node — the norm
+    // column is evaluated once per input row and carried, so substr is
+    // linear), then ONE codegen'd hash aggregate taking k mins of k
+    // seeded hashes. The HOF formulation is quadratic: lambdas
+    // re-evaluate captured expressions per element, and CollapseProject
+    // inlines the norm projection straight back into the lambda.
+    // Minhash is duplicate-insensitive (min over a multiset), so no
+    // per-doc shingle dedup is needed.
+    val n = shingleLen
     val withSig = docs
       .select(col(idCol).as("id"),
-        T.charShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(col("sh"), k))
-    val banded = withSig.select(
-      col("id"), col("sig"),
+        T.normText(substring(col(textCol), 1, maxDocLen)).as("norm"))
+      .select(col("id"), col("norm"),
+        explode(when(length(col("norm")) >= n,
+          sequence(lit(1), length(col("norm")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"), col("norm").substr(col("i"), lit(n)).as("gram"))
+      .groupBy("id")
+      .agg(array((0 until k).map(i => min(hash(lit(i), col("gram")))): _*).as("sig"))
+      .persist()
+    // candidate pairs: same bucket in any band. Deduplicate to
+    // DISTINCT (id_a, id_b) BEFORE touching the signatures — the band
+    // join only ever shuffles (band, bucket, id) triples, and the
+    // k-wide signature arrays are joined back exactly once per
+    // surviving pair (a corpus with heavy band collisions would
+    // otherwise re-compare signatures per colliding band).
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("vals")))))
-      .select(col("id"), col("sig"), col("col.band"), hash(col("col.vals")).as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))))
+      .select(col("id"), col("col.band"), col("col.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           c => c)).cast("double") / k).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
   }
 
-  /** SimHash over word shingles: per-bit weighted majority of shingle
-    * hashes, 64-bit fingerprint. Near-dups = fingerprints within a
-    * small Hamming distance (joinable by banding the bits).
+  /** SimHash over an already-materialized shingle-array column:
+    * per-bit weighted majority of shingle hashes, 64-bit fingerprint.
+    * Near-dups = fingerprints within a small Hamming distance
+    * (joinable by banding the bits). The input MUST be an attribute —
+    * 64 per-bit aggregates each re-evaluate a composed expression
+    * (see TextFunctions.charShinglesFrom).
     */
-  def simhash(text: Column, shingleLen: Int = 2): Column = {
-    val sh = T.wordShingles(text, shingleLen)
+  def simhashFrom(sh: Column): Column = {
     val bits = (0 until 64).map { i =>
       val votes = aggregate(sh, lit(0),
         (acc, s) => acc + when(shiftright(hash(s).cast("long"), i % 32)
@@ -83,6 +111,10 @@ object Dedup {
     }
     bits.reduce(_ + _)
   }
+
+  /** Convenience one-shot form for small inputs / tests. */
+  def simhash(text: Column, shingleLen: Int = 2): Column =
+    simhashFrom(T.wordShingles(text, shingleLen))
 
   /** N-gram Jaccard similarity for candidate pairs sharing at least
     * one *rare* shingle: inverted-index join on shingle, document-
@@ -94,15 +126,27 @@ object Dedup {
     * on true Jaccard; exact when maxDf admits all grams).
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-                   shingles: Column => Column,
+                   tokenize: Column => Column,
+                   gramLen: Int = 3,
                    threshold: Double = 0.5,
                    maxDf: Option[Int] = Some(10),
                    maxDocLen: Int = 10000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(substring(col(textCol), 1, maxDocLen)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val inv0 = sh.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("gram"))
+    // explode-first gram generation (Generate carries the token array
+    // per row; no HOF lambda, so no per-element re-evaluation), then
+    // per-doc distinct because Jaccard is over shingle SETS
+    val grams = docs
+      .select(col(idCol).as("id"),
+        tokenize(substring(col(textCol), 1, maxDocLen)).as("toks"))
+      .select(col("id"), col("toks"),
+        explode(when(size(col("toks")) >= gramLen,
+          sequence(lit(0), size(col("toks")) - gramLen))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(gramLen))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
+    val inv0 = grams.join(sizes, "id")
+      .select(col("id"), col("n"), col("gram"))
     val inv = maxDf match {
       case Some(df) =>
         val rare = inv0.groupBy("gram").agg(count(lit(1)).as("df"))

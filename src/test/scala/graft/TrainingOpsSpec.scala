@@ -24,7 +24,8 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
     val pairs = Dedup.ngramJaccard(docs, "text", "doc_id",
-      shingles = T.wordShingles(_, 2), threshold = 0.4, maxDf = None)
+      tokenize = t => split(T.normText(t), " "),
+      gramLen = 2, threshold = 0.4, maxDf = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)))   // identical → sim 1.0
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
