@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** M8 — stage orchestrator mirroring the reference's only external API
+  * (the CLI batch run, /root/reference/main_graph_topraq.py:84-340):
+  * an ordered task registry, per-task gating by `ENABLE_<KEY>` env +
+  * `--only`/`--skip` sets, and `[TIMER]` instrumentation per stage and
+  * total (main_graph_topraq.py:48-62, 327-334).
+  *
+  * Where the reference needs "deterministic ordering" via a single
+  * serialized Neo4j session (main_graph_topraq.py:113-115), stages
+  * here are pure DataFrame programs — ordering only matters for
+  * timing attribution, and stage outputs are reusable DataFrames, not
+  * sink state.
+  */
+object Orchestrator {
+
+  final case class Stage(key: String, label: String,
+                         run: (SparkSession, String) => Unit)
+
+  /** ENABLE_<KEY> env gate + --only/--skip sets, reference semantics:
+    * `only` non-empty → allowlist; `skip` always wins; env default on.
+    */
+  def enabled(key: String, only: Set[String], skip: Set[String],
+              env: Map[String, String] = sys.env): Boolean = {
+    val envOn = env.getOrElse(s"ENABLE_${key.toUpperCase}", "1") != "0"
+    val onlyOk = only.isEmpty || only.contains(key)
+    envOn && onlyOk && !skip.contains(key)
+  }
+
+  /** Run the gated stages in order; returns per-stage seconds. */
+  def run(spark: SparkSession, sfDir: String, stages: Seq[Stage],
+          only: Set[String] = Set.empty,
+          skip: Set[String] = Set.empty): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    val times = stages.flatMap { st =>
+      if (!enabled(st.key, only, skip)) {
+        println(s"[SKIP] ${st.label}")
+        None
+      } else {
+        val s0 = System.nanoTime()
+        st.run(spark, sfDir)
+        val dt = (System.nanoTime() - s0) / 1e9
+        println(f"[TIMER] ${st.label}: $dt%.2fs")
+        Some(st.key -> dt)
+      }
+    }
+    println(f"[TIMER] TOTAL: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    times
+  }
+
+  /** The engine's standard stage registry: one stage per query-catalog
+    * family, each evaluating its queries to completion (noop sink).
+    */
+  def standardStages: Seq[Stage] = {
+    def evalAll(prefixes: String*): (SparkSession, String) => Unit =
+      (spark, sfDir) =>
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (k, _) => prefixes.exists(k.startsWith) }
+          .foreach { case (_, fn) =>
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+    Seq(
+      Stage("constraints", "uniqueness + referential integrity", evalAll("s6_")),
+      Stage("ingest", "scans, projections, upserts", evalAll("s2_", "s3_", "p")),
+      Stage("joins", "dim/as-of/semi joins", evalAll("j")),
+      Stage("day_metrics", "daily roll-ups + pivots", evalAll("a", "r", "pipeline_day")),
+      Stage("functions", "scalar parse/convert suites", evalAll("f", "o", "w_", "set_")),
+      Stage("app_chain", "application chain", evalAll("pipeline_app")),
+      Stage("text", "text analysis", evalAll("txt_")),
+      Stage("dedup", "deduplication family", evalAll("dd_")),
+      Stage("vectors", "similarity search", evalAll("vec_")),
+      Stage("graph", "graph view + analytics", evalAll("g_")),
+      Stage("multimodal", "media decode plumbing", evalAll("mm_")))
+  }
+
+  /** CLI: `runMain graft.Orchestrator --sf-dir D [--only a,b] [--skip c]`. */
+  def main(args: Array[String]): Unit = {
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val sfDir = opt("--sf-dir").getOrElse("/root/testdata/sf0.001")
+    val only = opt("--only").map(_.split(",").toSet).getOrElse(Set.empty)
+    val skip = opt("--skip").map(_.split(",").toSet).getOrElse(Set.empty)
+    val spark = GraftSession.getOrCreate()
+    run(spark, sfDir, standardStages, only, skip)
+    spark.stop()
+  }
+}

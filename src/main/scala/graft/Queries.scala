@@ -279,14 +279,17 @@ object Queries {
       .agg(decAvg(col("value")).as("data"),
         min(col("value")).as("min"), max(col("value")).as("max"),
         decAvg(col("value")).as("avg"),
-        decSum(col("value")).as("sum"),
-        min(col("event_type")).as("unit")),
+        decSum(col("value")).as("sum"))
+      // unit == the group key here; aggregating a string (min/first)
+      // would force SortAggregate — var-length aggregation buffers
+      // are not hash-aggregatable
+      .withColumn("unit", col("event_type")),
     Some("""SELECT event_type, CAST(ts AS DATE) AS date,
              """ + sqlDecAvg("value") + """ AS data,
              MIN(value) AS min, MAX(value) AS max,
              """ + sqlDecAvg("value") + """ AS avg,
              """ + sqlDecSum("value") + """ AS sum,
-             MIN(event_type) AS unit
+             event_type AS unit
       FROM events GROUP BY event_type, CAST(ts AS DATE)"""))
 
   /** A2 — sentinel-flavor roll-up with the sum-0→null quirk

@@ -85,6 +85,25 @@ object GraphOps {
     comp
   }
 
+  /** GraphX-backed PageRank over the same edge DataFrame — the
+    * VertexRDD/EdgeRDD execution path (BASELINE.json north star).
+    * Same recurrence as [[pageRank]] but float sums follow GraphX's
+    * partition order, so it is NOT bit-deterministic — use the
+    * DataFrame form when results must be reproducible/oracle-checked,
+    * this one to interop with the GraphX algorithm library.
+    */
+  def pageRankGraphX(edges: DataFrame, iterations: Int,
+                     reset: Double = 0.15): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = edges.sparkSession
+    val edgeRdd = edges.select(col("src"), col("dst")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    val ranks = graph.staticPageRank(iterations, reset).vertices
+    spark.createDataFrame(ranks.map { case (id, r) => (id, r) })
+      .toDF("id", "rank")
+  }
+
   /** Degree table: per vertex, out-, in-, and total degree. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality audits: the optimizations the engine's scale story
+  * depends on must be visible in the physical plans, not assumed
+  * (builder brief: ".explain the plan and iterate until it's the plan
+  * you'd want").
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // materialize THIS QueryExecution (collect, not write — write
+    // builds its own) so AQE finalizes: pre-execution plans hide
+    // WholeStageCodegen spans and final join strategies
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projection push down to the parquet scan") {
+    val p = plan("s2_pushdown_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema — none of the unused lineitem columns
+    assert(!p.contains("l_extendedprice"), "projection not pruned:\n" + p)
+  }
+
+  test("dim joins broadcast; fact side is not shuffled for the join") {
+    val p = plan("j1_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("roll-up is a partial+final hash aggregate inside codegen") {
+    val p = plan("a1_daily_rollup")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("*("), "no WholeStageCodegen span:\n" + p)
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    assert(plan("j6_semi").contains("LeftSemi"), plan("j6_semi"))
+    assert(plan("j6_anti").contains("LeftAnti"), plan("j6_anti"))
+  }
+
+  test("native cosine stays inside whole-stage codegen in the ANN scan") {
+    val p = plan("vec_topk_bruteforce")
+    assert(p.contains("*("), "no WholeStageCodegen span:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
