@@ -1,0 +1,45 @@
+package graft.domain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M7 — property-graph materialization: collapse the engine's node
+  * tables into one (vertices, edges) pair — the DataFrame form of what
+  * the reference holds in Neo4j (§1.2/§1.3). Vertices carry
+  * (id, label, props-json); edges are key joins made explicit. GraphX/
+  * GraphOps algorithms run directly over the edge relation.
+  */
+object GraphAssembly {
+
+  /** Build a vertex table from a node DataFrame: id = label +
+    * surrogate key columns, props = all other columns as JSON (kept
+    * structured upstream; JSON only at this boundary, R7).
+    */
+  def vertices(nodes: DataFrame, label: String, keyCols: Seq[String]): DataFrame = {
+    val propCols = nodes.columns.filterNot(keyCols.contains)
+    nodes.select(
+      concat_ws(":", (lit(label) +: keyCols.map(col)): _*).as("id"),
+      lit(label).as("label"),
+      to_json(struct(propCols.map(col): _*)).as("props"))
+  }
+
+  /** Edge table from embedded keys: (srcLabel:srcKeys → dstLabel:dstKeys). */
+  def edges(rel: DataFrame, relType: String,
+            srcLabel: String, srcKeyCols: Seq[String],
+            dstLabel: String, dstKeyCols: Seq[String]): DataFrame =
+    rel.select(
+      concat_ws(":", (lit(srcLabel) +: srcKeyCols.map(col)): _*).as("src"),
+      concat_ws(":", (lit(dstLabel) +: dstKeyCols.map(col)): _*).as("dst"),
+      lit(relType).as("rel"))
+
+  /** Referential integrity across the assembled graph: edges whose
+    * endpoints are missing from the vertex set (SURVEY §5.4 — must be
+    * empty).
+    */
+  def danglingEdges(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val ids = vertices.select(col("id"))
+    edges.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .unionByName(
+        edges.join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+  }
+}
