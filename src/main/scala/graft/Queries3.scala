@@ -238,8 +238,8 @@ object Queries3 {
       WHERE rank <= 10"""))
 
   /** IVF-bucketed ANN top-k (scale path): coarse centroids, probe the
-    * 4 nearest cells per query. Fully deterministic arithmetic but the
-    * 3-stage SQL replay is deferred — rows-only for now.
+    * 4 nearest cells per query. Deterministic end to end, so the
+    * 3-stage pipeline (assign → probe → score) replays exactly in SQL.
     */
   val vec_ivf_ann = Q(
     (s, dir) => {
@@ -248,7 +248,29 @@ object Queries3 {
       Similarity.ivfTopK(indexed, centroids, emb.filter(col("vec_id") < 3),
         "embedding", "vec_id", k = 10, nProbe = 4)
     },
-    None)
+    Some(s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT id, v, cell FROM (
+          SELECT c.id, c.v, cent.cell,
+            row_number() OVER (PARTITION BY c.id
+              ORDER BY ${cosineSql("v", "cv")} DESC NULLS LAST, cent.cell ASC) AS rn
+          FROM c, cent) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      probes AS (
+        SELECT qid, qv, cell FROM (
+          SELECT q.qid, q.qv, cent.cell,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${cosineSql("qv", "cv")} DESC NULLS LAST, cent.cell ASC) AS rn
+          FROM q, cent) WHERE rn <= 4),
+      scored AS (
+        SELECT p.qid, a.id, ${cosineSql("v", "qv")} AS cos
+        FROM assigned a JOIN probes p ON a.cell = p.cell)
+      SELECT qid, id, cos, rank
+      FROM (SELECT qid, id, cos, row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 10"""))
 
   // ===========================================================
   // Graph analytics (SURVEY §4.2.3 / M7)
