@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query bench harness for iterating on one operator:
+  * `runMain graft.BenchOne <queryName> [reps]`. Same session config as
+  * [[Bench]]; prints per-rep seconds so warm-up cost is visible.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same table pre-warm as the full Bench, so rep-1 timings are
+    // comparable (file listing + footer reads + scan codegen paid here)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => graft.sources.Tables.read(spark, sfDir, t).count())
+    val fn = SparkEntry.benchQueries(name)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[bench-one] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -190,12 +190,16 @@ object Queries3 {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
-  /** SimHash fingerprints over word bigrams (rows-only: murmur3). */
+  /** SimHash fingerprints over word bigrams (rows-only: murmur3).
+    * Bulk explode-aggregate form — one codegen'd hash aggregate
+    * instead of 64 interpreted HOF passes per document.
+    */
   val dd_simhash = Q(
-    (s, dir) => T_(s, dir, "documents")
-      .select(col("doc_id"), split(T.normText(col("text")), " ").as("toks"))
-      .select(col("doc_id"), T.wordShinglesFrom(col("toks"), 2).as("sh"))
-      .select(col("doc_id"), Dedup.simhashFrom(col("sh")).as("simhash")),
+    (s, dir) => Dedup.simhashBulk(
+      T_(s, dir, "documents")
+        .select(col("doc_id"), split(T.normText(col("text")), " ").as("toks"))
+        .select(col("doc_id"), T.wordShinglesFrom(col("toks"), 2).as("sh")),
+      "doc_id", "sh"),
     None)
 
   /** Embedding-cosine near-dup pairs, hyperplane-LSH-bucketed
@@ -364,11 +368,13 @@ object Queries3 {
       SELECT id, rank FROM r$prIters"""
     })
 
-  private val ccIters = 6
+  private val ccIters = 4
 
-  /** Connected components by min-label propagation (diameter of the
-    * order→customer→nation→region chain is 3; 6 iterations is safely
-    * past convergence).
+  /** Connected components by min-label propagation. The component
+    * minimum is always a region vertex (smallest namespaced ids), and
+    * the farthest vertex from it is an order (order→customer→nation→
+    * region = 3 hops), so labels converge after 3 iterations; the 4th
+    * is the convergence margin. The oracle replays the same 4.
     */
   val g_connected_components = Q(
     (s, dir) => GraphOps.connectedComponents(edgesDf(s, dir), ccIters),

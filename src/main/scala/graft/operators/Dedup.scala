@@ -116,6 +116,37 @@ object Dedup {
   def simhash(text: Column, shingleLen: Int = 2): Column =
     simhashFrom(T.wordShingles(text, shingleLen))
 
+  /** Bulk SimHash: same fingerprint as [[simhashFrom]] (per-bit ±1
+    * vote sums are order-free), but computed as explode → one
+    * codegen'd hash aggregate with 64 sum accumulators instead of 64
+    * higher-order `aggregate` lambdas per row. HOFs are
+    * CodegenFallback in Spark — the lambda tree is interpreted per
+    * array element, so the HOF form costs 64 × |shingles| interpreted
+    * evaluations per document; this form hashes each shingle once and
+    * keeps the whole pipeline inside whole-stage codegen.
+    *
+    * Input: (idCol, shingleArrayCol); output: (idCol, simhash).
+    * Documents whose shingle array is empty get fingerprint 0, same
+    * as the HOF form (empty aggregate → all votes 0 → no bits set).
+    */
+  def simhashBulk(df: DataFrame, idCol: String, shingleCol: String): DataFrame = {
+    val h = hash(col("__sh")).cast("long")
+    val votes = (0 until 64).map { i =>
+      // explode_outer emits one NULL shingle for an empty doc; it must
+      // vote 0 (hash(null) returns the murmur3 seed, not null)
+      sum(when(col("__sh").isNull, 0)
+        .when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), explode_outer(col(shingleCol)).as("__sh"))
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), coalesce(packed, lit(0L)).as("simhash"))
+  }
+
   /** N-gram Jaccard similarity for candidate pairs sharing at least
     * one *rare* shingle: inverted-index join on shingle, document-
     * frequency pruning (`maxDf`) so ubiquitous grams never explode the
@@ -170,16 +201,45 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors
     * sharing a hyperplane-signature bucket are compared exactly;
     * pairs with cosine >= threshold survive.
+    *
+    * Signature + vector norm are computed in ONE pass: posexplode the
+    * vector, then a single codegen'd hash aggregate with `planes`
+    * projection sums and a squared-norm sum. The per-plane
+    * higher-order form ([[VectorFunctions.hyperplaneSig]]) makes
+    * `planes` interpreted passes over every vector (HOF lambdas are
+    * CodegenFallback); this form reads each element once. The
+    * explode keeps a vector's elements in array order inside one
+    * partition, so the IEEE float sums are bit-identical to the HOF
+    * form. Norms are hoisted out of the pair stage — cosine per
+    * candidate pair is just dot/(norm_a*norm_b) instead of
+    * recomputing both norms per pair.
     */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
                        planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val seed = 42
+    val projSums = (0 until planes).map { p =>
+      // same pseudo-weight stream as VectorFunctions.hyperplaneSig:
+      // hash(seed, plane, dimIdx) → uniform in [-0.5, 0.5)
+      sum(col("x") * (pmod(hash(lit(seed), lit(p), col("i")), lit(1000000))
+        .cast("double") / 1000000.0 - 0.5)).as(s"__p$p")
+    }
+    val aggCols = projSums :+ sum(col("x") * col("x")).as("__nsq")
+    val bucketExpr = (0 until planes).map { p =>
+      when(col(s"__p$p") >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", V.hyperplaneSig(col("v"), planes))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .select(col("id"), col("v"), posexplode(col("v")))
+      .select(col("id"), col("v"), col("pos").as("i"), col("col").cast("double").as("x"))
+      .groupBy("id", "v")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("id"), col("v"), bucketExpr.as("bucket"), sqrt(col("__nsq")).as("nrm"))
+      .persist()
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", when(col("n_a") > 0.0 && col("n_b") > 0.0,
+        V.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .groupBy("id_a", "id_b")

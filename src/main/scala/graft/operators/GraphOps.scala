@@ -28,13 +28,20 @@ object GraphOps {
                reset: Double = 0.15, damp: Double = 0.85): DataFrame = {
     // vertices is re-joined every iteration — persist it or each
     // iteration re-runs the distinct over the edge set
+    // vertices comes out of distinct() hash-partitioned by id; edges
+    // are explicitly repartitioned by src. Cached plans keep their
+    // output partitioning (canChangeCachedPlanOutputPartitioning is
+    // false by default), so every iteration's rank⋈edge join and
+    // vertex left-join are exchange-free — the only shuffle per
+    // iteration is the contribution aggregate, i.e. the actual
+    // message-passing step. 3 shuffles/iter → 1.
     val vertices = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().persist()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // 1/outdeg as IEEE double (engine-independent), fixed per vertex
     val withInv = edges.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
-    val edgesCached = withInv.persist()
+    val edgesCached = withInv.repartition(col("src")).persist()
     var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
@@ -51,11 +58,16 @@ object GraphOps {
       ranks = vertices.join(summed, Seq("id"), "left")
         .select(col("id"),
           (lit(reset) + lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        // LAZY persist per iteration: registering the fragment in the
+        // CacheManager makes iteration t+1's analyzed plan substitute
+        // an InMemoryRelation for iteration t, so the optimizer always
+        // sees a 1-iteration tree instead of a depth-N monster
+        // (optimizer time on the unpersisted chain dominates the cold
+        // run). Execution is still one cascading job — this is NOT
+        // eager per-iteration materialization, which pays a job launch
+        // per iteration and is ~10x worse locally.
+        .persist()
     }
-    // NOTE: lineage stays lazy — at this iteration depth Catalyst
-    // collapses the chain into one pipelined job, which beats eager
-    // per-iteration materialization by ~10x locally. For much deeper
-    // iteration counts, checkpoint every ~20 iterations.
     ranks
   }
 
@@ -65,8 +77,13 @@ object GraphOps {
     * deterministic (min is order-free).
     */
   def connectedComponents(edges: DataFrame, iterations: Int): DataFrame = {
+    // same co-partitioning discipline as pageRank: undirected edges
+    // partitioned by src once, comp stays partitioned by id, so the
+    // propagation join is exchange-free and only the min-aggregate
+    // shuffles per iteration
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist()
     val vertices = undirected.select(col("src").as("id")).distinct()
     var comp = vertices.select(col("id"), col("id").as("comp"))

@@ -46,6 +46,49 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("simhashBulk is bit-identical to the HOF simhash form") {
+    val withEmpty = docs.union(Seq((5L, "")).toDF("doc_id", "text"))
+    val hof = withEmpty.select($"doc_id", Dedup.simhash($"text", 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bulk = Dedup.simhashBulk(
+      withEmpty.select($"doc_id",
+        T.wordShinglesFrom(split(T.normText($"text"), " "), 2).as("sh")),
+      "doc_id", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == hof)
+  }
+
+  test("embeddingNearDup buckets match the HOF hyperplane signature") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f)),
+      (2L, Array(0.99f, 0.01f, 0.21f)),  // near-dup of 1
+      (3L, Array(-1.0f, 0.5f, -0.3f))
+    ).toDF("vec_id", "embedding")
+    // pair stage finds the near-dup and not the far pair
+    val pairs = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      planes = 6, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // and the explode-aggregate signature equals the HOF one
+    val hofSig = emb.select($"vec_id",
+      V.hyperplaneSig($"embedding", 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seed = 42
+    val projSums = (0 until 6).map { p =>
+      sum($"x" * (pmod(hash(lit(seed), lit(p), $"i"), lit(1000000))
+        .cast("double") / 1000000.0 - 0.5)).as(s"__p$p")
+    }
+    val bucketExpr = (0 until 6).map { p =>
+      when(col(s"__p$p") >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bulkSig = emb.select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos".as("i"), $"col".cast("double").as("x"))
+      .groupBy("vec_id").agg(projSums.head, projSums.tail: _*)
+      .select($"vec_id", bucketExpr.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulkSig == hofSig)
+  }
+
   test("vector functions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
