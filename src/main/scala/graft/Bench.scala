@@ -25,7 +25,13 @@ object Bench {
       // Catalyst prune projection-only work and time ~nothing)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop blocks persisted inside operators (iterative graph loops,
+      // LSH signatures): cached partitions accumulating across 64
+      // queries cause storage eviction + GC pressure that bleeds one
+      // query's cost into the next
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
