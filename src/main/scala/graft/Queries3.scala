@@ -202,6 +202,20 @@ object Queries3 {
       "doc_id", "sh"),
     None)
 
+  /** SimHash near-dup pairs via pigeonhole band join + exact Hamming
+    * check (rows-only: fingerprints are murmur3-based).
+    */
+  val dd_simhash_neardup = Q(
+    (s, dir) => Dedup.simhashNearDup(
+      Dedup.simhashBulk(
+        T_(s, dir, "documents")
+          .select(col("doc_id"), split(T.normText(col("text")), " ").as("toks"))
+          .select(col("doc_id"), T.wordShinglesFrom(col("toks"), 2).as("sh")),
+        "doc_id", "sh"),
+      "doc_id", "simhash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   /** Embedding-cosine near-dup pairs, hyperplane-LSH-bucketed
     * (rows-only: bucket signatures use murmur3 pseudo-weights).
     */
@@ -443,6 +457,7 @@ object Queries3 {
     "dd_ngram_jaccard" -> dd_ngram_jaccard,
     "dd_minhash_lsh" -> dd_minhash_lsh,
     "dd_simhash" -> dd_simhash,
+    "dd_simhash_neardup" -> dd_simhash_neardup,
     "dd_embedding_neardup" -> dd_embedding_neardup,
     "vec_topk_bruteforce" -> vec_topk_bruteforce,
     "vec_ivf_ann" -> vec_ivf_ann,

@@ -147,6 +147,44 @@ object Dedup {
       .select(col(idCol), coalesce(packed, lit(0L)).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: documents whose 64-bit fingerprints
+    * are within `maxHamming` bits. Pigeonhole banding: the fingerprint
+    * is cut into `maxHamming + 1` bands, and two fingerprints within
+    * distance k must agree EXACTLY on at least one band — so candidate
+    * generation is an equi-join on (band, bits) and the exact
+    * `bit_count(xor)` check runs per candidate only, never all-pairs.
+    * Same scale shape as the MinHash band join: one shuffle on the
+    * band key; a degenerate corpus (many identical fingerprints) is
+    * bounded by the id-pair distinct before the Hamming check.
+    */
+  def simhashNearDup(fp: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val bandStructs = (0 until bands).map { b =>
+      val lo = b * width
+      val w = if (b == bands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("f"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    // persisted: both join sides reference it, and without the cache
+    // each side would recompute the full fingerprint lineage
+    val banded = fp.select(col(idCol).as("id"), col(fpCol).as("f"))
+      .select(col("id"), col("f"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("f"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .persist()
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("f").as("f_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("f").as("f_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "f_a", "f_b").distinct()
+      .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** N-gram Jaccard similarity for candidate pairs sharing at least
     * one *rare* shingle: inverted-index join on shingle, document-
     * frequency pruning (`maxDf`) so ubiquitous grams never explode the

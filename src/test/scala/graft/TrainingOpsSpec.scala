@@ -89,6 +89,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(bulkSig == hofSig)
   }
 
+  test("simhashNearDup: banded Hamming join finds exactly the close pairs") {
+    // hand-built fingerprints: 1↔2 differ in 2 bits, 1↔3 in 1 bit,
+    // 4 is far from everything (> 3 bits, spread across bands)
+    val base = 0x0123456789ABCDEFL
+    val fp = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 3) ^ (1L << 40)),
+      (3L, base ^ (1L << 63)),
+      (4L, base ^ (1L << 0) ^ (1L << 17) ^ (1L << 33) ^ (1L << 49))
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashNearDup(fp, "doc_id", "simhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) == 2 && pairs((1L, 3L)) == 1 && pairs((2L, 3L)) == 3)
+  }
+
   test("vector functions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
