@@ -181,6 +181,54 @@ object Queries3 {
       WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.2
       ORDER BY id_a, id_b"""))
 
+  /** End-to-end corpus dedup: n-gram-Jaccard near-dup pairs →
+    * connected components over the pair graph → canonical doc (min id)
+    * + size per cluster. Fully SQL-replayable: the oracle chains the
+    * ngram-Jaccard CTEs into the same fixed-depth min-label
+    * propagation the engine runs.
+    */
+  val dd_cluster_canonical = Q(
+    (s, dir) => Dedup.dedupClusters(
+      Dedup.ngramJaccard(
+        T_(s, dir, "documents"), "text", "doc_id",
+        tokenize = t => split(T.normText(t), " "),
+        gramLen = 3, threshold = 0.2, maxDf = Some(10)),
+      iterations = 3)
+      .orderBy(col("comp")),
+    Some {
+      val ccSql = (1 to 3).map { t =>
+        val prev = s"c${t - 1}"
+        s"""c$t AS (SELECT c.id, least(c.comp, coalesce(m.nc, c.comp)) AS comp
+           FROM $prev c LEFT JOIN (
+             SELECT und.dst AS id, MIN(cc.comp) AS nc
+             FROM und JOIN $prev cc ON cc.id = und.src GROUP BY und.dst) m
+           ON m.id = c.id)"""
+      }.mkString(",\n      ")
+      s"""WITH sh AS (
+        SELECT doc_id, list_distinct([
+            concat_ws(' ', t[i], t[i+1], t[i+2]) FOR i IN range(1, len(t) - 1)]) AS g
+        FROM (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(substr(text, 1, 10000))), '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents)
+        WHERE len(t) >= 3),
+      inv0 AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM sh),
+      rare AS (SELECT gram FROM inv0 GROUP BY gram HAVING count(*) <= 10),
+      inv AS (SELECT inv0.* FROM inv0 JOIN rare USING (gram)),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               count(*) AS inter
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p
+            WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.2),
+      und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      verts AS (SELECT DISTINCT src AS id FROM und),
+      c0 AS (SELECT id, id AS comp FROM verts),
+      $ccSql
+      SELECT comp, MIN(id) AS keep_id, count(*) AS cluster_size
+      FROM c3 GROUP BY comp ORDER BY comp"""
+    })
+
   /** MinHash + LSH near-dup candidates (Spark murmur3 signatures — not
     * SQL-replayable, so rows-only).
     */
@@ -455,6 +503,7 @@ object Queries3 {
     "txt_fingerprint" -> txt_fingerprint,
     "dd_exact" -> dd_exact,
     "dd_ngram_jaccard" -> dd_ngram_jaccard,
+    "dd_cluster_canonical" -> dd_cluster_canonical,
     "dd_minhash_lsh" -> dd_minhash_lsh,
     "dd_simhash" -> dd_simhash,
     "dd_simhash_neardup" -> dd_simhash_neardup,

@@ -236,6 +236,23 @@ object Dedup {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Corpus-level dedup resolution: near-dup PAIRS (from any of the
+    * pair generators here) → connected components over the pair graph
+    * → one canonical document per cluster (lowest id) with the cluster
+    * size. Documents that appear in no pair are their own canonical
+    * and are not emitted. `iterations` bounds the propagation depth:
+    * a chain of near-dups longer than `iterations` hops resolves into
+    * more than one cluster — dup chains are short in practice, and a
+    * fixed depth keeps the computation deterministic and replayable.
+    */
+  def dedupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    GraphOps.connectedComponents(edges, iterations)
+      .groupBy(col("comp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("cluster_size"))
+      .select("comp", "keep_id", "cluster_size")
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors
     * sharing a hyperplane-signature bucket are compared exactly;
     * pairs with cosine >= threshold survive.

@@ -89,6 +89,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(bulkSig == hofSig)
   }
 
+  test("dedupClusters: pair graph resolves to one canonical doc per cluster") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id",
+      tokenize = t => split(T.normText(t), " "),
+      gramLen = 2, threshold = 0.4, maxDf = None)
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1,2,3 are one near-dup cluster; 4 is untouched (not emitted)
+    assert(clusters.toSeq == Seq((1L, 1L, 3L)))
+  }
+
   test("simhashNearDup: banded Hamming join finds exactly the close pairs") {
     // hand-built fingerprints: 1↔2 differ in 2 bits, 1↔3 in 1 bit,
     // 4 is far from everything (> 3 bits, spread across bands)
