@@ -410,12 +410,18 @@ object Queries {
               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn FROM orders)
       WHERE rn = 1"""))
 
-  /** O4 — global top-k with rank (sample limiting). */
+  /** O4 — global top-k with rank (sample limiting). orderBy+limit
+    * plans as TakeOrderedAndProject — each partition keeps its local
+    * top 25 and the driver merges — instead of a global row_number
+    * window that would drag the full table into one partition. The
+    * rank window then runs over the 25 survivors only.
+    */
   val o4_topk = Q(
     (s, dir) => T_(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
-      .filter(col("rank") <= 25)
       .select(col("rank"), col("o_orderkey"), col("o_totalprice")),
     Some("""SELECT rank, o_orderkey, o_totalprice
       FROM (SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)

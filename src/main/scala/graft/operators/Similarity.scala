@@ -27,9 +27,20 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))))
       .withColumn("cos", cosineFast(col("v"), col("qv")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc_nulls_last, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val ord = Seq(col("cos").desc_nulls_last, col("id").asc)
+    // two-phase top-k: a single window on qid would shuffle the whole
+    // scored corpus to one reducer per query (total skew when queries
+    // are few). Phase 1 ranks within (qid, physical partition) — the
+    // shuffle key is evenly spread and its output is ≤ partitions × k
+    // rows per query, a guaranteed superset of the true top-k whatever
+    // the data placement. Phase 2 ranks that small candidate set
+    // exactly, so the result is deterministic.
+    val w1 = Window.partitionBy(col("qid"), col("__pid")).orderBy(ord: _*)
+    val cand = scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k).drop("__r", "__pid")
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "cos", "rank")
   }
