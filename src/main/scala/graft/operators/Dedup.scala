@@ -203,6 +203,9 @@ object Dedup {
     // explode-first gram generation (Generate carries the token array
     // per row; no HOF lambda, so no per-element re-evaluation), then
     // per-doc distinct because Jaccard is over shingle SETS
+    // persisted: referenced by both the per-doc sizes aggregate and the
+    // inverted index — unpersisted, the tokenize+explode+distinct
+    // lineage would re-run per reference (and again per join side)
     val grams = docs
       .select(col(idCol).as("id"),
         tokenize(substring(col(textCol), 1, maxDocLen)).as("toks"))
@@ -213,16 +216,17 @@ object Dedup {
       .select(col("id"),
         concat_ws(" ", slice(col("toks"), col("i") + 1, lit(gramLen))).as("gram"))
       .distinct()
+      .persist()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
     val inv0 = grams.join(sizes, "id")
       .select(col("id"), col("n"), col("gram"))
-    val inv = maxDf match {
+    val inv = (maxDf match {
       case Some(df) =>
         val rare = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
           .filter(col("df") <= df).select("gram")
         inv0.join(rare, "gram")
       case None => inv0
-    }
+    }).persist() // both sides of the pair self-join read it
     val a = inv.select(col("gram"), col("id").as("id_a"), col("n").as("n_a"))
     val b = inv.select(col("gram"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("gram"))

@@ -35,13 +35,22 @@ object GraphOps {
     // vertex left-join are exchange-free — the only shuffle per
     // iteration is the contribution aggregate, i.e. the actual
     // message-passing step. 3 shuffles/iter → 1.
-    val vertices = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().persist()
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the input lineage is referenced 4× below (vertices union twice,
+    // outDeg, withInv), and every iteration's logical plan would embed
+    // it again — localCheckpoint materializes it ONCE and replaces the
+    // lineage with a LogicalRDD, so iteration plans stay constant-size
+    // (a persist alone caches execution but Catalyst still re-analyzes
+    // the full tree, which doubles per iteration: comp_t is referenced
+    // twice by comp_{t+1}). LogicalRDD preserves output partitioning,
+    // so the co-partitioning below survives the truncation.
+    val e = edges.localCheckpoint()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // 1/outdeg as IEEE double (engine-independent), fixed per vertex
-    val withInv = edges.join(outDeg, "src")
+    val withInv = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
-    val edgesCached = withInv.repartition(col("src")).persist()
+    val edgesCached = withInv.repartition(col("src")).localCheckpoint()
     var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
@@ -55,18 +64,14 @@ object GraphOps {
       val summed = contribs.groupBy(col("id"))
         .agg((round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
           .cast("long").cast("double") / 1.0e9).as("inflow"))
+      // localCheckpoint per iteration: the rank table is tiny relative
+      // to the edge set, and truncating the lineage keeps analysis +
+      // optimization constant per iteration instead of growing with
+      // the full upstream tree each round
       ranks = vertices.join(summed, Seq("id"), "left")
         .select(col("id"),
           (lit(reset) + lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        // LAZY persist per iteration: registering the fragment in the
-        // CacheManager makes iteration t+1's analyzed plan substitute
-        // an InMemoryRelation for iteration t, so the optimizer always
-        // sees a 1-iteration tree instead of a depth-N monster
-        // (optimizer time on the unpersisted chain dominates the cold
-        // run). Execution is still one cascading job — this is NOT
-        // eager per-iteration materialization, which pays a job launch
-        // per iteration and is ~10x worse locally.
-        .persist()
+        .localCheckpoint()
     }
     ranks
   }
@@ -81,10 +86,18 @@ object GraphOps {
     // partitioned by src once, comp stays partitioned by id, so the
     // propagation join is exchange-free and only the min-aggregate
     // shuffles per iteration
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // input lineage referenced twice by the symmetric union, and
+    // comp_t twice by iteration t+1 (propagation source and join
+    // target) — without truncation both the EXECUTION (recompute per
+    // reference) and the LOGICAL PLAN (tree doubles per iteration,
+    // re-analyzed even when execution is cached) blow up 2^iterations.
+    // localCheckpoint cuts both: one materialization, constant-size
+    // iteration plans, output partitioning preserved.
+    val e = edges.localCheckpoint()
+    val undirected = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-      .persist()
+      .localCheckpoint()
     val vertices = undirected.select(col("src").as("id")).distinct()
     var comp = vertices.select(col("id"), col("id").as("comp"))
     for (_ <- 1 to iterations) {
@@ -94,10 +107,7 @@ object GraphOps {
       comp = comp.join(nbrMin, comp("id") === nbrMin("vid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        // comp_t is referenced TWICE by iteration t+1 (propagation
-        // source and join target); without a lazy persist each
-        // reference recomputes its whole lineage — 2^iterations blowup
-        .persist()
+        .localCheckpoint()
     }
     comp
   }
