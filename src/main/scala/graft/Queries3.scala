@@ -496,6 +496,27 @@ object Queries3 {
       FROM events GROUP BY 1, 2"""),
     bench = false)
 
+  /** Streaming exact dedup over the document corpus (incremental form
+    * of Dedup.exact): content-hash dropDuplicatesWithinWatermark with
+    * event time synthesized from the monotone doc id. Which arrival
+    * survives a dup group is racy across partitions, so the checked
+    * output is the surviving NORMALIZED CONTENT set (identical for
+    * every member of a dup group) — deterministic, and exactly the
+    * batch DISTINCT the oracle computes.
+    */
+  val stream_dedup = Q(
+    (s, dir) => graft.streaming.StreamingDedup.dedupOnce(
+      s, s"$dir/documents.parquet", "text", "ts",
+      queryName = "stream_dedup_q",
+      // +1s offset: epoch-0 event time equals the initial watermark and
+      // is discarded as late, silently losing doc_id 0
+      prepare = _.withColumn("ts", timestamp_micros(col("doc_id") + lit(1000000L))))
+      .select(T.normText(col("text")).as("norm"))
+      .orderBy(col("norm")),
+    Some("""SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents ORDER BY norm"""),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "txt_token_counts" -> txt_token_counts,
     "txt_quality" -> txt_quality,
@@ -517,5 +538,6 @@ object Queries3 {
     "g_connected_components" -> g_connected_components,
     "mm_decode_features" -> mm_decode_features,
     "stream_daily_rollup" -> stream_daily_rollup,
+    "stream_dedup" -> stream_dedup,
   )
 }

@@ -45,6 +45,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("j6_anti").contains("LeftAnti"), plan("j6_anti"))
   }
 
+  test("global top-k plans as TakeOrderedAndProject, not a global window") {
+    val p = plan("o4_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("native cosine stays inside whole-stage codegen in the ANN scan") {
     val p = plan("vec_topk_bruteforce")
     assert(p.contains("*("), "no WholeStageCodegen span:\n" + p)
