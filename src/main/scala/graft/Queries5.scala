@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{RangeJoin, SkewJoin}
+import Queries.Q
+
+/** Batch 5: scale-path join strategies — the three shuffle shapes a
+  * 100 TB deployment lives or dies by, each verified against the same
+  * DuckDB oracle as the plain form it replaces:
+  *
+  *  - interval containment without a cartesian product (J9 — the
+  *    set-wise form of the reference's per-event window fetch,
+  *    /root/reference/app/graph_irrigation_event.py:119-152);
+  *  - salted joins for dominant keys (J10);
+  *  - bucketed co-located joins that eliminate the shuffle entirely
+  *    (S7).
+  */
+object Queries5 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  private def decSum(c: Column, scale: Int = 8): Column =
+    sum(c.cast(s"decimal(27,$scale)")).cast("double")
+
+  private def decAvg(c: Column, scale: Int = 8): Column =
+    (sum(c.cast(s"decimal(27,$scale)")).cast("double") / count(c)).cast("double")
+
+  /** J9 — interval join via bucket-explode equi-join: every error
+    * event opens a 30-minute window; enrich it with the count/sum of
+    * the same user's other events inside the window. The oracle states
+    * the range predicate directly; the engine's plan is a hash join on
+    * (user_id, bucket), never a nested loop.
+    */
+  val j9_interval_join = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      val pts = ev.filter(col("event_type") =!= "error")
+        .select("user_id", "ts", "value")
+      RangeJoin.intervalJoin(pts, err, Seq("user_id"),
+          "ts", "start_ts", "end_ts", bucketSeconds = 1800L)
+        .groupBy("user_id", "err_id")
+        .agg(count(lit(1)).as("n_in_window"),
+          decSum(col("value")).as("sum_value"))
+        .orderBy("user_id", "err_id")
+    },
+    Some("""SELECT e.user_id, err.err_id, COUNT(*) AS n_in_window,
+        CAST(SUM(CAST(e.value AS DECIMAL(27,8))) AS DOUBLE) AS sum_value
+      FROM events e
+      JOIN (SELECT event_id AS err_id, user_id, ts AS start_ts,
+                   ts + INTERVAL 30 MINUTE AS end_ts
+            FROM events WHERE event_type = 'error') err
+        ON e.user_id = err.user_id
+       AND e.ts BETWEEN err.start_ts AND err.end_ts
+      WHERE e.event_type <> 'error'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** J10 — salted join on the most skewed key in the dataset
+    * (event_type: 5 values over the whole events table). Classic
+    * above-average enrichment: join each event to its type's mean,
+    * keep the ones above it. Results provably identical to the
+    * unsalted join — that is exactly what the oracle checks.
+    */
+  val j10_salted_skew = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(decAvg(col("value")).as("avg_v"))
+      // shuffle_hash hint: keep it a shuffle join so the salt actually
+      // spreads the hot keys (a broadcast would hide the skew locally
+      // but is not available once the dim side no longer fits)
+      SkewJoin.salted(ev, dim.hint("shuffle_hash"), Seq("event_type"),
+          numSalts = 8, saltBy = "event_id")
+        .filter(col("value") > col("avg_v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS avg_v
+        FROM events GROUP BY 1)
+      SELECT e.event_type, COUNT(*) AS n_above
+      FROM events e JOIN d USING (event_type)
+      WHERE e.value > d.avg_v
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** S7 — bucketed co-located join: cluster both tables by the join
+    * key once, then sort-merge-join them with no exchange on either
+    * side (PlanSpec asserts the shuffle-free plan). The write cost is
+    * paid here too, deliberately: bucketing is a pay-once-save-per-
+    * consumer trade. Excluded from BENCH (it measures a sink write,
+    * not a query plan).
+    */
+  val s7_bucketed_join = Q(
+    (s, dir) => {
+      val base = "/tmp/graft_bucketed"
+      Tables.writeBucketed(
+        T_(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "graft_li_b", Seq("l_orderkey"), 8, s"$base/li")
+      Tables.writeBucketed(
+        T_(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate")),
+        "graft_ord_b", Seq("l_orderkey"), 8, s"$base/ord")
+      s.table("graft_li_b")
+        .join(s.table("graft_ord_b").hint("merge"), "l_orderkey")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(decSum(col("l_extendedprice")).as("rev"))
+        .orderBy("yr")
+    },
+    Some("""SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    bench = false)
+
+  val all: Map[String, Q] = Map(
+    "j9_interval_join" -> j9_interval_join,
+    "j10_salted_skew" -> j10_salted_skew,
+    "s7_bucketed_join" -> s7_bucketed_join,
+  )
+}

@@ -26,6 +26,23 @@ object Tables {
       .getOrElse(df)
   }
 
+  /** Write `df` as a bucketed + sorted table so later equi-joins and
+    * aggregations on `keys` are co-located: two tables bucketed the
+    * same way sort-merge-join with NO exchange and NO sort (the scan
+    * already satisfies the required distribution/ordering). At 100 TB
+    * this converts every repeated join against a fact table from a
+    * full shuffle into a local merge — pay one clustered write, save a
+    * shuffle per downstream consumer.
+    */
+  def writeBucketed(df: DataFrame, name: String, keys: Seq[String],
+                    buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(name)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{RangeJoin, SkewJoin}
+import graft.sources.Tables
+
+class JoinStrategiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("intervalJoin matches the naive theta join, including multi-bucket spans") {
+    val points = Seq(
+      (1, "2025-06-01 10:00:00", 1.0),
+      (1, "2025-06-01 10:59:59", 2.0),   // inclusive end boundary
+      (1, "2025-06-01 11:00:01", 3.0),   // just outside
+      (1, "2025-06-02 09:00:00", 4.0),   // inside the long interval only
+      (2, "2025-06-01 10:30:00", 5.0)    // right key, different user
+    ).map { case (u, t, v) => (u, ts(t), v) }.toDF("user_id", "ts", "value")
+    val intervals = Seq(
+      (10, 1, "2025-06-01 10:00:00", "2025-06-01 10:59:59"), // 1-hour window
+      (11, 1, "2025-06-01 12:00:00", "2025-06-03 00:00:00")  // spans many buckets
+    ).map { case (id, u, a, b) => (id, u, ts(a), ts(b)) }
+      .toDF("iv_id", "user_id", "start_ts", "end_ts")
+
+    // bucket (15 min) much smaller than the long interval: exercises the
+    // explode-to-many-buckets path and the match-exactly-once guarantee
+    val got = RangeJoin.intervalJoin(points, intervals, Seq("user_id"),
+        "ts", "start_ts", "end_ts", bucketSeconds = 900L)
+      .select("user_id", "iv_id", "ts", "value")
+    val naive = points.as("p").join(intervals.as("i"),
+        $"p.user_id" === $"i.user_id" &&
+          $"p.ts" >= $"i.start_ts" && $"p.ts" <= $"i.end_ts")
+      .select($"p.user_id", $"iv_id", $"p.ts", $"value")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      s"got:\n${got.collect().mkString("\n")}\nnaive:\n${naive.collect().mkString("\n")}")
+    assert(got.count() == 3) // (10:00, 10:59:59) in iv 10; 06-02 09:00 in iv 11
+  }
+
+  test("salted join returns exactly the plain join, preserving multiplicity") {
+    val skewed = (1 to 1000).map(i => (i.toLong, if (i % 10 == 0) "cold" else "hot", i * 1.5))
+      .toDF("id", "k", "v")
+    val dim = Seq(("hot", 100.0), ("cold", 200.0), ("absent", 0.0)).toDF("k", "w")
+    val got = SkewJoin.salted(skewed, dim, Seq("k"), numSalts = 4, saltBy = "id")
+      .select("id", "k", "v", "w")
+    val plain = skewed.join(dim, Seq("k")).select("id", "k", "v", "w")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    assert(got.count() == 1000)
+  }
+
+  test("salted join shuffles on the salt, spreading the hot key") {
+    val skewed = (1 to 100).map(i => (i.toLong, "hot", 1.0)).toDF("id", "k", "v")
+    val dim = Seq(("hot", 2.0)).toDF("k", "w")
+    val plan = SkewJoin.salted(skewed, dim.hint("shuffle_hash"), Seq("k"), 4, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
+  test("bucketed tables sort-merge-join with no exchange on either side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
+    val left = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "a")
+    val right = (1 to 200).map(i => (i.toLong % 50, i * 2.0)).toDF("k", "b")
+    Tables.writeBucketed(left, "spec_left_b", Seq("k"), 4, s"$dir/left")
+    Tables.writeBucketed(right, "spec_right_b", Seq("k"), 4, s"$dir/right")
+    val joined = spark.table("spec_left_b")
+      .join(spark.table("spec_right_b").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(joined.count() == 500L * 200 / 50) // 10 left x 4 right per key x 50 keys
+  }
+}
