@@ -121,9 +121,29 @@ object Queries5 {
       GROUP BY 1 ORDER BY 1"""),
     bench = false)
 
+  /** Streaming stream-stream window join (incremental J9): purchases
+    * within 30 minutes after a click by the same user, as both sides
+    * arrive continuously. Watermarks on both sides + the bounded time
+    * range let Spark expire join state — runnable forever at ingest
+    * scale. The oracle is the equivalent batch interval join.
+    */
+  val stream_join = Q(
+    (s, dir) => graft.streaming.StreamingJoin.eventWindowJoinOnce(
+        s, s"$dir/events.parquet", "click", "purchase",
+        windowSeconds = 1800, queryName = "stream_join_q")
+      .orderBy("user_id", "click_id", "purchase_id"),
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      ORDER BY 1, 2, 3"""),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "j9_interval_join" -> j9_interval_join,
     "j10_salted_skew" -> j10_salted_skew,
     "s7_bucketed_join" -> s7_bucketed_join,
+    "stream_join" -> stream_join,
   )
 }

@@ -33,20 +33,7 @@ object StreamingDedup {
                 watermark: String = "1 day",
                 queryName: String = "stream_dedup",
                 prepare: DataFrame => DataFrame = identity): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    // a parquet "table" is either a directory of part files (stream it
-    // directly) or a bare single file (stream the parent, glob-matched
-    // to this file — the file source only accepts directories)
-    val stream =
-      if (new java.io.File(parquetPath).isDirectory)
-        spark.readStream.schema(schema).parquet(parquetPath)
-      else {
-        val dir = parquetPath.replaceAll("/[^/]+$", "")
-        val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", fileName).parquet(dir)
-      }
-    val deduped = prepare(stream)
+    val deduped = prepare(StreamSource.parquet(spark, parquetPath))
       .withColumn("__key",
         sha2(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256))
       .withWatermark(tsCol, watermark)

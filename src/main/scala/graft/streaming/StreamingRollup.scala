@@ -23,19 +23,7 @@ object StreamingRollup {
     */
   def dailyRollupOnce(spark: SparkSession, parquetPath: String,
                       queryName: String = "stream_daily_rollup"): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    // the file streaming source wants a directory: stream the parent
-    // dir, glob-filtered down to this table's file(s)
-    val dir = parquetPath.replaceAll("/[^/]+$", "")
-    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName).parquet(dir)
-    val tsCol =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("timestamp_micros(ts div 1000)")
-      else col("ts")
-    val agg = stream
-      .withColumn("ts", tsCol)
+    val agg = StreamSource.parquet(spark, parquetPath)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
