@@ -121,6 +121,48 @@ object Queries5 {
       GROUP BY 1 ORDER BY 1"""),
     bench = false)
 
+  /** S8 — bad-record side channel (SURVEY §4.1 error containment):
+    * total parses + a set-wise good/bad split replace the reference's
+    * per-row try/except-and-log. The query reports both branches —
+    * good rows aggregate, bad rows are counted, nothing silently
+    * vanishes.
+    */
+  val s8_bad_records = Q(
+    (s, dir) => {
+      val raw = when(col("p_partkey") % 4 === 0, lit("N/A"))
+        .when(col("p_partkey") % 4 === 1,
+          concat(lit(">= "), col("p_size").cast("string")))
+        .when(col("p_partkey") % 4 === 2,
+          concat(col("p_size").cast("string"), lit(",25")))
+        .otherwise(col("p_size").cast("string"))
+      val parts = T_(s, dir, "part").select(col("p_partkey"), raw.as("raw"))
+      val (good, bad) = graft.operators.BadRecords.partition(parts,
+        Map("size_val" -> ("raw", graft.functions.Functions.toFloatOrNull(col("raw")))))
+      good.agg(count(lit(1)).as("n"), decSum(col("size_val")).as("sum_val"))
+        .select(lit("good").as("status"), col("n"), col("sum_val"))
+        .unionByName(
+          bad.agg(count(lit(1)).as("n")).select(lit("bad").as("status"),
+            col("n"), lit(null).cast("double").as("sum_val")))
+        .orderBy("status")
+    },
+    Some("""WITH t AS (SELECT p_partkey,
+        CASE WHEN p_partkey % 4 = 0 THEN 'N/A'
+             WHEN p_partkey % 4 = 1 THEN '>= ' || CAST(p_size AS VARCHAR)
+             WHEN p_partkey % 4 = 2 THEN CAST(p_size AS VARCHAR) || ',25'
+             ELSE CAST(p_size AS VARCHAR) END AS raw
+      FROM part),
+      p AS (SELECT raw,
+        coalesce(TRY_CAST(raw AS DOUBLE),
+                 TRY_CAST(trim(regexp_replace(raw, '^\s*[<>=]+\s*', '')) AS DOUBLE)) AS size_val
+      FROM t)
+      SELECT 'good' AS status, COUNT(*) AS n,
+             CAST(SUM(CAST(size_val AS DECIMAL(27,8))) AS DOUBLE) AS sum_val
+      FROM p WHERE NOT (size_val IS NULL AND raw IS NOT NULL)
+      UNION ALL
+      SELECT 'bad', COUNT(*), CAST(NULL AS DOUBLE)
+      FROM p WHERE size_val IS NULL AND raw IS NOT NULL
+      ORDER BY status"""))
+
   /** Streaming stream-stream window join (incremental J9): purchases
     * within 30 minutes after a click by the same user, as both sides
     * arrive continuously. Watermarks on both sides + the bounded time
@@ -144,6 +186,7 @@ object Queries5 {
     "j9_interval_join" -> j9_interval_join,
     "j10_salted_skew" -> j10_salted_skew,
     "s7_bucketed_join" -> s7_bucketed_join,
+    "s8_bad_records" -> s8_bad_records,
     "stream_join" -> stream_join,
   )
 }

@@ -141,4 +141,23 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()(0)
     assert(out.getAs[Int]("eid") == 1)
   }
+
+  test("BadRecords splits parse failures to the side channel, keeps legit nulls") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1, "42", "1.5"),      // both parse
+      (2, "oops", "2.5"),    // first fails
+      (3, null, "bad"),      // null raw is NOT a failure; second fails
+      (4, null, "3.5")       // null raw only -> good
+    ).toDF("id", "a_raw", "b_raw")
+    val (good, bad) = graft.operators.BadRecords.partition(df, Map(
+      "a" -> ("a_raw", col("a_raw").cast("double")),
+      "b" -> ("b_raw", col("b_raw").cast("double"))))
+    assert(good.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 4))
+    val badRows = bad.select("id", "__failed").collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    assert(badRows == Map(2 -> List("a"), 3 -> List("b")))
+    // nothing vanishes: the two branches partition the input
+    assert(good.count() + bad.count() == df.count())
+  }
 }
