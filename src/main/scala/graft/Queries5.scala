@@ -163,6 +163,29 @@ object Queries5 {
       FROM p WHERE size_val IS NULL AND raw IS NOT NULL
       ORDER BY status"""))
 
+  /** Multimodal frame sampling: 1→N generation per payload inside the
+    * partition iterator (the video-clip shape). The oracle replays the
+    * stub codec's frame count/offsets over the same bytes in SQL.
+    */
+  val mm_frame_sample = Q(
+    (s, dir) => {
+      val media = T_(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      graft.operators.Multimodal.sampleFrames(media)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH b AS (SELECT doc_id AS media_id,
+          octet_length(encode(text)) AS n,
+          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+        FROM documents),
+      f AS (SELECT media_id, n, codes, UNNEST(range(n % 16)) AS frame_idx
+        FROM b WHERE n % 16 > 0)
+      SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        CAST(frame_idx * (n // (n % 16)) AS INTEGER) AS offset,
+        CAST(codes[CAST(frame_idx * (n // (n % 16)) AS INTEGER) + 1] AS INTEGER) AS fingerprint
+      FROM f ORDER BY media_id, frame_idx"""))
+
   /** Streaming stream-stream window join (incremental J9): purchases
     * within 30 minutes after a click by the same user, as both sides
     * arrive continuously. Watermarks on both sides + the bounded time
@@ -187,6 +210,7 @@ object Queries5 {
     "j10_salted_skew" -> j10_salted_skew,
     "s7_bucketed_join" -> s7_bucketed_join,
     "s8_bad_records" -> s8_bad_records,
+    "mm_frame_sample" -> mm_frame_sample,
     "stream_join" -> stream_join,
   )
 }

@@ -62,4 +62,59 @@ object Multimodal {
       .mapPartitions(_.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))))
     spark.createDataFrame(rows, featureSchema)
   }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("fingerprint", IntegerType, nullable = false)))
+
+  /** Frame sampling: one media row → 0..N frame rows (the video
+    * training-data shape: sample evenly-spaced frames per clip). The
+    * 1→N generation runs inside the partition iterator — no
+    * intermediate collection, no driver round-trip. Frame count and
+    * offsets come from the fake codec (n_frames = bytes % 16, evenly
+    * spaced); `fingerprint` is the sampled byte, standing in for a
+    * per-frame embedding.
+    */
+  def sampleFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val n = if (p == null) 0 else p.length
+        val nFrames = n % 16
+        (0 until nFrames).iterator.map { i =>
+          val off = i * (n / nFrames)
+          Row(id, i, off, p(off) & 0xff)
+        }
+      })
+    spark.createDataFrame(rows, frameSchema)
+  }
+
+  /** Resize/transcode plumbing: payload → payload, batch-at-a-time per
+    * partition (stub: truncate to `targetBytes`; a real resize swaps
+    * the byte transform, the dataflow shape is identical). Returns
+    * (media_id, payload, orig_bytes, resized_bytes) — metadata updated
+    * alongside the transformed binary, never diverging from it.
+    */
+  def resizePayloads(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 0, "targetBytes must be non-negative")
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("orig_bytes", IntegerType, nullable = false),
+      StructField("resized_bytes", IntegerType, nullable = false)))
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val n = if (p == null) 0 else p.length
+        val out = if (p == null) null else java.util.Arrays.copyOf(p, math.min(n, targetBytes))
+        Row(id, out, n, if (out == null) 0 else out.length)
+      })
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -188,6 +188,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out1(0).toSeq.drop(1) == out1(1).toSeq.drop(1))
   }
 
+  test("multimodal frame sampling: n_frames = bytes % 16, offsets in range, null-safe") {
+    val payload = Array.tabulate[Byte](35)(i => (i * 7).toByte) // 35 % 16 = 3 frames
+    val media = Seq((1L, payload), (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media).orderBy("media_id", "frame_idx").collect()
+    assert(frames.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L)) // empty/null emit nothing
+    val step = 35 / 3
+    frames.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("frame_idx") == i)
+      assert(r.getAs[Int]("offset") == i * step)
+      assert(r.getAs[Int]("fingerprint") == (payload(i * step) & 0xff))
+    }
+  }
+
+  test("multimodal resize truncates payload and keeps metadata consistent") {
+    val media = Seq((1L, Array.tabulate[Byte](100)(_.toByte)),
+      (2L, Array.tabulate[Byte](5)(_.toByte)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val out = Multimodal.resizePayloads(media, 10).orderBy("media_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1L, 100, 10), (2L, 5, 5), (3L, 0, 0)))
+    assert(out(0).getAs[Array[Byte]]("payload").toSeq ==
+      Array.tabulate[Byte](10)(_.toByte).toSeq)
+    assert(out(2).getAs[Array[Byte]]("payload") == null)
+  }
+
   test("text functions: tokens, fingerprint stability, shingles") {
     val d = Seq("The quick  brown fox").toDF("text")
     val r = d.select(
