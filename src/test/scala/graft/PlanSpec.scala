@@ -55,4 +55,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "no WholeStageCodegen span:\n" + p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("interval join is an equi-join on the time bucket, never a nested loop") {
+    val p = plan("j9_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__bucket"), "bucket key missing from the join:\n" + p)
+  }
+
+  test("salted skew join spreads the shuffle over the salt") {
+    val p = plan("j10_salted_skew")
+    assert(p.contains("__salt"), "salt missing from the shuffle keys:\n" + p)
+  }
 }
