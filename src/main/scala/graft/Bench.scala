@@ -27,10 +27,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop blocks persisted inside operators (iterative graph loops,
-      // LSH signatures): cached partitions accumulating across 64
+      // LSH signatures): cached partitions accumulating across the
       // queries cause storage eviction + GC pressure that bleeds one
       // query's cost into the next
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks are NOT in the cache manager — the
+      // ContextCleaner frees them only after their RDD is GC'd. Force
+      // that between queries so graph-loop checkpoints don't squat on
+      // storage memory for the rest of the run.
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
