@@ -58,6 +58,53 @@ class JoinStrategiesSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("property: intervalJoin == theta join on seeded random data, any bucket size") {
+    // deterministic pseudo-random corpus: timestamps across 3 days,
+    // interval spans from zero-length to multi-day, 5 keys
+    def rnd(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00").getTime
+    def t(off: Long) = new java.sql.Timestamp(base + math.floorMod(off, 3L * 86400) * 1000)
+    val r = rnd(1234)
+    val points = (1 to 400).map(i => (math.floorMod(r.next(), 5L), i.toLong, t(r.next())))
+      .toDF("k", "pid", "ts")
+    val intervals = (1 to 120).map { i =>
+      val s = math.floorMod(r.next(), 3L * 86400)
+      val span = math.floorMod(r.next(), 100000L) // 0 .. ~28h
+      (math.floorMod(r.next(), 5L), i.toLong,
+        new java.sql.Timestamp(base + s * 1000),
+        new java.sql.Timestamp(base + (s + span) * 1000))
+    }.toDF("k", "iid", "start_ts", "end_ts")
+    val naive = points.as("p").join(intervals.as("i"),
+        $"p.k" === $"i.k" && $"p.ts" >= $"i.start_ts" && $"p.ts" <= $"i.end_ts")
+      .select($"pid", $"iid")
+    for (bucket <- Seq(60L, 3600L, 86400L, 7L * 86400)) {
+      val got = RangeJoin.intervalJoin(points, intervals, Seq("k"),
+        "ts", "start_ts", "end_ts", bucketSeconds = bucket).select("pid", "iid")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucket=$bucket diverged")
+    }
+  }
+
+  test("property: salted join == plain join for any salt count, with dup keys both sides") {
+    def rnd(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val r = rnd(99)
+    val left = (1 to 300).map(i => (i.toLong, s"k${math.floorMod(r.next(), 4L)}"))
+      .toDF("id", "k")
+    // right side intentionally has duplicate keys: multiplicity must
+    // be preserved through the salt replication
+    val right = (1 to 20).map(i => (s"k${math.floorMod(r.next(), 6L)}", i * 1.0))
+      .toDF("k", "w")
+    val plain = left.join(right, Seq("k")).select("id", "k", "w")
+    for (salts <- Seq(1, 2, 7, 32)) {
+      val got = SkewJoin.salted(left, right, Seq("k"), salts, "id")
+        .select("id", "k", "w")
+      assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+        s"salts=$salts diverged")
+    }
+  }
+
   test("bucketed tables sort-merge-join with no exchange on either side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
     val left = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "a")
