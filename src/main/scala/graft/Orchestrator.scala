@@ -50,29 +50,37 @@ object Orchestrator {
     times
   }
 
+  /** Stage key → (label, query-name prefixes). Declared as data so the
+    * catalog-coverage invariant is testable against the real registry.
+    */
+  val stageRegistry: Seq[(String, String, Seq[String])] = Seq(
+    ("constraints", "uniqueness + referential integrity", Seq("s6_")),
+    ("ingest", "scans, projections, upserts, layout, bad records",
+      Seq("s2_", "s3_", "s7_", "s8_", "p")),
+    ("joins", "dim/as-of/semi joins", Seq("j")),
+    ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
+    ("functions", "scalar parse/convert suites", Seq("f", "o", "w_", "set_")),
+    ("app_chain", "application chain", Seq("pipeline_app")),
+    ("text", "text analysis", Seq("txt_")),
+    ("dedup", "deduplication family", Seq("dd_")),
+    ("vectors", "similarity search", Seq("vec_")),
+    ("graph", "graph view + analytics", Seq("g_")),
+    ("multimodal", "media decode plumbing", Seq("mm_")))
+
   /** The engine's standard stage registry: one stage per query-catalog
     * family, each evaluating its queries to completion (noop sink).
     */
   def standardStages: Seq[Stage] = {
-    def evalAll(prefixes: String*): (SparkSession, String) => Unit =
+    def evalAll(prefixes: Seq[String]): (SparkSession, String) => Unit =
       (spark, sfDir) =>
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (k, _) => prefixes.exists(k.startsWith) }
           .foreach { case (_, fn) =>
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
-    Seq(
-      Stage("constraints", "uniqueness + referential integrity", evalAll("s6_")),
-      Stage("ingest", "scans, projections, upserts", evalAll("s2_", "s3_", "p")),
-      Stage("joins", "dim/as-of/semi joins", evalAll("j")),
-      Stage("day_metrics", "daily roll-ups + pivots", evalAll("a", "r", "pipeline_day")),
-      Stage("functions", "scalar parse/convert suites", evalAll("f", "o", "w_", "set_")),
-      Stage("app_chain", "application chain", evalAll("pipeline_app")),
-      Stage("text", "text analysis", evalAll("txt_")),
-      Stage("dedup", "deduplication family", evalAll("dd_")),
-      Stage("vectors", "similarity search", evalAll("vec_")),
-      Stage("graph", "graph view + analytics", evalAll("g_")),
-      Stage("multimodal", "media decode plumbing", evalAll("mm_")))
+    stageRegistry.map { case (key, label, prefixes) =>
+      Stage(key, label, evalAll(prefixes))
+    }
   }
 
   /** CLI: `runMain graft.Orchestrator --sf-dir D [--only a,b] [--skip c]`. */

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Orchestrator.{Stage, enabled}
+
+class OrchestratorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("gating: env default-on, ENABLE_*=0 disables, only is allowlist, skip wins") {
+    assert(enabled("a", Set.empty, Set.empty, Map.empty))
+    assert(!enabled("a", Set.empty, Set.empty, Map("ENABLE_A" -> "0")))
+    assert(enabled("a", Set.empty, Set.empty, Map("ENABLE_A" -> "1")))
+    assert(enabled("a", Set("a"), Set.empty, Map.empty))
+    assert(!enabled("b", Set("a"), Set.empty, Map.empty))
+    assert(!enabled("a", Set("a"), Set("a"), Map.empty)) // skip beats only
+  }
+
+  test("run executes enabled stages in order, times them, skips the rest") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val stages = Seq(
+      Stage("one", "first", (_, _) => seen += "one"),
+      Stage("two", "second", (_, _) => seen += "two"),
+      Stage("three", "third", (_, _) => seen += "three"))
+    val times = Orchestrator.run(spark, "unused", stages, skip = Set("two"))
+    assert(seen.toList == List("one", "three"))
+    assert(times.map(_._1) == Seq("one", "three"))
+    assert(times.forall(_._2 >= 0.0))
+  }
+
+  test("standard stage registry covers every batch query in the catalog") {
+    val prefixes = Orchestrator.stageRegistry.flatMap(_._3)
+    val uncovered = SparkEntry.benchQueries.keys
+      .filterNot(k => prefixes.exists(k.startsWith))
+    assert(uncovered.isEmpty, s"queries missing from standardStages: $uncovered")
+  }
+}
