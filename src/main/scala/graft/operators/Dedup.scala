@@ -16,6 +16,15 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Deterministic 64-bit mixer (public-domain splitmix64 constants)
+    * for deriving the minhash affine-family coefficients. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   /** Exact dedup by content hash: keep the first document (lowest id)
     * per normalized-text hash. One shuffle on the hash.
     */
@@ -60,6 +69,14 @@ object Dedup {
     // Minhash is duplicate-insensitive (min over a multiset), so no
     // per-doc shingle dedup is needed.
     val n = shingleLen
+    // one string hash per gram, then k affine 64-bit mixes
+    // (splitmix64-derived odd multipliers — the classic universal-
+    // hashing minhash family): k× cheaper than k seeded string hashes
+    // per gram, same estimator properties. Long arithmetic wraps
+    // (ANSI off) — any total order works for the min.
+    val hashFamily = (0 until k).map { i =>
+      min(lit(splitmix64(2L * i) | 1L) * col("h") + lit(splitmix64(2L * i + 1)))
+    }
     val withSig = docs
       .select(col(idCol).as("id"),
         T.normText(substring(col(textCol), 1, maxDocLen)).as("norm"))
@@ -67,9 +84,9 @@ object Dedup {
         explode(when(length(col("norm")) >= n,
           sequence(lit(1), length(col("norm")) - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("id"), col("norm").substr(col("i"), lit(n)).as("gram"))
+      .select(col("id"), xxhash64(col("norm").substr(col("i"), lit(n))).as("h"))
       .groupBy("id")
-      .agg(array((0 until k).map(i => min(hash(lit(i), col("gram")))): _*).as("sig"))
+      .agg(array(hashFamily: _*).as("sig"))
       .persist()
     // candidate pairs: same bucket in any band. Deduplicate to
     // DISTINCT (id_a, id_b) BEFORE touching the signatures — the band
