@@ -28,6 +28,55 @@ object Queries3 {
   private val sqlToks =
     """string_split_regex(lower(trim(text)), '\s+')"""
 
+  // Shared oracle fragments (all referencing a `text` column in scope)
+  // — factored so the single-op queries and the composed corpus-prep
+  // pipeline cannot drift from each other.
+  private lazy val stopsSql = T.defaultStopwords.map(s => s"'$s'").mkString(", ")
+
+  private val wsTokensSql =
+    """CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END"""
+
+  private lazy val qualitySqlExpr =
+    s"""round((
+         least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         + least((CASE WHEN len($sqlToks) > 0
+                  THEN CAST(len(list_filter($sqlToks, t -> t IN ($stopsSql))) AS DOUBLE) / len($sqlToks)
+                  ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+         + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+       ) / CAST(4.0 AS DOUBLE), 6)"""
+
+  /** Per-language stopword-hit score columns `s_<lang>`. */
+  private lazy val langScoreExprsSql: String = {
+    val langs = T.langMarkers.toSeq.sortBy(_._1)
+    langs.map { case (l, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"""CASE WHEN len($sqlToks) > 0
+          THEN CAST(len(list_filter($sqlToks, t -> t IN ($in))) AS DOUBLE) / len($sqlToks)
+          ELSE CAST(0.0 AS DOUBLE) END AS s_$l"""
+    }.mkString(",\n       ")
+  }
+
+  /** Argmax over the `s_<lang>` columns, tie → lexicographically
+    * larger code, all-zero → 'und'.
+    */
+  private lazy val langGuessCaseSql: String = {
+    val langs = T.langMarkers.toSeq.sortBy(_._1)
+    val desc = langs.map(_._1).sorted.reverse
+    val winner = desc.map { l =>
+      val conds = langs.map(_._1).filterNot(_ == l)
+        .map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+    val best = langs.map(x => s"s_${x._1}").mkString("greatest(", ", ", ")")
+    s"""CASE WHEN $best > 0 THEN
+          CASE $winner END
+        ELSE 'und' END"""
+  }
+
   /** Token counting: whitespace + BPE-ish heuristic. */
   val txt_token_counts = Q(
     (s, dir) => T_(s, dir, "documents")
@@ -53,14 +102,13 @@ object Queries3 {
         T.meanWordLen(col("text")).as("mean_word_len"),
         T.qualityScore(col("text")).as("quality")),
     Some {
-      val stops = T.defaultStopwords.map(s => s"'$s'").mkString(", ")
       s"""SELECT doc_id,
        CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
          / greatest(length(text), 1) AS punct_ratio,
        CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
          / greatest(length(text), 1) AS digit_ratio,
        CASE WHEN len($sqlToks) > 0
-            THEN CAST(len(list_filter($sqlToks, t -> t IN ($stops))) AS DOUBLE) / len($sqlToks)
+            THEN CAST(len(list_filter($sqlToks, t -> t IN ($stopsSql))) AS DOUBLE) / len($sqlToks)
             ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
        CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
             THEN CAST(list_reduce(list_prepend(0,
@@ -68,16 +116,7 @@ object Queries3 {
                    (a, b) -> a + b) AS DOUBLE)
                  / len(string_split_regex(trim(text), '\\s+'))
             ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
-       round((
-         least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-         + least((CASE WHEN len($sqlToks) > 0
-                  THEN CAST(len(list_filter($sqlToks, t -> t IN ($stops))) AS DOUBLE) / len($sqlToks)
-                  ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-         + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
-         + (CAST(1.0 AS DOUBLE) - least(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1) * CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
-       ) / CAST(4.0 AS DOUBLE), 6) AS quality
+       $qualitySqlExpr AS quality
       FROM documents"""
     })
 
@@ -91,27 +130,11 @@ object Queries3 {
       .select(col("doc_id"), col("lang").as("lang_label"),
         T.langId(col("text")).as("lang_guess")),
     Some {
-      val langs = T.langMarkers.toSeq.sortBy(_._1)
-      val scoreExprs = langs.map { case (l, ms) =>
-        val in = ms.map(m => s"'$m'").mkString(", ")
-        s"""CASE WHEN len($sqlToks) > 0
-            THEN CAST(len(list_filter($sqlToks, t -> t IN ($in))) AS DOUBLE) / len($sqlToks)
-            ELSE CAST(0.0 AS DOUBLE) END AS s_$l"""
-      }.mkString(",\n       ")
-      val desc = langs.map(_._1).sorted.reverse
-      val winner = desc.map { l =>
-        val conds = langs.map(_._1).filterNot(_ == l)
-          .map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n         ")
-      val best = langs.map(x => s"s_${x._1}").mkString("greatest(", ", ", ")")
       s"""WITH sc AS (SELECT doc_id, lang AS lang_label,
-       $scoreExprs
+       $langScoreExprsSql
       FROM documents)
       SELECT doc_id, lang_label,
-        CASE WHEN $best > 0 THEN
-          CASE $winner END
-        ELSE 'und' END AS lang_guess
+        $langGuessCaseSql AS lang_guess
       FROM sc"""
     })
 
@@ -485,6 +508,67 @@ object Queries3 {
              (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS DOUBLE) / 1000.0 AS brightness
       FROM b"""))
 
+  /** Multimodal resize/transcode: payload→payload with metadata kept
+    * consistent (Multimodal.resizePayloads, target 256 bytes). The
+    * binary payload itself is excluded from the checked projection —
+    * the oracle verifies the size accounting over the same bytes.
+    */
+  val mm_resize = Q(
+    (s, dir) => {
+      val media = T_(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.resizePayloads(media, targetBytes = 256)
+        .select(col("media_id"), col("orig_bytes"), col("resized_bytes"))
+    },
+    Some("""SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes,
+       CAST(least(octet_length(encode(text)), 256) AS INTEGER) AS resized_bytes
+      FROM documents"""))
+
+  /** End-to-end training-corpus prep: quality-score → threshold filter
+    * → language-ID → exact dedup (first doc per normalized content) →
+    * per-language corpus stats. Composes the already-oracled text
+    * operators into the one pipeline a pretraining data curator
+    * actually runs; the oracle is built from the SAME generated SQL
+    * fragments as the single-op queries, so the two sides cannot
+    * drift. Narrow until the dedup shuffle, then one hash aggregate.
+    */
+  private val corpusQualityMin = 0.7
+
+  val pipeline_corpus_prep = Q(
+    (s, dir) => {
+      val scored = T_(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          T.langId(col("text")).as("lang_guess"),
+          T.qualityScore(col("text")).as("quality"),
+          T.wsTokenCount(col("text")).as("ws_tokens"))
+      val kept = Dedup.exact(scored.filter(col("quality") >= corpusQualityMin), "text", "doc_id")
+      kept.groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("ws_tokens")).cast("long").as("total_tokens"),
+          (sum(col("quality").cast("decimal(27,8)")).cast("double") /
+            count(lit(1))).as("avg_quality"))
+        .orderBy(col("lang_guess"))
+    },
+    Some {
+      s"""WITH sc AS (SELECT doc_id, text, $langScoreExprsSql FROM documents),
+      lg AS (SELECT doc_id, text,
+        $langGuessCaseSql AS lang_guess,
+        $qualitySqlExpr AS quality,
+        $wsTokensSql AS ws_tokens
+       FROM sc),
+      filt AS (SELECT * FROM lg WHERE quality >= $corpusQualityMin),
+      ded AS (SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id ASC) AS rn FROM filt) WHERE rn = 1)
+      SELECT lang_guess, count(*) AS docs_kept,
+        CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(CAST(quality AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS avg_quality
+      FROM ded GROUP BY lang_guess ORDER BY lang_guess"""
+    })
+
   /** Structured-Streaming daily roll-up driven to exhaustion against
     * the batch oracle — the streaming topology computes exactly the
     * batch aggregate.
@@ -537,6 +621,8 @@ object Queries3 {
     "g_pagerank" -> g_pagerank,
     "g_connected_components" -> g_connected_components,
     "mm_decode_features" -> mm_decode_features,
+    "mm_resize" -> mm_resize,
+    "pipeline_corpus_prep" -> pipeline_corpus_prep,
     "stream_daily_rollup" -> stream_daily_rollup,
     "stream_dedup" -> stream_dedup,
   )
