@@ -62,19 +62,24 @@ object Queries4 {
     */
   val a9_totals_pivot = Q(
     (s, dir) => {
+      // "first row per (group, alias) in a total order" is an argmin,
+      // not a window: min over the ordering tuple aggregates partially
+      // map-side and needs ONE shuffle, where row_number().over(...)
+      // is a full sort-shuffle of every input row followed by a second
+      // pivot shuffle — the difference between O(rows) and O(groups)
+      // crossing the wire at 100 TB.
       val aliased = T_(s, dir, "lineitem")
         .withColumn("alias",
           when(col("l_returnflag") === "R", "returned")
             .when(col("l_returnflag") === "A", "accepted")
             .otherwise("neutral"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_orderkey"), col("alias"))
-            .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
-              col("l_quantity").asc)))
-        .filter(col("rn") === 1)
       aliased.groupBy(col("l_orderkey"))
         .pivot("alias", Seq("returned", "accepted", "neutral"))
-        .agg(first(col("l_quantity"), ignoreNulls = true))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_quantity"))))
+        .select(col("l_orderkey"),
+          col("returned.l_quantity").as("returned"),
+          col("accepted.l_quantity").as("accepted"),
+          col("neutral.l_quantity").as("neutral"))
     },
     Some("""WITH f AS (
         SELECT l_orderkey,
@@ -175,16 +180,19 @@ object Queries4 {
         .when(col("event_id") % 3 === 1,
           concat(lit("{\"name\":\"P\",\"pct\":\""), col("user_id"), lit(",5\"}")))
         .otherwise(concat(lit("[{\"mineral\":\"K\",\"amount\":\""), col("user_id"), lit("\"}]")))
-      T_(s, dir, "events").select(col("event_id"), raw.as("raw"))
+      // parse ONCE into a Variant, then extract 6 paths from the
+      // binary encoding — get_json_object would re-parse the JSON
+      // text per path (6× the work in the hot loop)
+      T_(s, dir, "events").select(col("event_id"), parse_json(raw).as("v"))
         .select(col("event_id"),
           coalesce(
-            get_json_object(col("raw"), "$.nutrient"),
-            get_json_object(col("raw"), "$.name"),
-            get_json_object(col("raw"), "$[0].mineral")).as("nutrient"),
+            variant_get(col("v"), "$.nutrient", "string"),
+            variant_get(col("v"), "$.name", "string"),
+            variant_get(col("v"), "$[0].mineral", "string")).as("nutrient"),
           F.toNumberPctTolerant(coalesce(
-            get_json_object(col("raw"), "$.value"),
-            get_json_object(col("raw"), "$.pct"),
-            get_json_object(col("raw"), "$[0].amount"))).as("amount"))
+            variant_get(col("v"), "$.value", "string"),
+            variant_get(col("v"), "$.pct", "string"),
+            variant_get(col("v"), "$[0].amount", "string"))).as("amount"))
     },
     Some("""WITH t AS (SELECT event_id,
         CASE WHEN event_id % 3 = 0 THEN '{"nutrient":"N","value":"' || user_id || '%"}'
