@@ -146,7 +146,7 @@ object Queries3 {
       .select(col("doc_id"), T.normText(col("text")).as("norm"))
       .select(col("doc_id"),
         T.fingerprintFrom(col("norm")).as("fp"),
-        size(T.charShinglesFrom(col("norm"), 5)).as("n_shingles")),
+        T.distinctShingleCount(col("norm"), 5).as("n_shingles")),
     Some("""WITH n AS (SELECT doc_id,
         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
       SELECT doc_id,

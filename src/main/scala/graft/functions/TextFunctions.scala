@@ -107,7 +107,16 @@ object TextFunctions {
     * accumulator < 2^36 so the arithmetic never overflows a signed
     * 64-bit int — identical results in Spark and the DuckDB oracle.
     */
-  def fingerprintFrom(norm: Column): Column = {
+  def fingerprintFrom(norm: Column): Column =
+    graft.plans.TextExpressions.fingerprintFast(norm)
+
+  /** Built-in-composition form of [[fingerprintFrom]] — kept as the
+    * reference implementation the native expression is parity-tested
+    * against (it walks a per-character string array with an
+    * interpreted lambda, so the native form is preferred on bulk
+    * paths).
+    */
+  def fingerprintHof(norm: Column): Column = {
     val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
     val mod = lit(2147483647L) // 2^31 - 1
     aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, mod))
@@ -142,6 +151,11 @@ object TextFunctions {
     * paths use `normText` projection + `charShinglesFrom`. */
   def charShingles(text: Column, n: Int): Column =
     charShinglesFrom(normText(text), n)
+
+  /** Distinct character-n-gram count — native one-pass kernel;
+    * equals `size(charShinglesFrom(norm, n))` (parity-tested). */
+  def distinctShingleCount(norm: Column, n: Int): Column =
+    graft.plans.TextExpressions.distinctShingleCountFast(norm, n)
 
   /** Word n-gram shingles over an already-materialized token-array
     * column (see charShinglesFrom for why). */

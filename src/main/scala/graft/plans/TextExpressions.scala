@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Shared row-level kernels for the native text expressions. A
+  * top-level object gets Java static forwarders, so generated code
+  * can call `graft.plans.TextExprOps.polyFingerprint(s)` directly.
+  */
+object TextExprOps {
+  /** Polynomial rolling hash over Unicode code points: base 31,
+    * mod 2^31-1 (keeps the accumulator < 2^36 — never overflows a
+    * signed 64-bit int, so Spark, the oracle, and this kernel agree
+    * bit-for-bit). Code-point iteration matches both the HOF form
+    * (`ascii` is code-point-based) and DuckDB's `ord`.
+    */
+  def polyFingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Exact distinct character-n-gram count. Slicing is CODE-POINT
+    * based (like `Column.substr` / DuckDB `substr`), so results match
+    * the `array_distinct(transform(...substr...))` form on any input,
+    * surrogates included.
+    */
+  def distinctShingleCount(s: UTF8String, n: Int): Int = {
+    val cps = s.toString.codePoints().toArray
+    if (cps.length < n) 0
+    else {
+      val set = new java.util.HashSet[String]()
+      var i = 0
+      val last = cps.length - n
+      while (i <= last) {
+        set.add(new String(cps, i, n))
+        i += 1
+      }
+      set.size
+    }
+  }
+}
+
+/** Native codegen'd form of the document fingerprint
+  * (graft.functions.TextFunctions.fingerprintFrom): one fused loop
+  * over the string, no per-character allocation. The HOF form
+  * (`aggregate(transform(split(norm, "")), ...)`) materializes a
+  * single-character string array and evaluates an interpreted lambda
+  * per element — on a 2 KB document that is ~2000 allocations and
+  * lambda dispatches per row vs. one static call here.
+  * TextExpressionSpec proves bit-parity between the two forms.
+  */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"poly_fingerprint expects string, got ${dt.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprOps.polyFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprOps.polyFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native form of `size(charShinglesFrom(norm, n))` — counts distinct
+  * character n-grams in one pass with a hash set instead of
+  * materializing the shingle array through `transform` +
+  * `array_distinct` (which allocates one UTF8String per position and
+  * then deduplicates them a second time).
+  */
+case class DistinctShingleCount(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _: StringType => TypeCheckResult.TypeCheckFailure(
+      s"distinct_shingle_count needs n >= 1, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"distinct_shingle_count expects string, got ${dt.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprOps.distinctShingleCount(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprOps.distinctShingleCount($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Column-API entry point for the native fingerprint. */
+  def fingerprintFast(norm: Column): Column =
+    ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(norm)))
+
+  /** Column-API entry point for the native distinct-shingle count. */
+  def distinctShingleCountFast(norm: Column, n: Int): Column =
+    ColumnBridge.column(DistinctShingleCount(ColumnBridge.expression(norm), n))
+}
