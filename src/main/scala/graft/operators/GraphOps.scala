@@ -64,14 +64,15 @@ object GraphOps {
       val summed = contribs.groupBy(col("id"))
         .agg((round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
           .cast("long").cast("double") / 1.0e9).as("inflow"))
-      // localCheckpoint per iteration: the rank table is tiny relative
-      // to the edge set, and truncating the lineage keeps analysis +
-      // optimization constant per iteration instead of growing with
-      // the full upstream tree each round
+      // rank_t is referenced exactly ONCE per iteration (the contribs
+      // join), so the plan grows LINEARLY — no lineage truncation
+      // needed. Leaving the chain lazy turns the loop into one job of
+      // pipelined shuffle stages instead of `iterations` blocking
+      // materialization jobs (each checkpoint was a full pass +
+      // block-manager write + scheduler round trip).
       ranks = vertices.join(summed, Seq("id"), "left")
         .select(col("id"),
           (lit(reset) + lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
     }
     ranks
   }
@@ -94,20 +95,26 @@ object GraphOps {
     // localCheckpoint cuts both: one materialization, constant-size
     // iteration plans, output partitioning preserved.
     val e = edges.localCheckpoint()
+    // self-loops make the recurrence min over neighbors ∪ self, so
+    // comp_t is referenced exactly ONCE per iteration (the propagation
+    // join) instead of twice (join source + "keep own label" join
+    // target). That turns the logical plan from doubling per iteration
+    // into linear growth — no per-iteration lineage truncation, and
+    // the whole loop executes as ONE job of pipelined shuffle stages
+    // (same trick as pageRank; values are identical:
+    // min(comp(v), min_nbr comp) == min over nbrs∪self).
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val undirected = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(vertices.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
-    val vertices = undirected.select(col("src").as("id")).distinct()
     var comp = vertices.select(col("id"), col("id").as("comp"))
     for (_ <- 1 to iterations) {
-      val nbrMin = undirected.join(comp, undirected("src") === comp("id"))
-        .groupBy(col("dst").as("vid"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      comp = comp.join(nbrMin, comp("id") === nbrMin("vid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      comp = undirected.join(comp, undirected("src") === comp("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("comp"))
     }
     comp
   }
