@@ -51,28 +51,35 @@ object GraphOps {
     val withInv = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
     val edgesCached = withInv.repartition(col("src")).localCheckpoint()
+    // zero-contribution rows for every vertex replace the per-iteration
+    // `vertices LEFT JOIN summed` that re-attached rank-less vertices:
+    // summing an extra 0 is a no-op for receivers and yields
+    // reset + damp*0 for vertices with no inflow — identical values,
+    // one fewer join per iteration (the aggregate's shuffle IS the
+    // message-passing step and is the only one left).
+    val zeroContribs = vertices.select(col("id"), lit(0.0).as("contrib"))
+      .localCheckpoint()
     var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("rank") * col("inv_outdeg")).as("contrib"))
+        .unionByName(zeroContribs)
       // decimal sum is partition-order-free; the decimal→double hop
       // goes through an exact integer (×1e9, round, BIGINT) because a
       // direct decimal→double cast is correctly rounded in the JVM but
       // 1-ulp off in engines that convert via (int128→double)/10^scale
       // — that ulp compounds across iterations on hub vertices
-      val summed = contribs.groupBy(col("id"))
-        .agg((round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
-          .cast("long").cast("double") / 1.0e9).as("inflow"))
       // rank_t is referenced exactly ONCE per iteration (the contribs
       // join), so the plan grows LINEARLY — no lineage truncation
       // needed. Leaving the chain lazy turns the loop into one job of
       // pipelined shuffle stages instead of `iterations` blocking
       // materialization jobs (each checkpoint was a full pass +
       // block-manager write + scheduler round trip).
-      ranks = vertices.join(summed, Seq("id"), "left")
-        .select(col("id"),
-          (lit(reset) + lit(damp) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      ranks = contribs.groupBy(col("id"))
+        .agg((lit(reset) + lit(damp) *
+          (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+            .cast("long").cast("double") / 1.0e9)).as("rank"))
     }
     ranks
   }
