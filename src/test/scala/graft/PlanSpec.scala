@@ -67,4 +67,36 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("j10_salted_skew")
     assert(p.contains("__salt"), "salt missing from the shuffle keys:\n" + p)
   }
+
+  // The scale claim for the iterative graph loops: ONE shuffle per
+  // iteration (the message-passing aggregate) and nothing else — no
+  // per-iteration vertex re-join exchange, no per-iteration blocking
+  // materialization. Count shuffle exchanges in the final plan; the
+  // inputs are localCheckpoint'd LogicalRDDs so setup shuffles don't
+  // appear in the loop's lineage.
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    // AQE's toString prints the final plan followed by the pre-AQE
+    // initial plan — count exchanges in the final section only
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(s).length
+  }
+
+  test("pageRank plans one shuffle per iteration and nothing more") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val iters = 5
+    val n = shuffleCount(graft.operators.GraphOps.pageRank(edges, iters))
+    assert(n <= iters + 1, s"expected ~$iters shuffles, saw $n")
+  }
+
+  test("connected components plans one shuffle per iteration and nothing more") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 3L))
+      .toDF("src", "dst")
+    val iters = 4
+    val n = shuffleCount(graft.operators.GraphOps.connectedComponents(edges, iters))
+    assert(n <= iters + 1, s"expected ~$iters shuffles, saw $n")
+  }
 }
