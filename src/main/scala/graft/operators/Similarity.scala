@@ -54,13 +54,24 @@ object Similarity {
                 nCells: Int): (DataFrame, DataFrame) = {
     val centroids = corpus.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    // argmin as an aggregate, not a window: the nCells candidate rows
+    // per vector are generated locally (broadcast cross join), so a
+    // partial min collapses them map-side and the one shuffle carries
+    // ONE row per vector — the window form shuffled nCells copies of
+    // every embedding payload to rank them. Ordering key mirrors the
+    // old window's (cos desc_nulls_last, cell asc): NaN cosine wins
+    // (desc treats NaN as largest), null cosine loses.
+    val cosC = cosineFast(col("v"), col("cv"))
+    val ordKey = when(isnan(cosC), lit(Double.NegativeInfinity))
+      .when(cosC.isNull, lit(Double.PositiveInfinity))
+      .otherwise(-cosC)
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cos_c", cosineFast(col("v"), col("cv")))
-    val w = Window.partitionBy(col("id")).orderBy(col("cos_c").desc_nulls_last, col("cell").asc)
-    val indexed = assigned.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"))
+      .select(col("id"), col("v"),
+        struct(ordKey.as("k"), col("cell").as("cell")).as("sc"))
+    val indexed = assigned.groupBy(col("id"), col("v"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("id"), col("v"), col("best.cell").as("cell"))
     (indexed, centroids)
   }
 
