@@ -27,14 +27,20 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))))
       .withColumn("cos", cosineFast(col("v"), col("qv")))
+    twoPhaseTopK(scored, k)
+  }
+
+  /** Two-phase distributed top-k per query: a single window on qid
+    * would shuffle the whole scored set to one reducer per query
+    * (total skew when queries are few). Phase 1 ranks within
+    * (qid, physical partition) — the shuffle key is evenly spread and
+    * its output is ≤ partitions × k rows per query, a guaranteed
+    * superset of the true top-k whatever the data placement. Phase 2
+    * ranks that small candidate set exactly, so the result is
+    * deterministic. Input must have (qid, id, cos).
+    */
+  private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val ord = Seq(col("cos").desc_nulls_last, col("id").asc)
-    // two-phase top-k: a single window on qid would shuffle the whole
-    // scored corpus to one reducer per query (total skew when queries
-    // are few). Phase 1 ranks within (qid, physical partition) — the
-    // shuffle key is evenly spread and its output is ≤ partitions × k
-    // rows per query, a guaranteed superset of the true top-k whatever
-    // the data placement. Phase 2 ranks that small candidate set
-    // exactly, so the result is deterministic.
     val w1 = Window.partitionBy(col("qid"), col("__pid")).orderBy(ord: _*)
     val cand = scored.withColumn("__pid", spark_partition_id())
       .withColumn("__r", row_number().over(w1))
@@ -87,11 +93,11 @@ object Similarity {
     val probes = qCells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qv"), col("cell"))
+    // same two-phase top-k as the brute-force path: the probed-cell
+    // join still yields nProbe/nCells of the corpus per query, and a
+    // single per-qid window would send all of it to one reducer
     val scored = indexed.join(broadcast(probes), Seq("cell"))
       .withColumn("cos", cosineFast(col("v"), col("qv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc_nulls_last, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "cos", "rank")
+    twoPhaseTopK(scored, k)
   }
 }
