@@ -398,13 +398,15 @@ object Queries {
     * graph_product_application.py:202-214).
     */
   val o3_argmin_per_group = Q(
+    // argmin as an aggregate: min over the (price, key) ordering tuple
+    // combines partially map-side — one row per customer crosses the
+    // wire — where the row_number window form sort-shuffles every
+    // order row just to discard all but rank 1
     (s, dir) => T_(s, dir, "orders")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey").as("cheapest_order"),
-        col("o_totalprice")),
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("best"))
+      .select(col("o_custkey"), col("best.o_orderkey").as("cheapest_order"),
+        col("best.o_totalprice").as("o_totalprice")),
     Some("""SELECT o_custkey, o_orderkey AS cheapest_order, o_totalprice
       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn FROM orders)
