@@ -39,14 +39,17 @@ object Queries4 {
     * (ph/ec/sugars pick, graph_sap_analysis.py:42-71).
     */
   val a8_first_match = Q(
+    // argmin aggregate, not a rank-1 window: (ts, event_id) is unique,
+    // so min over the ordering tuple (with the payload riding behind)
+    // picks the same row while aggregating partially map-side
     (s, dir) => T_(s, dir, "events")
       .filter(col("event_type").isin("purchase", "signup"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id"), to_date(col("ts")).as("date"))
-          .orderBy(col("ts").asc, col("event_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), to_date(col("ts")).as("date"),
-        col("event_type").as("first_type"), col("value").as("first_value")),
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(min(struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("best"))
+      .select(col("user_id"), col("date"),
+        col("best.event_type").as("first_type"),
+        col("best.value").as("first_value")),
     Some("""SELECT user_id, CAST(ts AS DATE) AS date,
        event_type AS first_type, value AS first_value
       FROM (SELECT *, row_number() OVER (

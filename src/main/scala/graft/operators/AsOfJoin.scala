@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Nearest-timestamp (as-of) join — SURVEY §2.3 J5, the one nontrivial
   * join the reference owns: among candidate rows sharing an equi-key,
@@ -10,17 +9,19 @@ import org.apache.spark.sql.expressions.Window
   * deterministic tiebreak (/root/reference/app/
   * graph_product_application.py:179-216).
   *
-  * Implementation: equi-join on the group key, then a window rank over
-  * the absolute time difference. One shuffle for the join + one for the
-  * window, both partitioned by the same keys, so Catalyst reuses the
-  * exchange. For skewed keys AQE's skew-join splitting applies to the
-  * equi-join stage.
+  * Implementation: equi-join on the group key, then a `min_by`
+  * argmin aggregate keyed by a per-left-row id. The join task emits
+  * each left row's candidates contiguously, so the partial aggregate
+  * collapses them map-side and the one post-join shuffle carries a
+  * single row per LEFT row — a window rank over the candidates would
+  * shuffle every candidate pair. For skewed keys AQE's skew-join
+  * splitting applies to the equi-join stage.
   *
   * This is deliberately NOT a custom SparkPlan: the candidate sets per
   * key are bounded (events per (field,day,crop,type)), so the
-  * join+window form is both simpler and AQE-optimizable. A sort-merge
-  * `ASOF` physical operator only pays off when the right side is a
-  * huge ordered stream per key.
+  * join+aggregate form is both simpler and AQE-optimizable. A
+  * sort-merge `ASOF` physical operator only pays off when the right
+  * side is a huge ordered stream per key.
   */
 object AsOfJoin {
 
@@ -47,17 +48,30 @@ object AsOfJoin {
     val tolFilter = tolerance.map(t => diff <= t).getOrElse(lit(true))
     val joined = l.join(right, keys, "left")
       .withColumn("__diff", when(dirFilter && tolFilter, diff))
-    val w = Window.partitionBy(col("__lid"))
-      .orderBy((col("__diff").asc_nulls_last +: tiebreak.map(col(_).asc)): _*)
-    val best = joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // argmin per left row: order by (diff nulls-last, tiebreaks) as a
+    // struct — coalescing a null diff to Long.MaxValue reproduces
+    // asc_nulls_last, and struct field comparison gives the tiebreaks
+    // the same asc-nulls-first order the window form used
+    val ordKey = struct(
+      (coalesce(col("__diff"), lit(Long.MaxValue)).as("__d") +:
+        tiebreak.zipWithIndex.map { case (t, i) => col(t).as(s"__t$i") }): _*)
+    val rightPayload = right.columns.filterNot(keys.contains)
+    val carried = struct((rightPayload :+ "__diff").map(col): _*)
+    // left columns are constant per __lid, carried with first(); the
+    // right payload rides inside the min_by value struct (min_by, not
+    // a struct min, so non-orderable payload types like maps are fine)
+    val leftCols = joined.columns.filterNot(c =>
+      rightPayload.contains(c) || c == "__lid" || c == "__diff")
+    val aggs = leftCols.map(c => first(col(c)).as(c)) :+
+      min_by(carried, ordKey).as("__best")
+    val best = joined.groupBy(col("__lid"))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     // A surviving candidate that failed direction/tolerance is "no
     // match": null out the right-side payload instead of dropping the
     // left row (left-join semantics).
-    val rightPayload = right.columns.filterNot(keys.contains).toSet
-    val projected = best.columns.filterNot(Set("__rn", "__diff", "__lid")).map { c =>
-      if (rightPayload.contains(c)) when(col("__diff").isNotNull, col(c)).as(c)
-      else col(c)
+    val projected = leftCols.map(col) ++ rightPayload.map { c =>
+      when(col("__best").getField("__diff").isNotNull,
+        col("__best").getField(c)).as(c)
     }
     best.select(projected.toIndexedSeq: _*)
   }
