@@ -56,7 +56,7 @@ object AsOfJoin {
       (coalesce(col("__diff"), lit(Long.MaxValue)).as("__d") +:
         tiebreak.zipWithIndex.map { case (t, i) => col(t).as(s"__t$i") }): _*)
     val rightPayload = right.columns.filterNot(keys.contains)
-    val carried = struct((rightPayload :+ "__diff").map(col): _*)
+    val carried = struct((rightPayload :+ "__diff").map(col).toIndexedSeq: _*)
     // left columns are constant per __lid, carried with first(); the
     // right payload rides inside the min_by value struct (min_by, not
     // a struct min, so non-orderable payload types like maps are fine)

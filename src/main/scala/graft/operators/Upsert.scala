@@ -21,14 +21,21 @@ object Upsert {
 
   /** Deduplicate by key, deterministically: for colliding keys keep the
     * row that sorts last by `orderBy` (newest wins — MERGE/SET parity).
-    * One shuffle on `keys`.
+    * An argmax aggregate, not a rank-1 window: the partial max_by
+    * collapses colliding keys map-side, so the one shuffle on `keys`
+    * carries surviving rows only (the window form sort-shuffled every
+    * input row). Lexicographic max of the ordering struct ==
+    * (desc, desc, ...) rank order, nulls losing on both forms.
     */
   def dedupByKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderBy.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val valueCols = df.columns.filterNot(keys.contains)
+    val best = df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col).toIndexedSeq: _*),
+        struct(orderBy: _*)).as("__best"))
+    val outCols = df.columns.map { c =>
+      if (keys.contains(c)) col(c) else col("__best").getField(c).as(c)
+    }
+    best.select(outCols.toIndexedSeq: _*)
   }
 
   /** Upsert `incoming` into `existing` on `keys`: incoming rows replace
@@ -44,24 +51,19 @@ object Upsert {
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
     val valueCols = tagged.columns.filterNot(c => keys.contains(c) || c == "__src")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").asc)
+    // one hash aggregate (partial map-side) instead of a full-frame
+    // window + rank-1 filter: per column, "incoming non-null wins,
+    // else existing" is max_by over (is-non-null, source) — or plain
+    // max_by over source for last-write-wins.
     val aggs = valueCols.map { c =>
       if (keepExistingNonNull)
-        // last non-null across (existing, incoming) ordered by source:
-        // incoming non-null wins, else existing survives.
-        last(col(c), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-          .as(c)
+        max_by(col(c), struct(col(c).isNotNull.cast("int").as("nn"),
+          col("__src").as("s"))).as(c)
       else
-        last(col(c), ignoreNulls = false)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-          .as(c)
+        max_by(col(c), col("__src")).as(c)
     }
-    tagged
-      .select((keys.map(col) ++ aggs :+ col("__src")): _*)
-      .withColumn("__rn", row_number().over(w.orderBy(col("__src").desc)))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
+    tagged.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
   /** S6 — uniqueness constraint as an assertion. Returns the duplicate
