@@ -115,13 +115,17 @@ object LabAnalysisPipeline {
             })))
       .filter(col("alias").isNotNull)
       .withColumn("value", F.toFloatOrNull(col("el.value")))
-    // first occurrence in list order wins (A9)
-    val w = Window.partitionBy(col("field_id"), col("date"), col("lab_no"),
-      col("alias")).orderBy(col("pos").asc)
-    exploded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // first occurrence in list order wins (A9): argmin over pos inside
+    // the pivot aggregate — one shuffle on the analysis key, instead of
+    // a rank-1 window (sort-shuffle of every element row on a second
+    // key) followed by the pivot shuffle
+    val names = (totalNames.values.toSeq :+ "cn_ratio").distinct
+    val pivoted = exploded
       .groupBy(col("field_id"), col("date"), col("lab_no"))
-      .pivot("alias", (totalNames.values.toSeq :+ "cn_ratio").distinct)
-      .agg(first(col("value"), ignoreNulls = true))
+      .pivot("alias", names)
+      .agg(min(struct(col("pos"), col("value"))))
+    pivoted.select(
+      (Seq(col("field_id"), col("date"), col("lab_no")) ++
+        names.map(n => col(n).getField("value").as(n))): _*)
   }
 }

@@ -30,10 +30,14 @@ object Dedup {
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val w = Window.partitionBy(sha2(norm, 256)).orderBy(col(idCol).asc)
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // argmin aggregate on the content hash: duplicate groups collapse
+    // map-side and the one shuffle carries survivors only, where the
+    // rank-1 window form sort-shuffled the whole corpus
+    val best = docs.groupBy(sha2(norm, 256).as("__h"))
+      .agg(min_by(struct(docs.columns.map(col).toIndexedSeq: _*),
+        col(idCol)).as("__best"))
+    best.select(docs.columns.map(c =>
+      col("__best").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** MinHash signature: k independent permutation-approximations of
