@@ -59,38 +59,27 @@ object Dedup {
                  rowsPerBand: Int = 4, maxDocLen: Int = 2000): DataFrame = {
     val k = bands * rowsPerBand
     // signatures are consumed three times (banding + both sides of the
-    // pair re-join); computing k minhashes over the shingle array is
-    // the expensive part, so materialize it once. The normalization is
-    // projected into its own column BEFORE shingling — see
-    // TextFunctions.charShinglesFrom for the O(len²) capture trap.
-    // Signature computation with NO higher-order functions: generate
-    // shingle positions with explode (a Generate node — the norm
-    // column is evaluated once per input row and carried, so substr is
-    // linear), then ONE codegen'd hash aggregate taking k mins of k
-    // seeded hashes. The HOF formulation is quadratic: lambdas
-    // re-evaluate captured expressions per element, and CollapseProject
-    // inlines the norm projection straight back into the lambda.
-    // Minhash is duplicate-insensitive (min over a multiset), so no
-    // per-doc shingle dedup is needed.
+    // pair re-join); materialize once. The signature itself is ONE
+    // native codegen'd pass per document (plans.MinhashSignature):
+    // every code-point window's bytes are hashed in place with Spark's
+    // XXH64 (bit-identical to xxhash64(substr)) and folded through k
+    // affine mixes into running mins — no per-window row
+    // materialization, no O(position) substring scans, no aggregate
+    // shuffle. Affine family: splitmix64-derived odd multipliers (the
+    // classic universal-hashing minhash family), Long arithmetic wraps
+    // — any total order works for the min. Documents shorter than one
+    // window get a null signature and are excluded, matching the
+    // explode form where they produced no rows. Minhash is
+    // duplicate-insensitive (min over a multiset), so no per-doc
+    // shingle dedup is needed.
     val n = shingleLen
-    // one string hash per gram, then k affine 64-bit mixes
-    // (splitmix64-derived odd multipliers — the classic universal-
-    // hashing minhash family): k× cheaper than k seeded string hashes
-    // per gram, same estimator properties. Long arithmetic wraps
-    // (ANSI off) — any total order works for the min.
-    val hashFamily = (0 until k).map { i =>
-      min(lit(splitmix64(2L * i) | 1L) * col("h") + lit(splitmix64(2L * i + 1)))
-    }
+    val mults = (0 until k).map(i => splitmix64(2L * i) | 1L)
+    val adds = (0 until k).map(i => splitmix64(2L * i + 1))
     val withSig = docs
       .select(col(idCol).as("id"),
-        T.normText(substring(col(textCol), 1, maxDocLen)).as("norm"))
-      .select(col("id"), col("norm"),
-        explode(when(length(col("norm")) >= n,
-          sequence(lit(1), length(col("norm")) - (n - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("id"), xxhash64(col("norm").substr(col("i"), lit(n))).as("h"))
-      .groupBy("id")
-      .agg(array(hashFamily: _*).as("sig"))
+        graft.plans.TextExpressions.minhashSigFast(
+          T.normText(substring(col(textCol), 1, maxDocLen)), n, mults, adds).as("sig"))
+      .filter(col("sig").isNotNull)
       .persist()
     // candidate pairs: same bucket in any band. Deduplicate to
     // DISTINCT (id_a, id_b) BEFORE touching the signatures — the band

@@ -51,6 +51,56 @@ object TextExprOps {
       set.size
     }
   }
+
+  /** Full MinHash signature in one zero-copy pass: for every
+    * code-point window of length `n`, hash the underlying UTF-8 bytes
+    * in place with Spark's own XXH64 (seed 42 — bit-identical to
+    * `xxhash64(substr(s, i, n))`), then fold k affine mixes
+    * `mults(j) * h + adds(j)` (Long wrap) into running signed mins.
+    * Returns null when the string has no window (parity with the
+    * explode form, where such documents produce no rows).
+    *
+    * Cost per document: O(bytes + windows × k) long ops, no
+    * allocation beyond the offsets array and the k-long result —
+    * the explode + aggregate form materializes one row per window
+    * (O(len) rows × payload), pays an O(position) substring scan per
+    * window, and shuffles the per-window rows into a 32-accumulator
+    * hash aggregate.
+    */
+  def minhashSig(s: UTF8String, n: Int,
+                 mults: Array[Long], adds: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nc = s.numChars()
+    if (nc < n) return null
+    val offsets = new Array[Int](nc + 1)
+    var i = 0
+    var b = 0
+    while (i < nc) {
+      offsets(i) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      i += 1
+    }
+    offsets(nc) = b
+    val k = mults.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val baseObj = s.getBaseObject
+    val baseOff = s.getBaseOffset
+    val lastW = nc - n
+    var w = 0
+    while (w <= lastW) {
+      val start = offsets(w)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(baseObj, baseOff + start, offsets(w + n) - start, 42L)
+      var j = 0
+      while (j < k) {
+        val v = mults(j) * h + adds(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
 }
 
 /** Native codegen'd form of the document fingerprint
@@ -112,6 +162,49 @@ case class DistinctShingleCount(child: Expression, n: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Native one-pass MinHash signature (see TextExprOps.minhashSig).
+  * Returns `array<long>` of `mults.length` min-hashes, or null when
+  * the input is shorter than one window.
+  */
+case class MinhashSignature(child: Expression, n: Int,
+                            mults: Seq[Long], adds: Seq[Long])
+    extends UnaryExpression {
+
+  // Seq fields keep case-class equality value-based (Expression
+  // canonicalization compares constructor args); the kernel wants
+  // primitive arrays, materialized once per task
+  @transient private lazy val multsArr = mults.toArray
+  @transient private lazy val addsArr = adds.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if n >= 1 && mults.length == adds.length && mults.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _: StringType => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs n >= 1 and matching non-empty coefficient arrays")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects string, got ${dt.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprOps.minhashSig(input.asInstanceOf[UTF8String], n, multsArr, addsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mults", multsArr, "long[]")
+    val a = ctx.addReferenceObj("adds", addsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.TextExprOps.minhashSig($c, $n, $m, $a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-API entry point for the native fingerprint. */
   def fingerprintFast(norm: Column): Column =
@@ -120,4 +213,9 @@ object TextExpressions {
   /** Column-API entry point for the native distinct-shingle count. */
   def distinctShingleCountFast(norm: Column, n: Int): Column =
     ColumnBridge.column(DistinctShingleCount(ColumnBridge.expression(norm), n))
+
+  /** Column-API entry point for the native one-pass MinHash signature. */
+  def minhashSigFast(norm: Column, n: Int,
+                     mults: Seq[Long], adds: Seq[Long]): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(norm), n, mults, adds))
 }

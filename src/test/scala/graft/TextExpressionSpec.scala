@@ -43,4 +43,43 @@ class TextExpressionSpec extends AnyFunSuite {
       .filter(not($"hof" <=> $"native")).count()
     assert(diff == 0)
   }
+
+  test("native minhash signature is bit-identical to the explode+aggregate form") {
+    val n = 5
+    val k = 8
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val mults = (0 until k).map(i => mix(2L * i) | 1L)
+    val adds = (0 until k).map(i => mix(2L * i + 1))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("id"), T.normText($"text").as("norm"))
+      .union(Seq((9001L, "abcd"), (9002L, "abcde"), (9003L, ""),
+        (9004L, "héllo wörld 漢字漢字 with a much longer tail of text"))
+        .toDF("id", "norm"))
+    // reference: per-window explode + min aggregate (the pre-native
+    // formulation, kept here as the semantic oracle)
+    val hashFamily = (0 until k).map { i =>
+      min(lit(mults(i)) * col("h") + lit(adds(i)))
+    }
+    val want = docs
+      .select(col("id"), explode(when(length(col("norm")) >= n,
+        sequence(lit(1), length(col("norm")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))).as("i"),
+        col("norm"))
+      .select(col("id"), xxhash64(col("norm").substr(col("i"), lit(n))).as("h"))
+      .groupBy("id").agg(array(hashFamily: _*).as("sig"))
+    val got = docs.select(col("id"),
+      graft.plans.TextExpressions.minhashSigFast(col("norm"), n, mults, adds).as("sig"))
+      .filter(col("sig").isNotNull)
+    val joined = got.as("g").join(want.as("w"), Seq("id"), "full_outer")
+      .filter(not($"g.sig" <=> $"w.sig"))
+    assert(joined.isEmpty, joined.collect().take(5).mkString("\n"))
+    // short/empty docs are excluded by both forms
+    assert(got.filter($"id".isin(9003L)).isEmpty)
+    assert(got.filter($"id" === 9002L).count() == 1)
+  }
 }
