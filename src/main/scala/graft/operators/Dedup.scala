@@ -127,35 +127,22 @@ object Dedup {
     simhashFrom(T.wordShingles(text, shingleLen))
 
   /** Bulk SimHash: same fingerprint as [[simhashFrom]] (per-bit ±1
-    * vote sums are order-free), but computed as explode → one
-    * codegen'd hash aggregate with 64 sum accumulators instead of 64
-    * higher-order `aggregate` lambdas per row. HOFs are
-    * CodegenFallback in Spark — the lambda tree is interpreted per
-    * array element, so the HOF form costs 64 × |shingles| interpreted
-    * evaluations per document; this form hashes each shingle once and
-    * keeps the whole pipeline inside whole-stage codegen.
+    * vote sums are order-free), computed by the native one-pass kernel
+    * (plans.Simhash64): each shingle is murmur3-hashed once and its 64
+    * bit votes accumulated in-register — no per-shingle row
+    * materialization, no 64-accumulator aggregate shuffle, and the
+    * whole scan stays inside whole-stage codegen. (The HOF form is
+    * worse still: lambdas are CodegenFallback, interpreted per
+    * element, 64 passes per document.)
     *
     * Input: (idCol, shingleArrayCol); output: (idCol, simhash).
-    * Documents whose shingle array is empty get fingerprint 0, same
-    * as the HOF form (empty aggregate → all votes 0 → no bits set).
+    * Empty or null shingle arrays get fingerprint 0, same as the HOF
+    * form (empty aggregate → all votes 0 → no bits set).
     */
-  def simhashBulk(df: DataFrame, idCol: String, shingleCol: String): DataFrame = {
-    val h = hash(col("__sh")).cast("long")
-    val votes = (0 until 64).map { i =>
-      // explode_outer emits one NULL shingle for an empty doc; it must
-      // vote 0 (hash(null) returns the murmur3 seed, not null)
-      sum(when(col("__sh").isNull, 0)
-        .when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-        .as(s"v$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.select(col(idCol), explode_outer(col(shingleCol)).as("__sh"))
-      .groupBy(idCol)
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), coalesce(packed, lit(0L)).as("simhash"))
-  }
+  def simhashBulk(df: DataFrame, idCol: String, shingleCol: String): DataFrame =
+    df.select(col(idCol),
+      coalesce(graft.plans.TextExpressions.simhash64Fast(col(shingleCol)),
+        lit(0L)).as("simhash"))
 
   /** SimHash near-duplicate pairs: documents whose 64-bit fingerprints
     * are within `maxHamming` bits. Pigeonhole banding: the fingerprint

@@ -101,6 +101,38 @@ object TextExprOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+
+  /** 64-bit SimHash of a shingle array in one pass: per element,
+    * Spark's Murmur3 (seed 42, sign-extended to long — bit-identical
+    * to `hash(s).cast("long")`), ±1 vote per bit position `i` on bit
+    * `i % 32`, bit set when votes > 0. Null elements vote 0 (parity
+    * with the explode_outer form); empty array → 0L.
+    */
+  def simhash64(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h: Long = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong
+        var b = 0
+        while (b < 64) {
+          if (((h >> (b % 32)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 }
 
 /** Native codegen'd form of the document fingerprint
@@ -205,6 +237,30 @@ case class MinhashSignature(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** Native one-pass SimHash over a shingle-array column (see
+  * TextExprOps.simhash64).
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${dt.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprOps.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-API entry point for the native fingerprint. */
   def fingerprintFast(norm: Column): Column =
@@ -218,4 +274,8 @@ object TextExpressions {
   def minhashSigFast(norm: Column, n: Int,
                      mults: Seq[Long], adds: Seq[Long]): Column =
     ColumnBridge.column(MinhashSignature(ColumnBridge.expression(norm), n, mults, adds))
+
+  /** Column-API entry point for the native one-pass SimHash. */
+  def simhash64Fast(shingles: Column): Column =
+    ColumnBridge.column(Simhash64(ColumnBridge.expression(shingles)))
 }
