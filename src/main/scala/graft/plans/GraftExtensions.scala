@@ -63,7 +63,12 @@ object GraftExtensions {
     fn1("graft_quality", T.qualityScore),
     fn1("graft_lang_id", T.langId),
     fn1("graft_fingerprint", T.fingerprint),
-    fn1("graft_norm_text", T.normText))
+    fn1("graft_norm_text", T.normText),
+    // native one-pass kernels
+    ("graft_simhash64",
+      (exprs: Seq[Expression]) => Simhash64(exprs.head)),
+    ("graft_fingerprint_fast",
+      (exprs: Seq[Expression]) => PolyFingerprint(exprs.head)))
 
   /** Register the same functions on an already-running session (for
     * sessions not built with the extensions class — tests, Verify).

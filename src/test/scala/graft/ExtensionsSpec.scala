@@ -39,4 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
     ).collect().toSeq
     assert(viaSql == viaCol)
   }
+
+  test("native kernels are SQL-callable and match their Column forms") {
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(array('ab','bc','cd')) sh,
+                graft_fingerprint_fast('hello world') fp""").collect()(0)
+    val viaCol = Seq(1).toDF("x").select(
+      graft.plans.TextExpressions.simhash64Fast(
+        array(lit("ab"), lit("bc"), lit("cd"))).as("sh"),
+      graft.plans.TextExpressions.fingerprintFast(lit("hello world")).as("fp"))
+      .collect()(0)
+    assert(viaSql == viaCol)
+  }
 }
