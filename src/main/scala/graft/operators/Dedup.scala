@@ -197,26 +197,17 @@ object Dedup {
                    threshold: Double = 0.5,
                    maxDf: Option[Int] = Some(10),
                    maxDocLen: Int = 10000): DataFrame = {
-    // explode-first gram generation (Generate carries the token array
-    // per row; no HOF lambda, so no per-element re-evaluation), then
-    // per-doc distinct because Jaccard is over shingle SETS
-    // persisted: referenced by both the per-doc sizes aggregate and the
-    // inverted index — unpersisted, the tokenize+explode+distinct
-    // lineage would re-run per reference (and again per join side)
-    val grams = docs
+    // the per-document distinct gram SET is computed by one native
+    // pass (plans.DistinctWordGrams — windows joined and deduped
+    // in-kernel, bit-identical to concat_ws over slices), so the set
+    // size is just size(array) and the inverted index is a single
+    // explode: no per-doc distinct shuffle, no sizes aggregate + join
+    val inv0 = docs
       .select(col(idCol).as("id"),
-        tokenize(substring(col(textCol), 1, maxDocLen)).as("toks"))
-      .select(col("id"), col("toks"),
-        explode(when(size(col("toks")) >= gramLen,
-          sequence(lit(0), size(col("toks")) - gramLen))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("id"),
-        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(gramLen))).as("gram"))
-      .distinct()
-      .persist()
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
-    val inv0 = grams.join(sizes, "id")
-      .select(col("id"), col("n"), col("gram"))
+        graft.plans.TextExpressions.distinctWordGramsFast(
+          tokenize(substring(col(textCol), 1, maxDocLen)), gramLen).as("garr"))
+      .select(col("id"), size(col("garr")).as("n"),
+        explode(col("garr")).as("gram"))
     val inv = (maxDf match {
       case Some(df) =>
         val rare = inv0.groupBy("gram").agg(count(lit(1)).as("df"))

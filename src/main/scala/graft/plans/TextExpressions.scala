@@ -102,6 +102,38 @@ object TextExprOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Distinct word n-grams of a token array in one pass: each window
+    * of `n` tokens joined with a single space (bit-identical to
+    * `concat_ws(" ", slice(toks, i+1, n))`), deduplicated with a hash
+    * set, insertion order preserved (order is irrelevant downstream —
+    * the consumer explodes into an inverted index). Returns an empty
+    * array when there are fewer than `n` tokens.
+    */
+  def distinctWordGrams(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                        n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    val last = m - n
+    while (i <= last) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      // concatWs skips nulls — same as concat_ws(" ", ...)
+      seen.add(UTF8String.concatWs(UTF8String.fromString(" "), window: _*))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of a shingle array in one pass: per element,
     * Spark's Murmur3 (seed 42, sign-extended to long — bit-identical
     * to `hash(s).cast("long")`), ±1 vote per bit position `i` on bit
@@ -237,6 +269,33 @@ case class MinhashSignature(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** Native distinct word n-grams over a token-array column (see
+  * TextExprOps.distinctWordGrams).
+  */
+case class DistinctWordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"distinct_word_grams needs n >= 1, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"distinct_word_grams expects array<string>, got ${dt.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprOps.distinctWordGrams(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprOps.distinctWordGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native one-pass SimHash over a shingle-array column (see
   * TextExprOps.simhash64).
   */
@@ -278,4 +337,8 @@ object TextExpressions {
   /** Column-API entry point for the native one-pass SimHash. */
   def simhash64Fast(shingles: Column): Column =
     ColumnBridge.column(Simhash64(ColumnBridge.expression(shingles)))
+
+  /** Column-API entry point for the native distinct word n-grams. */
+  def distinctWordGramsFast(tokens: Column, n: Int): Column =
+    ColumnBridge.column(DistinctWordGrams(ColumnBridge.expression(tokens), n))
 }
