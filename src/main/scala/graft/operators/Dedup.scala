@@ -264,22 +264,20 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
                        planes: Int = 12, threshold: Double = 0.95): DataFrame = {
     val seed = 42
-    val projSums = (0 until planes).map { p =>
-      // same pseudo-weight stream as VectorFunctions.hyperplaneSig:
-      // hash(seed, plane, dimIdx) → uniform in [-0.5, 0.5)
-      sum(col("x") * (pmod(hash(lit(seed), lit(p), col("i")), lit(1000000))
-        .cast("double") / 1000000.0 - 0.5)).as(s"__p$p")
-    }
-    val aggCols = projSums :+ sum(col("x") * col("x")).as("__nsq")
-    val bucketExpr = (0 until planes).map { p =>
-      when(col(s"__p$p") >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), posexplode(col("v")))
-      .select(col("id"), col("v"), col("pos").as("i"), col("col").cast("double").as("x"))
-      .groupBy("id", "v")
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("id"), col("v"), bucketExpr.as("bucket"), sqrt(col("__nsq")).as("nrm"))
+    // bucket + norm in ONE native pass per vector
+    // (plans.HyperplaneSig — same pseudo-weight stream as
+    // VectorFunctions.hyperplaneSig, bit-identical accumulation order
+    // to the posexplode + aggregate form it replaces): no per-element
+    // row materialization and no aggregate shuffle keyed by the full
+    // vector. Empty vectors get a null signature and are excluded,
+    // matching the explode form where they produced no rows.
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        graft.plans.VectorExpressions.hyperplaneSigFast(
+          col(vecCol), planes, seed).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("v"),
+        col("s").getField("bucket").as("bucket"),
+        col("s").getField("nrm").as("nrm"))
       .persist()
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))

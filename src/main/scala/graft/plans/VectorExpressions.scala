@@ -113,9 +113,107 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-level kernel for [[HyperplaneSig]]; top-level object gives the
+  * generated code a static call target.
+  */
+object VectorExprOps {
+  /** Hyperplane LSH bucket + L2 norm in ONE pass over the vector.
+    * Pseudo-weights replicate `pmod(hash(seed, p, i), 1e6)/1e6 - 0.5`
+    * exactly (murmur3 int chain, initial seed 42), and both the
+    * per-plane projection sums and the squared-norm accumulate in
+    * element order — bit-identical to the posexplode + aggregate form,
+    * which kept each vector's elements in array order within one
+    * partition. Null elements contribute nothing (sum skips nulls);
+    * an empty vector returns null (the explode form dropped it).
+    */
+  def hyperplaneSig(arr: ArrayData, isFloat: Boolean, planes: Int,
+                    seed: Int): InternalRow = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+    val n = arr.numElements()
+    if (n == 0) return null
+    val h0 = hashInt(seed, 42)
+    val planeSeeds = new Array[Int](planes)
+    var p = 0
+    while (p < planes) { planeSeeds(p) = hashInt(p, h0); p += 1 }
+    val projs = new Array[Double](planes)
+    var nsq = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        var q = 0
+        while (q < planes) {
+          val h = hashInt(i, planeSeeds(q))
+          val w = (((h % 1000000) + 1000000) % 1000000).toDouble / 1000000.0 - 0.5
+          projs(q) += x * w
+          q += 1
+        }
+        nsq += x * x
+      }
+      i += 1
+    }
+    var bucket = 0L
+    p = 0
+    while (p < planes) {
+      if (projs(p) >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket, math.sqrt(nsq)))
+  }
+}
+
+/** Native one-pass hyperplane LSH signature + norm (see
+  * VectorExprOps.hyperplaneSig). Output: struct(bucket: long,
+  * nrm: double); null for empty vectors.
+  */
+case class HyperplaneSig(child: Expression, planes: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("nrm", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) if planes >= 1 && planes <= 63 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig needs planes in [1, 63], got $planes")
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig expects array<float|double>, got ${dt.simpleString}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorExprOps.hyperplaneSig(input.asInstanceOf[ArrayData], elemIsFloat, planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = elemIsFloat
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.VectorExprOps.hyperplaneSig($c, $f, $planes, $seed);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-API entry point for the native expression. */
   def cosineFast(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API entry point for the native hyperplane signature. */
+  def hyperplaneSigFast(v: Column, planes: Int, seed: Int): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(v), planes, seed))
 }
