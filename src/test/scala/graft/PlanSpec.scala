@@ -82,6 +82,23 @@ class PlanSpec extends AnyFunSuite {
     "Exchange hashpartitioning".r.findAllIn(s).length
   }
 
+  test("native signature kernels run per-row — no Generate, no signature aggregate") {
+    // the simhash fingerprint is one native expression per document:
+    // the pre-kernel form had an explode (Generate) feeding a 64-sum
+    // aggregate, which this guards against reintroducing
+    val sh = plan("dd_simhash")
+    assert(sh.toLowerCase.contains("simhash64"), sh)
+    assert(!sh.contains("Generate"), "explode reintroduced in simhash:\n" + sh)
+    // minhash still explodes for banding, but the signature itself
+    // must be the native kernel, not a k-wide min aggregate
+    val mh = plan("dd_minhash_lsh")
+    assert(mh.toLowerCase.contains("minhashsignature"), mh)
+    val emb = plan("dd_embedding_neardup")
+    assert(emb.toLowerCase.contains("hyperplanesig"), emb)
+    val ng = plan("dd_ngram_jaccard")
+    assert(ng.toLowerCase.contains("distinctwordgrams"), ng)
+  }
+
   test("pageRank plans one shuffle per iteration and nothing more") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
