@@ -262,8 +262,8 @@ object Queries3 {
     None)
 
   /** SimHash fingerprints over word bigrams (rows-only: murmur3).
-    * Bulk explode-aggregate form — one codegen'd hash aggregate
-    * instead of 64 interpreted HOF passes per document.
+    * Native one-pass kernel (plans.Simhash64) — all 64 bit votes per
+    * shingle accumulate in-register, no per-shingle rows.
     */
   val dd_simhash = Q(
     (s, dir) => Dedup.simhashBulk(
