@@ -2,7 +2,6 @@ package graft.domain
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{Functions => F}
 import graft.operators.{Reshape, Upsert}

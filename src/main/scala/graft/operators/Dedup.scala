@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /** Deduplication operators for training-data pipelines: exact,
