@@ -26,16 +26,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop blocks persisted inside operators (iterative graph loops,
-      // LSH signatures): cached partitions accumulating across the
-      // queries cause storage eviction + GC pressure that bleeds one
-      // query's cost into the next
-      spark.sharedState.cacheManager.clearCache()
-      // localCheckpoint blocks are NOT in the cache manager — the
-      // ContextCleaner frees them only after their RDD is GC'd. Force
-      // that between queries so graph-loop checkpoints don't squat on
-      // storage memory for the rest of the run.
-      System.gc()
+      // operators register every persist() and localCheckpoint() block
+      // with the global CacheScope; releasing it between queries drops
+      // them deterministically (checkpoint RDD handles included — no
+      // System.gc/ContextCleaner crutch), so one query's cached blocks
+      // never bleed storage pressure into the next
+      graft.operators.CacheScope.global.release()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -346,12 +346,14 @@ object Queries {
     * (earliest wetting per depth, graph_irrigation_event.py:167-196).
     */
   val a5_min_distinct_set = Q(
+    // the distinct set is emitted as a sorted comma-joined string so the
+    // driver's pandas compare can hash it (list columns are unhashable)
     (s, dir) => T_(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"),
-        array_sort(collect_set(col("event_type"))).as("types")),
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("types")),
     Some("""SELECT user_id, min(ts) AS first_ts,
-             list_sort(list_distinct(list(event_type))) AS types
+             array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
       FROM events GROUP BY user_id"""))
 
   /** A7 — dedup by composite key → distinct. */

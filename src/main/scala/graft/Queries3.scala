@@ -252,16 +252,83 @@ object Queries3 {
       FROM c3 GROUP BY comp ORDER BY comp"""
     })
 
-  /** MinHash + LSH near-dup candidates (Spark murmur3 signatures — not
-    * SQL-replayable, so rows-only).
+  /** MinHash + LSH near-dup candidates, oracle-checked end to end with
+    * the replayable poly31 family: window hashes are base-31 code-point
+    * folds mod 2^31-1, affine mixes and band buckets stay inside the
+    * same field, and the SQL below is generated from the SAME
+    * splitmix64-derived coefficients the engine uses
+    * (Dedup.minhashCoeffs) — no constant drift possible. Production
+    * callers default to the XXH64 family (same pipeline shape).
     */
   val dd_minhash_lsh = Q(
     (s, dir) => Dedup.minhashLsh(T_(s, dir, "documents"), "text", "doc_id",
-      shingleLen = 5, bands = 8, rowsPerBand = 4)
+      shingleLen = 5, bands = 8, rowsPerBand = 4, replayable = true)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some {
+      val (mults, adds) = Dedup.minhashCoeffs(32, replayable = true)
+      val ml = mults.mkString("[", ", ", "]")
+      val al = adds.mkString("[", ", ", "]")
+      s"""WITH co AS (SELECT $ml::BIGINT[] AS M, $al::BIGINT[] AS A),
+      nrm AS (SELECT doc_id AS id,
+          regexp_replace(lower(trim(substr(text, 1, 2000))), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      hs AS (SELECT id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(substr(norm, i, 5), ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) FOR i IN range(1, length(norm) - 3)] AS hl
+        FROM nrm WHERE length(norm) >= 5),
+      sigs AS (SELECT id,
+          list_transform(range(0, 32), j ->
+            list_min(list_transform(hl, h -> (M[j + 1] * h + A[j + 1]) % 2147483647))) AS sig
+        FROM hs, co),
+      bands AS (SELECT unnest(range(0, 8)) AS b),
+      banded AS (SELECT s.id, b.b AS band,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), s.sig[b.b * 4 + 1 : b.b * 4 + 4]),
+            (a, v) -> (a * 31 + v) % 2147483647) AS bucket
+        FROM sigs s, bands b),
+      pairs AS (SELECT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bucket)
+        WHERE x.id < y.id GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b,
+        CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON sa.id = p.id_a
+      JOIN sigs sb ON sb.id = p.id_b
+      ORDER BY id_a, id_b"""
+    })
 
-  /** SimHash fingerprints over word bigrams (rows-only: murmur3).
+  /** Shared oracle CTE chain: word-bigram shingles → poly31 shingle
+    * hashes → 64-bit SimHash fingerprint (bit b votes on hash bit
+    * b % 31 — the replayable family of plans.TextExprOps.simhash64Poly;
+    * bit 63 needs the literal min-long because DuckDB's checked `<<`
+    * refuses 1 << 63).
+    */
+  private val simhashFpSql =
+    """WITH t AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      sh AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 2
+               THEN list_distinct([concat_ws(' ', toks[i], toks[i + 1]) FOR i IN range(1, len(toks))])
+               ELSE [] END AS g
+        FROM t),
+      hl AS (SELECT doc_id, list_transform(g, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+        FROM sh),
+      fp AS (SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 64), b ->
+              CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                         CASE WHEN ((h >> (b % 31)) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+                   THEN (CASE WHEN b < 63 THEN (CAST(1 AS BIGINT) << b)
+                              ELSE CAST(-9223372036854775808 AS BIGINT) END)
+                   ELSE CAST(0 AS BIGINT) END)),
+            (a, x) -> a + x) AS simhash
+        FROM hl)"""
+
+  /** SimHash fingerprints over word bigrams, replayable poly31 family.
     * Native one-pass kernel (plans.Simhash64) — all 64 bit votes per
     * shingle accumulate in-register, no per-shingle rows.
     */
@@ -270,11 +337,13 @@ object Queries3 {
       T_(s, dir, "documents")
         .select(col("doc_id"), split(T.normText(col("text")), " ").as("toks"))
         .select(col("doc_id"), T.wordShinglesFrom(col("toks"), 2).as("sh")),
-      "doc_id", "sh"),
-    None)
+      "doc_id", "sh", replayable = true),
+    Some(simhashFpSql + "\n      SELECT doc_id, simhash FROM fp"))
 
   /** SimHash near-dup pairs via pigeonhole band join + exact Hamming
-    * check (rows-only: fingerprints are murmur3-based).
+    * check, oracle-replayed over the same poly31 fingerprints (the
+    * band/Hamming machinery is hash-free: shifts, masks, xor,
+    * bit_count).
     */
   val dd_simhash_neardup = Q(
     (s, dir) => Dedup.simhashNearDup(
@@ -282,19 +351,56 @@ object Queries3 {
         T_(s, dir, "documents")
           .select(col("doc_id"), split(T.normText(col("text")), " ").as("toks"))
           .select(col("doc_id"), T.wordShinglesFrom(col("toks"), 2).as("sh")),
-        "doc_id", "sh"),
+        "doc_id", "sh", replayable = true),
       "doc_id", "simhash", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some(simhashFpSql + """,
+      bd AS (SELECT unnest(range(0, 4)) AS b),
+      banded AS (SELECT f.doc_id AS id, f.simhash AS fv, bd.b AS band,
+          (f.simhash >> (bd.b * 16)) & 65535 AS bits
+        FROM fp f, bd),
+      cand AS (SELECT x.id AS id_a, y.id AS id_b, x.fv AS f_a, y.fv AS f_b
+        FROM banded x JOIN banded y USING (band, bits)
+        WHERE x.id < y.id GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, CAST(bit_count(xor(f_a, f_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(f_a, f_b)) <= 3
+      ORDER BY id_a, id_b"""))
 
-  /** Embedding-cosine near-dup pairs, hyperplane-LSH-bucketed
-    * (rows-only: bucket signatures use murmur3 pseudo-weights).
+  /** Embedding-cosine near-dup pairs, hyperplane-LSH-bucketed, with
+    * the replayable pseudo-weight stream
+    * `w(q,i) = (((q*1000003 + i) * 2654435761) % (2^31-1) % 1e6)/1e6 - 0.5`
+    * (plans.VectorExprOps.hyperplaneSigPoly) — both sides accumulate
+    * the plane projections, norms, and pair dot products in element
+    * order, so the IEEE doubles are bit-identical.
     */
   val dd_embedding_neardup = Q(
     (s, dir) => Dedup.embeddingNearDup(T_(s, dir, "embeddings"),
-      "embedding", "vec_id", planes = 8, threshold = 0.3)
+      "embedding", "vec_id", planes = 8, threshold = 0.3, replayable = true)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE len(embedding) > 0),
+      sigs AS (SELECT id, v,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 8), q ->
+              CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, len(v) + 1), i ->
+                       CAST(v[i] AS DOUBLE) *
+                       (CAST(((q * 1000003 + (i - 1)) * 2654435761) % 2147483647 % 1000000 AS DOUBLE) / 1000000.0 - 0.5))),
+                     (a, b) -> a + b) >= 0.0
+                   THEN (CAST(1 AS BIGINT) << q) ELSE CAST(0 AS BIGINT) END)),
+            (a, b) -> a + b) AS bucket,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE))),
+            (a, b) -> a + b)) AS nrm
+        FROM e),
+      scored AS (SELECT a.id AS id_a, b.id AS id_b,
+          CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(a.v) + 1), i ->
+                CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))),
+              (x, y) -> x + y) / (a.nrm * b.nrm) END AS cos
+        FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.id < b.id)
+      SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b"""))
 
   // ===========================================================
   // Similarity search

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Lifecycle owner for blocks an operator materializes on the cluster:
+  * `persist()`ed intermediates (LSH signatures, inverted indexes) and
+  * `localCheckpoint()` RDDs (graph-iteration bases). Operators that
+  * cache register here instead of calling `persist` directly, and the
+  * caller releases the scope after its terminal action — so a
+  * long-running job (100 TB session running many queries) never
+  * accumulates squatting storage blocks, and the bench needs no
+  * clearCache/System.gc crutch between queries.
+  *
+  * Operators default to [[CacheScope.global]]; pass a dedicated scope
+  * to bound an individual query's cache lifetime.
+  */
+final class CacheScope {
+  private val frames = ArrayBuffer.empty[Dataset[_]]
+  private val rdds = ArrayBuffer.empty[RDD[_]]
+
+  /** Persist `ds` and register it for release. */
+  private[graft] def persist[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    frames += ds.persist()
+    ds
+  }
+
+  /** `localCheckpoint` `ds` and register the checkpoint RDD for
+    * release. Checkpoint blocks are NOT tracked by the cache manager —
+    * without the RDD handle they are freed only when the ContextCleaner
+    * notices the RDD got GC'd, which is why the bench previously needed
+    * a System.gc() between queries.
+    */
+  private[graft] def checkpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    val cp = ds.localCheckpoint()
+    cp.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+      .foreach(rdds += _)
+    cp
+  }
+
+  /** Drop every block this scope owns (non-blocking). Idempotent. */
+  def release(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.clear()
+  }
+}
+
+object CacheScope {
+  /** Process-wide default scope. Harness mains (Bench, Verify) release
+    * it between queries; applications embedding the operators should
+    * pass their own scope per logical query instead.
+    */
+  val global = new CacheScope
+}

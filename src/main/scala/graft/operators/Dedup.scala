@@ -24,6 +24,24 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
+  private val P31 = 2147483647L // 2^31 - 1, the replayable-family field
+
+  /** Affine-family coefficients for [[minhashLsh]]: `k` (mult, add)
+    * pairs derived from splitmix64. Production family: full-width odd
+    * multipliers, Long-wrap arithmetic. Replayable family: coefficients
+    * reduced into the mod-2^31-1 field so `(m*h + a) % p` never
+    * exceeds 2^62 — DuckDB's checked BIGINT arithmetic replays it
+    * bit-for-bit. Public so the SQL oracle is generated from the SAME
+    * constants as the engine (no drift).
+    */
+  def minhashCoeffs(k: Int, replayable: Boolean): (Seq[Long], Seq[Long]) =
+    if (replayable)
+      ((0 until k).map(i => ((splitmix64(2L * i) & Long.MaxValue) % (P31 - 1)) + 1L),
+        (0 until k).map(i => (splitmix64(2L * i + 1) & Long.MaxValue) % P31))
+    else
+      ((0 until k).map(i => splitmix64(2L * i) | 1L),
+        (0 until k).map(i => splitmix64(2L * i + 1)))
+
   /** Exact dedup by content hash: keep the first document (lowest id)
     * per normalized-text hash. One shuffle on the hash.
     */
@@ -55,7 +73,9 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  shingleLen: Int = 5, bands: Int = 8,
-                 rowsPerBand: Int = 4, maxDocLen: Int = 2000): DataFrame = {
+                 rowsPerBand: Int = 4, maxDocLen: Int = 2000,
+                 replayable: Boolean = false,
+                 scope: CacheScope = CacheScope.global): DataFrame = {
     val k = bands * rowsPerBand
     // signatures are consumed three times (banding + both sides of the
     // pair re-join); materialize once. The signature itself is ONE
@@ -72,24 +92,32 @@ object Dedup {
     // duplicate-insensitive (min over a multiset), so no per-doc
     // shingle dedup is needed.
     val n = shingleLen
-    val mults = (0 until k).map(i => splitmix64(2L * i) | 1L)
-    val adds = (0 until k).map(i => splitmix64(2L * i + 1))
-    val withSig = docs
+    val (mults, adds) = minhashCoeffs(k, replayable)
+    val withSig = scope.persist(docs
       .select(col(idCol).as("id"),
         graft.plans.TextExpressions.minhashSigFast(
-          T.normText(substring(col(textCol), 1, maxDocLen)), n, mults, adds).as("sig"))
-      .filter(col("sig").isNotNull)
-      .persist()
+          T.normText(substring(col(textCol), 1, maxDocLen)), n, mults, adds,
+          poly = replayable).as("sig"))
+      .filter(col("sig").isNotNull))
     // candidate pairs: same bucket in any band. Deduplicate to
     // DISTINCT (id_a, id_b) BEFORE touching the signatures — the band
     // join only ever shuffles (band, bucket, id) triples, and the
     // k-wide signature arrays are joined back exactly once per
     // surviving pair (a corpus with heavy band collisions would
     // otherwise re-compare signatures per colliding band).
+    // band bucket: production = murmur3 of the band slice; replayable
+    // = base-31 fold of the band's signature values in the mod-2^31-1
+    // field (all inputs < p, so the fold stays < 2^36 — replays in
+    // checked BIGINT SQL)
+    def bucketOf(b: Column): Column =
+      if (replayable)
+        (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * 31L + element_at(col("sig"), b * rowsPerBand + lit(j + 1))) % P31
+        }
+      else hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
     val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))))
+        b => struct(b.as("band"), bucketOf(b).as("bucket")))))
       .select(col("id"), col("col.band"), col("col.bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -138,10 +166,11 @@ object Dedup {
     * Empty or null shingle arrays get fingerprint 0, same as the HOF
     * form (empty aggregate → all votes 0 → no bits set).
     */
-  def simhashBulk(df: DataFrame, idCol: String, shingleCol: String): DataFrame =
+  def simhashBulk(df: DataFrame, idCol: String, shingleCol: String,
+                  replayable: Boolean = false): DataFrame =
     df.select(col(idCol),
-      coalesce(graft.plans.TextExpressions.simhash64Fast(col(shingleCol)),
-        lit(0L)).as("simhash"))
+      coalesce(graft.plans.TextExpressions.simhash64Fast(col(shingleCol),
+        poly = replayable), lit(0L)).as("simhash"))
 
   /** SimHash near-duplicate pairs: documents whose 64-bit fingerprints
     * are within `maxHamming` bits. Pigeonhole banding: the fingerprint
@@ -154,7 +183,8 @@ object Dedup {
     * bounded by the id-pair distinct before the Hamming check.
     */
   def simhashNearDup(fp: DataFrame, idCol: String, fpCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val bands = maxHamming + 1
     val width = 64 / bands
@@ -167,10 +197,9 @@ object Dedup {
     }
     // persisted: both join sides reference it, and without the cache
     // each side would recompute the full fingerprint lineage
-    val banded = fp.select(col(idCol).as("id"), col(fpCol).as("f"))
+    val banded = scope.persist(fp.select(col(idCol).as("id"), col(fpCol).as("f"))
       .select(col("id"), col("f"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("f"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-      .persist()
+      .select(col("id"), col("f"), col("bb.band").as("band"), col("bb.bits").as("bits")))
     val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("f").as("f_a"))
     val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("f").as("f_b"))
     a.join(b, Seq("band", "bits"))
@@ -195,7 +224,8 @@ object Dedup {
                    gramLen: Int = 3,
                    threshold: Double = 0.5,
                    maxDf: Option[Int] = Some(10),
-                   maxDocLen: Int = 10000): DataFrame = {
+                   maxDocLen: Int = 10000,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
     // the per-document distinct gram SET is computed by one native
     // pass (plans.DistinctWordGrams — windows joined and deduped
     // in-kernel, bit-identical to concat_ws over slices), so the set
@@ -207,13 +237,13 @@ object Dedup {
           tokenize(substring(col(textCol), 1, maxDocLen)), gramLen).as("garr"))
       .select(col("id"), size(col("garr")).as("n"),
         explode(col("garr")).as("gram"))
-    val inv = (maxDf match {
+    val inv = scope.persist(maxDf match {
       case Some(df) =>
         val rare = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
           .filter(col("df") <= df).select("gram")
         inv0.join(rare, "gram")
       case None => inv0
-    }).persist() // both sides of the pair self-join read it
+    }) // both sides of the pair self-join read it
     val a = inv.select(col("gram"), col("id").as("id_a"), col("n").as("n_a"))
     val b = inv.select(col("gram"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("gram"))
@@ -236,9 +266,18 @@ object Dedup {
     * more than one cluster — dup chains are short in practice, and a
     * fixed depth keeps the computation deterministic and replayable.
     */
-  def dedupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+  def dedupClusters(pairs: DataFrame, iterations: Int = 3,
+                    converge: Boolean = false,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    GraphOps.connectedComponents(edges, iterations)
+    val comps =
+      if (converge)
+        // production path: iterate to fixpoint so a dup chain longer
+        // than the fixed depth can't silently split into several
+        // clusters (= under-dedup); `iterations` is the runaway bound
+        GraphOps.connectedComponentsConverged(edges, math.max(iterations, 50), scope)
+      else GraphOps.connectedComponents(edges, iterations, scope)
+    comps
       .groupBy(col("comp"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("cluster_size"))
       .select("comp", "keep_id", "cluster_size")
@@ -261,7 +300,9 @@ object Dedup {
     * recomputing both norms per pair.
     */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
-                       planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+                       planes: Int = 12, threshold: Double = 0.95,
+                       replayable: Boolean = false,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
     val seed = 42
     // bucket + norm in ONE native pass per vector
     // (plans.HyperplaneSig — same pseudo-weight stream as
@@ -270,14 +311,13 @@ object Dedup {
     // row materialization and no aggregate shuffle keyed by the full
     // vector. Empty vectors get a null signature and are excluded,
     // matching the explode form where they produced no rows.
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sig = scope.persist(emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         graft.plans.VectorExpressions.hyperplaneSigFast(
-          col(vecCol), planes, seed).as("s"))
+          col(vecCol), planes, seed, poly = replayable).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("v"),
         col("s").getField("bucket").as("bucket"),
-        col("s").getField("nrm").as("nrm"))
-      .persist()
+        col("s").getField("nrm").as("nrm")))
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket"))

@@ -25,7 +25,8 @@ object GraphOps {
     * dropped. Input: edges (src: long, dst: long).
     */
   def pageRank(edges: DataFrame, iterations: Int,
-               reset: Double = 0.15, damp: Double = 0.85): DataFrame = {
+               reset: Double = 0.15, damp: Double = 0.85,
+               scope: CacheScope = CacheScope.global): DataFrame = {
     // vertices is re-joined every iteration — persist it or each
     // iteration re-runs the distinct over the edge set
     // vertices comes out of distinct() hash-partitioned by id; edges
@@ -43,22 +44,22 @@ object GraphOps {
     // the full tree, which doubles per iteration: comp_t is referenced
     // twice by comp_{t+1}). LogicalRDD preserves output partitioning,
     // so the co-partitioning below survives the truncation.
-    val e = edges.localCheckpoint()
-    val vertices = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val e = scope.checkpoint(edges)
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // 1/outdeg as IEEE double (engine-independent), fixed per vertex
     val withInv = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
-    val edgesCached = withInv.repartition(col("src")).localCheckpoint()
+    val edgesCached = scope.checkpoint(withInv.repartition(col("src")))
     // zero-contribution rows for every vertex replace the per-iteration
     // `vertices LEFT JOIN summed` that re-attached rank-less vertices:
     // summing an extra 0 is a no-op for receivers and yields
     // reset + damp*0 for vertices with no inflow — identical values,
     // one fewer join per iteration (the aggregate's shuffle IS the
     // message-passing step and is the only one left).
-    val zeroContribs = vertices.select(col("id"), lit(0.0).as("contrib"))
-      .localCheckpoint()
+    val zeroContribs = scope.checkpoint(
+      vertices.select(col("id"), lit(0.0).as("contrib")))
     var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
@@ -89,7 +90,8 @@ object GraphOps {
     * min_{(u,v)∈E} comp_t(u)). Converges in diameter iterations;
     * deterministic (min is order-free).
     */
-  def connectedComponents(edges: DataFrame, iterations: Int): DataFrame = {
+  def connectedComponents(edges: DataFrame, iterations: Int,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
     // same co-partitioning discipline as pageRank: undirected edges
     // partitioned by src once, comp stays partitioned by id, so the
     // propagation join is exchange-free and only the min-aggregate
@@ -101,7 +103,7 @@ object GraphOps {
     // re-analyzed even when execution is cached) blow up 2^iterations.
     // localCheckpoint cuts both: one materialization, constant-size
     // iteration plans, output partitioning preserved.
-    val e = edges.localCheckpoint()
+    val e = scope.checkpoint(edges)
     // self-loops make the recurrence min over neighbors ∪ self, so
     // comp_t is referenced exactly ONCE per iteration (the propagation
     // join) instead of twice (join source + "keep own label" join
@@ -110,18 +112,57 @@ object GraphOps {
     // the whole loop executes as ONE job of pipelined shuffle stages
     // (same trick as pageRank; values are identical:
     // min(comp(v), min_nbr comp) == min over nbrs∪self).
-    val vertices = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val undirected = e.select(col("src"), col("dst"))
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val undirected = scope.checkpoint(e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(vertices.select(col("id").as("src"), col("id").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
+      .repartition(col("src")))
     var comp = vertices.select(col("id"), col("id").as("comp"))
     for (_ <- 1 to iterations) {
       comp = undirected.join(comp, undirected("src") === comp("id"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("comp"))
+    }
+    comp
+  }
+
+  /** Convergence-safe connected components: same min-label propagation
+    * as [[connectedComponents]], iterated until NO label changed in a
+    * round (checked with a limit-1 emptiness probe, not a full count)
+    * or `maxIterations` as a runaway bound. A fixed-depth run
+    * silently splits any component whose diameter exceeds the depth —
+    * at corpus scale a dup chain longer than the depth under-dedups —
+    * so this is the production path; the fixed-depth form stays for
+    * oracle replay (a data-dependent iteration count cannot be
+    * mirrored in static SQL).
+    *
+    * Each round's labels are checkpointed: the convergence probe is an
+    * action per round, and without materialization round t+1 would
+    * recompute rounds 1..t.
+    */
+  def connectedComponentsConverged(edges: DataFrame, maxIterations: Int = 50,
+                                   scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(edges)
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val undirected = scope.checkpoint(e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(vertices.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("src")))
+    var comp = scope.checkpoint(vertices.select(col("id"), col("id").as("comp")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0L && iter < maxIterations) {
+      val next = scope.checkpoint(
+        undirected.join(comp, undirected("src") === comp("id"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("comp")).as("comp")))
+      // labels only decrease, so "any row strictly smaller" == "changed"
+      changed = next.join(comp.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") < col("prev")).limit(1).count()
+      comp = next
+      iter += 1
     }
     comp
   }

@@ -52,6 +52,52 @@ object TextExprOps {
     }
   }
 
+  /** Poly31 hash of `n` consecutive code points starting at `from` in
+    * `cps`: the same base-31 mod 2^31-1 fold as [[polyFingerprint]],
+    * restricted to one window. Shared by the replayable minhash /
+    * simhash kernels below.
+    */
+  private def polyWindow(cps: Array[Int], from: Int, n: Int): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < n) {
+      acc = (acc * 31L + cps(from + j)) % 2147483647L
+      j += 1
+    }
+    acc
+  }
+
+  /** DuckDB-replayable MinHash signature: window hashes are poly31
+    * folds over code points (instead of XXH64 over bytes) and the k
+    * affine mixes stay inside the mod-2^31-1 field — `(m*h + a) % p`
+    * with m, a < p never exceeds 2^62, so the oracle's checked BIGINT
+    * arithmetic replays it exactly (the production family's Long wrap
+    * would overflow-error in DuckDB). Same windowing, same null
+    * contract as [[minhashSig]].
+    */
+  def minhashSigPoly(s: UTF8String, n: Int,
+                     mults: Array[Long], adds: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val nc = cps.length
+    if (nc < n) return null
+    val k = mults.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val lastW = nc - n
+    var w = 0
+    while (w <= lastW) {
+      val h = polyWindow(cps, w, n)
+      var j = 0
+      while (j < k) {
+        val v = (mults(j) * h + adds(j)) % 2147483647L
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Full MinHash signature in one zero-copy pass: for every
     * code-point window of length `n`, hash the underlying UTF-8 bytes
     * in place with Spark's own XXH64 (seed 42 — bit-identical to
@@ -132,6 +178,37 @@ object TextExprOps {
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** DuckDB-replayable SimHash: per shingle the poly31 code-point hash
+    * (31 bits of entropy, so bit position b votes on hash bit b % 31 —
+    * weaker spread than the murmur family, which is why this is the
+    * oracle-replay family and not the production default). Vote
+    * accumulation and packing are identical to [[simhash64]].
+    */
+  def simhash64Poly(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = polyFingerprint(s)
+        var b = 0
+        while (b < 64) {
+          if (((h >> (b % 31)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
   }
 
   /** 64-bit SimHash of a shingle array in one pass: per element,
@@ -228,10 +305,13 @@ case class DistinctShingleCount(child: Expression, n: Int) extends UnaryExpressi
 
 /** Native one-pass MinHash signature (see TextExprOps.minhashSig).
   * Returns `array<long>` of `mults.length` min-hashes, or null when
-  * the input is shorter than one window.
+  * the input is shorter than one window. `poly` selects the
+  * DuckDB-replayable poly31 family (TextExprOps.minhashSigPoly);
+  * default is the XXH64 production family.
   */
 case class MinhashSignature(child: Expression, n: Int,
-                            mults: Seq[Long], adds: Seq[Long])
+                            mults: Seq[Long], adds: Seq[Long],
+                            poly: Boolean = false)
     extends UnaryExpression {
 
   // Seq fields keep case-class equality value-based (Expression
@@ -253,14 +333,17 @@ case class MinhashSignature(child: Expression, n: Int,
       s"minhash_sig expects string, got ${dt.simpleString}")
   }
 
+  private def kernel: String = if (poly) "minhashSigPoly" else "minhashSig"
+
   protected override def nullSafeEval(input: Any): Any =
-    TextExprOps.minhashSig(input.asInstanceOf[UTF8String], n, multsArr, addsArr)
+    if (poly) TextExprOps.minhashSigPoly(input.asInstanceOf[UTF8String], n, multsArr, addsArr)
+    else TextExprOps.minhashSig(input.asInstanceOf[UTF8String], n, multsArr, addsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("mults", multsArr, "long[]")
     val a = ctx.addReferenceObj("adds", addsArr, "long[]")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.plans.TextExprOps.minhashSig($c, $n, $m, $a);
+      ${ev.value} = graft.plans.TextExprOps.$kernel($c, $n, $m, $a);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   }
@@ -297,9 +380,10 @@ case class DistinctWordGrams(child: Expression, n: Int) extends UnaryExpression 
 }
 
 /** Native one-pass SimHash over a shingle-array column (see
-  * TextExprOps.simhash64).
+  * TextExprOps.simhash64). `poly` selects the DuckDB-replayable
+  * poly31 family (TextExprOps.simhash64Poly).
   */
-case class Simhash64(child: Expression) extends UnaryExpression {
+case class Simhash64(child: Expression, poly: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -310,11 +394,14 @@ case class Simhash64(child: Expression) extends UnaryExpression {
       s"simhash64 expects array<string>, got ${dt.simpleString}")
   }
 
+  private def kernel: String = if (poly) "simhash64Poly" else "simhash64"
+
   protected override def nullSafeEval(input: Any): Any =
-    TextExprOps.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (poly) TextExprOps.simhash64Poly(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    else TextExprOps.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprOps.simhash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprOps.$kernel($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -331,12 +418,13 @@ object TextExpressions {
 
   /** Column-API entry point for the native one-pass MinHash signature. */
   def minhashSigFast(norm: Column, n: Int,
-                     mults: Seq[Long], adds: Seq[Long]): Column =
-    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(norm), n, mults, adds))
+                     mults: Seq[Long], adds: Seq[Long],
+                     poly: Boolean = false): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(norm), n, mults, adds, poly))
 
   /** Column-API entry point for the native one-pass SimHash. */
-  def simhash64Fast(shingles: Column): Column =
-    ColumnBridge.column(Simhash64(ColumnBridge.expression(shingles)))
+  def simhash64Fast(shingles: Column, poly: Boolean = false): Column =
+    ColumnBridge.column(Simhash64(ColumnBridge.expression(shingles), poly))
 
   /** Column-API entry point for the native distinct word n-grams. */
   def distinctWordGramsFast(tokens: Column, n: Int): Column =

@@ -161,13 +161,55 @@ object VectorExprOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bucket, math.sqrt(nsq)))
   }
+
+  /** DuckDB-replayable variant: the pseudo-weight for (plane q,
+    * element i) is derived from the integer stream
+    * `h = ((q*1000003 + i) * 2654435761) % (2^31-1)`,
+    * `w = (h % 1e6)/1e6 - 0.5` — every intermediate stays below 2^61,
+    * so the oracle replays it with checked BIGINT arithmetic (the
+    * production murmur3 chain is not expressible in SQL). Accumulation
+    * order, null handling, empty-vector null, bucket packing and norm
+    * are identical to [[hyperplaneSig]]. `seed` is intentionally not
+    * part of the formula — one canonical replay family.
+    */
+  def hyperplaneSigPoly(arr: ArrayData, isFloat: Boolean,
+                        planes: Int): InternalRow = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val projs = new Array[Double](planes)
+    var nsq = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        var q = 0
+        while (q < planes) {
+          val h = ((q.toLong * 1000003L + i.toLong) * 2654435761L) % 2147483647L
+          val w = (h % 1000000L).toDouble / 1000000.0 - 0.5
+          projs(q) += x * w
+          q += 1
+        }
+        nsq += x * x
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      if (projs(p) >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket, math.sqrt(nsq)))
+  }
 }
 
 /** Native one-pass hyperplane LSH signature + norm (see
   * VectorExprOps.hyperplaneSig). Output: struct(bucket: long,
   * nrm: double); null for empty vectors.
   */
-case class HyperplaneSig(child: Expression, planes: Int, seed: Int)
+case class HyperplaneSig(child: Expression, planes: Int, seed: Int,
+                         poly: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -193,14 +235,20 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Int)
     }
 
   protected override def nullSafeEval(input: Any): Any =
-    VectorExprOps.hyperplaneSig(input.asInstanceOf[ArrayData], elemIsFloat, planes, seed)
+    if (poly) VectorExprOps.hyperplaneSigPoly(input.asInstanceOf[ArrayData], elemIsFloat, planes)
+    else VectorExprOps.hyperplaneSig(input.asInstanceOf[ArrayData], elemIsFloat, planes, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = elemIsFloat
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.plans.VectorExprOps.hyperplaneSig($c, $f, $planes, $seed);
+    nullSafeCodeGen(ctx, ev, c => {
+      val call =
+        if (poly) s"graft.plans.VectorExprOps.hyperplaneSigPoly($c, $f, $planes)"
+        else s"graft.plans.VectorExprOps.hyperplaneSig($c, $f, $planes, $seed)"
+      s"""
+      ${ev.value} = $call;
       if (${ev.value} == null) { ${ev.isNull} = true; }
-    """)
+    """
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -214,6 +262,7 @@ object VectorExpressions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-API entry point for the native hyperplane signature. */
-  def hyperplaneSigFast(v: Column, planes: Int, seed: Int): Column =
-    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(v), planes, seed))
+  def hyperplaneSigFast(v: Column, planes: Int, seed: Int,
+                        poly: Boolean = false): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(v), planes, seed, poly))
 }
