@@ -264,6 +264,87 @@ object Queries2 {
         strftime(ts, '%Y-%m-%d') AS day
       FROM t"""))
 
+  /** F1/F3/F11/F16 — alias-map property-base resolution
+    * (graph_weather_day.py:53-67), depth-from-label with the −1
+    * sentinel (graph_soil_layer.py:28-42), tz-name → fixed offset
+    * (app/utils.py:34-43), and length-preferring label pick
+    * (graph_soil_layer.py:45-51). Inputs are synthesized from part
+    * attributes so every branch of each decision tree fires: alias
+    * hit, non-empty label, sanitized-key fallback, "m" default;
+    * comma-decimal depth (exercising half-up rounding), plain depth,
+    * no-number → −1; both known offsets and an unknown zone → null;
+    * empty-current, longer-candidate, and keep-current label picks.
+    */
+  val f_alias_suite = Q(
+    (s, dir) => {
+      val k = col("p_partkey")
+      val fwKey = when(k % 4 === 0, lit("temp_air"))
+        .when(k % 4 === 1, lit("Par Key 1"))
+        .when(k % 4 === 2, lit("Hum Key!"))
+        .otherwise(lit(""))
+      val label = when(k % 4 === 3, lit("  "))
+        .when(k % 2 === 0, lit(""))
+        .otherwise(col("p_type"))
+      val depthLbl = when(k % 3 === 0,
+        concat(lit("depth "), col("p_size").cast("string"), lit(",5 cm")))
+        .when(k % 3 === 1, concat(col("p_size").cast("string"), lit(" cm")))
+        .otherwise(lit("no depth"))
+      val tz = when(k % 5 === 0, lit("UTC"))
+        .when(k % 5 === 1, lit("Europe/Istanbul"))
+        .when(k % 5 === 2, lit("TRT"))
+        .when(k % 5 === 3, lit("GMT"))
+        .otherwise(lit("Mars/Olympus"))
+      val cur = when(k % 3 === 0, lit("")).otherwise(col("p_brand"))
+      // 7-char candidate is shorter than the 8-char brand, so the
+      // keep-current branch fires on the k % 3 == 2 stratum
+      val cand = when(k % 3 === 1, lit("Brand Extended Name"))
+        .otherwise(substring(col("p_type"), 1, 7))
+      T_(s, dir, "part").select(k.as("p_partkey"),
+        F.resolvePropertyBase(fwKey, label,
+          Map("temp_air" -> "temperature", "hum" -> "humidity")).as("prop_base"),
+        coalesce(F.depthFromLabel(depthLbl), lit(-1)).as("depth_cm"),
+        F.tzToOffset(tz).as("tz_offset"),
+        F.pickLabel(cur, cand).as("best_label"))
+    },
+    Some("""WITH t AS (SELECT p_partkey,
+        CASE WHEN p_partkey % 4 = 0 THEN 'temp_air'
+             WHEN p_partkey % 4 = 1 THEN 'Par Key 1'
+             WHEN p_partkey % 4 = 2 THEN 'Hum Key!'
+             ELSE '' END AS fw,
+        CASE WHEN p_partkey % 4 = 3 THEN '  '
+             WHEN p_partkey % 2 = 0 THEN ''
+             ELSE p_type END AS lbl,
+        CASE WHEN p_partkey % 3 = 0 THEN 'depth ' || CAST(p_size AS VARCHAR) || ',5 cm'
+             WHEN p_partkey % 3 = 1 THEN CAST(p_size AS VARCHAR) || ' cm'
+             ELSE 'no depth' END AS dlbl,
+        CASE WHEN p_partkey % 5 = 0 THEN 'UTC'
+             WHEN p_partkey % 5 = 1 THEN 'Europe/Istanbul'
+             WHEN p_partkey % 5 = 2 THEN 'TRT'
+             WHEN p_partkey % 5 = 3 THEN 'GMT'
+             ELSE 'Mars/Olympus' END AS tz,
+        CASE WHEN p_partkey % 3 = 0 THEN '' ELSE p_brand END AS cur,
+        CASE WHEN p_partkey % 3 = 1 THEN 'Brand Extended Name' ELSE substr(p_type, 1, 7) END AS cand
+      FROM part)
+      SELECT p_partkey,
+        coalesce(
+          CASE WHEN fw = 'temp_air' THEN 'temperature'
+               WHEN fw = 'hum' THEN 'humidity' END,
+          CASE WHEN length(trim(lbl)) > 0
+               THEN regexp_replace(lower(lbl), '[^a-z0-9_]', '_', 'g') END,
+          CASE WHEN length(trim(fw)) > 0
+               THEN regexp_replace(lower(fw), '[^a-z0-9_]', '_', 'g') END,
+          'm') AS prop_base,
+        CASE WHEN regexp_extract(dlbl, '(\d+(?:[.,]\d+)?)', 1) <> ''
+             THEN CAST(round(CAST(replace(regexp_extract(dlbl, '(\d+(?:[.,]\d+)?)', 1), ',', '.') AS DOUBLE)) AS INTEGER)
+             ELSE -1 END AS depth_cm,
+        CASE WHEN trim(tz) IN ('UTC', 'GMT') THEN '+00:00'
+             WHEN trim(tz) IN ('Europe/Istanbul', 'Turkey', 'TRT', 'TR') THEN '+03:00' END AS tz_offset,
+        CASE WHEN nullif(trim(cur), '') IS NULL THEN nullif(trim(cand), '')
+             WHEN nullif(trim(cand), '') IS NULL THEN nullif(trim(cur), '')
+             WHEN length(nullif(trim(cand), '')) > length(nullif(trim(cur), '')) THEN nullif(trim(cand), '')
+             ELSE nullif(trim(cur), '') END AS best_label
+      FROM t"""))
+
   /** F17 — surrogate-id builder with null defaults
     * (graph_sap_element_result.py:65-67).
     */
@@ -306,6 +387,7 @@ object Queries2 {
     "f6_messy_numeric" -> f6_messy_numeric,
     "f8_unit_normalized_sum" -> f8_unit_normalized_sum,
     "f10_coerce_ts" -> f10_coerce_ts,
+    "f_alias_suite" -> f_alias_suite,
     "f17_surrogate_id" -> f17_surrogate_id,
     "f22_point_parse" -> f22_point_parse,
   )

@@ -1,0 +1,409 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.domain.GraphAssembly
+import graft.operators.CacheScope
+import graft.functions.{Functions => F}
+import Queries.Q
+
+/** Batch 6: full property-graph materialization (SURVEY §1.2/§1.3 —
+  * the 27-label node catalog + 27-type relationship catalog,
+  * graph_constraints.py:2-133) assembled over the harness star schema
+  * with [[graft.domain.GraphAssembly]], plus the referential-integrity
+  * gates of §5.4: zero dangling edges, zero duplicate vertex keys.
+  *
+  * Mapping discipline: every label keeps the reference's key SHAPE
+  * (§1.2 constraint columns) — surrogate-keyed children embed their
+  * parent's key columns, exactly like the reference's re-MATCH-on-
+  * embedded-keys edges — while the rows derive deterministically from
+  * the harness tables (stations = event actors, the five day-metric
+  * labels = the five event types, lab analyses = orders stratified by
+  * o_orderkey % 6, products = the part catalog).
+  */
+object Queries6 {
+
+  private def T_(s: SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  /** The assembled catalog: per-label and per-relationship cardinality
+    * plus the two §5.4 integrity checks, one tidy (kind, name, n)
+    * table. Both integrity rows MUST be 0; the oracle recomputes the
+    * whole assembly (ids included) in SQL and checks the same.
+    */
+  val g_assembly = Q(
+    (s, dir) => {
+      val customer = T_(s, dir, "customer")
+      val nation = T_(s, dir, "nation")
+      val events = T_(s, dir, "events")
+      val orders = T_(s, dir, "orders")
+      val lineitem = T_(s, dir, "lineitem")
+      val part = T_(s, dir, "part")
+
+      // Field→Crop resolution dim (customer→nation), broadcast once
+      val custNation = customer.select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("crop_name"))
+
+      // ---- station + day-metric family (events) ----
+      def ev(t: String) = events.filter(col("event_type") === t)
+      def dayKeys(t: String) = ev(t)
+        .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"))
+        .distinct()
+      val field = customer.select(col("c_custkey").as("field_id"))
+      val crop = nation.select(col("n_name").as("name"))
+      val station = events.select(col("user_id").as("serial_number")).distinct()
+      val weatherDay = dayKeys("click")
+      val soilDay = dayKeys("view")
+      val irrigationDay = dayKeys("purchase")
+      val canopyDay = dayKeys("signup")
+      val sapDay = dayKeys("error")
+      val forecast = events
+        .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"))
+        .distinct()
+      // ET0Day keeps the reference's string-date quirk ("YYYY-MM-DD HH:MM",
+      // graph_et0.py:67-71)
+      val et0 = events
+        .select(col("user_id").as("station_serial"),
+          date_format(col("ts"), "yyyy-MM-dd HH:00").as("date"))
+        .distinct()
+      val layer = ev("view")
+        .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"),
+          ((col("event_id") % 3) * 10 + 10).as("depth_cm"))
+        .distinct()
+      val depthPoint = layer.select(col("station_serial"), col("depth_cm")).distinct()
+      val irrEvent = ev("purchase")
+        .select(col("user_id").as("station_serial"),
+          unix_timestamp(col("ts")).as("start_epoch_s"))
+        .distinct()
+
+      // ---- lab + application families (orders % 6 strata) ----
+      def ostrat(r: Int) = orders.filter(col("o_orderkey") % 6 === r)
+      val sap = ostrat(0)
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").as("field_id"),
+          F.isoDay(col("o_orderdate")).as("date"), col("crop_name"),
+          when(col("o_orderkey") % 12 === 0, "young").otherwise("old").as("leaf_type"),
+          col("o_orderkey").as("sample_id"))
+      def lab(r: Int, labCol: String) = ostrat(r)
+        .select(col("o_custkey").as("field_id"),
+          F.isoDay(col("o_orderdate")).as("date"), col("o_orderkey").as(labCol))
+      val haney = lab(1, "lab_no")
+      val tnd = lab(2, "lab_no")
+      val soilA = lab(3, "lab_id")
+      val waterA = lab(4, "sample_source")
+      val appEvent = ostrat(5)
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").as("field_id"),
+          F.isoDay(col("o_orderdate")).as("date"), col("crop_name"),
+          col("o_orderpriority").as("app_type"), col("o_orderkey").as("idx"))
+
+      def listrat(r: Int) = lineitem.filter(col("l_orderkey") % 6 === r)
+      val sapEl = listrat(0)
+        .join(sap, col("l_orderkey") === col("sample_id"))
+        .select(col("field_id"), col("date"), col("crop_name"), col("leaf_type"),
+          col("sample_id"),
+          F.surrogateId(col("field_id"), col("date"), col("crop_name"),
+            col("leaf_type"), col("sample_id")).as("sap_analysis_id"),
+          col("l_linenumber").cast("string").as("nutrient"))
+      val optRange = sap.select(col("crop_name"), col("date")).distinct()
+      val optEl = listrat(0)
+        .join(sap, col("l_orderkey") === col("sample_id"))
+        .select(col("crop_name"), col("date"),
+          col("l_linenumber").cast("string").as("nutrient"))
+        .distinct()
+        .withColumn("opt_range_id", F.surrogateId(col("crop_name"), col("date")))
+      val soilParam = listrat(3)
+        .join(soilA, col("l_orderkey") === col("lab_id"))
+        .select(col("field_id"), col("date"), col("lab_id"),
+          F.surrogateId(col("field_id"), col("date"), col("lab_id")).as("soil_analysis_id"),
+          col("l_linenumber").cast("string").as("parameter_english"))
+      val waterParam = listrat(4)
+        .join(waterA, col("l_orderkey") === col("sample_source"))
+        .select(col("field_id"), col("date"), col("sample_source"),
+          F.surrogateId(col("field_id"), col("date"), col("sample_source")).as("water_analysis_id"),
+          col("l_linenumber").cast("string").as("parameter"))
+      val prodApp = listrat(5)
+        .join(appEvent, col("l_orderkey") === col("idx"))
+        .select(col("field_id"), col("date"), col("crop_name"), col("app_type"),
+          col("idx"),
+          F.surrogateId(col("field_id"), col("date"), col("crop_name"),
+            col("app_type"), col("idx")).as("application_event_id"),
+          col("l_linenumber").as("pa_idx"), col("l_partkey"), col("l_returnflag"))
+      val fert = part.select(col("p_name").as("name"), col("p_brand").as("brand")).distinct()
+      val appNutrient = prodApp
+        .join(broadcast(part.select(col("p_partkey"), col("p_name").as("name"),
+          col("p_brand").as("brand"))), col("l_partkey") === col("p_partkey"))
+        .select(col("application_event_id"), col("pa_idx"), col("name"), col("brand"),
+          F.surrogateId(col("application_event_id"), col("pa_idx")).as("product_application_id"),
+          lower(col("l_returnflag")).as("nutrient"))
+
+      // ---- §1.2: the 27 labels ----
+      val nodeSpecs: Seq[(String, DataFrame, Seq[String])] = Seq(
+        ("Field", field, Seq("field_id")),
+        ("Crop", crop, Seq("name")),
+        ("Station", station, Seq("serial_number")),
+        ("DepthPoint", depthPoint, Seq("station_serial", "depth_cm")),
+        ("WeatherDay", weatherDay, Seq("station_serial", "date")),
+        ("WeatherForecast", forecast, Seq("station_serial", "date")),
+        ("SoilDay", soilDay, Seq("station_serial", "date")),
+        ("SoilLayerReading", layer, Seq("station_serial", "date", "depth_cm")),
+        ("IrrigationDay", irrigationDay, Seq("station_serial", "date")),
+        ("CanopyDay", canopyDay, Seq("station_serial", "date")),
+        ("SAPDay", sapDay, Seq("station_serial", "date")),
+        ("IrrigationEvent", irrEvent, Seq("station_serial", "start_epoch_s")),
+        ("ET0Day", et0, Seq("station_serial", "date")),
+        ("SAPAnalysis", sap, Seq("field_id", "date", "crop_name", "leaf_type", "sample_id")),
+        ("SAPElementResult", sapEl, Seq("sap_analysis_id", "nutrient")),
+        ("OptimumSAPRange", optRange, Seq("crop_name", "date")),
+        ("OptimumElementRange", optEl, Seq("opt_range_id", "nutrient")),
+        ("HaneyAnalysis", haney, Seq("field_id", "date", "lab_no")),
+        ("TNDAnalysis", tnd, Seq("field_id", "date", "lab_no")),
+        ("SoilAnalysis", soilA, Seq("field_id", "date", "lab_id")),
+        ("SoilParamResult", soilParam, Seq("soil_analysis_id", "parameter_english")),
+        ("WaterAnalysis", waterA, Seq("field_id", "date", "sample_source")),
+        ("WaterParamResult", waterParam, Seq("water_analysis_id", "parameter")),
+        ("ApplicationEvent", appEvent, Seq("field_id", "date", "crop_name", "app_type", "idx")),
+        ("ProductApplication", prodApp, Seq("application_event_id", "pa_idx")),
+        ("FertilizerProduct", fert, Seq("name", "brand")),
+        ("AppNutrientContent", appNutrient, Seq("product_application_id", "nutrient")))
+      // per-label distinct mirrors the reference's MERGE idempotence
+      // (nodes upsert by key): lineitem carries duplicate
+      // (l_orderkey, l_linenumber) pairs, so child labels would
+      // otherwise materialize duplicate ids — exactly what the
+      // dup_vertex_ids gate below exists to catch
+      val verts = CacheScope.global.persist(
+        nodeSpecs.map { case (l, df, ks) =>
+          GraphAssembly.vertices(df.select(ks.map(col): _*).distinct(), l, ks)
+        }.reduce(_ unionByName _))
+
+      // ---- §1.3: the 27 relationship types ----
+      val stationEdge = station.select(col("serial_number").as("field_id"),
+        col("serial_number"))
+      val edgeSpecs: Seq[(DataFrame, String, String, Seq[String], String, Seq[String])] = Seq(
+        (custNation, "PLANTED_WITH", "Field", Seq("c_custkey"), "Crop", Seq("crop_name")),
+        (stationEdge, "HAS_STATION", "Field", Seq("field_id"), "Station", Seq("serial_number")),
+        (depthPoint, "AT_DEPTH", "Station", Seq("station_serial"),
+          "DepthPoint", Seq("station_serial", "depth_cm")),
+        (weatherDay, "HAS_WEATHER_DAY", "Station", Seq("station_serial"),
+          "WeatherDay", Seq("station_serial", "date")),
+        (forecast, "HAS_FORECAST", "Station", Seq("station_serial"),
+          "WeatherForecast", Seq("station_serial", "date")),
+        (soilDay, "HAS_SOIL_DAY", "Station", Seq("station_serial"),
+          "SoilDay", Seq("station_serial", "date")),
+        (layer, "HAS_LAYER_READING", "SoilDay", Seq("station_serial", "date"),
+          "SoilLayerReading", Seq("station_serial", "date", "depth_cm")),
+        (irrigationDay, "HAS_IRRIGATION_DAY", "Station", Seq("station_serial"),
+          "IrrigationDay", Seq("station_serial", "date")),
+        (canopyDay, "HAS_CANOPY_DAY", "Station", Seq("station_serial"),
+          "CanopyDay", Seq("station_serial", "date")),
+        (sapDay, "HAS_SAP_DAY", "Station", Seq("station_serial"),
+          "SAPDay", Seq("station_serial", "date")),
+        (irrEvent, "HAS_IRRIGATION_EVENT", "Station", Seq("station_serial"),
+          "IrrigationEvent", Seq("station_serial", "start_epoch_s")),
+        (et0, "HAS_ET0", "Station", Seq("station_serial"), "ET0Day", Seq("station_serial", "date")),
+        (sap, "HAS_SAP_ANALYSIS", "Field", Seq("field_id"),
+          "SAPAnalysis", Seq("field_id", "date", "crop_name", "leaf_type", "sample_id")),
+        (sapEl, "MEASURED_ELEMENT",
+          "SAPAnalysis", Seq("field_id", "date", "crop_name", "leaf_type", "sample_id"),
+          "SAPElementResult", Seq("sap_analysis_id", "nutrient")),
+        (optRange, "HAS_OPTIMUM_RANGE", "Crop", Seq("crop_name"),
+          "OptimumSAPRange", Seq("crop_name", "date")),
+        (optEl, "HAS_OPTIMUM_ELEMENT", "OptimumSAPRange", Seq("crop_name", "date"),
+          "OptimumElementRange", Seq("opt_range_id", "nutrient")),
+        (haney, "HAS_HANEY_ANALYSIS", "Field", Seq("field_id"),
+          "HaneyAnalysis", Seq("field_id", "date", "lab_no")),
+        (tnd, "HAS_TND_ANALYSIS", "Field", Seq("field_id"),
+          "TNDAnalysis", Seq("field_id", "date", "lab_no")),
+        (soilA, "HAS_SOIL_ANALYSIS", "Field", Seq("field_id"),
+          "SoilAnalysis", Seq("field_id", "date", "lab_id")),
+        (soilParam, "HAS_SOIL_PARAM", "SoilAnalysis", Seq("field_id", "date", "lab_id"),
+          "SoilParamResult", Seq("soil_analysis_id", "parameter_english")),
+        (waterA, "HAS_WATER_ANALYSIS", "Field", Seq("field_id"),
+          "WaterAnalysis", Seq("field_id", "date", "sample_source")),
+        (waterParam, "HAS_WATER_PARAM", "WaterAnalysis", Seq("field_id", "date", "sample_source"),
+          "WaterParamResult", Seq("water_analysis_id", "parameter")),
+        (appEvent, "HAS_APPLICATION", "Field", Seq("field_id"),
+          "ApplicationEvent", Seq("field_id", "date", "crop_name", "app_type", "idx")),
+        (prodApp, "HAS_PRODUCT_APP",
+          "ApplicationEvent", Seq("field_id", "date", "crop_name", "app_type", "idx"),
+          "ProductApplication", Seq("application_event_id", "pa_idx")),
+        (appNutrient, "USES_PRODUCT", "ProductApplication", Seq("application_event_id", "pa_idx"),
+          "FertilizerProduct", Seq("name", "brand")),
+        (appNutrient, "HAS_NUTRIENT_CONTENT",
+          "ProductApplication", Seq("application_event_id", "pa_idx"),
+          "AppNutrientContent", Seq("product_application_id", "nutrient")),
+        (appNutrient, "CONTAINS_NUTRIENT", "FertilizerProduct", Seq("name", "brand"),
+          "AppNutrientContent", Seq("product_application_id", "nutrient")))
+      // edges MERGE idempotently too (§1.3) → distinct per type
+      val eds = CacheScope.global.persist(
+        edgeSpecs.map { case (df, r, sl, sk, dl, dk) =>
+          GraphAssembly.edges(df, r, sl, sk, dl, dk).distinct()
+        }.reduce(_ unionByName _))
+
+      // ---- the checked projection ----
+      val labelCounts = verts.groupBy(col("label").as("name"))
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("label"))
+      val relCounts = eds.groupBy(col("rel").as("name"))
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("rel"))
+      val dangling = GraphAssembly.danglingEdges(verts, eds)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("dangling_edges").as("name"), col("n"), lit("check").as("kind"))
+      val dups = verts.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("n"))
+        .select(lit("dup_vertex_ids").as("name"), col("n"), lit("check").as("kind"))
+      labelCounts.unionByName(relCounts).unionByName(dangling).unionByName(dups)
+        .select(col("kind"), col("name"), col("n"))
+        .orderBy(col("kind"), col("name"))
+    },
+    Some("""WITH custnation AS (
+        SELECT c_custkey, n_name AS crop_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      station AS (SELECT DISTINCT user_id AS serial FROM events),
+      wday AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'),
+      sday AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'view'),
+      iday AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'),
+      cday AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'signup'),
+      pday AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'error'),
+      fcast AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d FROM events),
+      et0 AS (SELECT DISTINCT user_id AS s, strftime(ts, '%Y-%m-%d %H:00') AS d FROM events),
+      layer AS (SELECT DISTINCT user_id AS s, CAST(ts AS DATE) AS d,
+          (event_id % 3) * 10 + 10 AS depth FROM events WHERE event_type = 'view'),
+      dpoint AS (SELECT DISTINCT s, depth FROM layer),
+      irrev AS (SELECT DISTINCT user_id AS s, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events WHERE event_type = 'purchase'),
+      sap AS (SELECT o_custkey AS f, strftime(o_orderdate, '%Y-%m-%d') AS d, crop_name AS cr,
+          CASE WHEN o_orderkey % 12 = 0 THEN 'young' ELSE 'old' END AS lf, o_orderkey AS sid
+        FROM orders JOIN custnation ON o_custkey = c_custkey WHERE o_orderkey % 6 = 0),
+      haney AS (SELECT o_custkey AS f, strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderkey AS lab
+        FROM orders WHERE o_orderkey % 6 = 1),
+      tnd AS (SELECT o_custkey AS f, strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderkey AS lab
+        FROM orders WHERE o_orderkey % 6 = 2),
+      soila AS (SELECT o_custkey AS f, strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderkey AS lab
+        FROM orders WHERE o_orderkey % 6 = 3),
+      watera AS (SELECT o_custkey AS f, strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderkey AS lab
+        FROM orders WHERE o_orderkey % 6 = 4),
+      appev AS (SELECT o_custkey AS f, strftime(o_orderdate, '%Y-%m-%d') AS d, crop_name AS cr,
+          o_orderpriority AS at, o_orderkey AS idx
+        FROM orders JOIN custnation ON o_custkey = c_custkey WHERE o_orderkey % 6 = 5),
+      sapel AS (SELECT sap.*, concat_ws(':', f, d, cr, lf, sid) AS said,
+          CAST(l_linenumber AS VARCHAR) AS nut
+        FROM lineitem JOIN sap ON l_orderkey = sid),
+      optrange AS (SELECT DISTINCT cr, d FROM sap),
+      optel AS (SELECT DISTINCT cr, d, CAST(l_linenumber AS VARCHAR) AS nut,
+          concat_ws(':', cr, d) AS orid
+        FROM lineitem JOIN sap ON l_orderkey = sid),
+      soilparam AS (SELECT soila.*, concat_ws(':', f, d, lab) AS said,
+          CAST(l_linenumber AS VARCHAR) AS param
+        FROM lineitem JOIN soila ON l_orderkey = lab),
+      waterparam AS (SELECT watera.*, concat_ws(':', f, d, lab) AS said,
+          CAST(l_linenumber AS VARCHAR) AS param
+        FROM lineitem JOIN watera ON l_orderkey = lab),
+      prodapp AS (SELECT appev.*, concat_ws(':', f, d, cr, at, idx) AS aeid,
+          l_linenumber AS pidx, l_partkey, l_returnflag
+        FROM lineitem JOIN appev ON l_orderkey = idx),
+      fert AS (SELECT DISTINCT p_name AS name, p_brand AS brand FROM part),
+      appnut AS (SELECT prodapp.*, p_name AS name, p_brand AS brand,
+          concat_ws(':', aeid, pidx) AS paid, lower(l_returnflag) AS nut
+        FROM prodapp JOIN part ON l_partkey = p_partkey),
+      verts AS (
+        SELECT DISTINCT 'Field' AS label, concat_ws(':', 'Field', c_custkey) AS id FROM customer
+        UNION ALL SELECT DISTINCT 'Crop', concat_ws(':', 'Crop', n_name) FROM nation
+        UNION ALL SELECT DISTINCT 'Station', concat_ws(':', 'Station', serial) FROM station
+        UNION ALL SELECT DISTINCT 'DepthPoint', concat_ws(':', 'DepthPoint', s, depth) FROM dpoint
+        UNION ALL SELECT DISTINCT 'WeatherDay', concat_ws(':', 'WeatherDay', s, d) FROM wday
+        UNION ALL SELECT DISTINCT 'WeatherForecast', concat_ws(':', 'WeatherForecast', s, d) FROM fcast
+        UNION ALL SELECT DISTINCT 'SoilDay', concat_ws(':', 'SoilDay', s, d) FROM sday
+        UNION ALL SELECT DISTINCT 'SoilLayerReading', concat_ws(':', 'SoilLayerReading', s, d, depth) FROM layer
+        UNION ALL SELECT DISTINCT 'IrrigationDay', concat_ws(':', 'IrrigationDay', s, d) FROM iday
+        UNION ALL SELECT DISTINCT 'CanopyDay', concat_ws(':', 'CanopyDay', s, d) FROM cday
+        UNION ALL SELECT DISTINCT 'SAPDay', concat_ws(':', 'SAPDay', s, d) FROM pday
+        UNION ALL SELECT DISTINCT 'IrrigationEvent', concat_ws(':', 'IrrigationEvent', s, t) FROM irrev
+        UNION ALL SELECT DISTINCT 'ET0Day', concat_ws(':', 'ET0Day', s, d) FROM et0
+        UNION ALL SELECT DISTINCT 'SAPAnalysis', concat_ws(':', 'SAPAnalysis', f, d, cr, lf, sid) FROM sap
+        UNION ALL SELECT DISTINCT 'SAPElementResult', concat_ws(':', 'SAPElementResult', said, nut) FROM sapel
+        UNION ALL SELECT DISTINCT 'OptimumSAPRange', concat_ws(':', 'OptimumSAPRange', cr, d) FROM optrange
+        UNION ALL SELECT DISTINCT 'OptimumElementRange', concat_ws(':', 'OptimumElementRange', orid, nut) FROM optel
+        UNION ALL SELECT DISTINCT 'HaneyAnalysis', concat_ws(':', 'HaneyAnalysis', f, d, lab) FROM haney
+        UNION ALL SELECT DISTINCT 'TNDAnalysis', concat_ws(':', 'TNDAnalysis', f, d, lab) FROM tnd
+        UNION ALL SELECT DISTINCT 'SoilAnalysis', concat_ws(':', 'SoilAnalysis', f, d, lab) FROM soila
+        UNION ALL SELECT DISTINCT 'SoilParamResult', concat_ws(':', 'SoilParamResult', said, param) FROM soilparam
+        UNION ALL SELECT DISTINCT 'WaterAnalysis', concat_ws(':', 'WaterAnalysis', f, d, lab) FROM watera
+        UNION ALL SELECT DISTINCT 'WaterParamResult', concat_ws(':', 'WaterParamResult', said, param) FROM waterparam
+        UNION ALL SELECT DISTINCT 'ApplicationEvent', concat_ws(':', 'ApplicationEvent', f, d, cr, at, idx) FROM appev
+        UNION ALL SELECT DISTINCT 'ProductApplication', concat_ws(':', 'ProductApplication', aeid, pidx) FROM prodapp
+        UNION ALL SELECT DISTINCT 'FertilizerProduct', concat_ws(':', 'FertilizerProduct', name, brand) FROM fert
+        UNION ALL SELECT DISTINCT 'AppNutrientContent', concat_ws(':', 'AppNutrientContent', paid, nut) FROM appnut),
+      edges AS (
+        SELECT DISTINCT 'PLANTED_WITH' AS rel, concat_ws(':', 'Field', c_custkey) AS src,
+          concat_ws(':', 'Crop', crop_name) AS dst FROM custnation
+        UNION ALL SELECT DISTINCT 'HAS_STATION', concat_ws(':', 'Field', serial),
+          concat_ws(':', 'Station', serial) FROM station
+        UNION ALL SELECT DISTINCT 'AT_DEPTH', concat_ws(':', 'Station', s),
+          concat_ws(':', 'DepthPoint', s, depth) FROM dpoint
+        UNION ALL SELECT DISTINCT 'HAS_WEATHER_DAY', concat_ws(':', 'Station', s),
+          concat_ws(':', 'WeatherDay', s, d) FROM wday
+        UNION ALL SELECT DISTINCT 'HAS_FORECAST', concat_ws(':', 'Station', s),
+          concat_ws(':', 'WeatherForecast', s, d) FROM fcast
+        UNION ALL SELECT DISTINCT 'HAS_SOIL_DAY', concat_ws(':', 'Station', s),
+          concat_ws(':', 'SoilDay', s, d) FROM sday
+        UNION ALL SELECT DISTINCT 'HAS_LAYER_READING', concat_ws(':', 'SoilDay', s, d),
+          concat_ws(':', 'SoilLayerReading', s, d, depth) FROM layer
+        UNION ALL SELECT DISTINCT 'HAS_IRRIGATION_DAY', concat_ws(':', 'Station', s),
+          concat_ws(':', 'IrrigationDay', s, d) FROM iday
+        UNION ALL SELECT DISTINCT 'HAS_CANOPY_DAY', concat_ws(':', 'Station', s),
+          concat_ws(':', 'CanopyDay', s, d) FROM cday
+        UNION ALL SELECT DISTINCT 'HAS_SAP_DAY', concat_ws(':', 'Station', s),
+          concat_ws(':', 'SAPDay', s, d) FROM pday
+        UNION ALL SELECT DISTINCT 'HAS_IRRIGATION_EVENT', concat_ws(':', 'Station', s),
+          concat_ws(':', 'IrrigationEvent', s, t) FROM irrev
+        UNION ALL SELECT DISTINCT 'HAS_ET0', concat_ws(':', 'Station', s),
+          concat_ws(':', 'ET0Day', s, d) FROM et0
+        UNION ALL SELECT DISTINCT 'HAS_SAP_ANALYSIS', concat_ws(':', 'Field', f),
+          concat_ws(':', 'SAPAnalysis', f, d, cr, lf, sid) FROM sap
+        UNION ALL SELECT DISTINCT 'MEASURED_ELEMENT', concat_ws(':', 'SAPAnalysis', f, d, cr, lf, sid),
+          concat_ws(':', 'SAPElementResult', said, nut) FROM sapel
+        UNION ALL SELECT DISTINCT 'HAS_OPTIMUM_RANGE', concat_ws(':', 'Crop', cr),
+          concat_ws(':', 'OptimumSAPRange', cr, d) FROM optrange
+        UNION ALL SELECT DISTINCT 'HAS_OPTIMUM_ELEMENT', concat_ws(':', 'OptimumSAPRange', cr, d),
+          concat_ws(':', 'OptimumElementRange', orid, nut) FROM optel
+        UNION ALL SELECT DISTINCT 'HAS_HANEY_ANALYSIS', concat_ws(':', 'Field', f),
+          concat_ws(':', 'HaneyAnalysis', f, d, lab) FROM haney
+        UNION ALL SELECT DISTINCT 'HAS_TND_ANALYSIS', concat_ws(':', 'Field', f),
+          concat_ws(':', 'TNDAnalysis', f, d, lab) FROM tnd
+        UNION ALL SELECT DISTINCT 'HAS_SOIL_ANALYSIS', concat_ws(':', 'Field', f),
+          concat_ws(':', 'SoilAnalysis', f, d, lab) FROM soila
+        UNION ALL SELECT DISTINCT 'HAS_SOIL_PARAM', concat_ws(':', 'SoilAnalysis', f, d, lab),
+          concat_ws(':', 'SoilParamResult', said, param) FROM soilparam
+        UNION ALL SELECT DISTINCT 'HAS_WATER_ANALYSIS', concat_ws(':', 'Field', f),
+          concat_ws(':', 'WaterAnalysis', f, d, lab) FROM watera
+        UNION ALL SELECT DISTINCT 'HAS_WATER_PARAM', concat_ws(':', 'WaterAnalysis', f, d, lab),
+          concat_ws(':', 'WaterParamResult', said, param) FROM waterparam
+        UNION ALL SELECT DISTINCT 'HAS_APPLICATION', concat_ws(':', 'Field', f),
+          concat_ws(':', 'ApplicationEvent', f, d, cr, at, idx) FROM appev
+        UNION ALL SELECT DISTINCT 'HAS_PRODUCT_APP', concat_ws(':', 'ApplicationEvent', f, d, cr, at, idx),
+          concat_ws(':', 'ProductApplication', aeid, pidx) FROM prodapp
+        UNION ALL SELECT DISTINCT 'USES_PRODUCT', concat_ws(':', 'ProductApplication', aeid, pidx),
+          concat_ws(':', 'FertilizerProduct', name, brand) FROM appnut
+        UNION ALL SELECT DISTINCT 'HAS_NUTRIENT_CONTENT', concat_ws(':', 'ProductApplication', aeid, pidx),
+          concat_ws(':', 'AppNutrientContent', paid, nut) FROM appnut
+        UNION ALL SELECT DISTINCT 'CONTAINS_NUTRIENT', concat_ws(':', 'FertilizerProduct', name, brand),
+          concat_ws(':', 'AppNutrientContent', paid, nut) FROM appnut),
+      vids AS (SELECT DISTINCT id FROM verts)
+      SELECT kind, name, n FROM (
+        SELECT 'label' AS kind, label AS name, count(*) AS n FROM verts GROUP BY label
+        UNION ALL SELECT 'rel', rel, count(*) FROM edges GROUP BY rel
+        UNION ALL SELECT 'check', 'dangling_edges',
+          (SELECT count(*) FROM edges e LEFT JOIN vids v ON e.src = v.id WHERE v.id IS NULL)
+          + (SELECT count(*) FROM edges e LEFT JOIN vids v ON e.dst = v.id WHERE v.id IS NULL)
+        UNION ALL SELECT 'check', 'dup_vertex_ids',
+          (SELECT count(*) FROM (SELECT id FROM verts GROUP BY id HAVING count(*) > 1)))
+      ORDER BY kind, name"""))
+
+  val all: Map[String, Q] = Map(
+    "g_assembly" -> g_assembly,
+  )
+}

@@ -14,7 +14,8 @@ object SparkEntry {
     Queries.j1_broadcast_agg.fn(spark, "/root/testdata/sf0.001")
 
   private def catalog: Map[String, Queries.Q] =
-    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++ Queries5.all
+    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
+      Queries5.all ++ Queries6.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
