@@ -432,32 +432,64 @@ object Queries3 {
               PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS rank FROM s)
       WHERE rank <= 10"""))
 
-  /** IVF-bucketed ANN top-k (scale path): coarse centroids, probe the
-    * 4 nearest cells per query. Deterministic end to end, so the
-    * 3-stage pipeline (assign → probe → score) replays exactly in SQL.
+  /** One SQL Lloyd round: assign every vector to its argmin-cosine
+    * cell from `centIn`, then recompute each cell's centroid as the
+    * element-wise mean — decimal-cast sums (exact, order-independent)
+    * divided in double, the exact mirror of
+    * [[graft.operators.Similarity.ivfKMeans]]'s update step.
+    */
+  private def lloydRoundSql(i: Int, centIn: String): String =
+    s"""a$i AS (
+        SELECT id, v, cell FROM (
+          SELECT c.id, c.v, $centIn.cell,
+            row_number() OVER (PARTITION BY c.id
+              ORDER BY ${cosineSql("v", "cv")} DESC NULLS LAST, $centIn.cell ASC) AS rn
+          FROM c, $centIn) WHERE rn = 1),
+      m$i AS (
+        SELECT cell, pos,
+          CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*) AS m
+        FROM (SELECT cell, unnest(v) AS x,
+                unnest(range(1, len(v) + 1)) AS pos FROM a$i)
+        GROUP BY cell, pos),
+      cent$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m$i GROUP BY cell)"""
+
+  /** IVF-bucketed ANN top-k (scale path): seeded deterministic k-means
+    * centroids (2 Lloyd rounds), probe the 4 nearest cells per query.
+    * Deterministic end to end — seed sample, both Lloyd rounds, and
+    * the assign → probe → score pipeline all replay exactly in SQL.
     */
   val vec_ivf_ann = Q(
     (s, dir) => {
       val emb = T_(s, dir, "embeddings")
-      val (indexed, centroids) = Similarity.ivfAssign(emb, "embedding", "vec_id", nCells = 16)
+      val (indexed, centroids) =
+        Similarity.ivfKMeans(emb, "embedding", "vec_id", nCells = 16, iters = 2)
       Similarity.ivfTopK(indexed, centroids, emb.filter(col("vec_id") < 3),
         "embedding", "vec_id", k = 10, nProbe = 4)
     },
     Some(s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      cent0 AS (
+        SELECT id AS cell,
+          [CAST(v[i] AS DOUBLE) FOR i IN range(1, len(v) + 1)] AS cv
+        FROM c
+        QUALIFY row_number() OVER (ORDER BY
+          (CAST(id AS BIGINT) % 94906249) * 1103515245 % 2147483647 ASC,
+          id ASC) <= 16),
+      ${lloydRoundSql(1, "cent0")},
+      ${lloydRoundSql(2, "cent1")},
       assigned AS (
         SELECT id, v, cell FROM (
-          SELECT c.id, c.v, cent.cell,
+          SELECT c.id, c.v, cent2.cell,
             row_number() OVER (PARTITION BY c.id
-              ORDER BY ${cosineSql("v", "cv")} DESC NULLS LAST, cent.cell ASC) AS rn
-          FROM c, cent) WHERE rn = 1),
+              ORDER BY ${cosineSql("v", "cv")} DESC NULLS LAST, cent2.cell ASC) AS rn
+          FROM c, cent2) WHERE rn = 1),
       q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
       probes AS (
         SELECT qid, qv, cell FROM (
-          SELECT q.qid, q.qv, cent.cell,
+          SELECT q.qid, q.qv, cent2.cell,
             row_number() OVER (PARTITION BY q.qid
-              ORDER BY ${cosineSql("qv", "cv")} DESC NULLS LAST, cent.cell ASC) AS rn
-          FROM q, cent) WHERE rn <= 4),
+              ORDER BY ${cosineSql("qv", "cv")} DESC NULLS LAST, cent2.cell ASC) AS rn
+          FROM q, cent2) WHERE rn <= 4),
       scored AS (
         SELECT p.qid, a.id, ${cosineSql("v", "qv")} AS cos
         FROM assigned a JOIN probes p ON a.cell = p.cell)

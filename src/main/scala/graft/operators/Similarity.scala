@@ -51,34 +51,92 @@ object Similarity {
       .select("qid", "id", "cos", "rank")
   }
 
-  /** IVF index: assign every vector to its nearest centroid. Centroids
-    * are sampled corpus vectors (deterministic: lowest ids), which is
-    * the standard cheap coarse quantizer when a full k-means is not
-    * warranted. Returns the corpus with a `cell` column.
+  /** Nearest-centroid assignment — argmin as an aggregate, not a
+    * window: the nCells candidate rows per vector are generated
+    * locally (broadcast cross join), so a partial min collapses them
+    * map-side and the one shuffle carries ONE row per vector — the
+    * window form shuffled nCells copies of every embedding payload to
+    * rank them. Ordering key mirrors a window's
+    * (cos desc_nulls_last, cell asc): NaN cosine wins (desc treats
+    * NaN as largest), null cosine loses.
+    */
+  private def assignCells(corpus: DataFrame, vecCol: String, idCol: String,
+                          centroids: DataFrame): DataFrame = {
+    val cosC = cosineFast(col("v"), col("cv"))
+    val ordKey = when(isnan(cosC), lit(Double.NegativeInfinity))
+      .when(cosC.isNull, lit(Double.PositiveInfinity))
+      .otherwise(-cosC)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"),
+        struct(ordKey.as("k"), col("cell").as("cell")).as("sc"))
+      .groupBy(col("id"), col("v"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("id"), col("v"), col("best.cell").as("cell"))
+  }
+
+  /** IVF index, cheap quantizer: centroids are the lowest-id corpus
+    * vectors. Deterministic and join-free, but pathologically
+    * clustered ids (e.g. insertion order follows content) give poor
+    * cell balance — prefer [[ivfKMeans]] for the production path; this
+    * form is kept as the trivially-replayable baseline the recall spec
+    * compares against. Returns the corpus with a `cell` column.
     */
   def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
                 nCells: Int): (DataFrame, DataFrame) = {
     val centroids = corpus.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell"), col(vecCol).as("cv"))
-    // argmin as an aggregate, not a window: the nCells candidate rows
-    // per vector are generated locally (broadcast cross join), so a
-    // partial min collapses them map-side and the one shuffle carries
-    // ONE row per vector — the window form shuffled nCells copies of
-    // every embedding payload to rank them. Ordering key mirrors the
-    // old window's (cos desc_nulls_last, cell asc): NaN cosine wins
-    // (desc treats NaN as largest), null cosine loses.
-    val cosC = cosineFast(col("v"), col("cv"))
-    val ordKey = when(isnan(cosC), lit(Double.NegativeInfinity))
-      .when(cosC.isNull, lit(Double.PositiveInfinity))
-      .otherwise(-cosC)
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"),
-        struct(ordKey.as("k"), col("cell").as("cell")).as("sc"))
-    val indexed = assigned.groupBy(col("id"), col("v"))
-      .agg(min(col("sc")).as("best"))
-      .select(col("id"), col("v"), col("best.cell").as("cell"))
-    (indexed, centroids)
+    (assignCells(corpus, vecCol, idCol, centroids), centroids)
+  }
+
+  /** Deterministic multiplicative id mix for the k-means seed sample.
+    * The inner % keeps the product below 2^63 for any nonneg id, so
+    * the arithmetic is exact in both Spark and the DuckDB oracle
+    * (BIGINT overflow would otherwise differ: Java wraps, DuckDB
+    * errors). NOT a quality hash — just enough spread that the seed
+    * sample is independent of id locality.
+    */
+  def seedHash(id: Column): Column =
+    (id % 94906249L) * 1103515245L % 2147483647L
+
+  /** IVF index, seeded deterministic k-means: init = the `nCells`
+    * corpus vectors with the smallest [[seedHash]] (a deterministic
+    * pseudo-random sample, immune to id-locality skew), then `iters`
+    * Lloyd rounds of assign → element-wise-mean update. Means are
+    * decimal-cast sums (exact, order-independent) divided in double,
+    * so every round — and therefore the final index — is
+    * bit-replayable in the SQL oracle. Cell ids stay the seed
+    * vector's id across rounds; a cell that attracts no vectors in a
+    * round simply drops out (standard Lloyd behavior, replayed
+    * identically in SQL).
+    *
+    * Scale shape per round: one broadcast cross-join + argmin-agg
+    * shuffle (one row per vector on the wire) and one
+    * posexplode → (cell, pos) partial-agg shuffle (one row per
+    * (cell, dimension) after map-side combine). No global windows, no
+    * driver-side iteration state beyond the loop counter.
+    */
+  def ivfKMeans(corpus: DataFrame, vecCol: String, idCol: String,
+                nCells: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // TakeOrderedAndProject: per-partition top-nCells, merged on the
+    // driver — no global sort of the corpus
+    var centroids = c.orderBy(seedHash(col("id")).asc, col("id").asc)
+      .limit(nCells)
+      .select(col("id").as("cell"), col("v").cast("array<double>").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, vecCol, idCol, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m")).as("cv"))
+    }
+    (assignCells(corpus, vecCol, idCol, centroids), centroids)
   }
 
   /** ANN top-k via IVF: probe the `nProbe` nearest cells per query,

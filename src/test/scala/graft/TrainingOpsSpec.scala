@@ -99,6 +99,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(clusters.toSeq == Seq((1L, 1L, 3L)))
   }
 
+  test("dedupClusters converged: a >3-hop dup chain resolves to ONE cluster") {
+    // 10-doc path graph 1-2-3-…-10: min-label needs 9 propagation
+    // rounds to reach the tail, so the fixed-depth-3 replay form MUST
+    // split it (under-dedup) while the converged production path must
+    // not.
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fixed = Dedup.dedupClusters(chain, iterations = 3)
+      .collect()
+    assert(fixed.length > 1) // the documented fixed-depth limitation
+    val converged = Dedup.dedupClusters(chain, converge = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(converged.toSeq == Seq((1L, 10L))) // one cluster, canonical 1
+  }
+
   test("simhashNearDup: banded Hamming join finds exactly the close pairs") {
     // hand-built fingerprints: 1↔2 differ in 2 bits, 1↔3 in 1 bit,
     // 4 is far from everything (> 3 bits, spread across bands)
@@ -151,6 +165,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     val ann = Similarity.ivfTopK(idx, cents, q, "embedding", "vec_id", 5, nProbe = 4)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ann == bf) // nProbe == nCells ⇒ exhaustive ⇒ exact
+  }
+
+  test("IVF k-means beats the lowest-id quantizer on id-skewed data") {
+    // 4 tight clusters along near-orthogonal axes, but ids 0..15 ALL
+    // in cluster 0 (insertion order follows content) — the lowest-id
+    // quantizer's 4 centroids are then redundant copies of cluster 0,
+    // scattering every other cluster's neighbors across cells, while
+    // the seeded-sample + Lloyd path spreads its centroids.
+    // jitter keyed on (id, dim) so within-cluster neighbor order and
+    // redundant-centroid cell choice are decorrelated — otherwise the
+    // bad quantizer accidentally co-locates neighbors
+    def vec(cluster: Int, id: Int): Array[Float] = {
+      val v = Array.tabulate(4)(d => 0.3f * (((id * 131 + d * 53) % 17) / 17.0f))
+      v(cluster) = 10f
+      v
+    }
+    val rows = (0 until 128).map { id =>
+      val cluster = id / 32
+      (id.toLong, vec(cluster, id))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 32 === 1) // one per cluster
+    val truth = Similarity.bruteForceTopK(emb, queries,
+      "embedding", "vec_id", "vec_id", k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(index: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Double = {
+      val (idx, cents) = index
+      val got = Similarity.ivfTopK(idx, cents, queries,
+        "embedding", "vec_id", k = 5, nProbe = 1)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val rLowest = recall(Similarity.ivfAssign(emb, "embedding", "vec_id", nCells = 4))
+    val rKMeans = recall(Similarity.ivfKMeans(emb, "embedding", "vec_id", nCells = 4))
+    assert(rKMeans > rLowest,
+      s"kmeans recall $rKMeans should beat lowest-id recall $rLowest")
+    assert(rKMeans >= 0.95) // Lloyd recovers the true clusters here
   }
 
   test("graph ops on a known toy graph") {
