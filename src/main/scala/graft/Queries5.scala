@@ -165,7 +165,11 @@ object Queries5 {
 
   /** Multimodal frame sampling: 1→N generation per payload inside the
     * partition iterator (the video-clip shape). The oracle replays the
-    * stub codec's frame count/offsets over the same bytes in SQL.
+    * stub codec's frame count/offsets over the same bytes in SQL —
+    * genuinely byte-based (hex-pair extraction from the UTF-8 blob),
+    * so it agrees with the engine's `payload(off) & 0xff` on
+    * non-ASCII documents too, where a code-point oracle would
+    * diverge.
     */
   val mm_frame_sample = Q(
     (s, dir) => {
@@ -177,14 +181,17 @@ object Queries5 {
     },
     Some("""WITH b AS (SELECT doc_id AS media_id,
           octet_length(encode(text)) AS n,
-          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+          lower(hex(encode(text))) AS h
         FROM documents),
-      f AS (SELECT media_id, n, codes, UNNEST(range(n % 16)) AS frame_idx
-        FROM b WHERE n % 16 > 0)
-      SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        CAST(frame_idx * (n // (n % 16)) AS INTEGER) AS offset,
-        CAST(codes[CAST(frame_idx * (n // (n % 16)) AS INTEGER) + 1] AS INTEGER) AS fingerprint
-      FROM f ORDER BY media_id, frame_idx"""))
+      f AS (SELECT media_id, n, h, UNNEST(range(n % 16)) AS frame_idx
+        FROM b WHERE n % 16 > 0),
+      g AS (SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          CAST(frame_idx * (n // (n % 16)) AS INTEGER) AS "offset", h FROM f)
+      SELECT media_id, frame_idx, "offset",
+        CAST((strpos('0123456789abcdef', substr(h, 2 * "offset" + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2 * "offset" + 2, 1)) - 1)
+           AS INTEGER) AS fingerprint
+      FROM g ORDER BY media_id, frame_idx"""))
 
   /** Streaming stream-stream window join (incremental J9): purchases
     * within 30 minutes after a click by the same user, as both sides

@@ -32,19 +32,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Wrong argument count must surface as the analyzer's standard
+    * WRONG_NUM_ARGS AnalysisException, not an
+    * IndexOutOfBoundsException out of the builder closure.
+    */
+  private def checkArity(name: String, expected: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private def fn1(name: String, f: Column => Column): (String, Seq[Expression] => Expression) =
-    name -> ((exprs: Seq[Expression]) => expression(f(column(exprs.head))))
+    name -> ((exprs: Seq[Expression]) => {
+      checkArity(name, 1, exprs)
+      expression(f(column(exprs.head)))
+    })
 
   private def fn2(name: String, f: (Column, Column) => Column): (String, Seq[Expression] => Expression) =
-    name -> ((exprs: Seq[Expression]) =>
-      expression(f(column(exprs(0)), column(exprs(1)))))
+    name -> ((exprs: Seq[Expression]) => {
+      checkArity(name, 2, exprs)
+      expression(f(column(exprs(0)), column(exprs(1))))
+    })
 
   /** name → expression builder, shared by the extensions path and
     * [[register]].
     */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        checkArity("cosine_similarity", 2, exprs)
+        CosineSimilarity(exprs(0), exprs(1))
+      }),
     fn1("graft_sanitize_name", F.sanitizeName),
     fn1("graft_depth_from_label", F.depthFromLabel),
     fn1("graft_parse_number", F.parseNumber),
@@ -66,9 +88,15 @@ object GraftExtensions {
     fn1("graft_norm_text", T.normText),
     // native one-pass kernels
     ("graft_simhash64",
-      (exprs: Seq[Expression]) => Simhash64(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_simhash64", 1, exprs)
+        Simhash64(exprs.head)
+      }),
     ("graft_fingerprint_fast",
-      (exprs: Seq[Expression]) => PolyFingerprint(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_fingerprint_fast", 1, exprs)
+        PolyFingerprint(exprs.head)
+      }))
 
   /** Register the same functions on an already-running session (for
     * sessions not built with the extensions class — tests, Verify).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Shared row-level kernels for the native text expressions. A
   * top-level object gets Java static forwarders, so generated code
@@ -410,23 +410,23 @@ case class Simhash64(child: Expression, poly: Boolean = false) extends UnaryExpr
 object TextExpressions {
   /** Column-API entry point for the native fingerprint. */
   def fingerprintFast(norm: Column): Column =
-    ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(norm)))
+    ColumnBridge.toColumn(PolyFingerprint(ColumnBridge.toExpressionLazy(norm)))
 
   /** Column-API entry point for the native distinct-shingle count. */
   def distinctShingleCountFast(norm: Column, n: Int): Column =
-    ColumnBridge.column(DistinctShingleCount(ColumnBridge.expression(norm), n))
+    ColumnBridge.toColumn(DistinctShingleCount(ColumnBridge.toExpressionLazy(norm), n))
 
   /** Column-API entry point for the native one-pass MinHash signature. */
   def minhashSigFast(norm: Column, n: Int,
                      mults: Seq[Long], adds: Seq[Long],
                      poly: Boolean = false): Column =
-    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(norm), n, mults, adds, poly))
+    ColumnBridge.toColumn(MinhashSignature(ColumnBridge.toExpressionLazy(norm), n, mults, adds, poly))
 
   /** Column-API entry point for the native one-pass SimHash. */
   def simhash64Fast(shingles: Column, poly: Boolean = false): Column =
-    ColumnBridge.column(Simhash64(ColumnBridge.expression(shingles), poly))
+    ColumnBridge.toColumn(Simhash64(ColumnBridge.toExpressionLazy(shingles), poly))
 
   /** Column-API entry point for the native distinct word n-grams. */
   def distinctWordGramsFast(tokens: Column, n: Int): Column =
-    ColumnBridge.column(DistinctWordGrams(ColumnBridge.expression(tokens), n))
+    ColumnBridge.toColumn(DistinctWordGrams(ColumnBridge.toExpressionLazy(tokens), n))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Native Catalyst expression for cosine similarity over two dense
   * vectors (`array<float>` / `array<double>`), with whole-stage
@@ -258,11 +258,11 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Int,
 object VectorExpressions {
   /** Column-API entry point for the native expression. */
   def cosineFast(a: Column, b: Column): Column =
-    ColumnBridge.column(CosineSimilarity(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    ColumnBridge.toColumn(CosineSimilarity(
+      ColumnBridge.toExpressionLazy(a), ColumnBridge.toExpressionLazy(b)))
 
   /** Column-API entry point for the native hyperplane signature. */
   def hyperplaneSigFast(v: Column, planes: Int, seed: Int,
                         poly: Boolean = false): Column =
-    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(v), planes, seed, poly))
+    ColumnBridge.toColumn(HyperplaneSig(ColumnBridge.toExpressionLazy(v), planes, seed, poly))
 }

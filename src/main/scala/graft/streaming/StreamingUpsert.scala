@@ -14,10 +14,13 @@ import graft.operators.Upsert
   * foreachBatch gives exactly-once table maintenance on top of the
   * source's offset tracking: a replayed batch re-merges to the same
   * state (MERGE is idempotent by key). On a transactional table format
-  * the body becomes a real `MERGE INTO`; plain parquet needs the
-  * read-merge-overwrite below, with `localCheckpoint` materializing
-  * the merge result before the target is overwritten (reading and
-  * overwriting the same path in one lazy plan would corrupt it).
+  * the body becomes a real `MERGE INTO`; plain parquet gets a
+  * write-then-swap: the merge result lands in a temp sibling directory
+  * first (so the lazy plan can read the live table while writing — no
+  * self-overwrite), then replaces the target via two renames. A crash
+  * mid-batch leaves either the old table, or the old table plus a
+  * stale temp/backup dir — never a half-deleted target, which is what
+  * a plain `mode("overwrite")` (delete-then-write) risks.
   */
 object StreamingUpsert {
 
@@ -40,12 +43,40 @@ object StreamingUpsert {
             val existing = spark.read.parquet(targetPath)
             Upsert.merge(existing, incoming, keys, keepExistingNonNull)
           } else incoming
-        merged.localCheckpoint(true)
-          .write.mode("overwrite").parquet(targetPath)
+        swapInto(spark, merged, targetPath, batchId)
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Write `df` to a temp sibling of `targetPath`, then swap it in:
+    * target → `.bak`, temp → target, drop `.bak`. Hadoop FileSystem
+    * renames (atomic per rename on HDFS and local FS), so every crash
+    * window leaves a complete copy of the table on disk — the worst
+    * case is a leftover `.tmp-*`/`.bak-*` dir from an aborted batch,
+    * which the next successful batch of the same id overwrites.
+    * Single-writer per table, like the reference's per-task upsert
+    * loops (main_graph_topraq.py:327-334).
+    */
+  private def swapInto(spark: SparkSession, df: DataFrame,
+                       targetPath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(targetPath)
+    val tmp = new Path(targetPath + s".tmp-$batchId")
+    val bak = new Path(targetPath + s".bak-$batchId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true) // stale leftovers from an aborted attempt
+    fs.delete(bak, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val hadExisting = fs.exists(target)
+    if (hadExisting && !fs.rename(target, bak))
+      throw new java.io.IOException(s"cannot move $target aside to $bak")
+    if (!fs.rename(tmp, target)) {
+      if (hadExisting) fs.rename(bak, target) // roll back
+      throw new java.io.IOException(s"cannot move $tmp into place at $target")
+    }
+    fs.delete(bak, true)
   }
 }

@@ -52,4 +52,20 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(viaSql == viaCol)
   }
+
+  test("wrong argument count raises a clean AnalysisException, not IOOBE") {
+    graft.plans.GraftExtensions.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_quality()")
+    }
+    assert(e1.getMessage.contains("graft_quality"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0))")
+    }
+    assert(e2.getMessage.contains("cosine_similarity"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_to_liters(1.0, 'ml', 'extra')")
+    }
+    assert(e3.getMessage.contains("graft_to_liters"))
+  }
 }
