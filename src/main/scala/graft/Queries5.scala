@@ -212,6 +212,53 @@ object Queries5 {
       ORDER BY 1, 2, 3"""),
     bench = false)
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState) over
+    * the bounded events table. Gap and output timestamps live in the
+    * MILLISECOND domain (java.sql.Timestamp.getTime truncates the
+    * micros the parquet carries), so the oracle works on epoch_ms and
+    * re-truncates session bounds; `value` is integer-scaled by the
+    * runner so both accumulation orders are exact (see
+    * [[graft.streaming.Sessionize.sessionizeParquetOnce]]).
+    */
+  val stream_sessionize = Q(
+    (s, dir) => graft.streaming.Sessionize.sessionizeParquetOnce(
+        s, s"$dir/events.parquet", gapSeconds = 3600,
+        queryName = "stream_sessionize_q")
+      .orderBy("user_id", "start"),
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
+          floor(value * 1000) AS v FROM events),
+      l AS (SELECT user_id, tms, v,
+          lag(tms) OVER (PARTITION BY user_id ORDER BY tms) AS prev FROM e),
+      s AS (SELECT user_id, tms, v,
+          CASE WHEN prev IS NULL OR tms - prev > 3600000 THEN 1 ELSE 0 END AS ns
+        FROM l),
+      g AS (SELECT user_id, tms, v,
+          sum(ns) OVER (PARTITION BY user_id ORDER BY tms
+            ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+      SELECT user_id, make_timestamp(min(tms) * 1000) AS start,
+        make_timestamp(max(tms) * 1000) AS "end",
+        CAST(count(*) AS INTEGER) AS n_events,
+        CAST(sum(v) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, start"""),
+    bench = false)
+
+  /** Streaming MERGE upsert maintaining a keyed parquet table (the
+    * reference's idempotent Cypher MERGE run continuously); final
+    * table = per-(user, type) argmax by (ts, event_id).
+    */
+  val stream_upsert = Q(
+    (s, dir) => graft.streaming.StreamingUpsert.upsertParquetOnce(
+        s, s"$dir/events.parquet",
+        keys = Seq("user_id", "event_type"), orderBy = Seq("ts", "event_id"))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, event_id, ts, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+      ORDER BY user_id, event_type"""),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "j9_interval_join" -> j9_interval_join,
     "j10_salted_skew" -> j10_salted_skew,
@@ -219,5 +266,7 @@ object Queries5 {
     "s8_bad_records" -> s8_bad_records,
     "mm_frame_sample" -> mm_frame_sample,
     "stream_join" -> stream_join,
+    "stream_sessionize" -> stream_sessionize,
+    "stream_upsert" -> stream_upsert,
   )
 }

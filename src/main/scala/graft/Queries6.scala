@@ -35,6 +35,12 @@ object Queries6 {
     */
   val g_assembly = Q(
     (s, dir) => {
+      // every frame below feeds SEVERAL of the 54 union branches
+      // (its node label plus 1-3 edge types); without a scoped persist
+      // each branch recomputes the lineitem/orders joins from scratch
+      // and the whole assembly goes superlinear (measured 45 s at
+      // sf0.1 — ~6x this persisted form)
+      def P(df: org.apache.spark.sql.DataFrame) = CacheScope.global.persist(df)
       val customer = T_(s, dir, "customer")
       val nation = T_(s, dir, "nation")
       val events = T_(s, dir, "events")
@@ -43,51 +49,51 @@ object Queries6 {
       val part = T_(s, dir, "part")
 
       // Field→Crop resolution dim (customer→nation), broadcast once
-      val custNation = customer.select(col("c_custkey"), col("c_nationkey"))
+      val custNation = P(customer.select(col("c_custkey"), col("c_nationkey"))
         .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("crop_name"))
+        .select(col("c_custkey"), col("n_name").as("crop_name")))
 
       // ---- station + day-metric family (events) ----
       def ev(t: String) = events.filter(col("event_type") === t)
-      def dayKeys(t: String) = ev(t)
+      def dayKeys(t: String) = P(ev(t)
         .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"))
-        .distinct()
+        .distinct())
       val field = customer.select(col("c_custkey").as("field_id"))
       val crop = nation.select(col("n_name").as("name"))
-      val station = events.select(col("user_id").as("serial_number")).distinct()
+      val station = P(events.select(col("user_id").as("serial_number")).distinct())
       val weatherDay = dayKeys("click")
       val soilDay = dayKeys("view")
       val irrigationDay = dayKeys("purchase")
       val canopyDay = dayKeys("signup")
       val sapDay = dayKeys("error")
-      val forecast = events
+      val forecast = P(events
         .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"))
-        .distinct()
+        .distinct())
       // ET0Day keeps the reference's string-date quirk ("YYYY-MM-DD HH:MM",
       // graph_et0.py:67-71)
-      val et0 = events
+      val et0 = P(events
         .select(col("user_id").as("station_serial"),
           date_format(col("ts"), "yyyy-MM-dd HH:00").as("date"))
-        .distinct()
-      val layer = ev("view")
+        .distinct())
+      val layer = P(ev("view")
         .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"),
           ((col("event_id") % 3) * 10 + 10).as("depth_cm"))
-        .distinct()
-      val depthPoint = layer.select(col("station_serial"), col("depth_cm")).distinct()
-      val irrEvent = ev("purchase")
+        .distinct())
+      val depthPoint = P(layer.select(col("station_serial"), col("depth_cm")).distinct())
+      val irrEvent = P(ev("purchase")
         .select(col("user_id").as("station_serial"),
           unix_timestamp(col("ts")).as("start_epoch_s"))
-        .distinct()
+        .distinct())
 
       // ---- lab + application families (orders % 6 strata) ----
       def ostrat(r: Int) = orders.filter(col("o_orderkey") % 6 === r)
-      val sap = ostrat(0)
+      val sap = P(ostrat(0)
         .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
         .select(col("o_custkey").as("field_id"),
           F.isoDay(col("o_orderdate")).as("date"), col("crop_name"),
           when(col("o_orderkey") % 12 === 0, "young").otherwise("old").as("leaf_type"),
-          col("o_orderkey").as("sample_id"))
+          col("o_orderkey").as("sample_id")))
       def lab(r: Int, labCol: String) = ostrat(r)
         .select(col("o_custkey").as("field_id"),
           F.isoDay(col("o_orderdate")).as("date"), col("o_orderkey").as(labCol))
@@ -95,51 +101,51 @@ object Queries6 {
       val tnd = lab(2, "lab_no")
       val soilA = lab(3, "lab_id")
       val waterA = lab(4, "sample_source")
-      val appEvent = ostrat(5)
+      val appEvent = P(ostrat(5)
         .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
         .select(col("o_custkey").as("field_id"),
           F.isoDay(col("o_orderdate")).as("date"), col("crop_name"),
-          col("o_orderpriority").as("app_type"), col("o_orderkey").as("idx"))
+          col("o_orderpriority").as("app_type"), col("o_orderkey").as("idx")))
 
       def listrat(r: Int) = lineitem.filter(col("l_orderkey") % 6 === r)
-      val sapEl = listrat(0)
+      val sapEl = P(listrat(0)
         .join(sap, col("l_orderkey") === col("sample_id"))
         .select(col("field_id"), col("date"), col("crop_name"), col("leaf_type"),
           col("sample_id"),
           F.surrogateId(col("field_id"), col("date"), col("crop_name"),
             col("leaf_type"), col("sample_id")).as("sap_analysis_id"),
-          col("l_linenumber").cast("string").as("nutrient"))
+          col("l_linenumber").cast("string").as("nutrient")))
       val optRange = sap.select(col("crop_name"), col("date")).distinct()
-      val optEl = listrat(0)
+      val optEl = P(listrat(0)
         .join(sap, col("l_orderkey") === col("sample_id"))
         .select(col("crop_name"), col("date"),
           col("l_linenumber").cast("string").as("nutrient"))
         .distinct()
-        .withColumn("opt_range_id", F.surrogateId(col("crop_name"), col("date")))
-      val soilParam = listrat(3)
+        .withColumn("opt_range_id", F.surrogateId(col("crop_name"), col("date"))))
+      val soilParam = P(listrat(3)
         .join(soilA, col("l_orderkey") === col("lab_id"))
         .select(col("field_id"), col("date"), col("lab_id"),
           F.surrogateId(col("field_id"), col("date"), col("lab_id")).as("soil_analysis_id"),
-          col("l_linenumber").cast("string").as("parameter_english"))
-      val waterParam = listrat(4)
+          col("l_linenumber").cast("string").as("parameter_english")))
+      val waterParam = P(listrat(4)
         .join(waterA, col("l_orderkey") === col("sample_source"))
         .select(col("field_id"), col("date"), col("sample_source"),
           F.surrogateId(col("field_id"), col("date"), col("sample_source")).as("water_analysis_id"),
-          col("l_linenumber").cast("string").as("parameter"))
-      val prodApp = listrat(5)
+          col("l_linenumber").cast("string").as("parameter")))
+      val prodApp = P(listrat(5)
         .join(appEvent, col("l_orderkey") === col("idx"))
         .select(col("field_id"), col("date"), col("crop_name"), col("app_type"),
           col("idx"),
           F.surrogateId(col("field_id"), col("date"), col("crop_name"),
             col("app_type"), col("idx")).as("application_event_id"),
-          col("l_linenumber").as("pa_idx"), col("l_partkey"), col("l_returnflag"))
-      val fert = part.select(col("p_name").as("name"), col("p_brand").as("brand")).distinct()
-      val appNutrient = prodApp
+          col("l_linenumber").as("pa_idx"), col("l_partkey"), col("l_returnflag")))
+      val fert = P(part.select(col("p_name").as("name"), col("p_brand").as("brand")).distinct())
+      val appNutrient = P(prodApp
         .join(broadcast(part.select(col("p_partkey"), col("p_name").as("name"),
           col("p_brand").as("brand"))), col("l_partkey") === col("p_partkey"))
         .select(col("application_event_id"), col("pa_idx"), col("name"), col("brand"),
           F.surrogateId(col("application_event_id"), col("pa_idx")).as("product_application_id"),
-          lower(col("l_returnflag")).as("nutrient"))
+          lower(col("l_returnflag")).as("nutrient")))
 
       // ---- §1.2: the 27 labels ----
       val nodeSpecs: Seq[(String, DataFrame, Seq[String])] = Seq(

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -47,6 +47,52 @@ object Sessionize {
           cur.foreach(state.update)
           out.result().iterator
       }
+  }
+
+  /** Run gap sessionization over a bounded parquet events table and
+    * return the closed sessions — the verify-against-batch runner
+    * (same pattern as [[StreamingRollup.dailyRollupOnce]]).
+    *
+    * Two replayability measures:
+    *  - `value` is scaled to an integer (`floor(value * 1000)`) before
+    *    streaming, so the stateful form's sequential double
+    *    accumulation and the oracle's unordered SUM are both exact and
+    *    agree bit-for-bit;
+    *  - a far-future sentinel event per user flushes every open
+    *    session at end-of-stream (NoTimeout state never otherwise
+    *    emits them); sentinel-started sessions are filtered out.
+    * The normalized input + sentinels are staged as ONE parquet file
+    * so the bounded stream is a single batch — a sentinel-first batch
+    * would absorb all earlier events into the sentinel's session.
+    */
+  def sessionizeParquetOnce(spark: SparkSession, eventsPath: String,
+                            gapSeconds: Long,
+                            queryName: String = "stream_sessionize"): DataFrame = {
+    import spark.implicits._
+    val base0 = spark.read.parquet(eventsPath)
+    val base =
+      if (base0.schema.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        base0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else base0
+    val sentinelTs = lit("2099-01-01 00:00:00").cast("timestamp")
+    val ev = base.select(col("user_id"), col("ts"),
+      floor(col("value") * 1000).cast("double").as("value"))
+    val sentinels = base.select(col("user_id")).distinct()
+      .select(col("user_id"), sentinelTs.as("ts"), lit(0.0).as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize").toString
+    ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(spark.read.parquet(tmp).schema)
+      .parquet(tmp).as[Event]
+    val q = sessionize(stream, gapSeconds).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).filter(col("start") < sentinelTs)
   }
 
   /** Bounded batch-parity helper: the same sessionization as a batch

@@ -51,6 +51,23 @@ object StreamingUpsert {
     q.stop()
   }
 
+  /** Bounded verify runner: maintain a keyed table from a parquet
+    * events stream into a fresh temp target and return the final
+    * table. The harness tables are single parquet files, so the
+    * bounded stream is one batch and the per-key winner is exactly the
+    * global `orderBy` argmax (across batches the later batch's winner
+    * would replace an earlier one regardless of `orderBy` — MERGE is
+    * arrival-ordered, like the reference's serial task loop).
+    */
+  def upsertParquetOnce(spark: SparkSession, eventsPath: String,
+                        keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_supsert")
+    val target = tmp.resolve("target").toString
+    run(spark, StreamSource.parquet(spark, eventsPath), keys, orderBy,
+      target, tmp.resolve("ckpt").toString)
+    spark.read.parquet(target)
+  }
+
   /** Write `df` to a temp sibling of `targetPath`, then swap it in:
     * target → `.bak`, temp → target, drop `.bak`. Hadoop FileSystem
     * renames (atomic per rename on HDFS and local FS), so every crash
