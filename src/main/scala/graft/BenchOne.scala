@@ -18,6 +18,11 @@ object BenchOne {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan ON TOP of cached plans too: persisted frames
+      // otherwise pin their shuffle partitioning, and a union of many
+      // small cached branches schedules partitions-per-branch tiny
+      // tasks (measured 2x wall on g_assembly at local[32])
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

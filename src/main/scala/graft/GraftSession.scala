@@ -20,6 +20,11 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan ON TOP of cached plans too: persisted frames
+      // otherwise pin their shuffle partitioning, and a union of many
+      // small cached branches schedules partitions-per-branch tiny
+      // tasks (measured 2x wall on g_assembly at local[32])
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,6 +44,8 @@ object GraftSession {
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
