@@ -38,13 +38,24 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // operators register every persist() and localCheckpoint() block
         // with the global CacheScope; releasing it between queries drops
-        // them deterministically (checkpoint RDD handles included — no
-        // System.gc/ContextCleaner crutch), so one query's cached blocks
-        // never bleed storage pressure into the next
+        // them deterministically (checkpoint RDD handles included)
         graft.operators.CacheScope.global.release()
+        // Broadcast-exchange blocks and shuffle state are NOT cache
+        // blocks: Spark's ContextCleaner reclaims them only after their
+        // driver-side references are GC'd. A single-JVM loop running
+        // 80+ queries never triggers that GC on its own, and the
+        // accumulated broadcasts thrash the heap — measured 2-40x
+        // slowdowns on the late queries of a reps=2 run. Nudging the
+        // collector here (outside the timed region) is how ContextCleaner
+        // is designed to be driven, not a substitute for the unpersist
+        // discipline above.
+        System.gc()
         dt
       }.sorted
-      name -> times(times.length / 2)
+      // true median: for even reps the two middle samples are averaged
+      // (picking times(n/2) alone reported the max of a 2-rep run)
+      name -> (if (times.length % 2 == 1) times(times.length / 2)
+               else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

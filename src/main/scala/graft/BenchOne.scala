@@ -31,11 +31,41 @@ object BenchOne {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.Tables.read(spark, sfDir, t).count())
+    // SPARK_GRAFT_STAGES=1 → dump the slowest stages of the last rep
+    // (wall duration + summed task time + task count), for finding
+    // which part of a multi-stage query dominates
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Int, Long, Long)]
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for (a <- si.submissionTime; b <- si.completionTime)
+              yield b - a).getOrElse(0L)
+            stages.synchronized {
+              stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(80),
+                si.numTasks, wall, si.taskMetrics.executorRunTime))
+            }
+          }
+        })
     val fn = SparkEntry.benchQueries(name)
     (1 to reps).foreach { i =>
+      if (i == reps) stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[bench-one] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same inter-rep isolation as Bench: deterministic unpersist of
+      // operator-registered blocks, then a GC nudge so ContextCleaner
+      // reclaims broadcast/shuffle state (otherwise reps accumulate)
+      graft.operators.CacheScope.global.release()
+      System.gc()
+    }
+    stages.synchronized {
+      stages.sortBy(-_._4).take(15).foreach { case (id, n, t, wall, run) =>
+        println(f"[stage] $id%5d wall=${wall / 1e3}%6.2fs taskSum=${run / 1e3}%7.2fs tasks=$t%4d  $n")
+      }
     }
     spark.stop()
   }

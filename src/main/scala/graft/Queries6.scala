@@ -64,20 +64,21 @@ object Queries6 {
 
       // ---- station + day-metric family (events) ----
       def ev(t: String) = events.filter(col("event_type") === t)
-      def dayKeys(t: String) = P(ev(t)
-        .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"))
+      // ONE distinct over (station, day, type) feeds all five day-metric
+      // labels, the forecast keys, and the station dim — previously six
+      // separate full-events distinct shuffles
+      val dayFam = P(events
+        .filter(col("event_type").isin("click", "view", "purchase", "signup", "error"))
+        .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"),
+          col("event_type"))
         .distinct())
+      val dayLabel = element_at(typedLit(Map(
+        "click" -> "WeatherDay", "view" -> "SoilDay", "purchase" -> "IrrigationDay",
+        "signup" -> "CanopyDay", "error" -> "SAPDay")), col("event_type"))
       val field = customer.select(col("c_custkey").as("field_id"))
       val crop = nation.select(col("n_name").as("name"))
-      val station = P(events.select(col("user_id").as("serial_number")).distinct())
-      val weatherDay = dayKeys("click")
-      val soilDay = dayKeys("view")
-      val irrigationDay = dayKeys("purchase")
-      val canopyDay = dayKeys("signup")
-      val sapDay = dayKeys("error")
-      val forecast = P(events
-        .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"))
-        .distinct())
+      val station = P(dayFam.select(col("station_serial").as("serial_number")).distinct())
+      val forecast = P(dayFam.select(col("station_serial"), col("date")).distinct())
       // ET0Day keeps the reference's string-date quirk ("YYYY-MM-DD HH:MM",
       // graph_et0.py:67-71)
       val et0 = P(events
@@ -105,6 +106,16 @@ object Queries6 {
       def lab(r: Int, labCol: String) = ostrat(r)
         .select(col("o_custkey").as("field_id"),
           F.isoDay(col("o_orderdate")).as("date"), col("o_orderkey").as(labCol))
+      // the four lab labels share one key shape (field, date, order key);
+      // one family frame feeds their vertex AND edge branches, labelled
+      // by stratum — individual frames below only where a downstream
+      // join needs the label-specific key column name
+      val labFam = orders.filter(col("o_orderkey") % 6 >= 1 && col("o_orderkey") % 6 <= 4)
+        .select(col("o_custkey").as("field_id"),
+          F.isoDay(col("o_orderdate")).as("date"), col("o_orderkey").as("lab_key"),
+          (col("o_orderkey") % 6).as("stratum"))
+      val labLabel = element_at(typedLit(Map(1L -> "HaneyAnalysis", 2L -> "TNDAnalysis",
+        3L -> "SoilAnalysis", 4L -> "WaterAnalysis")), col("stratum"))
       val haney = lab(1, "lab_no")
       val tnd = lab(2, "lab_no")
       val soilA = lab(3, "lab_id")
@@ -170,34 +181,36 @@ object Queries6 {
         ("Crop", crop, Seq("name"), false),
         ("Station", station, Seq("serial_number"), false),
         ("DepthPoint", depthPoint, Seq("station_serial", "depth_cm"), false),
-        ("WeatherDay", weatherDay, Seq("station_serial", "date"), false),
         ("WeatherForecast", forecast, Seq("station_serial", "date"), false),
-        ("SoilDay", soilDay, Seq("station_serial", "date"), false),
         ("SoilLayerReading", layer, Seq("station_serial", "date", "depth_cm"), false),
-        ("IrrigationDay", irrigationDay, Seq("station_serial", "date"), false),
-        ("CanopyDay", canopyDay, Seq("station_serial", "date"), false),
-        ("SAPDay", sapDay, Seq("station_serial", "date"), false),
         ("IrrigationEvent", irrEvent, Seq("station_serial", "start_epoch_s"), false),
         ("ET0Day", et0, Seq("station_serial", "date"), false),
         ("SAPAnalysis", sap, Seq("field_id", "date", "crop_name", "leaf_type", "sample_id"), false),
         ("SAPElementResult", sapEl, Seq("sap_analysis_id", "nutrient"), true),
         ("OptimumSAPRange", optRange, Seq("crop_name", "date"), false),
         ("OptimumElementRange", optEl, Seq("opt_range_id", "nutrient"), false),
-        ("HaneyAnalysis", haney, Seq("field_id", "date", "lab_no"), false),
-        ("TNDAnalysis", tnd, Seq("field_id", "date", "lab_no"), false),
-        ("SoilAnalysis", soilA, Seq("field_id", "date", "lab_id"), false),
         ("SoilParamResult", soilParam, Seq("soil_analysis_id", "parameter_english"), true),
-        ("WaterAnalysis", waterA, Seq("field_id", "date", "sample_source"), false),
         ("WaterParamResult", waterParam, Seq("water_analysis_id", "parameter"), true),
         ("ApplicationEvent", appEvent, Seq("field_id", "date", "crop_name", "app_type", "idx"), false),
         ("ProductApplication", prodApp, Seq("application_event_id", "pa_idx"), true),
         ("FertilizerProduct", fert, Seq("name", "brand"), false),
         ("AppNutrientContent", appNutrient, Seq("product_application_id", "nutrient"), true))
+      // the two label FAMILIES (5 day-metric labels, 4 lab labels) are
+      // single union branches with the label as a column: each branch is
+      // its own codegen unit + stage, and at 27 labels that fixed cost —
+      // not the row volume — dominated the assembly (54 branches
+      // measured ~2x the wall of this ~40-branch form at sf0.1)
+      val dayVerts = GraphAssembly.verticesBy(
+        dayFam.select(dayLabel.as("l"), col("station_serial"), col("date")),
+        col("l"), Seq("station_serial", "date"))
+      val labVerts = GraphAssembly.verticesBy(
+        labFam.select(labLabel.as("l"), col("field_id"), col("date"), col("lab_key")),
+        col("l"), Seq("field_id", "date", "lab_key"))
       val verts = CacheScope.global.persist(
-        nodeSpecs.map { case (l, df, ks, dedup) =>
+        (nodeSpecs.map { case (l, df, ks, dedup) =>
           val keyed = df.select(ks.map(col): _*)
           GraphAssembly.vertices(if (dedup) keyed.distinct() else keyed, l, ks)
-        }.reduce(_ unionByName _))
+        } ++ Seq(dayVerts, labVerts)).reduce(_ unionByName _))
 
       // ---- §1.3: the 27 relationship types ----
       val stationEdge = station.select(col("serial_number").as("field_id"),
@@ -209,20 +222,10 @@ object Queries6 {
         (stationEdge, "HAS_STATION", "Field", Seq("field_id"), "Station", Seq("serial_number"), false),
         (depthPoint, "AT_DEPTH", "Station", Seq("station_serial"),
           "DepthPoint", Seq("station_serial", "depth_cm"), false),
-        (weatherDay, "HAS_WEATHER_DAY", "Station", Seq("station_serial"),
-          "WeatherDay", Seq("station_serial", "date"), false),
         (forecast, "HAS_FORECAST", "Station", Seq("station_serial"),
           "WeatherForecast", Seq("station_serial", "date"), false),
-        (soilDay, "HAS_SOIL_DAY", "Station", Seq("station_serial"),
-          "SoilDay", Seq("station_serial", "date"), false),
         (layer, "HAS_LAYER_READING", "SoilDay", Seq("station_serial", "date"),
           "SoilLayerReading", Seq("station_serial", "date", "depth_cm"), false),
-        (irrigationDay, "HAS_IRRIGATION_DAY", "Station", Seq("station_serial"),
-          "IrrigationDay", Seq("station_serial", "date"), false),
-        (canopyDay, "HAS_CANOPY_DAY", "Station", Seq("station_serial"),
-          "CanopyDay", Seq("station_serial", "date"), false),
-        (sapDay, "HAS_SAP_DAY", "Station", Seq("station_serial"),
-          "SAPDay", Seq("station_serial", "date"), false),
         (irrEvent, "HAS_IRRIGATION_EVENT", "Station", Seq("station_serial"),
           "IrrigationEvent", Seq("station_serial", "start_epoch_s"), false),
         (et0, "HAS_ET0", "Station", Seq("station_serial"), "ET0Day", Seq("station_serial", "date"), false),
@@ -235,16 +238,8 @@ object Queries6 {
           "OptimumSAPRange", Seq("crop_name", "date"), false),
         (optEl, "HAS_OPTIMUM_ELEMENT", "OptimumSAPRange", Seq("crop_name", "date"),
           "OptimumElementRange", Seq("opt_range_id", "nutrient"), false),
-        (haney, "HAS_HANEY_ANALYSIS", "Field", Seq("field_id"),
-          "HaneyAnalysis", Seq("field_id", "date", "lab_no"), false),
-        (tnd, "HAS_TND_ANALYSIS", "Field", Seq("field_id"),
-          "TNDAnalysis", Seq("field_id", "date", "lab_no"), false),
-        (soilA, "HAS_SOIL_ANALYSIS", "Field", Seq("field_id"),
-          "SoilAnalysis", Seq("field_id", "date", "lab_id"), false),
         (soilParam, "HAS_SOIL_PARAM", "SoilAnalysis", Seq("field_id", "date", "lab_id"),
           "SoilParamResult", Seq("soil_analysis_id", "parameter_english"), true),
-        (waterA, "HAS_WATER_ANALYSIS", "Field", Seq("field_id"),
-          "WaterAnalysis", Seq("field_id", "date", "sample_source"), false),
         (waterParam, "HAS_WATER_PARAM", "WaterAnalysis", Seq("field_id", "date", "sample_source"),
           "WaterParamResult", Seq("water_analysis_id", "parameter"), true),
         (appEvent, "HAS_APPLICATION", "Field", Seq("field_id"),
@@ -259,11 +254,27 @@ object Queries6 {
           "AppNutrientContent", Seq("product_application_id", "nutrient"), true),
         (appNutrient, "CONTAINS_NUTRIENT", "FertilizerProduct", Seq("name", "brand"),
           "AppNutrientContent", Seq("product_application_id", "nutrient"), true))
+      // family branches: the five Station→<X>Day edge types ride the one
+      // dayFam frame (rel + dst label from the event type); the four
+      // Field→<X>Analysis types ride labFam (rel + dst label from the
+      // stratum) — same branch-count rationale as the vertex families
+      val dayRel = element_at(typedLit(Map(
+        "click" -> "HAS_WEATHER_DAY", "view" -> "HAS_SOIL_DAY",
+        "purchase" -> "HAS_IRRIGATION_DAY", "signup" -> "HAS_CANOPY_DAY",
+        "error" -> "HAS_SAP_DAY")), col("event_type"))
+      val dayEdges = GraphAssembly.edgesBy(
+        dayFam.select(dayRel.as("r"), dayLabel.as("l"), col("station_serial"), col("date")),
+        col("r"), lit("Station"), Seq("station_serial"), col("l"), Seq("station_serial", "date"))
+      val labRel = element_at(typedLit(Map(1L -> "HAS_HANEY_ANALYSIS", 2L -> "HAS_TND_ANALYSIS",
+        3L -> "HAS_SOIL_ANALYSIS", 4L -> "HAS_WATER_ANALYSIS")), col("stratum"))
+      val labEdges = GraphAssembly.edgesBy(
+        labFam.select(labRel.as("r"), labLabel.as("l"), col("field_id"), col("date"), col("lab_key")),
+        col("r"), lit("Field"), Seq("field_id"), col("l"), Seq("field_id", "date", "lab_key"))
       val eds = CacheScope.global.persist(
-        edgeSpecs.map { case (df, r, sl, sk, dl, dk, dedup) =>
+        (edgeSpecs.map { case (df, r, sl, sk, dl, dk, dedup) =>
           val e = GraphAssembly.edges(df, r, sl, sk, dl, dk)
           if (dedup) e.distinct() else e
-        }.reduce(_ unionByName _))
+        } ++ Seq(dayEdges, labEdges)).reduce(_ unionByName _))
 
       // ---- the checked projection ----
       val labelCounts = verts.groupBy(col("label").as("name"))

@@ -36,7 +36,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.operators.CacheScope.global.release()
+      finally {
+        graft.operators.CacheScope.global.release()
+        // let ContextCleaner reclaim broadcast/shuffle state between
+        // queries — GC-driven by design; a 80-query single-JVM loop
+        // never triggers it on its own (see Bench for the measurement)
+        System.gc()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

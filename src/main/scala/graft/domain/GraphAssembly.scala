@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** M7 — property-graph materialization: collapse the engine's node
@@ -22,6 +22,32 @@ object GraphAssembly {
       lit(label).as("label"),
       to_json(struct(propCols.map(col): _*)).as("props"))
   }
+
+  /** Label-as-column variant of [[vertices]]: one DataFrame branch can
+    * emit SEVERAL labels (label = a CASE over a discriminator column),
+    * so a catalog with families of same-shaped labels unions far fewer
+    * branches — each union branch is its own codegen unit and stage, and
+    * at 27 labels the per-branch fixed cost dominates the assembly.
+    * `props` is explicit because the discriminator feeding `labelCol`
+    * must not leak into the props JSON.
+    */
+  def verticesBy(nodes: DataFrame, labelCol: Column, keyCols: Seq[String],
+                 propCols: Seq[String] = Nil): DataFrame =
+    nodes.select(
+      concat_ws(":", (labelCol +: keyCols.map(col)): _*).as("id"),
+      labelCol.as("label"),
+      to_json(struct(propCols.map(col): _*)).as("props"))
+
+  /** Rel/label-as-column variant of [[edges]] (same rationale as
+    * [[verticesBy]]): one branch per edge FAMILY instead of per type.
+    */
+  def edgesBy(rel: DataFrame, relCol: Column,
+              srcLabelCol: Column, srcKeyCols: Seq[String],
+              dstLabelCol: Column, dstKeyCols: Seq[String]): DataFrame =
+    rel.select(
+      concat_ws(":", (srcLabelCol +: srcKeyCols.map(col)): _*).as("src"),
+      concat_ws(":", (dstLabelCol +: dstKeyCols.map(col)): _*).as("dst"),
+      relCol.as("rel"))
 
   /** Edge table from embedded keys: (srcLabel:srcKeys → dstLabel:dstKeys). */
   def edges(rel: DataFrame, relType: String,

@@ -52,8 +52,15 @@ final class CacheScope {
 
 object CacheScope {
   /** Process-wide default scope. Harness mains (Bench, Verify) release
-    * it between queries; applications embedding the operators should
-    * pass their own scope per logical query instead.
+    * it between queries — which is only sound because they run queries
+    * STRICTLY SERIALLY: `release()` drops every block registered since
+    * the last release, so under concurrent queries one caller's release
+    * would unpersist blocks another query is still reading (correct
+    * results — Spark recomputes — but the cache win silently vanishes).
+    * Applications embedding the operators concurrently must pass a
+    * dedicated scope per logical query (every operator takes a
+    * `scope` parameter) and release that scope after the query's
+    * terminal action.
     */
   val global = new CacheScope
 }

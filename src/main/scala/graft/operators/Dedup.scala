@@ -303,17 +303,23 @@ object Dedup {
                        planes: Int = 12, threshold: Double = 0.95,
                        replayable: Boolean = false,
                        scope: CacheScope = CacheScope.global): DataFrame = {
-    val seed = 42
     // bucket + norm in ONE native pass per vector
     // (plans.HyperplaneSig — same pseudo-weight stream as
     // VectorFunctions.hyperplaneSig, bit-identical accumulation order
     // to the posexplode + aggregate form it replaces): no per-element
     // row materialization and no aggregate shuffle keyed by the full
     // vector. Empty vectors get a null signature and are excluded,
-    // matching the explode form where they produced no rows.
+    // matching the explode form where they produced no rows. The
+    // replayable (polynomial) family has no seed by construction —
+    // hence the separate entry point rather than a seed that would be
+    // silently ignored.
+    val sigCol =
+      if (replayable)
+        graft.plans.VectorExpressions.hyperplaneSigReplayable(col(vecCol), planes)
+      else
+        graft.plans.VectorExpressions.hyperplaneSigFast(col(vecCol), planes, seed = 42)
     val sig = scope.persist(emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        graft.plans.VectorExpressions.hyperplaneSigFast(
-          col(vecCol), planes, seed, poly = replayable).as("s"))
+        sigCol.as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("v"),
         col("s").getField("bucket").as("bucket"),

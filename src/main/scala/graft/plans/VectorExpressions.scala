@@ -261,8 +261,19 @@ object VectorExpressions {
     ColumnBridge.toColumn(CosineSimilarity(
       ColumnBridge.toExpressionLazy(a), ColumnBridge.toExpressionLazy(b)))
 
-  /** Column-API entry point for the native hyperplane signature. */
-  def hyperplaneSigFast(v: Column, planes: Int, seed: Int,
-                        poly: Boolean = false): Column =
-    ColumnBridge.toColumn(HyperplaneSig(ColumnBridge.toExpressionLazy(v), planes, seed, poly))
+  /** Column-API entry point for the native hyperplane signature
+    * (seeded xorshift pseudo-weights — the production family).
+    */
+  def hyperplaneSigFast(v: Column, planes: Int, seed: Int): Column =
+    ColumnBridge.toColumn(HyperplaneSig(ColumnBridge.toExpressionLazy(v), planes, seed,
+      poly = false))
+
+  /** DuckDB-replayable polynomial-weight variant. A separate entry
+    * point (not a flag) because the poly family has NO seed — a caller
+    * passing one would silently get identical signatures for every
+    * seed value.
+    */
+  def hyperplaneSigReplayable(v: Column, planes: Int): Column =
+    ColumnBridge.toColumn(HyperplaneSig(ColumnBridge.toExpressionLazy(v), planes, seed = 0,
+      poly = true))
 }

@@ -63,7 +63,13 @@ object Sessionize {
     *    emits them); sentinel-started sessions are filtered out.
     * The normalized input + sentinels are staged as ONE parquet file
     * so the bounded stream is a single batch — a sentinel-first batch
-    * would absorb all earlier events into the sentinel's session.
+    * would absorb all earlier events into the sentinel's session. The
+    * single-file stage (and the driver-memory sink) size this runner
+    * for verify-scale inputs only; the production path is [[sessionize]]
+    * on a real stream. The staging directory and the memory sink's
+    * catalog entry are both released before returning — the returned
+    * frame is already analyzed against the sink relation, so dropping
+    * the name binding does not invalidate it.
     */
   def sessionizeParquetOnce(spark: SparkSession, eventsPath: String,
                             gapSeconds: Long,
@@ -80,19 +86,34 @@ object Sessionize {
       floor(col("value") * 1000).cast("double").as("value"))
     val sentinels = base.select(col("user_id")).distinct()
       .select(col("user_id"), sentinelTs.as("ts"), lit(0.0).as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize").toString
-    ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(tmp)
-    val stream = spark.readStream.schema(spark.read.parquet(tmp).schema)
-      .parquet(tmp).as[Event]
-    val q = sessionize(stream, gapSeconds).writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName).filter(col("start") < sentinelTs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize")
+    try {
+      ev.unionByName(sentinels).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(tmp.toString).schema)
+        .parquet(tmp.toString).as[Event]
+      val q = sessionize(stream, gapSeconds).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // spark.table analyzes eagerly (Dataset.ofRows), so the sink
+      // relation is bound into the plan here — the name can go
+      spark.table(queryName).filter(col("start") < sentinelTs)
+    } finally {
+      spark.catalog.dropTempView(queryName)
+      deleteRecursively(tmp.toFile)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 
   /** Bounded batch-parity helper: the same sessionization as a batch

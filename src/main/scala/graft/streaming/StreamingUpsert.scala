@@ -39,7 +39,7 @@ object StreamingUpsert {
         val incoming = Upsert.dedupByKey(batch, keys,
           orderBy.map(org.apache.spark.sql.functions.col).toSeq)
         val merged =
-          if (new java.io.File(targetPath).exists()) {
+          if (recoverTarget(spark, targetPath)) {
             val existing = spark.read.parquet(targetPath)
             Upsert.merge(existing, incoming, keys, keepExistingNonNull)
           } else incoming
@@ -68,12 +68,41 @@ object StreamingUpsert {
     spark.read.parquet(target)
   }
 
+  /** Crash recovery before touching the table: if `targetPath` is
+    * missing but a `.bak-*` sibling exists, a prior [[swapInto]] died
+    * between its two renames and the backup is the ONLY complete copy —
+    * restore the newest one (highest batch id) to the target before any
+    * read or delete. Returns whether the target exists afterwards, so
+    * the caller's merge-vs-bootstrap decision and the recovery are one
+    * atomic check (deleting the backup while the target is missing was
+    * a silent-loss window).
+    */
+  private def recoverTarget(spark: SparkSession, targetPath: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) return true
+    val parent = target.getParent
+    val prefix = target.getName + ".bak-"
+    if (parent == null || !fs.exists(parent)) return false
+    val newestBak = fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(p => p.getName.stripPrefix(prefix).toLong)
+      .lastOption
+    newestBak.exists { bak =>
+      if (!fs.rename(bak, target))
+        throw new java.io.IOException(s"cannot restore backup $bak to $target")
+      true
+    }
+  }
+
   /** Write `df` to a temp sibling of `targetPath`, then swap it in:
     * target → `.bak`, temp → target, drop `.bak`. Hadoop FileSystem
     * renames (atomic per rename on HDFS and local FS), so every crash
     * window leaves a complete copy of the table on disk — the worst
-    * case is a leftover `.tmp-*`/`.bak-*` dir from an aborted batch,
-    * which the next successful batch of the same id overwrites.
+    * case is a leftover `.tmp-*`/`.bak-*` dir from an aborted batch.
+    * A backup is only deleted while the target exists ([[recoverTarget]]
+    * restores it otherwise), so no window loses the sole copy.
     * Single-writer per table, like the reference's per-task upsert
     * loops (main_graph_topraq.py:327-334).
     */
@@ -85,7 +114,7 @@ object StreamingUpsert {
     val bak = new Path(targetPath + s".bak-$batchId")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true) // stale leftovers from an aborted attempt
-    fs.delete(bak, true)
+    if (fs.exists(target)) fs.delete(bak, true) // stale only if target is live
     df.write.mode("overwrite").parquet(tmp.toString)
     val hadExisting = fs.exists(target)
     if (hadExisting && !fs.rename(target, bak))
