@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic corpus-sampling operators for training-data curation —
+  * the selection step that follows dedup/quality-scoring in a 100 TB
+  * pipeline (downsample the dominant language, cap any one source's
+  * contribution, fill a token budget with the best documents).
+  *
+  * All three are driven by a multiplicative integer id mix rather than
+  * `rand()`: the sample is a pure FILTER — reproducible across runs,
+  * engines (the arithmetic replays exactly in the SQL oracle), retries,
+  * and cluster sizes, and it costs zero shuffle where a `sample()`-
+  * based stratification would need per-stratum passes.
+  */
+object Sampling {
+
+  /** Deterministic pseudo-uniform mix of a nonneg integer id in
+    * [0, 2^31): the inner `%` keeps the product below 2^63, so the
+    * arithmetic is exact in both Spark and DuckDB (same form as
+    * [[Similarity.seedHash]]). NOT cryptographic — just uncorrelated
+    * with id locality.
+    */
+  def detHash(id: Column): Column =
+    (id % 94906249L) * 1103515245L % 2147483647L
+
+  /** Per-stratum Bernoulli sampling with a deterministic gate:
+    * keep a row iff `detHash(id) % 10000` falls under its stratum's
+    * rate (in basis points, 0..10000 — integral so the threshold is
+    * exact; a double rate times 10000 is not). Unlisted strata use
+    * `defaultBp`. One codegen'd filter, no shuffle, no per-stratum
+    * passes — the shape that survives any scale-up.
+    */
+  def stratifiedBp(df: DataFrame, stratum: Column, id: Column,
+                   ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      s"rates must be basis points in [0, 10000]")
+    val rate = coalesce(element_at(typedLit(ratesBp), stratum.cast("string")),
+      lit(defaultBp))
+    df.filter(detHash(id) % 10000L < rate)
+  }
+
+  /** Keep at most `cap` rows per group, chosen deterministically by
+    * (detHash(id), id) order. Two-phase like a distributed top-k: a
+    * partition-local rank first bounds the candidates to
+    * `partitions x cap` per group, so the per-group shuffle never
+    * carries a whole skewed group to one reducer — only its first
+    * `cap` rows from each map partition.
+    */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, cap: Int): DataFrame = {
+    val ord = Seq(detHash(id).asc, id.asc)
+    val w1 = Window.partitionBy(group, col("__pid")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(group).orderBy(ord: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= cap)
+      .drop("__pid", "__r")
+      .withColumn("__r", row_number().over(w2))
+      .filter(col("__r") <= cap)
+      .drop("__r")
+  }
+
+  /** Greedy per-stratum selection up to a token budget: rank the
+    * stratum by `ord` (best first — the caller's quality ordering,
+    * which MUST be total for replayability) and keep rows while the
+    * running token total stays within `budget`. Returns the input
+    * plus the running total as `cum_tokens`.
+    *
+    * The running sum is a per-stratum sequential scan by construction
+    * (each row's admission depends on every better row), so one
+    * reducer per stratum: fine when strata are languages or sources
+    * (few, large), not a per-user key. For huge strata the scale path
+    * is a two-pass variant — histogram the per-rank token counts,
+    * find the cutoff rank, then filter — trading exactness of the
+    * boundary row for full parallelism.
+    */
+  def tokenBudget(df: DataFrame, stratum: Column, tokens: Column,
+                  ord: Seq[Column], budget: Long): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

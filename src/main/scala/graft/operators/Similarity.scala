@@ -117,7 +117,8 @@ object Similarity {
     * driver-side iteration state beyond the loop counter.
     */
   def ivfKMeans(corpus: DataFrame, vecCol: String, idCol: String,
-                nCells: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+                nCells: Int, iters: Int = 2,
+                scope: CacheScope = CacheScope.global): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // TakeOrderedAndProject: per-partition top-nCells, merged on the
     // driver — no global sort of the corpus
@@ -136,7 +137,10 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e("m")).as("cv"))
     }
-    (assignCells(corpus, vecCol, idCol, centroids), centroids)
+    // the final centroid frame is nCells rows behind `iters` chained
+    // Lloyd rounds; every consumer broadcast (index assign, query
+    // probes) would otherwise replay the whole k-means — pin it once
+    (assignCells(corpus, vecCol, idCol, scope.persist(centroids)), centroids)
   }
 
   /** ANN top-k via IVF: probe the `nProbe` nearest cells per query,
