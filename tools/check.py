@@ -38,11 +38,18 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
-    con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir, f"{t}.parquet")
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def connect():
+        # fresh connection per query: one long-lived in-memory DuckDB
+        # accumulated state across ~80 heavy queries and segfaulted
+        con = duckdb.connect()
+        for t in TABLES:
+            p = Path(sf_dir, f"{t}.parquet")
+            if p.exists():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return con
+
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
@@ -52,6 +59,7 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        con = connect()
         try:
             gq = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
             g_cols0 = [d[0] for d in gq.description]
@@ -82,6 +90,7 @@ def main():
         else:
             print(f"PASS {name} ({len(g_rows)} rows)")
             n_pass += 1
+        con.close()
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
