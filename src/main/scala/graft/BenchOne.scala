@@ -26,6 +26,11 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" → runtime conf overrides for A/B runs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     // same table pre-warm as the full Bench, so rep-1 timings are
     // comparable (file listing + footer reads + scan codegen paid here)
     Seq("region", "nation", "customer", "supplier", "part", "orders",

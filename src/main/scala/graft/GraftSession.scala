@@ -31,6 +31,12 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // long-running sessions: broadcast/shuffle state is reclaimed by
+      // ContextCleaner only after a driver GC — which a large driver
+      // heap may not run for hours. Measured 2-40x query inflation
+      // after ~160 back-to-back queries without it (SCALE.md); the
+      // default interval is 30min.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -63,6 +63,7 @@ object Orchestrator {
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis", Seq("txt_")),
     ("dedup", "deduplication family", Seq("dd_")),
+    ("sampling", "deterministic corpus sampling", Seq("samp_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))

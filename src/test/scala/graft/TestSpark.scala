@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match the harness mains (Bench/Verify/GraftSession) so the
+      // plan-shape suites assert the plans production actually runs
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
