@@ -98,7 +98,7 @@ object Queries3 {
       .select(col("doc_id"),
         T.punctRatio(col("text")).as("punct_ratio"),
         T.digitRatio(col("text")).as("digit_ratio"),
-        T.stopwordRatio(col("text")).as("stopword_ratio"),
+        T.stopwordRatioFast(col("text")).as("stopword_ratio"),
         T.meanWordLen(col("text")).as("mean_word_len"),
         T.qualityScore(col("text")).as("quality")),
     Some {
@@ -128,7 +128,7 @@ object Queries3 {
   val txt_langid = Q(
     (s, dir) => T_(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("lang_label"),
-        T.langId(col("text")).as("lang_guess")),
+        T.langIdFast(col("text")).as("lang_guess")),
     Some {
       s"""WITH sc AS (SELECT doc_id, lang AS lang_label,
        $langScoreExprsSql
@@ -678,7 +678,7 @@ object Queries3 {
     (s, dir) => {
       val scored = T_(s, dir, "documents")
         .select(col("doc_id"), col("text"),
-          T.langId(col("text")).as("lang_guess"),
+          T.langIdFast(col("text")).as("lang_guess"),
           T.qualityScore(col("text")).as("quality"),
           T.wsTokenCount(col("text")).as("ws_tokens"))
       val kept = Dedup.exact(scored.filter(col("quality") >= corpusQualityMin), "text", "doc_id")

@@ -54,6 +54,19 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Native one-pass form of [[stopwordRatio]] (the HOF form splits
+    * the text and runs an interpreted membership lambda per token;
+    * this is one tokenization + hash probes — bit-identical, parity
+    * spec in TextExpressionSpec). Preferred on bulk paths.
+    */
+  def stopwordRatioFast(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val c = graft.plans.TextExpressions.wordSetCountsFast(
+      lower(trim(text)), Seq(stopwords))
+    // null text → null counts → 0.0, matching the HOF otherwise-branch
+    coalesce(c.getField("c0").cast("double") / c.getField("n_toks").cast("double"),
+      lit(0.0))
+  }
+
   def meanWordLen(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     when(size(toks) > 0,
@@ -67,7 +80,7 @@ object TextFunctions {
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatioFast(text) * 4.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 3.0, lit(1.0))
     val digitPenalty = least(digitRatio(text) * 3.0, lit(1.0))
     round((lenScore + stopScore + (lit(1.0) - punctPenalty) + (lit(1.0) - digitPenalty)) / 4.0, 6)
@@ -96,6 +109,24 @@ object TextFunctions {
   def langId(text: Column): Column = {
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       struct(langScore(text, ms).as("s"), lit(lang).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Native one-pass form of [[langId]]: ONE tokenization feeds all
+    * language marker sets (the HOF form re-split the text once per
+    * language with an interpreted filter each). Same scores, same
+    * argmax/tie/und semantics — parity spec in TextExpressionSpec.
+    */
+  def langIdFast(text: Column): Column = {
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val c = graft.plans.TextExpressions.wordSetCountsFast(
+      lower(trim(text)), langs.map(_._2))
+    val n = c.getField("n_toks").cast("double")
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(coalesce(c.getField(s"c$i").cast("double") / n, lit(0.0)).as("s"),
+        lit(lang).as("l"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))

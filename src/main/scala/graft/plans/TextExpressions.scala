@@ -13,6 +13,31 @@ import org.apache.spark.sql.graft.ColumnBridge
   * can call `graft.plans.TextExprOps.polyFingerprint(s)` directly.
   */
 object TextExprOps {
+  /** One-pass token-membership counts: tokenize with the exact split
+    * call Spark's `split(str, "\\s+")` performs (Java regex, limit -1
+    * — trailing empties kept, [""] on empty input), then count hits
+    * per set. Returns (n_toks, hits_0, ..., hits_{k-1}) as a struct
+    * row.
+    */
+  def wordSetCounts(s: UTF8String,
+                    sets: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.split("\\s+", -1)
+    val out = new Array[Any](sets.length + 1)
+    out(0) = toks.length.toLong
+    var i = 0
+    while (i < sets.length) {
+      var c = 0L
+      var j = 0
+      while (j < toks.length) {
+        if (sets(i).contains(toks(j))) c += 1
+        j += 1
+      }
+      out(i + 1) = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   /** Polynomial rolling hash over Unicode code points: base 31,
     * mod 2^31-1 (keeps the accumulator < 2^36 — never overflows a
     * signed 64-bit int, so Spark, the oracle, and this kernel agree
@@ -253,6 +278,51 @@ object TextExprOps {
   * lambda dispatches per row vs. one static call here.
   * TextExpressionSpec proves bit-parity between the two forms.
   */
+/** Native form of the token-membership scores behind language-ID and
+  * stopword ratio: ONE tokenization of the (lowered, trimmed) text and
+  * one membership probe per (token, set) against hash sets, instead of
+  * K separate `split` + interpreted `filter(isInCollection)` passes
+  * (language-ID ran 5 of them per row). Tokenization is the SAME
+  * library call Spark's `split(str, "\\s+")` lowers to (Java regex
+  * split, limit -1), so token boundaries — including the empty token a
+  * leading tab produces and the [""]-on-empty-string case — are
+  * bit-identical to the HOF form. TextExpressionSpec proves parity.
+  */
+case class WordSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(
+    StructField("n_toks", LongType, nullable = false) +:
+      sets.indices.map(i => StructField(s"c$i", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_set_counts expects string, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val hashSets: Array[java.util.HashSet[String]] =
+    sets.map { ws =>
+      val h = new java.util.HashSet[String]()
+      ws.foreach(h.add)
+      h
+    }.toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprOps.wordSetCounts(input.asInstanceOf[UTF8String], hashSets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refs = ctx.addReferenceObj("wordSets", hashSets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.TextExprOps.wordSetCounts($c, $refs);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PolyFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -429,4 +499,11 @@ object TextExpressions {
   /** Column-API entry point for the native distinct word n-grams. */
   def distinctWordGramsFast(tokens: Column, n: Int): Column =
     ColumnBridge.toColumn(DistinctWordGrams(ColumnBridge.toExpressionLazy(tokens), n))
+
+  /** Column-API entry point for the native token-membership counts.
+    * `lowered` must already be the lowered/trimmed text (the caller
+    * composes `lower(trim(text))` so those built-ins stay Catalyst's).
+    */
+  def wordSetCountsFast(lowered: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.toColumn(WordSetCounts(ColumnBridge.toExpressionLazy(lowered), sets))
 }

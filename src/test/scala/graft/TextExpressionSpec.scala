@@ -82,4 +82,29 @@ class TextExpressionSpec extends AnyFunSuite {
     assert(got.filter($"id".isin(9003L)).isEmpty)
     assert(got.filter($"id" === 9002L).count() == 1)
   }
+
+  test("langIdFast / stopwordRatioFast match the HOF forms on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      T.langId($"text").as("a"), T.langIdFast($"text").as("b"),
+      T.stopwordRatio($"text").as("c"), T.stopwordRatioFast($"text").as("d"))
+      .filter(not($"a" <=> $"b") || not($"c" <=> $"d")).count()
+    assert(diff == 0)
+  }
+
+  test("wordSetCounts edge cases: null, empty, leading tab, unicode, marker-only") {
+    // leading tab survives trim (trim strips spaces only) -> empty first
+    // token; empty string tokenizes to [""], n_toks = 1 — both must
+    // match the split()-based HOF semantics exactly
+    val df = Seq(None, Some(""), Some("\tthe fox"), Some("the the the"),
+      Some("der h\u00e9llo w\u00f6rld \u6f22\u5b57"), Some("  the  "))
+      .toDF("text")
+    val rows = df.select(
+      T.langId($"text").as("a"), T.langIdFast($"text").as("b"),
+      T.stopwordRatio($"text").as("c"), T.stopwordRatioFast($"text").as("d")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"langId: ${r.get(0)} vs ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"stopRatio: ${r.get(2)} vs ${r.get(3)}")
+    }
+  }
 }
