@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators.Sampling
-import graft.functions.{TextFunctions => T}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import Queries.Q
 
 /** Batch 7: deterministic corpus sampling — the curation step between
@@ -77,9 +77,46 @@ object Queries7 {
         FROM t)
       WHERE cum_tokens <= 2500"""))
 
+  /** Int8 scalar quantization of the embedding store (SQ8 — 4x
+    * smaller at rest than float32): per-vector (mn, mx) + int8 codes,
+    * dequantized reconstruction error checked against the analytic
+    * half-step bound (mx - mn) / 510 per vector. Every arithmetic step
+    * (explicit floor(+0.5) rounding, fixed association) replays
+    * bit-for-bit in the SQL oracle.
+    */
+  val vec_quantize_int8 = Q(
+    (s, dir) => {
+      val qz = V.quantizeInt8(col("embedding"))
+      val base = T_(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"), qz.as("z"))
+      val deq = V.dequantizeInt8(col("z.mn"), col("z.mx"), col("z.q"))
+      base.select(col("vec_id"), col("z.mn").as("mn"), col("z.mx").as("mx"),
+          concat_ws(",", transform(col("z.q"), _.cast("string"))).as("q_str"),
+          array_max(zip_with(col("v"), deq, (x, y) => abs(x - y))).as("max_abs_err"))
+        .withColumn("within_bound",
+          col("max_abs_err") <= (col("mx") - col("mn")) / 510.0 * 1.000001)
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+      s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+      qd AS (SELECT vec_id, v, mn, mx,
+          [CASE WHEN mx > mn
+                THEN CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS INTEGER) - 128
+                ELSE -128 END FOR x IN v] AS q
+        FROM s),
+      r AS (SELECT vec_id, mn, mx, q,
+          list_max([abs(v[i] - (mn + (CAST(q[i] AS DOUBLE) + 128) / 255 * (mx - mn)))
+                    FOR i IN range(1, len(v) + 1)]) AS max_abs_err
+        FROM qd)
+      SELECT vec_id, mn, mx, array_to_string(q, ',') AS q_str, max_abs_err,
+        max_abs_err <= (mx - mn) / 510 * 1.000001 AS within_bound
+      FROM r"""))
+
   val all: Map[String, Q] = Map(
     "samp_stratified" -> samp_stratified,
     "samp_capped_per_source" -> samp_capped_per_source,
     "samp_token_budget" -> samp_token_budget,
+    "vec_quantize_int8" -> vec_quantize_int8,
   )
 }

@@ -31,6 +31,36 @@ object VectorFunctions {
       diff * diff
     }), lit(0.0), (acc, v) => acc + v))
 
+  /** Per-vector int8 scalar quantization (the SQ8 storage format of
+    * large embedding stores): each dimension maps to
+    * `floor((x - mn) / (mx - mn) * 255 + 0.5) - 128` with the
+    * per-vector (mn, mx) kept alongside for dequantization — 4x
+    * smaller at rest, and the rounding is an explicit floor(+0.5)
+    * (deterministic HALF_UP) rather than `round`, whose tie behavior
+    * differs between engines. A constant vector (mx == mn) quantizes
+    * to all -128 and dequantizes exactly to mn. Returns
+    * struct(mn, mx, q: array<int>).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = transform(vec, _.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val q = transform(v, x =>
+      when(mx > mn,
+        floor((x - mn) / (mx - mn) * 255.0 + 0.5).cast("int") - 128)
+        .otherwise(lit(-128)))
+    struct(mn.as("mn"), mx.as("mx"), q.as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x' = mn + (q + 128) / 255 * (mx - mn).
+    * Reconstruction error is bounded by half a quantization step,
+    * (mx - mn) / 510 — asserted per vector in the `vec_quantize_int8`
+    * query and the spec.
+    */
+  def dequantizeInt8(mn: Column, mx: Column, q: Column): Column =
+    transform(q, qi =>
+      mn + (qi.cast("double") + 128.0) / 255.0 * (mx - mn))
+
   /** Random-hyperplane signature for LSH / SimHash over embeddings:
     * one sign bit per pseudo-random hyperplane, packed into a long.
     * The hyperplane weights are a deterministic hash of

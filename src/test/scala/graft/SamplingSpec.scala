@@ -72,4 +72,26 @@ class SamplingSpec extends AnyFunSuite {
       .select("toks").collect().map(_.getLong(0))
     assert(en.sameElements(en.sorted(Ordering[Long].reverse)))
   }
+
+  test("int8 quantization: error within half a step; constant vectors roundtrip exactly") {
+    import graft.functions.{VectorFunctions => V}
+    val vecs = Seq(
+      (1L, Seq(0.1f, -0.5f, 2.0f, 0.7f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f)),          // constant -> mx == mn
+      (3L, Seq(-1e6f, 1e6f, 0.0f))
+    ).toDF("id", "v")
+    val z = V.quantizeInt8($"v")
+    val out = vecs.select($"id", $"v", z.as("z"))
+      .select($"id", $"v", $"z.mn".as("mn"), $"z.mx".as("mx"),
+        V.dequantizeInt8($"z.mn", $"z.mx", $"z.q").as("d"))
+      .withColumn("err", array_max(zip_with(
+        transform($"v", _.cast("double")), $"d", (x, y) => abs(x - y))))
+      .collect()
+    out.foreach { r =>
+      val (mn, mx, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(err <= (mx - mn) / 510.0 * 1.000001, s"id=${r.getLong(0)} err=$err")
+    }
+    // constant vector dequantizes to exactly mn
+    assert(out.find(_.getLong(0) == 2L).get.getDouble(5) == 0.0)
+  }
 }
