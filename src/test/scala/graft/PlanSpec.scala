@@ -116,4 +116,24 @@ class PlanSpec extends AnyFunSuite {
     val n = shuffleCount(graft.operators.GraphOps.connectedComponents(edges, iters))
     assert(n <= iters + 1, s"expected ~$iters shuffles, saw $n")
   }
+
+  test("stratified sampling is a pure filter over the scan - no shuffle, no window") {
+    val p = plan("samp_stratified")
+    assert(!p.contains("Exchange"), "sampling gate must not shuffle:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("*("), "gate not codegen'd:\n" + p)
+  }
+
+  test("per-group cap pre-filters per partition before the one per-group shuffle") {
+    val p = plan("samp_capped_per_source")
+    // two Window operators (partition-local rank, then exact rank) and
+    // the partition-local one keyed by spark_partition_id
+    assert("(?s)Window.*Window".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"), p)
+  }
+
+  test("int8 quantization stays inside whole-stage codegen over the scan") {
+    val p = plan("vec_quantize_int8")
+    assert(!p.contains("Exchange"), "quantization is per-row; no shuffle:\n" + p)
+  }
 }
