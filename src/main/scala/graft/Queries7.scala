@@ -86,14 +86,26 @@ object Queries7 {
     */
   val vec_quantize_int8 = Q(
     (s, dir) => {
-      val qz = V.quantizeInt8(col("embedding"))
+      // mn/mx materialize as COLUMNS before the per-element lambdas:
+      // embedded inside a HOF lambda, array_min/array_max re-evaluate
+      // per element (interpreted lambdas do no subexpression reuse) —
+      // measured 2.8s -> sub-second at sf0.1. Same arithmetic as
+      // VectorFunctions.quantizeInt8 (parity-tested in SamplingSpec).
       val base = T_(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v"), qz.as("z"))
-      val deq = V.dequantizeInt8(col("z.mn"), col("z.mx"), col("z.q"))
-      base.select(col("vec_id"), col("z.mn").as("mn"), col("z.mx").as("mx"),
-          concat_ws(",", transform(col("z.q"), _.cast("string"))).as("q_str"),
-          array_max(zip_with(col("v"), deq, (x, y) => abs(x - y))).as("max_abs_err"))
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("vec_id"), col("v"),
+          array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+        .select(col("vec_id"), col("v"), col("mn"), col("mx"),
+          transform(col("v"), x =>
+            when(col("mx") > col("mn"),
+              floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
+                .cast("int") - 128)
+              .otherwise(lit(-128))).as("q"))
+      base.select(col("vec_id"), col("mn"), col("mx"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_str"),
+          array_max(zip_with(col("v"),
+            V.dequantizeInt8(col("mn"), col("mx"), col("q")),
+            (x, y) => abs(x - y))).as("max_abs_err"))
         .withColumn("within_bound",
           col("max_abs_err") <= (col("mx") - col("mn")) / 510.0 * 1.000001)
     },
@@ -113,10 +125,82 @@ object Queries7 {
         max_abs_err <= (mx - mn) / 510 * 1.000001 AS within_bound
       FROM r"""))
 
+  /** Within-document repetition score (the Gopher/C4-style repetition
+    * filter): 1 − distinct/total word-3-grams — boilerplate and
+    * looping generations score high. One per-row kernel pass (the
+    * native distinct-gram counter from the dedup family), no shuffle.
+    */
+  val txt_repetition = Q(
+    (s, dir) => {
+      val toks = split(T.normText(col("text")), " ")
+      T_(s, dir, "documents").select(
+          col("doc_id"),
+          greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"),
+          size(graft.plans.TextExpressions.distinctWordGramsFast(toks, 3))
+            .cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("flagged", col("rep_ratio") > 0.2)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+      c AS (SELECT doc_id,
+        CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+        CAST(CASE WHEN len(t) >= 3 THEN len(list_distinct([
+            concat_ws(' ', t[i], t[i+1], t[i+2]) FOR i IN range(1, len(t) - 1)]))
+          ELSE 0 END AS BIGINT) AS n_distinct
+      FROM t)
+      SELECT doc_id, n_grams, n_distinct,
+        CASE WHEN n_grams > 0
+             THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END AS rep_ratio,
+        CASE WHEN n_grams > 0
+             THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END > 0.2 AS flagged
+      FROM c"""))
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 4-gram with the held-out set (source src0 stands in for an eval
+    * benchmark). The benchmark's gram set is DISTINCT-ed and broadcast
+    * — benchmarks are small by nature, so the corpus side is never
+    * shuffled; the only aggregate is the per-document hit count.
+    */
+  val txt_contamination = Q(
+    (s, dir) => {
+      val toks = split(T.normText(col("text")), " ")
+      val grams = T_(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(graft.plans.TextExpressions.distinctWordGramsFast(toks, 4)).as("gram"))
+      val bench = grams.filter(col("source") === "src0").select("gram").distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        // grams are already distinct per document (kernel dedupes), so
+        // a plain count is the distinct-hit count without a distinct agg
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+      g AS (SELECT doc_id, source, unnest(list_distinct([
+          concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]) FOR i IN range(1, len(t) - 2)])) AS gram
+        FROM t WHERE len(t) >= 4),
+      bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+      SELECT g.doc_id, count(*) AS n_hits
+      FROM g JOIN bench USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "samp_stratified" -> samp_stratified,
     "samp_capped_per_source" -> samp_capped_per_source,
     "samp_token_budget" -> samp_token_budget,
     "vec_quantize_int8" -> vec_quantize_int8,
+    "txt_repetition" -> txt_repetition,
+    "txt_contamination" -> txt_contamination,
   )
 }
