@@ -195,6 +195,27 @@ object Queries7 {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+  /** Fixed-window payload chunking (the audio modality shape: one
+    * clip → N fixed-duration windows). Payload excluded from the
+    * checked projection — the oracle verifies the full chunk
+    * accounting (count, offsets, sizes) from byte lengths, same
+    * discipline as `mm_resize`.
+    */
+  val mm_chunk_audio = Q(
+    (s, dir) => {
+      val media = T_(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      graft.operators.Multimodal.chunkPayloads(media, chunkBytes = 100)
+        .select(col("media_id"), col("chunk_idx"), col("offset"), col("n_bytes"))
+    },
+    Some("""WITH b AS (SELECT doc_id AS media_id,
+        octet_length(encode(text)) AS n FROM documents)
+      SELECT media_id, CAST(i AS INTEGER) AS chunk_idx,
+        CAST(i * 100 AS INTEGER) AS offset,
+        CAST(least(100, n - i * 100) AS INTEGER) AS n_bytes
+      FROM b, unnest(range(0, CAST(ceil(n / 100.0) AS BIGINT))) AS t(i)"""))
+
   val all: Map[String, Q] = Map(
     "samp_stratified" -> samp_stratified,
     "samp_capped_per_source" -> samp_capped_per_source,
@@ -202,5 +223,6 @@ object Queries7 {
     "vec_quantize_int8" -> vec_quantize_int8,
     "txt_repetition" -> txt_repetition,
     "txt_contamination" -> txt_contamination,
+    "mm_chunk_audio" -> mm_chunk_audio,
   )
 }

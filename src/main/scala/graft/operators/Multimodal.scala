@@ -93,6 +93,40 @@ object Multimodal {
     spark.createDataFrame(rows, frameSchema)
   }
 
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Fixed-window chunking: one media row → ceil(bytes/chunkBytes)
+    * chunk rows with (idx, offset, size) metadata and the sliced
+    * payload — the audio training-data shape (fixed-duration windows
+    * per clip, each chunk featurized independently downstream). Like
+    * [[sampleFrames]], the 1→N generation runs inside the partition
+    * iterator; a null or empty payload yields no chunks. Chunk
+    * metadata derives only from the byte length, so the accounting is
+    * fully oracle-checkable without replaying codec bytes.
+    */
+  def chunkPayloads(media: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val n = if (p == null) 0 else p.length
+        val nChunks = (n + chunkBytes - 1) / chunkBytes
+        (0 until nChunks).iterator.map { i =>
+          val off = i * chunkBytes
+          val len = math.min(chunkBytes, n - off)
+          Row(id, i, off, len, java.util.Arrays.copyOfRange(p, off, off + len))
+        }
+      })
+    spark.createDataFrame(rows, chunkSchema)
+  }
+
   /** Resize/transcode plumbing: payload → payload, batch-at-a-time per
     * partition (stub: truncate to `targetBytes`; a real resize swaps
     * the byte transform, the dataflow shape is identical). Returns
