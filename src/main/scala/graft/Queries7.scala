@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.Sampling
+import graft.operators.{Sampling, Similarity}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.plans.VectorExpressions.cosineFast
 import Queries.Q
 
 /** Batch 7: deterministic corpus sampling — the curation step between
@@ -216,6 +217,71 @@ object Queries7 {
         CAST(least(100, n - i * 100) AS INTEGER) AS n_bytes
       FROM b, unnest(range(0, CAST(ceil(n / 100.0) AS BIGINT))) AS t(i)"""))
 
+  private def cosSql(a: String, b: String): String = {
+    def ss(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) FOR i IN range(1, len($x) + 1)]),
+          (p, r) -> p + r)"""
+    s"""CASE WHEN sqrt(${ss(a, a)}) > 0 AND sqrt(${ss(b, b)}) > 0
+        THEN ${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})) END"""
+  }
+
+  /** Top-k search over the SQ8 store with exact re-scoring: candidates
+    * rank by cosine on the DEQUANTIZED int8 vectors (the 4x-smaller
+    * memory-resident form), then only the k survivors are re-scored
+    * against full-precision vectors — the memory-bound search pattern
+    * of a large embedding store. Corpus is never shuffled (broadcast
+    * query side + two-phase top-k); the exact re-score touches
+    * k x queries rows.
+    */
+  val vec_topk_quantized = Q(
+    (s, dir) => {
+      val emb = T_(s, dir, "embeddings")
+      val dv = transform(col("embedding"), _.cast("double"))
+      // corpus → SQ8 codes → dequantized approximate vectors
+      val store = emb
+        .select(col("vec_id").as("id"), dv.as("v"))
+        .select(col("id"), col("v"),
+          array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+        .select(col("id"), col("v"), col("mn"), col("mx"),
+          transform(col("v"), x =>
+            when(col("mx") > col("mn"),
+              floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
+                .cast("int") - 128)
+              .otherwise(lit(-128))).as("q"))
+        .select(col("id"), col("v"),
+          V.dequantizeInt8(col("mn"), col("mx"), col("q")).as("d"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), dv.as("qv"))
+      val approx = store.crossJoin(broadcast(queries))
+        .withColumn("cos", cosineFast(col("d"), col("qv")))
+      val top = Similarity.twoPhaseTopK(approx.select("qid", "id", "cos"), k = 10)
+        .withColumnRenamed("cos", "cos_q")
+      // exact re-score of the k survivors only (tiny joins by key)
+      top.join(store.select(col("id"), col("v")), Seq("id"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("id"), col("cos_q"),
+          cosineFast(col("v"), col("qv")).as("cos_exact"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH c0 AS (SELECT vec_id AS id,
+        [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+      s AS (SELECT id, v, list_min(v) AS mn, list_max(v) AS mx FROM c0),
+      qd AS (SELECT id, v, mn, mx, [CASE WHEN mx > mn
+          THEN CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS INTEGER) - 128
+          ELSE -128 END FOR x IN v] AS q FROM s),
+      dq AS (SELECT id, v,
+          [mn + (CAST(qi AS DOUBLE) + 128) / 255 * (mx - mn) FOR qi IN q] AS d
+        FROM qd),
+      qs AS (SELECT vec_id AS qid, [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      sc AS (SELECT qid, id, v, qv, ${cosSql("d", "qv")} AS cos_q FROM dq, qs),
+      top AS (SELECT qid, id, v, qv, cos_q, row_number() OVER (
+          PARTITION BY qid ORDER BY cos_q DESC NULLS LAST, id ASC) AS rank
+        FROM sc)
+      SELECT qid, id, cos_q, ${cosSql("v", "qv")} AS cos_exact, rank
+      FROM top WHERE rank <= 10 ORDER BY qid, rank"""))
+
   val all: Map[String, Q] = Map(
     "samp_stratified" -> samp_stratified,
     "samp_capped_per_source" -> samp_capped_per_source,
@@ -224,5 +290,6 @@ object Queries7 {
     "txt_repetition" -> txt_repetition,
     "txt_contamination" -> txt_contamination,
     "mm_chunk_audio" -> mm_chunk_audio,
+    "vec_topk_quantized" -> vec_topk_quantized,
   )
 }

@@ -39,7 +39,7 @@ object Similarity {
     * ranks that small candidate set exactly, so the result is
     * deterministic. Input must have (qid, id, cos).
     */
-  private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
+  def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val ord = Seq(col("cos").desc_nulls_last, col("id").asc)
     val w1 = Window.partitionBy(col("qid"), col("__pid")).orderBy(ord: _*)
     val cand = scored.withColumn("__pid", spark_partition_id())
