@@ -83,9 +83,10 @@ object GraftExtensions {
     fn1("graft_ws_tokens", T.wsTokenCount),
     fn1("graft_bpe_tokens", T.approxBpeTokenCount),
     fn1("graft_quality", T.qualityScore),
-    fn1("graft_lang_id", T.langId),
+    fn1("graft_lang_id", T.langIdFast),
     fn1("graft_fingerprint", T.fingerprint),
     fn1("graft_norm_text", T.normText),
+    fn1("graft_quantize_int8", graft.functions.VectorFunctions.quantizeInt8),
     // native one-pass kernels
     ("graft_simhash64",
       (exprs: Seq[Expression]) => {

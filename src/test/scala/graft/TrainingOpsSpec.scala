@@ -278,4 +278,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n5") == 15)
     assert(r.getAs[String]("lang") == "en")
   }
+
+  test("chunkPayloads: full cover, fixed offsets, short tail, null/empty yield none") {
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Array.fill[Byte](250)(7)),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.chunkPayloads(media, chunkBytes = 100)
+      .orderBy($"media_id", $"chunk_idx").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 100, 200))
+    assert(out.map(_.getInt(3)).toSeq == Seq(100, 100, 50))
+    // slices reassemble to the original payload
+    assert(out.flatMap(_.getAs[Array[Byte]](4)).length == 250)
+  }
 }
