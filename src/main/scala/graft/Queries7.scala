@@ -8,14 +8,16 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.plans.VectorExpressions.cosineFast
 import Queries.Q
 
-/** Batch 7: deterministic corpus sampling — the curation step between
-  * dedup/quality scoring and training (downsample the dominant
-  * language, cap per-source contribution, fill a per-language token
-  * budget best-first). The reference has no sampling stage (its ETL
-  * moves everything it fetches); these are the operations its data
-  * model needs the moment the corpus outgrows one machine, and every
-  * gate is a deterministic integer filter — reproducible across runs,
-  * engines, and cluster sizes, never `rand()`.
+/** Batch 7: corpus curation — the stages between dedup/quality
+  * scoring and training. Deterministic sampling (stratified rates,
+  * per-source caps, token budgets — integer-hash gates, never
+  * `rand()`), pretraining filters (repetition, benchmark
+  * decontamination), embedding-store compression + memory-bound
+  * search (SQ8 quantize / quantized top-k with exact re-rank), and
+  * the audio chunking shape. The reference has no curation stage (its
+  * ETL moves everything it fetches); these are the operations its
+  * data model needs the moment the corpus outgrows one machine, and
+  * every one replays bit-for-bit in the SQL oracle.
   */
 object Queries7 {
 
