@@ -80,6 +80,22 @@ object Queries7 {
         FROM t)
       WHERE cum_tokens <= 2500"""))
 
+  /** The same budget fill via the distributed prefix sum
+    * ([[Sampling.tokenBudgetLarge]]) — per-partition parallel windows
+    * + a tiny broadcast offset table instead of one reducer per
+    * stratum. Identical output by construction (SamplingSpec proves
+    * exact equality), so it shares the window form's oracle SQL.
+    */
+  val samp_token_budget_large = Q(
+    (s, dir) => Sampling.tokenBudgetLarge(
+        T_(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            T.wsTokenCount(col("text")).as("toks")),
+        col("lang"), col("toks"),
+        Seq(col("n_chars").desc, col("doc_id").asc), budget = 2500L)
+      .select(col("doc_id"), col("lang"), col("cum_tokens")),
+    samp_token_budget.oracle)
+
   /** Int8 scalar quantization of the embedding store (SQ8 — 4x
     * smaller at rest than float32): per-vector (mn, mx) + int8 codes,
     * dequantized reconstruction error checked against the analytic
@@ -288,6 +304,7 @@ object Queries7 {
     "samp_stratified" -> samp_stratified,
     "samp_capped_per_source" -> samp_capped_per_source,
     "samp_token_budget" -> samp_token_budget,
+    "samp_token_budget_large" -> samp_token_budget_large,
     "vec_quantize_int8" -> vec_quantize_int8,
     "txt_repetition" -> txt_repetition,
     "txt_contamination" -> txt_contamination,

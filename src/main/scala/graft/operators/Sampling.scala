@@ -83,4 +83,44 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tokens).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** The huge-stratum scale path for [[tokenBudget]]: a distributed
+    * prefix sum instead of one reducer per stratum. Range-partition by
+    * (stratum, ord) so each stratum spans MANY partitions in order,
+    * then cum(row) = running sum within its (stratum, physical
+    * partition) + the total of all earlier partitions of the same
+    * stratum. The per-partition windows are parallel; the offset table
+    * is one tiny aggregate (partitions x strata rows) broadcast back.
+    * `ord` must be total (same requirement as [[tokenBudget]]), which
+    * makes every row's cum value independent of where the range
+    * boundaries land — identical output to the window form (spec
+    * proves equality), at any parallelism.
+    */
+  def tokenBudgetLarge(df: DataFrame, stratum: Column, tokens: Column,
+                       ord: Seq[Column], budget: Long): DataFrame = {
+    val rangeCols = stratum.asc +: ord.map(c => c)
+    val sorted = df
+      .repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val partSums = sorted.groupBy(col("__pid"), stratum.as("__s"))
+      .agg(sum(tokens).as("__psum"))
+    // total of all EARLIER partitions of the same stratum (rows-between
+    // excludes the current partition's own sum)
+    val offsets = partSums.withColumn("__off",
+      coalesce(sum(col("__psum")).over(
+        Window.partitionBy(col("__s")).orderBy(col("__pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // fresh names so the derived-frame self-join cannot collapse the
+      // join condition onto sorted's own attributes
+      .select(col("__pid").as("__opid"), col("__s"), col("__off"))
+    val wLocal = Window.partitionBy(stratum, col("__pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && stratum === col("__s"))
+      .withColumn("cum_tokens", col("__off") + sum(tokens).over(wLocal))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__opid", "__s", "__off")
+  }
 }

@@ -94,4 +94,15 @@ class SamplingSpec extends AnyFunSuite {
     // constant vector dequantizes to exactly mn
     assert(out.find(_.getLong(0) == 2L).get.getDouble(5) == 0.0)
   }
+
+  test("tokenBudgetLarge (distributed prefix sum) equals the window form exactly") {
+    val a = Sampling.tokenBudget(docs, $"lang", $"toks",
+      Seq($"toks".desc, $"doc_id".asc), budget = 7000L)
+      .select($"doc_id", $"cum_tokens")
+    val b = Sampling.tokenBudgetLarge(docs, $"lang", $"toks",
+      Seq($"toks".desc, $"doc_id".asc), budget = 7000L)
+      .select($"doc_id", $"cum_tokens")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
