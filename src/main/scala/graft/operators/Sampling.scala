@@ -97,12 +97,21 @@ object Sampling {
     * proves equality), at any parallelism.
     */
   def tokenBudgetLarge(df: DataFrame, stratum: Column, tokens: Column,
-                       ord: Seq[Column], budget: Long): DataFrame = {
+                       ord: Seq[Column], budget: Long,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
     val rangeCols = stratum.asc +: ord.map(c => c)
-    val sorted = df
+    // the pid-stamped frame feeds BOTH the offset table and the final
+    // join, and the stamp is only meaningful for ONE materialization:
+    // two independent executions may range-sample different partition
+    // boundaries (the sampler's seed follows RDD identity), which
+    // would misalign offsets against pids. Exchange reuse usually
+    // dedupes the two subplans anyway — checkpointing makes the
+    // single-assignment property explicit instead of optimizer-
+    // dependent, at the cost of one materialization pass.
+    val sorted = scope.checkpoint(df
       .repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()))
     val partSums = sorted.groupBy(col("__pid"), stratum.as("__s"))
       .agg(sum(tokens).as("__psum"))
     // total of all EARLIER partitions of the same stratum (rows-between
