@@ -28,8 +28,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k=v" → runtime conf overrides for A/B runs
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case Array("") | Array() => // tolerate empty segments (trailing ;)
+        case other => sys.error(s"SPARK_GRAFT_CONF segment not k=v: '$kv'")
+      }
     })
     // same table pre-warm as the full Bench, so rep-1 timings are
     // comparable (file listing + footer reads + scan codegen paid here)
@@ -56,8 +59,12 @@ object BenchOne {
           }
         })
     val fn = SparkEntry.benchQueries(name)
+    // listener events arrive on the async bus; give stragglers a beat
+    // before clearing for the last rep / dumping at the end, so the
+    // dump neither misses late completions nor blends reps
+    def settleBus(): Unit = Thread.sleep(300)
     (1 to reps).foreach { i =>
-      if (i == reps) stages.synchronized(stages.clear())
+      if (i == reps) { settleBus(); stages.synchronized(stages.clear()) }
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[bench-one] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -67,6 +74,7 @@ object BenchOne {
       graft.operators.CacheScope.global.release()
       System.gc()
     }
+    settleBus()
     stages.synchronized {
       stages.sortBy(-_._4).take(15).foreach { case (id, n, t, wall, run) =>
         println(f"[stage] $id%5d wall=${wall / 1e3}%6.2fs taskSum=${run / 1e3}%7.2fs tasks=$t%4d  $n")

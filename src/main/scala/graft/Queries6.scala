@@ -66,12 +66,16 @@ object Queries6 {
       def ev(t: String) = events.filter(col("event_type") === t)
       // ONE distinct over (station, day, type) feeds all five day-metric
       // labels, the forecast keys, and the station dim — previously six
-      // separate full-events distinct shuffles
+      // separate full-events distinct shuffles. UNFILTERED on purpose:
+      // station/forecast cover ALL event actors (like the pre-family
+      // form and the oracle); the five-type filter belongs to the
+      // day-label branches below, where an unknown type must not
+      // produce a null-labelled vertex
       val dayFam = P(events
-        .filter(col("event_type").isin("click", "view", "purchase", "signup", "error"))
         .select(col("user_id").as("station_serial"), to_date(col("ts")).as("date"),
           col("event_type"))
         .distinct())
+      val dayTypes = Seq("click", "view", "purchase", "signup", "error")
       val dayLabel = element_at(typedLit(Map(
         "click" -> "WeatherDay", "view" -> "SoilDay", "purchase" -> "IrrigationDay",
         "signup" -> "CanopyDay", "error" -> "SAPDay")), col("event_type"))
@@ -201,7 +205,8 @@ object Queries6 {
       // not the row volume — dominated the assembly (54 branches
       // measured ~2x the wall of this ~40-branch form at sf0.1)
       val dayVerts = GraphAssembly.verticesBy(
-        dayFam.select(dayLabel.as("l"), col("station_serial"), col("date")),
+        dayFam.filter(col("event_type").isin(dayTypes: _*))
+          .select(dayLabel.as("l"), col("station_serial"), col("date")),
         col("l"), Seq("station_serial", "date"))
       val labVerts = GraphAssembly.verticesBy(
         labFam.select(labLabel.as("l"), col("field_id"), col("date"), col("lab_key")),
@@ -263,7 +268,8 @@ object Queries6 {
         "purchase" -> "HAS_IRRIGATION_DAY", "signup" -> "HAS_CANOPY_DAY",
         "error" -> "HAS_SAP_DAY")), col("event_type"))
       val dayEdges = GraphAssembly.edgesBy(
-        dayFam.select(dayRel.as("r"), dayLabel.as("l"), col("station_serial"), col("date")),
+        dayFam.filter(col("event_type").isin(dayTypes: _*))
+          .select(dayRel.as("r"), dayLabel.as("l"), col("station_serial"), col("date")),
         col("r"), lit("Station"), Seq("station_serial"), col("l"), Seq("station_serial", "date"))
       val labRel = element_at(typedLit(Map(1L -> "HAS_HANEY_ANALYSIS", 2L -> "HAS_TND_ANALYSIS",
         3L -> "HAS_SOIL_ANALYSIS", 4L -> "HAS_WATER_ANALYSIS")), col("stratum"))

@@ -105,21 +105,8 @@ object Queries7 {
     */
   val vec_quantize_int8 = Q(
     (s, dir) => {
-      // mn/mx materialize as COLUMNS before the per-element lambdas:
-      // embedded inside a HOF lambda, array_min/array_max re-evaluate
-      // per element (interpreted lambdas do no subexpression reuse) —
-      // measured 2.8s -> sub-second at sf0.1. Same arithmetic as
-      // VectorFunctions.quantizeInt8 (parity-tested in SamplingSpec).
-      val base = T_(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        .select(col("vec_id"), col("v"),
-          array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
-        .select(col("vec_id"), col("v"), col("mn"), col("mx"),
-          transform(col("v"), x =>
-            when(col("mx") > col("mn"),
-              floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
-                .cast("int") - 128)
-              .otherwise(lit(-128))).as("q"))
+      val base = Similarity.sq8Store(T_(s, dir, "embeddings"), "embedding", "vec_id")
+        .withColumnRenamed("id", "vec_id")
       base.select(col("vec_id"), col("mn"), col("mx"),
           concat_ws(",", transform(col("q"), _.cast("string"))).as("q_str"),
           array_max(zip_with(col("v"),
@@ -155,8 +142,10 @@ object Queries7 {
       T_(s, dir, "documents").select(
           col("doc_id"),
           greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"),
-          size(graft.plans.TextExpressions.distinctWordGramsFast(toks, 3))
-            .cast("long").as("n_distinct"))
+          // greatest-with-0 also absorbs NULL text: size(null) is -1
+          // with ANSI off, while the oracle's CASE yields 0
+          greatest(size(graft.plans.TextExpressions.distinctWordGramsFast(toks, 3)),
+            lit(0)).cast("long").as("n_distinct"))
         .withColumn("rep_ratio",
           when(col("n_grams") > 0,
             lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
@@ -255,22 +244,14 @@ object Queries7 {
   val vec_topk_quantized = Q(
     (s, dir) => {
       val emb = T_(s, dir, "embeddings")
-      val dv = transform(col("embedding"), _.cast("double"))
-      // corpus → SQ8 codes → dequantized approximate vectors
-      val store = emb
-        .select(col("vec_id").as("id"), dv.as("v"))
-        .select(col("id"), col("v"),
-          array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
-        .select(col("id"), col("v"), col("mn"), col("mx"),
-          transform(col("v"), x =>
-            when(col("mx") > col("mn"),
-              floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
-                .cast("int") - 128)
-              .otherwise(lit(-128))).as("q"))
+      // corpus → SQ8 codes → dequantized approximate vectors (store
+      // built by the same helper as vec_quantize_int8 — no drift)
+      val store = Similarity.sq8Store(emb, "embedding", "vec_id")
         .select(col("id"), col("v"),
           V.dequantizeInt8(col("mn"), col("mx"), col("q")).as("d"))
       val queries = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), dv.as("qv"))
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
       val approx = store.crossJoin(broadcast(queries))
         .withColumn("cos", cosineFast(col("d"), col("qv")))
       val top = Similarity.twoPhaseTopK(approx.select("qid", "id", "cos"), k = 10)

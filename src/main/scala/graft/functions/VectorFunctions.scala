@@ -40,6 +40,13 @@ object VectorFunctions {
     * differs between engines. A constant vector (mx == mn) quantizes
     * to all -128 and dequantizes exactly to mn. Returns
     * struct(mn, mx, q: array<int>).
+    *
+    * PERF: as a single composed Column, mn/mx sit INSIDE the
+    * per-element lambda and interpreted HOFs re-evaluate them per
+    * element — O(d^2) per vector. Fine for ad-hoc SQL on short
+    * vectors; bulk paths should use
+    * [[graft.operators.Similarity.sq8Store]], which materializes
+    * mn/mx as columns first (same arithmetic, linear).
     */
   def quantizeInt8(vec: Column): Column = {
     val v = transform(vec, _.cast("double"))

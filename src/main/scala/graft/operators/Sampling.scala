@@ -126,8 +126,11 @@ object Sampling {
     val wLocal = Window.partitionBy(stratum, col("__pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sorted
+      // null-safe stratum equality: a NULL stratum is a group of its
+      // own in the window form (and in SQL PARTITION BY); a
+      // null-unsafe === here would silently drop those rows
       .join(broadcast(offsets),
-        col("__pid") === col("__opid") && stratum === col("__s"))
+        col("__pid") === col("__opid") && (stratum <=> col("__s")))
       .withColumn("cum_tokens", col("__off") + sum(tokens).over(wLocal))
       .filter(col("cum_tokens") <= budget)
       .drop("__pid", "__opid", "__s", "__off")

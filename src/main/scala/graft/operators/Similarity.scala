@@ -51,6 +51,28 @@ object Similarity {
       .select("qid", "id", "cos", "rank")
   }
 
+  /** SQ8 store builder: (id, v: array<double>, mn, mx, q: array<int>)
+    * — the int8-quantized form of an embedding corpus with the
+    * per-vector codebook alongside. mn/mx materialize as COLUMNS
+    * before the per-element lambda (embedded in the lambda, the
+    * interpreted HOF re-evaluates array_min/array_max per element —
+    * O(d^2) per vector, measured 2.8s → sub-second at sf0.1). Same
+    * arithmetic as [[graft.functions.VectorFunctions.quantizeInt8]]
+    * (explicit floor(+0.5) — engine-stable rounding); shared by the
+    * quantize and quantized-search queries so the two cannot drift.
+    */
+  def sq8Store(corpus: DataFrame, vecCol: String, idCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col("id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .select(col("id"), col("v"), col("mn"), col("mx"),
+        transform(col("v"), x =>
+          when(col("mx") > col("mn"),
+            floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
+              .cast("int") - 128)
+            .otherwise(lit(-128))).as("q"))
+
   /** Nearest-centroid assignment — argmin as an aggregate, not a
     * window: the nCells candidate rows per vector are generated
     * locally (broadcast cross join), so a partial min collapses them

@@ -61,36 +61,38 @@ def main():
             continue
         con = connect()
         try:
-            gq = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-            g_cols0 = [d[0] for d in gq.description]
-            got = gq.fetchall()
-            wq = con.execute(oracle[name])
-            w_cols0 = [d[0] for d in wq.description]
-            want = wq.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
-            continue
-        g_rows, g_cols = canon(got, g_cols0)
-        w_rows, w_cols = canon(want, w_cols0)
-        if g_cols != w_cols:
-            print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
-            n_fail += 1
-            continue
-        if len(g_rows) != len(w_rows):
-            print(f"FAIL {name}: rows {len(g_rows)} vs {len(w_rows)}")
-            n_fail += 1
-            continue
-        bad = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
-        if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(g_rows)} row mismatches; first:")
-            print("  spark:", bad[0][0])
-            print("  duck :", bad[0][1])
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(g_rows)} rows)")
-            n_pass += 1
-        con.close()
+            try:
+                gq = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+                g_cols0 = [d[0] for d in gq.description]
+                got = gq.fetchall()
+                wq = con.execute(oracle[name])
+                w_cols0 = [d[0] for d in wq.description]
+                want = wq.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: {e}")
+                n_fail += 1
+                continue
+            g_rows, g_cols = canon(got, g_cols0)
+            w_rows, w_cols = canon(want, w_cols0)
+            if g_cols != w_cols:
+                print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
+                n_fail += 1
+                continue
+            if len(g_rows) != len(w_rows):
+                print(f"FAIL {name}: rows {len(g_rows)} vs {len(w_rows)}")
+                n_fail += 1
+                continue
+            bad = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
+            if bad:
+                print(f"FAIL {name}: {len(bad)}/{len(g_rows)} row mismatches; first:")
+                print("  spark:", bad[0][0])
+                print("  duck :", bad[0][1])
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(g_rows)} rows)")
+                n_pass += 1
+        finally:
+            con.close()
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
