@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Sampling, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.plans.VectorExpressions.cosineFast
 import Queries.Q
@@ -130,6 +130,42 @@ object Queries7 {
       SELECT vec_id, mn, mx, array_to_string(q, ',') AS q_str, max_abs_err,
         max_abs_err <= (mx - mn) / 510 * 1.000001 AS within_bound
       FROM r"""))
+
+  /** Incremental ingest dedup (continual pretraining): a NEW batch
+    * (doc_id >= 400 stands in for today's crawl) is admitted only
+    * where its content fingerprint appears in neither the ingested
+    * corpus (doc_id < 400) nor earlier in the batch itself —
+    * batch-vs-corpus LEFT ANTI on the fingerprint, then first-wins
+    * within the batch. The anti-join shuffles only fingerprints
+    * (8 bytes/doc), never text; the streaming twin
+    * (StreamingDedup) handles the at-ingest form, this is the
+    * batch-vs-store form.
+    */
+  val dd_incremental = Q(
+    (s, dir) => {
+      val docs = T_(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.fingerprint(col("text")).as("fp"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      Dedup.exactBy(batch, col("fp"), "doc_id")
+        .join(corpus.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+            c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+      batch AS (SELECT doc_id, source, fp,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+        FROM f WHERE doc_id >= 400)
+      SELECT doc_id, source FROM batch
+      WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+      ORDER BY doc_id"""))
 
   /** Within-document repetition score (the Gopher/C4-style repetition
     * filter): 1 − distinct/total word-3-grams — boilerplate and
@@ -287,6 +323,7 @@ object Queries7 {
     "samp_token_budget" -> samp_token_budget,
     "samp_token_budget_large" -> samp_token_budget_large,
     "vec_quantize_int8" -> vec_quantize_int8,
+    "dd_incremental" -> dd_incremental,
     "txt_repetition" -> txt_repetition,
     "txt_contamination" -> txt_contamination,
     "mm_chunk_audio" -> mm_chunk_audio,

@@ -47,10 +47,17 @@ object Dedup {
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    // argmin aggregate on the content hash: duplicate groups collapse
-    // map-side and the one shuffle carries survivors only, where the
-    // rank-1 window form sort-shuffled the whole corpus
-    val best = docs.groupBy(sha2(norm, 256).as("__h"))
+    exactBy(docs, sha2(norm, 256), idCol)
+  }
+
+  /** First-wins dedup by an ARBITRARY key expression (a fingerprint
+    * column, a URL, a composite): keep the lowest-`idCol` row per key.
+    * Argmin aggregate — duplicate groups collapse map-side and the one
+    * shuffle carries survivors only, where the rank-1 window form
+    * sort-shuffled the whole input.
+    */
+  def exactBy(docs: DataFrame, key: Column, idCol: String): DataFrame = {
+    val best = docs.groupBy(key.as("__h"))
       .agg(min_by(struct(docs.columns.map(col).toIndexedSeq: _*),
         col(idCol)).as("__best"))
     best.select(docs.columns.map(c =>
