@@ -131,6 +131,34 @@ object Queries7 {
         max_abs_err <= (mx - mn) / 510 * 1.000001 AS within_bound
       FROM r"""))
 
+  /** Mixture solver: the per-language keep rates that turn the
+    * observed corpus into a 40% en / 15% each de-es-fr-zh mixture by
+    * downsampling only — the table [[samp_stratified]]'s rate map
+    * comes from. The scarcest language relative to its target keeps
+    * 100%.
+    */
+  val samp_mixture_rates = Q(
+    (s, dir) => Sampling.mixtureRates(T_(s, dir, "documents"), col("lang"),
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+      .select(col("stratum"), col("n_rows"), col("target_share"),
+        col("keep_rate"), col("keep_bp"))
+      .orderBy(col("stratum")),
+    Some("""WITH c AS (SELECT lang AS stratum, count(*) AS n_rows
+        FROM documents GROUP BY lang),
+      t AS (SELECT stratum, n_rows,
+          CASE stratum WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15
+               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15
+          END AS target_share
+        FROM c),
+      n AS (SELECT min(CAST(n_rows AS DOUBLE) / target_share) AS nv
+        FROM t WHERE target_share IS NOT NULL)
+      SELECT stratum, n_rows, CAST(target_share AS DOUBLE) AS target_share,
+        coalesce(CAST(target_share AS DOUBLE) * nv / n_rows, 0.0) AS keep_rate,
+        CAST(floor(coalesce(CAST(target_share AS DOUBLE) * nv / n_rows, 0.0)
+          * 10000) AS INTEGER) AS keep_bp
+      FROM t, n
+      ORDER BY stratum"""))
+
   /** Incremental ingest dedup (continual pretraining): a NEW batch
     * (doc_id >= 400 stands in for today's crawl) is admitted only
     * where its content fingerprint appears in neither the ingested
@@ -322,6 +350,7 @@ object Queries7 {
     "samp_capped_per_source" -> samp_capped_per_source,
     "samp_token_budget" -> samp_token_budget,
     "samp_token_budget_large" -> samp_token_budget_large,
+    "samp_mixture_rates" -> samp_mixture_rates,
     "vec_quantize_int8" -> vec_quantize_int8,
     "dd_incremental" -> dd_incremental,
     "txt_repetition" -> txt_repetition,

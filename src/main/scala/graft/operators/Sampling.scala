@@ -42,6 +42,36 @@ object Sampling {
     df.filter(detHash(id) % 10000L < rate)
   }
 
+  /** Solve for the per-stratum keep rates that achieve a TARGET
+    * mixture (the step that produces [[stratifiedBp]]'s rate map):
+    * with observed counts n_s and target shares t_s, the largest
+    * downsample-only corpus with mixture t is N = min_s(n_s / t_s)
+    * total rows, i.e. keep_rate_s = t_s * N / n_s (the scarcest
+    * stratum relative to its target keeps everything). One aggregate
+    * over the corpus + arithmetic on the tiny per-stratum table —
+    * shares not covered by `targetShares` get rate 0. Returns
+    * (stratum, n_rows, target_share, keep_rate, keep_bp) where
+    * keep_bp = floor(rate * 10000) feeds [[stratifiedBp]] directly.
+    */
+  def mixtureRates(df: DataFrame, stratum: Column,
+                   targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.values.forall(t => t > 0.0),
+      "target shares must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+    val share = element_at(typedLit(targetShares), col("stratum").cast("string"))
+    val withShare = counts.withColumn("target_share", share)
+    // N = min over covered strata of n_s / t_s (global aggregate on a
+    // strata-sized frame; cross-joined back as a 1-row literal frame)
+    val n = withShare.filter(col("target_share").isNotNull)
+      .agg(min(col("n_rows").cast("double") / col("target_share")).as("__N"))
+    withShare.crossJoin(broadcast(n))
+      .withColumn("keep_rate",
+        coalesce(col("target_share") * col("__N") / col("n_rows"), lit(0.0)))
+      .withColumn("keep_bp", floor(col("keep_rate") * 10000.0).cast("int"))
+      .drop("__N")
+  }
+
   /** Keep at most `cap` rows per group, chosen deterministically by
     * (detHash(id), id) order. Two-phase like a distributed top-k: a
     * partition-local rank first bounds the candidates to
