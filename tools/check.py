@@ -41,8 +41,11 @@ def main():
 
     def connect():
         # fresh connection per query: one long-lived in-memory DuckDB
-        # accumulated state across ~80 heavy queries and segfaulted
-        con = duckdb.connect()
+        # accumulated state across ~80 heavy queries and segfaulted.
+        # Bound threads/memory per instance: 90 serial instances each
+        # defaulting to all cores + most of RAM occasionally crash
+        # native teardown (observed ~1-in-3 full runs on duckdb 1.0.0)
+        con = duckdb.connect(config={"threads": 8, "memory_limit": "8GB"})
         for t in TABLES:
             p = Path(sf_dir, f"{t}.parquet")
             if p.exists():
