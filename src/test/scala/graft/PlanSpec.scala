@@ -136,4 +136,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("vec_quantize_int8")
     assert(!p.contains("Exchange"), "quantization is per-row; no shuffle:\n" + p)
   }
+
+  test("distributed-prefix-sum budget broadcasts the offset table; windows stay per-partition") {
+    val p = plan("samp_token_budget_large")
+    assert(p.contains("BroadcastHashJoin"), "offset table must broadcast:\n" + p)
+    // the running-sum window partitions on (stratum, __pid) — the
+    // MATERIALIZED partition-id column (spark_partition_id itself sits
+    // behind the checkpoint) — never a whole-stratum single reducer
+    assert(p.contains("__pid"), p)
+  }
 }

@@ -105,4 +105,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.count() > 0)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("mixtureRates: scarcest stratum keeps all; achieved mixture hits the target") {
+    val rates = Sampling.mixtureRates(docs, $"lang",
+      Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // corpus: en 500, de 500, zh 1000 -> N = min(500/0.5, 500/0.3, 1000/0.2) = 1000
+    // kept: en 500 (rate 1.0, the binding stratum), de 300, zh 200
+    assert(rates("en")._2 == 1.0)
+    assert(math.abs(rates("de")._2 - 300.0 / 500.0) < 1e-12)
+    assert(math.abs(rates("zh")._2 - 200.0 / 1000.0) < 1e-12)
+    // achieved mixture = targets exactly
+    val kept = rates.map { case (l, (n, r)) => l -> n * r }
+    val total = kept.values.sum
+    assert(math.abs(kept("en") / total - 0.5) < 1e-12)
+    assert(math.abs(kept("de") / total - 0.3) < 1e-12)
+  }
+
+  test("mixtureRates: strata without a target share get rate 0") {
+    val rates = Sampling.mixtureRates(docs, $"lang", Map("en" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rates("en") == 1.0)
+    assert(rates("de") == 0.0 && rates("zh") == 0.0)
+  }
 }
