@@ -342,4 +342,45 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(first("cos").as("cos"))
   }
+
+  /** Sub-document (span-level) duplication profile: chop each document
+    * into non-overlapping `span`-word chunks and measure, per document,
+    * what fraction of its chunks also appear verbatim in at least one
+    * OTHER document. The RefinedWeb/Dolma-style signal for boilerplate
+    * (headers, license blocks, navigation) that document-level dedup
+    * cannot see — a curation pass drops or trims documents above a
+    * duplicated-span threshold. Returns
+    * (doc_id, n_spans, dup_spans, dup_frac); documents shorter than
+    * one span are excluded (no chunks to profile).
+    *
+    * Scale design: the explode is bounded at rows x words/span (span
+    * chunks, not sliding shingles — 1/span of the shingle blowup); the
+    * cross-corpus count is `count_distinct(doc)` per span — a
+    * partial-aggregating shuffle keyed by span text, with the hot
+    * boilerplate spans exactly the keys AQE skew handling splits; the
+    * rejoin carries only spans seen in >= 2 documents.
+    */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+                   span: Int = 8): DataFrame = {
+    require(span > 0, "span must be positive")
+    val spans = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .withColumn("ns", expr(s"size(ws) div $span"))
+      .filter(col("ns") >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ns - 1), i -> concat_ws(' ', slice(ws, i * $span + 1, $span)))"))
+        .as("span"))
+    val dup = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span"), lit(true).as("is_dup"))
+    spans.join(dup, Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        count(col("is_dup")).cast("int").as("dup_spans"))
+      .withColumn("dup_frac",
+        col("dup_spans").cast("double") / col("n_spans"))
+  }
 }

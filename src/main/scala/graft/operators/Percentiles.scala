@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact distributed percentiles via value-frequency compression.
+  *
+  * A naive exact percentile sorts every row of a group on one
+  * reducer — the group IS the bottleneck at 100 TB. But measurement
+  * columns (quantities, grades, sensor readings — the reference's
+  * lab values are a handful of assay levels) have value cardinality
+  * orders of magnitude below row count, so the scalable exact plan is:
+  * aggregate to (group, value, count) — a map-side-combining shuffle
+  * that compresses 10^12 rows to |group|x|distinct values| — then
+  * cumulative-sum the tiny frequency table and pick the target rank.
+  * The expensive pass is a plain hash aggregate; only the compressed
+  * table ever meets a window.
+  */
+object Percentiles {
+
+  /** Discrete (type-1 / nearest-rank) percentiles per group: for each
+    * percentile `p` (basis points, 0..10000), the smallest value whose
+    * cumulative frequency reaches `ceil(p/10000 * n)` — the same
+    * element `percentile_disc` / DuckDB `quantile_disc` selects, but
+    * computed from the frequency table so no full-group sort exists
+    * anywhere in the plan. The rank arithmetic is pure integer
+    * (`(p*n + 9999) div 10000`), so it replays bit-for-bit in any
+    * engine. Returns (group, pct_bp, value).
+    */
+  def quantilesDisc(df: DataFrame, group: Column, value: Column,
+                    pctsBp: Seq[Int]): DataFrame = {
+    require(pctsBp.nonEmpty && pctsBp.forall(p => p > 0 && p <= 10000),
+      "percentiles must be basis points in (0, 10000]")
+    val freq = df.groupBy(group.as("g"), value.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .withColumn("pct_bp", explode(typedLit(pctsBp)))
+      // smallest v with cum >= ceil(pct/10000 * tot), in exact ints
+      .filter(col("cum") >= expr("(cast(pct_bp as bigint) * tot + 9999) div 10000"))
+      .groupBy(col("g"), col("pct_bp"))
+      .agg(min(col("v")).as("value"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch time-series operators: gap-based sessionization and
+  * date-spine gap filling.
+  *
+  * The reference processes per-station daily series with explicit
+  * date windows (main_graph_topraq.py:79-80) and its weather roll-up
+  * assumes a dense day axis; these operators make the dense-axis
+  * assumption explicit (gap fill) and generalize the event grouping
+  * a sessionized activity feed needs. The streaming counterpart is
+  * [[graft.streaming.Sessionize]] — same semantics, unbounded input.
+  *
+  * Scale design: both operators are a single hash shuffle on the
+  * entity key. Per-entity state (one user's events, one user's day
+  * span) is bounded and independent, so a 1000-executor cluster
+  * processes entities embarrassingly parallel; there is no global
+  * window and no driver-side loop.
+  */
+object TimeSeries {
+
+  /** Assign a gap-based session index per key: a new session starts
+    * when the time since the previous event exceeds `gapSeconds`.
+    * Returns the input plus `session_idx` (1-based, per key, in
+    * `ord` order). `ord` must start with the event timestamp and end
+    * with a unique tiebreak so the assignment is total-order
+    * deterministic.
+    *
+    * One window partition per key — a single shuffle on `key`; the
+    * lag and the running boundary sum evaluate in the same sort.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column,
+                 gapSeconds: Long, ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(ts, 1).over(w)
+    val boundary = when(prev.isNull ||
+      unix_micros(ts) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_idx", sum(boundary).over(wRun))
+  }
+
+  /** Fill a per-key daily series to a dense day axis and forward-fill
+    * the value: for each key, generate every day between its first
+    * and last observed day, left-join the observed values, and carry
+    * the last non-null value forward. Days before the first
+    * observation stay null (nothing to carry). Returns
+    * (key, day, value_filled, is_gap).
+    *
+    * `df` must be (key, day, value) with one row per (key, day).
+    *
+    * The spine explode is bounded by each key's own span (not the
+    * global calendar), the join key (key, day) matches the spine's
+    * natural distribution, and the forward fill is ONE window
+    * partitioned by key — `last(ignoreNulls)` in the same sort that
+    * the session window would use, so the whole operator is a single
+    * shuffle on `key` after the daily aggregate.
+    */
+  def gapFillDaily(df: DataFrame, keyName: String, dayName: String,
+                   valueName: String): DataFrame = {
+    val spine = df.groupBy(col(keyName))
+      .agg(min(col(dayName)).as("__mn"), max(col(dayName)).as("__mx"))
+      .select(col(keyName), explode(sequence(col("__mn"), col("__mx"))).as(dayName))
+    val w = Window.partitionBy(col(keyName)).orderBy(col(dayName).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df, Seq(keyName, dayName), "left")
+      .withColumn("value_filled", last(col(valueName), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col(valueName).isNull)
+      .drop(valueName)
+  }
+}

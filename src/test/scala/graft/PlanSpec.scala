@@ -145,4 +145,33 @@ class PlanSpec extends AnyFunSuite {
     // behind the checkpoint) — never a whole-stratum single reducer
     assert(p.contains("__pid"), p)
   }
+
+  test("exact percentiles window the frequency table, never a sorted fact table") {
+    // the scale claim of Percentiles.quantilesDisc: the only operator
+    // touching raw lineitem rows is a hash aggregate; every Window
+    // (cum/tot) sits ABOVE that aggregate. A full-group sort-based
+    // percentile would show a Window whose subtree reaches the scan
+    // with no aggregate in between.
+    val p = plan("a_quantile_disc")
+    val wi = p.lastIndexOf("Window")
+    assert(wi >= 0, p)
+    val below = p.substring(wi)
+    val agg = below.indexOf("HashAggregate")
+    val scan = below.indexOf("parquet")
+    assert(agg >= 0 && scan > agg,
+      "bottom-most Window must read the (group, value, count) aggregate:\n" + p)
+  }
+
+  test("sessionization and packing are one shuffle on their stream key") {
+    // sessionize: the session aggregate's (user_id, session_idx)
+    // clustering is satisfied by the window's hash(user_id) exchange
+    // (subset clustering), so the whole query is a single shuffle
+    val sess = SparkEntry.queries("w_sessionize")(spark, dir)
+    assert(shuffleCount(sess) == 1,
+      sess.queryExecution.executedPlan.toString)
+    // packing: one window partition per stratum — one exchange on lang
+    val pack = SparkEntry.queries("pack_sequence")(spark, dir)
+    assert(shuffleCount(pack) == 1,
+      pack.queryExecution.executedPlan.toString)
+  }
 }
