@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Checksum, Percentiles, SnapshotDiff, Upsert}
+import Queries.Q
+
+/** Batch 9: lake-operations breadth — keyed snapshot diff (CDC
+  * between two runs of a MERGE pipeline), order-independent table
+  * content checksums (cross-engine ingest validation), interpolated
+  * continuous percentiles, and percentile-clipped (winsorized)
+  * aggregates. Every query replays bit-for-bit in the DuckDB oracle.
+  */
+object Queries9 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  /** The poly31 row fingerprint as DuckDB SQL (same family/constants
+    * as plans.TextExpressions.fingerprintFast — proven replayable by
+    * `txt_fingerprint`). */
+  private def fpSql(expr: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split($expr, ''), c -> CAST(ord(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 2147483647)"""
+
+  /** CDC between two snapshot states of the keyed event feed: the
+    * latest row per (user, type) as of day 21 vs the latest over the
+    * day-8+ window, full-outer diffed into added/removed/changed with
+    * both sides' values. Each snapshot is the argmax AGGREGATE
+    * (`Upsert.dedupByKey` — partial max_by, no rank window), and the
+    * diff join reuses their (user, type) hash partitioning — no extra
+    * exchange beyond the two snapshot shuffles.
+    */
+  val s9_snapshot_diff = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+      def snap(f: org.apache.spark.sql.Column) = Upsert.dedupByKey(
+        ev.filter(f), Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      SnapshotDiff.diff(
+        snap(col("ts") < lit("2024-01-21").cast("timestamp")),
+        snap(col("ts") >= lit("2024-01-08").cast("timestamp")),
+        keys = Seq("user_id", "event_type"),
+        cols = Seq("event_id", "value"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_type,
+        event_id AS old_event_id, value AS old_value, TRUE AS op
+      FROM events WHERE ts < TIMESTAMP '2024-01-21'
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1),
+      n AS (SELECT user_id, event_type,
+        event_id AS new_event_id, value AS new_value, TRUE AS np
+      FROM events WHERE ts >= TIMESTAMP '2024-01-08'
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1),
+      j AS (SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        COALESCE(o.event_type, n.event_type) AS event_type,
+        old_event_id, old_value, new_event_id, new_value,
+        CASE WHEN op IS NULL THEN 'added'
+             WHEN np IS NULL THEN 'removed'
+             WHEN old_event_id IS DISTINCT FROM new_event_id
+               OR old_value IS DISTINCT FROM new_value THEN 'changed'
+             ELSE 'unchanged' END AS change
+      FROM o FULL JOIN n
+        ON o.user_id = n.user_id AND o.event_type = n.event_type)
+      SELECT user_id, event_type, old_event_id, old_value,
+        new_event_id, new_value, change
+      FROM j WHERE change <> 'unchanged'"""))
+
+  /** Order-independent content checksums for the four mutable-ingest
+    * tables — the cross-engine anti-entropy audit (source system vs
+    * lake copy agree iff the canonical row multisets agree). Floats
+    * are canonicalized to scaled integers and timestamps to epoch
+    * micros BEFORE concatenation (float formatting is not
+    * engine-portable; integer strings are). The poly31 sum stays
+    * below 2^63 up to ~4e9 rows per table; beyond that widen the
+    * accumulator to decimal(38,0).
+    */
+  val s10_table_checksum = Q(
+    (s, dir) => Seq(
+      Checksum.tableChecksum(T_(s, dir, "customer"), "customer", Seq(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        expr("cast(floor(c_acctbal * 100) as bigint)"), col("c_mktsegment"))),
+      Checksum.tableChecksum(T_(s, dir, "orders"), "orders", Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("cast(floor(o_totalprice * 100) as bigint)"),
+        // parquet timestamp[ms] reads as TIMESTAMP_NTZ; the session is
+        // UTC so the cast is instant-preserving and epoch_us-parity
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderpriority"))),
+      Checksum.tableChecksum(T_(s, dir, "lineitem"), "lineitem", Seq(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        expr("cast(floor(l_quantity) as bigint)"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)"),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")))),
+      Checksum.tableChecksum(T_(s, dir, "events"), "events", Seq(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")), expr("cast(floor(value * 1000) as bigint)")))
+    ).reduce(_ unionByName _),
+    Some(s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
+        CAST(SUM(${fpSql("s")}) AS BIGINT) AS checksum
+      FROM (SELECT concat_ws('|', c_custkey, c_name, c_nationkey,
+        CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment) AS s FROM customer)
+      UNION ALL
+      SELECT 'orders', count(*), CAST(SUM(${fpSql("s")}) AS BIGINT)
+      FROM (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        CAST(floor(o_totalprice * 100) AS BIGINT), epoch_us(o_orderdate),
+        o_orderpriority) AS s FROM orders)
+      UNION ALL
+      SELECT 'lineitem', count(*), CAST(SUM(${fpSql("s")}) AS BIGINT)
+      FROM (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST(floor(l_quantity) AS BIGINT),
+        CAST(floor(l_extendedprice * 100) AS BIGINT),
+        l_returnflag, l_linestatus, epoch_us(l_shipdate)) AS s FROM lineitem)
+      UNION ALL
+      SELECT 'events', count(*), CAST(SUM(${fpSql("s")}) AS BIGINT)
+      FROM (SELECT concat_ws('|', event_id, user_id, event_type,
+        epoch_us(ts), CAST(floor(value * 1000) AS BIGINT)) AS s FROM events)"""))
+
+  /** Interpolated (percentile_cont-style) quantiles of line quantity
+    * per return flag, from the frequency table — interpolation weights
+    * carried as exact integers, one float expression at the end
+    * written identically in both engines.
+    */
+  val a_quantile_cont = Q(
+    (s, dir) => Percentiles.quantilesCont(T_(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), Seq(2500, 5000, 9750))
+      .select(col("g").as("l_returnflag"), col("pct_bp"), col("value")),
+    Some("""WITH f AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+        count(*) AS c FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT g, v,
+        sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY g) AS tot FROM f),
+      p AS (SELECT unnest([2500, 5000, 9750]) AS pct_bp),
+      t AS (SELECT g, v, cum, tot, pct_bp,
+        CAST(pct_bp AS BIGINT) * (tot - 1) AS h10k FROM cum, p),
+      r AS (SELECT g, pct_bp,
+        min(CASE WHEN cum >= h10k // 10000 + 1 THEN v END) AS a,
+        min(CASE WHEN cum >= least(h10k // 10000 + 2, tot) THEN v END) AS b,
+        CAST(max(h10k % 10000) AS BIGINT) AS m
+      FROM t GROUP BY 1, 2)
+      SELECT g AS l_returnflag, pct_bp, a + (m / 10000.0) * (b - a) AS value
+      FROM r"""))
+
+  /** Winsorized revenue per return flag: clip extended price at the
+    * per-flag p99 dollar bucket (exact frequency-table percentile over
+    * `floor(price)` — the bucketing is what keeps the value domain
+    * compressible at scale), then a decimal-exact clipped mean. The
+    * 3-row threshold table broadcasts back onto the fact scan.
+    */
+  val a_winsorize = Q(
+    (s, dir) => {
+      val li = T_(s, dir, "lineitem")
+      val thr = Percentiles.quantilesDisc(li, col("l_returnflag"),
+          expr("cast(floor(l_extendedprice) as bigint)"), Seq(9900))
+        .select(col("g"), col("value").cast("double").as("thr"))
+      li.join(broadcast(thr), col("l_returnflag") === col("g"))
+        .withColumn("clipped", least(col("l_extendedprice"), col("thr")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("int").as("n_rows"),
+          sum(when(col("l_extendedprice") > col("thr"), 1).otherwise(0))
+            .cast("int").as("n_clipped"),
+          (sum(col("clipped").cast("decimal(27,8)")).cast("double") /
+            count(lit(1))).cast("double").as("win_mean"))
+    },
+    Some("""WITH f AS (SELECT l_returnflag AS g,
+        CAST(floor(l_extendedprice) AS BIGINT) AS v, count(*) AS c
+      FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT g, v,
+        sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY g) AS tot FROM f),
+      thr AS (SELECT g, CAST(min(v) AS DOUBLE) AS thr FROM cum
+        WHERE cum >= (9900 * tot + 9999) // 10000 GROUP BY g)
+      SELECT l_returnflag, CAST(count(*) AS INTEGER) AS n_rows,
+        CAST(sum(CASE WHEN l_extendedprice > thr THEN 1 ELSE 0 END) AS INTEGER)
+          AS n_clipped,
+        CAST(CAST(SUM(CAST(least(l_extendedprice, thr) AS DECIMAL(27,8)))
+          AS DOUBLE) / COUNT(*) AS DOUBLE) AS win_mean
+      FROM lineitem JOIN thr ON l_returnflag = thr.g
+      GROUP BY l_returnflag"""))
+
+  val all: Map[String, Q] = Map(
+    "s9_snapshot_diff" -> s9_snapshot_diff,
+    "s10_table_checksum" -> s10_table_checksum,
+    "a_quantile_cont" -> a_quantile_cont,
+    "a_winsorize" -> a_winsorize,
+  )
+}

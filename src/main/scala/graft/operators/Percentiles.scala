@@ -46,4 +46,39 @@ object Percentiles {
       .groupBy(col("g"), col("pct_bp"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** Continuous (linearly interpolated, `percentile_cont`-style)
+    * percentiles from the same frequency table. The interpolation
+    * position `h = (n-1) * p` is carried as the exact integer
+    * `h * 10000` (`p` arrives in basis points), so the lower/upper
+    * neighbor ranks and the fractional weight replay bit-for-bit; the
+    * final `a + (m/10000) * (b - a)` is the one float expression, and
+    * it is written identically in the SQL oracle so both engines round
+    * the same way. Same scale shape as [[quantilesDisc]]: the fact
+    * table only ever meets a hash aggregate.
+    */
+  def quantilesCont(df: DataFrame, group: Column, value: Column,
+                    pctsBp: Seq[Int]): DataFrame = {
+    require(pctsBp.nonEmpty && pctsBp.forall(p => p >= 0 && p <= 10000),
+      "percentiles must be basis points in [0, 10000]")
+    val freq = df.groupBy(group.as("g"), value.cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .withColumn("pct_bp", explode(typedLit(pctsBp)))
+      .withColumn("h10k", expr("cast(pct_bp as bigint) * (tot - 1)"))
+      .withColumn("r1", expr("h10k div 10000 + 1"))
+      .withColumn("r2", least(expr("h10k div 10000 + 2"), col("tot")))
+      .groupBy(col("g"), col("pct_bp"))
+      .agg(min(when(col("cum") >= col("r1"), col("v"))).as("a"),
+        min(when(col("cum") >= col("r2"), col("v"))).as("b"),
+        max(expr("h10k % 10000")).as("m"))
+      .withColumn("value",
+        col("a") + (col("m") / lit(10000.0)) * (col("b") - col("a")))
+      .drop("a", "b", "m")
+  }
 }
