@@ -56,14 +56,16 @@ object Orchestrator {
   val stageRegistry: Seq[(String, String, Seq[String])] = Seq(
     ("constraints", "uniqueness + referential integrity", Seq("s6_")),
     ("ingest", "scans, projections, upserts, layout, bad records",
-      Seq("s2_", "s3_", "s7_", "s8_", "p")),
+      Seq("s2_", "s3_", "s7_", "s8_", "s11_", "p")),
     ("joins", "dim/as-of/semi joins", Seq("j")),
     ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
     ("functions", "scalar parse/convert suites", Seq("f", "o", "w_", "set_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis", Seq("txt_")),
     ("dedup", "deduplication family", Seq("dd_")),
-    ("sampling", "deterministic corpus sampling", Seq("samp_")),
+    ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
+    ("timeseries", "sessionization + gap fill", Seq("ts_")),
+    ("lake_ops", "snapshot diff + content checksums", Seq("s9_", "s10_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))

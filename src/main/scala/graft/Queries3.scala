@@ -618,6 +618,37 @@ object Queries3 {
       SELECT id, comp FROM c$ccIters"""
     })
 
+  private val bfsIters = 4
+
+  /** Multi-source BFS from the hierarchy roots: hop distance of every
+    * vertex from its region, along the REVERSED edge set
+    * (region→nation→customer→order). Radius is 3 (order is the leaf),
+    * so 4 iterations carry a convergence margin; the oracle replays
+    * the same unrolled min-propagation.
+    */
+  val g_shortest_path = Q(
+    (s, dir) => GraphOps.shortestPaths(
+        edgesDf(s, dir).select(col("dst").as("src"), col("src").as("dst")),
+        T_(s, dir, "nation")
+          .select(col("n_regionkey").cast("long").as("id")).distinct(),
+        bfsIters),
+    Some {
+      val iters = (1 to bfsIters).map { t =>
+        s"""d$t AS (SELECT h.dst AS id, CAST(min(d.dist + h.w) AS BIGINT) AS dist
+           FROM hop h JOIN d${t - 1} d ON h.src = d.id GROUP BY h.dst)"""
+      }.mkString(",\n      ")
+      s"""WITH $edgesSql,
+      rev AS (SELECT dst AS src, src AS dst FROM edges),
+      verts AS (SELECT DISTINCT src AS id FROM
+        (SELECT src FROM rev UNION ALL SELECT dst FROM rev)),
+      hop AS (SELECT src, dst, 1 AS w FROM rev
+        UNION ALL SELECT id, id, 0 FROM verts),
+      d0 AS (SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS id,
+        CAST(0 AS BIGINT) AS dist FROM nation),
+      $iters
+      SELECT v.id, d.dist FROM verts v LEFT JOIN d$bfsIters d ON v.id = d.id"""
+    })
+
   // ===========================================================
   // Multimodal + streaming
   // ===========================================================
@@ -757,6 +788,7 @@ object Queries3 {
     "g_degree" -> g_degree,
     "g_motif_pairs" -> g_motif_pairs,
     "g_pagerank" -> g_pagerank,
+    "g_shortest_path" -> g_shortest_path,
     "g_connected_components" -> g_connected_components,
     "mm_decode_features" -> mm_decode_features,
     "mm_resize" -> mm_resize,

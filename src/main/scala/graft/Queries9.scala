@@ -185,10 +185,55 @@ object Queries9 {
       FROM lineitem JOIN thr ON l_returnflag = thr.g
       GROUP BY l_returnflag"""))
 
+  /** Partition-pruned lake layout: write the event feed
+    * date-partitioned (the layout a 100 TB event lake actually uses),
+    * then aggregate ONE day — the read must plan with PartitionFilters
+    * so only that day's directory is scanned (asserted in PlanSpec).
+    * The oracle recomputes the same day from the unpartitioned source.
+    */
+  val s11_partition_prune = Q(
+    (s, dir) => {
+      val base = "/tmp/graft_partitioned/events_by_day"
+      T_(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+      s.read.parquet(base)
+        .filter(col("day") === lit("2024-01-15").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,8)")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      GROUP BY 1"""),
+    bench = false)
+
+  /** PII-style masking: redact every digit run in the raw props
+    * payload and count the masked characters — the anonymization pass
+    * a curation pipeline runs before sharing. One codegen'd
+    * projection, no shuffle; the regex is dialect-portable and the
+    * count is length arithmetic (no engine-specific match counters).
+    */
+  val txt_pii_mask = Q(
+    (s, dir) => T_(s, dir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("int").as("n_digits")),
+    Some("""SELECT event_id,
+        regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+        CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+          AS INTEGER) AS n_digits
+      FROM events"""))
+
   val all: Map[String, Q] = Map(
     "s9_snapshot_diff" -> s9_snapshot_diff,
     "s10_table_checksum" -> s10_table_checksum,
     "a_quantile_cont" -> a_quantile_cont,
     "a_winsorize" -> a_winsorize,
+    "s11_partition_prune" -> s11_partition_prune,
+    "txt_pii_mask" -> txt_pii_mask,
   )
 }

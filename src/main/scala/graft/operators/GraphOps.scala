@@ -127,6 +127,36 @@ object GraphOps {
     comp
   }
 
+  /** Multi-source BFS / unit-weight shortest paths along edge
+    * direction: dist(v) = hops from the nearest source, null if
+    * unreachable within `iterations`. Same Pregel shape and the same
+    * plan discipline as [[connectedComponents]]: zero-weight
+    * self-loops make the recurrence `min over in-edges ∪ self`, so
+    * the frontier frame is referenced once per iteration, the plan
+    * grows linearly, and the only shuffle per iteration is the
+    * min-aggregate (the join is exchange-free against the
+    * src-partitioned hop relation). `iterations` must be >= the
+    * radius of interest; unreached vertices surface as null, not a
+    * sentinel, so truncation is visible to the caller.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, iterations: Int,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(edges)
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val hop = scope.checkpoint(e.select(col("src"), col("dst"), lit(1L).as("w"))
+      .union(vertices.select(col("id").as("src"), col("id").as("dst"),
+        lit(0L).as("w")))
+      .repartition(col("src")))
+    var dist = sources.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to iterations) {
+      dist = hop.join(dist, hop("src") === dist("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+    }
+    vertices.join(dist, Seq("id"), "left").select(col("id"), col("dist"))
+  }
+
   /** Convergence-safe connected components: same min-label propagation
     * as [[connectedComponents]], iterated until NO label changed in a
     * round (checked with a limit-1 emptiness probe, not a full count)

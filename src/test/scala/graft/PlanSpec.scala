@@ -162,6 +162,13 @@ class PlanSpec extends AnyFunSuite {
       "bottom-most Window must read the (group, value, count) aggregate:\n" + p)
   }
 
+  test("date-partitioned layout prunes to one partition directory") {
+    val p = plan("s11_partition_prune")
+    assert(p.contains("PartitionFilters:"), p)
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+      "day filter must be a partition filter, not a data filter:\n" + p)
+  }
+
   test("sessionization and packing are one shuffle on their stream key") {
     // sessionize: the session aggregate's (user_id, session_idx)
     // clustering is satisfied by the window's hash(user_id) exchange

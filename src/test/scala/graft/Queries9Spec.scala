@@ -50,6 +50,20 @@ class Queries9Spec extends AnyFunSuite {
     assert(qt(5000) == 1.0) // h=1.5, both neighbors are 1.0
   }
 
+  test("shortestPaths: multi-source BFS distances with unreachable as null") {
+    //  1 -> 2 -> 3 -> 4   and isolated pair 10 -> 11; sources {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val sources = Seq(1L, 10L).toDF("id")
+    val out = graft.operators.GraphOps.shortestPaths(edges, sources, iterations = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 10L -> Some(0L), 11L -> Some(1L)))
+    // truncated horizon leaves the far vertex null, not wrong
+    val short = graft.operators.GraphOps.shortestPaths(edges, sources, iterations = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(short(4L).isEmpty)
+  }
+
   test("table checksum is order/partitioning-independent and content-sensitive") {
     val base = (1L to 500L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
     def sum(df: org.apache.spark.sql.DataFrame) =
