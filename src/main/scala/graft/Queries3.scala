@@ -499,6 +499,61 @@ object Queries3 {
             FROM scored)
       WHERE rank <= 10"""))
 
+  /** SemDeDup-style semantic dedup audit: near-dup pairs generated
+    * WITHIN the k-means cells the search index already maintains
+    * (same seeded 2-round Lloyd machinery as `vec_ivf_ann`), rolled
+    * up to per-cell curation stats — vectors, near-dup pairs, and
+    * how many vectors greedy drop-the-higher-id would remove. The
+    * oracle replays the full k-means + pairing chain in SQL.
+    */
+  val dd_semantic = Q(
+    (s, dir) => {
+      val emb = T_(s, dir, "embeddings")
+      val (indexed, _) =
+        Similarity.ivfKMeans(emb, "embedding", "vec_id", nCells = 16, iters = 2)
+      val pairs = Dedup.semanticNearDup(indexed, threshold = 0.95)
+      indexed.groupBy(col("cell"))
+        .agg(count(lit(1)).cast("int").as("n_vectors"))
+        .join(pairs.groupBy(col("cell"))
+          .agg(count(lit(1)).cast("int").as("n_pairs"),
+            countDistinct(col("id_b")).cast("int").as("n_dropped")),
+          Seq("cell"), "left")
+        .select(col("cell"), col("n_vectors"),
+          coalesce(col("n_pairs"), lit(0)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0)).as("n_dropped"))
+    },
+    Some(s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      cent0 AS (
+        SELECT id AS cell,
+          [CAST(v[i] AS DOUBLE) FOR i IN range(1, len(v) + 1)] AS cv
+        FROM c
+        QUALIFY row_number() OVER (ORDER BY
+          (CAST(id AS BIGINT) % 94906249) * 1103515245 % 2147483647 ASC,
+          id ASC) <= 16),
+      ${lloydRoundSql(1, "cent0")},
+      ${lloydRoundSql(2, "cent1")},
+      assigned AS (
+        SELECT id, v, cell FROM (
+          SELECT c.id, c.v, cent2.cell,
+            row_number() OVER (PARTITION BY c.id
+              ORDER BY ${cosineSql("v", "cv")} DESC NULLS LAST, cent2.cell ASC) AS rn
+          FROM c, cent2) WHERE rn = 1),
+      pairs AS (SELECT * FROM (
+          SELECT a.cell, a.id AS id_a, b.id AS id_b,
+            ${cosineSql("a.v", "b.v")} AS cos
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.id < b.id)
+        WHERE cos >= 0.95),
+      stats AS (SELECT cell, CAST(count(*) AS INTEGER) AS n_vectors
+        FROM assigned GROUP BY cell),
+      pstats AS (SELECT cell, CAST(count(*) AS INTEGER) AS n_pairs,
+        CAST(count(DISTINCT id_b) AS INTEGER) AS n_dropped
+        FROM pairs GROUP BY cell)
+      SELECT s.cell, s.n_vectors,
+        coalesce(p.n_pairs, 0) AS n_pairs,
+        coalesce(p.n_dropped, 0) AS n_dropped
+      FROM stats s LEFT JOIN pstats p ON s.cell = p.cell"""))
+
   // ===========================================================
   // Graph analytics (SURVEY §4.2.3 / M7)
   // ===========================================================
@@ -778,6 +833,7 @@ object Queries3 {
     "dd_exact" -> dd_exact,
     "dd_ngram_jaccard" -> dd_ngram_jaccard,
     "dd_cluster_canonical" -> dd_cluster_canonical,
+    "dd_semantic" -> dd_semantic,
     "dd_minhash_lsh" -> dd_minhash_lsh,
     "dd_simhash" -> dd_simhash,
     "dd_simhash_neardup" -> dd_simhash_neardup,

@@ -343,6 +343,32 @@ object Dedup {
       .agg(first("cos").as("cos"))
   }
 
+  /** Semantic near-dup pairs, SemDeDup-style (cluster-scoped pairing):
+    * candidate pairs are generated WITHIN k-means cells (the
+    * `indexed = (id, v, cell)` frame from [[Similarity.ivfKMeans]])
+    * instead of LSH buckets — the curation variant that reuses the
+    * embedding-store clustering the search index already maintains.
+    * Returns (cell, id_a, id_b, cos) for pairs at or above
+    * `threshold`; pairs split across cells are missed by construction
+    * (the method's documented recall trade — [[embeddingNearDup]] is
+    * the LSH alternative when that matters).
+    *
+    * Scale: the self-join is keyed by cell — each cell's block is
+    * |cell|^2/2 candidate cosines, so cell count is the knob that
+    * bounds quadratic work, and oversized cells are exactly what AQE
+    * skew-split partitions further.
+    */
+  def semanticNearDup(indexed: DataFrame, threshold: Double): DataFrame = {
+    val a = indexed.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = indexed.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.plans.VectorExpressions.cosineFast(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Sub-document (span-level) duplication profile: chop each document
     * into non-overlapping `span`-word chunks and measure, per document,
     * what fraction of its chunks also appear verbatim in at least one

@@ -64,6 +64,17 @@ class Queries9Spec extends AnyFunSuite {
     assert(short(4L).isEmpty)
   }
 
+  test("semanticNearDup pairs within cells only (the documented recall trade)") {
+    val indexed = Seq(
+      (1L, Seq(1.0f, 0.0f), 0L), (2L, Seq(1.0f, 0.001f), 0L), // same cell, near-dup
+      (3L, Seq(1.0f, 0.002f), 1L),                            // similar but other cell
+      (4L, Seq(0.0f, 1.0f), 0L)                               // same cell, dissimilar
+    ).toDF("id", "v", "cell")
+    val pairs = graft.operators.Dedup.semanticNearDup(indexed, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
   test("table checksum is order/partitioning-independent and content-sensitive") {
     val base = (1L to 500L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
     def sum(df: org.apache.spark.sql.DataFrame) =
