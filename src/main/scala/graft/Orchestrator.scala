@@ -65,7 +65,8 @@ object Orchestrator {
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
     ("timeseries", "sessionization + gap fill", Seq("ts_")),
-    ("lake_ops", "snapshot diff + content checksums", Seq("s9_", "s10_")),
+    ("lake_ops", "snapshot diff, checksums, incremental refresh",
+      Seq("s9_", "s10_", "s12_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))

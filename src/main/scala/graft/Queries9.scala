@@ -228,8 +228,86 @@ object Queries9 {
           AS INTEGER) AS n_digits
       FROM events"""))
 
+  /** Incremental materialized-view maintenance: the daily roll-up is
+    * kept as ALGEBRAIC state (count + decimal sum — both mergeable),
+    * so refreshing with a new day range is `state UNION delta` +
+    * re-aggregate, never a full recompute. The query maintains the
+    * first-20-days state on disk, applies the day-21+ delta, and the
+    * oracle recomputes from scratch — merge == recompute is the
+    * correctness claim. At 100 TB the delta pass reads ONLY the new
+    * partitions (see `s11_partition_prune` for the layout) and the
+    * merge shuffles state + delta, both already day-aggregated.
+    */
+  val s12_incremental_rollup = Q(
+    (s, dir) => {
+      val base = "/tmp/graft_incr/day_state"
+      def rollup(f: org.apache.spark.sql.Column) = T_(s, dir, "events")
+        .filter(f)
+        .groupBy(col("user_id"), to_date(col("ts")).as("obs_day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,8)")).as("sum_dec"))
+      val cut = lit("2024-01-21").cast("timestamp")
+      rollup(col("ts") < cut).write.mode("overwrite").parquet(base)
+      val state = s.read.parquet(base)
+      val delta = rollup(col("ts") >= cut)
+      // algebraic merge: counts add, decimal sums add exactly
+      state.unionByName(delta)
+        .groupBy(col("user_id"), col("obs_day"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_dec")).cast("double").as("total"))
+    },
+    Some("""SELECT user_id, CAST(ts AS DATE) AS obs_day, event_type,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2, 3"""),
+    bench = false)
+
+  /** Declarative domain checks (the S6 family beyond keys/orphans):
+    * per-rule violation counts over the fact tables — the data-quality
+    * gate an ingest pipeline runs before publishing a snapshot. One
+    * scan per table, conditional-sum aggregates, zero rows moved.
+    */
+  val s6_domain_checks = Q(
+    (s, dir) => {
+      val li = T_(s, dir, "lineitem")
+      val ev = T_(s, dir, "events")
+      val liChecks = li.agg(
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("nonpositive_quantity"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0))
+          .as("discount_out_of_range"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+          .as("unknown_returnflag"))
+      val evChecks = ev.agg(
+        sum(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1).otherwise(0))
+          .as("unknown_event_type"),
+        sum(when(col("ts") < lit("2024-01-01").cast("timestamp"), 1).otherwise(0))
+          .as("ts_before_epoch"))
+      liChecks.crossJoin(evChecks)
+        .select(
+          expr("stack(5, 'nonpositive_quantity', nonpositive_quantity," +
+            " 'discount_out_of_range', discount_out_of_range," +
+            " 'unknown_returnflag', unknown_returnflag," +
+            " 'unknown_event_type', unknown_event_type," +
+            " 'ts_before_epoch', ts_before_epoch) AS (rule, violations)"))
+    },
+    Some("""SELECT 'nonpositive_quantity' AS rule,
+        SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS violations FROM lineitem
+      UNION ALL SELECT 'discount_out_of_range',
+        SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) FROM lineitem
+      UNION ALL SELECT 'unknown_returnflag',
+        SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) FROM lineitem
+      UNION ALL SELECT 'unknown_event_type',
+        SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+          THEN 1 ELSE 0 END) FROM events
+      UNION ALL SELECT 'ts_before_epoch',
+        SUM(CASE WHEN ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) FROM events"""))
+
   val all: Map[String, Q] = Map(
     "s9_snapshot_diff" -> s9_snapshot_diff,
+    "s12_incremental_rollup" -> s12_incremental_rollup,
+    "s6_domain_checks" -> s6_domain_checks,
     "s10_table_checksum" -> s10_table_checksum,
     "a_quantile_cont" -> a_quantile_cont,
     "a_winsorize" -> a_winsorize,
