@@ -56,15 +56,15 @@ object Orchestrator {
   val stageRegistry: Seq[(String, String, Seq[String])] = Seq(
     ("constraints", "uniqueness + referential integrity", Seq("s6_")),
     ("ingest", "scans, projections, upserts, layout, bad records",
-      Seq("s2_", "s3_", "s7_", "s8_", "s11_", "p")),
+      Seq("s2_", "s3_", "s7_", "s8_", "s11_", "p1_", "p3_")),
     ("joins", "dim/as-of/semi joins", Seq("j")),
     ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
-    ("functions", "scalar parse/convert suites", Seq("f", "o", "w_", "set_")),
+    ("functions", "scalar parse/convert suites", Seq("f", "o", "w_running", "set_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
-    ("text", "text analysis", Seq("txt_")),
+    ("text", "text analysis + corpus prep", Seq("txt_", "pipeline_corpus")),
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
-    ("timeseries", "sessionization + gap fill", Seq("ts_")),
+    ("timeseries", "sessionization + gap fill", Seq("ts_", "w_sessionize")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh",
       Seq("s9_", "s10_", "s12_")),
     ("vectors", "similarity search", Seq("vec_")),

@@ -25,6 +25,12 @@ object Queries9 {
        list_transform(string_split($expr, ''), c -> CAST(ord(c) AS BIGINT))),
        (a, b) -> (a * 31 + b) % 2147483647)"""
 
+  /** Null-canonicalized row serialization, mirroring
+    * [[Checksum.tableChecksum]]'s coalesce-to-sentinel form. */
+  private def rowSql(cols: Seq[String]) =
+    cols.map(c => s"coalesce(CAST($c AS VARCHAR), '␀')")
+      .mkString("concat_ws('|', ", ", ", ")")
+
   /** CDC between two snapshot states of the keyed event feed: the
     * latest row per (user, type) as of day 21 vs the latest over the
     * day-8+ window, full-outer diffed into added/removed/changed with
@@ -105,23 +111,26 @@ object Queries9 {
     ).reduce(_ unionByName _),
     Some(s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
         CAST(SUM(${fpSql("s")}) AS BIGINT) AS checksum
-      FROM (SELECT concat_ws('|', c_custkey, c_name, c_nationkey,
-        CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment) AS s FROM customer)
+      FROM (SELECT ${rowSql(Seq("c_custkey", "c_name", "c_nationkey",
+        "CAST(floor(c_acctbal * 100) AS BIGINT)", "c_mktsegment"))} AS s
+        FROM customer)
       UNION ALL
       SELECT 'orders', count(*), CAST(SUM(${fpSql("s")}) AS BIGINT)
-      FROM (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-        CAST(floor(o_totalprice * 100) AS BIGINT), epoch_us(o_orderdate),
-        o_orderpriority) AS s FROM orders)
+      FROM (SELECT ${rowSql(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(floor(o_totalprice * 100) AS BIGINT)", "epoch_us(o_orderdate)",
+        "o_orderpriority"))} AS s FROM orders)
       UNION ALL
       SELECT 'lineitem', count(*), CAST(SUM(${fpSql("s")}) AS BIGINT)
-      FROM (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        CAST(floor(l_quantity) AS BIGINT),
-        CAST(floor(l_extendedprice * 100) AS BIGINT),
-        l_returnflag, l_linestatus, epoch_us(l_shipdate)) AS s FROM lineitem)
+      FROM (SELECT ${rowSql(Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "CAST(floor(l_quantity) AS BIGINT)",
+        "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+        "l_returnflag", "l_linestatus", "epoch_us(l_shipdate)"))} AS s
+        FROM lineitem)
       UNION ALL
       SELECT 'events', count(*), CAST(SUM(${fpSql("s")}) AS BIGINT)
-      FROM (SELECT concat_ws('|', event_id, user_id, event_type,
-        epoch_us(ts), CAST(floor(value * 1000) AS BIGINT)) AS s FROM events)"""))
+      FROM (SELECT ${rowSql(Seq("event_id", "user_id", "event_type",
+        "epoch_us(ts)", "CAST(floor(value * 1000) AS BIGINT)"))} AS s
+        FROM events)"""))
 
   /** Interpolated (percentile_cont-style) quantiles of line quantity
     * per return flag, from the frequency table — interpolation weights

@@ -26,10 +26,15 @@ object Checksum {
   /** One-row frame (tbl, n_rows, checksum) for `df` canonicalized to
     * `cols` (already-canonical expressions — integers, strings,
     * scaled integers). Rows are joined with '|' before hashing; pick
-    * a separator that cannot occur in the data.
+    * a separator that cannot occur in the data. NULL cells are
+    * canonicalized to a sentinel ('␀') BEFORE concatenation —
+    * `concat_ws` would otherwise silently skip them, making
+    * (a, NULL, b) and (a, b, NULL) hash identical and breaking the
+    * multiset-equality guarantee for nullable columns.
     */
   def tableChecksum(df: DataFrame, tbl: String, cols: Seq[Column]): DataFrame = {
-    val rowStr = concat_ws("|", cols.map(_.cast("string")): _*)
+    val rowStr = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("␀"))): _*)
     df.select(graft.plans.TextExpressions.fingerprintFast(rowStr).as("__fp"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__fp")).as("checksum"))
       .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))

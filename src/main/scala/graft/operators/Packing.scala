@@ -29,15 +29,19 @@ object Packing {
     *  - `pack_last`   index of the last window (crossing rows span >1)
     *  - `n_windows`   how many windows the row spans
     *
-    * Rows with `tokens <= 0` must be filtered out by the caller
-    * (an empty document has no position in the stream).
+    * Rows with `tokens <= 0` are DROPPED (an empty document has no
+    * position in the stream) — enforced here, not left to call
+    * sites: a zero-token row at a window boundary would otherwise
+    * emit pack_last < pack_first and n_windows = 0, corrupting the
+    * manifest a loader consumes.
     */
   def packSequential(df: DataFrame, stratum: Column, tokens: Column,
                      ord: Seq[Column], ctxLen: Long): DataFrame = {
     require(ctxLen > 0, "context length must be positive")
     val wPrior = Window.partitionBy(stratum).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__toks", tokens.cast("long"))
+    df.filter(tokens > 0)
+      .withColumn("__toks", tokens.cast("long"))
       .withColumn("stream_off", coalesce(sum(col("__toks")).over(wPrior), lit(0L)))
       .withColumn("pack_first", expr(s"stream_off div ${ctxLen}L"))
       .withColumn("pack_last", expr(s"(stream_off + __toks - 1) div ${ctxLen}L"))

@@ -28,10 +28,10 @@ object Percentiles {
     * (`(p*n + 9999) div 10000`), so it replays bit-for-bit in any
     * engine. Returns (group, pct_bp, value).
     */
-  def quantilesDisc(df: DataFrame, group: Column, value: Column,
-                    pctsBp: Seq[Int]): DataFrame = {
-    require(pctsBp.nonEmpty && pctsBp.forall(p => p > 0 && p <= 10000),
-      "percentiles must be basis points in (0, 10000]")
+  /** The shared (group, value, count) frequency table with cumulative
+    * and total counts — the ONLY pass over raw rows in both quantile
+    * flavors. */
+  private def freqTable(df: DataFrame, group: Column, value: Column): DataFrame = {
     val freq = df.groupBy(group.as("g"), value.as("v"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("g")).orderBy(col("v").asc)
@@ -40,6 +40,13 @@ object Percentiles {
     freq
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("tot", sum(col("c")).over(wTot))
+  }
+
+  def quantilesDisc(df: DataFrame, group: Column, value: Column,
+                    pctsBp: Seq[Int]): DataFrame = {
+    require(pctsBp.nonEmpty && pctsBp.forall(p => p > 0 && p <= 10000),
+      "percentiles must be basis points in (0, 10000]")
+    freqTable(df, group, value)
       .withColumn("pct_bp", explode(typedLit(pctsBp)))
       // smallest v with cum >= ceil(pct/10000 * tot), in exact ints
       .filter(col("cum") >= expr("(cast(pct_bp as bigint) * tot + 9999) div 10000"))
@@ -61,14 +68,7 @@ object Percentiles {
                     pctsBp: Seq[Int]): DataFrame = {
     require(pctsBp.nonEmpty && pctsBp.forall(p => p >= 0 && p <= 10000),
       "percentiles must be basis points in [0, 10000]")
-    val freq = df.groupBy(group.as("g"), value.cast("double").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(col("g")).orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(col("g"))
-    freq
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("tot", sum(col("c")).over(wTot))
+    freqTable(df, group, value.cast("double"))
       .withColumn("pct_bp", explode(typedLit(pctsBp)))
       .withColumn("h10k", expr("cast(pct_bp as bigint) * (tot - 1)"))
       .withColumn("r1", expr("h10k div 10000 + 1"))

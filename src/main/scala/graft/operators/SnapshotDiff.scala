@@ -32,8 +32,9 @@ object SnapshotDiff {
       cols.map(c => col(c).as(s"old_$c")) :+ lit(true).as("__op"): _*)
     val n = newSnap.select(keys.map(col) ++
       cols.map(c => col(c).as(s"new_$c")) :+ lit(true).as("__np"): _*)
+    // empty cols = key-presence-only CDC: nothing can be 'changed'
     val anyDiff = cols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     o.join(n, keys, "full_outer")
       .withColumn("change",
         when(col("__op").isNull, "added")

@@ -33,4 +33,13 @@ class OrchestratorSpec extends AnyFunSuite {
       .filterNot(k => prefixes.exists(k.startsWith))
     assert(uncovered.isEmpty, s"queries missing from standardStages: $uncovered")
   }
+
+  test("standard stage registry routes every query to exactly ONE stage") {
+    // a query matched by two stages' prefixes runs (and is timed) twice
+    // per orchestrator pass — double work, wrong attribution
+    val dup = SparkEntry.queries.keys.toSeq.map { k =>
+      k -> Orchestrator.stageRegistry.count(_._3.exists(k.startsWith))
+    }.filter(_._2 > 1)
+    assert(dup.isEmpty, s"queries matched by multiple stages: $dup")
+  }
 }
