@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Size the single-JVM heap to the box (128 GiB / local[32]): an 8g
+  // heap measurably inflates the late queries of a 99-query bench loop
+  // via GC pressure (g_assembly median 22.7s at 8g vs 14.0s at 24g,
+  // BASELINE.md round-3 recording) — the same sizing discipline a
+  // cluster deployment applies per executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
