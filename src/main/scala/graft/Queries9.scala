@@ -313,10 +313,34 @@ object Queries9 {
       UNION ALL SELECT 'ts_before_epoch',
         SUM(CASE WHEN ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) FROM events"""))
 
+  /** Skew profile / heavy hitters: the top-10 keys of the event feed
+    * with their share of total traffic — the diagnostic you run BEFORE
+    * deciding a join needs salting (`j10_salted_skew` is the cure;
+    * this is the detector). Two-phase: hash aggregate to per-key
+    * counts (map-side combining), then TakeOrderedAndProject over the
+    * key-count table — no global sort, no single-reducer window.
+    * Share arithmetic is exact-integer basis points.
+    */
+  val a_heavy_hitters = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+      val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val total = ev.count() // one scalar, driver-side by design
+      counts
+        .withColumn("share_bp", expr(s"n * 10000 div ${total}L"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(10)
+    },
+    Some("""SELECT user_id, n,
+        n * 10000 // (SELECT count(*) FROM events) AS share_bp
+      FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+      ORDER BY n DESC, user_id ASC LIMIT 10"""))
+
   val all: Map[String, Q] = Map(
     "s9_snapshot_diff" -> s9_snapshot_diff,
     "s12_incremental_rollup" -> s12_incremental_rollup,
     "s6_domain_checks" -> s6_domain_checks,
+    "a_heavy_hitters" -> a_heavy_hitters,
     "s10_table_checksum" -> s10_table_checksum,
     "a_quantile_cont" -> a_quantile_cont,
     "a_winsorize" -> a_winsorize,

@@ -73,4 +73,66 @@ class CurationPropertiesSpec extends AnyFunSuite {
     val total = Sampling.capPerGroup(df, $"g", $"id", cap = 2000).count()
     assert(total == 1000L) // cap above group size is the identity
   }
+
+  test("property: sessionize partitions each key's events; boundaries respect the gap") {
+    val tss = Gen.listOfN(400, Gen.chooseNum(0L, 500000L))(
+      Gen.Parameters.default, Seed(17L)).getOrElse(Nil)
+    val df = tss.zipWithIndex.map { case (sec, i) =>
+      (i.toLong % 5, i.toLong, new java.sql.Timestamp(sec * 1000)) }
+      .toDF("k", "eid", "ts")
+    val out = graft.operators.TimeSeries.sessionize(df, $"k", $"ts",
+        gapSeconds = 600, ord = Seq($"ts".asc, $"eid".asc))
+      .select("k", "eid", "ts", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(out.length == 400) // row-preserving
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.zip(sorted.drop(1)).foreach { case ((_, _, t1, s1), (_, _, t2, s2)) =>
+        val gap = t2 - t1
+        if (s2 == s1) assert(gap <= 600000L, "within-session gap exceeds threshold")
+        else { assert(s2 == s1 + 1, "session indices must be dense")
+               assert(gap > 600000L, "session split without a real gap") }
+      }
+      assert(sorted.head._4 == 1L)
+    }
+  }
+
+  test("property: packSequential windows tile the stream exactly") {
+    val toks = Gen.listOfN(300, Gen.chooseNum(1L, 900L))(
+      Gen.Parameters.default, Seed(19L)).getOrElse(Nil)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, s"s${i % 3}", t) }
+      .toDF("id", "strat", "toks")
+    val rows = graft.operators.Packing.packSequential(df, $"strat", $"toks",
+        Seq($"id".asc), ctxLen = 512L)
+      .select("strat", "id", "toks", "stream_off", "pack_first", "pack_last", "n_windows")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      var off = 0L
+      sorted.foreach { case (_, _, t, streamOff, pf, pl, nw) =>
+        assert(streamOff == off, "offsets must tile the stream with no gaps")
+        assert(pf == streamOff / 512 && pl == (streamOff + t - 1) / 512)
+        assert(nw == pl - pf + 1 && nw >= 1)
+        off += t
+      }
+    }
+  }
+
+  test("property: quantilesDisc equals the sorted-list nearest-rank on arbitrary data") {
+    val vals = Gen.listOfN(600, Gen.chooseNum(-500, 500))(
+      Gen.Parameters.default, Seed(23L)).getOrElse(Nil)
+    val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 4}", v.toDouble) }
+      .toDF("g0", "v0")
+    val pcts = Seq(100, 2500, 5000, 7500, 9999, 10000)
+    val got = graft.operators.Percentiles.quantilesDisc(df, $"g0", $"v0", pcts)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val byG = vals.zipWithIndex.map { case (v, i) => (s"g${i % 4}", v.toDouble) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byG; bp <- pcts) {
+      val rank = ((bp.toLong * vs.length + 9999) / 10000).toInt
+      assert(got((g, bp)) == vs(rank - 1), s"$g p$bp")
+    }
+  }
 }
