@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Order-independent table content checksums — the anti-entropy
-  * primitive for 100 TB ingest: fingerprint every row with the
+  * primitive for 100 TB ingest (the reference trusts its uniqueness
+  * constraints alone for integrity, graph_constraints.py:5-133; this
+  * adds the content-level audit): fingerprint every row with the
   * replayable poly31 hash ([[graft.plans.TextExpressions.fingerprintFast]],
   * the same family the dedup oracles replay in SQL), then SUM the
   * fingerprints. Addition commutes, so the checksum is independent of

@@ -10,7 +10,9 @@ import org.apache.spark.sql.expressions.Window
   * reducer — the group IS the bottleneck at 100 TB. But measurement
   * columns (quantities, grades, sensor readings — the reference's
   * lab values are a handful of assay levels) have value cardinality
-  * orders of magnitude below row count, so the scalable exact plan is:
+  * orders of magnitude below row count (the reference's SAP element
+  * values are per-element assay readings — graph_sap_element_result.py:127-131
+  * — exactly this shape), so the scalable exact plan is:
   * aggregate to (group, value, count) — a map-side-combining shuffle
   * that compresses 10^12 rows to |group|x|distinct values| — then
   * cumulative-sum the tiny frequency table and pick the target rank.

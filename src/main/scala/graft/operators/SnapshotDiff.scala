@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * keyed table): full-outer compare of two one-row-per-key frames,
   * classifying every key as added / removed / changed and carrying
   * both sides' values. The reference's MERGE pipelines are idempotent
-  * re-applies (SURVEY §2.1 S3); this is the complementary audit — WHAT
+  * re-applies (SURVEY §2.1 S3, graph_weather_day.py:231-254); this is
+  * the complementary audit — WHAT
   * changed between two runs, the primitive behind incremental
   * downstream refresh and ingest regression checks.
   *
