@@ -336,11 +336,42 @@ object Queries9 {
       FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
       ORDER BY n DESC, user_id ASC LIMIT 10"""))
 
+  /** Text-format interchange (the source matrix beyond parquet):
+    * stage the event feed as headered CSV, read it back with an
+    * EXPLICIT schema (never inferSchema — an extra full pass and
+    * type drift at scale), and aggregate. Timestamps travel as epoch
+    * micros and doubles rely on Java's round-trip-safe formatting, so
+    * the CSV hop is bit-lossless; the oracle computes from the
+    * original parquet, which is exactly the claim.
+    */
+  val s13_csv_roundtrip = Q(
+    (s, dir) => {
+      val base = "/tmp/graft_csv/events"
+      T_(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(base)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "ts_us BIGINT, value DOUBLE")
+        .option("header", "true").csv(base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+          sum(col("value").cast("decimal(27,8)")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total
+      FROM events GROUP BY 1"""),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "s9_snapshot_diff" -> s9_snapshot_diff,
     "s12_incremental_rollup" -> s12_incremental_rollup,
     "s6_domain_checks" -> s6_domain_checks,
     "a_heavy_hitters" -> a_heavy_hitters,
+    "s13_csv_roundtrip" -> s13_csv_roundtrip,
     "s10_table_checksum" -> s10_table_checksum,
     "a_quantile_cont" -> a_quantile_cont,
     "a_winsorize" -> a_winsorize,
