@@ -17,6 +17,15 @@ object Queries9 {
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
+  /** Per-source-dir staging root for queries that write-then-read-back:
+    * keyed on the input `dir` so runs against different scale factors
+    * (or concurrent harness runs) never clobber each other's staged
+    * data or silently read a stale write from another dataset. */
+  private def stagingDir(dir: String, name: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    s"/tmp/graft_stage_$key/$name"
+  }
+
   /** The poly31 row fingerprint as DuckDB SQL (same family/constants
     * as plans.TextExpressions.fingerprintFast — proven replayable by
     * `txt_fingerprint`). */
@@ -202,7 +211,7 @@ object Queries9 {
     */
   val s11_partition_prune = Q(
     (s, dir) => {
-      val base = "/tmp/graft_partitioned/events_by_day"
+      val base = stagingDir(dir, "events_by_day")
       T_(s, dir, "events")
         .withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(base)
@@ -249,7 +258,7 @@ object Queries9 {
     */
   val s12_incremental_rollup = Q(
     (s, dir) => {
-      val base = "/tmp/graft_incr/day_state"
+      val base = stagingDir(dir, "day_state")
       def rollup(f: org.apache.spark.sql.Column) = T_(s, dir, "events")
         .filter(f)
         .groupBy(col("user_id"), to_date(col("ts")).as("obs_day"),
@@ -302,16 +311,20 @@ object Queries9 {
             " 'ts_before_epoch', ts_before_epoch) AS (rule, violations)"))
     },
     Some("""SELECT 'nonpositive_quantity' AS rule,
-        SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS violations FROM lineitem
+        CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        FROM lineitem
       UNION ALL SELECT 'discount_out_of_range',
-        SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) FROM lineitem
+        CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
       UNION ALL SELECT 'unknown_returnflag',
-        SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) FROM lineitem
+        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
       UNION ALL SELECT 'unknown_event_type',
-        SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
-          THEN 1 ELSE 0 END) FROM events
+        CAST(SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+          THEN 1 ELSE 0 END) AS BIGINT) FROM events
       UNION ALL SELECT 'ts_before_epoch',
-        SUM(CASE WHEN ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) FROM events"""))
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events"""))
 
   /** Skew profile / heavy hitters: the top-10 keys of the event feed
     * with their share of total traffic — the diagnostic you run BEFORE
@@ -346,7 +359,7 @@ object Queries9 {
     */
   val s13_csv_roundtrip = Q(
     (s, dir) => {
-      val base = "/tmp/graft_csv/events"
+      val base = stagingDir(dir, "events_csv")
       T_(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"), col("value"))

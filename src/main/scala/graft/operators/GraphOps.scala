@@ -142,13 +142,19 @@ object GraphOps {
   def shortestPaths(edges: DataFrame, sources: DataFrame, iterations: Int,
                     scope: CacheScope = CacheScope.global): DataFrame = {
     val e = scope.checkpoint(edges)
+    // Sources are unioned into the vertex set so an isolated source
+    // (no incident edges) still surfaces with dist=0 rather than
+    // silently vanishing from the output.
     val vertices = scope.checkpoint(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
+      .union(e.select(col("dst").as("id")))
+      .union(sources.select(col("id"))).distinct())
     val hop = scope.checkpoint(e.select(col("src"), col("dst"), lit(1L).as("w"))
       .union(vertices.select(col("id").as("src"), col("id").as("dst"),
         lit(0L).as("w")))
       .repartition(col("src")))
-    var dist = sources.select(col("id"), lit(0L).as("dist"))
+    // distinct() guards against duplicate source ids feeding duplicate
+    // seed rows into the first min-aggregate.
+    var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to iterations) {
       dist = hop.join(dist, hop("src") === dist("id"))
         .groupBy(col("dst").as("id"))

@@ -34,7 +34,12 @@ object Percentiles {
     * and total counts — the ONLY pass over raw rows in both quantile
     * flavors. */
   private def freqTable(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val freq = df.groupBy(group.as("g"), value.as("v"))
+    // Null measurements are excluded up front: Spark windows sort NULLS
+    // FIRST while DuckDB's ASC default is NULLS LAST, so a (g, NULL)
+    // frequency row would shift every cumulative count differently in
+    // the two engines. Percentiles over no values are undefined anyway.
+    val freq = df.where(value.isNotNull)
+      .groupBy(group.as("g"), value.as("v"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("g")).orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
