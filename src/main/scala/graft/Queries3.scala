@@ -37,7 +37,7 @@ object Queries3 {
     """CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
             ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
-  private lazy val qualitySqlExpr =
+  private[graft] lazy val qualitySqlExpr =
     s"""round((
          least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
          + least((CASE WHEN len($sqlToks) > 0

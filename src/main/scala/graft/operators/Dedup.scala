@@ -56,10 +56,20 @@ object Dedup {
     * shuffle carries survivors only, where the rank-1 window form
     * sort-shuffled the whole input.
     */
-  def exactBy(docs: DataFrame, key: Column, idCol: String): DataFrame = {
+  def exactBy(docs: DataFrame, key: Column, idCol: String): DataFrame =
+    exactByOrd(docs, key, col(idCol))
+
+  /** [[exactBy]] with an ARBITRARY argmin ordering — e.g. a source
+    * trust rank tie-broken by id, so cross-source duplicates resolve
+    * to the most trusted copy rather than the lowest id. Same
+    * map-side-collapse aggregate shape (one shuffle, survivors only).
+    * `ord` must be a total order over each key group for the survivor
+    * to be deterministic.
+    */
+  def exactByOrd(docs: DataFrame, key: Column, ord: Column): DataFrame = {
     val best = docs.groupBy(key.as("__h"))
       .agg(min_by(struct(docs.columns.map(col).toIndexedSeq: _*),
-        col(idCol)).as("__best"))
+        ord).as("__best"))
     best.select(docs.columns.map(c =>
       col("__best").getField(c).as(c)).toIndexedSeq: _*)
   }

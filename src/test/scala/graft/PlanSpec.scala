@@ -181,4 +181,25 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffleCount(pack) == 1,
       pack.queryExecution.executedPlan.toString)
   }
+
+  test("hash reservoir plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("samp_hash_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not range-shuffle the corpus:\n" + p)
+  }
+
+  test("global index broadcasts the offset table; the fact window is per-partition") {
+    val p = plan("o5_global_index")
+    assert(p.contains("BroadcastHashJoin"), "offset table must broadcast:\n" + p)
+    // the big-frame window partitions on the materialized partition id
+    assert(p.contains("__pid"), p)
+  }
+
+  test("KMV retention prefilters per partition before the per-group rank") {
+    val p = plan("a_kmv_distinct")
+    // phase-1 window partitions on (g, __pid): bounds every partition's
+    // contribution to k rows per group before the global per-group rank
+    assert(p.contains("__pid"), p)
+  }
 }
