@@ -56,7 +56,8 @@ object Orchestrator {
   val stageRegistry: Seq[(String, String, Seq[String])] = Seq(
     ("constraints", "uniqueness + referential integrity", Seq("s6_")),
     ("ingest", "scans, projections, upserts, layout, bad records",
-      Seq("s2_", "s3_", "s7_", "s8_", "s11_", "s13_", "s14_", "p1_", "p3_")),
+      Seq("s2_", "s3_", "s7_", "s8_", "s11_", "s13_", "s14_", "s15_",
+        "p1_", "p3_")),
     ("joins", "dim/as-of/semi joins", Seq("j")),
     ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
     ("functions", "scalar parse/convert suites", Seq("f", "o", "w_running", "set_")),

@@ -232,4 +232,54 @@ object GraphOps {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .withColumn("degree", col("out_deg") + col("in_deg"))
   }
+
+  /** Exact triangle count via degree-ordered orientation (the MapReduce
+    * triangle algorithm of Suri & Vassilvitskii 2011). Treats the input
+    * as undirected: self-loops dropped, edges canonicalized + distinct.
+    *
+    * The naive wedge join enumerates Σ deg(v)² pairs — a single hub
+    * vertex of degree 10^6 contributes 10^12 wedges, the classic
+    * power-law blow-up. Orienting every edge from its (degree, id)-
+    * smaller endpoint to the larger caps every vertex's OUT-degree at
+    * O(√|E|), so the wedge join enumerates only out-neighbor pairs of
+    * the low vertex: Σ outdeg(v)² = O(|E|^{3/2}) total — the optimal
+    * bound, hub-proof. Three shuffles (degree agg, wedge self-join,
+    * closing-edge join), all equi-joins.
+    *
+    * Returns one row (n_edges, n_wedges, n_triangles) — n_wedges is
+    * the candidate count, the work metric that tells you whether the
+    * orientation is containing the skew.
+    */
+  def triangleCount(edges: DataFrame,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.persist(edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg = scope.persist(
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d")))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e.join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+    // oriented edges + the destination's rank, reused by both sides of
+    // the wedge self-join
+    val oo = scope.persist(
+      o.join(deg.select(col("id").as("dst"), col("d").as("dr")), "dst"))
+    val wedges = oo.as("e1").join(oo.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dr") < col("e2.dr") ||
+            (col("e1.dr") === col("e2.dr") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w2"))
+    // o is distinct, so each wedge matches at most one closing edge —
+    // an inner join counts triangles without double counting
+    val tri = wedges.join(oo.select(col("src").as("v"), col("dst").as("w2")),
+      Seq("v", "w2"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -26,6 +26,16 @@ object Sampling {
   def detHash(id: Column): Column =
     (id % 94906249L) * 1103515245L % 2147483647L
 
+  /** Two mixing rounds of [[detHash]]. One multiplicative round maps a
+    * CONTIGUOUS id range onto an arithmetic lattice mod 2^31-1 — fine
+    * as a sort key or a rate gate at coarse granularity, but `% small`
+    * bucketing of a lattice leaves residue gaps until N is large (500
+    * consecutive ids hit only 76 of 100 buckets). The second round
+    * breaks the lattice; use this wherever buckets must all populate
+    * at small N (split assignment, bucket audits).
+    */
+  def detHash2(id: Column): Column = detHash(detHash(id))
+
   /** Per-stratum Bernoulli sampling with a deterministic gate:
     * keep a row iff `detHash(id) % 10000` falls under its stratum's
     * rate (in basis points, 0..10000 — integral so the threshold is

@@ -202,4 +202,26 @@ class PlanSpec extends AnyFunSuite {
     // contribution to k rows per group before the global per-group rank
     assert(p.contains("__pid"), p)
   }
+
+  test("keyword search is scan-local: HOF scoring, no shuffle, top-k merge") {
+    val p = plan("txt_keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"),
+      "scoring+filter+top-k must not shuffle the corpus:\n" + p)
+  }
+
+  test("triangle count: data joins hash, nested loops only stitch 1-row counts") {
+    // AQE's toString repeats nodes under "== Initial Plan ==" — count
+    // in the final section only
+    val full = plan("g_triangles")
+    val p = full.split("== Initial Plan ==")(0)
+    // the only non-equi joins allowed are the two crossJoins stitching
+    // the three single-row count aggregates into the result row
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length +
+      "CartesianProduct".r.findAllIn(p).length
+    assert(nested <= 2, s"unexpected nested-loop join over data:\n$p")
+    // the wedge/degree/closing joins run as equi-joins (they sit inside
+    // the persisted subplans, so look at the whole tree)
+    assert(full.contains("HashJoin") || full.contains("SortMergeJoin"), full)
+  }
 }

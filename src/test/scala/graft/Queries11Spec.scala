@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphOps, Sampling}
+
+/** Functional specs for the batch-11 operators: oriented triangle
+  * counting, split hashing, epoch shuffle, text retrieval.
+  */
+class Queries11Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = GraphOps.triangleCount(edges.toDF("src", "dst")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangle count on known motifs") {
+    // K4: 6 edges, 4 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) == ((6L, 4L, 4L)))
+    // square + one diagonal: 5 edges, 2 triangles
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    assert(tri(sq)._3 == 2L)
+    // triangle-free: path
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._3 == 0L)
+  }
+
+  test("triangle count canonicalizes dup edges, reversals, self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (1L, 3L), (2L, 2L), (1L, 2L))
+    val (e, _, t) = tri(messy)
+    assert(e == 3L && t == 1L)
+  }
+
+  test("orientation contains the hub: star graph enumerates zero wedges") {
+    // naive wedge join on a star would enumerate C(n,2) pairs through
+    // the hub; degree orientation points every edge AT the hub, so no
+    // vertex has out-degree > 1 and the wedge count is exactly 0
+    val star = (2L to 40L).map(i => (1L, i))
+    val (e, w, t) = tri(star)
+    assert(e == 39L && w == 0L && t == 0L)
+  }
+
+  test("detHash2 populates every small bucket on contiguous ids") {
+    val buckets = (1L to 10000L).toDF("id")
+      .select((Sampling.detHash2($"id") % 100L).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(buckets == (0L to 99L).toSet)
+    // the single-round hash provably does NOT (the lattice gap that
+    // motivated detHash2) on a small contiguous range
+    val single = (1L to 500L).toDF("id")
+      .select((Sampling.detHash($"id") % 100L).as("b"))
+      .distinct().collect().length
+    assert(single < 100)
+  }
+
+  test("epoch shuffle assigns a full permutation distinct from id order") {
+    val rows = SparkEntry.queries("samp_epoch_shuffle")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq == (1L to n))
+    // a seeded shuffle that equals id order would be broken
+    val inOrder = rows.sortBy(_._1).map(_._2)
+    assert(inOrder.toSeq != (1L to n))
+  }
+
+  test("keyword search ranks by total tf over docs containing all terms") {
+    val out = SparkEntry.queries("txt_keyword_search")(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tfs = Seq(r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tfs.forall(_ > 0), "conjunctive: every term present")
+      assert(r.getLong(4) == tfs.sum)
+    }
+    val totals = out.map(_.getLong(4))
+    assert(totals.sameElements(totals.sortBy(-_)), "ranked by tf_total desc")
+  }
+
+  test("integer tf-idf scores are positive and ranked") {
+    val out = SparkEntry.queries("txt_tfidf_topk")(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 50)
+    val scores = out.map(_.getLong(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)), "ranked by score desc")
+    // a disjunctive ranker must surface at least as many docs as the
+    // conjunctive search over the same terms
+    val conj = SparkEntry.queries("txt_keyword_search")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(out.length >= math.min(conj, 50L))
+  }
+}
