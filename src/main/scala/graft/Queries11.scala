@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{GlobalOrder, GraphOps, Sampling}
+import graft.operators.{GlobalOrder, GraphOps, Sampling, Sketches}
 import Queries.Q
 
 /** Batch 11: graph motifs at scale (oriented triangle counting),
@@ -224,6 +224,57 @@ object Queries11 {
       ORDER BY score DESC, doc_id ASC LIMIT 50"""
     })
 
+  private val kmvK = 32
+
+  /** The direct per-type KMV sketch as DuckDB SQL — shared by the
+    * merge and streaming entries, whose correctness claim is exactly
+    * "equals the direct sketch". */
+  private def kmvDirectSql(k: Int) =
+    s"""WITH d AS (SELECT DISTINCT event_type AS g,
+        (user_id % 94906249) * 1103515245 % 2147483647 AS h FROM events),
+      kk AS (SELECT g, h FROM d QUALIFY
+        row_number() OVER (PARTITION BY g ORDER BY h ASC) <= $k)
+      SELECT g AS event_type, count(*) AS k_n, max(h) AS kth_hash,
+        CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+             ELSE CAST(${Sketches.kmvNumerator(k)} AS DOUBLE)
+                  / CAST(max(h) AS DOUBLE) END AS est
+      FROM kk GROUP BY g"""
+
+  /** Sketch mergeability, proven against the DIRECT oracle: sketch the
+    * two halves of the event feed independently (a day-21 split — the
+    * per-day telemetry shape), merge the two k-row retention sets, and
+    * the result must equal the sketch of the whole feed bit-for-bit —
+    * `retain_k` is a semilattice merge. This is the property that lets
+    * a 100 TB pipeline keep per-day sketches and answer "distinct over
+    * any date range" by merging k-row summaries instead of re-reading
+    * data.
+    */
+  val a_kmv_merge = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+      val cut = lit("2024-01-21").cast("timestamp")
+      val sA = Sketches.retention(ev.filter(col("ts") < cut),
+        col("event_type"), col("user_id"), kmvK)
+      val sB = Sketches.retention(ev.filter(col("ts") >= cut),
+        col("event_type"), col("user_id"), kmvK)
+      Sketches.estimate(Sketches.mergeSketches(Seq(sA, sB), kmvK), kmvK)
+        .select(col("g").as("event_type"), col("k_n"), col("kth_hash"), col("est"))
+    },
+    Some(kmvDirectSql(kmvK)))
+
+  /** Streaming KMV: the same sketch maintained incrementally with
+    * BOUNDED state (k hashes per group) where streaming COUNT(DISTINCT)
+    * state grows with the key universe. Retention is order-insensitive,
+    * so the final state equals the batch sketch regardless of
+    * micro-batching — checked against the direct oracle.
+    */
+  val stream_kmv = Q(
+    (s, dir) => graft.streaming.StreamingSketch.kmvOnce(
+        s, s"$dir/events.parquet", "event_type", "user_id", kmvK)
+      .select(col("g").as("event_type"), col("k_n"), col("kth_hash"), col("est")),
+    Some(kmvDirectSql(kmvK)),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "g_triangles" -> g_triangles,
     "samp_train_split" -> samp_train_split,
@@ -231,5 +282,7 @@ object Queries11 {
     "s15_orc_roundtrip" -> s15_orc_roundtrip,
     "txt_keyword_search" -> txt_keyword_search,
     "txt_tfidf_topk" -> txt_tfidf_topk,
+    "a_kmv_merge" -> a_kmv_merge,
+    "stream_kmv" -> stream_kmv,
   )
 }

@@ -21,52 +21,80 @@ import org.apache.spark.sql.expressions.Window
   * retention set, k-th value, and estimate — replays bit-for-bit in
   * the DuckDB oracle. Spark's own `approx_count_distinct` (HLL++) is
   * the throughput baseline but its binary registers are not
-  * cross-engine checkable; this sketch is the verifiable flavor, and
-  * its retention set is mergeable across feeds/days by construction
-  * (union the sets, re-take the k smallest).
+  * cross-engine checkable; this sketch is the verifiable flavor.
+  *
+  * The retention set is the MERGEABLE summary: for any split of the
+  * feed, `retain_k(A ∪ B) = retain_k(retain_k(A) ∪ retain_k(B))` —
+  * union the k-row sets, re-take the k smallest. That identity is what
+  * makes the sketch a daily-telemetry primitive (combine per-day /
+  * per-feed sketches without re-reading data); [[mergeSketches]] is
+  * that operation and `a_kmv_merge` proves it equals the direct sketch
+  * against the direct oracle.
   */
 object Sketches {
 
-  /** Per-group KMV distinct-count sketch over `id`.
-    *
-    * Returns (g, k_n, kth_hash, n_distinct_hashed, est) where `k_n` is
-    * the retained-set size (< k means the group was exhausted and the
-    * sketch is exact), `kth_hash` the largest retained hash, and `est`
-    * the estimate. `n_distinct_hashed` is the true distinct count of
-    * the HASHED domain (hash collisions fold — inherent to any sketch
-    * over a hashed universe), carried alongside for accuracy checks.
-    *
-    * Plan shape: one distinct-aggregate over (group, hash) — the only
-    * pass over raw rows — then the per-group k-smallest retention runs
-    * the [[Sampling.capPerGroup]] two-phase trick: a partition-local
-    * rank prefilter bounds every partition's contribution to k rows
-    * per group, so the final per-group rank window sees ≤ partitions×k
-    * rows, never the full distinct table. No full-group sort exists in
-    * the plan at any scale.
+  /** Per-group k smallest distinct values of a pre-hashed (g, h)
+    * frame — the retention step shared by the direct sketch, the
+    * merge, and the streaming form. Two-phase ([[Sampling.capPerGroup]]
+    * shape): a partition-local rank prefilter bounds every partition's
+    * contribution to k rows per group, so the final per-group rank
+    * window sees ≤ partitions×k rows — no full-group sort at any
+    * scale.
     */
-  def kmvDistinct(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
-    require(k >= 2, "KMV needs k >= 2")
-    val dh = df.select(group.as("g"), Sampling.detHash(id).as("h")).distinct()
+  private def kSmallest(dh: DataFrame, k: Int): DataFrame = {
     val w1 = Window.partitionBy(col("g"), col("__pid")).orderBy(col("h").asc)
     val w2 = Window.partitionBy(col("g")).orderBy(col("h").asc)
-    val kept = dh.withColumn("__pid", spark_partition_id())
+    dh.withColumn("__pid", spark_partition_id())
       .withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= k).drop("__pid", "__r")
       .withColumn("__r", row_number().over(w2))
       .filter(col("__r") <= k).drop("__r")
-    val sketch = kept.groupBy(col("g"))
-      .agg(count(lit(1)).as("k_n"), max(col("h")).as("kth_hash"))
-    val exact = dh.groupBy(col("g")).agg(count(lit(1)).as("n_distinct_hashed"))
+  }
+
+  /** The per-group KMV retention set of `id` under [[Sampling.detHash]]:
+    * (g, h) rows, ≤ k per group. One distinct-aggregate over
+    * (group, hash) is the only pass over raw rows. */
+  def retention(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    kSmallest(df.select(group.as("g"), Sampling.detHash(id).as("h")).distinct(), k)
+  }
+
+  /** Merge retention sets from independent feeds/partitions/days:
+    * union, de-dup, re-take the k smallest per group. Input frames
+    * must be (g, h) retention outputs built with the SAME k and hash. */
+  def mergeSketches(sketches: Seq[DataFrame], k: Int): DataFrame =
+    kSmallest(sketches.reduce(_ unionByName _).distinct(), k)
+
+  /** Fold a retention set to the sketch summary (g, k_n, kth_hash,
+    * est): `k_n` is the retained-set size (< k means the group was
+    * exhausted and the sketch is exact), `kth_hash` the largest
+    * retained hash. */
+  def estimate(kept: DataFrame, k: Int): DataFrame = {
     // (k-1)*M precomputed as ONE literal (< 2^53, exactly representable)
     // so Spark and the SQL oracle divide the identical double.
-    val numer = (k - 1).toLong * 2147483647L
-    sketch.join(exact, "g")
+    val numer = kmvNumerator(k)
+    kept.groupBy(col("g"))
+      .agg(count(lit(1)).as("k_n"), max(col("h")).as("kth_hash"))
       .withColumn("est",
         when(col("k_n") < k, col("k_n").cast("double"))
           .otherwise(lit(numer.toDouble) / col("kth_hash").cast("double")))
   }
 
-  /** The oracle-side numerator for [[kmvDistinct]] — generated from
-    * the same constant so the SQL cannot drift. */
+  /** Per-group KMV distinct-count sketch over `id`: the retention +
+    * estimate pipeline, with `n_distinct_hashed` — the true distinct
+    * count of the HASHED domain (hash collisions fold, inherent to any
+    * sketch over a hashed universe) — carried alongside for accuracy
+    * checks. */
+  def kmvDistinct(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val dh = df.select(group.as("g"), Sampling.detHash(id).as("h")).distinct()
+    val exact = dh.groupBy(col("g")).agg(count(lit(1)).as("n_distinct_hashed"))
+    estimate(kSmallest(dh, k), k).join(exact, "g")
+      .select(col("g"), col("k_n"), col("kth_hash"),
+        col("n_distinct_hashed"), col("est"))
+  }
+
+  /** The oracle-side numerator for [[estimate]] — generated from the
+    * same constant so the SQL cannot drift. */
   def kmvNumerator(k: Int): Long = (k - 1).toLong * 2147483647L
 }

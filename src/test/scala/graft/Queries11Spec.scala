@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GraphOps, Sampling}
+import graft.operators.{GraphOps, Sampling, Sketches}
 
 /** Functional specs for the batch-11 operators: oriented triangle
   * counting, split hashing, epoch shuffle, text retrieval.
@@ -79,6 +79,34 @@ class Queries11Spec extends AnyFunSuite {
     }
     val totals = out.map(_.getLong(4))
     assert(totals.sameElements(totals.sortBy(-_)), "ranked by tf_total desc")
+  }
+
+  test("KMV sketch merge equals the direct sketch for any split") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map(_ => ("g" + rnd.nextInt(3), rnd.nextInt(100000).toLong))
+    val df = rows.toDF("g0", "id")
+    val direct = Sketches.estimate(
+      Sketches.retention(df, $"g0", $"id", 16), 16).collect().map(_.toSeq).toSet
+    // split by parity of id — a skewed, group-uncorrelated split
+    val a = Sketches.retention(df.filter($"id" % 2 === 0), $"g0", $"id", 16)
+    val b = Sketches.retention(df.filter($"id" % 2 =!= 0), $"g0", $"id", 16)
+    val merged = Sketches.estimate(
+      Sketches.mergeSketches(Seq(a, b), 16), 16).collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
+
+  test("streaming KMV final state equals the batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingSketch.kmvOnce(
+        spark, s"$dir/events.parquet", "event_type", "user_id", 32,
+        queryName = "stream_kmv_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Sketches.kmvDistinct(
+        graft.sources.Tables.read(spark, dir, "events"),
+        col("event_type"), col("user_id"), 32)
+      .select($"g", $"k_n", $"kth_hash", $"est")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
   }
 
   test("integer tf-idf scores are positive and ranked") {
