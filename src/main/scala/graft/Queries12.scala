@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.Sketches
+import Queries.Q
+
+/** Batch 12: RAG-prep chunking and frequency sketching — overlapping
+  * text windows with per-chunk fingerprints, and a count-min sketch
+  * estimating heavy-hitter frequencies in d×w integers. Both replay
+  * bit-for-bit in the DuckDB oracle.
+  */
+object Queries12 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  private val chunkW = 120
+  private val chunkS = 80
+
+  /** Overlapping text chunks (window 120 chars, stride 80 — 40-char
+    * overlap): the retrieval-prep step that cuts documents into
+    * embedding-sized passages without losing sentence boundaries to a
+    * hard cut. Start offsets are `sequence`-generated per row (no join,
+    * no shuffle — the only wide operation is the output itself), and
+    * each chunk carries the poly31 fingerprint for downstream
+    * chunk-level dedup (`dd_span_frac` is the span twin over fixed
+    * blocks). Integer division is guarded non-negative: Spark `div`
+    * truncates toward zero while DuckDB `//` floors, so `(len-1)`
+    * must never be negative — empty docs are filtered, not chunked.
+    */
+  val txt_chunk_overlap = Q(
+    (s, dir) => T_(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"),
+        expr(s"explode(sequence(0L, (len - 1) div $chunkS))").as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkS).as("start"),
+        expr(s"substring(text, cast(chunk_idx * $chunkS + 1 as int), $chunkW)")
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        length(col("chunk")).as("chunk_len"),
+        T.fingerprintFrom(col("chunk")).as("fp")),
+    Some(s"""SELECT doc_id, idx AS chunk_idx, idx * $chunkS AS start,
+        CAST(length(ch) AS INTEGER) AS chunk_len,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(ch, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      FROM (SELECT doc_id, idx,
+          substr(text, CAST(idx * $chunkS + 1 AS INTEGER), $chunkW) AS ch
+        FROM (SELECT doc_id, text,
+            unnest(range((length(text) - 1) // $chunkS + 1)) AS idx
+          FROM documents WHERE length(text) > 0))"""))
+
+  private val cmsD = 4
+  private val cmsW = 512
+
+  /** Count-min frequency estimates for the event heavy hitters: the
+    * d×w-integer sketch answering "how often does user u appear"
+    * without a per-key table ([[Sketches.cmsCounters]] — one scan,
+    * counters always broadcast-sized). Candidates are the exact top-10
+    * (`a_heavy_hitters` form), so the output exposes estimate vs truth
+    * side by side; `cms_est >= n` by construction (collisions only
+    * add). At 100 TB the counters stand in for the full per-user
+    * count table wherever only hot-key magnitudes matter.
+    */
+  val a_cms_heavy = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+      val counters = Sketches.cmsCounters(ev, col("user_id"), cmsD, cmsW)
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc).limit(10)
+      Sketches.cmsLookup(counters, top, col("user_id"), cmsD, cmsW)
+    },
+    Some(s"""WITH params AS (SELECT unnest(range($cmsD)) AS j),
+      hashed AS (SELECT j,
+        ((user_id + j * 1000003) % 94906249) * 1103515245 % 2147483647 % $cmsW AS b
+        FROM events CROSS JOIN params),
+      counters AS (SELECT j, b, count(*) AS c FROM hashed GROUP BY 1, 2),
+      exact AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1
+        ORDER BY n DESC, user_id ASC LIMIT 10),
+      cand AS (SELECT user_id, n, j,
+        ((user_id + j * 1000003) % 94906249) * 1103515245 % 2147483647 % $cmsW AS b
+        FROM exact CROSS JOIN params)
+      SELECT cand.user_id, any_value(cand.n) AS n,
+        CAST(min(c.c) AS BIGINT) AS cms_est
+      FROM cand JOIN counters c ON cand.j = c.j AND cand.b = c.b
+      GROUP BY cand.user_id"""))
+
+  val all: Map[String, Q] = Map(
+    "txt_chunk_overlap" -> txt_chunk_overlap,
+    "a_cms_heavy" -> a_cms_heavy,
+  )
+}

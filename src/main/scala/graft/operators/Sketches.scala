@@ -97,4 +97,44 @@ object Sketches {
   /** The oracle-side numerator for [[estimate]] — generated from the
     * same constant so the SQL cannot drift. */
   def kmvNumerator(k: Int): Long = (k - 1).toLong * 2147483647L
+
+  // ---- Count-min sketch (Cormode & Muthukrishnan 2005) ----
+  // The frequency-side companion of KMV: "how often does key u occur"
+  // over a feed too large for an exact per-key table, in d×w integers.
+  // Overestimates only (collisions add), so `min` over the d rows is
+  // the estimate and `cms_est >= true count` always. Same determinism
+  // story as KMV: seeded detHash rows, exact integer arithmetic,
+  // bit-replayable in the oracle. Counters are mergeable by cell-wise
+  // addition (counts are sums).
+
+  /** Row-j bucket of `id` in a width-`w` CMS. */
+  def cmsBucket(id: Column, j: Int, w: Int): Column =
+    Sampling.detHash(id + lit(j * 1000003L)) % w
+
+  private def cmsPairs(id: Column, d: Int, w: Int): Column =
+    explode(array((0 until d).map(j =>
+      struct(lit(j).as("j"), cmsBucket(id, j, w).as("b"))): _*))
+
+  /** Build the d×w counter table (j, b, c) in ONE scan: each row fans
+    * out to its d cells and one hash aggregate sums them — the output
+    * is d·w rows whatever the input size. */
+  def cmsCounters(df: DataFrame, id: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, "CMS needs d >= 1, w >= 2")
+    df.select(cmsPairs(id, d, w).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Estimate counts for candidate keys: min over the key's d cells.
+    * The counter table is d·w rows — always broadcast. `keys` keeps
+    * its columns; the estimate lands in `cms_est`. */
+  def cmsLookup(counters: DataFrame, keys: DataFrame, id: Column,
+                d: Int, w: Int): DataFrame = {
+    val cols = keys.columns
+    keys.withColumn("__jb", cmsPairs(id, d, w))
+      .join(broadcast(counters),
+        col("__jb.j") === col("j") && col("__jb.b") === col("b"))
+      .groupBy(cols.map(col).toIndexedSeq: _*)
+      .agg(min(col("c")).as("cms_est"))
+  }
 }

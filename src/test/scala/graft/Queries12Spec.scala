@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+/** Functional specs for the batch-12 operators: overlap chunking and
+  * the count-min frequency sketch.
+  */
+class Queries12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("overlap chunks tile every document: stride starts, full cover, short tail") {
+    val out = SparkEntry.queries("txt_chunk_overlap")(
+        spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"chunk_idx", $"start", $"chunk_len")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1)
+    val lens = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", length($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    out.foreach { case (doc, chunks) =>
+      val len = lens(doc)
+      val sorted = chunks.sortBy(_._2)
+      // starts are exactly 0, 80, 160, ... and the count matches
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_ * 80L))
+      assert(sorted.length == ((len - 1) / 80 + 1))
+      // every chunk is in-bounds; the last one reaches exactly the end
+      sorted.foreach { case (_, _, st, cl) =>
+        assert(cl > 0 && st + cl <= len && cl <= 120)
+      }
+      assert(sorted.map(c => c._3 + c._4).max == len)
+      // consecutive chunks overlap unless the document ended first
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) => assert(s2 < s1 + l1)
+        case _ =>
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("CMS never underestimates and collides to overestimates at tiny width") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(_ => rnd.nextInt(60).toLong + 1).toDF("id")
+    val d = 3; val w = 8 // 60 keys into 8 buckets: collisions guaranteed
+    val counters = Sketches.cmsCounters(rows, $"id", d, w)
+    assert(counters.count() <= d.toLong * w)
+    val exact = rows.groupBy($"id").agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsLookup(counters, exact, $"id", d, w)
+      .select($"id", $"n", $"cms_est").as[(Long, Long, Long)].collect()
+    assert(est.length == 60)
+    est.foreach { case (_, n, e) => assert(e >= n, s"underestimate: $e < $n") }
+    assert(est.exists { case (_, n, e) => e > n }, "tiny width must collide")
+  }
+
+  test("CMS counters merge by cell-wise addition") {
+    val rows = (1L to 2000L).map(i => i % 97).toDF("id")
+    val d = 4; val w = 64
+    val whole = Sketches.cmsCounters(rows, $"id", d, w)
+      .as[(Int, Long, Long)].collect().toSet
+    val a = Sketches.cmsCounters(rows.filter($"id" % 2 === 0), $"id", d, w)
+    val b = Sketches.cmsCounters(rows.filter($"id" % 2 =!= 0), $"id", d, w)
+    val merged = a.unionByName(b)
+      .groupBy($"j", $"b").agg(sum($"c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+}
