@@ -35,7 +35,9 @@ object GlobalOrder {
       .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id()))
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-    // unpartitioned window, but over #partitions rows only — never data
+    // unpartitioned window — WindowExec logs its single-partition
+    // warning here, and that is fine: the input is the per-partition
+    // count table, #partitions rows, never data
     val offsets = counts.withColumn("__off",
         coalesce(sum(col("__n")).over(
           Window.orderBy(col("__pid").asc)
