@@ -62,7 +62,8 @@ object Orchestrator {
     ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
     ("functions", "scalar parse/convert suites", Seq("f", "o", "w_running", "set_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
-    ("text", "text analysis + corpus prep", Seq("txt_", "pipeline_corpus")),
+    ("text", "text analysis + corpus prep",
+      Seq("txt_", "pipeline_corpus", "pipeline_rag")),
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
     ("timeseries", "sessionization + gap fill", Seq("ts_", "w_sessionize")),

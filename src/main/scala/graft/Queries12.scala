@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.Sketches
+import graft.operators.{Dedup, Sampling, Sketches}
 import Queries.Q
 
 /** Batch 12: RAG-prep chunking and frequency sketching — overlapping
@@ -20,6 +20,38 @@ object Queries12 {
   private val chunkW = 120
   private val chunkS = 80
 
+  /** The shared chunk pipeline (doc_id, chunk_idx, start, chunk_len,
+    * fp) over any (doc_id, text) frame — factored so the single-op
+    * query and the composed RAG pipeline cannot drift. */
+  private def chunked(docs: org.apache.spark.sql.DataFrame) = docs
+    .filter(length(col("text")) > 0)
+    .select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
+    .select(col("doc_id"),
+      expr(s"explode(sequence(0L, (len - 1) div $chunkS))").as("chunk_idx"),
+      col("text"))
+    .select(col("doc_id"), col("chunk_idx"),
+      (col("chunk_idx") * chunkS).as("start"),
+      expr(s"substring(text, cast(chunk_idx * $chunkS + 1 as int), $chunkW)")
+        .as("chunk"))
+    .select(col("doc_id"), col("chunk_idx"), col("start"),
+      length(col("chunk")).as("chunk_len"),
+      T.fingerprintFrom(col("chunk")).as("fp"))
+
+  /** The chunk pipeline as DuckDB SQL over a relation exposing
+    * (doc_id, text). */
+  private def chunkedSql(rel: String) =
+    s"""SELECT doc_id, idx AS chunk_idx, idx * $chunkS AS start,
+        CAST(length(ch) AS INTEGER) AS chunk_len,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(ch, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      FROM (SELECT doc_id, idx,
+          substr(text, CAST(idx * $chunkS + 1 AS INTEGER), $chunkW) AS ch
+        FROM (SELECT doc_id, text,
+            unnest(range((length(text) - 1) // $chunkS + 1)) AS idx
+          FROM $rel WHERE length(text) > 0))"""
+
   /** Overlapping text chunks (window 120 chars, stride 80 — 40-char
     * overlap): the retrieval-prep step that cuts documents into
     * embedding-sized passages without losing sentence boundaries to a
@@ -32,30 +64,8 @@ object Queries12 {
     * must never be negative — empty docs are filtered, not chunked.
     */
   val txt_chunk_overlap = Q(
-    (s, dir) => T_(s, dir, "documents")
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("len"))
-      .select(col("doc_id"),
-        expr(s"explode(sequence(0L, (len - 1) div $chunkS))").as("chunk_idx"),
-        col("text"))
-      .select(col("doc_id"), col("chunk_idx"),
-        (col("chunk_idx") * chunkS).as("start"),
-        expr(s"substring(text, cast(chunk_idx * $chunkS + 1 as int), $chunkW)")
-          .as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"), col("start"),
-        length(col("chunk")).as("chunk_len"),
-        T.fingerprintFrom(col("chunk")).as("fp")),
-    Some(s"""SELECT doc_id, idx AS chunk_idx, idx * $chunkS AS start,
-        CAST(length(ch) AS INTEGER) AS chunk_len,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(ch, ''), c -> CAST(ord(c) AS BIGINT))),
-          (a, b) -> (a * 31 + b) % 2147483647) AS fp
-      FROM (SELECT doc_id, idx,
-          substr(text, CAST(idx * $chunkS + 1 AS INTEGER), $chunkW) AS ch
-        FROM (SELECT doc_id, text,
-            unnest(range((length(text) - 1) // $chunkS + 1)) AS idx
-          FROM documents WHERE length(text) > 0))"""))
+    (s, dir) => chunked(T_(s, dir, "documents")),
+    Some(chunkedSql("documents")))
 
   private val cmsD = 4
   private val cmsW = 512
@@ -92,8 +102,48 @@ object Queries12 {
       FROM cand JOIN counters c ON cand.j = c.j AND cand.b = c.b
       GROUP BY cand.user_id"""))
 
+  private val ragQualityMin = 0.5
+  private val ragShards = 16
+
+  /** End-to-end RAG corpus prep, composed from the round's single-op
+    * pieces (whose SQL fragments it shares, so the pipeline and the
+    * unit queries cannot drift): quality-gate the corpus → cut
+    * overlapping passages → drop duplicate chunks corpus-wide (argmin
+    * on the chunk fingerprint — boilerplate passages repeat ACROSS
+    * documents) → hash-shard the survivors and emit the per-shard
+    * loader manifest. Plan: scan → codegen chunker → one dedup
+    * shuffle → one manifest aggregate; nothing else moves data.
+    */
+  val pipeline_rag_prep = Q(
+    (s, dir) => {
+      val gated = T_(s, dir, "documents")
+        .filter(T.qualityScore(col("text")) >= ragQualityMin)
+        .select(col("doc_id"), col("text"))
+      val survivors = Dedup.exactByOrd(chunked(gated), col("fp"),
+        struct(col("doc_id"), col("chunk_idx")))
+      survivors
+        .groupBy((Sampling.detHash2(col("fp")) % ragShards).as("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("chunk_len").cast("long")).as("chars"))
+    },
+    Some {
+      val h2 = "(((fp % 94906249) * 1103515245 % 2147483647) % 94906249)" +
+        " * 1103515245 % 2147483647"
+      s"""WITH gated AS (SELECT doc_id, text FROM documents
+        WHERE ${Queries3.qualitySqlExpr} >= $ragQualityMin),
+      chunks AS (${chunkedSql("gated")}),
+      survivors AS (SELECT * FROM chunks QUALIFY
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1)
+      SELECT $h2 % $ragShards AS shard, count(*) AS n_chunks,
+        count(DISTINCT doc_id) AS n_docs,
+        CAST(SUM(chunk_len) AS BIGINT) AS chars
+      FROM survivors GROUP BY 1"""
+    })
+
   val all: Map[String, Q] = Map(
     "txt_chunk_overlap" -> txt_chunk_overlap,
     "a_cms_heavy" -> a_cms_heavy,
+    "pipeline_rag_prep" -> pipeline_rag_prep,
   )
 }

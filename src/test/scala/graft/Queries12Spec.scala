@@ -55,6 +55,20 @@ class Queries12Spec extends AnyFunSuite {
     assert(est.exists { case (_, n, e) => e > n }, "tiny width must collide")
   }
 
+  test("RAG prep manifest is consistent with the chunk table") {
+    val dir = "/root/testdata/sf0.001"
+    val manifest = SparkEntry.queries("pipeline_rag_prep")(spark, dir)
+      .select($"shard", $"n_chunks", $"n_docs", $"chars")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(manifest.nonEmpty)
+    assert(manifest.forall { case (s, nc, nd, ch) =>
+      s >= 0 && s < 16 && nc > 0 && nd > 0 && nd <= nc && ch > 0 })
+    // survivors are a subset of all chunks (quality gate + dedup)
+    val allChunks = SparkEntry.queries("txt_chunk_overlap")(spark, dir).count()
+    val kept = manifest.map(_._2).sum
+    assert(kept > 0 && kept <= allChunks)
+  }
+
   test("CMS counters merge by cell-wise addition") {
     val rows = (1L to 2000L).map(i => i % 97).toDF("id")
     val d = 4; val w = 64
