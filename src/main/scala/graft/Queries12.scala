@@ -23,7 +23,7 @@ object Queries12 {
   /** The shared chunk pipeline (doc_id, chunk_idx, start, chunk_len,
     * fp) over any (doc_id, text) frame — factored so the single-op
     * query and the composed RAG pipeline cannot drift. */
-  private def chunked(docs: org.apache.spark.sql.DataFrame) = docs
+  private[graft] def chunked(docs: org.apache.spark.sql.DataFrame) = docs
     .filter(length(col("text")) > 0)
     .select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len"))

@@ -44,6 +44,25 @@ class Queries11Spec extends AnyFunSuite {
     assert(e == 39L && w == 0L && t == 0L)
   }
 
+  test("property: oriented triangle count equals brute force on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 4
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val expected = {
+        val es = edges.toSet
+        (for {
+          a <- 1L to n.toLong; b <- (a + 1) to n.toLong; c <- (b + 1) to n.toLong
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield 1).size.toLong
+      }
+      assert(tri(edges)._3 == expected, s"trial $trial: n=$n")
+    }
+  }
+
   test("detHash2 populates every small bucket on contiguous ids") {
     val buckets = (1L to 10000L).toDF("id")
       .select((Sampling.detHash2($"id") % 100L).as("b"))

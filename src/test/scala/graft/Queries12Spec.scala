@@ -55,6 +55,26 @@ class Queries12Spec extends AnyFunSuite {
     assert(est.exists { case (_, n, e) => e > n }, "tiny width must collide")
   }
 
+  test("chunk boundaries at exact stride/window multiples") {
+    // stride 80, window 120: lengths at and around the boundaries
+    val docs = Seq(
+      (1L, "a" * 80),   // exactly one stride -> 1 chunk, len 80
+      (2L, "b" * 81),   // one past -> 2 chunks, second has len 1
+      (3L, "c" * 160),  // two strides -> 2 chunks, len 120 + 80
+      (4L, "d" * 120),  // exactly one window -> 2 chunks (start 80 covers tail)
+      (5L, "e"))        // single char -> 1 chunk, len 1
+      .toDF("doc_id", "text")
+    val rows = Queries12.chunked(docs)
+      .select($"doc_id", $"chunk_idx", $"chunk_len")
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (d, cs) => d -> cs.sortBy(_._2).map(_._3).toSeq }
+    assert(rows(1L) == Seq(80))
+    assert(rows(2L) == Seq(81, 1))
+    assert(rows(3L) == Seq(120, 80))
+    assert(rows(4L) == Seq(120, 40))
+    assert(rows(5L) == Seq(1))
+  }
+
   test("RAG prep manifest is consistent with the chunk table") {
     val dir = "/root/testdata/sf0.001"
     val manifest = SparkEntry.queries("pipeline_rag_prep")(spark, dir)
