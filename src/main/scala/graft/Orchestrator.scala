@@ -60,7 +60,8 @@ object Orchestrator {
         "p1_", "p3_")),
     ("joins", "dim/as-of/semi joins", Seq("j")),
     ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
-    ("functions", "scalar parse/convert suites", Seq("f", "o", "w_running", "set_")),
+    ("functions", "scalar parse/convert suites",
+      Seq("f", "o", "w_running", "set_", "sql_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis + corpus prep",
       Seq("txt_", "pipeline_corpus", "pipeline_rag")),

@@ -141,9 +141,41 @@ object Queries12 {
       FROM survivors GROUP BY 1"""
     })
 
+  /** The library's SQL surface end-to-end: a corpus profile written
+    * entirely in `spark.sql` against the `graft_*` functions that
+    * [[graft.plans.GraftExtensions]] registers — the UX a SQL-first
+    * user of the engine gets (the analog of the reference's Cypher
+    * surface). The scalar library is `Column`-composed, so the SQL
+    * path plans IDENTICALLY to the DataFrame form — codegen included —
+    * and the oracle is the same generated fragment set as
+    * `txt_langid`/`txt_quality`/`txt_token_counts`.
+    */
+  val sql_text_profile = Q(
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      T_(s, dir, "documents").createOrReplaceTempView("documents_sql_v")
+      s.sql("""SELECT graft_lang_id(text) AS lang_guess,
+          count(*) AS n,
+          sum(graft_ws_tokens(text)) AS tokens,
+          CAST(SUM(CAST(graft_quality(text) AS DECIMAL(27,8))) AS DOUBLE)
+            / COUNT(*) AS avg_quality
+        FROM documents_sql_v GROUP BY lang_guess""")
+    },
+    Some {
+      s"""WITH sc AS (SELECT text, ${Queries3.langScoreExprsSql} FROM documents),
+      lg AS (SELECT ${Queries3.langGuessCaseSql} AS lang_guess,
+        ${Queries3.wsTokensSql} AS ws_tokens,
+        ${Queries3.qualitySqlExpr} AS quality FROM sc)
+      SELECT lang_guess, count(*) AS n,
+        CAST(SUM(ws_tokens) AS BIGINT) AS tokens,
+        CAST(SUM(CAST(quality AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS avg_quality
+      FROM lg GROUP BY 1"""
+    })
+
   val all: Map[String, Q] = Map(
     "txt_chunk_overlap" -> txt_chunk_overlap,
     "a_cms_heavy" -> a_cms_heavy,
     "pipeline_rag_prep" -> pipeline_rag_prep,
+    "sql_text_profile" -> sql_text_profile,
   )
 }

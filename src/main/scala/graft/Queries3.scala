@@ -33,7 +33,7 @@ object Queries3 {
   // pipeline cannot drift from each other.
   private lazy val stopsSql = T.defaultStopwords.map(s => s"'$s'").mkString(", ")
 
-  private val wsTokensSql =
+  private[graft] val wsTokensSql =
     """CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
             ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
@@ -50,7 +50,7 @@ object Queries3 {
        ) / CAST(4.0 AS DOUBLE), 6)"""
 
   /** Per-language stopword-hit score columns `s_<lang>`. */
-  private lazy val langScoreExprsSql: String = {
+  private[graft] lazy val langScoreExprsSql: String = {
     val langs = T.langMarkers.toSeq.sortBy(_._1)
     langs.map { case (l, ms) =>
       val in = ms.map(m => s"'$m'").mkString(", ")
@@ -63,7 +63,7 @@ object Queries3 {
   /** Argmax over the `s_<lang>` columns, tie → lexicographically
     * larger code, all-zero → 'und'.
     */
-  private lazy val langGuessCaseSql: String = {
+  private[graft] lazy val langGuessCaseSql: String = {
     val langs = T.langMarkers.toSeq.sortBy(_._1)
     val desc = langs.map(_._1).sorted.reverse
     val winner = desc.map { l =>
