@@ -233,6 +233,42 @@ object GraphOps {
       .withColumn("degree", col("out_deg") + col("in_deg"))
   }
 
+  /** k-core decomposition by iterative peeling: drop every vertex
+    * with degree < k, recompute degrees, repeat. After enough rounds
+    * the survivors are exactly the k-core (the maximal subgraph of
+    * min-degree ≥ k) — the "dense kernel" filter for co-occurrence
+    * graphs (boilerplate-product clusters, spam rings) where
+    * [[triangleCount]] is the density METRIC and this is the density
+    * EXTRACTOR. Fixed `iterations` so the oracle can replay the
+    * unrolled peel; callers needing guaranteed convergence run a spec
+    * probe (one more round must change nothing — peeling is monotone,
+    * so a fixed point is THE k-core). Each round is one degree
+    * aggregate + two semi-join filters, checkpointed so round t+1
+    * does not recompute rounds 1..t.
+    *
+    * Input treated as undirected; self-loops dropped, edges
+    * canonicalized + distinct. Returns surviving (id, degree).
+    */
+  def kCore(edges: DataFrame, k: Int, iterations: Int,
+            scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 1 && iterations >= 1)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    var e = scope.checkpoint(edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    for (_ <- 1 to iterations) {
+      val keep = degrees(e).filter(col("d") >= k).select(col("id"))
+      e = scope.checkpoint(e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+    }
+    degrees(e).withColumnRenamed("d", "degree")
+  }
+
   /** Exact triangle count via degree-ordered orientation (the MapReduce
     * triangle algorithm of Suri & Vassilvitskii 2011). Treats the input
     * as undirected: self-loops dropped, edges canonicalized + distinct.

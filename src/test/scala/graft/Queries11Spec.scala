@@ -63,6 +63,31 @@ class Queries11Spec extends AnyFunSuite {
     }
   }
 
+  test("k-core peels pendant chains and keeps the clique") {
+    // K4 with a pendant path 4-5-6: the 2-core is exactly the K4
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val out = GraphOps.kCore(edges, k = 2, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree peels everything
+    assert(GraphOps.kCore(edges, k = 5, iterations = 3).count() == 0)
+  }
+
+  test("k-core at the query's depth is converged: one more peel changes nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.read(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 25)
+      .select($"l_orderkey", $"l_partkey".cast("long").as("pk"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        $"l1.l_orderkey" === $"l2.l_orderkey" && $"l1.pk" < $"l2.pk")
+      .select($"l1.pk".as("src"), $"l2.pk".as("dst"))
+    val at = GraphOps.kCore(pairs, 4, 6).as[(Long, Long)].collect().toSet
+    val more = GraphOps.kCore(pairs, 4, 7).as[(Long, Long)].collect().toSet
+    assert(at == more)
+    assert(at.forall(_._2 >= 4), "fixed point is the k-core: min degree >= k")
+  }
+
   test("detHash2 populates every small bucket on contiguous ids") {
     val buckets = (1L to 10000L).toDF("id")
       .select((Sampling.detHash2($"id") % 100L).as("b"))
