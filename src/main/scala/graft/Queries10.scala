@@ -19,10 +19,8 @@ object Queries10 {
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
-  private def stagingDir(dir: String, name: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"/tmp/graft_stage_$key/$name"
-  }
+  private def stagingDir(dir: String, name: String): String =
+    graft.sources.Staging.path(dir, name)
 
   /** `Sampling.detHash` over doc_id, as DuckDB SQL. */
   private val hashSql = "(doc_id % 94906249) * 1103515245 % 2147483647"

@@ -18,10 +18,8 @@ object Queries11 {
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
-  private def stagingDir(dir: String, name: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"/tmp/graft_stage_$key/$name"
-  }
+  private def stagingDir(dir: String, name: String): String =
+    graft.sources.Staging.path(dir, name)
 
   private val hashSql = "(doc_id % 94906249) * 1103515245 % 2147483647"
 

@@ -101,16 +101,22 @@ object Queries5 {
     */
   val s7_bucketed_join = Q(
     (s, dir) => {
-      val base = "/tmp/graft_bucketed"
+      // per-dataset staging path + catalog names (graft.sources.Staging):
+      // interleaved runs against different scale dirs keep distinct
+      // bucket dirs AND distinct saved-table entries, so neither run
+      // reads the other's buckets
+      val base = graft.sources.Staging.path(dir, "bucketed")
+      val liName = graft.sources.Staging.tableName("graft_li_b", dir)
+      val ordName = graft.sources.Staging.tableName("graft_ord_b", dir)
       Tables.writeBucketed(
         T_(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-        "graft_li_b", Seq("l_orderkey"), 8, s"$base/li")
+        liName, Seq("l_orderkey"), 8, s"$base/li")
       Tables.writeBucketed(
         T_(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
           col("o_orderdate")),
-        "graft_ord_b", Seq("l_orderkey"), 8, s"$base/ord")
-      s.table("graft_li_b")
-        .join(s.table("graft_ord_b").hint("merge"), "l_orderkey")
+        ordName, Seq("l_orderkey"), 8, s"$base/ord")
+      s.table(liName)
+        .join(s.table(ordName).hint("merge"), "l_orderkey")
         .groupBy(year(col("o_orderdate")).as("yr"))
         .agg(decSum(col("l_extendedprice")).as("rev"))
         .orderBy("yr")

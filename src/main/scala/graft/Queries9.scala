@@ -17,14 +17,9 @@ object Queries9 {
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
-  /** Per-source-dir staging root for queries that write-then-read-back:
-    * keyed on the input `dir` so runs against different scale factors
-    * (or concurrent harness runs) never clobber each other's staged
-    * data or silently read a stale write from another dataset. */
-  private def stagingDir(dir: String, name: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"/tmp/graft_stage_$key/$name"
-  }
+  /** Per-dataset, per-JVM staging root — see [[graft.sources.Staging]]. */
+  private def stagingDir(dir: String, name: String): String =
+    graft.sources.Staging.path(dir, name)
 
   /** The poly31 row fingerprint as DuckDB SQL (same family/constants
     * as plans.TextExpressions.fingerprintFast — proven replayable by

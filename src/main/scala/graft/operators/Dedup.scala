@@ -67,6 +67,10 @@ object Dedup {
     * to be deterministic.
     */
   def exactByOrd(docs: DataFrame, key: Column, ord: Column): DataFrame = {
+    val clashes = docs.columns.filter(Seq("__h", "__best").contains)
+    require(clashes.isEmpty,
+      s"exactByOrd reserves columns __h, __best; input already has " +
+        s"${clashes.mkString(", ")} — rename before dedup")
     val best = docs.groupBy(key.as("__h"))
       .agg(min_by(struct(docs.columns.map(col).toIndexedSeq: _*),
         ord).as("__best"))
@@ -155,8 +159,13 @@ object Dedup {
     * (joinable by banding the bits). The input MUST be an attribute —
     * 64 per-bit aggregates each re-evaluate a composed expression
     * (see TextFunctions.charShinglesFrom).
+    *
+    * `private[graft]`: this HOF form is the REFERENCE implementation
+    * the spec cross-checks [[simhashBulk]]'s native kernel against —
+    * lambdas are CodegenFallback (64 interpreted passes per document),
+    * so it must never be a production path. Use [[simhashBulk]].
     */
-  def simhashFrom(sh: Column): Column = {
+  private[graft] def simhashFrom(sh: Column): Column = {
     val bits = (0 until 64).map { i =>
       val votes = aggregate(sh, lit(0),
         (acc, s) => acc + when(shiftright(hash(s).cast("long"), i % 32)
@@ -166,8 +175,9 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Convenience one-shot form for small inputs / tests. */
-  def simhash(text: Column, shingleLen: Int = 2): Column =
+  /** Convenience one-shot form for the kernel cross-check spec only
+    * (interpreted — see [[simhashFrom]]). */
+  private[graft] def simhash(text: Column, shingleLen: Int = 2): Column =
     simhashFrom(T.wordShingles(text, shingleLen))
 
   /** Bulk SimHash: same fingerprint as [[simhashFrom]] (per-bit ±1

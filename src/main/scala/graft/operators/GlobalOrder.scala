@@ -27,6 +27,11 @@ object GlobalOrder {
   /** Append 1-based `pos` in the total order `ord`. */
   def withGlobalIndex(df: DataFrame, ord: Seq[Column],
                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val reserved = Seq("__pid", "__opid", "__off", "pos")
+    val clashes = df.columns.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"withGlobalIndex reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")} — rename before indexing")
     // the pid stamp is only meaningful for ONE materialization (the
     // range sampler's boundaries follow RDD identity) — checkpoint so
     // the offset table and the final join see the same assignment

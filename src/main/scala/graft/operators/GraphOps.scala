@@ -269,6 +269,51 @@ object GraphOps {
     degrees(e).withColumnRenamed("d", "degree")
   }
 
+  /** Convergence-safe k-core: same peeling recurrence as [[kCore]],
+    * iterated until a round removes nothing — and since peeling is
+    * monotone, that fixed point IS the k-core — with `maxIterations`
+    * as a runaway bound. The probe is the same limit-1 emptiness check
+    * as [[connectedComponentsConverged]]: "does any surviving vertex
+    * still have degree < k" touches at most one row, not a full count.
+    * A fixed-depth peel that stops early returns a SUPERSET of the
+    * k-core (vertices of degree < k still present — under-filtering,
+    * the mirror of fixed-depth CC's under-dedup), so this is the
+    * production path; [[kCore]] stays for oracle replay (a
+    * data-dependent round count cannot be mirrored in static SQL).
+    *
+    * Returns surviving (id, degree); on a runaway-bound exit the
+    * non-convergence is visible as degree < k rows in the output.
+    */
+  def kCoreConverged(edges: DataFrame, k: Int, maxIterations: Int = 50,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 1 && maxIterations >= 1)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    var e = scope.checkpoint(edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    var changed = 1L
+    var iter = 0
+    while (changed > 0L && iter < maxIterations) {
+      // deg derives from the round's CHECKPOINTED edge set, so the
+      // probe and the keep-filter each cost one scan + aggregate over
+      // materialized rows — no recursive recompute of earlier rounds
+      val deg = degrees(e)
+      changed = deg.filter(col("d") < k).limit(1).count()
+      if (changed > 0L) {
+        val keep = deg.filter(col("d") >= k).select(col("id"))
+        e = scope.checkpoint(e
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+      }
+      iter += 1
+    }
+    degrees(e).withColumnRenamed("d", "degree")
+  }
+
   /** Exact triangle count via degree-ordered orientation (the MapReduce
     * triangle algorithm of Suri & Vassilvitskii 2011). Treats the input
     * as undirected: self-loops dropped, edges canonicalized + distinct.

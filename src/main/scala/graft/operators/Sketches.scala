@@ -42,6 +42,10 @@ object Sketches {
     * scale.
     */
   private def kSmallest(dh: DataFrame, k: Int): DataFrame = {
+    val clashes = dh.columns.filter(Seq("__pid", "__r").contains)
+    require(clashes.isEmpty,
+      s"kSmallest reserves columns __pid, __r; input already has " +
+        s"${clashes.mkString(", ")}")
     val w1 = Window.partitionBy(col("g"), col("__pid")).orderBy(col("h").asc)
     val w2 = Window.partitionBy(col("g")).orderBy(col("h").asc)
     dh.withColumn("__pid", spark_partition_id())

@@ -30,6 +30,7 @@ object StreamingSketch {
   def kmvOnce(spark: SparkSession, parquetPath: String,
               groupCol: String, idCol: String, k: Int,
               queryName: String = "stream_kmv"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2") // match the batch API contract
     import spark.implicits._
     val src = StreamSource.parquet(spark, parquetPath)
       .select(col(groupCol).cast("string").as("g"),

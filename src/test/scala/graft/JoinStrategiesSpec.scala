@@ -105,6 +105,20 @@ class JoinStrategiesSpec extends AnyFunSuite {
     }
   }
 
+  test("s7 staging is per-dataset: interleaved runs over two dirs don't clobber") {
+    // run A (sf0.001) → run B (sf0.01) → run A again: with per-dir
+    // bucket paths and table names, B's write cannot overwrite A's
+    // buckets, so A's re-run matches its own first result exactly
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = "/root/testdata/sf0.01"
+    val q = Queries5.all("s7_bucketed_join").fn
+    val first = q(spark, dirA).collect().toSeq
+    val other = q(spark, dirB).collect().toSeq
+    val again = q(spark, dirA).collect().toSeq
+    assert(first == again, "re-run after interleaved dir diverged")
+    assert(first != other, "scale factors unexpectedly identical — test is vacuous")
+  }
+
   test("bucketed tables sort-merge-join with no exchange on either side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
     val left = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "a")

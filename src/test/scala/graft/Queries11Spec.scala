@@ -74,6 +74,32 @@ class Queries11Spec extends AnyFunSuite {
     assert(GraphOps.kCore(edges, k = 5, iterations = 3).count() == 0)
   }
 
+  test("kCoreConverged fully peels a chain longer than any fixed depth") {
+    // K4 with a 12-hop pendant chain: each peel round removes exactly
+    // one chain vertex (the current leaf), so reaching the 2-core needs
+    // 12 rounds — more than the fixed depth below
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = (4L to 15L).map(i => (i, i + 1))
+    val edges = (k4 ++ chain).toDF("src", "dst")
+    // fixed depth 3 provably does NOT converge: leftover chain vertices
+    // with degree < k are still present (the superset failure mode)
+    val fixed = GraphOps.kCore(edges, k = 2, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed.exists(_._2 < 2), "fixed depth unexpectedly converged")
+    assert(fixed.size > 4)
+    // converged mode reaches the true 2-core (exactly the K4) and
+    // leaves no vertex under degree k
+    val conv = GraphOps.kCoreConverged(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(conv == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // runaway bound exits early but the non-convergence is visible
+    val bounded = GraphOps.kCoreConverged(edges, k = 2, maxIterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(bounded.exists(_._2 < 2), "bound exit must reveal non-convergence")
+    // k above the max degree peels everything
+    assert(GraphOps.kCoreConverged(edges, k = 5).count() == 0)
+  }
+
   test("k-core at the query's depth is converged: one more peel changes nothing") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.sources.Tables.read(spark, dir, "lineitem")
