@@ -63,6 +63,107 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  // ---------------------------------------------------------------
+  // Real image codec (javax.imageio — in the JDK, no added deps).
+  // The fake decode above stands in for codecs the sandbox lacks
+  // (audio/video); images get the real thing: encode → bytes →
+  // decode → pixel statistics, lossless end to end (PNG).
+  // ---------------------------------------------------------------
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("r_mean", DoubleType, nullable = true),
+    StructField("g_mean", DoubleType, nullable = true),
+    StructField("b_mean", DoubleType, nullable = true)))
+
+  /** Deterministic synthetic RGB image for `id`, PNG-encoded.
+    * Dimensions and pixels are pure integer functions of (id, x, y),
+    * so expected decode statistics are closed-form — an oracle can
+    * recompute them without any codec. PNG is lossless: the decode
+    * sees exactly these pixels.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (4 + id % 13).toInt
+    val h = (4 + (id * 7) % 11).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+        val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Encode one synthetic PNG per input id — the fixture-building
+    * half of the image round-trip. Runs inside the partition iterator
+    * like every other codec stage.
+    */
+  def encodeSyntheticPngs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = ids.select(col("media_id")).rdd
+      .mapPartitions(_.map(r => Row(r.getLong(0), syntheticPng(r.getLong(0)))))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** REAL image decode: payload bytes → ImageIO → per-channel pixel
+    * statistics. Same dataflow contract as [[decodeFeatures]] (select
+    * only (id, payload), decode per partition, fixed feature schema
+    * out), but the codec is the JDK's actual PNG/JPEG reader. A null
+    * or undecodable payload yields null features — the operator is
+    * total, it never throws on bad media.
+    *
+    * Channel means divide an exact integer pixel sum by an exact
+    * pixel count, so results are bit-reproducible across engines.
+    */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val img =
+          if (p == null) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var rSum = 0L; var gSum = 0L; var bSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              rSum += (px >> 16) & 0xff
+              gSum += (px >> 8) & 0xff
+              bSum += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(id, w, h, rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n)
+        }
+      })
+    spark.createDataFrame(rows, imageFeatureSchema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -65,6 +65,65 @@ object Upsert {
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Partition-level MERGE: upsert `incoming` into the partitioned
+    * parquet table at `targetPath`, rewriting ONLY the partitions
+    * `incoming` touches — the reference's idempotent row-MERGE
+    * (graph_weather_day.py:230-248) at lake granularity, and the op a
+    * daily 100 TB ingest actually runs (the day's delta rewrites the
+    * day's partitions; yesterday's terabytes are never read or
+    * written).
+    *
+    * Mechanics:
+    *  1. the touched-partition values are a tiny distinct set,
+    *     broadcast into a semi-join against the existing table — at
+    *     scan time Spark's dynamic partition pruning turns that into
+    *     a partition filter, so untouched partitions are never READ;
+    *  2. existing-touched ∪ incoming goes through [[merge]] (one hash
+    *     aggregate keyed on `keys`);
+    *  3. the merged rows land via dynamic partition overwrite
+    *     (`partitionOverwriteMode=dynamic`), so untouched partitions
+    *     are never WRITTEN. The merge result is staged to a temp
+    *     sibling first because its lazy plan reads the live table
+    *     (same no-self-overwrite discipline as
+    *     [[graft.streaming.StreamingUpsert]]).
+    *
+    * Re-running with the same `incoming` is a fixpoint: MERGE is
+    * idempotent by key and the same partitions are rewritten with the
+    * same rows. `partitionCol` must be one of `keys` (a partition is a
+    * horizontal slice of the key space; merging across partitions
+    * would move rows between partitions and break the
+    * rewrite-only-touched contract). `incoming` must be key-unique —
+    * pre-collapse with [[dedupByKey]] when it isn't. Single-writer per
+    * table, like every sink here (the stage sibling is keyed off
+    * `targetPath`, so concurrent writers to the SAME table would race;
+    * concurrent tables are fine).
+    */
+  def overwritePartitions(incoming: DataFrame, keys: Seq[String],
+                          partitionCol: String, targetPath: String,
+                          keepExistingNonNull: Boolean = false): Unit = {
+    require(keys.contains(partitionCol),
+      s"partitionCol $partitionCol must be one of the merge keys $keys")
+    val spark = incoming.sparkSession
+    import org.apache.hadoop.fs.Path
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(target)) {
+        val touched = incoming.select(col(partitionCol)).distinct()
+        val existingTouched = spark.read.parquet(targetPath)
+          .join(broadcast(touched), Seq(partitionCol), "left_semi")
+        merge(existingTouched, incoming, keys, keepExistingNonNull)
+      } else incoming
+    val stage = new Path(targetPath + ".merge-stage")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    spark.read.parquet(stage.toString)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetPath)
+    fs.delete(stage, true)
+  }
+
   /** S6 — uniqueness constraint as an assertion. Returns the duplicate
     * keys (empty = constraint holds). Aggregate-only, no collect.
     */

@@ -77,7 +77,7 @@ object StreamingUpsert {
     * atomic check (deleting the backup while the target is missing was
     * a silent-loss window).
     */
-  private def recoverTarget(spark: SparkSession, targetPath: String): Boolean = {
+  private[streaming] def recoverTarget(spark: SparkSession, targetPath: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,7 +106,7 @@ object StreamingUpsert {
     * Single-writer per table, like the reference's per-task upsert
     * loops (main_graph_topraq.py:327-334).
     */
-  private def swapInto(spark: SparkSession, df: DataFrame,
+  private[streaming] def swapInto(spark: SparkSession, df: DataFrame,
                        targetPath: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(targetPath)

@@ -210,6 +210,18 @@ class PlanSpec extends AnyFunSuite {
       "scoring+filter+top-k must not shuffle the corpus:\n" + p)
   }
 
+  test("JDBC relation pushes the predicate into the database as SQL") {
+    // S1: the reference's pooled Postgres read behind spark.read.jdbc
+    // (Queries14.jdbc_pushdown_roundtrip over embedded Derby). The
+    // filter must reach the JDBCRelation scan as a pushed filter —
+    // shipped to the database in the generated WHERE clause — not run
+    // as a post-scan Spark filter over a full-table read.
+    val p = plan("jdbc_pushdown_roundtrip")
+    assert(p.contains("JDBCRelation"), p)
+    assert("(?i)PushedFilters: \\[[^\\]]*n_regionkey".r.findFirstIn(p).isDefined,
+      "regionkey predicate not pushed to the database:\n" + p)
+  }
+
   test("triangle count: data joins hash, nested loops only stitch 1-row counts") {
     // AQE's toString repeats nodes under "== Initial Plan ==" — count
     // in the final section only

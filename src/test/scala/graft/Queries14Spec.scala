@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Upsert}
+
+class Queries14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def partFiles(target: String, part: String): Seq[(String, Long, Long)] = {
+    val dir = new java.io.File(target, part)
+    dir.listFiles().toSeq.filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1)
+  }
+
+  test("overwritePartitions rewrites ONLY touched partitions, idempotently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_owp").toString
+    val target = s"$tmp/t"
+    def df(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("k", "d", "v").select(col("k"), to_date(col("d")).as("d"), col("v"))
+
+    // bootstrap: two partitions
+    Upsert.overwritePartitions(
+      df(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (4L, "2024-01-02", 4.0))),
+      Seq("k", "d"), "d", target)
+    val untouchedBefore = partFiles(target, "d=2024-01-01")
+
+    // incoming touches ONLY the Jan-2 partition: k=2 updated, k=3 new,
+    // k=4 absent from incoming but must survive (MERGE, not replace)
+    val incoming = df(Seq((2L, "2024-01-02", 20.0), (3L, "2024-01-02", 30.0)))
+    Upsert.overwritePartitions(incoming, Seq("k", "d"), "d", target)
+
+    assert(partFiles(target, "d=2024-01-01") == untouchedBefore,
+      "untouched partition was rewritten")
+    def state() = spark.read.parquet(target)
+      .select(col("k"), col("d").cast("string"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = Set((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-02", 4.0))
+    assert(state() == expected)
+
+    // re-run with the same incoming: fixpoint, untouched still intact
+    Upsert.overwritePartitions(incoming, Seq("k", "d"), "d", target)
+    assert(state() == expected, "second run changed the table")
+    assert(partFiles(target, "d=2024-01-01") == untouchedBefore)
+
+    // contract: the partition column must be part of the merge key
+    intercept[IllegalArgumentException] {
+      Upsert.overwritePartitions(incoming, Seq("k"), "d", target)
+    }
+  }
+
+  test("decodeImageFeatures: real PNG round-trip, garbage and null are total") {
+    import spark.implicits._
+    // hand-built 2x1 image with known pixels -> exact channel means
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (60 << 8) | 80)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(
+      (1L, out.toByteArray),
+      (2L, Array[Byte](1, 2, 3)), // not an image
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.decodeImageFeatures(media)
+      .orderBy("media_id").collect()
+    assert(rows(0).getInt(1) == 2 && rows(0).getInt(2) == 1)
+    assert(rows(0).getDouble(3) == 25.0 && rows(0).getDouble(4) == 40.0 &&
+      rows(0).getDouble(5) == 55.0)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+  }
+
+  test("syntheticPng decodes back to its closed-form statistics") {
+    val id = 42L
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.encodeSyntheticPngs(
+        spark.range(id, id + 1).select(col("id").as("media_id"))))
+      .collect().head
+    val w = (4 + id % 13).toInt
+    val h = (4 + (id * 7) % 11).toInt
+    assert(feats.getInt(1) == w && feats.getInt(2) == h)
+    val pixels = for { y <- 0 until h; x <- 0 until w }
+      yield ((id * 31 + x * 7 + y * 13) % 256,
+             (id * 17 + x * 11 + y * 5) % 256,
+             (id * 23 + x * 3 + y * 19) % 256)
+    val n = (w * h).toDouble
+    assert(feats.getDouble(3) == pixels.map(_._1).sum / n)
+    assert(feats.getDouble(4) == pixels.map(_._2).sum / n)
+    assert(feats.getDouble(5) == pixels.map(_._3).sum / n)
+  }
+}
