@@ -60,7 +60,36 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Regression gate: compare against the recorded per-query medians
+    // (bench/medians.json, written from the round's SPARK_GRAFT_REPS=3
+    // recording — see BASELINE.md). A query is flagged when it runs
+    // >1.5x its recorded median AND >0.5s over it (the absolute floor
+    // keeps sub-second queries' scheduling noise out). Driver runs are
+    // reps=1 cold — BASELINE.md documents a 1.2-1.5x cold-pass band on
+    // the TOTAL, so a flagged query is "investigate with BenchOne
+    // medians before believing", not "proven regression"; what the
+    // gate ends is silent drift like round 4's unexplained
+    // pipeline_app_chain 0.55->1.56s.
+    val mediansPath = sys.env.getOrElse("SPARK_GRAFT_MEDIANS", "bench/medians.json")
+    val regressions = {
+      val f = new java.io.File(mediansPath)
+      if (!f.isFile) Seq.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val entry = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+        val medians = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (name, sec) =>
+          medians.get(name).collect {
+            case med if sec > 1.5 * med && sec - med > 0.5 =>
+              f""""$name":{"sec":$sec%.3f,"median":$med%.3f,"ratio":${sec / med}%.2f}"""
+          }
+        }
+      }
+    }
+    val regJson =
+      if (regressions.isEmpty) "" else s""","regressions":${regressions.mkString("{", ",", "}")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$regJson}""")
     spark.stop()
   }
 }

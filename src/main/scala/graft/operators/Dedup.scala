@@ -87,15 +87,68 @@ object Dedup {
     array(hashes: _*)
   }
 
+  /** Candidate pairs from a banded frame (`keys... , id, payload...`):
+    * rows sharing a band key pair up. With `maxBucket` set, buckets
+    * over the cap emit the STAR around the bucket's min id instead of
+    * the full clique — a bucket is a candidate clique, and clique and
+    * star have identical connected components, so the downstream
+    * cluster resolution ([[dedupClusters]]) recovers exactly the same
+    * clusters at O(n) pairs instead of O(n²). This is the guard for
+    * degenerate corpora (boilerplate at percent-level frequency): at
+    * 20% document frequency an uncapped bucket is (0.2·N)²/2 pairs —
+    * quadratic in corpus size — where the star is linear. The trade:
+    * over-cap buckets lose their non-hub pairwise similarity scores
+    * (pair-level consumers see hub-mediated pairs only; cluster-level
+    * consumers see no difference).
+    *
+    * `payload` columns ride along as `<p>_a`/`<p>_b` (the hub's
+    * payload via min_by, so star pairs are exact).
+    */
+  private[graft] def bandPairs(banded: DataFrame, keys: Seq[String],
+                               maxBucket: Option[Int],
+                               payload: Seq[String] = Nil): DataFrame = {
+    val kc = keys.map(col)
+    val outCols = ("id_a" +: "id_b" +:
+      payload.flatMap(p => Seq(s"${p}_a", s"${p}_b"))).map(col)
+    def side(df: DataFrame, s: String) =
+      df.select(kc ++ ("id" +: payload).map(c => col(c).as(s"${c}_$s")): _*)
+    def clique(df: DataFrame) =
+      side(df, "a").join(side(df, "b"), keys)
+        .filter(col("id_a") < col("id_b"))
+        .select(outCols: _*)
+    maxBucket match {
+      case None => clique(banded)
+      case Some(cap) =>
+        require(cap >= 2, "maxBucket must be >= 2")
+        // one aggregate on the band key: bucket size + the hub (min
+        // id) with its payload
+        val aggs = count(lit(1)).as("__n") +: min(col("id")).as("__hub") +:
+          payload.map(p => min_by(col(p), col("id")).as(s"__hub_$p"))
+        val sizes = banded.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+        val small = banded.join(
+          sizes.filter(col("__n") <= cap).select(kc: _*), keys, "left_semi")
+        val star = banded.join(
+          sizes.filter(col("__n") > cap), keys)
+          .filter(col("id") =!= col("__hub"))
+          .select(col("__hub").as("id_a") +: col("id").as("id_b") +:
+            payload.flatMap(p => Seq(col(s"__hub_$p").as(s"${p}_a"),
+              col(p).as(s"${p}_b"))): _*)
+        clique(small).unionByName(star)
+    }
+  }
+
   /** MinHash + LSH near-dup candidate pairs: signatures are cut into
     * `bands` bands of `rowsPerBand` hashes; documents sharing any band
     * value are candidates. Returns (id_a, id_b, estimated jaccard)
-    * with id_a < id_b, deduplicated across bands.
+    * with id_a < id_b, deduplicated across bands. `maxBucket` caps
+    * band-bucket size (see [[bandPairs]] — the boilerplate guard;
+    * None = exact clique semantics, the oracle-replayed default).
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  shingleLen: Int = 5, bands: Int = 8,
                  rowsPerBand: Int = 4, maxDocLen: Int = 2000,
                  replayable: Boolean = false,
+                 maxBucket: Option[Int] = None,
                  scope: CacheScope = CacheScope.global): DataFrame = {
     val k = bands * rowsPerBand
     // signatures are consumed three times (banding + both sides of the
@@ -140,11 +193,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), bucketOf(b).as("bucket")))))
       .select(col("id"), col("col.band"), col("col.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = bandPairs(banded, Seq("band", "bucket"), maxBucket).distinct()
     pairs
       .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -211,6 +260,7 @@ object Dedup {
     */
   def simhashNearDup(fp: DataFrame, idCol: String, fpCol: String,
                      maxHamming: Int = 3,
+                     maxBucket: Option[Int] = None,
                      scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val bands = maxHamming + 1
@@ -227,11 +277,13 @@ object Dedup {
     val banded = scope.persist(fp.select(col(idCol).as("id"), col(fpCol).as("f"))
       .select(col("id"), col("f"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("f"), col("bb.band").as("band"), col("bb.bits").as("bits")))
-    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("f").as("f_a"))
-    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("f").as("f_b"))
-    a.join(b, Seq("band", "bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "f_a", "f_b").distinct()
+    // over-cap star pairs (maxBucket set — degenerate fingerprint-heavy
+    // corpora) weaken the pigeonhole guarantee from any-band-agreement
+    // to hub-mediated: bucket members within maxHamming of the HUB
+    // survive the exact check below; members near each other but far
+    // from the hub resolve via cluster resolution, not pairwise
+    bandPairs(banded, Seq("band", "bits"), maxBucket, payload = Seq("f"))
+      .distinct()
       .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -129,6 +129,54 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 2 && pairs((1L, 3L)) == 1 && pairs((2L, 3L)) == 3)
   }
 
+  test("maxBucket star-collapse: same clusters as uncapped, linear pairs") {
+    // 40 near-identical docs (boilerplate + tiny tail) + 2 unrelated:
+    // the boilerplate cluster lands whole in shared LSH buckets, so
+    // uncapped emits ~C(40,2) clique pairs; capped (maxBucket=8)
+    // must emit O(40) star pairs yet resolve to the SAME clusters
+    val boiler = (0 until 60).map(i => s"w${i % 7}").mkString(" ")
+    val many = (1L to 40L).map(i => (i, s"$boiler tail$i")) ++
+      Seq((100L, "completely different content about spark engines and shuffles"),
+        (101L, "another unrelated document concerning benchmarks and parquet"))
+    val corpus = many.toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(corpus, "text", "doc_id")
+    val capped = Dedup.minhashLsh(corpus, "text", "doc_id", maxBucket = Some(8))
+    val nUn = uncapped.count()
+    val nCap = capped.count()
+    assert(nUn >= 39L * 40 / 2 * 9 / 10, s"clique pairs expected, got $nUn")
+    assert(nCap < 120, s"star pairs must be linear in the bucket, got $nCap")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupClusters(pairs, converge = true)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(clusters(capped) == clusters(uncapped))
+  }
+
+  test("simhash maxBucket: identical fingerprints star-collapse, hamming intact") {
+    // 30 identical fingerprints (a degenerate bucket) + one 2-bit
+    // neighbor + one far outlier
+    val base = 0x0123456789ABCDEFL
+    val fp = ((1L to 30L).map(i => (i, base)) ++ Seq(
+      (31L, base ^ (1L << 5) ^ (1L << 44)),
+      (99L, ~base)
+    )).toDF("doc_id", "simhash")
+    val capped = Dedup.simhashNearDup(fp, "doc_id", "simhash",
+      maxHamming = 3, maxBucket = Some(8))
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // star around hub 1: every identical member pairs with 1 at distance 0
+    assert((2L to 30L).forall(i => rows.get((1L, i)).contains(0)))
+    // the 2-bit neighbor still matches through its band agreement
+    assert(rows.exists { case ((a, b), h) => b == 31L && h == 2 })
+    assert(!rows.keySet.exists { case (a, b) => a == 99L || b == 99L })
+    // linear, not quadratic: C(30,2)=435 clique pairs would be wrong
+    assert(rows.size < 120, s"expected star pairs, got ${rows.size}")
+    // cluster resolution equals the uncapped form's
+    val uncapped = Dedup.simhashNearDup(fp, "doc_id", "simhash", maxHamming = 3)
+    def clusters(p: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupClusters(p, converge = true)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(clusters(capped) == clusters(uncapped))
+  }
+
   test("vector functions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
