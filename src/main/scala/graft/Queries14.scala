@@ -76,6 +76,67 @@ object Queries14 {
     bench = false)
 
   // ===========================================================
+  // DD — capped band join (the boilerplate guard), oracle-replayed
+  // ===========================================================
+
+  /** MinHash LSH with the band-bucket cap: buckets above `maxBucket=8`
+    * star-collapse around their min id (Dedup.bandPairs) — the
+    * production guard against percent-frequency boilerplate, where an
+    * uncapped bucket emits quadratic pairs (17.4x measured on the skew
+    * soak, BASELINE.md). The oracle replays the FULL capped semantics
+    * in SQL: bucket sizes, clique pairs for small buckets, hub-star
+    * pairs for over-cap ones, distinct-union, then the signature
+    * re-join. At sf0.01 the corpus has buckets up to size 19, so both
+    * paths execute.
+    */
+  val dd_minhash_capped = Q(
+    (s, dir) => graft.operators.Dedup.minhashLsh(
+      T_(s, dir, "documents"), "text", "doc_id",
+      shingleLen = 5, bands = 8, rowsPerBand = 4, replayable = true,
+      maxBucket = Some(8))
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val (mults, adds) = graft.operators.Dedup.minhashCoeffs(32, replayable = true)
+      val ml = mults.mkString("[", ", ", "]")
+      val al = adds.mkString("[", ", ", "]")
+      s"""WITH co AS (SELECT $ml::BIGINT[] AS M, $al::BIGINT[] AS A),
+      nrm AS (SELECT doc_id AS id,
+          regexp_replace(lower(trim(substr(text, 1, 2000))), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      hs AS (SELECT id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(substr(norm, i, 5), ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) FOR i IN range(1, length(norm) - 3)] AS hl
+        FROM nrm WHERE length(norm) >= 5),
+      sigs AS (SELECT id,
+          list_transform(range(0, 32), j ->
+            list_min(list_transform(hl, h -> (M[j + 1] * h + A[j + 1]) % 2147483647))) AS sig
+        FROM hs, co),
+      bands AS (SELECT unnest(range(0, 8)) AS b),
+      banded AS (SELECT s.id, b.b AS band,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), s.sig[b.b * 4 + 1 : b.b * 4 + 4]),
+            (a, v) -> (a * 31 + v) % 2147483647) AS bucket
+        FROM sigs s, bands b),
+      sz AS (SELECT band, bucket, count(*) AS n, min(id) AS hub
+        FROM banded GROUP BY 1, 2),
+      pairs AS (
+        SELECT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bucket)
+             JOIN sz USING (band, bucket)
+        WHERE sz.n <= 8 AND x.id < y.id
+        UNION
+        SELECT sz.hub AS id_a, b.id AS id_b
+        FROM banded b JOIN sz USING (band, bucket)
+        WHERE sz.n > 8 AND b.id <> sz.hub)
+      SELECT p.id_a, p.id_b,
+        CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON sa.id = p.id_a
+      JOIN sigs sb ON sb.id = p.id_b
+      ORDER BY id_a, id_b"""
+    })
+
+  // ===========================================================
   // MM — real image codec behind the multimodal contract
   // ===========================================================
 
@@ -173,6 +234,7 @@ object Queries14 {
 
   val all: Map[String, Q] = Map(
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
+    "dd_minhash_capped" -> dd_minhash_capped,
     "mm_decode_image" -> mm_decode_image,
     "jdbc_pushdown_roundtrip" -> jdbc_pushdown_roundtrip,
     "stream_day_metrics" -> stream_day_metrics,

@@ -28,10 +28,15 @@ import graft.operators.Upsert
   *    wins), absent ones persist;
   *  - the 1-day watermark bounds state: windows a day behind the
   *    stream's max event time are finalized and their state dropped.
-  *    Data arriving later than that is DROPPED, where a nightly batch
-  *    recompute would have included it — the documented trade
-  *    (StreamingSpec pins it; at 100 TB/day the watermark is the knob
-  *    that keeps day-window state finite).
+  *    Data arriving after its window's state is finalized is DROPPED,
+  *    where a nightly batch recompute would have included it — the
+  *    documented trade (StreamingDayMetricsSpec pins it on a
+  *    three-batch replay; at 100 TB/day the watermark is the knob that
+  *    keeps day-window state finite). Spark's watermark guarantee is
+  *    one-directional: data inside the watermark is never dropped, but
+  *    data slightly beyond it MAY still be absorbed while the window's
+  *    state is live (eviction runs at the end of the first batch whose
+  *    watermark passed the window).
   */
 object StreamingDayMetrics {
 
