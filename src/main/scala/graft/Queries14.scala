@@ -172,6 +172,35 @@ object Queries14 {
         CAST(SUM(b) AS DOUBLE) / (width * height) AS b_mean
       FROM px GROUP BY 1, 2, 3"""))
 
+  /** Audio decode with the JDK's REAL WAV codec: one deterministic
+    * 16-bit PCM clip per document, javax.sound-encoded to WAV bytes,
+    * then decoded back and reduced to sample statistics
+    * ([[Multimodal.decodeAudioFeatures]]). PCM is lossless and every
+    * sample is closed-form in (id, i), so the oracle recomputes the
+    * statistics arithmetically — integer sums over exact sample
+    * values, bit-identical divisions.
+    */
+  val mm_decode_audio = Q(
+    (s, dir) => {
+      val ids = T_(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.decodeAudioFeatures(Multimodal.encodeSyntheticWavs(ids))
+    },
+    Some("""WITH clips AS (
+        SELECT doc_id AS media_id,
+          CAST(400 + doc_id % 600 AS INTEGER) AS n_samples,
+          CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate
+        FROM documents),
+      sm AS (
+        SELECT c.media_id, c.sample_rate, c.n_samples,
+          (c.media_id * 31 + i.i * 17) % 2001 - 1000 AS s
+        FROM clips c
+        JOIN (SELECT unnest(range(0, 1000)) AS i) i ON i.i < c.n_samples)
+      SELECT media_id, sample_rate, CAST(1 AS INTEGER) AS n_channels,
+        n_samples,
+        CAST(SUM(s) AS DOUBLE) / n_samples AS mean_amp,
+        CAST(SUM(s * s) AS DOUBLE) / n_samples AS mean_square
+      FROM sm GROUP BY 1, 2, 3, 4"""))
+
   // ===========================================================
   // S1 — JDBC source path (embedded Derby), pushdown-verified
   // ===========================================================
@@ -236,6 +265,7 @@ object Queries14 {
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
     "dd_minhash_capped" -> dd_minhash_capped,
     "mm_decode_image" -> mm_decode_image,
+    "mm_decode_audio" -> mm_decode_audio,
     "jdbc_pushdown_roundtrip" -> jdbc_pushdown_roundtrip,
     "stream_day_metrics" -> stream_day_metrics,
   )

@@ -164,6 +164,117 @@ object Multimodal {
     spark.createDataFrame(rows, imageFeatureSchema)
   }
 
+  // ---------------------------------------------------------------
+  // Real audio codec (javax.sound.sampled — in the JDK, no added
+  // deps). Second de-stubbed modality after images: encode → WAV
+  // bytes → decode → sample statistics, lossless end to end (PCM).
+  // ---------------------------------------------------------------
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("mean_amp", DoubleType, nullable = true),
+    StructField("mean_square", DoubleType, nullable = true)))
+
+  /** Deterministic synthetic mono 16-bit PCM WAV for `id`. Sample
+    * count, rate, and every sample value are pure integer functions of
+    * (id, i), so expected decode statistics are closed-form — the
+    * oracle recomputes them without any codec. PCM is lossless: the
+    * decode sees exactly these samples.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (400 + id % 600).toInt
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 17) % 2001 - 1000).toShort
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Encode one synthetic WAV per input id — the fixture-building half
+    * of the audio round-trip, inside the partition iterator.
+    */
+  def encodeSyntheticWavs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = ids.select(col("media_id")).rdd
+      .mapPartitions(_.map(r => Row(r.getLong(0), syntheticWav(r.getLong(0)))))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** REAL audio decode: WAV bytes → javax.sound → per-clip sample
+    * statistics. Same dataflow contract as [[decodeImageFeatures]];
+    * a null or undecodable payload yields null features (total
+    * operator, never throws on bad media). Only 16-bit PCM is
+    * featurized — other encodings return the parsed header fields
+    * with null statistics rather than lying about sample values.
+    *
+    * `mean_amp`/`mean_square` divide exact integer sums by the exact
+    * sample count, so results are bit-reproducible across engines.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val ais =
+          if (p == null) null
+          else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (ais == null) Row(id, null, null, null, null, null)
+        else {
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val ch = fmt.getChannels
+          if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            Row(id, fmt.getSampleRate.toInt, ch, null, null, null)
+          else {
+            val n = bytes.length / 2
+            var sum = 0L; var sumSq = 0L
+            var i = 0
+            while (i < n) {
+              // the first byte of a BE sample / second of an LE one is
+              // the sign byte: .toInt sign-extends it, the other byte
+              // is masked unsigned
+              val s =
+                if (fmt.isBigEndian)
+                  (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                else
+                  (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+              sum += s; sumSq += s.toLong * s
+              i += 1
+            }
+            Row(id, fmt.getSampleRate.toInt, ch, n,
+              if (n == 0) null else sum.toDouble / n,
+              if (n == 0) null else sumSq.toDouble / n)
+          }
+        }
+      })
+    spark.createDataFrame(rows, audioFeatureSchema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

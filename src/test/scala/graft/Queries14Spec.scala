@@ -75,6 +75,51 @@ class Queries14Spec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
   }
 
+  test("decodeAudioFeatures: real WAV round-trip, garbage and null are total") {
+    import spark.implicits._
+    // hand-built 4-sample mono 16-bit clip with known values
+    val samples = Array[Short](100, -200, 300, -400)
+    val pcm = new Array[Byte](8)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val media = Seq(
+      (1L, out.toByteArray),
+      (2L, Array[Byte](9, 9, 9)), // not audio
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAudioFeatures(media)
+      .orderBy("media_id").collect()
+    assert(rows(0).getInt(1) == 8000 && rows(0).getInt(2) == 1 &&
+      rows(0).getInt(3) == 4)
+    assert(rows(0).getDouble(4) == (100 - 200 + 300 - 400) / 4.0)
+    assert(rows(0).getDouble(5) ==
+      (100.0 * 100 + 200 * 200 + 300 * 300 + 400 * 400) / 4.0)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(4))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(4))
+  }
+
+  test("syntheticWav decodes back to its closed-form statistics") {
+    val id = 7L
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.encodeSyntheticWavs(
+        spark.range(id, id + 1).select(col("id").as("media_id"))))
+      .collect().head
+    val n = (400 + id % 600).toInt
+    assert(feats.getInt(1) == (8000 + (id % 3) * 4000).toInt)
+    assert(feats.getInt(3) == n)
+    val s = (0 until n).map(i => (id * 31 + i * 17) % 2001 - 1000)
+    assert(feats.getDouble(4) == s.sum.toDouble / n)
+    assert(feats.getDouble(5) == s.map(v => v * v).sum.toDouble / n)
+  }
+
   test("syntheticPng decodes back to its closed-form statistics") {
     val id = 42L
     val feats = Multimodal.decodeImageFeatures(
