@@ -203,6 +203,58 @@ object GraphOps {
     comp
   }
 
+  /** Convergence-safe PageRank: same recurrence (and the same exact
+    * 1e-9-quantized decimal sums) as [[pageRank]], iterated until no
+    * vertex's rank moved more than `tol` in a round — checked with a
+    * limit-1 emptiness probe like [[connectedComponentsConverged]] —
+    * or `maxIterations` as the runaway bound. A fixed iteration count
+    * under-converges hub-heavy graphs whose mixing time exceeds the
+    * depth; this is the production path, while the fixed-depth form
+    * stays for oracle replay (a data-dependent iteration count cannot
+    * be mirrored in static SQL).
+    *
+    * Each round's ranks are checkpointed: the probe is an action per
+    * round, and rank_t is referenced twice (contribution join + delta
+    * probe) — the price is one blocking materialization per round,
+    * the same trade the CC/k-core converged forms make. Termination
+    * is guaranteed even for tiny `tol`: the damped recurrence
+    * contracts deltas by `damp` per round and ranks live on the 1e-9
+    * quantization grid, so the sequence reaches an exact fixpoint.
+    */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-7,
+                        maxIterations: Int = 50,
+                        reset: Double = 0.15, damp: Double = 0.85,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
+    require(tol > 0.0 && maxIterations >= 1)
+    val e = scope.checkpoint(edges)
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withInv = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
+    val edgesCached = scope.checkpoint(withInv.repartition(col("src")))
+    val zeroContribs = scope.checkpoint(
+      vertices.select(col("id"), lit(0.0).as("contrib")))
+    var ranks = scope.checkpoint(vertices.select(col("id"), lit(1.0).as("rank")))
+    var moved = 1L
+    var iter = 0
+    while (moved > 0L && iter < maxIterations) {
+      val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") * col("inv_outdeg")).as("contrib"))
+        .unionByName(zeroContribs)
+      val next = scope.checkpoint(contribs.groupBy(col("id"))
+        .agg((lit(reset) + lit(damp) *
+          (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+            .cast("long").cast("double") / 1.0e9)).as("rank")))
+      moved = next.join(ranks.select(col("id"), col("rank").as("prev")), "id")
+        .filter(abs(col("rank") - col("prev")) > tol).limit(1).count()
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
+
   /** GraphX-backed PageRank over the same edge DataFrame — the
     * VertexRDD/EdgeRDD execution path (BASELINE.json north star).
     * Same recurrence as [[pageRank]] but float sums follow GraphX's

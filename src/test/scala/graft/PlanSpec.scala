@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-quality audits: the optimizations the engine's scale story
@@ -220,6 +221,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("JDBCRelation"), p)
     assert("(?i)PushedFilters: \\[[^\\]]*n_regionkey".r.findFirstIn(p).isDefined,
       "regionkey predicate not pushed to the database:\n" + p)
+    // the scale path: a partitioned parallel read — numPartitions
+    // stride predicates land on the same relation, so a cluster pulls
+    // the table over N concurrent connections, not one
+    val url = s"jdbc:derby:${graft.sources.Staging.path(dir, "derbydb")}"
+    val par = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "NATION")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "n_nationkey")
+      .option("lowerBound", "0").option("upperBound", "25")
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("n_regionkey") >= 2)
+    assert(par.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC scan partitions, got ${par.rdd.getNumPartitions}")
+    assert(par.count() ==
+      SparkEntry.queries("jdbc_pushdown_roundtrip")(spark, dir).count())
   }
 
   test("triangle count: data joins hash, nested loops only stitch 1-row counts") {

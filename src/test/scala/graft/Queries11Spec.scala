@@ -100,6 +100,27 @@ class Queries11Spec extends AnyFunSuite {
     assert(GraphOps.kCoreConverged(edges, k = 5).count() == 0)
   }
 
+  test("pageRankConverged reaches the fixpoint a shallow fixed run misses") {
+    // depth-8 chain: deltas flush out of a DAG in depth rounds, so the
+    // probe reaches the EXACT quantized fixpoint around round 9 —
+    // while a fixed-depth-2 run still misses every ancestor term
+    // beyond distance 2 (~0.29 of rank mass at the tail)
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().toMap
+    val conv = ranksOf(GraphOps.pageRankConverged(edges, tol = 1e-9))
+    val deep = ranksOf(GraphOps.pageRank(edges, 30))
+    val shallow = ranksOf(GraphOps.pageRank(edges, 2))
+    // converged equals the deep fixed run EXACTLY: both sit on the
+    // same 1e-9-quantized fixpoint once deltas have flushed
+    assert(conv == deep)
+    // ...and it is NOT the shallow result: it genuinely iterated on
+    assert(conv.exists { case (id, r) => math.abs(r - shallow(id)) > 1e-3 })
+    // runaway bound: maxIterations=1 returns the 1-step ranks
+    val one = ranksOf(GraphOps.pageRankConverged(edges, tol = 1e-9, maxIterations = 1))
+    assert(one.exists { case (id, r) => math.abs(r - conv(id)) > 1e-3 })
+  }
+
   test("k-core at the query's depth is converged: one more peel changes nothing") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.sources.Tables.read(spark, dir, "lineitem")
