@@ -189,10 +189,15 @@ object Dedup {
           (acc * 31L + element_at(col("sig"), b * rowsPerBand + lit(j + 1))) % P31
         }
       else hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-    val banded = withSig.select(col("id"),
+    val banded0 = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), bucketOf(b).as("bucket")))))
       .select(col("id"), col("col.band"), col("col.bucket"))
+    // uncapped, banded is read twice (both join sides) — cheap
+    // re-derivation from the cached signatures; capped it feeds the
+    // size aggregate, the semi-join, the star join AND both clique
+    // sides, so materialize the exploded form once
+    val banded = if (maxBucket.isDefined) scope.persist(banded0) else banded0
     val pairs = bandPairs(banded, Seq("band", "bucket"), maxBucket).distinct()
     pairs
       .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
