@@ -172,6 +172,61 @@ object Queries14 {
         CAST(SUM(b) AS DOUBLE) / (width * height) AS b_mean
       FROM px GROUP BY 1, 2, 3"""))
 
+  /** Incremental LSH dedup — the daily-ingest shape: documents with
+    * doc_id < 250 are the standing corpus (only their SIGNATURE store
+    * is read — built once here via [[graft.operators.Dedup
+    * .minhashSignatures]], in production loaded from parquet), the
+    * rest are today's delta. Emits exactly the full-corpus LSH pairs
+    * that touch the delta (delta-delta + delta-base); the oracle
+    * replays the full banded join and filters to the same set.
+    * The delta side of the band join is delta rows only, so candidate
+    * work is O(delta), not O(corpus).
+    */
+  val dd_minhash_delta = Q(
+    (s, dir) => {
+      val docs = T_(s, dir, "documents")
+      val base = graft.operators.Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 250), "text", "doc_id",
+        replayable = true)
+      graft.operators.Dedup.minhashLshDelta(
+        base, docs.filter(col("doc_id") >= 250), "text", "doc_id",
+        replayable = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val (mults, adds) = graft.operators.Dedup.minhashCoeffs(32, replayable = true)
+      val ml = mults.mkString("[", ", ", "]")
+      val al = adds.mkString("[", ", ", "]")
+      s"""WITH co AS (SELECT $ml::BIGINT[] AS M, $al::BIGINT[] AS A),
+      nrm AS (SELECT doc_id AS id,
+          regexp_replace(lower(trim(substr(text, 1, 2000))), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      hs AS (SELECT id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(substr(norm, i, 5), ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) FOR i IN range(1, length(norm) - 3)] AS hl
+        FROM nrm WHERE length(norm) >= 5),
+      sigs AS (SELECT id,
+          list_transform(range(0, 32), j ->
+            list_min(list_transform(hl, h -> (M[j + 1] * h + A[j + 1]) % 2147483647))) AS sig
+        FROM hs, co),
+      bands AS (SELECT unnest(range(0, 8)) AS b),
+      banded AS (SELECT s.id, b.b AS band,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), s.sig[b.b * 4 + 1 : b.b * 4 + 4]),
+            (a, v) -> (a * 31 + v) % 2147483647) AS bucket
+        FROM sigs s, bands b),
+      pairs AS (SELECT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bucket)
+        WHERE x.id < y.id AND (x.id >= 250 OR y.id >= 250)
+        GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b,
+        CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON sa.id = p.id_a
+      JOIN sigs sb ON sb.id = p.id_b
+      ORDER BY id_a, id_b"""
+    })
+
   /** Audio decode with the JDK's REAL WAV codec: one deterministic
     * 16-bit PCM clip per document, javax.sound-encoded to WAV bytes,
     * then decoded back and reduced to sample statistics
@@ -264,6 +319,7 @@ object Queries14 {
   val all: Map[String, Q] = Map(
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
     "dd_minhash_capped" -> dd_minhash_capped,
+    "dd_minhash_delta" -> dd_minhash_delta,
     "mm_decode_image" -> mm_decode_image,
     "mm_decode_audio" -> mm_decode_audio,
     "jdbc_pushdown_roundtrip" -> jdbc_pushdown_roundtrip,

@@ -137,6 +137,47 @@ object Dedup {
     }
   }
 
+  /** The signature half of [[minhashLsh]] on its own: (id, sig) rows,
+    * ready to persist as a signature STORE — the asset an incremental
+    * corpus keeps so tomorrow's delta ([[minhashLshDelta]]) never
+    * re-reads yesterday's text. Documents shorter than one shingle
+    * window yield no row (null signature), as in [[minhashLsh]].
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleLen: Int = 5, bands: Int = 8,
+                        rowsPerBand: Int = 4, maxDocLen: Int = 2000,
+                        replayable: Boolean = false): DataFrame = {
+    val k = bands * rowsPerBand
+    val (mults, adds) = minhashCoeffs(k, replayable)
+    docs.select(col(idCol).as("id"),
+      graft.plans.TextExpressions.minhashSigFast(
+        T.normText(substring(col(textCol), 1, maxDocLen)), shingleLen,
+        mults, adds, poly = replayable).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Explode a (id, sig, carry...) frame into (id, carry..., band,
+    * bucket) rows — the shared banding step of the LSH forms. The
+    * bucket is murmur3 of the band slice (production) or a base-31
+    * fold in the mod-2^31-1 field (replayable — stays < 2^36, replays
+    * in checked BIGINT SQL).
+    */
+  private def explodeBands(withSig: DataFrame, bands: Int, rowsPerBand: Int,
+                           replayable: Boolean,
+                           carry: Seq[String]): DataFrame = {
+    def bucketOf(b: Column): Column =
+      if (replayable)
+        (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * 31L + element_at(col("sig"), b * rowsPerBand + lit(j + 1))) % P31
+        }
+      else hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+    withSig.select(col("id") +: carry.map(col) :+
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), bucketOf(b).as("bucket")))).as(Seq("pos", "col")): _*)
+      .select(col("id") +: carry.map(col) :+
+        col("col.band").as("band") :+ col("col.bucket").as("bucket"): _*)
+  }
+
   /** MinHash + LSH near-dup candidate pairs: signatures are cut into
     * `bands` bands of `rowsPerBand` hashes; documents sharing any band
     * value are candidates. Returns (id_a, id_b, estimated jaccard)
@@ -165,46 +206,96 @@ object Dedup {
     // explode form where they produced no rows. Minhash is
     // duplicate-insensitive (min over a multiset), so no per-doc
     // shingle dedup is needed.
-    val n = shingleLen
-    val (mults, adds) = minhashCoeffs(k, replayable)
-    val withSig = scope.persist(docs
-      .select(col(idCol).as("id"),
-        graft.plans.TextExpressions.minhashSigFast(
-          T.normText(substring(col(textCol), 1, maxDocLen)), n, mults, adds,
-          poly = replayable).as("sig"))
-      .filter(col("sig").isNotNull))
+    val withSig = scope.persist(minhashSignatures(docs, textCol, idCol,
+      shingleLen, bands, rowsPerBand, maxDocLen, replayable))
     // candidate pairs: same bucket in any band. Deduplicate to
     // DISTINCT (id_a, id_b) BEFORE touching the signatures — the band
     // join only ever shuffles (band, bucket, id) triples, and the
     // k-wide signature arrays are joined back exactly once per
     // surviving pair (a corpus with heavy band collisions would
     // otherwise re-compare signatures per colliding band).
-    // band bucket: production = murmur3 of the band slice; replayable
-    // = base-31 fold of the band's signature values in the mod-2^31-1
-    // field (all inputs < p, so the fold stays < 2^36 — replays in
-    // checked BIGINT SQL)
-    def bucketOf(b: Column): Column =
-      if (replayable)
-        (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, j) =>
-          (acc * 31L + element_at(col("sig"), b * rowsPerBand + lit(j + 1))) % P31
-        }
-      else hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-    val banded0 = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), bucketOf(b).as("bucket")))))
-      .select(col("id"), col("col.band"), col("col.bucket"))
+    val banded0 = explodeBands(withSig, bands, rowsPerBand, replayable, Nil)
     // uncapped, banded is read twice (both join sides) — cheap
     // re-derivation from the cached signatures; capped it feeds the
     // size aggregate, the semi-join, the star join AND both clique
     // sides, so materialize the exploded form once
     val banded = if (maxBucket.isDefined) scope.persist(banded0) else banded0
     val pairs = bandPairs(banded, Seq("band", "bucket"), maxBucket).distinct()
+    estJaccard(pairs, withSig, k)
+  }
+
+  /** Join signatures back onto distinct id pairs and score them. */
+  private def estJaccard(pairs: DataFrame, sigs: DataFrame, k: Int): DataFrame =
     pairs
-      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           c => c)).cast("double") / k).as("est_jaccard"))
+
+  /** Incremental MinHash LSH — the daily-ingest dedup shape: score the
+    * DELTA against itself and against the standing corpus WITHOUT
+    * touching the corpus text. `baseSigs` is the persisted signature
+    * store ((id, sig) — yesterday's [[minhashSignatures]] output plus
+    * all prior deltas); only `delta` documents are read and hashed.
+    * Emits exactly the [[minhashLsh]] pairs that involve at least one
+    * delta document: delta-delta and delta-base; base-base pairs were
+    * already resolved when the base was ingested.
+    *
+    * Scale: today's cost is |delta| signature passes + one band join
+    * of the delta's band rows against the (stored) band index — at a
+    * stable corpus growth rate that is O(delta) work per day instead
+    * of O(corpus). `maxBucket` composes (over-cap buckets
+    * star-collapse; pairs where both endpoints are base are dropped
+    * after, same as the clique path).
+    */
+  def minhashLshDelta(baseSigs: DataFrame, delta: DataFrame,
+                      textCol: String, idCol: String,
+                      shingleLen: Int = 5, bands: Int = 8,
+                      rowsPerBand: Int = 4, maxDocLen: Int = 2000,
+                      replayable: Boolean = false,
+                      maxBucket: Option[Int] = None,
+                      scope: CacheScope = CacheScope.global): DataFrame = {
+    val k = bands * rowsPerBand
+    val deltaSigs = minhashSignatures(delta, textCol, idCol,
+      shingleLen, bands, rowsPerBand, maxDocLen, replayable)
+    val withSig = scope.persist(
+      baseSigs.select(col("id"), col("sig"), lit(false).as("nw"))
+        .unionByName(deltaSigs.select(col("id"), col("sig"),
+          lit(true).as("nw"))))
+    val banded = scope.persist(
+      explodeBands(withSig, bands, rowsPerBand, replayable, Seq("nw")))
+    val keys = Seq("band", "bucket")
+    val kc = keys.map(col)
+    // delta-oriented join: one side is the DELTA's band rows only, so
+    // candidate work is proportional to delta-touching pairs — a
+    // symmetric self-join followed by an nw filter would still compute
+    // every base-base candidate first
+    def deltaPairs(all: DataFrame): DataFrame = {
+      val x = all.select(kc :+ col("id").as("id_x"): _*)
+      val y = all.filter(col("nw")).select(kc :+ col("id").as("id_y"): _*)
+      x.join(y, keys).filter(col("id_x") =!= col("id_y"))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"))
+    }
+    val pairs = (maxBucket match {
+      case None => deltaPairs(banded)
+      case Some(cap) =>
+        require(cap >= 2, "maxBucket must be >= 2")
+        // bucket sizes over the FULL bucket (base + delta), so the
+        // cap and the hub match the batch [[minhashLsh]] semantics
+        val sizes = banded.groupBy(kc: _*)
+          .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"),
+            min_by(col("nw"), col("id")).as("__hub_nw"))
+        val small = banded.join(
+          sizes.filter(col("__n") <= cap).select(kc: _*), keys, "left_semi")
+        val star = banded.join(sizes.filter(col("__n") > cap), keys)
+          .filter(col("id") =!= col("__hub") &&
+            (col("nw") || col("__hub_nw")))
+          .select(col("__hub").as("id_a"), col("id").as("id_b"))
+        deltaPairs(small).unionByName(star)
+    }).distinct()
+    estJaccard(pairs, withSig, k)
   }
 
   /** SimHash over an already-materialized shingle-array column:

@@ -177,6 +177,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(clusters(capped) == clusters(uncapped))
   }
 
+  test("minhashLshDelta == full LSH restricted to delta-touching pairs") {
+    // near-dup cluster straddling the base/delta split + exact dups
+    val boiler = (0 until 60).map(i => s"w${i % 7}").mkString(" ")
+    val corpus = ((1L to 30L).map(i => (i, s"$boiler tail$i")) ++ Seq(
+      (31L, "completely different content about spark engines and shuffles"),
+      (40L, s"$boiler tail40"), // delta member of the cluster
+      (41L, "completely different content about spark engines and shuffles"),
+      (42L, "a fresh unrelated delta document about benchmarks")
+    )).toDF("doc_id", "text")
+    val base = corpus.filter($"doc_id" < 32)
+    val delta = corpus.filter($"doc_id" >= 32)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (cap <- Seq(None, Some(8)): Seq[Option[Int]]) {
+      val full = pairsOf(Dedup.minhashLsh(corpus, "text", "doc_id",
+        maxBucket = cap))
+      val inc = pairsOf(Dedup.minhashLshDelta(
+        Dedup.minhashSignatures(base, "text", "doc_id"), delta,
+        "text", "doc_id", maxBucket = cap))
+      assert(inc == full.filter { case (a, b) => a >= 32 || b >= 32 },
+        s"cap=$cap")
+      // the exact-dup pair across the split is found incrementally
+      assert(inc.contains((31L, 41L)), s"cap=$cap")
+    }
+  }
+
   test("vector functions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
