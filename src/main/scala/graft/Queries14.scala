@@ -316,6 +316,35 @@ object Queries14 {
       GROUP BY user_id, CAST(ts AS DATE)"""),
     bench = false)
 
+  /** Streaming dedup against the HISTORICAL fingerprint store: the
+    * standing corpus (doc_id < 250) contributes only its content
+    * hashes as a static table; the stream drops arrivals whose hash
+    * is already in history (stream-static anti-join) before the
+    * stateful within-stream dedup. Survivor choice within a dup group
+    * is racy across partitions, so — like `stream_dedup` — the
+    * checked output is the surviving normalized-content SET.
+    */
+  val stream_dedup_store = Q(
+    (s, dir) => {
+      val store = T_(s, dir, "documents").filter(col("doc_id") < 250)
+        .select(graft.streaming.StreamingDedup.contentKey(col("text")).as("fp"))
+        .distinct()
+      graft.streaming.StreamingDedup.dedupAgainstStoreOnce(
+        s, s"$dir/documents.parquet", store, "text", "ts",
+        queryName = "stream_dedup_store_q",
+        prepare = _.withColumn("ts",
+          timestamp_micros(col("doc_id") + lit(1000000L))))
+        .select(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        .orderBy(col("norm"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents)
+      SELECT DISTINCT norm FROM n
+      WHERE norm NOT IN (SELECT norm FROM n WHERE doc_id < 250)
+      ORDER BY norm"""),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
     "dd_minhash_capped" -> dd_minhash_capped,
@@ -324,5 +353,6 @@ object Queries14 {
     "mm_decode_audio" -> mm_decode_audio,
     "jdbc_pushdown_roundtrip" -> jdbc_pushdown_roundtrip,
     "stream_day_metrics" -> stream_day_metrics,
+    "stream_dedup_store" -> stream_dedup_store,
   )
 }

@@ -32,10 +32,49 @@ object StreamingDedup {
                 textCol: String, tsCol: String,
                 watermark: String = "1 day",
                 queryName: String = "stream_dedup",
-                prepare: DataFrame => DataFrame = identity): DataFrame = {
-    val deduped = prepare(StreamSource.parquet(spark, parquetPath))
-      .withColumn("__key",
-        sha2(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256))
+                prepare: DataFrame => DataFrame = identity): DataFrame =
+    runDedup(spark, parquetPath, textCol, tsCol, watermark, queryName,
+      prepare, store = None)
+
+  /** [[dedupOnce]] with a HISTORICAL fingerprint store: the streaming
+    * twin of `Dedup.minhashLshDelta`'s exact sibling — new arrivals
+    * whose content hash already exists in the standing corpus are
+    * dropped by a stream-static anti-join BEFORE the stateful
+    * within-stream dedup, so state holds only genuinely-new keys.
+    *
+    * `store` is a static (fp: string) frame — in production the
+    * parquet fingerprint table the batch pass maintains
+    * (`Dedup.exact`'s keys); history stays on disk, NOT in streaming
+    * state, which is what makes dedup-against-all-history feasible at
+    * a 100 TB corpus: state is bounded by the watermark horizon while
+    * the store lookup is a per-batch join against a broadcastable (or
+    * bucketed) table.
+    */
+  def dedupAgainstStoreOnce(spark: SparkSession, parquetPath: String,
+                            store: DataFrame,
+                            textCol: String, tsCol: String,
+                            watermark: String = "1 day",
+                            queryName: String = "stream_dedup_store",
+                            prepare: DataFrame => DataFrame = identity): DataFrame =
+    runDedup(spark, parquetPath, textCol, tsCol, watermark, queryName,
+      prepare, store = Some(store))
+
+  /** Content hash used on both the stream and the store side. */
+  def contentKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  private def runDedup(spark: SparkSession, parquetPath: String,
+                       textCol: String, tsCol: String, watermark: String,
+                       queryName: String, prepare: DataFrame => DataFrame,
+                       store: Option[DataFrame]): DataFrame = {
+    val keyed = prepare(StreamSource.parquet(spark, parquetPath))
+      .withColumn("__key", contentKey(col(textCol)))
+    val fresh = store match {
+      case Some(st) =>
+        keyed.join(st.select(col("fp").as("__key")), Seq("__key"), "left_anti")
+      case None => keyed
+    }
+    val deduped = fresh
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
