@@ -316,6 +316,41 @@ object Queries14 {
       GROUP BY user_id, CAST(ts AS DATE)"""),
     bench = false)
 
+  /** Column-profile sweep over lineitem (operators.Profile): row /
+    * non-null / exact-distinct counts and stringified value range per
+    * column — one pruned scan per column, unioned. The stats feed
+    * ingest quality gates and cost-based planning at the lake layer.
+    */
+  val s17_table_profile = Q(
+    (s, dir) => graft.operators.Profile.profile(
+      T_(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_quantity", "l_shipdate", "l_partkey"))
+      .orderBy(col("column")),
+    Some("""SELECT * FROM (
+        SELECT 'l_returnflag' AS "column", count(*) AS n_rows,
+          count(l_returnflag) AS n_nonnull,
+          count(DISTINCT l_returnflag) AS n_distinct,
+          CAST(min(l_returnflag) AS VARCHAR) AS min_s,
+          CAST(max(l_returnflag) AS VARCHAR) AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*), count(l_quantity),
+          count(DISTINCT l_quantity),
+          CAST(CAST(min(l_quantity) AS DOUBLE) AS VARCHAR),
+          CAST(CAST(max(l_quantity) AS DOUBLE) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*), count(l_shipdate),
+          count(DISTINCT l_shipdate),
+          CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', count(*), count(l_partkey),
+          count(DISTINCT l_partkey),
+          CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+        FROM lineitem)
+      ORDER BY "column""""))
+
   /** Streaming dedup against the HISTORICAL fingerprint store: the
     * standing corpus (doc_id < 250) contributes only its content
     * hashes as a static table; the stream drops arrivals whose hash
@@ -347,6 +382,7 @@ object Queries14 {
 
   val all: Map[String, Q] = Map(
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
+    "s17_table_profile" -> s17_table_profile,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
     "mm_decode_image" -> mm_decode_image,
