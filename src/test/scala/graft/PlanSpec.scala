@@ -239,6 +239,45 @@ class PlanSpec extends AnyFunSuite {
       SparkEntry.queries("jdbc_pushdown_roundtrip")(spark, dir).count())
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB lever Spark offers beyond static pushdown: a bloom
+    // filter built from the selective dim side at runtime is injected
+    // into the fact scan, so shuffle input shrinks before the join.
+    // Catalyst only injects it when the fact side shuffles (SMJ/SHJ) —
+    // broadcast joins already skip the shuffle — so the dim side is
+    // made non-broadcastable for the audit.
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // production default is 10GB of fact-side scan before the filter
+    // pays for itself; the sf0.001 audit fixture is tiny, so drop the
+    // floor to observe the injection itself
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.sources.Tables.read(spark, dir, "lineitem")
+      val ord = graft.sources.Tables.read(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        "runtime bloom filter not injected:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("triangle count: data joins hash, nested loops only stitch 1-row counts") {
     // AQE's toString repeats nodes under "== Initial Plan ==" — count
     // in the final section only
