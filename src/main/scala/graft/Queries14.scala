@@ -316,6 +316,61 @@ object Queries14 {
       GROUP BY user_id, CAST(ts AS DATE)"""),
     bench = false)
 
+  private val pprIters = 6
+
+  /** Personalized PageRank seeded at the first 100 order vertices of
+    * the hierarchy graph (orders → customers → nations → regions):
+    * mass restarts at the seed orders and flows down the hierarchy —
+    * "importance relative to THESE nodes", the graph-retrieval /
+    * recommendation primitive. 6 iterations (the hierarchy is 3 hops
+    * deep; 6 is the convergence margin at 1e-9 quantization), oracle-
+    * replayed exactly like g_pagerank's unrolled chain with the seed
+    * indicator as r0 and the per-vertex reset weight.
+    */
+  val g_ppr = Q(
+    (s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+        .select((col("o_orderkey") + 10000000L).as("src"), (col("o_custkey") + 10000L).as("dst"))
+      val c = Tables.read(s, dir, "customer")
+        .select((col("c_custkey") + 10000L).as("src"), (col("c_nationkey").cast("long") + 100L).as("dst"))
+      val n = Tables.read(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 100L).as("src"), col("n_regionkey").cast("long").as("dst"))
+      val edges = o.unionByName(c).unionByName(n)
+      val seeds = Tables.read(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select((col("o_orderkey") + 10000000L).as("id"))
+      graft.operators.GraphOps.personalizedPageRank(edges, seeds, pprIters)
+    },
+    Some {
+      val iters = (1 to pprIters).map { t =>
+        val prev = s"r${t - 1}"
+        s"""r$t AS (SELECT v.id,
+             v.reset_w + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0.0 AS DOUBLE)) AS rank
+           FROM verts v LEFT JOIN (
+             SELECT ew.dst AS id,
+               CAST(CAST(round(SUM(CAST(r.rank * ew.w AS DECIMAL(27,15))) * 1000000000, 0) AS BIGINT) AS DOUBLE)
+                 / CAST(1000000000.0 AS DOUBLE) AS inflow
+             FROM ew JOIN $prev r ON r.id = ew.src GROUP BY ew.dst) s
+           ON v.id = s.id)"""
+      }.mkString(",\n      ")
+      s"""WITH edges AS (
+        SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst FROM orders
+        UNION ALL SELECT 10000 + c_custkey, 100 + c_nationkey FROM customer
+        UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation),
+      verts AS (SELECT id,
+          CASE WHEN id >= 10000000 AND id < 10000100
+               THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS reset_w
+        FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      ew AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outdeg AS w
+             FROM edges e JOIN deg USING (src)),
+      r0 AS (SELECT id,
+          CASE WHEN reset_w > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank
+        FROM verts),
+      $iters
+      SELECT id, rank FROM r$pprIters"""
+    })
+
   /** Column-profile sweep over lineitem (operators.Profile): row /
     * non-null / exact-distinct counts and stringified value range per
     * column — one pruned scan per column, unioned. The stats feed
@@ -388,6 +443,7 @@ object Queries14 {
     "mm_decode_image" -> mm_decode_image,
     "mm_decode_audio" -> mm_decode_audio,
     "jdbc_pushdown_roundtrip" -> jdbc_pushdown_roundtrip,
+    "g_ppr" -> g_ppr,
     "stream_day_metrics" -> stream_day_metrics,
     "stream_dedup_store" -> stream_dedup_store,
   )

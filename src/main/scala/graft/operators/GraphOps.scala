@@ -203,6 +203,59 @@ object GraphOps {
     comp
   }
 
+  /** Personalized PageRank: random walks restart at the SOURCE set
+    * instead of uniformly — rank_{t+1}(v) = reset·1{v ∈ sources} +
+    * damp·Σ_{u→v} rank_t(u)/outdeg(u), rank_0 = 1{v ∈ sources}. The
+    * graph-retrieval primitive ("importance relative to THESE nodes"
+    * — recommendation seeds, query-time personalization), with the
+    * same exact 1e-9-quantized decimal sums as [[pageRank]] so the
+    * oracle replays the iteration chain bit-for-bit.
+    *
+    * Plan shape: the per-vertex reset vector is checkpointed
+    * hash-partitioned by id, and each iteration's aggregate output is
+    * partitioned the same way, so the reset re-join is exchange-free —
+    * still ONE shuffle per iteration (the message aggregate).
+    * `sources` is an (id) frame; ids absent from the graph contribute
+    * nothing.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iterations: Int,
+                           reset: Double = 0.15, damp: Double = 0.85,
+                           scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(edges)
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val srcSet = sources.select(col("id")).distinct()
+      .withColumn("__s", lit(1))
+    val resetVec = scope.checkpoint(
+      vertices.join(broadcast(srcSet), Seq("id"), "left")
+        .select(col("id"),
+          when(col("__s").isNotNull, lit(reset)).otherwise(lit(0.0))
+            .as("reset_w"))
+        .repartition(col("id")))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withInv = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg"))
+    val edgesCached = scope.checkpoint(withInv.repartition(col("src")))
+    val zeroContribs = scope.checkpoint(
+      vertices.select(col("id"), lit(0.0).as("contrib")))
+    var ranks = resetVec.select(col("id"),
+      when(col("reset_w") > 0.0, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") * col("inv_outdeg")).as("contrib"))
+        .unionByName(zeroContribs)
+      ranks = contribs.groupBy(col("id"))
+        .agg((lit(damp) *
+          (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+            .cast("long").cast("double") / 1.0e9)).as("inflow"))
+        .join(resetVec, "id")
+        .select(col("id"), (col("reset_w") + col("inflow")).as("rank"))
+    }
+    ranks
+  }
+
   /** Convergence-safe PageRank: same recurrence (and the same exact
     * 1e-9-quantized decimal sums) as [[pageRank]], iterated until no
     * vertex's rank moved more than `tol` in a round — checked with a

@@ -121,6 +121,30 @@ class Queries11Spec extends AnyFunSuite {
     assert(one.exists { case (id, r) => math.abs(r - conv(id)) > 1e-3 })
   }
 
+  test("personalizedPageRank concentrates mass downstream of the seeds") {
+    // two disjoint chains; seeding only chain A must leave chain B at 0
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = GraphOps.personalizedPageRank(edges, seeds, 6)
+      .as[(Long, Double)].collect().toMap
+    // replicate the exact recurrence in plain Scala
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 12L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(3L), 10L -> Seq(11L), 11L -> Seq(12L))
+    var rk = verts.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 6) {
+      val inflow = verts.map { v =>
+        v -> verts.filter(u => out.getOrElse(u, Nil).contains(v))
+          .map(u => rk(u) / out(u).size).sum
+      }.toMap
+      rk = verts.map(v =>
+        v -> ((if (v == 1L) 0.15 else 0.0) +
+          0.85 * (math.round(inflow(v) * 1e9).toDouble / 1e9))).toMap
+    }
+    verts.foreach(v => assert(math.abs(r(v) - rk(v)) < 1e-12, s"vertex $v"))
+    assert(r(10L) == 0.0 && r(11L) == 0.0 && r(12L) == 0.0)
+  }
+
   test("k-core at the query's depth is converged: one more peel changes nothing") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.sources.Tables.read(spark, dir, "lineitem")
