@@ -69,7 +69,7 @@ object Orchestrator {
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
     ("timeseries", "sessionization + gap fill", Seq("ts_", "w_sessionize")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling",
-      Seq("s9_", "s10_", "s12_", "s16_", "s17_")),
+      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))

@@ -406,6 +406,28 @@ object Queries14 {
         FROM lineitem)
       ORDER BY "column""""))
 
+  /** Z-order lake rewrite (sources.Layout): lineitem re-clustered on
+    * the Morton interleave of (l_orderkey, l_partkey) so selective
+    * filters on EITHER key skip most parquet row groups — the
+    * OPTIMIZE-ZORDER shape. The oracle proves the rewrite is LOSSLESS
+    * (content equality after the round trip); LayoutSpec measures the
+    * row-group-skipping payoff against an unclustered write.
+    */
+  val s18_zorder_roundtrip = Q(
+    (s, dir) => {
+      val target = stagingDir(dir, "lineitem_zorder")
+      graft.sources.Layout.zorderWrite(
+        T_(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 21,
+        path = target, numFiles = 8)
+      s.read.parquet(target)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        l_quantity, l_returnflag
+      FROM lineitem"""),
+    bench = false)
+
   /** Streaming dedup against the HISTORICAL fingerprint store: the
     * standing corpus (doc_id < 250) contributes only its content
     * hashes as a static table; the stream drops arrivals whose hash
@@ -438,6 +460,7 @@ object Queries14 {
   val all: Map[String, Q] = Map(
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
     "s17_table_profile" -> s17_table_profile,
+    "s18_zorder_roundtrip" -> s18_zorder_roundtrip,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
     "mm_decode_image" -> mm_decode_image,
