@@ -256,6 +256,43 @@ object Queries14 {
         CAST(SUM(s * s) AS DOUBLE) / n_samples AS mean_square
       FROM sm GROUP BY 1, 2, 3, 4"""))
 
+  /** Video decode: length-prefixed frame container parsed for real,
+    * every frame decoded with the JDK's real PNG codec, one media row
+    * fanning out to per-frame feature rows
+    * ([[Multimodal.decodeVideoFrames]]). Frame f of video v is the
+    * synthetic PNG of id v*100+f, so every frame statistic is
+    * closed-form and the oracle replays the whole fan-out
+    * arithmetically.
+    */
+  val mm_decode_video = Q(
+    (s, dir) => {
+      val ids = T_(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.decodeVideoFrames(Multimodal.encodeSyntheticVideos(ids))
+    },
+    Some("""WITH fr AS (
+        SELECT doc_id AS media_id, f.f AS frame_idx,
+          doc_id * 100 + f.f AS q
+        FROM documents
+        JOIN (SELECT unnest(range(0, 6)) AS f) f ON f.f < 2 + doc_id % 4),
+      dims AS (
+        SELECT media_id, frame_idx, q,
+          CAST(4 + q % 13 AS INTEGER) AS width,
+          CAST(4 + (q * 7) % 11 AS INTEGER) AS height
+        FROM fr),
+      px AS (
+        SELECT d.media_id, d.frame_idx, d.width, d.height,
+          (d.q * 31 + x.x * 7 + y.y * 13) % 256 AS r,
+          (d.q * 17 + x.x * 11 + y.y * 5) % 256 AS g,
+          (d.q * 23 + x.x * 3 + y.y * 19) % 256 AS b
+        FROM dims d
+        JOIN (SELECT unnest(range(0, 16)) AS x) x ON x.x < d.width
+        JOIN (SELECT unnest(range(0, 14)) AS y) y ON y.y < d.height)
+      SELECT media_id, frame_idx, width, height,
+        CAST(SUM(r) AS DOUBLE) / (width * height) AS r_mean,
+        CAST(SUM(g) AS DOUBLE) / (width * height) AS g_mean,
+        CAST(SUM(b) AS DOUBLE) / (width * height) AS b_mean
+      FROM px GROUP BY 1, 2, 3, 4"""))
+
   // ===========================================================
   // S1 — JDBC source path (embedded Derby), pushdown-verified
   // ===========================================================
@@ -465,6 +502,7 @@ object Queries14 {
     "dd_minhash_delta" -> dd_minhash_delta,
     "mm_decode_image" -> mm_decode_image,
     "mm_decode_audio" -> mm_decode_audio,
+    "mm_decode_video" -> mm_decode_video,
     "jdbc_pushdown_roundtrip" -> jdbc_pushdown_roundtrip,
     "g_ppr" -> g_ppr,
     "stream_day_metrics" -> stream_day_metrics,

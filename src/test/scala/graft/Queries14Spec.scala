@@ -75,6 +75,52 @@ class Queries14Spec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
   }
 
+  test("decodeVideoFrames: container parse + per-frame PNG decode, total on bad media") {
+    import spark.implicits._
+    // hand-built container: one good 2x1 frame + one garbage frame
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (60 << 8) | 80)
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    val good = png.toByteArray
+    val bad = Array[Byte](1, 2, 3, 4)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(2); dos.writeInt(good.length); dos.writeInt(bad.length)
+    out.write(good); out.write(bad)
+    val media = Seq(
+      (1L, out.toByteArray),
+      (2L, Array[Byte](0, 0)), // truncated header -> no rows
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(media)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(rows.length == 2) // two frames of video 1, nothing else
+    assert(rows(0).getLong(0) == 1L && rows(0).getInt(1) == 0)
+    assert(rows(0).getInt(2) == 2 && rows(0).getDouble(4) == 25.0)
+    assert(rows(1).getInt(1) == 1 && rows(1).isNullAt(2) && rows(1).isNullAt(4))
+  }
+
+  test("syntheticVideo round-trips to closed-form per-frame statistics") {
+    val id = 13L
+    val rows = Multimodal.decodeVideoFrames(
+      Multimodal.encodeSyntheticVideos(
+        spark.range(id, id + 1).select(col("id").as("media_id"))))
+      .orderBy("frame_idx").collect()
+    assert(rows.length == (2 + id % 4).toInt)
+    rows.zipWithIndex.foreach { case (row, f) =>
+      val q = id * 100 + f
+      val w = (4 + q % 13).toInt
+      val h = (4 + (q * 7) % 11).toInt
+      assert(row.getInt(2) == w && row.getInt(3) == h)
+      val rs = for { y <- 0 until h; x <- 0 until w }
+        yield (q * 31 + x * 7 + y * 13) % 256
+      assert(row.getDouble(4) == rs.sum.toDouble / (w * h))
+    }
+  }
+
   test("decodeAudioFeatures: real WAV round-trip, garbage and null are total") {
     import spark.implicits._
     // hand-built 4-sample mono 16-bit clip with known values
