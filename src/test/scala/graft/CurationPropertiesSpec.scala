@@ -22,6 +22,84 @@ class CurationPropertiesSpec extends AnyFunSuite {
     Gen.listOfN(n, g)(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
   }
 
+  test("property: capped LSH resolves the SAME clusters as uncapped on random corpora") {
+    // random corpora of near-dup families: a few templates, each
+    // instantiated with small random tails — arbitrary bucket sizes,
+    // caps cutting through them. Clique vs star must be invisible at
+    // cluster level (identical connected components).
+    import graft.operators.Dedup
+    for (seed <- Seq(3L, 17L, 29L)) {
+      val words = "alpha beta gamma delta eps zeta eta theta".split(" ")
+      val docs = Gen.listOfN(60, for {
+        tpl <- Gen.chooseNum(0, 3)
+        tail <- Gen.listOfN(3, Gen.oneOf(words.toIndexedSeq))
+      } yield {
+        val body = (0 until 40).map(i => words((i * (tpl + 2)) % 8)).mkString(" ")
+        s"$body ${tail.mkString(" ")}"
+      })(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def clusters(cap: Option[Int]) =
+        Dedup.dedupClusters(
+          Dedup.minhashLsh(docs, "text", "doc_id", maxBucket = cap),
+          converge = true)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(clusters(Some(4)) == clusters(None), s"seed $seed")
+    }
+  }
+
+  test("property: overwritePartitions sequence == one-shot merge of the same deltas") {
+    // arbitrary upsert sequences over a partitioned table must land on
+    // the same final state as merging all deltas at once (associativity
+    // of last-write-wins MERGE restricted to touched partitions)
+    import graft.operators.Upsert
+    for (seed <- Seq(5L, 23L)) {
+      val gen = Gen.listOfN(40, for {
+        k <- Gen.chooseNum(1L, 8L)
+        d <- Gen.chooseNum(1, 4)
+        v <- Gen.chooseNum(0.0, 100.0)
+      } yield (k, s"2024-02-0$d", math.rint(v)))
+      val rows = gen(Gen.Parameters.default, Seed(seed)).get
+      val batches = rows.grouped(10).toList
+      val tmp = java.nio.file.Files.createTempDirectory("graft_owp_prop").toString
+      val target = s"$tmp/t"
+      def df(rs: Seq[(Long, String, Double)]) =
+        rs.toDF("k", "d", "v").select($"k", to_date($"d").as("d"), $"v")
+      // within a batch, last write wins per key — pre-collapse like
+      // the operator contract requires (incoming must be key-unique)
+      def collapse(rs: Seq[(Long, String, Double)]) =
+        rs.zipWithIndex.groupBy(r => (r._1._1, r._1._2))
+          .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSeq
+      batches.foreach(b =>
+        Upsert.overwritePartitions(df(collapse(b)), Seq("k", "d"), "d", target))
+      val got = spark.read.parquet(target)
+        .select($"k", $"d".cast("string"), $"v")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      // one-shot expectation: last write per (k, d) across the flat list
+      val expected = rows.zipWithIndex
+        .groupBy(r => (r._1._1, r._1._2))
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("property: zValue is a bijection on the bit range and orders by interleave") {
+    import graft.sources.Layout
+    val pairs = Gen.listOfN(500,
+      Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L)))(
+      Gen.Parameters.default, Seed(41L)).get.distinct
+    val got = pairs.toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b", 10).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    def morton(a: Long, b: Long): Long =
+      (0 until 10).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    got.foreach { case ((a, b), z) => assert(z == morton(a, b), s"($a,$b)") }
+    // bijectivity on the domain: distinct inputs -> distinct codes
+    assert(got.map(_._2).distinct.length == got.length)
+  }
+
   test("property: quantize→dequantize error is within half a step for arbitrary vectors") {
     val df = vecs(300, 7L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "v")

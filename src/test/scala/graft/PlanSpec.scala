@@ -239,6 +239,16 @@ class PlanSpec extends AnyFunSuite {
       SparkEntry.queries("jdbc_pushdown_roundtrip")(spark, dir).count())
   }
 
+  test("incremental LSH joins the delta side only — no base-base candidate work") {
+    // the O(delta) claim of minhashLshDelta: one side of the band
+    // self-join must be filtered to delta rows (nw) BEFORE the join,
+    // so base-base candidates are never generated
+    val full = plan("dd_minhash_delta")
+    val p = full.split("== Initial Plan ==")(0)
+    val nwFilter = "(?i)filter[^\\n]*\\bnw#".r.findFirstIn(p)
+    assert(nwFilter.isDefined, "delta-side nw prefilter missing:\n" + p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the 100 TB lever Spark offers beyond static pushdown: a bloom
     // filter built from the selective dim side at runtime is injected
