@@ -109,6 +109,18 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= iters + 1, s"expected ~$iters shuffles, saw $n")
   }
 
+  test("personalized pageRank plans one shuffle per iteration; reset re-join is exchange-free") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val iters = 5
+    val n = shuffleCount(graft.operators.GraphOps.personalizedPageRank(edges, seeds, iters))
+    // the per-iteration reset join must reuse the aggregate's hash
+    // partitioning — any extra exchange per iteration doubles this
+    assert(n <= iters + 1, s"expected ~$iters shuffles, saw $n")
+  }
+
   test("connected components plans one shuffle per iteration and nothing more") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 3L))
