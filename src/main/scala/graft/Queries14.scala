@@ -408,6 +408,45 @@ object Queries14 {
       SELECT id, rank FROM r$pprIters"""
     })
 
+  /** CUBE + GROUPING SETS over event telemetry — the remaining two
+    * members of the multi-level aggregation family (`a_rollup_totals`
+    * covers ROLLUP). One expand-based aggregate each (Catalyst plans
+    * grouping sets as a single Expand + HashAggregate: one scan, one
+    * shuffle — NOT one pass per level), decimal-exact sums,
+    * grouping_id disambiguates natural nulls from subtotal rows.
+    */
+  val a_cube_totals = Q(
+    (s, dir) => T_(s, dir, "events")
+      .cube(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(grouping_id().cast("int").as("lvl"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,8)")).cast("double").as("total")),
+    Some("""SELECT event_type, CAST(ts AS DATE) AS date,
+        CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INTEGER) AS lvl,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY CUBE(event_type, CAST(ts AS DATE))"""))
+
+  val a_grouping_sets = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("date"),
+          col("user_id"), col("value"))
+      ev.groupingSets(
+          Seq(Seq(col("event_type"), col("date")), Seq(col("user_id")), Seq()),
+          col("event_type"), col("date"), col("user_id"))
+        .agg(grouping_id().cast("int").as("lvl"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,8)")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, CAST(ts AS DATE) AS date, user_id,
+        CAST(GROUPING(event_type, CAST(ts AS DATE), user_id) AS INTEGER) AS lvl,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (user_id), ())"""))
+
   /** Column-profile sweep over lineitem (operators.Profile): row /
     * non-null / exact-distinct counts and stringified value range per
     * column — one pruned scan per column, unioned. The stats feed
@@ -498,6 +537,8 @@ object Queries14 {
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
     "s17_table_profile" -> s17_table_profile,
     "s18_zorder_roundtrip" -> s18_zorder_roundtrip,
+    "a_cube_totals" -> a_cube_totals,
+    "a_grouping_sets" -> a_grouping_sets,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
     "mm_decode_image" -> mm_decode_image,
