@@ -227,6 +227,43 @@ object Queries14 {
       ORDER BY id_a, id_b"""
     })
 
+  /** Incremental SimHash near-dup — the fingerprint-store sibling of
+    * [[dd_minhash_delta]]: the standing corpus (doc_id < 250)
+    * contributes only its 8-byte fingerprints, the delta is hashed
+    * fresh, and the pigeonhole band join's one side is delta rows
+    * only. Emits exactly the full-corpus near-dup pairs touching the
+    * delta; the oracle replays the full band join with the same
+    * touching-delta filter.
+    */
+  val dd_simhash_delta = Q(
+    (s, dir) => {
+      def fps(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.simhashBulk(
+          df.select(col("doc_id"),
+            split(graft.functions.TextFunctions.normText(col("text")), " ").as("toks"))
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.wordShinglesFrom(col("toks"), 2).as("sh")),
+          "doc_id", "sh", replayable = true)
+      val docs = T_(s, dir, "documents")
+      graft.operators.Dedup.simhashNearDupDelta(
+        fps(docs.filter(col("doc_id") < 250)),
+        fps(docs.filter(col("doc_id") >= 250)),
+        "doc_id", "simhash", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(Queries3.simhashFpSql + """,
+      bd AS (SELECT unnest(range(0, 4)) AS b),
+      banded AS (SELECT f.doc_id AS id, f.simhash AS fv, bd.b AS band,
+          (f.simhash >> (bd.b * 16)) & 65535 AS bits
+        FROM fp f, bd),
+      cand AS (SELECT x.id AS id_a, y.id AS id_b, x.fv AS f_a, y.fv AS f_b
+        FROM banded x JOIN banded y USING (band, bits)
+        WHERE x.id < y.id AND (x.id >= 250 OR y.id >= 250)
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, CAST(bit_count(xor(f_a, f_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(f_a, f_b)) <= 3
+      ORDER BY id_a, id_b"""))
+
   /** Audio decode with the JDK's REAL WAV codec: one deterministic
     * 16-bit PCM clip per document, javax.sound-encoded to WAV bytes,
     * then decoded back and reduced to sample statistics
@@ -541,6 +578,7 @@ object Queries14 {
     "a_grouping_sets" -> a_grouping_sets,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
+    "dd_simhash_delta" -> dd_simhash_delta,
     "mm_decode_image" -> mm_decode_image,
     "mm_decode_audio" -> mm_decode_audio,
     "mm_decode_video" -> mm_decode_video,

@@ -303,7 +303,7 @@ object Queries3 {
     * bit 63 needs the literal min-long because DuckDB's checked `<<`
     * refuses 1 << 63).
     */
-  private val simhashFpSql =
+  private[graft] val simhashFpSql =
     """WITH t AS (SELECT doc_id,
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
         FROM documents),

@@ -354,20 +354,28 @@ object Dedup {
     * band key; a degenerate corpus (many identical fingerprints) is
     * bounded by the id-pair distinct before the Hamming check.
     */
-  def simhashNearDup(fp: DataFrame, idCol: String, fpCol: String,
-                     maxHamming: Int = 3,
-                     maxBucket: Option[Int] = None,
-                     scope: CacheScope = CacheScope.global): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+  /** Pigeonhole band structs for a 64-bit fingerprint in column `f`:
+    * `maxHamming + 1` slices — two fingerprints within `maxHamming`
+    * bits must agree exactly on at least one slice.
+    */
+  private def simhashBandStructs(maxHamming: Int): Seq[Column] = {
     val bands = maxHamming + 1
     val width = 64 / bands
-    val bandStructs = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val lo = b * width
       val w = if (b == bands - 1) 64 - lo else width
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       struct(lit(b).as("band"),
         shiftright(col("f"), lo).bitwiseAND(lit(mask)).as("bits"))
     }
+  }
+
+  def simhashNearDup(fp: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 3,
+                     maxBucket: Option[Int] = None,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val bandStructs = simhashBandStructs(maxHamming)
     // persisted: both join sides reference it, and without the cache
     // each side would recompute the full fingerprint lineage
     val banded = scope.persist(fp.select(col(idCol).as("id"), col(fpCol).as("f"))
@@ -379,6 +387,45 @@ object Dedup {
     // survive the exact check below; members near each other but far
     // from the hub resolve via cluster resolution, not pairwise
     bandPairs(banded, Seq("band", "bits"), maxBucket, payload = Seq("f"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Incremental SimHash near-dup — [[minhashLshDelta]]'s sibling for
+    * the fingerprint store: `baseFp` is the persisted (id, fp) table
+    * (8 bytes per historical document), `deltaFp` today's new
+    * fingerprints; emits exactly the [[simhashNearDup]] pairs that
+    * involve at least one delta document. The band join's one side is
+    * delta rows only — O(delta) candidate work against the standing
+    * band index.
+    */
+  def simhashNearDupDelta(baseFp: DataFrame, deltaFp: DataFrame,
+                          idCol: String, fpCol: String,
+                          maxHamming: Int = 3,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val bandStructs = simhashBandStructs(maxHamming)
+    val all = baseFp.select(col(idCol).as("id"), col(fpCol).as("f"),
+        lit(false).as("nw"))
+      .unionByName(deltaFp.select(col(idCol).as("id"), col(fpCol).as("f"),
+        lit(true).as("nw")))
+    val banded = scope.persist(all
+      .select(col("id"), col("f"), col("nw"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("f"), col("nw"),
+        col("bb.band").as("band"), col("bb.bits").as("bits")))
+    val keys = Seq("band", "bits")
+    val kc = keys.map(col)
+    val x = banded.select(kc ++ Seq(col("id").as("id_x"), col("f").as("f_x")): _*)
+    val y = banded.filter(col("nw"))
+      .select(kc ++ Seq(col("id").as("id_y"), col("f").as("f_y")): _*)
+    x.join(y, keys).filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        when(col("id_x") < col("id_y"), col("f_x")).otherwise(col("f_y")).as("f_a"),
+        when(col("id_x") < col("id_y"), col("f_y")).otherwise(col("f_x")).as("f_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))))
       .filter(col("hamming") <= maxHamming)

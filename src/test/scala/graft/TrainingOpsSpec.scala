@@ -204,6 +204,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashNearDupDelta == full near-dup restricted to delta-touching pairs") {
+    val base = 0x0123456789ABCDEFL
+    val fp = Seq(
+      (1L, base), (2L, base ^ (1L << 3)), (3L, ~base),
+      (40L, base ^ (1L << 40)),           // delta, near 1 and 2
+      (41L, ~base ^ (1L << 7)),           // delta, near 3
+      (42L, 0x5555555555555555L)          // delta, near nothing
+    ).toDF("doc_id", "simhash")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairsOf(Dedup.simhashNearDup(fp, "doc_id", "simhash", maxHamming = 3))
+    val inc = pairsOf(Dedup.simhashNearDupDelta(
+      fp.filter($"doc_id" < 10), fp.filter($"doc_id" >= 10),
+      "doc_id", "simhash", maxHamming = 3))
+    assert(inc == full.filter { case (a, b) => a >= 10 || b >= 10 })
+    assert(inc.contains((1L, 40L)) && inc.contains((3L, 41L)))
+    assert(!inc.contains((1L, 2L))) // base-base already resolved
+  }
+
   test("vector functions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
