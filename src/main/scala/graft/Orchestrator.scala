@@ -67,7 +67,8 @@ object Orchestrator {
       Seq("txt_", "pipeline_corpus", "pipeline_rag")),
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
-    ("timeseries", "sessionization + gap fill", Seq("ts_", "w_sessionize")),
+    ("timeseries", "sessionization + gap fill + rolling windows",
+      Seq("ts_", "w_sessionize", "w_rolling")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling",
       Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_")),
     ("vectors", "similarity search", Seq("vec_")),

@@ -484,6 +484,31 @@ object Queries14 {
       FROM events
       GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (user_id), ())"""))
 
+  /** Trailing 7-day rolling aggregate per user — a RANGE window frame
+    * keyed by event TIME, not row count (row frames mis-window
+    * irregular telemetry): every event sees the sum/count of its
+    * user's events in the preceding week, inclusive. One shuffle on
+    * user_id; decimal-exact sums for cross-engine parity.
+    */
+  val w_rolling_7d = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-7L * 86400, 0)
+      T_(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("value").cast("decimal(27,8)")).over(w)
+            .cast("double").as("sum_7d"))
+    },
+    Some("""SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_7d,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) OVER w AS DOUBLE) AS sum_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"""))
+
   /** Column-profile sweep over lineitem (operators.Profile): row /
     * non-null / exact-distinct counts and stringified value range per
     * column — one pruned scan per column, unioned. The stats feed
@@ -576,6 +601,7 @@ object Queries14 {
     "s18_zorder_roundtrip" -> s18_zorder_roundtrip,
     "a_cube_totals" -> a_cube_totals,
     "a_grouping_sets" -> a_grouping_sets,
+    "w_rolling_7d" -> w_rolling_7d,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
     "dd_simhash_delta" -> dd_simhash_delta,
