@@ -484,6 +484,50 @@ object Queries14 {
       FROM events
       GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (user_id), ())"""))
 
+  /** Pearson correlation per group from EXACT integer/decimal moments:
+    * n, Σx, Σy, Σxy, Σx², Σy² are decimal-exact aggregates, and the
+    * correlation is assembled from them with the SAME double
+    * expression tree on both engines — so the result is
+    * bit-reproducible where built-in `corr()`s (different running
+    * formulas, different float orders) are not. x = event value,
+    * y = seconds into the day (does engagement drift with time?).
+    */
+  val a_corr_moments = Q(
+    (s, dir) => {
+      val x = col("value").cast("decimal(27,8)")
+      val y = (unix_seconds(col("ts")) % 86400L).cast("decimal(27,8)")
+      // decimal sums are exact; the decimal->double hop goes through a
+      // milli-quantized BIGINT (same discipline as GraphOps.pageRank)
+      // because engines differ by an ulp on direct wide-decimal casts
+      def q3(c: org.apache.spark.sql.Column) =
+        round(c * 1000L).cast("long").cast("double") / 1000.0
+      T_(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          q3(sum(x)).as("sx"),
+          q3(sum(y)).as("sy"),
+          q3(sum((x * y).cast("decimal(38,16)"))).as("sxy"),
+          q3(sum((x * x).cast("decimal(38,16)"))).as("sxx"),
+          q3(sum((y * y).cast("decimal(38,16)"))).as("syy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_xt"))
+    },
+    Some("""WITH m AS (
+        SELECT event_type, count(*) AS n,
+          CAST(CAST(round(SUM(CAST(value AS DECIMAL(27,8))) * 1000, 0) AS BIGINT) AS DOUBLE) / 1000.0 AS sx,
+          CAST(CAST(round(SUM(CAST((epoch_us(ts) // 1000000) % 86400 AS DECIMAL(27,8))) * 1000, 0) AS BIGINT) AS DOUBLE) / 1000.0 AS sy,
+          CAST(CAST(round(SUM(CAST(CAST(value AS DECIMAL(27,8)) * CAST((epoch_us(ts) // 1000000) % 86400 AS DECIMAL(27,8)) AS DECIMAL(38,16))) * 1000, 0) AS BIGINT) AS DOUBLE) / 1000.0 AS sxy,
+          CAST(CAST(round(SUM(CAST(CAST(value AS DECIMAL(27,8)) * CAST(value AS DECIMAL(27,8)) AS DECIMAL(38,16))) * 1000, 0) AS BIGINT) AS DOUBLE) / 1000.0 AS sxx,
+          CAST(CAST(round(SUM(CAST(CAST((epoch_us(ts) // 1000000) % 86400 AS DECIMAL(27,8)) * CAST((epoch_us(ts) // 1000000) % 86400 AS DECIMAL(27,8)) AS DECIMAL(38,16))) * 1000, 0) AS BIGINT) AS DOUBLE) / 1000.0 AS syy
+        FROM events GROUP BY 1)
+      SELECT event_type, n,
+        (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xt
+      FROM m"""))
+
   /** Trailing 7-day rolling aggregate per user — a RANGE window frame
     * keyed by event TIME, not row count (row frames mis-window
     * irregular telemetry): every event sees the sum/count of its
@@ -602,6 +646,7 @@ object Queries14 {
     "a_cube_totals" -> a_cube_totals,
     "a_grouping_sets" -> a_grouping_sets,
     "w_rolling_7d" -> w_rolling_7d,
+    "a_corr_moments" -> a_corr_moments,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
     "dd_simhash_delta" -> dd_simhash_delta,
