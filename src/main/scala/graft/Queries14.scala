@@ -528,6 +528,75 @@ object Queries14 {
           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xt
       FROM m"""))
 
+  /** Median absolute deviation per group — the robust dispersion
+    * statistic quality gates prefer over stddev (one outlier moves a
+    * stddev; the MAD ignores it). Composed from the exact percentile
+    * machinery (operators.Percentiles — frequency compression, never
+    * a full-group sort): group median, then the median of absolute
+    * deviations from it, exact integers end to end on this column.
+    */
+  val a_mad = Q(
+    (s, dir) => {
+      import graft.operators.Percentiles
+      val li = T_(s, dir, "lineitem")
+      val med = Percentiles.quantilesDisc(li, col("l_returnflag"),
+          col("l_quantity"), Seq(5000))
+        .select(col("g"), col("value").as("med"))
+      val dev = li.join(broadcast(med), li("l_returnflag") === med("g"))
+        .select(col("l_returnflag"),
+          abs(col("l_quantity") - col("med")).as("d"))
+      Percentiles.quantilesDisc(dev, col("l_returnflag"), col("d"), Seq(5000))
+        .select(col("g").as("l_returnflag"), col("value").as("mad"))
+        .join(broadcast(med.select(col("g").as("l_returnflag"), col("med"))),
+          "l_returnflag")
+        .select(col("l_returnflag"), col("med"), col("mad"))
+    },
+    Some("""WITH f AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT g, v,
+          sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY g) AS tot FROM f),
+      med AS (SELECT g, min(v) AS med FROM cum
+        WHERE cum >= (5000 * tot + 9999) // 10000 GROUP BY g),
+      dev AS (SELECT l.l_returnflag AS g, abs(l.l_quantity - m.med) AS v
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.g),
+      f2 AS (SELECT g, v, count(*) AS c FROM dev GROUP BY 1, 2),
+      cum2 AS (SELECT g, v,
+          sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY g) AS tot FROM f2),
+      mad AS (SELECT g, min(v) AS mad FROM cum2
+        WHERE cum >= (5000 * tot + 9999) // 10000 GROUP BY g)
+      SELECT m.g AS l_returnflag, m.med, d.mad
+      FROM med m JOIN mad d USING (g)"""))
+
+  /** Fuzzy matching by edit distance — the data-cleaning join shape
+    * (typo'd names against the reference list). Deterministic typo'd
+    * copies of the nation names join back against the clean dimension
+    * on levenshtein <= 2; both engines share the unit-cost edit
+    * distance, so the match set and distances are exact. Both sides
+    * broadcast-size here; at scale the standard guard is a blocking
+    * key (first char / soundex / length band) before the distance.
+    */
+  val f_fuzzy_match = Q(
+    (s, dir) => {
+      val clean = T_(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val dirty = clean.select(col("n_nationkey").as("d_key"),
+        concat(substring(col("n_name"), 1, 2), lit("X"),
+          substring(col("n_name"), 4, 1000)).as("d_name"))
+      dirty.join(broadcast(clean),
+          levenshtein(col("d_name"), col("n_name")) <= 2)
+        .select(col("d_key"), col("d_name"), col("n_nationkey"),
+          col("n_name"),
+          levenshtein(col("d_name"), col("n_name")).cast("int").as("dist"))
+    },
+    Some("""WITH dirty AS (SELECT n_nationkey AS d_key,
+          substr(n_name, 1, 2) || 'X' || substr(n_name, 4) AS d_name
+        FROM nation)
+      SELECT d.d_key, d.d_name, n.n_nationkey, n.n_name,
+        CAST(levenshtein(d.d_name, n.n_name) AS INTEGER) AS dist
+      FROM dirty d JOIN nation n ON levenshtein(d.d_name, n.n_name) <= 2"""))
+
   /** Trailing 7-day rolling aggregate per user — a RANGE window frame
     * keyed by event TIME, not row count (row frames mis-window
     * irregular telemetry): every event sees the sum/count of its
@@ -647,6 +716,8 @@ object Queries14 {
     "a_grouping_sets" -> a_grouping_sets,
     "w_rolling_7d" -> w_rolling_7d,
     "a_corr_moments" -> a_corr_moments,
+    "a_mad" -> a_mad,
+    "f_fuzzy_match" -> f_fuzzy_match,
     "dd_minhash_capped" -> dd_minhash_capped,
     "dd_minhash_delta" -> dd_minhash_delta,
     "dd_simhash_delta" -> dd_simhash_delta,
