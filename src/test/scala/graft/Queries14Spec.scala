@@ -75,6 +75,45 @@ class Queries14Spec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
   }
 
+  test("Profile counts nulls and distincts exactly on a null-heavy column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, null), (3L, "b"), (4L, null), (5L, "a")
+    ).toDF("id", "s")
+    val rows = graft.operators.Profile.profile(df, Seq("s", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = rows("s")
+    assert(s.getLong(1) == 5 && s.getLong(2) == 3 && s.getLong(3) == 2)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    val id = rows("id")
+    assert(id.getLong(2) == 5 && id.getLong(3) == 5)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.profile(df, Nil)
+    }
+  }
+
+  test("MAD is robust where stddev is not: one huge outlier") {
+    import spark.implicits._
+    val base = (1 to 99).map(i => ("g", (i % 9 + 1).toDouble))
+    def madOf(rows: Seq[(String, Double)]): Double = {
+      val df = rows.toDF("g", "v")
+      val med = graft.operators.Percentiles
+        .quantilesDisc(df, col("g"), col("v"), Seq(5000))
+        .select(col("g"), col("value").as("med"))
+      val dev = df.join(med, "g").select(col("g"), abs(col("v") - col("med")).as("d"))
+      graft.operators.Percentiles.quantilesDisc(dev, col("g"), col("d"), Seq(5000))
+        .collect().head.getDouble(2)
+    }
+    val clean = madOf(base)
+    val poisoned = madOf(base :+ ("g", 1.0e9))
+    assert(clean == poisoned, "one outlier moved the MAD")
+    // ...while the stddev explodes by orders of magnitude
+    val sdClean = base.toDF("g", "v").agg(stddev(col("v"))).collect().head.getDouble(0)
+    val sdPois = (base :+ ("g", 1.0e9)).toDF("g", "v")
+      .agg(stddev(col("v"))).collect().head.getDouble(0)
+    assert(sdPois > sdClean * 1000)
+  }
+
   test("decodeVideoFrames: container parse + per-frame PNG decode, total on bad media") {
     import spark.implicits._
     // hand-built container: one good 2x1 frame + one garbage frame
