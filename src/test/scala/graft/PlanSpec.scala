@@ -251,6 +251,18 @@ class PlanSpec extends AnyFunSuite {
       SparkEntry.queries("jdbc_pushdown_roundtrip")(spark, dir).count())
   }
 
+  test("CUBE and GROUPING SETS plan as ONE Expand + aggregate, not a pass per level") {
+    for (name <- Seq("a_cube_totals", "a_grouping_sets")) {
+      val p = plan(name).split("== Initial Plan ==")(0)
+      assert("Expand".r.findAllIn(p).length == 1, s"$name:\n$p")
+      // one scan feeds the Expand — multi-level aggregation must not
+      // re-read the table per grouping set
+      assert("Scan parquet".r.findAllIn(p).length == 1, s"$name:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$name — expected the single aggregate shuffle:\n$p")
+    }
+  }
+
   test("incremental LSH joins the delta side only — no base-base candidate work") {
     // the O(delta) claim of minhashLshDelta: one side of the band
     // self-join must be filtered to delta rows (nw) BEFORE the join,
