@@ -74,6 +74,18 @@ object SkewBench {
       "dd_simhash_capped" -> ((s, d) =>
         Dedup.simhashNearDup(simhashFp(s, d), "doc_id", "simhash",
           maxHamming = 3, maxBucket = Some(64))),
+      // incremental ingest under skew: the boilerplate cluster
+      // straddles the base/delta split (even/odd ids), so the delta's
+      // band join hits the hot buckets — capped, it must stay
+      // delta-proportional
+      "dd_minhash_delta_capped" -> ((s, d) => {
+        val all = docs(s, d)
+        Dedup.minhashLshDelta(
+          Dedup.minhashSignatures(all.filter(col("doc_id") % 2 === 0),
+            "text", "doc_id"),
+          all.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+          maxBucket = Some(64))
+      }),
       "dd_ngram_jaccard" -> ((s, d) =>
         Dedup.ngramJaccard(docs(s, d), "text", "doc_id",
           tokenize = t => split(T.normText(t), " "),
@@ -119,6 +131,8 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val skewDir = args.headOption.getOrElse("/tmp/graft_skew/skew")
     val uniformDir = if (args.length > 1) args(1) else "/tmp/graft_skew/uniform"
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
     val uncapped = sys.env.getOrElse("SPARK_GRAFT_SOAK_UNCAPPED", "1") == "1"
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = GraftSession.getOrCreate()
@@ -128,7 +142,9 @@ object SkewBench {
         Tables.read(spark, skewDir, t).count()
         Tables.read(spark, uniformDir, t).count()
       }
-    val rows = soakQueries(uncapped).map { case (name, fn) =>
+    val rows = soakQueries(uncapped)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val ts = timeOne(spark, fn, skewDir, reps)
       val tu = timeOne(spark, fn, uniformDir, reps)
       System.err.println(f"[soak] $name%-22s skew $ts%7.2fs uniform $tu%7.2fs ratio ${ts / tu}%5.2f")
