@@ -70,7 +70,7 @@ object Orchestrator {
     ("timeseries", "sessionization + gap fill + rolling windows",
       Seq("ts_", "w_sessionize", "w_rolling")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling",
-      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_")),
+      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))

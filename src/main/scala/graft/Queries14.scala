@@ -679,6 +679,29 @@ object Queries14 {
       FROM lineitem"""),
     bench = false)
 
+  /** Small-file compaction round trip (sources.Layout.compact): the
+    * lineitem table is first shattered into 64 tiny files (the shape
+    * a streaming sink or incremental MERGE accretes), then compacted
+    * to size-targeted files. The oracle proves losslessness; the spec
+    * asserts the file-count collapse.
+    */
+  val s19_compact_roundtrip = Q(
+    (s, dir) => {
+      val shattered = stagingDir(dir, "lineitem_shattered")
+      val compacted = stagingDir(dir, "lineitem_compacted")
+      T_(s, dir, "lineitem").repartition(64)
+        .write.mode("overwrite").parquet(shattered)
+      graft.sources.Layout.compact(s, shattered, compacted,
+        targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+        l_returnflag
+      FROM lineitem"""),
+    bench = false)
+
   /** Streaming dedup against the HISTORICAL fingerprint store: the
     * standing corpus (doc_id < 250) contributes only its content
     * hashes as a static table; the stream drops arrivals whose hash
@@ -712,6 +735,7 @@ object Queries14 {
     "s16_overwrite_partitions" -> s16_overwrite_partitions,
     "s17_table_profile" -> s17_table_profile,
     "s18_zorder_roundtrip" -> s18_zorder_roundtrip,
+    "s19_compact_roundtrip" -> s19_compact_roundtrip,
     "a_cube_totals" -> a_cube_totals,
     "a_grouping_sets" -> a_grouping_sets,
     "w_rolling_7d" -> w_rolling_7d,

@@ -35,6 +35,29 @@ object Layout {
     }
   }
 
+  /** Small-file compaction — the other half of a lake OPTIMIZE next
+    * to [[zorderWrite]]: rewrite the table at `inPath` into
+    * ceil(totalBytes / targetBytes) files at `outPath`. Streaming
+    * sinks and incremental MERGEs accrete small files; every scan
+    * then pays per-file open/footer costs and the driver pays listing
+    * — compaction restores healthy file sizes with one round-robin
+    * shuffle (no ordering assumed or preserved; compose with
+    * [[zorderWrite]] when clustering matters). Returns the file count
+    * written.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Rewrite `df` Z-ordered on (ca, cb) into `path`: one range
     * shuffle on the Z-value into `numFiles` output files, rows sorted
     * by Z within each. `blockBytes` bounds the parquet row-group size

@@ -40,6 +40,30 @@ class LayoutSpec extends AnyFunSuite {
       .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
   }
 
+  test("compact collapses a shattered table to size-targeted files, losslessly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = spark.range(100000L).select(col("id"),
+      concat(lit("payload_"), col("id")).as("s"))
+    src.repartition(50).write.mode("overwrite").parquet(s"$tmp/shattered")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files(s"$tmp/shattered").length == 50)
+    val n = Layout.compact(spark, s"$tmp/shattered", s"$tmp/compacted",
+      targetBytes = 1L * 1024 * 1024)
+    val out = files(s"$tmp/compacted")
+    assert(out.length == n && n < 10,
+      s"expected a handful of files, got $n")
+    // lossless: same content
+    val a = spark.read.parquet(s"$tmp/shattered")
+    val b = spark.read.parquet(s"$tmp/compacted")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // degenerate target still writes at least one file
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$tmp/shattered", s"$tmp/x", 0L)
+    }
+  }
+
   test("z-ordered write skips row groups on BOTH keys; unclustered does not") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     // synthetic 2-key table: 200k rows, keys independent
