@@ -96,7 +96,10 @@ object Upsert {
     * pre-collapse with [[dedupByKey]] when it isn't. Single-writer per
     * table, like every sink here (the stage sibling is keyed off
     * `targetPath`, so concurrent writers to the SAME table would race;
-    * concurrent tables are fine).
+    * concurrent tables are fine). `partitionCol` values must be
+    * non-null: a null never equi-joins, so existing rows in the
+    * default partition would be replaced rather than merged — filter
+    * or default the column upstream.
     */
   def overwritePartitions(incoming: DataFrame, keys: Seq[String],
                           partitionCol: String, targetPath: String,
