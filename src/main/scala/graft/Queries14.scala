@@ -602,13 +602,20 @@ object Queries14 {
     * irregular telemetry): every event sees the sum/count of its
     * user's events in the preceding week, inclusive. One shuffle on
     * user_id; decimal-exact sums for cross-engine parity.
+    *
+    * The frame is ordered by unix_micros(ts) — NOT ts cast to whole
+    * seconds — so both engines window on identical microsecond values:
+    * a seconds-truncated ordering makes same-truncated-second events
+    * frame peers (even a later one) and flips inclusion at the 7-day
+    * boundary for sub-second differences, diverging from the oracle's
+    * microsecond INTERVAL arithmetic on real data.
     */
   val w_rolling_7d = Q(
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").cast("long"))
-        .rangeBetween(-7L * 86400, 0)
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 86400 * 1000000L, 0)
       T_(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
           count(lit(1)).over(w).as("n_7d"),

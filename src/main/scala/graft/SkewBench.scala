@@ -113,18 +113,26 @@ object SkewBench {
     if (uncapped) capped ++ unc else capped
   }
 
+  /** Median elapsed over `reps` runs. A crashing run is a FAILED
+    * measurement, not a fast one: it poisons the median to NaN (and is
+    * logged), so a broken soak query can never report a healthy-looking
+    * skew/uniform ratio.
+    */
   private def timeOne(s: SparkSession, fn: (SparkSession, String) => DataFrame,
                       dir: String, reps: Int): Double = {
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      try fn(s, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[soak] $e") }
+      val ok =
+        try { fn(s, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[soak] FAILED: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       CacheScope.global.release()
       System.gc()
-      dt
+      if (ok) dt else Double.NaN
     }.sorted
-    if (times.length % 2 == 1) times(times.length / 2)
+    if (times.exists(_.isNaN)) Double.NaN
+    else if (times.length % 2 == 1) times(times.length / 2)
     else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
   }
 
@@ -151,7 +159,8 @@ object SkewBench {
       name -> (ts, tu)
     }
     val qs = rows.map { case (k, (ts, tu)) =>
-      f""""$k":{"skew":$ts%.3f,"uniform":$tu%.3f,"ratio":${ts / tu}%.3f}"""
+      if (ts.isNaN || tu.isNaN) s""""$k":{"failed":true}"""
+      else f""""$k":{"skew":$ts%.3f,"uniform":$tu%.3f,"ratio":${ts / tu}%.3f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"skew_soak","queries":$qs,"skew_dir":"$skewDir","uniform_dir":"$uniformDir"}""")
     spark.stop()

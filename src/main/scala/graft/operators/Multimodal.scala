@@ -138,8 +138,11 @@ object Multimodal {
         val p = r.getAs[Array[Byte]](1)
         val img =
           if (p == null) null
+          // NonFatal, not just IOException: ImageIO throws unchecked
+          // CMMException / IllegalArgumentException / NegativeArraySize
+          // on corrupt payloads, and the totality contract must hold.
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(id, null, null, null, null, null)
         else {
           val w = img.getWidth
@@ -236,14 +239,14 @@ object Multimodal {
         val p = r.getAs[Array[Byte]](1)
         val ais =
           if (p == null) null
+          // NonFatal (covers UnsupportedAudioFileException, IOException
+          // and the unchecked failures javax.sound throws on corrupt
+          // headers) — the totality contract must hold.
           else try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(p))
-          catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => null
-            case _: java.io.IOException => null
-          }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (ais == null) Row(id, null, null, null, null, null)
-        else {
+        else try {
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           val ch = fmt.getChannels
@@ -270,6 +273,8 @@ object Multimodal {
               if (n == 0) null else sum.toDouble / n,
               if (n == 0) null else sumSq.toDouble / n)
           }
+        } catch { // truncated PCM stream mid-read: stay total
+          case scala.util.control.NonFatal(_) => Row(id, null, null, null, null, null)
         }
       })
     spark.createDataFrame(rows, audioFeatureSchema)
@@ -348,11 +353,11 @@ object Multimodal {
                 (i, buf)
               }
             }
-          } catch { case _: java.io.IOException => Nil }
+          } catch { case scala.util.control.NonFatal(_) => Nil }
         frames.iterator.map { case (i, png) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(id, i, null, null, null, null, null)
           else {
             val w = img.getWidth; val h = img.getHeight

@@ -23,9 +23,29 @@ object Staging {
   def dirKey(dir: String): String =
     java.lang.Integer.toHexString(dir.hashCode)
 
-  /** Per-dataset, per-JVM staging path for `name`. */
-  def path(dir: String, name: String): String =
-    s"/tmp/graft_stage_${dirKey(dir)}_${ProcessHandle.current().pid()}/$name"
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  // The pid-scoped roots this JVM created; swept on exit so repeated
+  // harness/bench runs don't accumulate unbounded /tmp usage.
+  private val createdRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    createdRoots.forEach(r => deleteRecursively(new java.io.File(r)))
+  }
+
+  /** Per-dataset, per-JVM staging path for `name`. The per-pid root is
+    * registered for deletion at JVM exit (shutdown hook) — staged
+    * copies are scratch, not durable output.
+    */
+  def path(dir: String, name: String): String = {
+    val root = s"/tmp/graft_stage_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    createdRoots.add(root): Unit
+    s"$root/$name"
+  }
 
   /** Per-dataset catalog table name (saveAsTable entries). */
   def tableName(base: String, dir: String): String =

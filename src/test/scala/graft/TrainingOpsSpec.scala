@@ -133,7 +133,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     // 40 near-identical docs (boilerplate + tiny tail) + 2 unrelated:
     // the boilerplate cluster lands whole in shared LSH buckets, so
     // uncapped emits ~C(40,2) clique pairs; capped (maxBucket=8)
-    // must emit O(40) star pairs yet resolve to the SAME clusters
+    // must emit O(40) star pairs yet resolve to the SAME clusters.
+    // NOTE this equivalence is at the CANDIDATE-graph level (clustering
+    // raw pairs, no est_jaccard threshold); once a consumer thresholds
+    // on exact distance the cap is a bounded recall loss — see the
+    // bandPairs Scaladoc.
     val boiler = (0 until 60).map(i => s"w${i % 7}").mkString(" ")
     val many = (1L to 40L).map(i => (i, s"$boiler tail$i")) ++
       Seq((100L, "completely different content about spark engines and shuffles"),
