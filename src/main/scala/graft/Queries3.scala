@@ -406,7 +406,7 @@ object Queries3 {
   // Similarity search
   // ===========================================================
 
-  private def cosineSql(v: String, qv: String): String = {
+  private[graft] def cosineSql(v: String, qv: String): String = {
     def ss(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, len($a) + 1)]),
@@ -438,7 +438,7 @@ object Queries3 {
     * divided in double, the exact mirror of
     * [[graft.operators.Similarity.ivfKMeans]]'s update step.
     */
-  private def lloydRoundSql(i: Int, centIn: String): String =
+  private[graft] def lloydRoundSql(i: Int, centIn: String): String =
     s"""a$i AS (
         SELECT id, v, cell FROM (
           SELECT c.id, c.v, $centIn.cell,

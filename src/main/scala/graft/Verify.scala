@@ -28,13 +28,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // manifest: query → row count + order-independent content hash of
+    // the WRITTEN parquet (read back, so it attests exactly the bytes
+    // the driver's checker will compare). Makes an empty/zeroed driver
+    // correctness artifact distinguishable from a failed Verify: if
+    // the manifest has 150+ hashed entries, the gate ran and the data
+    // exists — any later emptiness is a checker-side hand-off failure.
+    val manifest = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val back = spark.read.parquet(s"$outDir/$name")
+        import org.apache.spark.sql.functions._
+        // xxhash64 of the canonical (name-sorted) JSON row, summed as
+        // decimal — partition-order-free, overflow-free
+        val cols = back.columns.sorted.map(col)
+        val agg = back.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(to_json(struct(cols: _*)))
+            .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"))
+          .collect()(0)
+        manifest += name ->
+          s"""{"rows": ${agg.getLong(0)}, "hash": "${agg.getDecimal(1)}"}"""
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+          .take(200)
+        manifest += name -> s"""{"error": "$msg"}"""
       }
       finally {
         graft.operators.CacheScope.global.release()
@@ -44,6 +67,9 @@ object Verify {
         System.gc()
       }
     }
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      manifest.map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ",\n ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -90,16 +90,28 @@ object Dedup {
   /** Candidate pairs from a banded frame (`keys... , id, payload...`):
     * rows sharing a band key pair up. With `maxBucket` set, buckets
     * over the cap emit the STAR around the bucket's min id instead of
-    * the full clique — a bucket is a candidate clique, and clique and
-    * star have identical connected components, so the downstream
-    * cluster resolution ([[dedupClusters]]) recovers exactly the same
-    * clusters at O(n) pairs instead of O(n²). This is the guard for
-    * degenerate corpora (boilerplate at percent-level frequency): at
-    * 20% document frequency an uncapped bucket is (0.2·N)²/2 pairs —
-    * quadratic in corpus size — where the star is linear. The trade:
-    * over-cap buckets lose their non-hub pairwise similarity scores
-    * (pair-level consumers see hub-mediated pairs only; cluster-level
-    * consumers see no difference).
+    * the full clique. This is the guard for degenerate corpora
+    * (boilerplate at percent-level frequency): at 20% document
+    * frequency an uncapped bucket is (0.2·N)²/2 pairs — quadratic in
+    * corpus size — where the star is linear.
+    *
+    * Semantics of the trade, precisely:
+    *   - At the CANDIDATE-graph level (bucket co-membership taken as
+    *     the edge), clique and star have identical connected
+    *     components, so a consumer that clusters raw candidates sees
+    *     the same clusters at O(n) pairs instead of O(n²).
+    *   - Once a downstream EXACT-distance filter runs (est_jaccard
+    *     threshold in [[minhashLsh]] consumers, `hamming <= maxHamming`
+    *     in [[simhashNearDup]]), the cap is a BOUNDED RECALL LOSS, not
+    *     cluster-equivalent: two over-cap bucket members near each
+    *     other but far from the hub have only hub-mediated candidate
+    *     edges, and the distance filter removes those edges before any
+    *     cluster step — the (a, b) near-pair is silently absent, not
+    *     deferred. The loss is confined to over-cap buckets (cap
+    *     defaults to None = exact clique semantics, the oracle-replayed
+    *     default) and is the standard LSH-at-scale trade: a bucket that
+    *     big is boilerplate, and per-pair fidelity inside it is
+    *     deliberately sacrificed for linear work.
     *
     * `payload` columns ride along as `<p>_a`/`<p>_b` (the hub's
     * payload via min_by, so star pairs are exact).
@@ -385,7 +397,10 @@ object Dedup {
     // corpora) weaken the pigeonhole guarantee from any-band-agreement
     // to hub-mediated: bucket members within maxHamming of the HUB
     // survive the exact check below; members near each other but far
-    // from the hub resolve via cluster resolution, not pairwise
+    // from the hub are a bounded recall LOSS — their only candidate
+    // edges are hub-mediated and the hamming filter removes those
+    // before any cluster step (see [[bandPairs]] for the full
+    // statement of the trade). Cap None = exact semantics.
     bandPairs(banded, Seq("band", "bits"), maxBucket, payload = Seq("f"))
       .distinct()
       .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))))
@@ -623,5 +638,49 @@ object Dedup {
         count(col("is_dup")).cast("int").as("dup_spans"))
       .withColumn("dup_frac",
         col("dup_spans").cast("double") / col("n_spans"))
+  }
+
+  /** Blocked fuzzy (edit-distance) join: emit (dirty row, clean row,
+    * dist) for every pair with levenshtein ≤ `maxDist`, WITHOUT the
+    * theta join a naive `ON levenshtein(a,b) <= d` plans (a broadcast
+    * nested loop — |dirty|·|clean| distance evaluations, the one plan
+    * shape that cannot survive a 100× scale-up).
+    *
+    * Standard record-linkage blocking, as an EQUI-join:
+    *   - block key = (first char, length band) where band =
+    *     len / (maxDist+1). Two strings within distance d differ in
+    *     length by ≤ d, so their bands differ by ≤ 1; the PROBE side
+    *     (dirty) explodes bands {b−1, b, b+1} while the build side
+    *     keeps its single band — every in-band pair meets on EXACTLY
+    *     one key (no post-join dedup), and candidates are confined to
+    *     same-first-char, similar-length blocks.
+    *   - levenshtein ≤ d runs as the per-candidate RESIDUAL filter.
+    *
+    * Recall: length banding is exact (no pair within d is band-split);
+    * first-char blocking is the standard heuristic trade — a pair
+    * whose edit touches character 1 is lost. That loss is documented,
+    * deterministic, and mirrored verbatim in the SQL oracle.
+    *
+    * Inputs must have disjoint column names. Output = dirty columns ++
+    * clean columns ++ `dist` (int).
+    */
+  def fuzzyJoinBlocked(dirty: DataFrame, dirtyName: String,
+                       clean: DataFrame, cleanName: String,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val w = maxDist + 1
+    def key(name: Column, band: Column): Column =
+      concat(substring(name, 1, 1), lit("|"), band.cast("string"))
+    val build = clean.withColumn("__bk",
+      key(col(cleanName), floor(length(col(cleanName)) / w).cast("long")))
+    val probe = dirty
+      .withColumn("__b", floor(length(col(dirtyName)) / w).cast("long"))
+      .withColumn("__bk", explode(array((-1 to 1).map(i =>
+        key(col(dirtyName), col("__b") + i)): _*)))
+      .drop("__b")
+    probe.join(build, "__bk")
+      .withColumn("dist", levenshtein(col(dirtyName), col(cleanName)).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .drop("__bk")
   }
 }

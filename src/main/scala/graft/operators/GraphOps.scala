@@ -308,6 +308,122 @@ object GraphOps {
     ranks
   }
 
+  // ---------------------------------------------------------------
+  // Fixpoint certificates: the converged forms iterate a
+  // data-dependent number of rounds, which no static SQL can unroll —
+  // so their CORRECTNESS entries check the FIXPOINT PROPERTY instead
+  // of the trajectory. Each certificate recomputes one application of
+  // the recurrence from the OUTPUT itself (same quantization as the
+  // engine) and emits rows whose correct values are knowable to the
+  // oracle without replaying: the vertex list (graph-derived) and
+  // all-true / all-zero violation columns. An under-converged run
+  // cannot reproduce them — the residual check fails on exactly the
+  // vertices whose values were still moving.
+  // ---------------------------------------------------------------
+
+  /** Per-vertex PageRank fixpoint certificate over `ranks` (the (id,
+    * rank) output of [[pageRankConverged]]): recompute expected(v) =
+    * reset + damp·Σ rank(u)/outdeg(u) with the engine's exact decimal
+    * quantization and flag |rank − expected| within the contraction
+    * bound. At a tol-fixpoint the residual of vertex v is at most
+    * damp·(in_mass(v)·tol + q) where in_mass(v) = Σ_{u→v} 1/outdeg(u)
+    * (each in-neighbor moved ≤ tol in the final round) and q = 1e-9 is
+    * one quantization step — the per-vertex bound used here, plus 1e-8
+    * slack. Emits (id, converged): every graph vertex exactly once,
+    * all true iff the claimed fixpoint holds.
+    */
+  def pageRankCertificate(edges: DataFrame, ranks: DataFrame, tol: Double,
+                          reset: Double = 0.15, damp: Double = 0.85,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.persist(edges.select(col("src"), col("dst")))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withInv = scope.persist(e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("inv_outdeg")))
+    val contribs = withInv
+      .join(ranks.select(col("id").as("src"), col("rank")), "src")
+      .select(col("dst").as("id"),
+        (col("rank") * col("inv_outdeg")).as("contrib"))
+      .unionByName(vertices.select(col("id"), lit(0.0).as("contrib")))
+    val expected = contribs.groupBy(col("id"))
+      .agg((lit(reset) + lit(damp) *
+        (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+          .cast("long").cast("double") / 1.0e9)).as("expected"))
+    val inMass = withInv.groupBy(col("dst").as("id"))
+      .agg(sum(col("inv_outdeg")).as("in_mass"))
+    ranks.join(expected, "id")
+      .join(inMass, Seq("id"), "left")
+      .select(col("id"),
+        (abs(col("rank") - col("expected")) <=
+          lit(damp) * (coalesce(col("in_mass"), lit(0.0)) * lit(tol) + lit(1e-9))
+            + lit(1e-8)).as("converged"))
+  }
+
+  /** Per-vertex connected-components fixpoint certificate over `comp`
+    * (the (id, comp) output of [[connectedComponentsConverged]]). A
+    * min-propagation fixpoint initialized from self-labels satisfies,
+    * for every vertex: (a) comp(v) ≤ v (labels only decrease from the
+    * id init); (b) no undirected neighbor carries a smaller label —
+    * with symmetry that makes comp constant along every edge, exactly
+    * the property an under-iterated run violates; (c) the label is a
+    * self-labeled root: comp(comp(v)) = comp(v). Emits (id,
+    * converged): every graph vertex exactly once, all true iff the
+    * fixpoint holds.
+    */
+  def connectedComponentsCertificate(edges: DataFrame, comp: DataFrame,
+                                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.persist(edges.select(col("src"), col("dst")))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = scope.persist(comp.select(col("id"), col("comp")))
+    val nbrMin = und
+      .join(labels.select(col("id").as("src"), col("comp").as("c")), "src")
+      .groupBy(col("dst").as("id")).agg(min(col("c")).as("nbr_min"))
+    val roots = labels.filter(col("id") === col("comp"))
+      .select(col("comp"), lit(true).as("root_ok"))
+    labels.join(nbrMin, Seq("id"), "left")
+      .join(roots, Seq("comp"), "left")
+      .select(col("id"),
+        (col("comp") <= col("id") &&
+          coalesce(col("nbr_min") >= col("comp"), lit(true)) &&
+          coalesce(col("root_ok"), lit(false))).as("converged"))
+  }
+
+  /** k-core fixpoint certificate over `core` (the (id, degree) output
+    * of [[kCoreConverged]]): restrict the canonicalized edge set to
+    * the surviving vertices and recompute induced degrees. At the
+    * k-core fixpoint (i) every induced degree is ≥ k — equivalently,
+    * one more peel removes nothing — and (ii) the reported degrees
+    * equal the induced recomputation (the final edge set IS the
+    * induced subgraph on survivors, since peeling only drops edges at
+    * removed endpoints). Emits ONE row (n_vertices, n_below_k,
+    * n_deg_mismatch): the graph's vertex count (oracle-computable) and
+    * two violation counts that are 0 iff the fixpoint holds.
+    */
+  def kCoreCertificate(edges: DataFrame, core: DataFrame, k: Int,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.persist(edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val surv = scope.persist(core.select(col("id"), col("degree")))
+    val induced = e
+      .join(surv.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(surv.select(col("id").as("b")), Seq("b"), "left_semi")
+    val indDeg = induced.select(col("a").as("id"))
+      .union(induced.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("ind_d"))
+    val checks = surv.join(indDeg, Seq("id"), "left")
+      .agg(
+        coalesce(sum(when(coalesce(col("ind_d"), lit(0L)) < k, 1L)
+          .otherwise(0L)), lit(0L)).as("n_below_k"),
+        coalesce(sum(when(coalesce(col("ind_d"), lit(0L)) =!= col("degree"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_deg_mismatch"))
+    val nVerts = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .agg(count_distinct(col("id")).as("n_vertices"))
+    nVerts.crossJoin(checks) // two 1-row aggregates
+  }
+
   /** GraphX-backed PageRank over the same edge DataFrame — the
     * VertexRDD/EdgeRDD execution path (BASELINE.json north star).
     * Same recurrence as [[pageRank]] but float sums follow GraphX's

@@ -184,4 +184,44 @@ object Similarity {
       .withColumn("cos", cosineFast(col("v"), col("qv")))
     twoPhaseTopK(scored, k)
   }
+
+  /** Batch kNN JOIN via IVF — the corpus-sized-query-side variant of
+    * [[ivfTopK]]. When |queries| ≈ |corpus| (cross-corpus semantic
+    * dedup, dataset-vs-dataset contamination, full-corpus self-kNN),
+    * broadcasting the probe set is wrong: it ships the whole query
+    * corpus to every task. Here NEITHER big side is broadcast:
+    *
+    *   1. centroids (nCells rows — genuinely tiny) broadcast to the
+    *      query side; per-query top-`nProbe` cells via a map-side
+    *      collect-sort-slice argtop aggregate. The broadcast cross
+    *      join colocates each query's nCells candidate rows in one
+    *      task, so the partial aggregate collapses them BEFORE the
+    *      shuffle — one row per query on the wire, never a per-qid
+    *      window over shuffled candidates.
+    *   2. probes ⋈ indexed corpus as a SHUFFLED equi-join on `cell`
+    *      (shuffle-hash hinted, so the planner cannot fall back to
+    *      broadcasting a "small-looking" probe side).
+    *   3. the same two-phase top-k as every other ANN path.
+    *
+    * Skew: a popular cell is a hot join key — exactly the shape AQE
+    * skew-join splitting handles (both sides shuffled on `cell`).
+    */
+  def ivfKnnJoin(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+                 vecCol: String, qIdCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))
+    val cosC = cosineFast(col("qv"), col("cv"))
+    val ordKey = when(isnan(cosC), lit(Double.NegativeInfinity))
+      .when(cosC.isNull, lit(Double.PositiveInfinity))
+      .otherwise(-cosC)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"),
+        struct(ordKey.as("o"), col("cell").as("cell")).as("sc"))
+      .groupBy(col("qid"), col("qv"))
+      .agg(slice(array_sort(collect_list(col("sc"))), 1, nProbe).as("top"))
+      .select(col("qid"), col("qv"),
+        explode(transform(col("top"), t => t("cell"))).as("cell"))
+    val scored = indexed.join(probes.hint("shuffle_hash"), Seq("cell"))
+      .withColumn("cos", cosineFast(col("v"), col("qv")))
+    twoPhaseTopK(scored, k)
+  }
 }

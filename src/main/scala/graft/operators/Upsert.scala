@@ -99,7 +99,9 @@ object Upsert {
     * concurrent tables are fine). `partitionCol` values must be
     * non-null: a null never equi-joins, so existing rows in the
     * default partition would be replaced rather than merged — filter
-    * or default the column upstream.
+    * or default the column upstream, or use
+    * [[overwritePartitionsQuarantine]] to route null-key rows to a
+    * side channel automatically.
     */
   def overwritePartitions(incoming: DataFrame, keys: Seq[String],
                           partitionCol: String, targetPath: String,
@@ -125,6 +127,34 @@ object Upsert {
       .partitionBy(partitionCol)
       .parquet(targetPath)
     fs.delete(stage, true)
+  }
+
+  /** [[overwritePartitions]] with a null-key QUARANTINE instead of a
+    * non-null precondition: rows whose `partitionCol` is null cannot
+    * take part in a partition-level MERGE (a null never equi-joins,
+    * and "the null partition" is not a rewritable slice), but at
+    * ingest scale dropping them silently loses data and failing the
+    * job loses the day. [[BadRecords]] discipline instead: null-key
+    * rows are APPENDED to `quarantinePath` with a `__reason` column
+    * (the [DBG] sample made queryable, reference
+    * graph_weather_day.py:205-224), and the non-null remainder MERGEs
+    * exactly as [[overwritePartitions]].
+    *
+    * The MERGE side keeps the fixpoint property (re-running the same
+    * `incoming` rewrites the same partitions with the same rows); the
+    * quarantine is an append-only LOG — re-ingesting the same bad rows
+    * records them again, which is the audit trail you want, not a
+    * defect. Dedup downstream if consuming the quarantine as a table.
+    */
+  def overwritePartitionsQuarantine(incoming: DataFrame, keys: Seq[String],
+                                    partitionCol: String, targetPath: String,
+                                    quarantinePath: String,
+                                    keepExistingNonNull: Boolean = false): Unit = {
+    incoming.filter(col(partitionCol).isNull)
+      .withColumn("__reason", lit(s"null partition key: $partitionCol"))
+      .write.mode("append").parquet(quarantinePath)
+    overwritePartitions(incoming.filter(col(partitionCol).isNotNull),
+      keys, partitionCol, targetPath, keepExistingNonNull)
   }
 
   /** S6 — uniqueness constraint as an assertion. Returns the duplicate

@@ -64,6 +64,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__bucket"), "bucket key missing from the join:\n" + p)
   }
 
+  test("blocked fuzzy join is an equi-join on the block key, never a nested loop") {
+    val p = plan("f_fuzzy_match_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__bk"), "block key missing from the join:\n" + p)
+  }
+
+  test("batch kNN join: corpus⋈probes is a SHUFFLED equi-join on cell") {
+    // the broadcast-probe form (ivfTopK) is for interactive query
+    // counts; the kNN-join form must keep both big sides shuffled —
+    // a broadcast of a corpus-sized probe set would ship the whole
+    // query corpus to every task
+    val p = plan("vec_ivf_knn_join")
+    assert(p.contains("ShuffledHashJoin"), "cell join not shuffled:\n" + p)
+  }
+
   test("salted skew join spreads the shuffle over the salt") {
     val p = plan("j10_salted_skew")
     assert(p.contains("__salt"), "salt missing from the shuffle keys:\n" + p)

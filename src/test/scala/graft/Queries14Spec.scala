@@ -52,6 +52,33 @@ class Queries14Spec extends AnyFunSuite {
     }
   }
 
+  test("overwritePartitionsQuarantine routes null keys aside, merges the rest") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_owq").toString
+    val target = s"$tmp/t"
+    val quarantine = s"$tmp/q"
+    def df(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("k", "d", "v").select(col("k"), to_date(col("d")).as("d"), col("v"))
+
+    Upsert.overwritePartitionsQuarantine(
+      df(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))),
+      Seq("k", "d"), "d", target, quarantine)
+    // incoming: one merge row, one NULL-date row (to_date(null) = null)
+    Upsert.overwritePartitionsQuarantine(
+      df(Seq((2L, "2024-01-02", 20.0), (9L, null, 9.0))),
+      Seq("k", "d"), "d", target, quarantine)
+
+    val main = spark.read.parquet(target)
+      .select(col("k"), col("d").cast("string"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(main == Set((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 20.0)))
+    val bad = spark.read.parquet(quarantine).collect()
+    assert(bad.length == 1)
+    val b = bad(0)
+    assert(b.getAs[Long]("k") == 9L && b.isNullAt(b.fieldIndex("d")))
+    assert(b.getAs[String]("__reason").contains("null partition key"))
+  }
+
   test("decodeImageFeatures: real PNG round-trip, garbage and null are total") {
     import spark.implicits._
     // hand-built 2x1 image with known pixels -> exact channel means

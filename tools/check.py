@@ -3,6 +3,12 @@
 parquet dumps against the DuckDB oracle over the same sf dir.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+       python3 tools/check.py --json OUT.json <sfDir> <verifyOutDir> [query ...]
+
+With --json, also writes a driver-shaped artifact: per-query
+{"rows": bool, "schema": bool, "hash": bool} — the committed local
+replica of CORRECTNESS_r{N}.json, so a driver-side checker crash can
+never zero a round's correctness evidence.
 """
 import json
 import math
@@ -35,9 +41,15 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    results = {}
 
     def connect():
         # fresh connection per query: one long-lived in-memory DuckDB
@@ -60,6 +72,8 @@ def main():
         pq = Path(out_dir, name)
         if not pq.exists():
             print(f"FAIL {name}: no spark output")
+            results[name] = {"rows": False, "schema": False, "hash": False,
+                             "error": "no spark output"}
             n_fail += 1
             continue
         con = connect()
@@ -73,16 +87,21 @@ def main():
                 want = wq.fetchall()
             except Exception as e:
                 print(f"FAIL {name}: {e}")
+                results[name] = {"rows": False, "schema": False,
+                                 "hash": False, "error": str(e)[:200]}
                 n_fail += 1
                 continue
             g_rows, g_cols = canon(got, g_cols0)
             w_rows, w_cols = canon(want, w_cols0)
             if g_cols != w_cols:
                 print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
+                results[name] = {"rows": len(g_rows) == len(w_rows),
+                                 "schema": False, "hash": False}
                 n_fail += 1
                 continue
             if len(g_rows) != len(w_rows):
                 print(f"FAIL {name}: rows {len(g_rows)} vs {len(w_rows)}")
+                results[name] = {"rows": False, "schema": True, "hash": False}
                 n_fail += 1
                 continue
             bad = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
@@ -90,13 +109,19 @@ def main():
                 print(f"FAIL {name}: {len(bad)}/{len(g_rows)} row mismatches; first:")
                 print("  spark:", bad[0][0])
                 print("  duck :", bad[0][1])
+                results[name] = {"rows": True, "schema": True, "hash": False}
                 n_fail += 1
             else:
                 print(f"PASS {name} ({len(g_rows)} rows)")
+                results[name] = {"rows": True, "schema": True, "hash": True,
+                                 "n": len(g_rows)}
                 n_pass += 1
         finally:
             con.close()
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        Path(json_out).write_text(json.dumps(results, indent=1))
+        print(f"wrote {json_out} ({len(results)} entries)")
     sys.exit(1 if n_fail else 0)
 
 
