@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Dedup, GraphOps, Similarity, Upsert}
+import graft.operators.{Dedup, GraphOps, Similarity, Sketches, Upsert}
 import Queries.Q
 
 /** Batch 15: fixpoint-certificate CORRECTNESS entries for the
@@ -447,6 +447,38 @@ object Queries15 {
     Some("SELECT event_id, user_id, value FROM events"),
     bench = false)
 
+  /** Bounded-state quantiles — the 100 TB path for percentile queries
+    * over high-cardinality measures, where the exact value-frequency
+    * table ([[graft.operators.Percentiles]]) is itself huge: a
+    * 1000-cell fixed-grid histogram over extended price (one
+    * map-combining aggregate, `bins` rows of state, mergeable by
+    * cell-wise addition like CMS) answering p25/p50/p75/p95 at
+    * left-edge nearest-rank — error ≤ one 100-unit cell. The oracle
+    * replays the identical grid arithmetic; the merge≡direct and
+    * accuracy-vs-exact properties are spec-pinned.
+    */
+  val a_hist_quantiles = Q(
+    (s, dir) => Sketches.histQuantiles(
+      Sketches.histCounters(T_(s, dir, "lineitem"),
+        col("l_extendedprice").cast("double"), lo = 0.0, hi = 100000.0,
+        bins = 1000),
+      lo = 0.0, hi = 100000.0, bins = 1000,
+      qs = Seq(0.25, 0.5, 0.75, 0.95)),
+    Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        h AS (SELECT LEAST(GREATEST(CAST(floor((x - 0.0) / 100000.0 * 1000) AS BIGINT), 0), 999) AS b,
+            count(*) AS c
+          FROM v GROUP BY 1),
+        cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM h),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        r AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank, n
+          FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS q), tot)
+      SELECT r.q, r.rank, r.n, min(cum.b) AS b,
+        0.0 + (CAST(min(cum.b) AS DOUBLE) * 100000.0) / 1000 AS est
+      FROM cum JOIN r ON cum.cum >= r.rank
+      GROUP BY r.q, r.rank, r.n"""))
+
   val all: Map[String, Q] = Map(
     "g_pagerank_cert" -> g_pagerank_cert,
     "g_cc_cert" -> g_cc_cert,
@@ -456,5 +488,6 @@ object Queries15 {
     "s16_null_quarantine" -> s16_null_quarantine,
     "pipeline_daily_ingest" -> pipeline_daily_ingest,
     "stream_restart" -> stream_restart,
+    "a_hist_quantiles" -> a_hist_quantiles,
   )
 }

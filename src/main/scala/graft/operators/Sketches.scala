@@ -141,4 +141,61 @@ object Sketches {
       .groupBy(cols.map(col).toIndexedSeq: _*)
       .agg(min(col("c")).as("cms_est"))
   }
+
+  // ---- Fixed-grid histogram quantile sketch ----
+  // The quantile-side companion: exact percentiles (operators.
+  // Percentiles) need the full value-frequency table, which at 100 TB
+  // can itself be huge for high-cardinality measures. The equi-width
+  // histogram is the bounded-state alternative: `bins` counters
+  // whatever the input size, mergeable by cell-wise addition (counts
+  // are sums — same merge algebra as CMS), answering any quantile to
+  // within one grid cell of value error ((hi-lo)/bins). This is the
+  // shape t-digest/GK refine adaptively; the fixed grid is chosen here
+  // because it is DETERMINISTIC and exact-integer — the whole sketch
+  // replays bit-for-bit in the SQL oracle, which no adaptive sketch
+  // with data-dependent centroids can.
+
+  /** Bucket counts of `value` on the `bins`-cell grid over [lo, hi):
+    * out-of-range values clamp to the edge cells; null/NaN rows are
+    * dropped. Output is ≤ `bins` rows — one map-side-combining hash
+    * aggregate over the scan, no other shuffle.
+    */
+  def histCounters(df: DataFrame, value: Column,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val b = least(greatest(
+      floor((value - lit(lo)) / lit(hi - lo) * bins).cast("long"),
+      lit(0L)), lit(bins - 1L))
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
+      .select(b.as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge histograms built on the SAME grid: cell-wise count sums. */
+  def mergeHist(hists: Seq[DataFrame]): DataFrame =
+    hists.reduce(_ unionByName _)
+      .groupBy(col("b")).agg(sum(col("c")).as("c"))
+
+  /** Answer quantiles from a counter table: nearest-rank on the grid —
+    * quantile q lands in the first bucket whose cumulative count
+    * reaches ceil(q·n), estimated at the bucket's LEFT edge
+    * (deterministic; error ≤ one cell width). The windows/joins here
+    * run over ≤ `bins` rows — driver-free and trivially cheap at any
+    * input scale.
+    */
+  def histQuantiles(counters: DataFrame, lo: Double, hi: Double, bins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counters.withColumn("cum", sum(col("c")).over(w))
+    val ranks = counters.agg(sum(col("c")).as("n"))
+      .select(col("n"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+    cum.join(ranks, col("cum") >= col("rank")) // bins × |qs| rows, tiny
+      .groupBy(col("q"), col("rank"), col("n"))
+      .agg(min(col("b")).as("b"))
+      .withColumn("est", lit(lo) + (col("b").cast("double") * lit(hi - lo)) / bins)
+      .select(col("q"), col("rank"), col("n"), col("b"), col("est"))
+  }
 }

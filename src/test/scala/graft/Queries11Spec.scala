@@ -210,6 +210,36 @@ class Queries11Spec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("histogram quantile sketch: merge equals direct; error within one cell") {
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 5000).map(_ => rnd.nextDouble() * 1000.0)
+    val df = vals.map(Tuple1(_)).toDF("x")
+    val (lo, hi, bins) = (0.0, 1000.0, 200)
+    val direct = Sketches.histCounters(df, $"x", lo, hi, bins)
+    // merge≡direct for any split: cell-wise count addition
+    val h1 = Sketches.histCounters(df.filter($"x" < 300.0), $"x", lo, hi, bins)
+    val h2 = Sketches.histCounters(df.filter($"x" >= 300.0), $"x", lo, hi, bins)
+    val merged = Sketches.mergeHist(Seq(h1, h2))
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // every quantile estimate within one cell width of the exact value
+    val cell = (hi - lo) / bins
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val est = Sketches.histQuantiles(direct, lo, hi, bins, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(math.abs(est(q) - exact) <= cell,
+        s"q=$q est=${est(q)} exact=$exact cell=$cell")
+    }
+    // out-of-range values clamp to edge cells, nulls/NaN drop
+    val edge = Seq(-5.0, 1e9, Double.NaN).map(Tuple1(_)).toDF("x")
+    val eb = Sketches.histCounters(edge, $"x", lo, hi, bins)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(eb == Map(0L -> 1L, (bins - 1).toLong -> 1L))
+  }
+
   test("streaming KMV final state equals the batch sketch") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.streaming.StreamingSketch.kmvOnce(
