@@ -134,10 +134,12 @@ object Queries15 {
     Some("""WITH dirty AS (SELECT p_partkey AS d_key,
           substr(p_name, 1, 2) || 'X' || substr(p_name, 4) AS d_name FROM part),
         ck AS (SELECT p_partkey, p_name,
-          substr(p_name, 1, 1) || '|' || CAST(length(p_name) // 3 AS VARCHAR) AS bk
+          substr(p_name, 1, 1) || substr(p_name, -1, 1) || '|' ||
+            CAST(length(p_name) // 3 AS VARCHAR) AS bk
           FROM part),
         dk AS (SELECT d_key, d_name,
-          substr(d_name, 1, 1) || '|' || CAST(length(d_name) // 3 + off AS VARCHAR) AS bk
+          substr(d_name, 1, 1) || substr(d_name, -1, 1) || '|' ||
+            CAST(length(d_name) // 3 + off AS VARCHAR) AS bk
           FROM dirty CROSS JOIN (VALUES (-1), (0), (1)) t(off))
       SELECT d_key, d_name, p_partkey, p_name,
         CAST(levenshtein(d_name, p_name) AS INTEGER) AS dist
