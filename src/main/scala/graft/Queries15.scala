@@ -481,6 +481,35 @@ object Queries15 {
       FROM cum JOIN r ON cum.cum >= r.rank
       GROUP BY r.q, r.rank, r.n"""))
 
+  /** [[a_hist_quantiles]], grouped: the distribution-per-slice shape a
+    * curation pass actually asks for (price quantiles per return
+    * flag here; token-length per language in a corpus). State is
+    * groups×bins counters, merged cell-wise; the per-group quantile
+    * pass runs over that tiny table only.
+    */
+  val a_hist_quantiles_by = Q(
+    (s, dir) => Sketches.histQuantilesBy(
+      Sketches.histCountersBy(T_(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice").cast("double"),
+        lo = 0.0, hi = 100000.0, bins = 1000),
+      lo = 0.0, hi = 100000.0, bins = 1000, qs = Seq(0.5, 0.9)),
+    Some("""WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        h AS (SELECT g,
+            LEAST(GREATEST(CAST(floor((x - 0.0) / 100000.0 * 1000) AS BIGINT), 0), 999) AS b,
+            count(*) AS c
+          FROM v GROUP BY 1, 2),
+        cum AS (SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM h),
+        tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g),
+        r AS (SELECT g, q, CAST(ceil(q * n) AS BIGINT) AS rank, n
+          FROM tot, (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS q))
+      SELECT r.g, r.q, r.rank, r.n, min(cum.b) AS b,
+        0.0 + (CAST(min(cum.b) AS DOUBLE) * 100000.0) / 1000 AS est
+      FROM cum JOIN r ON cum.g = r.g AND cum.cum >= r.rank
+      GROUP BY r.g, r.q, r.rank, r.n"""))
+
   val all: Map[String, Q] = Map(
     "g_pagerank_cert" -> g_pagerank_cert,
     "g_cc_cert" -> g_cc_cert,
@@ -491,5 +520,6 @@ object Queries15 {
     "pipeline_daily_ingest" -> pipeline_daily_ingest,
     "stream_restart" -> stream_restart,
     "a_hist_quantiles" -> a_hist_quantiles,
+    "a_hist_quantiles_by" -> a_hist_quantiles_by,
   )
 }

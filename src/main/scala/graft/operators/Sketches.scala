@@ -176,6 +176,43 @@ object Sketches {
     hists.reduce(_ unionByName _)
       .groupBy(col("b")).agg(sum(col("c")).as("c"))
 
+  /** Per-GROUP bucket counts on a shared grid — the training-data
+    * shape (token-length / quality-score distribution per language or
+    * source): ≤ groups×bins rows of state, same cell-wise-addition
+    * merge algebra. One map-combining hash aggregate on (g, b).
+    */
+  def histCountersBy(df: DataFrame, group: Column, value: Column,
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val b = least(greatest(
+      floor((value - lit(lo)) / lit(hi - lo) * bins).cast("long"),
+      lit(0L)), lit(bins - 1L))
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
+      .select(group.as("g"), b.as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-group quantiles from a grouped counter table: the same
+    * nearest-rank/left-edge rule as [[histQuantiles]], windowed and
+    * ranked WITHIN each group. All frames here are ≤ groups×bins rows.
+    */
+  def histQuantilesBy(counters: DataFrame, lo: Double, hi: Double,
+                      bins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val w = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counters.withColumn("cum", sum(col("c")).over(w))
+    val ranks = counters.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .select(col("g"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+    cum.join(ranks, Seq("g"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("g"), col("q"), col("rank"), col("n"))
+      .agg(min(col("b")).as("b"))
+      .withColumn("est", lit(lo) + (col("b").cast("double") * lit(hi - lo)) / bins)
+      .select(col("g"), col("q"), col("rank"), col("n"), col("b"), col("est"))
+  }
+
   /** Answer quantiles from a counter table: nearest-rank on the grid —
     * quantile q lands in the first bucket whose cumulative count
     * reaches ceil(q·n), estimated at the bucket's LEFT edge

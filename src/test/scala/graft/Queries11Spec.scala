@@ -238,6 +238,22 @@ class Queries11Spec extends AnyFunSuite {
     val eb = Sketches.histCounters(edge, $"x", lo, hi, bins)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(eb == Map(0L -> 1L, (bins - 1).toLong -> 1L))
+
+    // grouped form: each group's quantiles equal the ungrouped sketch
+    // run on that group alone
+    val gdf = vals.zipWithIndex.map { case (x, i) => (s"g${i % 2}", x) }
+      .toDF("g", "x")
+    val grouped = Sketches.histQuantilesBy(
+      Sketches.histCountersBy(gdf, $"g", $"x", lo, hi, bins),
+      lo, hi, bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(5)).toMap
+    Seq("g0", "g1").foreach { g =>
+      val solo = Sketches.histQuantiles(
+        Sketches.histCounters(gdf.filter($"g" === g), $"x", lo, hi, bins),
+        lo, hi, bins, qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+      qs.foreach(q => assert(grouped((g, q)) == solo(q), s"$g q=$q"))
+    }
   }
 
   test("streaming KMV final state equals the batch sketch") {
