@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Boilerplate, GraphOps, Scd, Sketches, TimeSeries}
+import graft.functions.{TextFunctions => T}
+import Queries.Q
+
+/** Batch 16: corpus-frequency boilerplate removal (the C4-style
+  * curation pass), SCD Type-2 history, gaps-and-islands streaks, and
+  * label-propagation communities. Each entry states its 100 TB plan
+  * shape in the operator's Scaladoc; the queries here pin semantics
+  * against the DuckDB oracle.
+  */
+object Queries16 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  /** C4-style boilerplate removal over `documents`: 2-word lines, a
+    * line is boilerplate when it appears in >= 20 documents. Emits
+    * per-doc keep/remove counts and the reassembled clean text, so
+    * the oracle pins BOTH the frequency accounting and the
+    * order-preserving reassembly.
+    */
+  val txt_boilerplate_removal = Q(
+    (s, dir) => Boilerplate.removeFrequentLines(
+      T_(s, dir, "documents"), col("doc_id"), col("text"),
+      lineWords = 2, dfThreshold = 20)
+      .withColumnRenamed("id", "doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE length(text) > 0),
+        seg AS (SELECT doc_id,
+            unnest(range(CAST(ceil(len(ws) / 2.0) AS BIGINT))) AS pos, ws
+          FROM d),
+        seg2 AS (SELECT doc_id, pos,
+            array_to_string(ws[(pos * 2 + 1):(pos * 2 + 2)], ' ') AS line
+          FROM seg),
+        dft AS (SELECT line, count(DISTINCT doc_id) AS df FROM seg2 GROUP BY 1),
+        bp AS (SELECT line FROM dft WHERE df >= 20),
+        kept AS (SELECT s.doc_id, s.pos, s.line FROM seg2 s
+          WHERE NOT EXISTS (SELECT 1 FROM bp WHERE bp.line = s.line)),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM seg2 GROUP BY 1),
+        ka AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(line, ' ' ORDER BY pos) AS text_clean
+          FROM kept GROUP BY 1)
+      SELECT t.doc_id, t.n_lines,
+        coalesce(ka.n_kept, 0) AS n_kept,
+        t.n_lines - coalesce(ka.n_kept, 0) AS n_removed,
+        coalesce(ka.text_clean, '') AS text_clean
+      FROM tot t LEFT JOIN ka USING (doc_id)"""))
+
+  /** SCD Type-2 over the event feed: each user's event_type stream
+    * becomes versioned validity intervals. Ordering and interval
+    * bounds use epoch MICROseconds on both engines — the parquet
+    * timestamps carry nanoseconds, which Spark truncates to µs and
+    * DuckDB keeps, so windowing on the raw timestamp would order ties
+    * differently (the w_rolling_7d lesson from round 5).
+    */
+  val lake_scd2 = Q(
+    (s, dir) => Scd.type2(
+      T_(s, dir, "events").withColumn("us", unix_micros(col("ts"))),
+      col("user_id"), col("event_type"), col("us"),
+      Seq(col("us"), col("event_id")))
+      .select(col("key").as("user_id"), col("value").as("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current")),
+    Some("""WITH e AS (SELECT user_id, event_type, event_id,
+            epoch_us(ts) AS us FROM events),
+        c AS (SELECT user_id, event_type, us, event_id,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+          FROM e),
+        k AS (SELECT user_id, event_type, us, event_id FROM c
+          WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, us AS valid_from,
+        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+      FROM k"""))
+
+  /** Gaps-and-islands: each user's active days collapse to maximal
+    * consecutive-day runs (streaks). The day boundary is safe across
+    * the ns/µs divide — truncation never moves a timestamp across
+    * midnight.
+    */
+  val w_gaps_islands = Q(
+    (s, dir) => TimeSeries.islands(
+      T_(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct(),
+      "user_id", "day"),
+    Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        r AS (SELECT user_id, day,
+            day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+          FROM d)
+      SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        count(*) AS days
+      FROM r GROUP BY user_id, anchor"""))
+
+  /** Two rounds of synchronous label propagation over the
+    * order→customer→nation→region hierarchy graph (same id space as
+    * the g_* family). The oracle unrolls both rounds: vote counts,
+    * max-count argmax with smallest-label ties, exactly the
+    * aggregate the engine runs.
+    */
+  val g_label_prop = Q(
+    (s, dir) => {
+      val o = T_(s, dir, "orders")
+        .select((col("o_orderkey") + 10000000L).as("src"),
+          (col("o_custkey") + 10000L).as("dst"))
+      val c = T_(s, dir, "customer")
+        .select((col("c_custkey") + 10000L).as("src"),
+          (col("c_nationkey").cast("long") + 100L).as("dst"))
+      val n = T_(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 100L).as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+      GraphOps.labelPropagation(o.unionByName(c).unionByName(n),
+        iterations = 2)
+    },
+    Some("""WITH edges AS (
+          SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst FROM orders
+          UNION ALL SELECT 10000 + c_custkey, 100 + c_nationkey FROM customer
+          UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation),
+        und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        verts AS (SELECT src AS id FROM und GROUP BY 1),
+        l0 AS (SELECT id, id AS lbl FROM verts),
+        n1 AS (SELECT u.dst AS id, l.lbl, count(*) AS c
+          FROM und u JOIN l0 l ON u.src = l.id GROUP BY 1, 2),
+        m1 AS (SELECT id, max(c) AS mc FROM n1 GROUP BY 1),
+        l1 AS (SELECT n1.id, min(n1.lbl) AS lbl
+          FROM n1 JOIN m1 USING (id) WHERE n1.c = m1.mc GROUP BY 1),
+        n2 AS (SELECT u.dst AS id, l.lbl, count(*) AS c
+          FROM und u JOIN l1 l ON u.src = l.id GROUP BY 1, 2),
+        m2 AS (SELECT id, max(c) AS mc FROM n2 GROUP BY 1),
+        l2 AS (SELECT n2.id, min(n2.lbl) AS lbl
+          FROM n2 JOIN m2 USING (id) WHERE n2.c = m2.mc GROUP BY 1)
+      SELECT id, lbl FROM l2"""))
+
+  /** Per-language quality-percentile curation filter: the histogram
+    * sketch ([[Sketches.histQuantilesBy]]) picks each language's
+    * median quality, then ONE more pass keeps the docs at-or-above
+    * their language's threshold — the keep-the-top-half-per-language
+    * recipe, with the threshold chosen by a groups×bins-sized sketch
+    * instead of a global sort. Per-lang thresholds broadcast to the
+    * filter pass; at 100 TB this is two corpus scans total, no
+    * shuffle of document text, no exact percentile over the corpus.
+    */
+  val txt_quality_pctl_filter = Q(
+    (s, dir) => {
+      val docs = T_(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), T.qualityScore(col("text")).as("q"))
+      val thr = Sketches.histQuantilesBy(
+        Sketches.histCountersBy(docs, col("lang"), col("q"), 0.0, 1.0, 1000),
+        0.0, 1.0, 1000, Seq(0.5))
+        .select(col("g").as("lang"), col("est").as("thr"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("q") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          min(col("thr")).as("thr"))
+    },
+    Some(s"""WITH q AS (SELECT lang, doc_id, ${Queries3.qualitySqlExpr} AS q
+            FROM documents),
+        h AS (SELECT lang,
+            LEAST(GREATEST(CAST(floor((q - 0.0) / 1.0 * 1000) AS BIGINT), 0), 999) AS b,
+            count(*) AS c
+          FROM q GROUP BY 1, 2),
+        cum AS (SELECT lang, b, SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cum FROM h),
+        tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        r AS (SELECT lang, CAST(ceil(0.5 * n) AS BIGINT) AS rank FROM tot),
+        th AS (SELECT cum.lang, 0.0 + (CAST(min(cum.b) AS DOUBLE) * 1.0) / 1000 AS thr
+          FROM cum JOIN r ON cum.lang = r.lang AND cum.cum >= r.rank GROUP BY 1)
+      SELECT q.lang, count(*) AS n_total,
+        CAST(SUM(CASE WHEN q.q >= th.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        min(th.thr) AS thr
+      FROM q JOIN th ON q.lang = th.lang
+      GROUP BY 1"""))
+
+  val all: Map[String, Q] = Map(
+    "txt_quality_pctl_filter" -> txt_quality_pctl_filter,
+    "txt_boilerplate_removal" -> txt_boilerplate_removal,
+    "lake_scd2" -> lake_scd2,
+    "w_gaps_islands" -> w_gaps_islands,
+    "g_label_prop" -> g_label_prop,
+  )
+}

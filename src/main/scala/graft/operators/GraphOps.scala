@@ -127,6 +127,43 @@ object GraphOps {
     comp
   }
 
+  /** Synchronous label propagation (community detection), `iterations`
+    * rounds: every vertex starts as its own label; each round it
+    * adopts the MOST FREQUENT label among its neighbors (undirected),
+    * ties broken toward the smallest label so the result is
+    * deterministic. Differs from [[connectedComponents]] exactly in
+    * the vote: mode-of-neighbors finds dense communities inside a
+    * component, min-of-neighbors finds the component itself.
+    *
+    * Plan shape per round: ONE exchange-free join (labels against the
+    * src-partitioned undirected edge list, same discipline as
+    * pageRank) and TWO map-side-combined hash aggregates — the
+    * (vertex, label) vote count, then the per-vertex argmax. The
+    * argmax is `max_by` over (count, −label) — an aggregate, never a
+    * rank-1 window, so a hub's votes combine map-side instead of
+    * sorting on one reducer. Labels are referenced once per round, so
+    * the logical plan grows linearly and needs no per-round
+    * checkpoint. Every vertex derived from the edge list has a
+    * neighbor, so no keep-own fallback join is needed.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(edges)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val undirected = scope.checkpoint(e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
+    var lbl = vertices.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val votes = undirected.join(lbl, undirected("src") === lbl("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      lbl = votes.groupBy(col("dst").as("id"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+    }
+    lbl
+  }
+
   /** Multi-source BFS / unit-weight shortest paths along edge
     * direction: dist(v) = hops from the nearest source, null if
     * unreachable within `iterations`. Same Pregel shape and the same

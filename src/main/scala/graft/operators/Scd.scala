@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Slowly-changing-dimension Type 2 history: turn an append-only
+  * change feed (key, ts, value) into versioned validity intervals
+  * (key, value, valid_from, valid_to, is_current) — the lake-side
+  * shape every point-in-time join / feature-store backfill reads.
+  *
+  * Reference capability: graph_db re-MERGEs the latest value onto the
+  * node and loses history (app/graph_fields.py:14-30 overwrites
+  * properties on every ingest); Type 2 is what its users would need
+  * the moment "what was this field last March" is asked. Composes
+  * with [[AsOfJoin]]: an as-of join against the change feed and an
+  * equi-join against these intervals answer the same question; the
+  * intervals answer it without re-sorting the feed every query.
+  *
+  * Scale design: everything is window functions over ONE hash
+  * partition per key — a single shuffle of the change feed, no
+  * self-join, no driver state. Consecutive-duplicate collapse and the
+  * lead() that closes each interval reuse the same sort order, so
+  * Catalyst plans one Exchange + one Sort for both Window operators.
+  */
+object Scd {
+
+  /** Build the Type 2 history. `ord` orders each key's changes and
+    * must end in a unique tiebreak (e.g. Seq(ts, eventId)) so the
+    * collapse is deterministic. Rows whose value equals the previous
+    * value in `ord` order are dropped (no-op updates); each surviving
+    * row opens an interval at its `ts` that closes at the next
+    * surviving row's `ts` (null = still current).
+    */
+  def type2(changes: DataFrame, key: Column, value: Column, ts: Column,
+            ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+    val collapsed = changes
+      .withColumn("__prev", lag(value, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= value)
+      .drop("__prev")
+    val w2 = Window.partitionBy(key).orderBy(ord: _*)
+    collapsed
+      .select(key.as("key"), value.as("value"), ts.as("valid_from"),
+        lead(ts, 1).over(w2).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

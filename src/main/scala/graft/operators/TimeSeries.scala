@@ -43,6 +43,33 @@ object TimeSeries {
     df.withColumn("session_idx", sum(boundary).over(wRun))
   }
 
+  /** Gaps-and-islands: collapse each key's set of active days into
+    * maximal runs of CONSECUTIVE days. Returns one row per island:
+    * (key, start_day, end_day, days) — the classic retention /
+    * streak shape (dual of [[gapFillDaily]], which densifies the
+    * gaps instead of naming the islands).
+    *
+    * Uses the row_number difference trick: within a key, consecutive
+    * days d with ranks r share a constant d − r, which becomes the
+    * island grouping key. One shuffle on `key` for the window, then a
+    * hash aggregate on (key, anchor) that reuses the same
+    * partitioning — per-key state is bounded by its own day span, so
+    * keys process embarrassingly parallel at any cluster width.
+    *
+    * `df` must have one row per (key, day) — pre-aggregate with
+    * `.select(key, to_date(ts)).distinct()` from an event feed.
+    */
+  def islands(df: DataFrame, keyName: String, dayName: String): DataFrame = {
+    val w = Window.partitionBy(col(keyName)).orderBy(col(dayName).asc)
+    df.withColumn("__anchor",
+        date_sub(col(dayName), row_number().over(w)))
+      .groupBy(col(keyName), col("__anchor"))
+      .agg(min(col(dayName)).as("start_day"),
+        max(col(dayName)).as("end_day"),
+        count(lit(1)).as("days"))
+      .drop("__anchor")
+  }
+
   /** Fill a per-key daily series to a dense day axis and forward-fill
     * the value: for each key, generate every day between its first
     * and last observed day, left-join the observed values, and carry

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Boilerplate, GraphOps, Scd, TimeSeries}
+
+/** Batch-16 operators: boilerplate removal, SCD2, islands, label
+  * propagation — semantics pinned on hand-built toys where the right
+  * answer is checkable by eye.
+  */
+class CurationOps2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Boilerplate ----
+
+  private val docs = Seq(
+    (1L, "cookie banner real content one"),
+    (2L, "cookie banner real content two"),
+    (3L, "cookie banner something else entirely"),
+    (4L, "unique page with original words here")
+  ).toDF("doc_id", "text")
+
+  test("boilerplate: high-df line removed everywhere, order preserved") {
+    // 2-word lines; "cookie banner" appears in docs 1-3 → df 3
+    val out = Boilerplate.removeFrequentLines(docs, col("doc_id"), col("text"),
+      lineWords = 2, dfThreshold = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (3L, 2L, 1L, "real content one"))
+    assert(out(2L) == (3L, 2L, 1L, "real content two"))
+    assert(out(3L) == (3L, 2L, 1L, "something else entirely"))
+    assert(out(4L) == (3L, 3L, 0L, "unique page with original words here"))
+  }
+
+  test("boilerplate: doc reduced to empty string survives with counts") {
+    val only = Seq((1L, "cookie banner"), (2L, "cookie banner"),
+      (3L, "cookie banner")).toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(only, col("doc_id"), col("text"),
+      lineWords = 2, dfThreshold = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(out.length == 3)
+    assert(out.forall { case (_, kept, txt) => kept == 0L && txt == "" })
+  }
+
+  test("boilerplate: within-doc repetition counts once toward df") {
+    val rep = Seq((1L, "spam spam spam spam"), (2L, "fresh words only here"))
+      .toDF("doc_id", "text")
+    val df = Boilerplate.lineDf(
+      Boilerplate.segmentLines(rep, col("doc_id"), col("text"), 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("spam spam") == 1L) // two occurrences in doc 1, one doc
+    assert(df("fresh words") == 1L)
+  }
+
+  test("boilerplate: last short line kept as its own segment") {
+    val odd = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val segs = Boilerplate.segmentLines(odd, col("doc_id"), col("text"), 2)
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(segs.toSeq == Seq((0, "a b"), (1, "c")))
+  }
+
+  // ---- SCD Type-2 ----
+
+  test("scd2: collapses no-op updates, closes intervals, flags current") {
+    val feed = Seq(
+      (1L, 10L, "bronze", 100L), (1L, 20L, "bronze", 101L), // no-op update
+      (1L, 30L, "silver", 102L), (1L, 40L, "gold", 103L),
+      (2L, 15L, "gold", 200L)
+    ).toDF("user_id", "ts", "tier", "event_id")
+    val h = Scd.type2(feed, col("user_id"), col("tier"), col("ts"),
+      Seq(col("ts"), col("event_id")))
+      .orderBy("key", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(h.toSeq == Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "gold", 15L, None, true)))
+  }
+
+  test("scd2: value returning to an earlier state opens a NEW interval") {
+    val feed = Seq((1L, 10L, "on", 1L), (1L, 20L, "off", 2L), (1L, 30L, "on", 3L))
+      .toDF("k", "ts", "v", "id")
+    val h = Scd.type2(feed, col("k"), col("v"), col("ts"),
+      Seq(col("ts"), col("id")))
+      .orderBy("valid_from").collect().map(_.getString(1))
+    assert(h.toSeq == Seq("on", "off", "on"))
+  }
+
+  // ---- Gaps and islands ----
+
+  test("islands: consecutive days collapse, gaps split") {
+    val d = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"),
+      (2L, "2024-02-10")
+    ).toDF("user_id", "s").select(col("user_id"), to_date(col("s")).as("day"))
+    val isl = TimeSeries.islands(d, "user_id", "day")
+      .orderBy("user_id", "start_day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3)))
+    assert(isl.toSeq == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-02-10", "2024-02-10", 1L)))
+  }
+
+  // ---- Label propagation ----
+
+  test("label prop: mode vote wins over min, ties break to smallest label") {
+    // vertex 9 has neighbors {5, 5, 7} by multi-edge → mode label 5
+    // round 1: everyone adopts neighbor mode
+    val e = Seq((5L, 9L), (5L, 9L), (7L, 9L)).toDF("src", "dst")
+    val l1 = GraphOps.labelPropagation(e, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(9L) == 5L) // mode of {5,5,7}
+    assert(l1(5L) == 9L) // only neighbor
+    assert(l1(7L) == 9L)
+  }
+
+  test("label prop differs from CC: dense community keeps its own label") {
+    // two triangles joined by one bridge edge — CC merges them to one
+    // component; 2-round LPA keeps two communities
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    val e = (tri1 ++ tri2 :+ (3L -> 11L)).toDF("src", "dst")
+    val lp = GraphOps.labelPropagation(e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = GraphOps.connectedComponents(e, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size == 1)
+    assert(Set(lp(1L), lp(2L)) != Set(lp(12L), lp(13L)))
+  }
+}
