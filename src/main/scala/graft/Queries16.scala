@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Boilerplate, GraphOps, Scd, Sketches, TimeSeries}
+import graft.operators.{Boilerplate, GraphOps, Scd, Sketches, TimeSeries, Upsert}
 import graft.functions.{TextFunctions => T}
 import Queries.Q
 
@@ -174,8 +174,50 @@ object Queries16 {
       FROM q JOIN th ON q.lang = th.lang
       GROUP BY 1"""))
 
+  /** CDC apply: orders is the base snapshot; a change feed derived
+    * from lineitem (latest change per key wins; returnflag R =
+    * delete; every 19th part shifts the key out of the base's range
+    * to exercise pure inserts) folds in via [[Upsert.applyCdc]] —
+    * one max_by aggregate + one anti join, no window, no full
+    * rewrite. The sequence number composes (linenumber, partkey,
+    * suppkey) because linenumber alone is NOT unique per order in
+    * this data — max_by needs a total order or the two engines may
+    * break ties differently.
+    */
+  val lake_cdc_apply = Q(
+    (s, dir) => {
+      val base = T_(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val feed = T_(s, dir, "lineitem").select(
+        when(col("l_partkey") % 19 === 0, col("l_orderkey") + 50000000L)
+          .otherwise(col("l_orderkey")).as("k"),
+        (col("l_linenumber").cast("long") * 1000000000000L +
+          col("l_partkey") * 1000000L + col("l_suppkey")).as("seq"),
+        when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+        col("l_extendedprice").as("price"), col("l_linestatus").as("status"))
+      Upsert.applyCdc(base, feed, Seq("k"), "op", Seq("seq"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+            o_orderstatus AS status FROM orders),
+        feed AS (SELECT
+            CASE WHEN l_partkey % 19 = 0 THEN l_orderkey + 50000000
+                 ELSE l_orderkey END AS k,
+            CAST(l_linenumber AS BIGINT) * 1000000000000 +
+              l_partkey * 1000000 + l_suppkey AS seq,
+            CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+            l_extendedprice AS price, l_linestatus AS status
+          FROM lineitem),
+        mx AS (SELECT k, max(seq) AS seq FROM feed GROUP BY 1),
+        latest AS (SELECT f.k, f.op, f.price, f.status
+          FROM feed f JOIN mx USING (k, seq))
+      SELECT b.k, b.price, b.status FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+      UNION ALL
+      SELECT k, price, status FROM latest WHERE op <> 'D'"""))
+
   val all: Map[String, Q] = Map(
     "txt_quality_pctl_filter" -> txt_quality_pctl_filter,
+    "lake_cdc_apply" -> lake_cdc_apply,
     "txt_boilerplate_removal" -> txt_boilerplate_removal,
     "lake_scd2" -> lake_scd2,
     "w_gaps_islands" -> w_gaps_islands,

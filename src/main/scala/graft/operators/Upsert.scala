@@ -65,6 +65,38 @@ object Upsert {
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Apply a change-data-capture feed onto a base snapshot: the
+    * latest feed row per key (by `ordCols`, e.g. a sequence number or
+    * commit timestamp) decides the key's fate — `deleteOp` removes
+    * it, anything else replaces the full row; keys the feed never
+    * touches pass through unchanged. This is the Delta/Iceberg
+    * "apply CDF" semantics as a pure DataFrame transform.
+    *
+    * Feed schema: `keys` ++ base's non-key columns ++ `opCol` ++
+    * `ordCols`. A delete-then-reinsert within one batch resolves by
+    * `ordCols` order, not arrival order, so replayed/out-of-order
+    * feeds converge to the same snapshot (idempotent by construction:
+    * applying the same feed twice is a fixpoint).
+    *
+    * Scale shape: ONE map-side-combining max_by aggregate collapses
+    * the feed to its latest row per key (no window, no rank-1
+    * filter); ONE anti equi-join on the key removes touched rows from
+    * the base — the touched-key side is delta-sized, so AQE
+    * broadcasts it in the common case and the base never shuffles;
+    * the union appends the survivors. Compose with
+    * [[overwritePartitions]] to land the result physically while
+    * rewriting only touched partitions.
+    */
+  def applyCdc(base: DataFrame, feed: DataFrame, keys: Seq[String],
+               opCol: String, ordCols: Seq[String],
+               deleteOp: String = "D"): DataFrame = {
+    val latest = dedupByKey(feed, keys, ordCols.map(col))
+    val touched = latest.select(keys.map(col): _*)
+    val survivors = latest.filter(col(opCol) =!= deleteOp)
+      .drop(opCol +: ordCols: _*)
+    base.join(touched, keys, "left_anti").unionByName(survivors)
+  }
+
   /** Partition-level MERGE: upsert `incoming` into the partitioned
     * parquet table at `targetPath`, rewriting ONLY the partitions
     * `incoming` touches — the reference's idempotent row-MERGE

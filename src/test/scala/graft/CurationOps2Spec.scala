@@ -4,7 +4,7 @@ import java.sql.Date
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Boilerplate, GraphOps, Scd, TimeSeries}
+import graft.operators.{Boilerplate, GraphOps, Scd, TimeSeries, Upsert}
 
 /** Batch-16 operators: boilerplate removal, SCD2, islands, label
   * propagation — semantics pinned on hand-built toys where the right
@@ -107,6 +107,55 @@ class CurationOps2Spec extends AnyFunSuite {
       (1L, "2024-01-01", "2024-01-03", 3L),
       (1L, "2024-01-05", "2024-01-05", 1L),
       (2L, "2024-02-10", "2024-02-10", 1L)))
+  }
+
+  // ---- CDC apply ----
+
+  private val cdcBase = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    .toDF("k", "v")
+
+  test("cdc apply: latest op per key wins — update, delete, insert, untouched") {
+    val feed = Seq(
+      (1L, 1, "U", "a2"), (1L, 2, "U", "a3"),   // two updates → a3
+      (2L, 1, "D", "x"),                          // delete key 2
+      (9L, 1, "U", "new")                         // insert unseen key
+    ).toDF("k", "seq", "op", "v")
+    val out = Upsert.applyCdc(cdcBase, feed, Seq("k"), "op", Seq("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a3", 3L -> "c", 9L -> "new"))
+  }
+
+  test("cdc apply: resolves by sequence order, not arrival order; idempotent") {
+    // delete arrives first in the frame but carries the LATER seq
+    val feed = Seq((1L, 5, "D", "zzz"), (1L, 1, "U", "early"))
+      .toDF("k", "seq", "op", "v")
+    val once = Upsert.applyCdc(cdcBase, feed, Seq("k"), "op", Seq("seq"))
+    assert(once.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val twice = Upsert.applyCdc(once, feed, Seq("k"), "op", Seq("seq"))
+    assert(twice.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("scd2 intervals partition time: interval lookup == last-change-before") {
+    val feed = Seq(
+      (1L, 10L, "bronze", 1L), (1L, 30L, "silver", 2L), (1L, 50L, "gold", 3L),
+      (2L, 20L, "gold", 4L), (2L, 40L, "bronze", 5L)
+    ).toDF("u", "ts", "tier", "id")
+    val hist = Scd.type2(feed, col("u"), col("tier"), col("ts"),
+      Seq(col("ts"), col("id")))
+    val probes = Seq((1L, 10L), (1L, 29L), (1L, 30L), (1L, 49L), (1L, 99L),
+      (2L, 25L), (2L, 40L)).toDF("u", "t")
+    // (a) interval join on the SCD2 output
+    val viaInterval = probes.join(hist,
+        probes("u") === hist("key") && col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")))
+      .select(col("u"), col("t"), col("value"))
+    // (b) as-of semantics straight off the feed: latest change <= t
+    val viaAsof = probes.join(feed, probes("u") === feed("u") && col("ts") <= col("t"))
+      .groupBy(probes("u").as("u"), col("t"))
+      .agg(max_by(col("tier"), struct(col("ts"), col("id"))).as("value"))
+    val a = viaInterval.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val b = viaAsof.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(a == b && a.size == probes.count())
   }
 
   // ---- Label propagation ----
