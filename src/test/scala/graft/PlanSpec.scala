@@ -328,6 +328,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc apply: aggregate argmax + anti join, no window over the feed") {
+    val full = plan("lake_cdc_apply")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), "CDC latest-row must be an aggregate, not a window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("boilerplate removal: frequency filter joins as anti equi-join") {
+    val full = plan("txt_boilerplate_removal")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("label propagation: vote argmax is an aggregate; all joins are equi-joins") {
+    val full = plan("g_label_prop")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "argmax must not be a rank window:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scd2: both windows run in one per-key sort, no global window") {
+    val full = plan("lake_scd2")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("Window"), p)
+    // both lag-collapse and lead-close partition by the key — a global
+    // (unpartitioned) window would print an empty partition spec
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"SCD2 should shuffle the feed once, saw $exchanges:\n$p")
+  }
+
   test("triangle count: data joins hash, nested loops only stitch 1-row counts") {
     // AQE's toString repeats nodes under "== Initial Plan ==" — count
     // in the final section only
