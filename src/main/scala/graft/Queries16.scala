@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Boilerplate, GraphOps, Scd, Sketches, TimeSeries, Upsert}
+import graft.operators.{Boilerplate, GraphOps, Linkage, Scd, Sketches, TimeSeries, Upsert}
 import graft.functions.{TextFunctions => T}
 import Queries.Q
 
@@ -215,9 +215,91 @@ object Queries16 {
       UNION ALL
       SELECT k, price, status FROM latest WHERE op <> 'D'"""))
 
+  /** Vocabulary coverage / OOV-rate scoring (the tokenizer-prep
+    * pass): corpus word frequencies pick a top-V vocabulary with a
+    * TOTAL order (count desc, word asc — a bare top-k by count is
+    * nondeterministic at the cut), then one more pass scores every
+    * document's token and out-of-vocabulary counts against the
+    * broadcast vocab. Counts only — no float rates — so the result
+    * replays bit-exactly. The top-V select is TakeOrderedAndProject
+    * (no global sort materialization even with 10M distinct words).
+    */
+  val txt_vocab_coverage = Q(
+    (s, dir) => {
+      val w = T_(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val vocab = w.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word").asc).limit(20)
+        .select(col("word"), lit(1).as("__v"))
+      w.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        vocab AS (SELECT word FROM freq ORDER BY c DESC, word ASC LIMIT 20)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM w LEFT JOIN vocab v ON w.word = v.word
+      GROUP BY 1"""))
+
+  /** Probabilistic record linkage ([[Linkage]]): customers vs a
+    * deterministically-perturbed copy (name typo every 7th key,
+    * nation shift every 13th, balance drift every 3rd, segment lost
+    * every 11th), blocked on nation, scored by integer
+    * agreement weights on (name-edit-distance, balance proximity,
+    * segment equality). Same-nation near-key customers DO produce
+    * lev-1 name agreements — the scored false-positive band is part
+    * of the semantics, not an accident; the oracle replays weights
+    * and threshold exactly.
+    */
+  val f_link_score = Q(
+    (s, dir) => {
+      val clean = T_(s, dir, "customer")
+      val dirty = clean.select(
+        col("c_custkey").as("d_custkey"),
+        when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("xx")))
+          .otherwise(col("c_name")).as("d_name"),
+        when(col("c_custkey") % 13 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("d_nationkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("d_acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("d_mktsegment"))
+      Linkage.linkScored(clean, dirty,
+        Seq("c_nationkey" -> "d_nationkey"),
+        Seq(
+          Linkage.Field(levenshtein(col("c_name"), col("d_name")) <= 1, 30, -10),
+          Linkage.Field(abs(col("c_acctbal") - col("d_acctbal")) <= 1.0, 15, -5),
+          Linkage.Field(col("c_mktsegment") === col("d_mktsegment"), 10, -15)),
+        threshold = 35)
+        .select(col("c_custkey"), col("d_custkey"), col("link_score"))
+    },
+    Some("""WITH dirty AS (SELECT c_custkey AS d_custkey,
+            CASE WHEN c_custkey % 7 = 0 THEN c_name || 'xx' ELSE c_name END AS d_name,
+            CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25
+                 ELSE c_nationkey END AS d_nationkey,
+            CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                 ELSE c_acctbal END AS d_acctbal,
+            CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                 ELSE c_mktsegment END AS d_mktsegment
+          FROM customer),
+        pairs AS (SELECT c.c_custkey, d.d_custkey,
+            CAST((CASE WHEN levenshtein(c.c_name, d.d_name) <= 1 THEN 30 ELSE -10 END)
+              + (CASE WHEN abs(c.c_acctbal - d.d_acctbal) <= 1.0 THEN 15 ELSE -5 END)
+              + (CASE WHEN c.c_mktsegment = d.d_mktsegment THEN 10 ELSE -15 END)
+            AS BIGINT) AS link_score
+          FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nationkey)
+      SELECT c_custkey, d_custkey, link_score FROM pairs
+      WHERE link_score >= 35"""))
+
   val all: Map[String, Q] = Map(
     "txt_quality_pctl_filter" -> txt_quality_pctl_filter,
     "lake_cdc_apply" -> lake_cdc_apply,
+    "txt_vocab_coverage" -> txt_vocab_coverage,
+    "f_link_score" -> f_link_score,
     "txt_boilerplate_removal" -> txt_boilerplate_removal,
     "lake_scd2" -> lake_scd2,
     "w_gaps_islands" -> w_gaps_islands,

@@ -4,7 +4,7 @@ import java.sql.Date
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Boilerplate, GraphOps, Scd, TimeSeries, Upsert}
+import graft.operators.{Boilerplate, GraphOps, Linkage, Scd, TimeSeries, Upsert}
 
 /** Batch-16 operators: boilerplate removal, SCD2, islands, label
   * propagation — semantics pinned on hand-built toys where the right
@@ -156,6 +156,40 @@ class CurationOps2Spec extends AnyFunSuite {
     val a = viaInterval.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     val b = viaAsof.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(a == b && a.size == probes.count())
+  }
+
+  // ---- Record linkage ----
+
+  test("linkage: weights sum per field; threshold splits match band") {
+    val left = Seq((1L, "ann smith", "A", 10.0), (2L, "bob jones", "B", 20.0))
+      .toDF("lid", "lname", "lseg", "lbal")
+    val right = Seq(
+      (101L, "ann smyth", "A", 10.5),  // name lev 1 agree, seg agree, bal agree
+      (102L, "ann smith", "C", 99.0),  // name agree only
+      (103L, "zzz zzzzz", "A", 10.0)   // name disagree
+    ).toDF("rid", "rname", "rseg", "rbal")
+    val fields = Seq(
+      Linkage.Field(levenshtein(col("lname"), col("rname")) <= 1, 30, -10),
+      Linkage.Field(col("lseg") === col("rseg"), 10, -15),
+      Linkage.Field(abs(col("lbal") - col("rbal")) <= 1.0, 15, -5))
+    // block: all rows share one block key here
+    val scored = Linkage.linkScored(
+      left.withColumn("bk", lit(1)), right.withColumn("bk2", lit(1)),
+      Seq("bk" -> "bk2"), fields, threshold = 35)
+      .select("lid", "rid", "link_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,101): 30+10+15 = 55; (1,102): 30-15-5 = 10 (below); (1,103): -10+10+15 = 15
+    // (2,101..103): name disagree → max -10+? never reaches 35
+    assert(scored == Set((1L, 101L, 55L)))
+  }
+
+  test("linkage: blocking restricts candidate pairs to equal keys") {
+    val l = Seq((1L, "x", "b1"), (2L, "x", "b2")).toDF("lid", "ln", "lb")
+    val r = Seq((9L, "x", "b1")).toDF("rid", "rn", "rb")
+    val out = Linkage.linkScored(l, r, Seq("lb" -> "rb"),
+      Seq(Linkage.Field(col("ln") === col("rn"), 10, -10)), threshold = 0)
+      .select("lid").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L)) // lid 2 is in a different block, never scored
   }
 
   // ---- Label propagation ----
