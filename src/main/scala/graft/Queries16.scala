@@ -18,6 +18,9 @@ object Queries16 {
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
+  private def stagingDir(dir: String, name: String): String =
+    graft.sources.Staging.path(dir, name)
+
   /** C4-style boilerplate removal over `documents`: 2-word lines, a
     * line is boilerplate when it appears in >= 20 documents. Emits
     * per-doc keep/remove counts and the reassembled clean text, so
@@ -184,20 +187,21 @@ object Queries16 {
     * this data — max_by needs a total order or the two engines may
     * break ties differently.
     */
-  val lake_cdc_apply = Q(
-    (s, dir) => {
-      val base = T_(s, dir, "orders").select(col("o_orderkey").as("k"),
-        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
-      val feed = T_(s, dir, "lineitem").select(
-        when(col("l_partkey") % 19 === 0, col("l_orderkey") + 50000000L)
-          .otherwise(col("l_orderkey")).as("k"),
-        (col("l_linenumber").cast("long") * 1000000000000L +
-          col("l_partkey") * 1000000L + col("l_suppkey")).as("seq"),
-        when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
-        col("l_extendedprice").as("price"), col("l_linestatus").as("status"))
-      Upsert.applyCdc(base, feed, Seq("k"), "op", Seq("seq"))
-    },
-    Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+  private def cdcBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T_(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+
+  private def cdcFeed(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T_(s, dir, "lineitem").select(
+      when(col("l_partkey") % 19 === 0, col("l_orderkey") + 50000000L)
+        .otherwise(col("l_orderkey")).as("k"),
+      (col("l_linenumber").cast("long") * 1000000000000L +
+        col("l_partkey") * 1000000L + col("l_suppkey")).as("seq"),
+      when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+      col("l_extendedprice").as("price"), col("l_linestatus").as("status"))
+
+  private val cdcOracleSql =
+    """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
             o_orderstatus AS status FROM orders),
         feed AS (SELECT
             CASE WHEN l_partkey % 19 = 0 THEN l_orderkey + 50000000
@@ -213,7 +217,30 @@ object Queries16 {
       SELECT b.k, b.price, b.status FROM base b
         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
       UNION ALL
-      SELECT k, price, status FROM latest WHERE op <> 'D'"""))
+      SELECT k, price, status FROM latest WHERE op <> 'D'"""
+
+  val lake_cdc_apply = Q(
+    (s, dir) => Upsert.applyCdc(cdcBase(s, dir), cdcFeed(s, dir),
+      Seq("k"), "op", Seq("seq")),
+    Some(cdcOracleSql))
+
+  /** The same CDC fold as a CHECKPOINTED STREAM
+    * ([[graft.streaming.StreamingCdc]]): base snapshot seeds the
+    * target table, the staged feed streams through foreachBatch +
+    * applyCdc with crash-safe write-then-swap. One AvailableNow batch
+    * here, so the final table equals the batch oracle exactly;
+    * multi-batch log-order sequencing and delete-then-reinsert across
+    * batches are spec-pinned (StreamingCdcSpec).
+    */
+  val stream_cdc = Q(
+    (s, dir) => {
+      val staged = stagingDir(dir, "cdc_feed")
+      cdcFeed(s, dir).write.mode("overwrite").parquet(staged)
+      graft.streaming.StreamingCdc.applyCdcParquetOnce(
+        s, cdcBase(s, dir), staged, Seq("k"), "op", Seq("seq"))
+    },
+    Some(cdcOracleSql),
+    bench = false)
 
   /** Vocabulary coverage / OOV-rate scoring (the tokenizer-prep
     * pass): corpus word frequencies pick a top-V vocabulary with a
@@ -298,6 +325,7 @@ object Queries16 {
   val all: Map[String, Q] = Map(
     "txt_quality_pctl_filter" -> txt_quality_pctl_filter,
     "lake_cdc_apply" -> lake_cdc_apply,
+    "stream_cdc" -> stream_cdc,
     "txt_vocab_coverage" -> txt_vocab_coverage,
     "f_link_score" -> f_link_score,
     "txt_boilerplate_removal" -> txt_boilerplate_removal,
