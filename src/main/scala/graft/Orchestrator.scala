@@ -67,10 +67,10 @@ object Orchestrator {
       Seq("txt_", "pipeline_corpus", "pipeline_rag")),
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
-    ("timeseries", "sessionization + gap fill + rolling windows",
-      Seq("ts_", "w_sessionize", "w_rolling")),
-    ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling",
-      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_")),
+    ("timeseries", "sessionization + gap fill + rolling windows + streaks",
+      Seq("ts_", "w_sessionize", "w_rolling", "w_gaps")),
+    ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling, SCD2, CDC",
+      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "lake_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))
