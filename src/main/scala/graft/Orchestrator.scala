@@ -59,9 +59,10 @@ object Orchestrator {
       Seq("s2_", "s3_", "s7_", "s8_", "s11_", "s13_", "s14_", "s15_",
         "p1_", "p3_")),
     ("joins", "dim/as-of/semi joins", Seq("j")),
-    ("day_metrics", "daily roll-ups + pivots", Seq("a", "r", "pipeline_day")),
+    ("day_metrics", "daily roll-ups + pivots + funnels",
+      Seq("a", "r", "pipeline_day", "funnel_")),
     ("functions", "scalar parse/convert suites",
-      Seq("f", "o", "w_running", "set_", "sql_")),
+      Seq("f_", "f1", "f2", "f5", "f6", "f8", "o", "w_running", "set_", "sql_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis + corpus prep",
       Seq("txt_", "pipeline_corpus", "pipeline_rag")),

@@ -621,4 +621,64 @@ object GraphOps {
       .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg): auth_{t}(v) = Σ_{u→v}
+    * hub_{t-1}(u), hub_t(u) = Σ_{u→v} auth_t(v), each vector
+    * L1-normalized after its update. Complements PageRank on the same
+    * graph view: PageRank ranks by random-walk mass, HITS separates
+    * "points at good things" (hub) from "is pointed at" (authority) —
+    * the directed-hierarchy shape (order→customer→nation→region)
+    * makes the two rankings genuinely different.
+    *
+    * Determinism: every sum goes through the same decimal→×1e9→BIGINT
+    * hop as [[pageRank]], and each normalized value is re-quantized to
+    * the 1e-9 grid, so both the per-vertex sums and the scalar L1
+    * totals are partition-order-free and replay bit-for-bit in any
+    * engine. The L1 total is a 1-row aggregate broadcast into the
+    * division — a scalar join, not a data shuffle.
+    *
+    * Plan shape: per iteration, two keyed aggregates (the two message
+    * directions) + two 1-row broadcasts — the same one-shuffle-per-
+    * message-pass discipline as [[pageRank]]; edges are checkpointed
+    * once and reused.
+    */
+  def hits(edges: DataFrame, iterations: Int,
+           scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(edges.select(col("src"), col("dst")).distinct())
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    // decimal sum → exact integer grid → double (the pageRank hop)
+    def qsum(c: Column): Column =
+      round(sum(c.cast("decimal(27,15)")) * 1000000000L)
+        .cast("long").cast("double") / 1.0e9
+    // IEEE division of two grid doubles, re-quantized to the grid
+    def qdiv(n: Column, d: Column): Column =
+      (round(n / d * 1000000000L).cast("long").cast("double") / 1.0e9)
+    val zeroV = scope.checkpoint(vertices.select(col("id"), lit(0.0).as("v")))
+    var hub = vertices.select(col("id"), lit(1.0).as("v"))
+    var auth = zeroV
+    for (_ <- 1 to iterations) {
+      // raw sums are referenced twice each (normalize + L1 total), so
+      // checkpoint them — plans stay constant-size per iteration (the
+      // connectedComponents discipline), instead of doubling
+      val authRaw = scope.checkpoint(e.join(hub, e("src") === hub("id"))
+        .select(col("dst").as("id"), col("v"))
+        .unionByName(zeroV)
+        .groupBy(col("id")).agg(qsum(col("v")).as("v")))
+      val authTot = authRaw.agg(qsum(col("v")).as("tot"))
+      auth = authRaw.crossJoin(broadcast(authTot))
+        .select(col("id"), qdiv(col("v"), col("tot")).as("v"))
+      val hubRaw = scope.checkpoint(e.join(auth, e("dst") === auth("id"))
+        .select(col("src").as("id"), col("v"))
+        .unionByName(zeroV)
+        .groupBy(col("id")).agg(qsum(col("v")).as("v")))
+      val hubTot = hubRaw.agg(qsum(col("v")).as("tot"))
+      hub = hubRaw.crossJoin(broadcast(hubTot))
+        .select(col("id"), qdiv(col("v"), col("tot")).as("v"))
+    }
+    hub.select(col("id"), col("v").as("hub"))
+      .join(auth.select(col("id"), col("v").as("auth")), Seq("id"), "full")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+  }
 }

@@ -98,4 +98,42 @@ object TimeSeries {
       .withColumn("is_gap", col(valueName).isNull)
       .drop(valueName)
   }
+
+  /** Rolling z-score anomaly detection, INTEGER-EXACT: flag each
+    * observation whose deviation from the trailing-window mean
+    * exceeds `k` sample standard deviations. The test
+    * (x − s/n)² > k²·(q·n − s²)/n²  is cross-multiplied to
+    * (x·n − s)² > k²·(q·n − s²) over milli-scaled integer values, so
+    * there is no float mean, no float variance, no sqrt — the flags
+    * replay bit-for-bit in any engine (a double-stddev z-score would
+    * hash-diverge on summation order and libm sqrt).
+    *
+    * The window is the `win` PRECEDING rows, excluding the current
+    * row (self-exclusion keeps the baseline uncontaminated by the
+    * point under test); rows with fewer than `minN` trailing
+    * observations are never flagged (cold start).
+    *
+    * `ord` must be a total order (timestamp + unique tiebreak).
+    * Plan: ONE hash shuffle on `key`; both rolling sums evaluate in
+    * the same per-key sort. Per-row state is two bigint sums — with
+    * |value| ≤ ~10⁶ milli and win ≤ ~10³ everything fits int64
+    * (q ≤ win·x² ≤ 10³·10¹² = 10¹⁵; the cross-multiplied sides peak
+    * near (x·n)² ≤ 10¹⁸).
+    */
+  def anomalyZscore(df: DataFrame, key: Column, value: Column,
+                    ord: Seq[Column], win: Int, k: Int,
+                    minN: Int = 5): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(-win, -1)
+    val x = value.cast("decimal(27,3)").*(lit(1000)).cast("long")
+    val base = df.withColumn("__x", x)
+      .withColumn("__n", count(col("__x")).over(w))
+      .withColumn("__s", sum(col("__x")).over(w))
+      .withColumn("__q", sum(col("__x") * col("__x")).over(w))
+    val dev = col("__x") * col("__n") - col("__s")
+    val varN2 = col("__q") * col("__n") - col("__s") * col("__s")
+    base.withColumn("is_anomaly",
+        col("__n") >= minN && dev * dev > lit(k.toLong * k) * varN2)
+      .drop("__x", "__n", "__s", "__q")
+  }
 }
