@@ -126,14 +126,18 @@ object TimeSeries {
     val w = Window.partitionBy(key).orderBy(ord: _*)
       .rowsBetween(-win, -1)
     val x = value.cast("decimal(27,3)").*(lit(1000)).cast("long")
+    // pre-project x² so all three rolling aggregates share ONE Window
+    // node (sum(x*x) would otherwise interpose a projection that
+    // blocks window collapsing — two passes over the sorted rows)
     val base = df.withColumn("__x", x)
+      .withColumn("__x2", col("__x") * col("__x"))
       .withColumn("__n", count(col("__x")).over(w))
       .withColumn("__s", sum(col("__x")).over(w))
-      .withColumn("__q", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__q", sum(col("__x2")).over(w))
     val dev = col("__x") * col("__n") - col("__s")
     val varN2 = col("__q") * col("__n") - col("__s") * col("__s")
     base.withColumn("is_anomaly",
         col("__n") >= minN && dev * dev > lit(k.toLong * k) * varN2)
-      .drop("__x", "__n", "__s", "__q")
+      .drop("__x", "__x2", "__n", "__s", "__q")
   }
 }

@@ -376,4 +376,42 @@ class PlanSpec extends AnyFunSuite {
     // the persisted subplans, so look at the whole tree)
     assert(full.contains("HashJoin") || full.contains("SortMergeJoin"), full)
   }
+
+  test("funnel: sequential min-time chain is keyed equi-joins, no windows") {
+    val full = plan("funnel_conversion")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "funnel should need no window:\n" + p)
+    // step joins key on the entity; the only nested-loop joins allowed
+    // would stitch 1-row aggregates (here: none — explode over the
+    // single-row count frame)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), "step rows should explode from one aggregate:\n" + p)
+  }
+
+  test("bm25 scoring is scan-local: broadcast stats, no shuffle join, top-k merge") {
+    val full = plan("txt_bm25_topk")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), "stats must broadcast, not shuffle:\n" + p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("anomaly z-score: one shuffle, both rolling sums in one per-key sort") {
+    val full = plan("ts_anomaly")
+    val p = full.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"should shuffle the feed once, saw $exchanges:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows <= 1, s"rolling sums should share one Window node, saw $windows:\n$p")
+  }
+
+  test("rarity score: per-doc tf collapse precedes the vocabulary join") {
+    val full = plan("txt_rarity_score")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the occurrence explode must aggregate to (doc, tok, tf) before
+    // joining token counts — visible as a partial_count under the join
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), "no window needed:\n" + p)
+  }
 }
