@@ -54,7 +54,8 @@ object Orchestrator {
     * catalog-coverage invariant is testable against the real registry.
     */
   val stageRegistry: Seq[(String, String, Seq[String])] = Seq(
-    ("constraints", "uniqueness + referential integrity", Seq("s6_")),
+    ("constraints", "uniqueness + referential integrity + expectations",
+      Seq("s6_", "dq_")),
     ("ingest", "scans, projections, upserts, layout, bad records",
       Seq("s2_", "s3_", "s7_", "s8_", "s11_", "s13_", "s14_", "s15_",
         "p1_", "p3_")),
@@ -69,7 +70,7 @@ object Orchestrator {
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
     ("timeseries", "sessionization + gap fill + rolling windows + streaks",
-      Seq("ts_", "w_sessionize", "w_rolling", "w_gaps")),
+      Seq("ts_", "w_sessionize", "w_rolling", "w_gaps", "w_cum")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling, SCD2, CDC",
       Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "lake_")),
     ("vectors", "similarity search", Seq("vec_")),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Funnel, GraphOps, TimeSeries}
+import graft.operators.{DataQuality, Funnel, GraphOps, TimeSeries}
 
 /** Batch-17 operators: ordered funnel, HITS, integer z-score anomaly
   * flags — semantics pinned on hand-built toys.
@@ -98,5 +98,33 @@ class Batch17Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
     assert(out(7L)) // (x·n−s)² > 0 = k²·0 — any milli deviation trips
     assert((1L to 6L).forall(i => !out(i)))
+  }
+
+  // ---- data-quality expectations ----
+
+  test("dq: violations fail their check, clean checks pass, nulls are violations") {
+    import DataQuality._
+    val df = Seq(
+      (Some(1L), Some("a"), 10.0),
+      (Some(1L), Some("b"), -5.0),   // dup id + negative value
+      (None, Some("c"), 20.0),       // null id
+      (Some(2L), None, 30.0)         // null name
+    ).toDF("id", "name", "v")
+    val out = report(df, Seq(
+      Check("rows", count(lit(1)), 1L, _ >= 1L),
+      Check("id_complete", nullCount(col("id")), 0L, _ === 0L),
+      Check("name_complete", nullCount(col("name")), 0L, _ === 0L),
+      Check("id_unique", dupCount(col("id")), 0L, _ === 0L),
+      Check("v_positive", violations(col("v") > 0.0), 0L, _ === 0L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out("rows") == (4L, true))
+    assert(out("id_complete") == (1L, false))
+    assert(out("name_complete") == (1L, false))
+    // 4 rows; the struct wrap makes the null id its OWN distinct
+    // bucket (struct(null) is non-null) → {1},{2},{null} = 3 distinct
+    // ⇒ dups = 1. Null-key presence is id_complete's job, not this
+    // check's — matching SQL's (a,b) row-value distinct semantics.
+    assert(out("id_unique") == (1L, false))
+    assert(out("v_positive") == (1L, false))
   }
 }
