@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the test-data generator writes timestamp[us] with
+      // isAdjustedToUTC=false; without this, Spark 4 infers
+      // TIMESTAMP_NTZ and unix_micros/watermarks reject the column.
+      // Reading as TIMESTAMP under the UTC session zone yields the
+      // same values DuckDB sees for the same bytes.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       // long-running sessions: broadcast/shuffle state is reclaimed by
       // ContextCleaner only after a driver GC — which a large driver
@@ -53,6 +59,7 @@ object GraftSession {
     spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 }

@@ -18,6 +18,12 @@ object Verify {
       // DuckDB oracle's TRY_CAST-based SQL
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the test-data generator writes timestamp[us] with
+      // isAdjustedToUTC=false; without this, Spark 4 infers
+      // TIMESTAMP_NTZ and unix_micros/watermarks reject the column.
+      // Reading as TIMESTAMP under the UTC session zone yields the
+      // same values DuckDB sees for the same bytes.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // let AQE re-plan ON TOP of cached plans too: persisted frames
       // otherwise pin their shuffle partitioning, and a union of many
