@@ -414,4 +414,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Window"), "no window needed:\n" + p)
   }
+
+  test("link prediction: 2-hop expansion and anti-join are all equi-joins") {
+    val full = plan("g_link_predict")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "every join keys on order/vertex — no nested loop:\n" + p)
+    assert(p.contains("LeftAnti"), "direct edges must anti-join away:\n" + p)
+    assert(!p.contains("Window"), "no window needed:\n" + p)
+  }
+
+  test("rfm: the fact table only meets hash aggregates; thresholds broadcast") {
+    val full = plan("a_rfm_segments")
+    val p = full.split("== Initial Plan ==")(0)
+    // quartiles come from the frequency-table kernel over the
+    // per-customer aggregate; raw orders are never globally sorted
+    assert(!p.contains("SortMergeJoin"), "threshold joins must broadcast:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val cart = "CartesianProduct".r.findAllIn(p).length
+    // the only loop joins stitch 1-row frames: max-date into the two
+    // rfm instantiations + the single pivoted threshold row
+    assert(cart == 0, "no cartesian over data:\n" + p)
+    assert(bnlj <= 3, s"only 1-row stitches allowed, saw $bnlj:\n$p")
+  }
+
+  test("association rules: basket self-join keys on the order") {
+    val full = plan("a_assoc_rules")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "rule ranking is a top-k merge, not a global sort:\n" + p)
+    assert(!p.contains("Window"), "no window needed:\n" + p)
+  }
+
+  test("cohort retention: the window runs over the matrix, never events") {
+    val full = plan("w_cohort_retention")
+    val p = full.split("== Initial Plan ==")(0)
+    // events meet two hash aggregates and one equi-join on user;
+    // the single Window node sees the cohort x week matrix
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"one matrix-sized window expected, saw $windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
