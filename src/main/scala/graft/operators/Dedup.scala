@@ -494,6 +494,48 @@ object Dedup {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Directed n-gram CONTAINMENT for candidate pairs sharing a rare
+    * shingle: cont(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| — the
+    * asymmetric cousin of [[ngramJaccard]] that catches a short
+    * document embedded in a long one (quote farms, scraped excerpts,
+    * prompt-in-completion leakage), which symmetric Jaccard dilutes
+    * below any usable threshold. Same scale guards: one native
+    * distinct-gram pass, df-pruned inverted index so no ubiquitous
+    * gram explodes the self-join. Scores are integer milli
+    * (1000·inter div n_a — engines replay them exactly); emits both
+    * directions of each qualifying pair.
+    */
+  def ngramContainment(docs: DataFrame, textCol: String, idCol: String,
+                       tokenize: Column => Column,
+                       gramLen: Int = 3,
+                       thresholdMilli: Int = 500,
+                       maxDf: Option[Int] = Some(10),
+                       maxDocLen: Int = 10000,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val inv0 = docs
+      .select(col(idCol).as("id"),
+        graft.plans.TextExpressions.distinctWordGramsFast(
+          tokenize(substring(col(textCol), 1, maxDocLen)), gramLen).as("garr"))
+      .select(col("id"), size(col("garr")).as("n"),
+        explode(col("garr")).as("gram"))
+    val inv = scope.persist(maxDf match {
+      case Some(df) =>
+        val rare = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= df).select("gram")
+        inv0.join(rare, "gram")
+      case None => inv0
+    })
+    val a = inv.select(col("gram"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = inv.select(col("gram"), col("id").as("id_b"))
+    a.join(b, Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "n_a")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_milli", expr("1000 * inter div n_a"))
+      .filter(col("cont_milli") >= thresholdMilli)
+      .select("id_a", "id_b", "cont_milli")
+  }
+
   /** Corpus-level dedup resolution: near-dup PAIRS (from any of the
     * pair generators here) → connected components over the pair graph
     * → one canonical document per cluster (lowest id) with the cluster

@@ -177,15 +177,31 @@ object GraphOps {
     * sentinel, so truncation is visible to the caller.
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame, iterations: Int,
-                    scope: CacheScope = CacheScope.global): DataFrame = {
-    val e = scope.checkpoint(edges)
+                    scope: CacheScope = CacheScope.global): DataFrame =
+    weightedSssp(edges.select(col("src"), col("dst"), lit(1L).as("w")),
+      sources, iterations, scope)
+
+  /** Weighted single-source(s) shortest paths — Bellman-Ford
+    * relaxation over integer-weight edges (src, dst, w), fixed
+    * `iterations` rounds. Per round ONE shuffle: the edge join on the
+    * current distance frame + a min-aggregate; the zero-weight
+    * self-loop union keeps settled distances in play without a
+    * second union branch. Distances are exact BIGINTs, so a depth-k
+    * run is the true minimum over paths of ≤ k edges and any engine
+    * replays it bit-for-bit ([[shortestPaths]] is the w ≡ 1 case).
+    * Unreachable-within-k vertices emit NULL.
+    */
+  def weightedSssp(edges: DataFrame, sources: DataFrame, iterations: Int,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
     // Sources are unioned into the vertex set so an isolated source
     // (no incident edges) still surfaces with dist=0 rather than
     // silently vanishing from the output.
     val vertices = scope.checkpoint(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .union(sources.select(col("id"))).distinct())
-    val hop = scope.checkpoint(e.select(col("src"), col("dst"), lit(1L).as("w"))
+    val hop = scope.checkpoint(e
       .union(vertices.select(col("id").as("src"), col("id").as("dst"),
         lit(0L).as("w")))
       .repartition(col("src")))

@@ -140,4 +140,40 @@ object TimeSeries {
         col("__n") >= minN && dev * dev > lit(k.toLong * k) * varN2)
       .drop("__x", "__x2", "__n", "__s", "__q")
   }
+
+  /** Finite-window EWMA smoother, INTEGER-EXACT: a lag-truncated
+    * exponential moving average with power-of-two weights
+    * 2^(depth−1−i) on lag i (current row heaviest). Truncating the
+    * tail turns the recursive EWMA — which no engine can window and
+    * no oracle can replay without per-row recursion — into a fixed
+    * linear combination of `depth` lags: one window, one shuffle on
+    * `key`, and weights that decay exactly like α = 1/2 EWMA up to a
+    * 2^−depth tail (≤ 0.4% at depth 8). Values are milli-scaled
+    * integers (decimal-cast, never float), so the smoothed series
+    * replays bit-for-bit in any engine. Warm-up rows average over the
+    * lags that exist (integer numerator div integer denominator;
+    * inputs must be nonneg for truncate-div == floor-div parity
+    * across engines). Emits input + `ewma_milli`.
+    *
+    * `ord` must be a total order (timestamp + unique tiebreak).
+    */
+  def ewmaLag(df: DataFrame, key: Column, value: Column,
+              ord: Seq[Column], depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 62, "depth must be in [1, 62]")
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+    val x = value.cast("decimal(27,3)").*(lit(1000)).cast("long")
+    val base = df.withColumn("__x", x)
+    val terms = (0 until depth).map { i =>
+      val wt = 1L << (depth - 1 - i)
+      val xi = if (i == 0) col("__x") else lag(col("__x"), i).over(w)
+      (when(xi.isNotNull, xi * wt), when(xi.isNotNull, lit(wt)))
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0L))).reduce(_ + _)
+    val den = terms.map(t => coalesce(t._2, lit(0L))).reduce(_ + _)
+    base
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("ewma_milli", expr("__num div __den"))
+      .drop("__x", "__num", "__den")
+  }
 }

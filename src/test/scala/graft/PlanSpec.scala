@@ -449,6 +449,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no window needed:\n" + p)
   }
 
+  test("ewma: one shuffle, all lag terms in one per-key window") {
+    val full = plan("ts_ewma")
+    val p = full.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"one shuffle on the series key, saw $exchanges:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows <= 1, s"all 7 lags must share one Window node, saw $windows:\n$p")
+  }
+
+  test("priority sampling plans as a top-k merge, not a global sort") {
+    val full = plan("samp_priority_weighted")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort:\n" + p)
+  }
+
+  test("weighted sssp: relaxation rounds are equi-joins over data") {
+    val full = plan("g_weighted_sssp")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row seed frame may stitch via nested loop; data joins hash
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the seed stitch may loop, saw $bnlj:\n$p")
+  }
+
   test("cohort retention: the window runs over the matrix, never events") {
     val full = plan("w_cohort_retention")
     val p = full.split("== Initial Plan ==")(0)
