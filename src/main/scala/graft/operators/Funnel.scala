@@ -31,7 +31,8 @@ object Funnel {
     * `t_<name>` micros for each step (null = never reached).
     */
   def reachTimes(events: DataFrame, entity: Column, us: Column,
-                 steps: Seq[(String, Column)]): DataFrame = {
+                 steps: Seq[(String, Column)],
+                 windowUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(entity.as("entity") +: us.as("us") +:
       steps.map { case (n, p) => p.as(s"is_$n") }: _*)
@@ -39,9 +40,20 @@ object Funnel {
     var reach = e.filter(col(s"is_$n0"))
       .groupBy(col("entity")).agg(min(col("us")).as(s"t_$n0"))
     for (Seq((prev, _), (cur, _)) <- steps.sliding(2).toSeq if steps.size > 1) {
+      // windowed funnels additionally bound every step by the
+      // entry time: us <= t_first + windowUs (the "convert within N
+      // days" form). The join carries t_first alongside t_prev; both
+      // ride the same entity-key exchange.
+      val carry =
+        if (windowUs.isDefined && prev != n0)
+          reach.select(col("entity"), col(s"t_$prev"), col(s"t_$n0"))
+        else reach.select(col("entity"), col(s"t_$prev"))
+      val inWindow = windowUs
+        .map(w => col("us") <= col(s"t_$n0") + lit(w))
+        .getOrElse(lit(true))
       val next = e.filter(col(s"is_$cur"))
-        .join(reach.select(col("entity"), col(s"t_$prev")), Seq("entity"))
-        .filter(col("us") > col(s"t_$prev"))
+        .join(carry, Seq("entity"))
+        .filter(col("us") > col(s"t_$prev") && inWindow)
         .groupBy(col("entity")).agg(min(col("us")).as(s"t_$cur"))
       reach = reach.join(next, Seq("entity"), "left")
     }
@@ -54,8 +66,9 @@ object Funnel {
     * so the numbers replay bit-for-bit in any engine).
     */
   def conversion(events: DataFrame, entity: Column, us: Column,
-                 steps: Seq[(String, Column)]): DataFrame = {
-    val r = reachTimes(events, entity, us, steps)
+                 steps: Seq[(String, Column)],
+                 windowUs: Option[Long] = None): DataFrame = {
+    val r = reachTimes(events, entity, us, steps, windowUs)
     val counts = r.agg(
       count(col(s"t_${steps.head._1}")).as(s"u_${steps.head._1}"),
       steps.tail.map { case (n, _) => count(col(s"t_$n")).as(s"u_$n") }: _*)
