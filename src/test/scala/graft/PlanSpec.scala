@@ -474,6 +474,38 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"only the seed stitch may loop, saw $bnlj:\n$p")
   }
 
+  test("asof attribution: candidates collapse in an argmin aggregate, not a rank window") {
+    val full = plan("j5_asof_attribution")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "min_by aggregate, no candidate window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("session paths: journey ranking is a top-k merge; one session window") {
+    val full = plan("r8_session_path")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // lag → boundary-sum → session aggregate all ride ONE user-key
+    // exchange (the two Window nodes are sequential by data
+    // dependency but share the same sort); the path count adds one.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"user shuffle + path-count shuffle only, saw $exchanges:\n$p")
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(sorts <= 1, s"both windows must share one per-user sort, saw $sorts:\n$p")
+  }
+
+  test("gini: only the value-frequency table meets the cumulative window") {
+    val full = plan("a_gini")
+    val p = full.split("== Initial Plan ==")(0)
+    // the single unpartitioned window must sit ABOVE the first
+    // aggregate (it sees |distinct prices| rows, not raw orders)
+    val winIdx = p.indexOf("Window [")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+    assert(p.substring(winIdx).contains("HashAggregate"),
+      "the frequency aggregate must feed the window:\n" + p)
+  }
+
   test("cohort retention: the window runs over the matrix, never events") {
     val full = plan("w_cohort_retention")
     val p = full.split("== Initial Plan ==")(0)
