@@ -69,10 +69,12 @@ object Orchestrator {
       Seq("txt_", "pipeline_corpus", "pipeline_rag")),
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
-    ("timeseries", "sessionization + gap fill + rolling windows + streaks",
-      Seq("ts_", "w_sessionize", "w_rolling", "w_gaps", "w_cum")),
+    ("timeseries", "sessionization + gap fill + rolling windows + streaks + cohorts",
+      Seq("ts_", "w_sessionize", "w_rolling", "w_gaps", "w_cum",
+        "w_cohort", "w_transition", "w_dau")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling, SCD2, CDC",
-      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "lake_")),
+      Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "s20_",
+        "lake_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
     ("multimodal", "media decode plumbing", Seq("mm_")))

@@ -167,6 +167,53 @@ object Multimodal {
     spark.createDataFrame(rows, imageFeatureSchema)
   }
 
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Perceptual difference hash (dHash) from REAL decoded pixels: one
+    * bit per horizontally-adjacent red-channel pair over the top-left
+    * window (≤ 8×7 — 56 bits, sign-safe in a LongType), packed at
+    * position y·8+x. Identical content → identical hash regardless of
+    * container bytes, the property a perceptual-dedup pipeline keys
+    * on (hamming near-dup then rides the simhash band machinery).
+    * Same dataflow contract as [[decodeImageFeatures]]: decode in the
+    * partition iterator, total on null/corrupt payloads.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val p = r.getAs[Array[Byte]](1)
+        val img =
+          if (p == null) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var hash = 0L
+          var y = 0
+          while (y < math.min(h, 7)) {
+            var x = 0
+            while (x < math.min(w, 9) - 1) {
+              val r0 = (img.getRGB(x, y) >> 16) & 0xff
+              val r1 = (img.getRGB(x + 1, y) >> 16) & 0xff
+              if (r1 > r0) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w, h, hash)
+        }
+      })
+    spark.createDataFrame(rows, imageHashSchema)
+  }
+
   // ---------------------------------------------------------------
   // Real audio codec (javax.sound.sampled — in the JDK, no added
   // deps). Second de-stubbed modality after images: encode → WAV
