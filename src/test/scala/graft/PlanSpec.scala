@@ -506,6 +506,43 @@ class PlanSpec extends AnyFunSuite {
       "the frequency aggregate must feed the window:\n" + p)
   }
 
+  test("dau/wau: the range join broadcasts the calendar spine, not the data") {
+    val full = plan("w_dau_wau")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the trailing-window join is a nested loop ONLY against the
+    // broadcast day spine (calendar-bounded); anything else must hash
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"one spine loop allowed, saw $bnlj:\n$p")
+    assert(p.contains("BroadcastExchange"), "spine must broadcast:\n" + p)
+  }
+
+  test("pareto share: the cumulative walk runs over tiers, raw events one aggregate") {
+    val full = plan("a_pareto_share")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), "crossing pick is top-1:\n" + p)
+    // events → per-user counts → tiers: two hash aggregates before
+    // any window; the window itself sees the tier table
+    val winIdx = p.indexOf("Window [")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
+      "tier aggregate must feed the window:\n" + p)
+  }
+
+  test("curation report: every per-language metric comes from ONE corpus scan") {
+    val full = plan("pipeline_curation_report")
+    val p = full.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one documents scan expected, saw $scans:\n$p")
+    assert(!p.contains("Window"), "counter idioms need no window:\n" + p)
+  }
+
+  test("hhi: two keyed aggregates, no window, no loop join") {
+    val full = plan("a_hhi")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("cohort retention: the window runs over the matrix, never events") {
     val full = plan("w_cohort_retention")
     val p = full.split("== Initial Plan ==")(0)
