@@ -85,6 +85,43 @@ object GraphOps {
     ranks
   }
 
+  /** Edge-weighted PageRank: rank_{t+1}(v) = reset + damp ·
+    * Σ_{u→v} rank_t(u) · w(u,v) / Σ_out w(u) — the weight-proportional
+    * generalization of [[pageRank]] (which this matches exactly at
+    * w ≡ 1). Input: edges (src, dst, w: integer weights, so the
+    * normalized fraction w / Σw is one deterministic double both
+    * engines compute identically). Same iteration discipline as
+    * [[pageRank]]: co-partitioned checkpointed edges, zero-contribution
+    * union instead of a per-iteration vertex join, decimal-quantized
+    * sums — one shuffle per iteration.
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       reset: Double = 0.15, damp: Double = 0.85,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.checkpoint(edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")))
+    val vertices = scope.checkpoint(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val wSum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val withFrac = e.join(wSum, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wsum").cast("double")).as("frac"))
+    val edgesCached = scope.checkpoint(withFrac.repartition(col("src")))
+    val zeroContribs = scope.checkpoint(
+      vertices.select(col("id"), lit(0.0).as("contrib")))
+    var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") * col("frac")).as("contrib"))
+        .unionByName(zeroContribs)
+      ranks = contribs.groupBy(col("id"))
+        .agg((lit(reset) + lit(damp) *
+          (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+            .cast("long").cast("double") / 1.0e9)).as("rank"))
+    }
+    ranks
+  }
+
   /** Connected components by iterative min-label propagation over the
     * undirected edge set: comp_{t+1}(v) = min(comp_t(v),
     * min_{(u,v)∈E} comp_t(u)). Converges in diameter iterations;
