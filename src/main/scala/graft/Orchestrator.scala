@@ -66,7 +66,7 @@ object Orchestrator {
       Seq("f_", "f1", "f2", "f5", "f6", "f8", "o", "w_running", "set_", "sql_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis + corpus prep",
-      Seq("txt_", "pipeline_corpus", "pipeline_rag")),
+      Seq("txt_", "pipeline_corpus", "pipeline_rag", "pipeline_curation")),
     ("dedup", "deduplication family", Seq("dd_")),
     ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
     ("timeseries", "sessionization + gap fill + rolling windows + streaks + cohorts",
