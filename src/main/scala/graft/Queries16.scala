@@ -211,9 +211,15 @@ object Queries16 {
             CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
             l_extendedprice AS price, l_linestatus AS status
           FROM lineitem),
-        mx AS (SELECT k, max(seq) AS seq FROM feed GROUP BY 1),
-        latest AS (SELECT f.k, f.op, f.price, f.status
-          FROM feed f JOIN mx USING (k, seq))
+        latest AS (SELECT k, op, price, status FROM (
+            SELECT k, op, price, status,
+              -- seq first, then the residual feed columns in schema
+              -- order — the applyCdc tiebreak, so duplicated change
+              -- records (the sf0.001 fixture has colliding composite
+              -- sequences) resolve to ONE deterministic winner
+              row_number() OVER (PARTITION BY k
+                ORDER BY seq DESC, op DESC, price DESC, status DESC) AS rn
+            FROM feed) WHERE rn = 1)
       SELECT b.k, b.price, b.status FROM base b
         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
       UNION ALL

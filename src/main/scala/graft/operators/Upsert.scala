@@ -78,6 +78,16 @@ object Upsert {
     * feeds converge to the same snapshot (idempotent by construction:
     * applying the same feed twice is a fixpoint).
     *
+    * Determinism under tied sequence numbers: if two feed rows for a
+    * key share the same `ordCols` value (duplicate change records —
+    * real feeds produce them), the remaining feed columns break the
+    * tie in schema order, so the winner is a pure function of the
+    * DATA, never of partition layout. (Found live: the sf0.001
+    * fixture carries duplicated PK rows whose composite sequence
+    * collides; a bare max_by(seq) picked per-run winners while the
+    * SQL oracle kept both rows.) Fully identical rows still "tie",
+    * harmlessly — every candidate is the same row.
+    *
     * Scale shape: ONE map-side-combining max_by aggregate collapses
     * the feed to its latest row per key (no window, no rank-1
     * filter); ONE anti equi-join on the key removes touched rows from
@@ -90,7 +100,9 @@ object Upsert {
   def applyCdc(base: DataFrame, feed: DataFrame, keys: Seq[String],
                opCol: String, ordCols: Seq[String],
                deleteOp: String = "D"): DataFrame = {
-    val latest = dedupByKey(feed, keys, ordCols.map(col))
+    val tiebreak = feed.columns
+      .filterNot(c => keys.contains(c) || ordCols.contains(c)).map(col)
+    val latest = dedupByKey(feed, keys, ordCols.map(col) ++ tiebreak)
     val touched = latest.select(keys.map(col): _*)
     val survivors = latest.filter(col(opCol) =!= deleteOp)
       .drop(opCol +: ordCols: _*)
