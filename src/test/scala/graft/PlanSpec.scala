@@ -543,6 +543,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("random projection is scan-local: no shuffle, no UDF, codegen'd HOFs") {
+    val full = plan("vec_random_projection")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), "projection must not shuffle:\n" + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p)
+  }
+
+  test("perceptual near-dup: candidates come from a band equi-join, no all-pairs") {
+    val full = plan("mm_phash_neardup")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), "banding must prevent all-pairs:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("cohort retention: the window runs over the matrix, never events") {
     val full = plan("w_cohort_retention")
     val p = full.split("== Initial Plan ==")(0)
