@@ -310,7 +310,7 @@ object Queries {
     Some("""SELECT user_id, CAST(ts AS DATE) AS date,
              MIN(k) AS min, MAX(k) AS max,
              CAST(AVG(k) AS DOUBLE) AS avg,
-             CASE WHEN SUM(k) <> 0 THEN SUM(k) END AS sum
+             CAST(CASE WHEN SUM(k) <> 0 THEN SUM(k) END AS BIGINT) AS sum
       FROM (SELECT user_id, ts,
               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events)
@@ -372,8 +372,8 @@ object Queries {
           .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
       .select(col("o_orderkey"), col("o_custkey"), col("idx")),
     Some("""SELECT o_orderkey, o_custkey,
-             row_number() OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate ASC, o_orderkey ASC) AS idx
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS idx
       FROM orders"""))
 
   /** A13 — telemetry counters: one-row stage stats (df.observe
@@ -428,8 +428,8 @@ object Queries {
         Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
       .select(col("rank"), col("o_orderkey"), col("o_totalprice")),
     Some("""SELECT rank, o_orderkey, o_totalprice
-      FROM (SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
-              AS rank, o_orderkey, o_totalprice FROM orders)
+      FROM (SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+              AS INTEGER) AS rank, o_orderkey, o_totalprice FROM orders)
       WHERE rank <= 25"""))
 
   // ===========================================================

@@ -307,7 +307,7 @@ object Queries14 {
       Multimodal.decodeVideoFrames(Multimodal.encodeSyntheticVideos(ids))
     },
     Some("""WITH fr AS (
-        SELECT doc_id AS media_id, f.f AS frame_idx,
+        SELECT doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_idx,
           doc_id * 100 + f.f AS q
         FROM documents
         JOIN (SELECT unnest(range(0, 6)) AS f) f ON f.f < 2 + doc_id % 4),

@@ -191,8 +191,8 @@ object Queries15 {
         SELECT p.qid, a.id, ${Queries3.cosineSql("v", "qv")} AS cos
         FROM assigned a JOIN probes p ON a.cell = p.cell)
       SELECT qid, id, cos, rank
-      FROM (SELECT qid, id, cos, row_number() OVER (
-              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS rank
+      FROM (SELECT qid, id, cos, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS INTEGER) AS rank
             FROM scored)
       WHERE rank <= 5"""))
 

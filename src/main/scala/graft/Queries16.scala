@@ -281,17 +281,39 @@ object Queries16 {
   /** Probabilistic record linkage ([[Linkage]]): customers vs a
     * deterministically-perturbed copy (name typo every 7th key,
     * nation shift every 13th, balance drift every 3rd, segment lost
-    * every 11th), blocked on nation, scored by integer
-    * agreement weights on (name-edit-distance, balance proximity,
-    * segment equality). Same-nation near-key customers DO produce
-    * lev-1 name agreements — the scored false-positive band is part
-    * of the semantics, not an accident; the oracle replays weights
-    * and threshold exactly.
+    * every 11th), scored by integer agreement weights on
+    * (name-edit-distance, balance proximity, segment equality).
+    * Same-nation near-key customers DO produce lev-1 name
+    * agreements — the scored false-positive band is part of the
+    * semantics, not an accident; the oracle replays weights and
+    * threshold exactly.
+    *
+    * Blocking (round 7): nation alone is 25 fixed blocks — per-block
+    * quadratic with constant block count is N², the round-6 verdict's
+    * scale-killer (28.9 s at sf0.1, ~90B lev pairs at 100×). The
+    * threshold algebra shows every emitted pair MUST agree on name
+    * (max score without the +30 name weight is 15 < 35), and name
+    * agreement here means lev ≤ 1 on equal-length 18-char names
+    * (the %7 "xx" append makes a 20-char name that can never be
+    * within lev 1 of an 18-char one) — i.e. at most ONE substituted
+    * digit of the 9-digit suffix. Pigeonhole: split the digits into
+    * 3 parts; a single substitution hits one part, so the pair
+    * agrees on the other two. Blocking on (nation, part_i, part_j)
+    * for all three (i,j) pairs is therefore LOSSLESS for the output
+    * — the oracle keeps the full nation-block replay, which proves
+    * it. Each compound key carries digit entropy, so block size is
+    * bounded by the key-space density, not the customer count.
     */
   val f_link_score = Q(
     (s, dir) => {
-      val clean = T_(s, dir, "customer")
-      val dirty = clean.select(
+      def parts(name: org.apache.spark.sql.Column, pfx: String) = Seq(
+        substring(name, 10, 3).as(s"${pfx}1"),
+        substring(name, 13, 3).as(s"${pfx}2"),
+        substring(name, 16, 3).as(s"${pfx}3"))
+      val clean0 = T_(s, dir, "customer")
+      val clean = clean0.select(
+        clean0.columns.map(col) ++ parts(col("c_name"), "p"): _*)
+      val dirty0 = clean0.select(
         col("c_custkey").as("d_custkey"),
         when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("xx")))
           .otherwise(col("c_name")).as("d_name"),
@@ -301,8 +323,14 @@ object Queries16 {
           .otherwise(col("c_acctbal")).as("d_acctbal"),
         when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
           .otherwise(col("c_mktsegment")).as("d_mktsegment"))
-      Linkage.linkScored(clean, dirty,
-        Seq("c_nationkey" -> "d_nationkey"),
+      val dirty = dirty0.select(
+        dirty0.columns.map(col) ++ parts(col("d_name"), "q"): _*)
+      val nk = "c_nationkey" -> "d_nationkey"
+      Linkage.linkScoredMulti(clean, dirty,
+        "c_custkey" -> "d_custkey",
+        Seq(Seq(nk, "p1" -> "q1", "p2" -> "q2"),
+          Seq(nk, "p1" -> "q1", "p3" -> "q3"),
+          Seq(nk, "p2" -> "q2", "p3" -> "q3")),
         Seq(
           Linkage.Field(levenshtein(col("c_name"), col("d_name")) <= 1, 30, -10),
           Linkage.Field(abs(col("c_acctbal") - col("d_acctbal")) <= 1.0, 15, -5),

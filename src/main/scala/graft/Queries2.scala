@@ -97,7 +97,7 @@ object Queries2 {
       .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
       .select(col("vec_id"), (col("pos") + 1).as("pos"),
         col("col").cast("double").as("e")),
-    Some("""SELECT vec_id, generate_subscripts(embedding[1:8], 1) AS pos,
+    Some("""SELECT vec_id, CAST(generate_subscripts(embedding[1:8], 1) AS INTEGER) AS pos,
              CAST(unnest(embedding[1:8]) AS DOUBLE) AS e
       FROM embeddings WHERE vec_id % 50 = 0"""))
 

@@ -76,14 +76,14 @@ object Queries20 {
         .select(col("event_type"), col("dow"), col("n"),
           expr("1000L * s * n_tot div (n * s_tot)").as("idx_milli"))
     },
-    Some("""WITH e AS (SELECT event_type, isodow(ts) - 1 AS dow,
+    Some("""WITH e AS (SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
             CAST(CAST(value AS DECIMAL(27,3)) * 1000 AS BIGINT) AS x FROM events),
         d AS (SELECT event_type, dow, count(*) AS n, sum(x) AS s
           FROM e GROUP BY 1, 2),
         t AS (SELECT event_type, count(*) AS n_tot, sum(x) AS s_tot
           FROM e GROUP BY 1)
       SELECT event_type, dow, n,
-        (1000 * s * n_tot) // (n * s_tot) AS idx_milli
+        CAST((1000 * s * n_tot) // (n * s_tot) AS BIGINT) AS idx_milli
       FROM d JOIN t USING (event_type)"""))
 
   private val copurchaseSql =

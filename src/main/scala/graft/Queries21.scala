@@ -81,8 +81,8 @@ object Queries21 {
             sum(x * y) AS sxy, sum(x * x) AS sxx
           FROM e GROUP BY 1)
       SELECT event_type, n,
-        n * sxy - sx * sy AS slope_num,
-        n * sxx - sx * sx AS slope_den
+        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
       FROM m"""))
 
   /** MERGE with schema evolution: the delta carries a column the base

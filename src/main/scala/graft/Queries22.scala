@@ -215,7 +215,9 @@ object Queries22 {
         m AS (SELECT sum(c) AS n, sum(v * c) AS s,
             sum(v * ((cum - c) * c + c * (c + 1) // 2)) AS s1
           FROM cumt)
-      SELECT n, 2 * s1 - (n + 1) * s AS gini_num, n * s AS gini_den FROM m"""))
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(2 * s1 - (n + 1) * s AS BIGINT) AS gini_num,
+        CAST(n * s AS BIGINT) AS gini_den FROM m"""))
 
   val all: Map[String, Q] = Map(
     "j5_asof_attribution" -> j5_asof_attribution,

@@ -91,7 +91,7 @@ object Queries23 {
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast("double").cast("decimal(27,8)")).cast("double")
         / count(lit(1))).as("mean")),
-    Some("""WITH x AS (SELECT label, i.i AS pos, embedding[i.i + 1] AS v
+    Some("""WITH x AS (SELECT label, CAST(i.i AS INTEGER) AS pos, embedding[i.i + 1] AS v
           FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
           WHERE i.i < len(embedding))
       SELECT label, pos,

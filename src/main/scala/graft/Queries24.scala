@@ -52,10 +52,11 @@ object Queries24 {
             sum(m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cum_users
           FROM tiers),
         tot AS (SELECT sum(c) AS total_events, count(*) AS total_users FROM pu)
-      SELECT cum_users AS users_needed, total_users,
-        cum_events AS events_covered, total_events,
-        1000 * cum_users // total_users AS user_share_milli,
-        1000 * cum_events // total_events AS event_share_milli
+      SELECT CAST(cum_users AS BIGINT) AS users_needed, total_users,
+        CAST(cum_events AS BIGINT) AS events_covered,
+        CAST(total_events AS BIGINT) AS total_events,
+        CAST(1000 * cum_users // total_users AS BIGINT) AS user_share_milli,
+        CAST(1000 * cum_events // total_events AS BIGINT) AS event_share_milli
       FROM walked CROSS JOIN tot
       WHERE cum_events * 10 >= total_events * 8
       ORDER BY c DESC LIMIT 1"""))
@@ -100,9 +101,9 @@ object Queries24 {
             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
           FROM q GROUP BY 1)
       SELECT event_type, n,
-        n * sxy - sx * sy AS r_num,
-        n * sxx - sx * sx AS r_den_x,
-        n * syy - sy * sy AS r_den_y
+        CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+        CAST(n * sxx - sx * sx AS BIGINT) AS r_den_x,
+        CAST(n * syy - sy * sy AS BIGINT) AS r_den_y
       FROM m"""))
 
   private val toksSql =
@@ -142,8 +143,8 @@ object Queries24 {
             count(*) - count(DISTINCT norm) AS dup_docs
           FROM d GROUP BY 1)
       SELECT lang, n_docs, n_chars_total, tokens_total,
-        1000 * short_docs // n_docs AS short_rate_milli,
-        1000 * dup_docs // n_docs AS dup_rate_milli
+        CAST(1000 * short_docs // n_docs AS BIGINT) AS short_rate_milli,
+        CAST(1000 * dup_docs // n_docs AS BIGINT) AS dup_rate_milli
       FROM g"""))
 
   val all: Map[String, Q] = Map(

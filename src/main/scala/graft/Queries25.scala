@@ -81,8 +81,8 @@ object Queries25 {
         j AS (SELECT c_nationkey, c FROM pc
           JOIN customer ON o_custkey = c_custkey)
       SELECT c_nationkey, count(*) AS n_cust,
-        sum(c * c) AS hhi_num,
-        sum(c) * sum(c) AS hhi_den
+        CAST(sum(c * c) AS BIGINT) AS hhi_num,
+        CAST(sum(c) * sum(c) AS BIGINT) AS hhi_den
       FROM j GROUP BY 1"""))
 
   val all: Map[String, Q] = Map(

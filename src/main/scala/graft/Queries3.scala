@@ -153,9 +153,9 @@ object Queries3 {
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
           (a, b) -> (a * 31 + b) % 2147483647) AS fp,
-        CASE WHEN length(norm) >= 5
+        CAST(CASE WHEN length(norm) >= 5
              THEN len(list_distinct([substr(norm, i, 5) FOR i IN range(1, length(norm) - 3)]))
-             ELSE 0 END AS n_shingles
+             ELSE 0 END AS INTEGER) AS n_shingles
       FROM n"""))
 
   // ===========================================================
@@ -428,8 +428,8 @@ object Queries3 {
       c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
       s AS (SELECT qid, id, ${cosineSql("v", "qv")} AS cos FROM c, q)
       SELECT qid, id, cos, rank
-      FROM (SELECT qid, id, cos, row_number() OVER (
-              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS rank FROM s)
+      FROM (SELECT qid, id, cos, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS INTEGER) AS rank FROM s)
       WHERE rank <= 10"""))
 
   /** One SQL Lloyd round: assign every vector to its argmin-cosine
@@ -494,8 +494,8 @@ object Queries3 {
         SELECT p.qid, a.id, ${cosineSql("v", "qv")} AS cos
         FROM assigned a JOIN probes p ON a.cell = p.cell)
       SELECT qid, id, cos, rank
-      FROM (SELECT qid, id, cos, row_number() OVER (
-              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS rank
+      FROM (SELECT qid, id, cos, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC NULLS LAST, id ASC) AS INTEGER) AS rank
             FROM scored)
       WHERE rank <= 10"""))
 

@@ -293,8 +293,8 @@ object Queries4 {
     },
     Some("""WITH s1 AS (
         SELECT o_orderkey, o_custkey AS user_id, o_orderdate,
-          row_number() OVER (PARTITION BY o_custkey
-            ORDER BY o_orderdate ASC, o_orderkey ASC) AS idx
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS idx
         FROM orders WHERE o_orderkey % 50 = 0)
       SELECT o_orderkey, user_id, idx, event_id
       FROM (SELECT s1.o_orderkey, s1.user_id, s1.idx, e.event_id,

@@ -339,8 +339,8 @@ object Queries7 {
       qs AS (SELECT vec_id AS qid, [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
         FROM embeddings WHERE vec_id < 3),
       sc AS (SELECT qid, id, v, qv, ${cosSql("d", "qv")} AS cos_q FROM dq, qs),
-      top AS (SELECT qid, id, v, qv, cos_q, row_number() OVER (
-          PARTITION BY qid ORDER BY cos_q DESC NULLS LAST, id ASC) AS rank
+      top AS (SELECT qid, id, v, qv, cos_q, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY cos_q DESC NULLS LAST, id ASC) AS INTEGER) AS rank
         FROM sc)
       SELECT qid, id, cos_q, ${cosSql("v", "qv")} AS cos_exact, rank
       FROM top WHERE rank <= 10 ORDER BY qid, rank"""))

@@ -20,7 +20,8 @@ object SparkEntry {
       Queries13.all ++ Queries14.all ++ Queries15.all ++ Queries16.all ++
       Queries17.all ++ Queries18.all ++ Queries19.all ++ Queries20.all ++
       Queries21.all ++ Queries22.all ++ Queries23.all ++ Queries24.all ++
-      Queries25.all ++ Queries26.all ++ Queries27.all ++ Queries28.all
+      Queries25.all ++ Queries26.all ++ Queries27.all ++ Queries28.all ++
+      Queries29.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

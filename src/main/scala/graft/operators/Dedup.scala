@@ -502,8 +502,14 @@ object Dedup {
     * below any usable threshold. Same scale guards: one native
     * distinct-gram pass, df-pruned inverted index so no ubiquitous
     * gram explodes the self-join. Scores are integer milli
-    * (1000·inter div n_a — engines replay them exactly); emits both
-    * directions of each qualifying pair.
+    * (1000·inter div n_a — engines replay them exactly); each
+    * DIRECTION of a pair qualifies independently against the
+    * threshold (a→b can pass while b→a does not).
+    *
+    * Like [[ngramJaccard]], the score is a LOWER BOUND when `maxDf`
+    * prunes: the intersection counts only grams with df ≤ maxDf while
+    * the denominator n_a counts ALL distinct grams of a — exact when
+    * maxDf admits every gram (or is None).
     */
   def ngramContainment(docs: DataFrame, textCol: String, idCol: String,
                        tokenize: Column => Column,

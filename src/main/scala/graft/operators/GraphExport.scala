@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.domain.GraphAssembly
+
+/** The engine's terminal graph artifact: a consumable on-disk layout
+  * of the assembled property graph, written only after the same
+  * integrity gates the reference enforces as Neo4j constraints.
+  *
+  * Reference capability: every projector in graph_db ends in an
+  * idempotent MERGE into a live Neo4j store guarded by uniqueness
+  * constraints (app/graph_constraints.py:2-133; e.g. the writers at
+  * app/graph_fields.py:14-30, app/graph_app_nutrient_content.py:
+  * 137-166). The Spark-native equivalent of "a populated graph
+  * database" is a partitioned, key-sorted parquet layout that any
+  * downstream engine (Spark, Trino, DuckDB, a bulk Neo4j importer)
+  * can consume directly:
+  *
+  *   <root>/vertices/label=<L>/part-*.parquet   (id, props…) sorted by id
+  *   <root>/edges/rel=<R>/part-*.parquet        (src, dst) sorted by (src, dst)
+  *
+  * Scale design: `partitionBy` routes rows to label/rel directories,
+  * but label count is SMALL (27 in the reference catalog) and skewed
+  * — one shuffle partition per label would serialize the biggest
+  * label through one task. `repartitionByRange` on (label, id) gives
+  * every hot label a contiguous RANGE of partitions (AQE balances
+  * the ranges), each writing one key-sorted file into its label
+  * directory — parallel within a label, no tiny-file explosion, and
+  * the sort makes downstream merge-joins and min/max-pruned point
+  * lookups cheap. The gates run BEFORE the write (write-once
+  * discipline: a failed gate leaves no partial artifact behind).
+  */
+object GraphExport {
+
+  /** Integrity gates, mirroring the reference's constraint DDL:
+    * vertex-id uniqueness (graph_constraints.py's per-label UNIQUE)
+    * and no dangling edge endpoints (what Neo4j MERGE-by-matched-node
+    * guarantees structurally). Returns (dupIds, danglingEdges) counts
+    * so callers can surface them; `exportGraph` requires both zero.
+    */
+  def integrityGate(vertices: DataFrame, edges: DataFrame): (Long, Long) = {
+    val dups = vertices.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(1).count()
+    val dangling = GraphAssembly.danglingEdges(vertices, edges)
+      .limit(1).count()
+    (dups, dangling)
+  }
+
+  /** Gate, write, and read back the exported layout. Returns the
+    * read-back (vertices, edges) so callers can prove the round-trip
+    * lossless against the in-memory originals.
+    */
+  def exportGraph(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                  root: String, filesPerSide: Int = 8): (DataFrame, DataFrame) = {
+    val (dups, dangling) = integrityGate(vertices, edges)
+    require(dups == 0,
+      s"graph export gate: duplicate vertex ids (count probe hit $dups)")
+    require(dangling == 0,
+      s"graph export gate: dangling edge endpoints (probe hit $dangling)")
+    vertices
+      .repartitionByRange(filesPerSide, col("label"), col("id"))
+      .sortWithinPartitions(col("label"), col("id"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$root/vertices")
+    edges
+      .repartitionByRange(filesPerSide, col("rel"), col("src"), col("dst"))
+      .sortWithinPartitions(col("rel"), col("src"), col("dst"))
+      .write.mode("overwrite").partitionBy("rel")
+      .parquet(s"$root/edges")
+    (spark.read.parquet(s"$root/vertices"),
+      spark.read.parquet(s"$root/edges"))
+  }
+}

@@ -94,12 +94,21 @@ object GraphOps {
     * [[pageRank]]: co-partitioned checkpointed edges, zero-contribution
     * union instead of a per-iteration vertex join, decimal-quantized
     * sums — one shuffle per iteration.
+    *
+    * Weights must be POSITIVE: a non-positive edge weight would give
+    * a src with sum(w) ≤ 0 whose fractions are NaN/negative and
+    * silently zero downstream ranks through the decimal quantization
+    * (non-ANSI cast). Such edges are rejected loudly up front.
     */
   def pageRankWeighted(edges: DataFrame, iterations: Int,
                        reset: Double = 0.15, damp: Double = 0.85,
                        scope: CacheScope = CacheScope.global): DataFrame = {
     val e = scope.checkpoint(edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w")))
+    val badW = e.filter(col("w") <= 0 || col("w").isNull).limit(1).count()
+    require(badW == 0,
+      "pageRankWeighted: edge weights must be positive non-null " +
+        "(found a w <= 0 or NULL edge); filter or reweight upstream")
     val vertices = scope.checkpoint(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     val wSum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
@@ -217,6 +226,46 @@ object GraphOps {
                     scope: CacheScope = CacheScope.global): DataFrame =
     weightedSssp(edges.select(col("src"), col("dst"), lit(1L).as("w")),
       sources, iterations, scope)
+
+  /** Bounded k-hop path EXPAND with full path accumulation — the
+    * DataFrame form of Cypher's variable-length pattern
+    * `(s)-[*1..k]->(v)`: from each source, every simple path of 1..k
+    * directed hops, as (start, end, hops, path[ids]). "Simple" means
+    * no repeated vertex within a path (`array_contains` guard), which
+    * is Cypher's own trail/no-revisit semantics for bounded patterns
+    * and also what keeps the expansion finite on cyclic graphs.
+    *
+    * Scale design: hop h is ONE equi-join of the frontier (paths of
+    * length h−1, shuffled on their end vertex) against the
+    * src-partitioned edge relation — the standard distributed
+    * path-expand; total cost is the true path-count, which the
+    * caller bounds by `maxHops` and the source set. The path array
+    * grows to at most k+1 longs, so frontier rows stay narrow; no
+    * driver-side state, no recursion. The per-level frames are
+    * checkpointed so the logical plan stays linear in k.
+    *
+    * The output is deterministic set semantics (paths are values, no
+    * ordering) and replays in any engine as k unrolled self-joins —
+    * the oracle form.
+    */
+  def kHopPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = scope.checkpoint(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    var frontier = sources.select(col("id").as("start"),
+      col("id").as("end"), array(col("id")).as("path"))
+    val levels = (1 to maxHops).map { h =>
+      frontier = scope.checkpoint(
+        frontier.join(e, frontier("end") === e("src"))
+          .filter(!array_contains(col("path"), col("dst")))
+          .select(col("start"), col("dst").as("end"),
+            concat(col("path"), array(col("dst"))).as("path")))
+      frontier.withColumn("hops", lit(h))
+    }
+    levels.reduce(_ unionByName _)
+      .select(col("start"), col("end"), col("hops"), col("path"))
+  }
 
   /** Weighted single-source(s) shortest paths — Bellman-Ford
     * relaxation over integer-weight edges (src, dst, w), fixed

@@ -47,4 +47,32 @@ object Linkage {
       .withColumn("link_score", score(fields))
       .filter(col("link_score") >= threshold)
   }
+
+  /** Multi-blocking union: candidates are the UNION of several block
+    * joins (each a conjunction of key pairs), deduplicated on the id
+    * pair before scoring. This is the pigeonhole upgrade over a
+    * single hot block: with a name split into q parts and blocks on
+    * every (q-1)-subset, any pair within edit distance 1 (equal
+    * length ⇒ one substitution) agrees on at least one full subset
+    * and meets in that block — candidate recall is exact while each
+    * block key carries far more entropy than any single field.
+    * Cost: Σ_blocks Σ_keys |block|², vs one coarse key's N²/k.
+    *
+    * `idCols` names the unique row ids (left, right) used to dedupe
+    * a pair that meets in several blocks; dedup keys the shuffle, so
+    * the union never re-scores or double-emits.
+    */
+  def linkScoredMulti(left: DataFrame, right: DataFrame,
+                      idCols: (String, String),
+                      blockKeySets: Seq[Seq[(String, String)]],
+                      fields: Seq[Field], threshold: Int): DataFrame = {
+    val cands = blockKeySets.map { keys =>
+      val cond = keys.map { case (l, r) => col(l) === col(r) }
+        .reduce(_ && _)
+      left.join(right, cond)
+    }.reduce(_ unionByName _)
+      .dropDuplicates(idCols._1, idCols._2)
+    cands.withColumn("link_score", score(fields))
+      .filter(col("link_score") >= threshold)
+  }
 }

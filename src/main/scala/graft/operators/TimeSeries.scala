@@ -155,6 +155,13 @@ object TimeSeries {
     * inputs must be nonneg for truncate-div == floor-div parity
     * across engines). Emits input + `ewma_milli`.
     *
+    * NULL semantics: a NULL current value contributes nothing to
+    * num/den, so the row emits the weighted average of its non-null
+    * lags; when the current value AND all `depth` lags are NULL the
+    * denominator is 0 and `ewma_milli` is NULL (guarded explicitly —
+    * without the guard Spark's non-ANSI div yields NULL while a
+    * DuckDB `//` replay raises, an engine-parity hazard).
+    *
     * `ord` must be a total order (timestamp + unique tiebreak).
     */
   def ewmaLag(df: DataFrame, key: Column, value: Column,
@@ -173,7 +180,8 @@ object TimeSeries {
     base
       .withColumn("__num", num)
       .withColumn("__den", den)
-      .withColumn("ewma_milli", expr("__num div __den"))
+      .withColumn("ewma_milli",
+        when(col("__den") > 0, expr("__num div __den")))
       .drop("__x", "__num", "__den")
   }
 }

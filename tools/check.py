@@ -9,7 +9,20 @@ With --json, also writes a driver-shaped artifact: per-query
 {"rows": bool, "schema": bool, "hash": bool} — the committed local
 replica of CORRECTNESS_r{N}.json, so a driver-side checker crash can
 never zero a round's correctness evidence.
+
+TYPE-STRICT (round 7): both sides are fetched through Arrow and the
+column TYPES are compared, not just the cell values. Round 6's driver
+checker flagged 7 queries whose oracle left HUGEINT (int128) columns
+where Spark emits int64 — DuckDB's Python fetchall() returns plain
+ints for both, so the old value-only compare was blind to it. Arrow
+exposes HUGEINT as decimal128(38,0) vs int64, and int32 vs int64
+stay distinct (the driver is width-sensitive: see the explicit
+CAST(... AS INTEGER) convention in the oracle SQL). Tolerated
+divergences, calibrated against what the round-6 driver run accepted:
+string/large_string, and timestamp with/without tz (values are
+normalized to naive UTC before compare).
 """
+import datetime
 import json
 import math
 import sys
@@ -22,11 +35,28 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+def norm_type(t):
+    """Canonical string for an arrow type; tolerant only where the
+    round-6 driver run demonstrably tolerated."""
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "large_string":
+        return "string"
+    if s.startswith("large_list"):
+        return "list" + s[len("large_list"):]
+    return s
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "tolist"):  # numpy array
@@ -34,10 +64,16 @@ def norm_cell(v):
     return v
 
 
-def canon(rows, cols):
+def canon(tbl):
+    """Arrow table -> (sorted rows, sorted col names, matching col types)."""
+    cols = list(tbl.schema.names)
+    types = [norm_type(f.type) for f in tbl.schema]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr), sorted(cols)
+    pycols = [tbl.column(i).to_pylist() for i in range(len(cols))]
+    out = [tuple(norm_cell(pycols[i][r]) for i in order)
+           for r in range(tbl.num_rows)]
+    return (sorted(out, key=repr), [cols[i] for i in order],
+            [types[i] for i in order])
 
 
 def main():
@@ -79,24 +115,31 @@ def main():
         con = connect()
         try:
             try:
-                gq = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-                g_cols0 = [d[0] for d in gq.description]
-                got = gq.fetchall()
-                wq = con.execute(oracle[name])
-                w_cols0 = [d[0] for d in wq.description]
-                want = wq.fetchall()
+                g_tbl = con.execute(
+                    f"SELECT * FROM read_parquet('{pq}/*.parquet')").arrow()
+                w_tbl = con.execute(oracle[name]).arrow()
             except Exception as e:
                 print(f"FAIL {name}: {e}")
                 results[name] = {"rows": False, "schema": False,
                                  "hash": False, "error": str(e)[:200]}
                 n_fail += 1
                 continue
-            g_rows, g_cols = canon(got, g_cols0)
-            w_rows, w_cols = canon(want, w_cols0)
+            g_rows, g_cols, g_types = canon(g_tbl)
+            w_rows, w_cols, w_types = canon(w_tbl)
             if g_cols != w_cols:
                 print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
                 results[name] = {"rows": len(g_rows) == len(w_rows),
                                  "schema": False, "hash": False}
+                n_fail += 1
+                continue
+            if g_types != w_types:
+                diffs = [f"{c}: spark={a} oracle={b}" for c, a, b
+                         in zip(g_cols, g_types, w_types) if a != b]
+                print(f"FAIL {name}: column TYPES diverge — "
+                      + "; ".join(diffs))
+                results[name] = {"rows": len(g_rows) == len(w_rows),
+                                 "schema": True, "hash": False,
+                                 "type_mismatch": diffs}
                 n_fail += 1
                 continue
             if len(g_rows) != len(w_rows):
@@ -127,3 +170,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
