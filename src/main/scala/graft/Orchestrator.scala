@@ -29,13 +29,54 @@ object Orchestrator {
     envOn && onlyOk && !skip.contains(key)
   }
 
-  /** Run the gated stages in order; returns per-stage seconds. */
+  /** The stage DAG, DECLARED rather than implied by list order. The
+    * reference encodes its dependencies only through the serialized
+    * call sequence (constraints before every projector, AE → PA →
+    * FP → ANC at main_graph_topraq.py:117-324), so `--only pa` there
+    * silently runs without its upstream; here `--only X` pulls X's
+    * transitive prerequisites so a stage never runs on a surface its
+    * upstream was supposed to populate/validate. Keys not listed
+    * have no prerequisites. The registry order must stay a
+    * topological order of this map (spec-asserted).
+    */
+  val upstream: Map[String, Seq[String]] = Map(
+    "ingest" -> Seq("constraints"),
+    "joins" -> Seq("ingest"),
+    "day_metrics" -> Seq("ingest"),
+    "app_chain" -> Seq("joins"),
+    "text" -> Seq("ingest"),
+    "dedup" -> Seq("text"),
+    "sampling" -> Seq("dedup"),
+    "timeseries" -> Seq("ingest"),
+    "lake_ops" -> Seq("ingest"),
+    "vectors" -> Seq("ingest"),
+    "graph" -> Seq("joins"),
+    "multimodal" -> Seq("ingest"))
+
+  /** Expand an `--only` set with its transitive upstream closure.
+    * An explicit `skip` still wins over a pulled prerequisite (the
+    * operator said so), matching the reference's skip-beats-enable.
+    */
+  def withUpstream(only: Set[String]): Set[String] = {
+    @annotation.tailrec
+    def go(acc: Set[String]): Set[String] = {
+      val next = acc ++ acc.flatMap(k => upstream.getOrElse(k, Nil))
+      if (next == acc) acc else go(next)
+    }
+    if (only.isEmpty) only else go(only)
+  }
+
+  /** Run the gated stages in order (registry order is topological for
+    * [[upstream]]); `--only` is expanded with its prerequisite
+    * closure first. Returns per-stage seconds.
+    */
   def run(spark: SparkSession, sfDir: String, stages: Seq[Stage],
           only: Set[String] = Set.empty,
           skip: Set[String] = Set.empty): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
+    val onlyFull = withUpstream(only)
     val times = stages.flatMap { st =>
-      if (!enabled(st.key, only, skip)) {
+      if (!enabled(st.key, onlyFull, skip)) {
         println(s"[SKIP] ${st.label}")
         None
       } else {

@@ -59,9 +59,10 @@ object Queries20 {
     * multiplicative seasonality profile a forecast pipeline divides
     * out. Two hash aggregates (per-(type,dow), per-type) and a
     * broadcast-sized join of the 5x7 matrix; raw events meet nothing
-    * else. Products stay within int64 up to ~10^7 rows per type at
-    * milli scale; beyond that the same query runs with decimal(38)
-    * intermediates.
+    * else. The sums and the 1000·s·n_tot product run in decimal(38,0)
+    * on the Spark side / HUGEINT in the oracle so no scale can wrap
+    * them (round-6 advice); the integral quotient itself is small and
+    * ships as BIGINT on both sides.
     */
   val ts_seasonality = Q(
     (s, dir) => {
@@ -69,18 +70,22 @@ object Queries20 {
         expr("weekday(ts)").as("dow"),
         col("value").cast("decimal(27,3)").*(lit(1000)).cast("long").as("x"))
       val byDow = e.groupBy(col("event_type"), col("dow"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(38,0)")).as("s"))
       val byType = e.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_tot"), sum(col("x")).as("s_tot"))
+        .agg(count(lit(1)).as("n_tot"),
+          sum(col("x").cast("decimal(38,0)")).as("s_tot"))
       byDow.join(byType, "event_type")
         .select(col("event_type"), col("dow"), col("n"),
-          expr("1000L * s * n_tot div (n * s_tot)").as("idx_milli"))
+          // IntegralDivide over decimal operands emits BIGINT
+          expr("1000 * s * n_tot div (n * s_tot)").as("idx_milli"))
     },
     Some("""WITH e AS (SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
             CAST(CAST(value AS DECIMAL(27,3)) * 1000 AS BIGINT) AS x FROM events),
-        d AS (SELECT event_type, dow, count(*) AS n, sum(x) AS s
+        d AS (SELECT event_type, dow, count(*) AS n,
+            sum(CAST(x AS HUGEINT)) AS s
           FROM e GROUP BY 1, 2),
-        t AS (SELECT event_type, count(*) AS n_tot, sum(x) AS s_tot
+        t AS (SELECT event_type, count(*) AS n_tot,
+            sum(CAST(x AS HUGEINT)) AS s_tot
           FROM e GROUP BY 1)
       SELECT event_type, dow, n,
         CAST((1000 * s * n_tot) // (n * s_tot) AS BIGINT) AS idx_milli

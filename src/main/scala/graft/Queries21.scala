@@ -52,37 +52,44 @@ object Queries21 {
   /** Per-type least-squares trend slope over (day-index, milli-value)
     * as an EXACT RATIONAL: slope = num/den with
     * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² — one hash aggregate
-    * per type, every sum a BIGINT (x is a small day index, y milli).
-    * Emitting the reduced moments instead of a float slope keeps the
-    * row bit-replayable; any consumer divides at display time.
+    * per type. Moment products and sums run in decimal(38,0) on the
+    * Spark side / HUGEINT in the oracle (milli-scaled y times a day
+    * index would wrap int64 well below sf1 — round-6 advice), and the
+    * outputs ship as DECIMAL(38,0) on both sides: exact integers at
+    * any scale, divided only at display time.
     */
   val ts_trend_slope = Q(
     (s, dir) => {
       val ev = T_(s, dir, "events")
       val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       ev.crossJoin(broadcast(d0))
         .select(col("event_type"),
           datediff(to_date(col("ts")), col("d0")).cast("long").as("x"),
           col("value").cast("decimal(27,3)").*(lit(1000)).cast("long").as("y"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+        .agg(count(lit(1)).as("n"), sum(d(col("x"))).as("sx"),
+          sum(d(col("y"))).as("sy"), sum(d(col("x")) * col("y")).as("sxy"),
+          sum(d(col("x")) * col("x")).as("sxx"))
         .select(col("event_type"), col("n"),
-          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(38,0)").as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").as("slope_den"))
     },
     Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
         e AS (SELECT event_type,
             CAST(date_diff('day', d0, CAST(ts AS DATE)) AS BIGINT) AS x,
             CAST(CAST(value AS DECIMAL(27,3)) * 1000 AS BIGINT) AS y
           FROM events CROSS JOIN d0),
-        m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-            sum(x * y) AS sxy, sum(x * x) AS sxx
+        m AS (SELECT event_type, count(*) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx
           FROM e GROUP BY 1)
       SELECT event_type, n,
-        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+        CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
       FROM m"""))
 
   /** MERGE with schema evolution: the delta carries a column the base

@@ -67,9 +67,13 @@ object Queries24 {
     * form over milli-scaled integers:
     * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²)) —
     * the two denominator factors ship unsquare-rooted (den_x, den_y),
-    * so no libm touches the row. Values are DECI-scaled (×10): with
-    * |y| ≤ 5·10³ the worst term n·Σxy stays under 10¹⁷ at sf1; a
-    * 100-TB run swaps the moment sums to decimal(38,0), same query.
+    * so no libm touches the row. Values are DECI-scaled (×10), and
+    * every moment (product and sum) runs in decimal(38,0) on the
+    * Spark side / HUGEINT (int128) in the oracle, so NOTHING can wrap
+    * at any realistic scale: with |y| ≤ 10⁶ deci-units and n ≤ 10¹²
+    * rows per type, the worst term n·Σxy stays under 10³⁶ < 10³⁸.
+    * Outputs are DECIMAL(38,0) on both sides — exact integers, engine
+    * bit-parity by construction (round-6 verdict task 6).
     */
   val ts_autocorr_lag1 = Q(
     (s, dir) => {
@@ -81,15 +85,19 @@ object Queries24 {
           col("value").cast("decimal(27,1)").*(lit(10)).cast("long"))
         .withColumn("x", lag(col("y"), 1).over(w))
         .filter(col("x").isNotNull)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       pairs.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+        .agg(count(lit(1)).as("n"), sum(d(col("x"))).as("sx"),
+          sum(d(col("y"))).as("sy"), sum(d(col("x")) * col("y")).as("sxy"),
+          sum(d(col("x")) * col("x")).as("sxx"),
+          sum(d(col("y")) * col("y")).as("syy"))
         .select(col("event_type"), col("n"),
-          (col("n") * col("sxy") - col("sx") * col("sy")).as("r_num"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).as("r_den_x"),
-          (col("n") * col("syy") - col("sy") * col("sy")).as("r_den_y"))
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(38,0)").as("r_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").as("r_den_x"),
+          (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("decimal(38,0)").as("r_den_y"))
     },
     Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
             CAST(CAST(value AS DECIMAL(27,1)) * 10 AS BIGINT) AS y FROM events),
@@ -97,13 +105,16 @@ object Queries24 {
             lag(y) OVER (PARTITION BY user_id ORDER BY us, event_id) AS x
           FROM e),
         q AS (SELECT event_type, x, y FROM p WHERE x IS NOT NULL),
-        m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-            sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        m AS (SELECT event_type, count(*) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy
           FROM q GROUP BY 1)
       SELECT event_type, n,
-        CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
-        CAST(n * sxx - sx * sx AS BIGINT) AS r_den_x,
-        CAST(n * syy - sy * sy AS BIGINT) AS r_den_y
+        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS r_num,
+        CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS r_den_x,
+        CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS r_den_y
       FROM m"""))
 
   private val toksSql =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.domain.GraphAssembly
-import graft.operators.{GraphExport, GraphOps}
+import graft.operators.{Dedup, GraphExport, GraphOps}
 import Queries.Q
 
 /** Batch 29 (round 7): the graph EXPORT stage — the engine's terminal
@@ -124,8 +124,80 @@ object Queries29 {
       UNION ALL SELECT start, "end", CAST(2 AS INTEGER), path FROM h2
       UNION ALL SELECT start, "end", CAST(3 AS INTEGER), path FROM h3"""))
 
+  /** Multi-key fuzzy join ([[Dedup.fuzzyJoinBlockedMulti]]): the
+    * recall dial over the single edge-char family. The perturbation
+    * REPLACES THE FIRST CHARACTER — precisely the edit the single
+    * (first char, last char, band) family is blind to — so every
+    * true pair this query emits beyond the single family's reach is
+    * recovered by the rarest-q-gram family. q=6 because part names
+    * are 5-word color templates where every 3-gram is common (the
+    * operator scaladoc's degenerate case); maxDf=50 hard-bounds any
+    * residual hot gram. The oracle replays BOTH blocking families
+    * gram-for-gram (df table + cap, min-(df, gram) rarest choice,
+    * band explode, union, pair dedup), so the heuristic recall set
+    * itself is engine-replayable, not just the residual filter.
+    */
+  val f_fuzzy_match_multi = Q(
+    (s, dir) => {
+      val clean = T_(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val dirty = clean.select(col("p_partkey").as("d_key"),
+        concat(lit("q"), substring(col("p_name"), 2, 1000000)).as("d_name"))
+      Dedup.fuzzyJoinBlockedMulti(dirty, "d_name", "d_key",
+          clean, "p_name", "p_partkey", maxDist = 2, q = 6,
+          maxDf = Some(50))
+        .select(col("d_key"), col("d_name"), col("p_partkey"),
+          col("p_name"), col("dist"))
+    },
+    Some("""WITH clean AS (SELECT p_partkey, p_name FROM part),
+        dirty AS (SELECT p_partkey AS d_key, 'q' || substr(p_name, 2) AS d_name
+          FROM part),
+        offs(off) AS (VALUES (-1), (0), (1)),
+        ckA AS (SELECT p_partkey, p_name,
+            substr(p_name, 1, 1) || substr(p_name, -1, 1) || '|' ||
+              CAST(length(p_name) // 3 AS VARCHAR) AS bk
+          FROM clean),
+        dkA AS (SELECT d_key, d_name,
+            substr(d_name, 1, 1) || substr(d_name, -1, 1) || '|' ||
+              CAST(length(d_name) // 3 + off AS VARCHAR) AS bk
+          FROM dirty CROSS JOIN offs),
+        candA AS (SELECT d_key, d_name, p_partkey, p_name
+          FROM dkA JOIN ckA USING (bk)),
+        pos AS (SELECT unnest(range(1, 64)) AS i),
+        cgrow AS (SELECT DISTINCT p_partkey, substr(p_name, i, 6) AS g
+          FROM clean, pos WHERE i <= length(p_name) - 5),
+        gdf AS (SELECT g, count(*) AS df FROM cgrow GROUP BY g
+          HAVING count(*) <= 50),
+        cn AS (SELECT DISTINCT p_name AS name FROM clean),
+        cng AS (SELECT DISTINCT name, substr(name, i, 6) AS g
+          FROM cn, pos WHERE i <= length(name) - 5),
+        crare AS (SELECT name, g FROM (SELECT name, g,
+            row_number() OVER (PARTITION BY name ORDER BY df, g) AS rn
+          FROM cng JOIN gdf USING (g)) WHERE rn = 1),
+        dn AS (SELECT DISTINCT d_name AS name FROM dirty),
+        dng AS (SELECT DISTINCT name, substr(name, i, 6) AS g
+          FROM dn, pos WHERE i <= length(name) - 5),
+        drare AS (SELECT name, g FROM (SELECT name, g,
+            row_number() OVER (PARTITION BY name ORDER BY df, g) AS rn
+          FROM dng JOIN gdf USING (g)) WHERE rn = 1),
+        ckB AS (SELECT p_partkey, p_name,
+            r.g || '|' || CAST(length(p_name) // 3 AS VARCHAR) AS bk
+          FROM clean JOIN crare r ON r.name = p_name),
+        dkB AS (SELECT d_key, d_name,
+            r.g || '|' || CAST(length(d_name) // 3 + off AS VARCHAR) AS bk
+          FROM dirty JOIN drare r ON r.name = d_name CROSS JOIN offs),
+        candB AS (SELECT d_key, d_name, p_partkey, p_name
+          FROM dkB JOIN ckB USING (bk)),
+        cand AS (SELECT DISTINCT d_key, d_name, p_partkey, p_name FROM (
+          SELECT * FROM candA UNION ALL SELECT * FROM candB))
+      SELECT d_key, d_name, p_partkey, p_name,
+        CAST(levenshtein(d_name, p_name) AS INTEGER) AS dist
+      FROM cand
+      WHERE abs(length(d_name) - length(p_name)) <= 2
+        AND levenshtein(d_name, p_name) <= 2"""))
+
   val all: Map[String, Q] = Map(
     "g_export_roundtrip" -> g_export_roundtrip,
     "g_khop_paths" -> g_khop_paths,
+    "f_fuzzy_match_multi" -> f_fuzzy_match_multi,
   )
 }

@@ -93,6 +93,23 @@ object SkewBench {
       "g_pagerank" -> ((s, d) => GraphOps.pageRank(graphEdges(s, d), 10)),
       "g_triangles" -> ((s, d) => GraphOps.triangleCount(liPairs(s, d))),
       "g_kcore" -> ((s, d) => GraphOps.kCoreConverged(liPairs(s, d), k = 4)),
+      // fuzzy multi-key blocking under skew: boilerplate docs share a
+      // 24-char prefix, so both families' block keys (edge chars and
+      // the rarest corpus gram) concentrate — the soak asserts the
+      // union blocking stays candidate-bound, not all-pairs. Names
+      // are value-deduped first (production linkage links VALUES);
+      // identical-name clusters would make the TRUE output quadratic
+      // and measure output size, not blocking skew.
+      "f_fuzzy_multi" -> ((s, d) => {
+        val names = docs(s, d)
+          .select(substring(T.normText(col("text")), 1, 24).as("c_name"))
+          .distinct()
+          .withColumn("c_id", xxhash64(col("c_name")))
+        val dirty = names.select(xxhash64(col("c_name"), lit(1)).as("d_id"),
+          concat(lit("z"), substring(col("c_name"), 2, 100)).as("d_name"))
+        Dedup.fuzzyJoinBlockedMulti(dirty, "d_name", "d_id",
+          names, "c_name", "c_id", maxDist = 2, q = 6, maxDf = Some(64))
+      }),
       "j10_salted_skew" -> ((s, d) => {
         val ev = Tables.read(s, d, "events")
         val dim = ev.groupBy("event_type")

@@ -748,4 +748,100 @@ object Dedup {
       .filter(col("dist") >= 0)
       .drop("__bk")
   }
+
+  /** The RECALL DIAL [[fuzzyJoinBlocked]]'s scaladoc names: the
+    * multi-key union family. Candidates are the union of TWO
+    * independent blocking families, then deduped on the id pair:
+    *
+    *   - family A: (first char, last char, length band) — the single
+    *     family fuzzyJoinBlocked ships; loses a pair whose edit
+    *     touches an edge character.
+    *   - family B: (rarest q-gram, length band) — each name blocks on
+    *     its globally rarest q-gram (document frequency measured over
+    *     the CLEAN side, min-(df, gram) tiebreak so the choice is
+    *     deterministic). An edit touches at most q of a name's grams,
+    *     so a pair whose edit misses the rare gram — including every
+    *     edge-character edit on names longer than 2q — meets here.
+    *
+    * Neither family alone is exact; the union strictly grows recall
+    * at bounded cost: family B adds two scans + one keyed aggregate
+    * for the df table and its block key carries gram entropy, so
+    * block sizes stay bounded by key-space density (same argument as
+    * [[bandPairs]]). The final result is STILL threshold-exact per
+    * candidate (the levenshtein residual runs on every candidate) —
+    * the union only widens which pairs get tested.
+    *
+    * `dirtyId`/`cleanId` name unique id columns used to dedupe pairs
+    * that both families catch. Output = fuzzyJoinBlocked's columns.
+    *
+    * TUNE q AND maxDf TO THE CORPUS. q must be long enough that the
+    * rarest gram actually discriminates: on a template corpus built
+    * from a small vocabulary (TPC-H part names: 5 words over 92
+    * colors) NO 3-gram is rare — every gram's df is in the hundreds,
+    * family B degenerates to a handful of giant blocks, and the
+    * "recall dial" becomes an N² foot-gun (measured 34 s at sf0.1
+    * before this guard). q=6 spans word BOUNDARIES there (df ≈ the
+    * word-pair frequency ~10) and blocks stay key-space-bounded.
+    * `maxDf` is the hard stop: grams with df > maxDf never become
+    * block keys, so a name whose every gram is common simply has no
+    * family-B key (family A still covers it) instead of joining a
+    * mega-block. Both dials are mirrored in any oracle replay.
+    */
+  def fuzzyJoinBlockedMulti(dirty: DataFrame, dirtyName: String, dirtyId: String,
+                            clean: DataFrame, cleanName: String, cleanId: String,
+                            maxDist: Int, q: Int = 3,
+                            maxDf: Option[Int] = None): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q-gram length must be >= 2")
+    val w = maxDist + 1
+
+    // distinct q-grams of a name column (whole name when shorter
+    // than q); takes the column NAME because the gram positions are
+    // generated via a lambda expr
+    def grams(name: String): Column = array_distinct(
+      when(length(col(name)) < q, array(col(name))).otherwise(
+        expr(s"transform(sequence(1, length($name) - ${q - 1}), " +
+          s"i -> substring($name, i, $q))")))
+
+    // df table over the clean side; rarest CORPUS-KNOWN gram per name
+    // on both sides. The join is INNER on purpose: a gram the clean
+    // corpus never saw (e.g. the one a typo just created) must not
+    // win "rarest" — both sides must prefer shared evidence, or the
+    // perturbed side would always block on its own typo and never
+    // meet its partner. A name with no known gram simply has no
+    // family-B key (family A still covers it).
+    val df0 = clean.select(explode(grams(cleanName)).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    val df = maxDf.map(d => df0.filter(col("__df") <= d)).getOrElse(df0)
+    def withRarest(side: DataFrame, nameCol: String): DataFrame = {
+      val exploded = side.select(col(nameCol).as("__n"))
+        .distinct()
+        .select(col("__n"), explode(grams("__n")).as("__g"))
+        .join(df, Seq("__g"))
+      val rarest = exploded.groupBy("__n")
+        .agg(min_by(col("__g"), struct(col("__df"), col("__g"))).as("__rg"))
+      side.join(rarest, side(nameCol) === rarest("__n")).drop("__n")
+    }
+
+    def key(g: Column, band: Column): Column =
+      concat(g, lit("|"), band.cast("string"))
+    val build = withRarest(clean, cleanName).withColumn("__bk",
+      key(col("__rg"), floor(length(col(cleanName)) / w).cast("long")))
+      .drop("__rg")
+    val probe = withRarest(dirty, dirtyName)
+      .withColumn("__b", floor(length(col(dirtyName)) / w).cast("long"))
+      .withColumn("__bk", explode(array((-1 to 1).map(i =>
+        key(col("__rg"), col("__b") + i)): _*)))
+      .drop("__b", "__rg")
+    val famB = probe.join(build, "__bk")
+      .filter(abs(length(col(dirtyName)) - length(col(cleanName))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col(dirtyName), col(cleanName), maxDist).cast("int"))
+      .filter(col("dist") >= 0)
+      .drop("__bk")
+
+    fuzzyJoinBlocked(dirty, dirtyName, clean, cleanName, maxDist)
+      .unionByName(famB)
+      .dropDuplicates(dirtyId, cleanId)
+  }
 }

@@ -42,4 +42,44 @@ class OrchestratorSpec extends AnyFunSuite {
     }.filter(_._2 > 1)
     assert(dup.isEmpty, s"queries matched by multiple stages: $dup")
   }
+
+  test("--only pulls declared transitive upstream stages (app_chain runs joins first)") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val stages = Orchestrator.stageRegistry.map { case (key, label, _) =>
+      Stage(key, label, (_, _) => seen += key)
+    }
+    Orchestrator.run(spark, "unused", stages, only = Set("app_chain"))
+    // app_chain → joins → ingest → constraints, in registry order
+    assert(seen.toList == List("constraints", "ingest", "joins", "app_chain"))
+  }
+
+  test("explicit --skip still beats a pulled prerequisite") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val stages = Orchestrator.stageRegistry.map { case (key, label, _) =>
+      Stage(key, label, (_, _) => seen += key)
+    }
+    Orchestrator.run(spark, "unused", stages,
+      only = Set("app_chain"), skip = Set("constraints"))
+    assert(seen.toList == List("ingest", "joins", "app_chain"))
+  }
+
+  test("upstream keys all exist and registry order is topological") {
+    val keys = Orchestrator.stageRegistry.map(_._1)
+    val idx = keys.zipWithIndex.toMap
+    Orchestrator.upstream.foreach { case (k, ups) =>
+      assert(idx.contains(k), s"unknown stage in upstream: $k")
+      ups.foreach { u =>
+        assert(idx.contains(u), s"unknown prerequisite: $u")
+        assert(idx(u) < idx(k),
+          s"registry order violates dependency $u -> $k")
+      }
+    }
+  }
+
+  test("withUpstream is a closure: empty stays empty, roots stay themselves") {
+    assert(Orchestrator.withUpstream(Set.empty) == Set.empty)
+    assert(Orchestrator.withUpstream(Set("constraints")) == Set("constraints"))
+    assert(Orchestrator.withUpstream(Set("sampling")) ==
+      Set("sampling", "dedup", "text", "ingest", "constraints"))
+  }
 }
