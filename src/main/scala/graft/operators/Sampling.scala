@@ -82,6 +82,32 @@ object Sampling {
       .drop("__N")
   }
 
+  /** Temperature-scaled mixture at α = 1/2 — the standard
+    * multilingual-pretraining rebalance (sample stratum s with
+    * probability ∝ n_s^α, α < 1 upweighting rare strata), solved as
+    * DOWNSAMPLE-ONLY keep rates: with t_s ∝ √n_s the largest corpus
+    * achieving the target mixture keeps
+    * keep_rate_s = √(n_min / n_s) — the smallest stratum keeps 100%
+    * and a stratum 100× larger keeps 10%. The normalizer Σ√n cancels
+    * algebraically, so the computation is ONE keyed count + a
+    * broadcast min: no double summation whose partition order could
+    * wobble the last ulp, and √ of a double ratio is IEEE
+    * correctly-rounded — any engine replays the rate bit-for-bit
+    * (pow(x, α) for general α is NOT correctly rounded, which is why
+    * the α dial is the exponent family {1/2, 1/4, ...} via nested
+    * sqrt, not a float exponent). `keep_bp` feeds [[stratifiedBp]]'s
+    * basis-point gate.
+    */
+  def temperatureRatesSqrt(df: DataFrame, stratum: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+    val nMin = counts.agg(min(col("n_rows")).as("__m"))
+    counts.crossJoin(broadcast(nMin))
+      .withColumn("keep_rate", sqrt(col("__m").cast("double") / col("n_rows")))
+      .withColumn("keep_bp", floor(col("keep_rate") * 10000.0).cast("int"))
+      .drop("__m")
+  }
+
   /** Keep at most `cap` rows per group, chosen deterministically by
     * (detHash(id), id) order. Two-phase like a distributed top-k: a
     * partition-local rank first bounds the candidates to

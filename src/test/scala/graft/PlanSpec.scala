@@ -566,4 +566,26 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"one matrix-sized window expected, saw $windows:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("k-hop path expand: every hop is an equi-join, never a nested loop") {
+    val full = plan("g_khop_paths")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), "path expand must equi-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("multi-key fuzzy join: blocked equi-joins only, no all-pairs residual") {
+    val full = plan("f_fuzzy_match_multi")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      "both families must block via equi-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pigeonhole link blocking: compound-key equi-joins, no nested loop") {
+    val full = plan("f_link_score")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
