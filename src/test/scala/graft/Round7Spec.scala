@@ -59,6 +59,21 @@ class Round7Spec extends AnyFunSuite {
     assert(edges.exceptAll(eBack).isEmpty && eBack.exceptAll(edges).isEmpty)
   }
 
+  test("exported layout partition-prunes label point-reads") {
+    val verts = Seq(("A:1", "A", "{}"), ("A:2", "A", "{}"), ("B:9", "B", "{}"))
+      .toDF("id", "label", "props")
+    val edges = Seq(("A:1", "B:9", "REL")).toDF("src", "dst", "rel")
+    val (vB, _) = GraphExport.exportGraph(spark, verts, edges, tmpDir())
+    val q = vB.filter($"label" === "A")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the label predicate must prune at the DIRECTORY level (the
+    // whole point of the label-partitioned layout: a one-label read
+    // never opens the other labels' files)
+    assert(plan.contains("PartitionFilters") && plan.contains("label"),
+      "label filter did not reach partition pruning:\n" + plan)
+  }
+
   test("exportGraph refuses duplicate vertex ids before writing bytes") {
     val verts = Seq(("A:1", "A", "{}"), ("A:1", "A", "{}"))
       .toDF("id", "label", "props")
