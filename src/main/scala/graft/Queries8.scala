@@ -93,6 +93,14 @@ object Queries8 {
     * 3 = grand total), identical in both engines. Dims broadcast;
     * the only shuffle is orders x customer on the join key and the
     * post-expand aggregate.
+    *
+    * Revenue ships as DECIMAL(37,2), not double: these are the
+    * LARGEST sums in the catalog (region/grand totals), and at sf0.1
+    * the scaled value exceeds 2^53 — the final decimal→double cast
+    * is where engines diverge (an int128→double conversion may
+    * double-round; observed 1-ulp split on two region rows at sf0.1).
+    * Keeping the exact decimal removes the only inexact hop; both
+    * engines' decimal sums are integer-exact at any scale.
     */
   val a_rollup_totals = Q(
     (s, dir) => T_(s, dir, "orders")
@@ -102,10 +110,12 @@ object Queries8 {
       .rollup(col("r_name"), col("n_name"))
       .agg(grouping_id().cast("int").as("lvl"),
         count(lit(1)).as("n_orders"),
-        decSum(col("o_totalprice")).as("revenue")),
+        sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(37,2)").as("revenue")),
     Some("""SELECT r.r_name, n.n_name,
         CAST(GROUPING(r.r_name, n.n_name) AS INTEGER) AS lvl,
-        count(*) AS n_orders, """ + sqlDecSum("o.o_totalprice") + """ AS revenue
+        count(*) AS n_orders,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DECIMAL(37,2)) AS revenue
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
