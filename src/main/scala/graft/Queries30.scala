@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{GraphOps, Sampling}
+import graft.domain.GraphAssembly
+import graft.operators.{GraphExport, GraphOps, Sampling}
 import Queries.Q
 
 /** Batch 30 (round 7): temperature-scaled mixture sampling (the
@@ -96,8 +97,64 @@ object Queries30 {
       SELECT start, "end", CAST(1 AS INTEGER) AS hops, path FROM h1
       UNION ALL SELECT start, "end", CAST(2 AS INTEGER), path FROM h2"""))
 
+  /** Incremental graph refresh ([[GraphExport.exportVerticesDelta]]):
+    * export the 4-label graph, then refresh ONLY the Nation label
+    * with re-projected vertices carrying an `upd` marker prop —
+    * dynamic partition overwrite rewrites the one touched label
+    * directory and leaves every other label's files alone (the
+    * byte-identity of untouched files is spec-proven; this query
+    * proves the CONTENT contract on the read-back: untouched labels
+    * match the original projection exactly, the refreshed label
+    * carries the new props).
+    */
+  val g_export_incremental = Q(
+    (s, dir) => {
+      def V(t: String, label: String, keys: Seq[String], cols: Seq[String]) =
+        GraphAssembly.vertices(T_(s, dir, t).select(cols.map(col): _*),
+          label, keys)
+      val verts =
+        V("orders", "Order", Seq("o_orderkey"), Seq("o_orderkey", "o_orderpriority"))
+        .unionByName(V("customer", "Customer", Seq("c_custkey"),
+          Seq("c_custkey", "c_mktsegment")))
+        .unionByName(V("nation", "Nation", Seq("n_nationkey"),
+          Seq("n_nationkey", "n_name")))
+        .unionByName(V("region", "Region", Seq("r_regionkey"),
+          Seq("r_regionkey", "r_name")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_graph_delta").toString
+      GraphExport.exportVertices(s, verts, root)
+      val delta = GraphAssembly.vertices(
+        T_(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+          .withColumn("upd", lit(1)),
+        "Nation", Seq("n_nationkey"))
+      val back = GraphExport.exportVerticesDelta(s, delta, root)
+        .select("id", "label", "props")
+      val untouched = verts.filter(col("label") =!= "Nation")
+      val backUntouched = back.filter(col("label") =!= "Nation")
+      val diff = untouched.exceptAll(backUntouched).count() +
+        backUntouched.exceptAll(untouched).count()
+      val updated = back.filter(col("label") === "Nation" &&
+        col("props").contains("\"upd\":1")).count()
+      back.groupBy(col("label").as("name")).agg(count(lit(1)).as("n"))
+        .select(lit("vertex").as("kind"), col("name"), col("n"))
+        .unionByName(s.range(1).select(lit("check").as("kind"),
+          lit("untouched_diff").as("name"), lit(diff).as("n")))
+        .unionByName(s.range(1).select(lit("check").as("kind"),
+          lit("nation_updated").as("name"), lit(updated).as("n")))
+        .orderBy(col("kind"), col("name"))
+    },
+    Some("""SELECT kind, name, n FROM (
+        SELECT 'vertex' AS kind, 'Order' AS name, count(*) AS n FROM orders
+        UNION ALL SELECT 'vertex', 'Customer', count(*) FROM customer
+        UNION ALL SELECT 'vertex', 'Nation', count(*) FROM nation
+        UNION ALL SELECT 'vertex', 'Region', count(*) FROM region
+        UNION ALL SELECT 'check', 'untouched_diff', 0
+        UNION ALL SELECT 'check', 'nation_updated', count(*) FROM nation)
+      ORDER BY kind, name"""))
+
   val all: Map[String, Q] = Map(
     "samp_temperature" -> samp_temperature,
     "g_khop_typed" -> g_khop_typed,
+    "g_export_incremental" -> g_export_incremental,
   )
 }

@@ -52,6 +52,24 @@ object GraphExport {
     * read-back (vertices, edges) so callers can prove the round-trip
     * lossless against the in-memory originals.
     */
+  /** Vertices-only export (same gate + layout as [[exportGraph]]'s
+    * vertex side); the entry point the incremental refresh composes
+    * with. Returns the read-back.
+    */
+  def exportVertices(spark: SparkSession, vertices: DataFrame,
+                     root: String, filesPerSide: Int = 8): DataFrame = {
+    val dups = vertices.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"graph export gate: duplicate vertex ids (count probe hit $dups)")
+    vertices
+      .repartitionByRange(filesPerSide, col("label"), col("id"))
+      .sortWithinPartitions(col("label"), col("id"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$root/vertices")
+    spark.read.parquet(s"$root/vertices")
+  }
+
   def exportGraph(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                   root: String, filesPerSide: Int = 8): (DataFrame, DataFrame) = {
     val (dups, dangling) = integrityGate(vertices, edges)
@@ -59,11 +77,7 @@ object GraphExport {
       s"graph export gate: duplicate vertex ids (count probe hit $dups)")
     require(dangling == 0,
       s"graph export gate: dangling edge endpoints (probe hit $dangling)")
-    vertices
-      .repartitionByRange(filesPerSide, col("label"), col("id"))
-      .sortWithinPartitions(col("label"), col("id"))
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$root/vertices")
+    exportVertices(spark, vertices, root, filesPerSide)
     edges
       .repartitionByRange(filesPerSide, col("rel"), col("src"), col("dst"))
       .sortWithinPartitions(col("rel"), col("src"), col("dst"))
@@ -71,5 +85,34 @@ object GraphExport {
       .parquet(s"$root/edges")
     (spark.read.parquet(s"$root/vertices"),
       spark.read.parquet(s"$root/edges"))
+  }
+
+  /** INCREMENTAL vertex refresh: `delta` carries the COMPLETE new
+    * content of the labels it touches, and only those labels'
+    * partition directories are rewritten (dynamic partition
+    * overwrite — the same daily-refresh discipline as the lake
+    * operator family's `overwritePartitions`). Untouched labels'
+    * files are not read, not written, not moved: at 100 TB a daily
+    * graph refresh touches the day's labels, never the archive. The
+    * delta passes the same id-uniqueness gate (within itself — it IS
+    * the new truth for its labels) before any byte lands; dangling
+    * checks against the full graph remain the caller's read-side
+    * gate since the delta by construction replaces whole labels.
+    * Returns the read-back of the whole vertices layout.
+    */
+  def exportVerticesDelta(spark: SparkSession, delta: DataFrame,
+                          root: String, filesPerSide: Int = 8): DataFrame = {
+    val dups = delta.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"graph delta export gate: duplicate vertex ids in the delta")
+    delta
+      .repartitionByRange(filesPerSide, col("label"), col("id"))
+      .sortWithinPartitions(col("label"), col("id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("label")
+      .parquet(s"$root/vertices")
+    spark.read.parquet(s"$root/vertices")
   }
 }

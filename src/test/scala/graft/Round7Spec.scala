@@ -74,6 +74,31 @@ class Round7Spec extends AnyFunSuite {
       "label filter did not reach partition pruning:\n" + plan)
   }
 
+  test("exportVerticesDelta rewrites ONLY the touched label's files") {
+    val verts = Seq(("A:1", "A", "{}"), ("A:2", "A", "{}"), ("B:9", "B", "{}"))
+      .toDF("id", "label", "props")
+    val root = tmpDir()
+    GraphExport.exportVertices(spark, verts, root)
+    def files(label: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$root/vertices/label=$label")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val aBefore = files("A")
+    Thread.sleep(1100) // mtime resolution guard
+    val delta = Seq(("B:9", "B", "{\"upd\":1}"), ("B:10", "B", "{\"upd\":1}"))
+      .toDF("id", "label", "props")
+    val back = GraphExport.exportVerticesDelta(spark, delta, root)
+    // A's files: same names, sizes, AND mtimes — not rewritten
+    assert(files("A") == aBefore,
+      "untouched label's files were rewritten by the delta export")
+    // B replaced wholesale by the delta's content
+    val b = back.filter($"label" === "B").select("id", "props")
+      .as[(String, String)].collect().toSet
+    assert(b == Set("B:9" -> "{\"upd\":1}", "B:10" -> "{\"upd\":1}"))
+    assert(back.filter($"label" === "A").count() == 2)
+  }
+
   test("exportGraph refuses duplicate vertex ids before writing bytes") {
     val verts = Seq(("A:1", "A", "{}"), ("A:1", "A", "{}"))
       .toDF("id", "label", "props")
