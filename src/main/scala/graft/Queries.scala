@@ -173,10 +173,16 @@ object Queries {
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(decSum(col("o_totalprice")).as("revenue"),
+        // region totals exceed 2^53 scaled units at sf0.1 — the final
+        // decimal→double cast is the one engine-divergent hop (1-ulp
+        // int128→double double-rounding), so revenue ships as the
+        // exact decimal (same fix as a_rollup_totals)
+        .agg(sum(col("o_totalprice").cast("decimal(27,8)"))
+          .cast("decimal(37,8)").as("revenue"),
           count(lit(1)).as("n_orders"))
     },
-    Some("""SELECT r_name, """ + sqlDecSum("o_totalprice") + """ AS revenue,
+    Some("""SELECT r_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,8))) AS DECIMAL(37,8)) AS revenue,
              count(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.domain.GraphAssembly
-import graft.operators.CacheScope
+import graft.operators.{CacheScope, GraphExport}
 import graft.functions.{Functions => F}
 import Queries.Q
 
@@ -28,13 +28,15 @@ object Queries6 {
   private def T_(s: SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
-  /** The assembled catalog: per-label and per-relationship cardinality
-    * plus the two §5.4 integrity checks, one tidy (kind, name, n)
-    * table. Both integrity rows MUST be 0; the oracle recomputes the
-    * whole assembly (ids included) in SQL and checks the same.
+  /** The full §1.2/§1.3 assembly as reusable frames: (vertices,
+    * edges) for all 27 labels / 27 relationship types. Extracted
+    * (round 7) so the terminal-artifact EXPORT runs over the real
+    * assembly, not a toy graph; `g_assembly` summarizes these frames
+    * directly and `g_export_assembly` summarizes their exported
+    * READ-BACK against the same oracle.
     */
-  val g_assembly = Q(
-    (s, dir) => {
+  def assembledGraph(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       // every frame below feeds SEVERAL of the 54 union branches
       // (its node label plus 1-3 edge types); without a scoped persist
       // each branch recomputes the lineitem/orders joins from scratch
@@ -282,22 +284,32 @@ object Queries6 {
           if (dedup) e.distinct() else e
         } ++ Seq(dayEdges, labEdges)).reduce(_ unionByName _))
 
-      // ---- the checked projection ----
-      val labelCounts = verts.groupBy(col("label").as("name"))
-        .agg(count(lit(1)).as("n")).withColumn("kind", lit("label"))
-      val relCounts = eds.groupBy(col("rel").as("name"))
-        .agg(count(lit(1)).as("n")).withColumn("kind", lit("rel"))
-      val dangling = GraphAssembly.danglingEdges(verts, eds)
-        .agg(count(lit(1)).as("n"))
-        .select(lit("dangling_edges").as("name"), col("n"), lit("check").as("kind"))
-      val dups = verts.groupBy(col("id")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).agg(count(lit(1)).as("n"))
-        .select(lit("dup_vertex_ids").as("name"), col("n"), lit("check").as("kind"))
-      labelCounts.unionByName(relCounts).unionByName(dangling).unionByName(dups)
-        .select(col("kind"), col("name"), col("n"))
-        .orderBy(col("kind"), col("name"))
-    },
-    Some("""WITH custnation AS (
+    (verts, eds)
+  }
+
+  /** The checked (kind, name, n) projection over an assembly:
+    * per-label and per-rel cardinality plus the two §5.4 integrity
+    * rows (both MUST be 0).
+    */
+  private def assemblySummary(verts: org.apache.spark.sql.DataFrame,
+                              eds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val labelCounts = verts.groupBy(col("label").as("name"))
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("label"))
+    val relCounts = eds.groupBy(col("rel").as("name"))
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("rel"))
+    val dangling = GraphAssembly.danglingEdges(verts, eds)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dangling_edges").as("name"), col("n"), lit("check").as("kind"))
+    val dups = verts.groupBy(col("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n"))
+      .select(lit("dup_vertex_ids").as("name"), col("n"), lit("check").as("kind"))
+    labelCounts.unionByName(relCounts).unionByName(dangling).unionByName(dups)
+      .select(col("kind"), col("name"), col("n"))
+      .orderBy(col("kind"), col("name"))
+  }
+
+  private val assemblySql = ("""WITH custnation AS (
         SELECT c_custkey, n_name AS crop_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey),
       station AS (SELECT DISTINCT user_id AS serial FROM events),
@@ -439,9 +451,41 @@ object Queries6 {
           + (SELECT count(*) FROM edges e LEFT JOIN vids v ON e.dst = v.id WHERE v.id IS NULL)
         UNION ALL SELECT 'check', 'dup_vertex_ids',
           (SELECT count(*) FROM (SELECT id FROM verts GROUP BY id HAVING count(*) > 1)))
-      ORDER BY kind, name"""))
+      ORDER BY kind, name""")
+
+  /** The assembled catalog: per-label and per-relationship cardinality
+    * plus the two §5.4 integrity checks, one tidy (kind, name, n)
+    * table. Both integrity rows MUST be 0; the oracle recomputes the
+    * whole assembly (ids included) in SQL and checks the same.
+    */
+  val g_assembly = Q(
+    (s, dir) => {
+      val (verts, eds) = assembledGraph(s, dir)
+      assemblySummary(verts, eds)
+    },
+    Some(assemblySql))
+
+  /** The terminal artifact END TO END: export the REAL 27-label /
+    * 27-rel assembly through [[GraphExport.exportGraph]] (gates, then
+    * the label/rel-partitioned key-sorted layout) and summarize the
+    * EXPORTED FILES with the same checked projection — the oracle is
+    * `g_assembly`'s verbatim, so the driver proves the round trip
+    * loses nothing of the reference's populated-graph equivalent.
+    */
+  val g_export_assembly = Q(
+    (s, dir) => {
+      val (verts, eds) = assembledGraph(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_assembly_export").toString
+      val (vB, eB) = GraphExport.exportGraph(s, verts, eds, root)
+      assemblySummary(vB.select("id", "label", "props"),
+        eB.select("src", "dst", "rel"))
+    },
+    Some(assemblySql))
+
 
   val all: Map[String, Q] = Map(
     "g_assembly" -> g_assembly,
+    "g_export_assembly" -> g_export_assembly,
   )
 }
