@@ -4,6 +4,15 @@ parquet dumps against the DuckDB oracle over the same sf dir.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
        python3 tools/check.py --json OUT.json <sfDir> <verifyOutDir> [query ...]
+       python3 tools/check.py --chunk 12 [--json OUT.json] <sfDir> <verifyOutDir>
+
+--chunk N runs the sweep as crash-isolated child processes of N
+queries each and merges their results: duckdb-python 1.0.0
+intermittently SEGFAULTs (exit 139) in native teardown on long
+sweeps (observed repeatedly at sf0.1), and a crash mid-sweep
+otherwise loses both the tally and the --json artifact. A crashed
+chunk is retried once query-by-query so at most the single
+crashing query is recorded as an error instead of the whole run.
 
 With --json, also writes a driver-shaped artifact: per-query
 {"rows": bool, "schema": bool, "hash": bool} — the committed local
@@ -76,13 +85,66 @@ def canon(tbl):
             [types[i] for i in order])
 
 
+def run_chunked(chunk, json_out, sf_dir, out_dir):
+    import subprocess
+    import tempfile
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    names = sorted(oracle)
+    merged = {}
+
+    def run_child(qs):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            tmp = tf.name
+        p = subprocess.run(
+            [sys.executable, __file__, "--json", tmp, sf_dir, out_dir] + qs)
+        try:
+            return p.returncode, json.loads(Path(tmp).read_text())
+        except Exception:
+            return p.returncode, None
+        finally:
+            Path(tmp).unlink(missing_ok=True)
+
+    for i in range(0, len(names), chunk):
+        qs = names[i:i + chunk]
+        rc, res = run_child(qs)
+        if res is not None and len(res) == len(qs):
+            merged.update(res)
+            continue
+        # chunk crashed (segfault) — isolate per query, retry once
+        print(f"[chunk] queries {qs[0]}..{qs[-1]} crashed rc={rc}; "
+              "isolating per query", file=sys.stderr)
+        for q in qs:
+            rc1, r1 = run_child([q])
+            if r1 is not None and q in r1:
+                merged[q] = r1[q]
+            else:
+                print(f"[chunk] {q} crashed twice (rc={rc1})",
+                      file=sys.stderr)
+                merged[q] = {"rows": False, "schema": False, "hash": False,
+                             "error": f"checker crashed rc={rc1}"}
+    n_pass = sum(1 for v in merged.values() if v.get("hash"))
+    n_fail = len(merged) - n_pass
+    print(f"== {n_pass} pass, {n_fail} fail == (chunked)")
+    if json_out:
+        Path(json_out).write_text(json.dumps(merged, indent=1))
+        print(f"wrote {json_out} ({len(merged)} entries)")
+    sys.exit(1 if n_fail else 0)
+
+
 def main():
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
+    chunk = None
+    while args and args[0] in ("--json", "--chunk"):
+        if args[0] == "--json":
+            json_out = args[1]
+        else:
+            chunk = int(args[1])
         args = args[2:]
     sf_dir, out_dir = args[0], args[1]
+    if chunk:
+        run_chunked(chunk, json_out, sf_dir, out_dir)
+        return
     only = set(args[2:])
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = {}
