@@ -152,9 +152,61 @@ object Queries30 {
         UNION ALL SELECT 'check', 'nation_updated', count(*) FROM nation)
       ORDER BY kind, name"""))
 
+  /** K-cheapest bounded paths ([[GraphOps.kCheapestPaths]]): the 2
+    * cheapest ≤2-hop simple paths per (start, end) pair over a
+    * DIAMOND graph — customer→order (per-order weight) →part (via
+    * distinct lineitems), so the same (customer, part) pair is
+    * reached through DIFFERENT orders at different costs and the
+    * per-pair top-k genuinely selects. The (cost, path) total order
+    * makes the selection replay exactly — integer arrays compare
+    * lexicographically in both engines. Oracle = two unrolled
+    * weighted hops + QUALIFY row_number per pair.
+    */
+  val g_kpaths_cheapest = Q(
+    (s, dir) => {
+      val co = T_(s, dir, "orders")
+        .select((col("o_custkey") + 10000L).as("src"),
+          (col("o_orderkey") + 10000000L).as("dst"))
+      val op = T_(s, dir, "lineitem")
+        .select((col("l_orderkey") + 10000000L).as("src"),
+          (col("l_partkey") + 20000000L).as("dst"))
+        .distinct()
+      val edges = co.unionByName(op)
+        .withColumn("w", col("dst") % 5 + 1)
+      val sources = T_(s, dir, "customer")
+        .filter(col("c_custkey") % 300 === 0)
+        .select((col("c_custkey") + 10000L).as("id"))
+      GraphOps.kCheapestPaths(edges, sources, maxHops = 2, k = 2)
+    },
+    Some("""WITH edges0 AS (
+        SELECT 10000 + o_custkey AS src, 10000000 + o_orderkey AS dst FROM orders
+        UNION ALL SELECT DISTINCT 10000000 + l_orderkey, 20000000 + l_partkey
+          FROM lineitem),
+      edges AS (SELECT src, dst, dst % 5 + 1 AS w FROM edges0),
+      src AS (SELECT 10000 + c_custkey AS id FROM customer
+        WHERE c_custkey % 300 = 0),
+      h0 AS (SELECT id AS start, id AS "end", [id] AS path,
+        CAST(0 AS BIGINT) AS cost FROM src),
+      h1 AS (SELECT h0.start, e.dst AS "end", list_append(h0.path, e.dst) AS path,
+          h0.cost + e.w AS cost
+        FROM h0 JOIN edges e ON h0."end" = e.src
+        WHERE NOT list_contains(h0.path, e.dst)),
+      h2 AS (SELECT h1.start, e.dst AS "end", list_append(h1.path, e.dst) AS path,
+          h1.cost + e.w AS cost
+        FROM h1 JOIN edges e ON h1."end" = e.src
+        WHERE NOT list_contains(h1.path, e.dst)),
+      lv AS (SELECT start, "end", CAST(1 AS INTEGER) AS hops, cost, path FROM h1
+        UNION ALL SELECT start, "end", CAST(2 AS INTEGER), cost, path FROM h2)
+      SELECT start, "end", hops, cost, path,
+        CAST(row_number() OVER (PARTITION BY start, "end"
+          ORDER BY cost ASC, path ASC) AS INTEGER) AS rank
+      FROM lv
+      QUALIFY rank <= 2"""))
+
   val all: Map[String, Q] = Map(
     "samp_temperature" -> samp_temperature,
     "g_khop_typed" -> g_khop_typed,
     "g_export_incremental" -> g_export_incremental,
+    "g_kpaths_cheapest" -> g_kpaths_cheapest,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph view + graph analytics over DataFrames (SURVEY §4.2.3, §7 M7).
@@ -226,6 +227,49 @@ object GraphOps {
                     scope: CacheScope = CacheScope.global): DataFrame =
     weightedSssp(edges.select(col("src"), col("dst"), lit(1L).as("w")),
       sources, iterations, scope)
+
+  /** K-CHEAPEST simple paths within a hop bound: enumerate every
+    * simple directed path of 1..maxHops over weighted edges
+    * (src, dst, w: long), then keep the `k` cheapest per
+    * (start, end) pair under the TOTAL order (cost, path) — the path
+    * array is the unique tiebreak, and both Spark and SQL engines
+    * order integer arrays lexicographically, so the selection
+    * replays exactly. Exact by construction: all bounded simple
+    * paths are enumerated before ranking ([[kHopPaths]] cost model —
+    * the true path count, bounded by maxHops and the source set).
+    * The rank window partitions by (start, end): at scale that
+    * shuffle carries only enumerated paths, and the per-pair
+    * partition is the path multiplicity between one vertex pair —
+    * never a global sort. Output: (start, end, hops, cost, path,
+    * rank) with rank ≤ k.
+    */
+  def kCheapestPaths(edges: DataFrame, sources: DataFrame,
+                     maxHops: Int, k: Int,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxHops >= 1 && k >= 1, "maxHops and k must be >= 1")
+    val e = scope.checkpoint(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src")))
+    var frontier = sources.select(col("id").as("start"),
+      col("id").as("end"), array(col("id")).as("path"),
+      lit(0L).as("cost"))
+    val levels = (1 to maxHops).map { h =>
+      frontier = scope.checkpoint(
+        frontier.join(e, frontier("end") === e("src"))
+          .filter(!array_contains(col("path"), col("dst")))
+          .select(col("start"), col("dst").as("end"),
+            concat(col("path"), array(col("dst"))).as("path"),
+            (col("cost") + col("w")).as("cost")))
+      frontier.withColumn("hops", lit(h))
+    }
+    val all = levels.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("start"), col("end"))
+      .orderBy(col("cost").asc, col("path").asc)
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("start"), col("end"), col("hops"), col("cost"),
+        col("path"), col("rank"))
+  }
 
   /** Bounded k-hop path EXPAND with full path accumulation — the
     * DataFrame form of Cypher's variable-length pattern

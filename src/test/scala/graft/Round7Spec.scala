@@ -42,6 +42,30 @@ class Round7Spec extends AnyFunSuite {
       (1L, 3L, 1), (2L, 3L, 1), (1L, 4L, 2), (2L, 4L, 2)))
   }
 
+  test("kCheapestPaths picks the k cheapest per pair with (cost, path) tiebreak") {
+    // diamond: 1→2 (w=1), 1→3 (w=5), 2→4 (w=10), 3→4 (w=1), plus a
+    // direct 1→4 (w=20): three 1→4 paths with costs 11, 6, 20
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 5L), (2L, 4L, 10L), (3L, 4L, 1L),
+      (1L, 4L, 20L)).toDF("src", "dst", "w")
+    val got = GraphOps.kCheapestPaths(e, Seq(1L).toDF("id"), maxHops = 2, k = 2)
+      .filter($"end" === 4L)
+      .select($"cost", $"path", $"rank")
+      .as[(Long, Seq[Long], Int)].collect().toSet
+    assert(got == Set(
+      (6L, Seq(1L, 3L, 4L), 1),   // cheapest: via 3
+      (11L, Seq(1L, 2L, 4L), 2))) // second: via 2; direct w=20 cut
+  }
+
+  test("kCheapestPaths breaks exact cost ties by path lexicographic order") {
+    // two 1→4 paths with IDENTICAL cost 2: via 2 and via 3
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.kCheapestPaths(e, Seq(1L).toDF("id"), maxHops = 2, k = 1)
+      .filter($"end" === 4L)
+      .select($"path", $"rank").as[(Seq[Long], Int)].collect().toSet
+    assert(got == Set((Seq(1L, 2L, 4L), 1))) // [1,2,4] < [1,3,4]
+  }
+
   // ---- GraphExport ----
 
   private def tmpDir(): String =
