@@ -203,10 +203,47 @@ object Queries30 {
       FROM lv
       QUALIFY rank <= 2"""))
 
+  /** Length-curriculum epoch order: tier documents by
+    * floor(log2(n_tokens+1)) — the binary-string-length idiom, pure
+    * integer, no libm — then lay out the epoch tier-major (shortest
+    * tier first; length curriculum is the standard warm-up schedule)
+    * with a DETERMINISTIC shuffle inside each tier (double-mixed
+    * hash, unique-id tiebreak) and a GLOBAL position from the
+    * distributed prefix-sum ([[graft.operators.GlobalOrder]]) — no
+    * single-reducer global sort. Every loader replica slices the
+    * same (doc, pos) epoch file.
+    */
+  val samp_curriculum = Q(
+    (s, dir) => {
+      val docs = T_(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+        .withColumn("tier", (length(bin(col("n_tokens") + 1)) - 1).cast("int"))
+      graft.operators.GlobalOrder.withGlobalIndex(docs,
+          Seq(col("tier").asc, Sampling.detHash2(col("doc_id")).asc,
+            col("doc_id").asc))
+        .select(col("doc_id"), col("n_tokens"), col("tier"), col("pos"))
+    },
+    Some {
+      val toks = """CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END"""
+      val h1 = "(doc_id % 94906249) * 1103515245 % 2147483647"
+      val h2 = s"(($h1) % 94906249) * 1103515245 % 2147483647"
+      s"""WITH d AS (SELECT doc_id, CAST($toks AS BIGINT) AS n_tokens
+            FROM documents),
+          t AS (SELECT doc_id, n_tokens,
+              CAST(length(bin(n_tokens + 1)) - 1 AS INTEGER) AS tier
+            FROM d)
+        SELECT doc_id, n_tokens, tier,
+          row_number() OVER (ORDER BY tier ASC, $h2 ASC, doc_id ASC) AS pos
+        FROM t"""
+    })
+
   val all: Map[String, Q] = Map(
     "samp_temperature" -> samp_temperature,
     "g_khop_typed" -> g_khop_typed,
     "g_export_incremental" -> g_export_incremental,
     "g_kpaths_cheapest" -> g_kpaths_cheapest,
+    "samp_curriculum" -> samp_curriculum,
   )
 }
