@@ -588,4 +588,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("temperature mixture: rates broadcast to the gate, no sort-merge join") {
+    val full = plan("samp_temperature")
+    val p = full.split("== Initial Plan ==")(0)
+    // the strata-sized rate table must reach the document filter as a
+    // broadcast — a shuffled join here would re-shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
