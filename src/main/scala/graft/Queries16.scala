@@ -187,11 +187,11 @@ object Queries16 {
     * this data — max_by needs a total order or the two engines may
     * break ties differently.
     */
-  private def cdcBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def cdcBase(s: org.apache.spark.sql.SparkSession, dir: String) =
     T_(s, dir, "orders").select(col("o_orderkey").as("k"),
       col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
 
-  private def cdcFeed(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def cdcFeed(s: org.apache.spark.sql.SparkSession, dir: String) =
     T_(s, dir, "lineitem").select(
       when(col("l_partkey") % 19 === 0, col("l_orderkey") + 50000000L)
         .otherwise(col("l_orderkey")).as("k"),

@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{DataQuality, Dedup, GraphOps, Packing, Sampling, Scd, Upsert}
+import graft.functions.{TextFunctions => T}
+import Queries.Q
+
+/** Batch 31 (round 7): the lakehouse temporal trio (time travel,
+  * point-in-time SCD2 join), distribution-drift monitoring,
+  * community-quality scoring, pair-packing, per-dimension embedding
+  * statistics, and soft (weight-not-drop) deduplication. Each entry
+  * pins an operator added this batch against the DuckDB oracle and
+  * states its 100 TB plan shape in the operator's Scaladoc.
+  */
+object Queries31 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  /** TIME TRAVEL: read the CDC-maintained table AS OF a version
+    * cutoff — the applyCdc fold over only the feed prefix with
+    * seq <= v (here v = 3·10¹², i.e. the state after every
+    * linenumber-1 and -2 change and before any later one). Same
+    * one-aggregate + one-anti-join shape as `lake_cdc_apply`; time
+    * travel costs a pushed-down predicate on the feed scan, never a
+    * second copy of the base. Emits the full as-of table, so the
+    * oracle pins every surviving row, not a summary.
+    */
+  val lake_time_travel = Q(
+    (s, dir) => Upsert.applyCdc(
+      Queries16.cdcBase(s, dir),
+      Queries16.cdcFeed(s, dir).filter(col("seq") <= 3000000000000L),
+      Seq("k"), "op", Seq("seq")),
+    Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+            o_orderstatus AS status FROM orders),
+        feed AS (SELECT * FROM (SELECT
+            CASE WHEN l_partkey % 19 = 0 THEN l_orderkey + 50000000
+                 ELSE l_orderkey END AS k,
+            CAST(l_linenumber AS BIGINT) * 1000000000000 +
+              l_partkey * 1000000 + l_suppkey AS seq,
+            CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+            l_extendedprice AS price, l_linestatus AS status
+          FROM lineitem) WHERE seq <= 3000000000000),
+        latest AS (SELECT k, op, price, status FROM (
+            SELECT k, op, price, status,
+              row_number() OVER (PARTITION BY k
+                ORDER BY seq DESC, op DESC, price DESC, status DESC) AS rn
+            FROM feed) WHERE rn = 1)
+      SELECT b.k, b.price, b.status FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+      UNION ALL
+      SELECT k, price, status FROM latest WHERE op <> 'D'"""))
+
+  /** POINT-IN-TIME join against a Type-2 dimension
+    * ([[Scd.pitJoin]]): odd-event_id events build the user's
+    * versioned state history, even-event_id events are the facts —
+    * each fact picks up the state version valid at its own
+    * microsecond. Facts before a user's first version keep the row
+    * with null state (left join). Equi-join on user_id with the
+    * interval as residual predicate: the fact table shuffles once on
+    * the key; versions per user are bounded by change count, so no
+    * range blow-up.
+    */
+  val j11_pit_scd2 = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val dim = Scd.type2(
+        ev.filter(col("event_id") % 2 === 1),
+        col("user_id"), col("event_type"), col("us"),
+        Seq(col("us"), col("event_id")))
+      val fact = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("us"))
+      Scd.pitJoin(fact, col("user_id"), col("us"), dim)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("pit_value"), col("pit_from"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_us(ts) AS us FROM events),
+        ch AS (SELECT user_id, event_type, us, event_id,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS prev
+          FROM e WHERE event_id % 2 = 1),
+        k AS (SELECT user_id, event_type, us, event_id FROM ch
+          WHERE prev IS NULL OR prev <> event_type),
+        dim AS (SELECT user_id, event_type AS pit_value, us AS pit_from,
+            lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS valid_to
+          FROM k)
+      SELECT f.event_id, f.user_id, f.us, d.pit_value, d.pit_from
+      FROM (SELECT event_id, user_id, us FROM e WHERE event_id % 2 = 0) f
+      LEFT JOIN dim d ON f.user_id = d.user_id AND f.us >= d.pit_from
+        AND (d.valid_to IS NULL OR f.us < d.valid_to)"""))
+
+  /** Category-mix drift monitor ([[DataQuality.chi2Drift]]):
+    * odd-day-of-month events are "current", even-day "reference";
+    * the per-event-type chi-square terms come out as exact
+    * decimal(38,0) rational pairs (no division — the ts_trend_slope
+    * convention), so the drift statistic replays bit-for-bit.
+    */
+  val dq_chi2_drift = Q(
+    (s, dir) => DataQuality.chi2Drift(
+        T_(s, dir, "events"), col("event_type"),
+        dayofmonth(col("ts")) % 2 === 1)
+      .orderBy(col("category")),
+    Some("""WITH c AS (SELECT event_type AS category,
+            SUM(CASE WHEN day(ts) % 2 = 1 THEN 0 ELSE 1 END) AS n_ref,
+            SUM(CASE WHEN day(ts) % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+          FROM events GROUP BY 1),
+        t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM c),
+        d AS (SELECT category, CAST(n_ref AS BIGINT) AS n_ref,
+            CAST(n_cur AS BIGINT) AS n_cur,
+            CAST(n_cur AS HUGEINT) * t_ref - CAST(n_ref AS HUGEINT) * t_cur
+              AS dd,
+            CAST(n_ref AS HUGEINT) * t_cur * t_ref AS den
+          FROM c, t)
+      SELECT category, n_ref, n_cur,
+        CAST(dd * dd AS DECIMAL(38,0)) AS chi2_num,
+        CAST(den AS DECIMAL(38,0)) AS chi2_den
+      FROM d ORDER BY category"""))
+
+  /** Modularity of the region partition over the order→customer→
+    * nation→region hierarchy PLUS order→part purchase edges
+    * ([[GraphOps.modularity]]): hierarchy vertices take their
+    * region as community, parts take p_partkey % 5 — so the o→p
+    * edges cross communities and the per-community (q_num, q_den)
+    * rational pairs genuinely measure mixing, not a trivial
+    * all-intra partition. Same vertex id space as the g_* family.
+    */
+  val g_modularity = Q(
+    (s, dir) => {
+      val o = T_(s, dir, "orders")
+      val c = T_(s, dir, "customer")
+      val n = T_(s, dir, "nation")
+      val r = T_(s, dir, "region")
+      val p = T_(s, dir, "part")
+      val li = T_(s, dir, "lineitem")
+      val edges =
+        o.select((col("o_orderkey") + 10000000L).as("src"),
+            (col("o_custkey") + 10000L).as("dst"))
+          .unionByName(c.select((col("c_custkey") + 10000L).as("src"),
+            (col("c_nationkey").cast("long") + 100L).as("dst")))
+          .unionByName(n.select(
+            (col("n_nationkey").cast("long") + 100L).as("src"),
+            col("n_regionkey").cast("long").as("dst")))
+          .unionByName(li.select(
+            (col("l_orderkey") + 10000000L).as("src"),
+            (col("l_partkey") + 20000000L).as("dst")).distinct())
+      val natCom = n.select(col("n_nationkey"),
+        col("n_regionkey").cast("long").as("community"))
+      val custCom = c.join(broadcast(natCom),
+          c("c_nationkey") === natCom("n_nationkey"))
+        .select((col("c_custkey") + 10000L).as("id"), col("community"))
+      val ordCom = o.join(custCom,
+          o("o_custkey") + 10000L === custCom("id"))
+        .select((col("o_orderkey") + 10000000L).as("id"), col("community"))
+      val assign = r.select(col("r_regionkey").cast("long").as("id"),
+          col("r_regionkey").cast("long").as("community"))
+        .unionByName(natCom.select(
+          (col("n_nationkey").cast("long") + 100L).as("id"),
+          col("community")))
+        .unionByName(custCom)
+        .unionByName(ordCom)
+        .unionByName(p.select((col("p_partkey") + 20000000L).as("id"),
+          (col("p_partkey") % 5).as("community")))
+      GraphOps.modularity(edges, assign).orderBy(col("community"))
+    },
+    Some("""WITH edges AS (
+          SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst
+            FROM orders
+          UNION ALL SELECT 10000 + c_custkey, 100 + c_nationkey FROM customer
+          UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT),
+            CAST(n_regionkey AS BIGINT) FROM nation
+          UNION ALL SELECT DISTINCT 10000000 + l_orderkey,
+            20000000 + l_partkey FROM lineitem),
+        assign AS (
+          SELECT CAST(r_regionkey AS BIGINT) AS id,
+              CAST(r_regionkey AS BIGINT) AS community FROM region
+          UNION ALL SELECT 100 + n_nationkey, CAST(n_regionkey AS BIGINT)
+            FROM nation
+          UNION ALL SELECT 10000 + c_custkey, CAST(n_regionkey AS BIGINT)
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL SELECT 10000000 + o_orderkey, CAST(n_regionkey AS BIGINT)
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL SELECT 20000000 + p_partkey, p_partkey % 5 FROM part),
+        wc AS (SELECT sa.community AS c_src, sb.community AS c_dst
+          FROM edges e JOIN assign sa ON e.src = sa.id
+            JOIN assign sb ON e.dst = sb.id),
+        m AS (SELECT count(*) AS m FROM wc),
+        deg AS (SELECT community, count(*) AS degree FROM (
+            SELECT c_src AS community FROM wc
+            UNION ALL SELECT c_dst FROM wc) GROUP BY 1),
+        intra AS (SELECT c_src AS community, count(*) AS intra_edges
+          FROM wc WHERE c_src = c_dst GROUP BY 1),
+        nv AS (SELECT community, count(*) AS n_vertices FROM assign
+          GROUP BY 1)
+      SELECT nv.community, nv.n_vertices,
+        CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+        CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+        CAST(4 * CAST(m.m AS HUGEINT) * coalesce(intra.intra_edges, 0)
+          - CAST(coalesce(deg.degree, 0) AS HUGEINT)
+            * coalesce(deg.degree, 0) AS DECIMAL(38,0)) AS q_num,
+        CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DECIMAL(38,0)) AS q_den
+      FROM nv LEFT JOIN deg USING (community)
+        LEFT JOIN intra USING (community), m
+      ORDER BY community"""))
+
+  private val toksSql =
+    """CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\s+')) END"""
+
+  /** Rank-complement pair packing ([[Packing.packPaired]]) of
+    * documents into 120-token bins per language: longest pairs with
+    * shortest when they fit; a mid-corpus pair that exceeds the
+    * budget exercises the rejected-partner path (both members bin
+    * alone). The oracle replays the rank window, the complement
+    * join, and the union of long- and rejected-short bins.
+    */
+  val pack_bestfit = Q(
+    (s, dir) => Packing.packPaired(
+        T_(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            T.wsTokenCount(col("text")).as("toks")),
+        col("lang"), col("toks"), col("doc_id"), ctxLen = 120L)
+      .orderBy(col("stratum"), col("bin_id")),
+    Some(s"""WITH d AS (SELECT lang AS stratum, doc_id AS id,
+            CAST($toksSql AS BIGINT) AS toks FROM documents),
+        ranked AS (SELECT stratum, id, toks,
+            CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY toks DESC, id ASC) AS INTEGER) AS r,
+            count(*) OVER (PARTITION BY stratum) AS n
+          FROM d WHERE toks > 0 AND toks <= 120),
+        ls AS (SELECT * FROM ranked WHERE r * 2 <= n + 1),
+        ss AS (SELECT stratum, CAST(n + 1 - r AS INTEGER) AS cr,
+            r AS r_short, id AS id_short, toks AS toks_short
+          FROM ranked WHERE r * 2 > n + 1),
+        j AS (SELECT ls.stratum, ls.r, ls.id, ls.toks,
+            ss.r_short, ss.id_short, ss.toks_short,
+            ss.id_short IS NOT NULL AND ls.toks + ss.toks_short <= 120
+              AS paired
+          FROM ls LEFT JOIN ss ON ls.stratum = ss.stratum AND ls.r = ss.cr),
+        bins AS (
+          SELECT stratum, r AS bin_id, id AS id_long,
+            CASE WHEN paired THEN id_short END AS id_short,
+            CASE WHEN paired THEN 2 ELSE 1 END AS n_docs,
+            CASE WHEN paired THEN toks + toks_short ELSE toks END
+              AS bin_tokens
+          FROM j
+          UNION ALL
+          SELECT stratum, r_short AS bin_id, id_short AS id_long,
+            NULL AS id_short, 1 AS n_docs, toks_short AS bin_tokens
+          FROM j WHERE id_short IS NOT NULL AND NOT paired)
+      SELECT stratum, bin_id, id_long, id_short, n_docs, bin_tokens,
+        10000 * bin_tokens // 120 AS fill_bp
+      FROM bins ORDER BY stratum, bin_id"""))
+
+  /** Per-dimension embedding statistics — the feature-normalization
+    * pass a standardizer or whitening step reads: for each of the 64
+    * dimensions, n / mean / variance (population) / min / max. The
+    * components are MICRO-quantized (decimal(27,6)·10⁶ → int, the
+    * ewmaLag milli convention one scale finer) so every sum is pure
+    * integer; mean and variance come out as EXACT RATIONAL pairs
+    * (s_micro, n) and (var_num = n·q − s², var_den = n²) in
+    * decimal(38,0) — no float summation, no cross-engine
+    * double→decimal rounding (a first cut summed v² as
+    * decimal(38,16) and the two engines' double→decimal casts
+    * disagreed by 1 ulp at scale 16). min/max stay raw floats —
+    * extrema are exact. One posexplode scan + one 64-group
+    * aggregate; the stats table is dimension-sized, broadcast back
+    * to whoever normalizes.
+    */
+  val vec_dim_stats = Q(
+    (s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val x = T_(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"), col("v").cast("double").as("v"))
+        .withColumn("vq",
+          col("v").cast("decimal(27,6)").*(lit(1000000)).cast("long"))
+      x.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("vq"))).as("s_micro"),
+          sum(d(col("vq")) * col("vq")).as("q"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .select(col("pos"), col("n"),
+          col("s_micro").cast("decimal(38,0)").as("mean_num"),
+          (col("n") * col("q") - col("s_micro") * col("s_micro"))
+            .cast("decimal(38,0)").as("var_num"),
+          (d(col("n")) * col("n")).cast("decimal(38,0)").as("var_den"),
+          col("vmin"), col("vmax"))
+    },
+    Some("""WITH x AS (SELECT CAST(i.i AS INTEGER) AS pos,
+            CAST(embedding[i.i + 1] AS DOUBLE) AS v
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+          WHERE i.i < len(embedding)),
+        q AS (SELECT pos, v,
+            CAST(CAST(v AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS vq
+          FROM x),
+        agg AS (SELECT pos, count(*) AS n,
+            sum(CAST(vq AS HUGEINT)) AS s_micro,
+            sum(CAST(vq AS HUGEINT) * vq) AS q,
+            min(v) AS vmin, max(v) AS vmax
+          FROM q GROUP BY 1)
+      SELECT pos, n,
+        CAST(s_micro AS DECIMAL(38,0)) AS mean_num,
+        CAST(n * q - s_micro * s_micro AS DECIMAL(38,0)) AS var_num,
+        CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS var_den,
+        vmin, vmax
+      FROM agg"""))
+
+  private val hash1 = "(doc_id % 94906249) * 1103515245 % 2147483647"
+  private val hash2 = s"(($hash1) % 94906249) * 1103515245 % 2147483647"
+
+  /** Soft deduplication ([[Dedup.softDedupWeights]]): every copy
+    * survives with weight 1/cluster_size (basis points) plus the
+    * deterministic thinning decision — repetition downweighted, not
+    * dropped. The oracle clusters on the same normalized text (the
+    * dd_exact key) and replays the gate arithmetic exactly.
+    */
+  val samp_soft_dedup = Q(
+    (s, dir) => Dedup.softDedupWeights(
+        T_(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("cluster_n"), col("weight_bp"),
+        col("kept")),
+    Some(s"""SELECT doc_id,
+        count(*) OVER (PARTITION BY
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS cluster_n,
+        10000 // count(*) OVER (PARTITION BY
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS weight_bp,
+        ($hash2) % 10000 < 10000 // count(*) OVER (PARTITION BY
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS kept
+      FROM documents"""))
+
+  val all: Map[String, Q] = Map(
+    "lake_time_travel" -> lake_time_travel,
+    "j11_pit_scd2" -> j11_pit_scd2,
+    "dq_chi2_drift" -> dq_chi2_drift,
+    "g_modularity" -> g_modularity,
+    "pack_bestfit" -> pack_bestfit,
+    "vec_dim_stats" -> vec_dim_stats,
+    "samp_soft_dedup" -> samp_soft_dedup,
+  )
+}

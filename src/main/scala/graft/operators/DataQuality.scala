@@ -63,4 +63,44 @@ object DataQuality {
     }: _*)
     agg.select(explode(rows).as("r")).select(col("r.*"))
   }
+
+  /** CATEGORICAL-DISTRIBUTION DRIFT between a reference slice and a
+    * current slice — Pearson's chi-square statistic, the standard
+    * "did the category mix shift between yesterday's snapshot and
+    * today's" monitor a 100 TB ingest runs per partition. For each
+    * category with reference count o_a and current count o_b (totals
+    * t_a, t_b), the expected current count is e = o_a·t_b/t_a and
+    * the chi-square term (o_b − e)²/e rewrites to the EXACT RATIONAL
+    *   chi2_num = (o_b·t_a − o_a·t_b)²,   chi2_den = o_a·t_b·t_a
+    * emitted as decimal(38,0) pairs per category (the
+    * ts_trend_slope no-division convention; d² wraps int64 already
+    * near |d| ≈ 3·10⁹, i.e. two ~50k-row slices of a billion-row
+    * table). Σ num/den over categories is the statistic. Categories
+    * present in only one slice are emitted with the zero count —
+    * o_a = 0 makes the term undefined (den 0), which is exactly the
+    * signal "a brand-new category appeared"; the monitor sees it as
+    * a row, not a silent drop.
+    *
+    * One scan, one (category, side) count aggregate, a pivot to the
+    * two columns, a 1-row totals broadcast — no window, no join of
+    * the raw rows.
+    */
+  def chi2Drift(df: DataFrame, category: Column, isCurrent: Column): DataFrame = {
+    val counts = df
+      .groupBy(category.as("category"))
+      .agg(
+        sum(when(isCurrent, 0L).otherwise(1L)).as("n_ref"),
+        sum(when(isCurrent, 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__d",
+        (d(col("n_cur")) * col("t_ref") - d(col("n_ref")) * col("t_cur"))
+          .cast("decimal(38,0)"))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        (col("__d") * col("__d")).cast("decimal(38,0)").as("chi2_num"),
+        (d(col("n_ref")) * col("t_cur") * col("t_ref"))
+          .cast("decimal(38,0)").as("chi2_den"))
+  }
 }

@@ -844,4 +844,35 @@ object Dedup {
       .unionByName(famB)
       .dropDuplicates(dirtyId, cleanId)
   }
+
+  /** SOFT deduplication (the SemDeDup/D4-era alternative to dropping
+    * copies): every member of an exact-duplicate cluster SURVIVES,
+    * but with sampling weight 1/cluster_size, so k copies of a
+    * document contribute one document's worth of expected training
+    * mass — repetition is downweighted without losing the unique
+    * tail of near-boilerplate variants. Emits each row with its
+    * cluster size, `weight_bp = 10000 div m` (the basis-point keep
+    * rate), and the deterministic keep decision
+    * `detHash2(ord) % 10000 < weight_bp` — so downstream can either
+    * weight (use weight_bp) or thin (use kept) with one pass, and
+    * both replay exactly in any engine.
+    *
+    * Scale shape: ONE count aggregate on the cluster key + ONE
+    * equi-join of the rows against the (key, size) table — both
+    * shuffle on the same key, and AQE collapses the pair into a
+    * single exchange. No window, no all-pairs; the cluster-size
+    * table is duplicate-groups-sized.
+    */
+  def softDedupWeights(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val key = sha2(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256)
+    val sized = docs.withColumn("__k", key)
+    val clusters = sized.groupBy(col("__k"))
+      .agg(count(lit(1)).as("cluster_n"))
+    sized.join(clusters, "__k")
+      .withColumn("weight_bp", expr("10000L div cluster_n"))
+      .withColumn("kept",
+        Sampling.detHash2(col(idCol)) % 10000L < col("weight_bp"))
+      .drop("__k")
+  }
 }

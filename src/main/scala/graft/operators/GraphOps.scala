@@ -827,4 +827,74 @@ object GraphOps {
       .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
   }
+
+  /** Newman MODULARITY of a vertex partition — the standard quality
+    * score for a community assignment (label propagation, CC, an
+    * external clustering): Q = Σ_c [ e_c/m − (deg_c/2m)² ] over the
+    * UNDIRECTED view of `edges`, where m = |E|, e_c = intra-community
+    * edge count and deg_c = total degree of community c. Emits one
+    * row per community with the exact integer ingredients
+    * (n_vertices, intra_edges, degree) plus the contribution as the
+    * EXACT RATIONAL pair (q_num, q_den) in decimal(38,0):
+    *   q_num = 4·m·e_c − deg_c²,   q_den = 4·m²
+    * — the ts_trend_slope convention: no division ever happens, so
+    * the score replays bit-exactly in any engine, and decimal (not
+    * int64) keeps 4·m·e_c from wrapping at lake scale (it exceeds
+    * 2⁶³ near m ≈ 1.5e9 undirected edges). Σ q_num / q_den is the
+    * modularity; consumers divide at whatever precision they need.
+    *
+    * `assign` maps id → community; vertices missing from `assign`
+    * would silently vanish from every term, so they are rejected
+    * (inner-join count must cover both endpoints of every edge —
+    * checked with one aggregate, failing fast like pageRankWeighted's
+    * weight guard).
+    *
+    * Scale shape: two broadcast-friendly joins of the edge list
+    * against the assignment (assignment is vertex-sized but
+    * community-keyed aggregates combine map-side), one keyed
+    * aggregate per term, and a 1-row total broadcast back — no
+    * window, no all-pairs, no driver math beyond the guard count.
+    */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val a = assign.select(col("id"), col("community"))
+    val e = edges.select(col("src"), col("dst"))
+    val withC = e
+      .join(a.select(col("id"), col("community").as("c_src")),
+        e("src") === col("id"), "left").drop("id")
+      .join(a.select(col("id"), col("community").as("c_dst")),
+        e("dst") === col("id"), "left").drop("id")
+    val unassigned = withC.filter(col("c_src").isNull || col("c_dst").isNull)
+      .limit(1).count()
+    require(unassigned == 0,
+      "modularity: every edge endpoint must appear in the assignment")
+    val m = withC.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    // degree view: each edge contributes 1 to both endpoints' degree
+    val degC = withC.select(col("c_src").as("community"))
+      .unionByName(withC.select(col("c_dst").as("community")))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("degree"))
+    val intraC = withC.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("intra_edges"))
+    val nC = a.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"))
+    nC.join(degC, Seq("community"), "left")
+      .join(intraC, Seq("community"), "left")
+      .na.fill(0L, Seq("n_vertices"))
+      .withColumn("degree",
+        coalesce(col("degree"), lit(0).cast("decimal(38,0)")))
+      .withColumn("intra_edges",
+        coalesce(col("intra_edges"), lit(0).cast("decimal(38,0)")))
+      .crossJoin(broadcast(m))
+      .withColumn("q_num",
+        (lit(4).cast("decimal(38,0)") * col("m") * col("intra_edges") -
+          col("degree") * col("degree")).cast("decimal(38,0)"))
+      .withColumn("q_den",
+        (lit(4).cast("decimal(38,0)") * col("m") * col("m"))
+          .cast("decimal(38,0)"))
+      .select(col("community"), col("n_vertices"),
+        col("intra_edges").cast("long").as("intra_edges"),
+        col("degree").cast("long").as("degree"),
+        col("q_num"), col("q_den"))
+  }
 }

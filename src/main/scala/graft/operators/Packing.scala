@@ -48,4 +48,73 @@ object Packing {
       .withColumn("n_windows", col("pack_last") - col("pack_first") + 1L)
       .drop("__toks")
   }
+
+  /** RANK-COMPLEMENT pairing: the deterministic distributed
+    * approximation of best-fit packing for the no-cross-document
+    * regime (each bin = one or two whole documents, never split —
+    * the SFT/long-context fine-tuning layout, where an example may
+    * not straddle bins the way [[packSequential]]'s concat-and-chunk
+    * stream does). Within each stratum, rows sorted by tokens
+    * descending get rank r; the r-th longest is paired with the r-th
+    * shortest (complement rank n+1−r) iff the two fit in `ctxLen`
+    * together — the classic sorted-complement heuristic, which is a
+    * 2-approximation of optimal first-fit-decreasing but needs ONE
+    * rank window and ONE equi-join instead of the inherently
+    * sequential FFD state. Rows longer than half the context stay
+    * single (their complement partner can never help), and the
+    * unpaired middle row of an odd stratum is its own bin.
+    *
+    * Emits one row per BIN: (stratum, bin_id, id_long, id_short =
+    * null when single, n_docs, bin_tokens, fill_bp = 10000·
+    * bin_tokens div ctxLen). bin_id is the member's descending rank
+    * (the long side's for a pair or long single; a REJECTED partner
+    * — pair over budget — bins alone under its own rank, so ids stay
+    * unique per stratum and every document lands in exactly one
+    * bin). All integer math — replays exactly. Rows with tokens <= 0 or tokens > ctxLen are
+    * dropped (an over-long document cannot be binned whole; count
+    * them upstream).
+    *
+    * Scale shape: one rank window per stratum (same single-shuffle
+    * discipline as [[packSequential]]; a single huge stratum takes
+    * the [[GlobalOrder]] prefix-sum form), one self-equi-join on
+    * (stratum, rank) = complement — shuffle-sized by the row count,
+    * never quadratic.
+    */
+  def packPaired(df: DataFrame, stratum: Column, tokens: Column,
+                 id: Column, ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, "context length must be positive")
+    val base = df
+      .filter(tokens > 0 && tokens <= ctxLen)
+      .select(stratum.as("stratum"), id.as("id"),
+        tokens.cast("long").as("toks"))
+    val wDesc = Window.partitionBy(col("stratum"))
+      .orderBy(col("toks").desc, col("id").asc)
+    val ranked = base
+      .withColumn("r", row_number().over(wDesc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+    val longSide = ranked.filter(col("r") * 2 <= col("n") + 1)
+    val shortSide = ranked.filter(col("r") * 2 > col("n") + 1)
+      .select(col("stratum"), (col("n") + 1 - col("r")).as("r"),
+        col("r").as("r_short"),
+        col("id").as("id_short"), col("toks").as("toks_short"))
+    val joined = longSide.join(shortSide, Seq("stratum", "r"), "left")
+      .withColumn("paired",
+        col("id_short").isNotNull && col("toks") + col("toks_short") <= ctxLen)
+    val longBins = joined.select(
+      col("stratum"), col("r").as("bin_id"), col("id").as("id_long"),
+      when(col("paired"), col("id_short")).as("id_short"),
+      when(col("paired"), 2).otherwise(1).as("n_docs"),
+      when(col("paired"), col("toks") + col("toks_short"))
+        .otherwise(col("toks")).as("bin_tokens"))
+    // a rejected partner (pair over budget) is still a document — it
+    // becomes its own bin under its OWN rank, which is disjoint from
+    // every long-side rank, so bin_id stays unique per stratum
+    val shortBins = joined.filter(col("id_short").isNotNull && !col("paired"))
+      .select(col("stratum"), col("r_short").as("bin_id"),
+        col("id_short").as("id_long"),
+        lit(null).cast(joined.schema("id_short").dataType).as("id_short"),
+        lit(1).as("n_docs"), col("toks_short").as("bin_tokens"))
+    longBins.unionByName(shortBins)
+      .withColumn("fill_bp", expr(s"10000L * bin_tokens div ${ctxLen}L"))
+  }
 }

@@ -201,4 +201,40 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__pid", "__opid", "__s", "__off")
   }
+
+  /** DETERMINISTIC PROPORTIONAL INTERLEAVE (stride scheduling): lay
+    * the corpus into one training order where each source appears
+    * spread evenly at its share — the i-th doc of a source with n_s
+    * rows lands near global fraction i/n_s — instead of source-
+    * concatenated (which trains on one domain for hours) or
+    * globally-shuffled (which loses the per-source curriculum
+    * order). Each row gets the stride midpoint key
+    *   key = (2·i − 1)·N div (2·n_s)
+    * (i = the row's 1-based rank inside its source under `ord`,
+    * N = corpus total) and the global position is assigned by the
+    * [[GlobalOrder]] distributed prefix sum over
+    * (key, source, i) — a total order, so the layout replays
+    * bit-for-bit, and no single-reducer global sort ever runs.
+    *
+    * Emits input + `src_idx` (i), `pos` (global 0-based? —
+    * [[GlobalOrder.withGlobalIndex]]'s contract, 1-based `pos`).
+    * One window per source for the rank, a broadcast of the
+    * (source, n_s) counts + 1-row N, then the prefix-sum indexer:
+    * two shuffles total regardless of scale.
+    */
+  def interleaveProportional(df: DataFrame, source: Column,
+                             ord: Seq[Column]): DataFrame = {
+    val wSrc = Window.partitionBy(source).orderBy(ord: _*)
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__ns"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val ranked = df
+      .withColumn("src_idx", row_number().over(wSrc).cast("long"))
+      .join(broadcast(counts), source === col("__src"))
+      .crossJoin(broadcast(total))
+      .withColumn("__key",
+        expr("(2L * src_idx - 1L) * __n div (2L * __ns)"))
+    GlobalOrder.withGlobalIndex(
+        ranked, Seq(col("__key").asc, source.asc, col("src_idx").asc))
+      .drop("__src", "__ns", "__n", "__key")
+  }
 }

@@ -45,4 +45,41 @@ object Scd {
         lead(ts, 1).over(w2).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** POINT-IN-TIME join: enrich each fact row with the dimension
+    * version that was valid at the fact's own time — the lakehouse
+    * idiom every feature-store backfill and "report as the world
+    * looked then" query runs against a [[type2]] history. The
+    * interval predicate is half-open (`valid_from <= t < valid_to`,
+    * null `valid_to` = still open), so facts at a version boundary
+    * land in exactly one version and no fact double-matches. Facts
+    * before the key's first version (or with no dim key) keep their
+    * row with null dim columns — a left join, because silently
+    * dropping early facts is the classic PIT bug.
+    *
+    * Scale design: this is an EQUI-join on the key with the interval
+    * filter as a residual join condition — never a range cross-join.
+    * A Type-2 dimension has few versions per key (bounded by change
+    * frequency, not table size), so the per-key match work is O(
+    * versions) and the only shuffle is the fact table's hash on the
+    * key; AQE broadcasts the dimension when it fits. Differs from
+    * [[AsOfJoin]] (sort-based nearest over a point feed) in
+    * consuming the materialized interval table — no re-sort of the
+    * change history per query.
+    *
+    * `dim` must carry `key`, `value`, `valid_from`, `valid_to`
+    * (the [[type2]] output shape); fact columns pass through, the
+    * dim value lands as `pit_value` with its `valid_from` as
+    * `pit_from`.
+    */
+  def pitJoin(fact: DataFrame, factKey: Column, factTime: Column,
+              dim: DataFrame): DataFrame = {
+    val d = dim.select(col("key").as("__pk"), col("value").as("pit_value"),
+      col("valid_from").as("pit_from"), col("valid_to").as("__pto"))
+    fact.join(d,
+        factKey === col("__pk") && factTime >= col("pit_from") &&
+          (col("__pto").isNull || factTime < col("__pto")),
+        "left")
+      .drop("__pk", "__pto")
+  }
 }

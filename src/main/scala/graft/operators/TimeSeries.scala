@@ -184,4 +184,36 @@ object TimeSeries {
         when(col("__den") > 0, expr("__num div __den")))
       .drop("__x", "__num", "__den")
   }
+
+  /** One-sided CUSUM drift statistic over an integer deviation
+    * series: S_d = max(0, S_{d−1} + x_d) — the standard
+    * change-point accumulator (Page 1954), which looks like per-row
+    * recursion no SQL engine can window… until the DRAWDOWN REWRITE:
+    *   S_d = cum_d − min(0, min_{j≤d} cum_j)
+    * (cum = running sum of x), which IS two window functions over
+    * one sort. Proof sketch: min(cum_d, m_{d−1}) = m_d, so
+    * cum_d − m_d = max(0, cum_{d−1} − m_{d−1} + x_d). The rewrite
+    * turns an inherently sequential scan into ONE hash shuffle on
+    * `key` + one sorted window pass — the same plan shape as every
+    * other window op here, and the reason this runs on a 1000-
+    * executor cluster instead of a driver loop.
+    *
+    * `x` must be integer-scaled (caller multiplies deviations out —
+    * e.g. n_d·T − total so the mean is subtracted exactly); sums run
+    * in decimal(38,0) so lake-scale counts cannot wrap. Emits
+    * `cusum` (decimal(38,0)) alongside the input row. `ord` must be
+    * a total order per key.
+    */
+  def cusum(df: DataFrame, key: Column, ord: Seq[Column],
+            x: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum",
+        sum(x.cast("decimal(38,0)")).over(w).cast("decimal(38,0)"))
+      .withColumn("__low", min(col("__cum")).over(w))
+      .withColumn("cusum",
+        (col("__cum") - least(col("__low"), lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)"))
+      .drop("__cum", "__low")
+  }
 }
