@@ -118,7 +118,8 @@ object Orchestrator {
         "lake_")),
     ("vectors", "similarity search", Seq("vec_")),
     ("graph", "graph view + analytics", Seq("g_")),
-    ("multimodal", "media decode plumbing", Seq("mm_")))
+    ("multimodal", "media decode plumbing + multimodal corpus prep",
+      Seq("mm_", "pipeline_multimodal")))
 
   /** The engine's standard stage registry: one stage per query-catalog
     * family, each evaluating its queries to completion (noop sink).

@@ -21,7 +21,8 @@ object SparkEntry {
       Queries17.all ++ Queries18.all ++ Queries19.all ++ Queries20.all ++
       Queries21.all ++ Queries22.all ++ Queries23.all ++ Queries24.all ++
       Queries25.all ++ Queries26.all ++ Queries27.all ++ Queries28.all ++
-      Queries29.all ++ Queries30.all ++ Queries31.all ++ Queries32.all
+      Queries29.all ++ Queries30.all ++ Queries31.all ++ Queries32.all ++
+      Queries33.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -85,12 +85,19 @@ object DataQuality {
     * two columns, a 1-row totals broadcast — no window, no join of
     * the raw rows.
     */
-  def chi2Drift(df: DataFrame, category: Column, isCurrent: Column): DataFrame = {
-    val counts = df
+  def chi2Drift(df: DataFrame, category: Column, isCurrent: Column): DataFrame =
+    chi2FromCounts(df
       .groupBy(category.as("category"))
       .agg(
         sum(when(isCurrent, 0L).otherwise(1L)).as("n_ref"),
-        sum(when(isCurrent, 1L).otherwise(0L)).as("n_cur"))
+        sum(when(isCurrent, 1L).otherwise(0L)).as("n_cur")))
+
+  /** The rational tail of [[chi2Drift]], factored out so an
+    * incrementally-maintained counts table (e.g. the streaming
+    * twin's state) feeds the same exact arithmetic. `counts` must
+    * carry (category, n_ref, n_cur) with long counts.
+    */
+  def chi2FromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.agg(
       sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     val d = (c: Column) => c.cast("decimal(38,0)")

@@ -828,6 +828,47 @@ object GraphOps {
         coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
+  /** DETERMINISTIC random walks — the graph-embedding corpus
+    * generator (DeepWalk/node2vec's sampling pass) with the
+    * randomness replaced by the engine's deterministic hash, so the
+    * walk corpus replays bit-for-bit on any cluster layout and in
+    * the SQL oracle: at step i from node v the walk takes neighbor
+    * index detHash(v·1000003 + i) mod deg(v) over the
+    * dst-ascending-indexed adjacency. A node with no out-edges ends
+    * the walk (nulls from there on — left joins, so partial walks
+    * surface instead of vanishing). Emits one wide row per source:
+    * (start, n1 … nSteps).
+    *
+    * Scale shape: the adjacency is indexed ONCE (one rank window
+    * over the edge list); each step is one equi-join of the frontier
+    * against it — `steps` shuffles of frontier size, never edge
+    * size, and no per-walk state on the driver. The hash pick needs
+    * `deg` on the matched row only, so the join stays an equi-join
+    * on the node id with the index-pick as a residual predicate.
+    */
+  def deterministicWalks(edges: DataFrame, sources: DataFrame,
+                         steps: Int,
+                         scope: CacheScope = CacheScope.global): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val w = Window.partitionBy(col("src")).orderBy(col("dst").asc)
+    val adj = scope.checkpoint(edges.select(col("src"), col("dst"))
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))
+    var st = sources.select(col("id").as("start"), col("id").as("n0"))
+    for (i <- 1 to steps) {
+      val prev = if (i == 1) "n0" else s"n${i - 1}"
+      val a = adj.select(col("src").as(s"__s$i"), col("dst").as(s"n$i"),
+        col("idx").as(s"__i$i"), col("deg").as(s"__d$i"))
+      st = st.join(a,
+          st(prev) === a(s"__s$i") &&
+            a(s"__i$i") === Sampling.detHash(st(prev) * 1000003L + i)
+              % a(s"__d$i"),
+          "left")
+        .drop(s"__s$i", s"__i$i", s"__d$i")
+    }
+    st.drop("n0")
+  }
+
   /** Newman MODULARITY of a vertex partition — the standard quality
     * score for a community assignment (label propagation, CC, an
     * external clustering): Q = Σ_c [ e_c/m − (deg_c/2m)² ] over the
