@@ -117,7 +117,7 @@ object Orchestrator {
       Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "s20_",
         "lake_")),
     ("vectors", "similarity search", Seq("vec_")),
-    ("graph", "graph view + analytics", Seq("g_")),
+    ("graph", "graph view + analytics + embedding prep", Seq("g_", "pipeline_graph")),
     ("multimodal", "media decode plumbing + multimodal corpus prep",
       Seq("mm_", "pipeline_multimodal")))
 
