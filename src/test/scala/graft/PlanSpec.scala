@@ -597,4 +597,55 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("PIT scd2 join: keyed equi-join with residual interval, no range blow-up") {
+    val full = plan("j11_pit_scd2")
+    val p = full.split("== Initial Plan ==")(0)
+    // the interval predicate must ride the key join as a residual —
+    // a nested-loop/cartesian here is the classic PIT scale bug
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("chi2 drift: one scan, keyed counts, totals broadcast back") {
+    val full = plan("dq_chi2_drift")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("HashAggregate"), p)
+    // the 1-row totals must come back as a broadcast, never shuffle
+    // the category table
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pair packing: one rank window + complement equi-join, no cartesian") {
+    val full = plan("pack_bestfit")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("deterministic walks: every hop is an equi-join on the node id") {
+    val full = plan("g_random_walk")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("centroid dots: the self-join runs on the compressed sum table") {
+    val full = plan("vec_centroid_dots")
+    val p = full.split("== Initial Plan ==")(0)
+    // pairwise arithmetic joins (label, dim) sums on pos — an equi-join;
+    // the raw embedding table must never cartesian with itself
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("soft dedup: cluster sizes meet rows in ONE exchange pair, no window") {
+    val full = plan("samp_soft_dedup")
+    val p = full.split("== Initial Plan ==")(0)
+    // count-aggregate + equi-join shape; a count window over the
+    // cluster key would sort-shuffle the whole corpus instead
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
