@@ -869,6 +869,65 @@ object GraphOps {
     st.drop("n0")
   }
 
+  /** NON-BACKTRACKING deterministic walks — node2vec's core bias
+    * (p → ∞: never return to the node you just left) with the same
+    * hash-replayable determinism as [[deterministicWalks]]. At step
+    * i ≥ 2 the previous node is EXCLUDED from the candidate set by
+    * index surgery, not by rejection sampling: look up prev's index
+    * p in cur's adjacency (one extra equi-join on (cur, prev)), draw
+    * j = detHash(cur·1000003 + i) mod (deg − 1), and take index
+    * j + 1{j ≥ p} — a bijection onto the remaining neighbors, so
+    * the pick stays uniform over them and replays exactly. deg = 1
+    * with prev as the only neighbor is a dead end (guarded before
+    * the modulo; nulls from there on).
+    *
+    * Same scale shape as the unbiased walker: the indexed adjacency
+    * builds once; each step is two frontier-sized equi-joins
+    * (prev-index lookup + pick), zero driver state.
+    */
+  def deterministicWalksNoBacktrack(edges: DataFrame, sources: DataFrame,
+                                    steps: Int,
+                                    scope: CacheScope = CacheScope.global)
+      : DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val w = Window.partitionBy(col("src")).orderBy(col("dst").asc)
+    val adj = scope.checkpoint(edges.select(col("src"), col("dst"))
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))
+    var st = sources.select(col("id").as("start"), col("id").as("n0"))
+    for (i <- 1 to steps) {
+      val cur = if (i == 1) "n0" else s"n${i - 1}"
+      val hash = Sampling.detHash(st(cur) * 1000003L + i)
+      if (i == 1) {
+        val a = adj.select(col("src").as(s"__s$i"), col("dst").as(s"n$i"),
+          col("idx").as(s"__i$i"), col("deg").as(s"__d$i"))
+        st = st.join(a,
+            st(cur) === a(s"__s$i") && a(s"__i$i") === hash % a(s"__d$i"),
+            "left")
+          .drop(s"__s$i", s"__i$i", s"__d$i")
+      } else {
+        val prev = s"n${i - 2}"
+        val pe = adj.select(col("src").as(s"__ps$i"), col("dst").as(s"__pd$i"),
+          col("idx").as(s"__pi$i"))
+        st = st.join(pe,
+          st(cur) === col(s"__ps$i") && st(prev) === col(s"__pd$i"), "left")
+        val a = adj.select(col("src").as(s"__s$i"), col("dst").as(s"n$i"),
+          col("idx").as(s"__i$i"), col("deg").as(s"__d$i"))
+        val excl = when(col(s"__pi$i").isNotNull, 1L).otherwise(0L)
+        val d2 = a(s"__d$i") - excl
+        val j = hash % d2
+        val pick = when(d2 > 0,
+          j + when(col(s"__pi$i").isNotNull && j >= col(s"__pi$i"), 1L)
+            .otherwise(0L))
+        st = st.join(a, st(cur) === a(s"__s$i") && a(s"__i$i") === pick,
+            "left")
+          .drop(s"__ps$i", s"__pd$i", s"__pi$i", s"__s$i", s"__i$i",
+            s"__d$i")
+      }
+    }
+    st.drop("n0")
+  }
+
   /** Newman MODULARITY of a vertex partition — the standard quality
     * score for a community assignment (label propagation, CC, an
     * external clustering): Q = Σ_c [ e_c/m − (deg_c/2m)² ] over the
