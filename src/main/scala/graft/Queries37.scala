@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.Similarity
+import Queries.Q
+
+/** Batch 37 (round 7): matrix-free PCA (power iteration), degree
+  * assortativity, the multi-lag autocorrelation function, and the
+  * MinHash estimation-error audit.
+  */
+object Queries37 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  private def qsumSql(e: String) =
+    s"""CAST(CAST(round(SUM(CAST($e AS DECIMAL(27,15))) * 1000000000, 0) AS BIGINT) AS DOUBLE)
+        / CAST(1000000000.0 AS DOUBLE)"""
+  private def qdivSql(n: String, d: String) =
+    s"""CAST(CAST(round($n / $d * 1000000000, 0) AS BIGINT) AS DOUBLE)
+        / CAST(1000000000.0 AS DOUBLE)"""
+
+  /** Top principal direction of the embedding second-moment matrix
+    * by 3 rounds of matrix-free power iteration
+    * ([[Similarity.powerIteration]]), sup-norm-normalized, on the
+    * 10⁻⁹ quantization grid — bit-identical on any layout and
+    * replayed round-for-round by the oracle. PCA without MLlib and
+    * without ever materializing a d×d matrix.
+    */
+  val vec_power_iteration = Q(
+    (s, dir) => Similarity.powerIteration(
+        T_(s, dir, "embeddings"), "embedding", dim = 64, iters = 3)
+      .orderBy(col("pos")),
+    Some {
+      def round_(t: Int, vPrev: String) =
+        s"""d$t AS (SELECT x, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [x[i] * v[i] FOR i IN range(1, 65)]), (a, b) -> a + b) AS dot
+            FROM c, $vPrev),
+          w$t AS (SELECT CAST(i.i AS INTEGER) AS pos,
+              ${qsumSql("x[i.i + 1] * dot")} AS w
+            FROM d$t, (SELECT unnest(range(0, 64)) AS i) i GROUP BY 1),
+          m$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+          v$t AS (SELECT list(${qdivSql("w", "mx")} ORDER BY pos) AS v
+            FROM w$t, m$t)"""
+      s"""WITH c AS (SELECT [CAST(embedding[i] AS DOUBLE)
+            FOR i IN range(1, 65)] AS x FROM embeddings),
+        v0 AS (SELECT [CAST(1.0 AS DOUBLE) FOR i IN range(1, 65)] AS v),
+        ${round_(1, "v0")},
+        ${round_(2, "v1")},
+        ${round_(3, "v2")}
+      SELECT pos, ${qdivSql("w", "mx")} AS v FROM w3, m3 ORDER BY pos"""
+    })
+
+  /** DEGREE ASSORTATIVITY of the order↔part purchase graph — does
+    * high-degree connect to high-degree? Newman's r as the exact
+    * rational pair over integer degree moments (each undirected edge
+    * counted once):
+    *   r_num = 4·m·Σjk − (Σ(j+k))²,  r_den = 2·m·Σ(j²+k²) − (Σ(j+k))²
+    * in decimal(38,0) (4·m·Σjk wraps int64 at lake scale). Two keyed
+    * aggregates for the degrees, one join of the edge list against
+    * the degree table per endpoint, one 1-row moment aggregate.
+    */
+  val g_assortativity = Q(
+    (s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val op = T_(s, dir, "lineitem")
+        .select((col("l_orderkey") + 10000000L).as("src"),
+          (col("l_partkey") + 20000000L).as("dst"))
+        .distinct()
+      val deg = op.select(col("src").as("id"))
+        .unionByName(op.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val withDeg = op
+        .join(deg.select(col("id"), col("deg").as("j")),
+          op("src") === col("id")).drop("id")
+        .join(deg.select(col("id"), col("deg").as("k")),
+          op("dst") === col("id")).drop("id")
+      withDeg.agg(count(lit(1)).as("m"),
+          sum(d(col("j")) * col("k")).as("s1"),
+          sum(d(col("j")) + col("k")).as("s2"),
+          sum(d(col("j")) * col("j") + d(col("k")) * col("k")).as("s3"))
+        .select(col("m"),
+          (lit(4).cast("decimal(38,0)") * col("m") * col("s1")
+            - col("s2") * col("s2")).cast("decimal(38,0)").as("r_num"),
+          (lit(2).cast("decimal(38,0)") * col("m") * col("s3")
+            - col("s2") * col("s2")).cast("decimal(38,0)").as("r_den"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT 10000000 + l_orderkey AS src,
+            20000000 + l_partkey AS dst FROM lineitem),
+        deg AS (SELECT id, count(*) AS deg FROM (
+            SELECT src AS id FROM op UNION ALL SELECT dst FROM op)
+          GROUP BY 1),
+        wd AS (SELECT a.deg AS j, b.deg AS k FROM op
+          JOIN deg a ON op.src = a.id JOIN deg b ON op.dst = b.id),
+        mo AS (SELECT count(*) AS m,
+            sum(CAST(j AS HUGEINT) * k) AS s1,
+            sum(CAST(j AS HUGEINT) + k) AS s2,
+            sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k) AS s3
+          FROM wd)
+      SELECT m,
+        CAST(4 * CAST(m AS HUGEINT) * s1 - s2 * s2 AS DECIMAL(38,0))
+          AS r_num,
+        CAST(2 * CAST(m AS HUGEINT) * s3 - s2 * s2 AS DECIMAL(38,0))
+          AS r_den
+      FROM mo"""))
+
+  /** AUTOCORRELATION FUNCTION at lags 1..5 — the multi-lag
+    * generalization of ts_autocorr_lag1 (same deci scaling, same
+    * decimal(38,0) rational moments): one per-user window computes
+    * all five lags in a single sort, the pairs unpivot through a
+    * codegen'd explode, and each (event_type, lag) cell ships its
+    * Pearson numerator and both unsquare-rooted denominator factors.
+    */
+  val ts_acf = Q(
+    (s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val base = T_(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("y",
+          col("value").cast("decimal(27,1)").*(lit(10)).cast("long"))
+      val lagged = base.select(col("event_type") +: col("y") +:
+        (1 to 5).map(k => lag(col("y"), k).over(w).as(s"x$k")): _*)
+      val pairs = lagged.select(col("event_type"), col("y"),
+          explode(array((1 to 5).map(k =>
+            struct(lit(k).as("lag"), col(s"x$k").as("x"))): _*)).as("p"))
+        .select(col("event_type"), col("p.lag").as("lag"),
+          col("p.x").as("x"), col("y"))
+        .filter(col("x").isNotNull)
+      pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"), sum(d(col("x"))).as("sx"),
+          sum(d(col("y"))).as("sy"), sum(d(col("x")) * col("y")).as("sxy"),
+          sum(d(col("x")) * col("x")).as("sxx"),
+          sum(d(col("y")) * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(38,0)").as("r_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").as("r_den_x"),
+          (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("decimal(38,0)").as("r_den_y"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+    Some {
+      val arms = (1 to 5).map(k =>
+        s"""SELECT event_type, $k AS lag,
+          lag(y, $k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS x,
+          y FROM e""").mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_us(ts) AS us,
+            CAST(CAST(value AS DECIMAL(27,1)) * 10 AS BIGINT) AS y
+          FROM events),
+        p AS ($arms),
+        q AS (SELECT event_type, lag, x, y FROM p WHERE x IS NOT NULL),
+        m AS (SELECT event_type, lag, count(*) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM q GROUP BY 1, 2)
+      SELECT event_type, lag, n,
+        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS r_num,
+        CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS r_den_x,
+        CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS r_den_y
+      FROM m ORDER BY event_type, lag"""
+    })
+
+  /** MINHASH ESTIMATION-ERROR AUDIT — the companion to dd_lsh_recall
+    * on the PRECISION side: for every LSH candidate pair, compare
+    * the 32-permutation Jaccard estimate against the EXACT
+    * char-5-gram Jaccard (same normalization, same 2000-char cap as
+    * the signatures) and histogram |error| in centi buckets. The
+    * exact sets are computed only for candidate pairs — pair-table
+    * cost, never corpus-quadratic.
+    */
+  val dd_sketch_error = Q(
+    (s, dir) => {
+      val cand = Queries3.dd_minhash_lsh.fn(s, dir)
+      val sets = T_(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(substring(col("text"), 1, 2000))),
+            "\\s+", " ").as("norm"))
+        .filter(length(col("norm")) >= 5)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, length(norm) - 4)," +
+            " i -> substring(norm, i, 5)))").as("g"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("g").as("ga")),
+          "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("g").as("gb")),
+          "id_b")
+        .withColumn("inter",
+          size(col("ga")) + size(col("gb"))
+            - size(array_union(col("ga"), col("gb"))))
+        .withColumn("true_j",
+          col("inter").cast("double")
+            / (size(array_union(col("ga"), col("gb")))).cast("double"))
+        .groupBy(floor(abs(col("est_jaccard") - col("true_j")) * 100)
+          .cast("int").as("err_centi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("err_centi"))
+    },
+    Some(s"""WITH cand AS (SELECT id_a, id_b, est_jaccard FROM
+          (${Queries3.dd_minhash_lsh.oracle.get})),
+        nrm AS (SELECT doc_id,
+            regexp_replace(lower(trim(substr(text, 1, 2000))), '\\s+', ' ', 'g')
+              AS norm
+          FROM documents),
+        sets AS (SELECT doc_id,
+            list_distinct([substr(norm, i, 5)
+              FOR i IN range(1, length(norm) - 3)]) AS g
+          FROM nrm WHERE length(norm) >= 5),
+        scored AS (SELECT c.id_a, c.id_b, c.est_jaccard,
+            len(a.g) + len(b.g)
+              - len(list_distinct(list_concat(a.g, b.g))) AS inter,
+            len(list_distinct(list_concat(a.g, b.g))) AS uni
+          FROM cand c JOIN sets a ON c.id_a = a.doc_id
+            JOIN sets b ON c.id_b = b.doc_id)
+      SELECT CAST(floor(abs(est_jaccard
+          - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) * 100) AS INTEGER)
+          AS err_centi,
+        count(*) AS n_pairs
+      FROM scored GROUP BY 1 ORDER BY 1"""))
+
+  val all: Map[String, Q] = Map(
+    "vec_power_iteration" -> vec_power_iteration,
+    "g_assortativity" -> g_assortativity,
+    "ts_acf" -> ts_acf,
+    "dd_sketch_error" -> dd_sketch_error,
+  )
+}

@@ -22,7 +22,7 @@ object SparkEntry {
       Queries21.all ++ Queries22.all ++ Queries23.all ++ Queries24.all ++
       Queries25.all ++ Queries26.all ++ Queries27.all ++ Queries28.all ++
       Queries29.all ++ Queries30.all ++ Queries31.all ++ Queries32.all ++
-      Queries33.all ++ Queries34.all ++ Queries35.all ++ Queries36.all
+      Queries33.all ++ Queries34.all ++ Queries35.all ++ Queries36.all ++ Queries37.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -224,4 +224,56 @@ object Similarity {
       .withColumn("cos", cosineFast(col("v"), col("qv")))
     twoPhaseTopK(scored, k)
   }
+
+  /** TOP PRINCIPAL DIRECTION by deterministic power iteration —
+    * matrix-free PCA on the uncentered second-moment matrix XᵀX,
+    * entirely in DataFrame ops: each round computes per-row dots
+    * x·v (one codegen'd fold over the array, no posexplode of the
+    * corpus for the dot), then the per-dimension image w_d =
+    * Σᵢ x_id·(xᵢ·v) (one posexplode + keyed aggregate), then
+    * normalizes by max|w| (sup-norm — exact to take, one float
+    * division to apply). Every aggregate runs the pageRank/HITS
+    * double-quantization hop (decimal sum → 10⁻⁹ grid), so the
+    * iterate — and therefore the result — is BIT-IDENTICAL on any
+    * cluster layout and replays exactly in the SQL oracle.
+    *
+    * Starts from the all-ones vector (deterministic; orthogonality
+    * to the principal direction is measure-zero and quantization
+    * breaks it anyway). Returns (pos, v) rows of the unit-sup-norm
+    * direction after `iters` rounds. Scale shape per round: one
+    * corpus scan for the dots, one posexplode shuffle keyed on the
+    * dimension (d distinct keys), a 1-row broadcast back — no
+    * d×d matrix ever materializes, which is the point: covariance
+    * PCA at 100 TB is feasible exactly when you stay matrix-free.
+    */
+  def powerIteration(emb: DataFrame, vecCol: String, dim: Int,
+                     iters: Int,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    require(dim >= 1 && iters >= 1)
+    def qsum(c: Column): Column =
+      round(sum(c.cast("decimal(27,15)")) * 1000000000L)
+        .cast("long").cast("double") / 1.0e9
+    def qdiv(n: Column, d: Column): Column =
+      (round(n / d * 1000000000L).cast("long").cast("double") / 1.0e9)
+    val x = scope.persist(emb.select(
+      transform(col(vecCol), e => e.cast("double")).as("x")))
+    var vRow = x.sparkSession.range(1)
+      .select(array_repeat(lit(1.0), dim).as("v"))
+    for (_ <- 1 to iters) {
+      val dotted = x.crossJoin(broadcast(vRow))
+        .select(col("x"),
+          aggregate(zip_with(col("x"), col("v"), (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t).as("dot"))
+      val w = dotted
+        .select(posexplode(col("x")).as(Seq("pos", "xd")), col("dot"))
+        .groupBy(col("pos"))
+        .agg(qsum(col("xd") * col("dot")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      vRow = w.crossJoin(broadcast(mx))
+        .withColumn("vd", qdiv(col("w"), col("mx")))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("vd")))),
+          t => t.getField("vd")).as("v"))
+    }
+    vRow.select(posexplode(col("v")).as(Seq("pos", "v")))
+  }
 }
