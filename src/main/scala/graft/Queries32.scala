@@ -64,22 +64,28 @@ object Queries32 {
     * the drift flag fires when the accumulated excess tops twice the
     * type's total scaled volume. Everything decimal(38,0)-exact.
     */
+  /** The post-counts tail of [[ts_cusum]], factored so the streaming
+    * twin's incrementally-maintained (event_type, day, n) table runs
+    * the identical exact arithmetic. */
+  private[graft] def cusumFromDaily(dc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val st = dc.groupBy(col("event_type").as("__et"))
+      .agg(count(lit(1)).as("t"), sum(col("n")).as("total"))
+    val x = dc.join(broadcast(st), dc("event_type") === col("__et"))
+      .withColumn("__x", col("n") * col("t") - col("total"))
+    TimeSeries.cusum(x, col("event_type"), Seq(col("day")), col("__x"))
+      .withColumn("is_drift",
+        col("cusum") > (col("total") * 2).cast("decimal(38,0)"))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+        col("is_drift"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val ts_cusum = Q(
-    (s, dir) => {
-      val dc = T_(s, dir, "events")
+    (s, dir) => cusumFromDaily(
+      T_(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val st = dc.groupBy(col("event_type").as("__et"))
-        .agg(count(lit(1)).as("t"), sum(col("n")).as("total"))
-      val x = dc.join(broadcast(st), dc("event_type") === col("__et"))
-        .withColumn("__x", col("n") * col("t") - col("total"))
-      TimeSeries.cusum(x, col("event_type"), Seq(col("day")), col("__x"))
-        .withColumn("is_drift",
-          col("cusum") > (col("total") * 2).cast("decimal(38,0)"))
-        .select(col("event_type"), col("day"), col("n"), col("cusum"),
-          col("is_drift"))
-        .orderBy(col("event_type"), col("day"))
-    },
+        .agg(count(lit(1)).as("n"))),
     Some("""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
             count(*) AS n
           FROM events GROUP BY 1, 2),
