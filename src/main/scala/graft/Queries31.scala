@@ -94,6 +94,29 @@ object Queries31 {
       LEFT JOIN dim d ON f.user_id = d.user_id AND f.us >= d.pit_from
         AND (d.valid_to IS NULL OR f.us < d.valid_to)"""))
 
+  /** The SORT-BASED form of the same PIT join
+    * ([[Scd.pitJoinSorted]]) — union + per-key sort + last-non-null
+    * carry-forward, no join and therefore no facts×versions product
+    * on hot keys (round-7 soak: ratio 1.07 vs 4.65 for the equi-join
+    * form on a 5%-hot user). Same rows, same oracle: the driver
+    * proves both physical strategies implement one semantics.
+    */
+  val j11_pit_sorted = Q(
+    (s, dir) => {
+      val ev = T_(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val dim = Scd.type2(
+        ev.filter(col("event_id") % 2 === 1),
+        col("user_id"), col("event_type"), col("us"),
+        Seq(col("us"), col("event_id")))
+      val fact = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("us"))
+      Scd.pitJoinSorted(fact, col("user_id"), col("us"), dim)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("pit_value"), col("pit_from"))
+    },
+    j11_pit_scd2.oracle)
+
   /** Category-mix drift monitor ([[DataQuality.chi2Drift]]):
     * odd-day-of-month events are "current", even-day "reference";
     * the per-event-type chi-square terms come out as exact
@@ -337,6 +360,7 @@ object Queries31 {
   val all: Map[String, Q] = Map(
     "lake_time_travel" -> lake_time_travel,
     "j11_pit_scd2" -> j11_pit_scd2,
+    "j11_pit_sorted" -> j11_pit_sorted,
     "dq_chi2_drift" -> dq_chi2_drift,
     "g_modularity" -> g_modularity,
     "pack_bestfit" -> pack_bestfit,

@@ -120,6 +120,55 @@ object SkewBench {
           .filter(col("value") > col("avg_v"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_above"))
+      }),
+      // PIT-join hot key: the skew fixture concentrates ~5% of events
+      // on one user, so that key carries BOTH a fact pile AND a long
+      // version history — per-key cost is facts×versions, the
+      // classic PIT blowup. The consecutive-dup collapse in
+      // Scd.type2 is what keeps versions sublinear in events; the
+      // soak asserts the product stays bounded.
+      "j11_pit_skew" -> ((s, d) => {
+        val ev = Tables.read(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+        val dim = graft.operators.Scd.type2(
+          ev.filter(col("event_id") % 2 === 1),
+          col("user_id"), col("event_type"), col("us"),
+          Seq(col("us"), col("event_id")))
+        graft.operators.Scd.pitJoin(
+            ev.filter(col("event_id") % 2 === 0)
+              .select(col("event_id"), col("user_id"), col("us")),
+            col("user_id"), col("us"), dim)
+          .groupBy(col("pit_value")).agg(count(lit(1)).as("n"))
+      }),
+      // the hot-key-SAFE form: union + sort + last-non-null carries
+      // the version forward — per-key (f+v)log(f+v), no product; the
+      // soak pair (j11_pit_skew vs this) is the documented evidence
+      // for when to switch forms
+      "j11_pit_sorted_skew" -> ((s, d) => {
+        val ev = Tables.read(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+        val dim = graft.operators.Scd.type2(
+          ev.filter(col("event_id") % 2 === 1),
+          col("user_id"), col("event_type"), col("us"),
+          Seq(col("us"), col("event_id")))
+        graft.operators.Scd.pitJoinSorted(
+            ev.filter(col("event_id") % 2 === 0)
+              .select(col("event_id"), col("user_id"), col("us")),
+            col("user_id"), col("us"), dim)
+          .groupBy(col("pit_value")).agg(count(lit(1)).as("n"))
+      }),
+      // pair packing under a hot stratum: one source dominating the
+      // corpus makes one rank-window partition carry most rows — the
+      // soak tracks that the sort stays a single-shuffle cost, not a
+      // blowup (the GlobalOrder form is the documented escape hatch
+      // for a single mega-stratum)
+      "pack_paired_skew" -> ((s, d) => {
+        val t = docs(s, d).select(col("doc_id"), col("source"),
+          T.wsTokenCount(col("text")).as("toks"))
+        graft.operators.Packing.packPaired(t, col("source"), col("toks"),
+            col("doc_id"), 256L)
+          .groupBy(col("stratum"))
+          .agg(count(lit(1)).as("bins"), sum(col("bin_tokens")).as("toks"))
       }))
     val unc: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dd_minhash_uncapped" -> ((s, d) =>

@@ -608,6 +608,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("sorted PIT join: no join operator at all — union, one sort, one window") {
+    val full = plan("j11_pit_sorted")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), "the sorted form must not join:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
   test("chi2 drift: one scan, keyed counts, totals broadcast back") {
     val full = plan("dq_chi2_drift")
     val p = full.split("== Initial Plan ==")(0)
