@@ -109,7 +109,8 @@ object Orchestrator {
     ("text", "text analysis + corpus prep",
       Seq("txt_", "pipeline_corpus", "pipeline_rag", "pipeline_curation")),
     ("dedup", "deduplication family", Seq("dd_")),
-    ("sampling", "deterministic corpus sampling + packing", Seq("samp_", "pack_")),
+    ("sampling", "deterministic corpus sampling + packing + loader prep",
+      Seq("samp_", "pack_", "pipeline_loader")),
     ("timeseries", "sessionization + gap fill + rolling windows + streaks + cohorts",
       Seq("ts_", "w_sessionize", "w_rolling", "w_gaps", "w_cum",
         "w_cohort", "w_transition", "w_dau")),
