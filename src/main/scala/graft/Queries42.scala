@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Queries.Q
+
+/** Batch 42 (round 7): BPE merge learning (the actual merge loop, 3
+  * unrolled rounds), retraction-aware incremental rollup maintenance
+  * (IVM with deletes), and Theil-Sen robust slope.
+  */
+object Queries42 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  private val tokensSqlD =
+    """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+
+  // ===========================================================
+  // BPE merge learning — 3 rounds, engine-replayable
+  // ===========================================================
+
+  private val bpeVocab = 50
+  private val bpeRounds = 3
+
+  /** One BPE round over the (word, freq, seg) table: count adjacent
+    * piece pairs weighted by word frequency, take THE top pair
+    * (count desc, then lexicographic — total order), and merge every
+    * non-overlapping occurrence in every segmentation. The merge is a
+    * plain space-padded string replace applied twice (the second
+    * pass catches the odd occurrences the first pass's consumed
+    * separators skipped) — identical left-to-right non-overlap
+    * semantics in any engine, no regex.
+    */
+  private def bpeRound(seg: DataFrame, r: Int): DataFrame = {
+    val pairs = seg
+      .select(col("freq"), split(col("seg"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(sum(col("freq")).as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(1)
+      .select(concat(col("w1"), lit(" "), col("w2")).as(s"_pat$r"),
+        concat(col("w1"), col("w2")).as(s"m$r"))
+    seg.crossJoin(broadcast(top))
+      .withColumn("seg", expr(
+        s"""trim(replace(replace(' ' || seg || ' ',
+             ' ' || _pat$r || ' ', ' ' || m$r || ' '),
+             ' ' || _pat$r || ' ', ' ' || m$r || ' '))"""))
+      .drop(s"_pat$r")
+  }
+
+  /** The matching DuckDB CTE pair for round `r` (reads seg{r-1},
+    * defines top{r} and seg{r}). */
+  private def bpeRoundSql(r: Int): String =
+    s"""pairs$r AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, unnest(list_transform(range(len(tk) - 1),
+              j -> struct_pack(w1 := tk[j + 1], w2 := tk[j + 2]))) AS bg
+            FROM (SELECT freq, string_split(seg, ' ') AS tk FROM seg${r - 1})
+            WHERE len(tk) >= 2)
+          GROUP BY 1, 2),
+        top$r AS (SELECT w1 || ' ' || w2 AS pat, w1 || w2 AS m
+          FROM pairs$r ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        seg$r AS (SELECT word, freq,
+            trim(replace(replace(' ' || seg || ' ',
+              ' ' || pat || ' ', ' ' || m || ' '),
+              ' ' || pat || ' ', ' ' || m || ' ')) AS seg,
+            ${(1 until r).map(i => s"m$i, ").mkString}top$r.m AS m$r
+          FROM seg${r - 1}, top$r)"""
+
+  /** BPE MERGE LEARNING — the actual byte-pair-encoding training
+    * loop, not just the pair-count table (`txt_bpe_pairs`): take the
+    * top-50 frequent alphabetic words, split them to characters, and
+    * run 3 merge rounds — each round counts adjacent piece pairs
+    * weighted by corpus frequency, picks the argmax pair (total
+    * order: count desc, pair asc), and merges it everywhere. Output:
+    * each vocabulary word's final segmentation, its piece count, and
+    * the three learned merges — the seed of a real tokenizer's merge
+    * table, bit-replayable in any engine.
+    *
+    * Scale shape: the expensive part is the ONE corpus token-count
+    * scan; the merge loop itself runs on the 50-row vocabulary table
+    * with a 1-row broadcast argmax per round (rounds are a fixed
+    * constant — the loop is in the driver PLAN, data never
+    * round-trips). A production 100k-merge trainer keeps the same
+    * dataflow with the pair table as the only large relation.
+    */
+  val txt_bpe_learn = Q(
+    (s, dir) => {
+      val vocab = T_(s, dir, "documents")
+        .select(explode(split(graft.functions.TextFunctions.normText(col("text")), " "))
+          .as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(bpeVocab)
+      val seg0 = vocab.withColumn("seg",
+        trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      val done = (1 to bpeRounds).foldLeft(seg0)((d, r) => bpeRound(d, r))
+      done.select(col("word"), col("freq"), col("seg"),
+        size(split(col("seg"), " ")).as("n_pieces"),
+        col("m1"), col("m2"), col("m3"))
+        .orderBy(col("freq").desc, col("word").asc)
+    },
+    Some(s"""WITH toks AS (SELECT unnest($tokensSqlD) AS word FROM documents),
+        vocab AS (SELECT word, count(*) AS freq FROM toks
+          WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 2
+          GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT $bpeVocab),
+        seg0 AS (SELECT word, freq,
+            trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg FROM vocab),
+        ${(1 to bpeRounds).map(bpeRoundSql).mkString(",\n        ")}
+      SELECT word, freq, seg,
+        CAST(len(string_split(seg, ' ')) AS INTEGER) AS n_pieces,
+        m1, m2, m3
+      FROM seg$bpeRounds ORDER BY freq DESC, word ASC"""))
+
+  // ===========================================================
+  // Retraction-aware incremental rollup (IVM with deletes)
+  // ===========================================================
+
+  private def centsCol(c: String) =
+    expr(s"CAST(CAST($c AS DECIMAL(27,2)) * 100 AS BIGINT)")
+
+  /** RETRACTABLE ROLLUP MAINTENANCE: keep the per-priority (count,
+    * cents) rollup current under a CDC feed WITH DELETES — the IVM
+    * case `s12_incremental_rollup` (insert-only) cannot handle. The
+    * feed is deterministic: key%97=0 → D, else key%89=0 → U (price
+    * +10.00), and key%83=0 also INSERTS a new key+1e8 row. The
+    * maintained path never re-reads the base fact table beyond the
+    * touched keys: D retracts (−1, −cents_old), U retracts the old
+    * and asserts the new, I asserts (+1, +cents_new); the deltas
+    * merge into the stored aggregate algebraically. The oracle
+    * recomputes from the CDC-applied final state — maintain ==
+    * recompute is the correctness claim (the delete-aware half of
+    * view maintenance).
+    *
+    * At scale the delta aggregate touches |feed| rows and the merge
+    * is a 5-row union — the base is never rescanned (here the "old
+    * row" lookup joins the feed against the base on the key, which a
+    * lake deployment serves from the primary-key index / bucketed
+    * layout, see `s7_bucketed_join`).
+    */
+  val lake_retract_rollup = Q(
+    (s, dir) => {
+      val base = T_(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"), centsCol("o_totalprice").as("cents"))
+      val baseAgg = base.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // the CDC feed: op, key, and (for U/I) the asserted new cents
+      val dels = base.filter(col("k") % 97 === 0)
+        .select(col("k"), col("pri"), lit("D").as("op"), lit(null).cast("long").as("new_cents"))
+      val upds = base.filter(col("k") % 97 =!= 0 && col("k") % 89 === 0)
+        .select(col("k"), col("pri"), lit("U").as("op"), (col("cents") + 1000L).as("new_cents"))
+      val ins = base.filter(col("k") % 83 === 0)
+        .select((col("k") + 100000000L).as("k"), col("pri"), lit("I").as("op"),
+          col("cents").as("new_cents"))
+      val feed = dels.unionByName(upds).unionByName(ins)
+      // delta: retract old for D/U (keyed lookup), assert new for U/I
+      val olds = feed.filter(col("op").isin("D", "U"))
+        .join(base.select(col("k"), col("cents").as("old_cents")), Seq("k"))
+        .select(col("pri"), lit(-1L).as("dn"), (-col("old_cents")).as("dc"))
+      val news = feed.filter(col("op").isin("U", "I"))
+        .select(col("pri"), lit(1L).as("dn"), col("new_cents").as("dc"))
+      val delta = olds.unionByName(news)
+        .groupBy(col("pri")).agg(sum(col("dn")).as("n"), sum(col("dc")).as("cents"))
+      baseAgg.unionByName(delta)
+        .groupBy(col("pri"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("pri"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+            CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        final AS (
+          SELECT k, pri,
+            CASE WHEN k % 97 != 0 AND k % 89 = 0 THEN cents + 1000
+                 ELSE cents END AS cents
+          FROM base WHERE k % 97 != 0
+          UNION ALL
+          SELECT k + 100000000, pri, cents FROM base WHERE k % 83 = 0)
+      SELECT pri, count(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
+  // ===========================================================
+  // Theil-Sen robust slope (pairwise-median, integer-exact)
+  // ===========================================================
+
+  /** THEIL-SEN ROBUST SLOPE of daily revenue per priority: the
+    * median over ALL day-pair slopes ((c2−c1)·1000 div (d2−d1), day
+    * index = date offset), lower-median by nearest rank — the
+    * breakdown-resistant alternative to `ts_trend_slope`'s OLS (a
+    * single corrupted day moves OLS arbitrarily; Theil-Sen tolerates
+    * 29% contamination). Integer-exact throughout.
+    *
+    * Scale: pairs grow with DAYS squared, not data size — the raw
+    * scan collapses to one row per (priority, day) first, and the
+    * calendar bounds the pair table (2405 days → ~2.9M integer pairs
+    * per series) regardless of fact volume. The pair join is
+    * per-priority equi-keyed.
+    */
+  val ts_theilsen = Q(
+    (s, dir) => {
+      val daily = T_(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(centsCol("o_totalprice")).as("cents"))
+        .select(col("pri"),
+          datediff(col("d"), lit("1995-01-01").cast("date")).as("di"),
+          col("cents"))
+      val a = daily.select(col("pri"), col("di").as("d1"), col("cents").as("c1"))
+      val b = daily.select(col("pri"), col("di").as("d2"), col("cents").as("c2"))
+      val slopes = a.join(b, Seq("pri")).filter(col("d1") < col("d2"))
+        .select(col("pri"), col("d1"), col("d2"),
+          expr("((c2 - c1) * 1000) div (d2 - d1)").as("sl"))
+      val w = Window.partitionBy(col("pri"))
+      slopes
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("sl").asc, col("d1").asc, col("d2").asc)))
+        .withColumn("np", count(lit(1)).over(w))
+        .filter(col("rn") === expr("CAST((np + 1) div 2 AS INT)"))
+        .select(col("pri"), col("np").as("n_pairs"), col("sl").as("slope_med_milli"))
+        .orderBy(col("pri"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS pri,
+            date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS di,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        sl AS (SELECT a.pri, a.di AS d1, b.di AS d2,
+            ((b.cents - a.cents) * 1000) // (b.di - a.di) AS sl
+          FROM daily a JOIN daily b ON a.pri = b.pri AND a.di < b.di),
+        r AS (SELECT pri, sl,
+            row_number() OVER (PARTITION BY pri ORDER BY sl ASC, d1 ASC, d2 ASC) AS rn,
+            count(*) OVER (PARTITION BY pri) AS np
+          FROM sl)
+      SELECT pri, np AS n_pairs, sl AS slope_med_milli
+      FROM r WHERE rn = CAST((np + 1) // 2 AS BIGINT)
+      ORDER BY pri"""))
+
+  val all: Map[String, Q] = Map(
+    "txt_bpe_learn" -> txt_bpe_learn,
+    "lake_retract_rollup" -> lake_retract_rollup,
+    "ts_theilsen" -> ts_theilsen,
+  )
+}
