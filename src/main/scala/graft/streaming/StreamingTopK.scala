@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming "trending now": tumbling-window counts maintained
+  * incrementally, with the per-window top-k ranking derived from the
+  * materialized counts — the windowed heavy-hitters board every
+  * telemetry deployment keeps. The windowed count state is bounded by
+  * the watermark horizon (windows × keys), and counts are
+  * order-independent, so the exhausted stream equals the batch replay
+  * bit-for-bit — which is what the oracle checks.
+  */
+object StreamingTopK {
+
+  /** Drive the windowed count to exhaustion over a parquet dir, then
+    * rank: per tumbling day, the top-k event types by count
+    * (count desc, type asc — total order). */
+  def windowTopKOnce(spark: SparkSession, parquetPath: String, k: Int,
+                     queryName: String = "stream_window_topk"): DataFrame = {
+    val agg = StreamSource.parquet(spark, parquetPath)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(to_date(col("w.start")).as("date"), col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("date"))
+          .orderBy(col("n").desc, col("event_type").asc)))
+      .filter(col("rank") <= k)
+  }
+}
