@@ -655,4 +655,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("bloom prune: bitmap lookups broadcast; the probe side never sort-merges") {
+    val full = plan("j12_bloom_prune")
+    val p = full.split("== Initial Plan ==")(0)
+    // two word-indexed bitmap lookups + the truth join — all small
+    // sides broadcast against the probe scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe learn: the merge loop never sort-merge-joins — argmax rows broadcast") {
+    val full = plan("txt_bpe_learn")
+    val p = full.split("== Initial Plan ==")(0)
+    // each round's 1-row argmax meets the 50-row vocab as a broadcast
+    // nested loop (the RIGHT plan for 1xN); the corpus-sized work is
+    // the single token-count aggregate
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("theil-sen: the pair join runs on the day-compressed table, post-aggregate") {
+    val full = plan("ts_theilsen")
+    val p = full.split("== Initial Plan ==")(0)
+    // daily collapse (HashAggregate) must appear; the join is an
+    // equi-join on the priority key of that compressed relation
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
