@@ -997,4 +997,63 @@ object GraphOps {
         col("degree").cast("long").as("degree"),
         col("q_num"), col("q_den"))
   }
+
+  /** Luby-style MAXIMAL INDEPENDENT SET with deterministic hash
+    * priorities: each round, every still-active vertex whose
+    * ([[Sampling.detHash2]], id) priority is a LOCAL MINIMUM among
+    * its active neighbors joins the set; winners and their neighbors
+    * leave the graph. The hash replaces Luby's coin flips — the
+    * expected O(log n) round count carries over (the priority order
+    * is hash-random w.r.t. the topology), and the run is bit-
+    * replayable in any engine, matching the engine's no-unreplayable-
+    * randomness rule (see deterministicWalks).
+    *
+    * `rounds` is FIXED (oracle-replayable — a data-dependent round
+    * count cannot be mirrored in static SQL, same trade as
+    * [[kCore]]); vertices still active after the last round are
+    * emitted with `sel_round = -1`, so non-convergence is visible in
+    * the result instead of silently truncating the set. Per round:
+    * one neighbor-compare equi-join + two anti-joins, all on the
+    * vertex key — no windows, no driver state beyond the loop
+    * counter.
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int,
+                            scope: CacheScope = CacheScope.global): DataFrame = {
+    require(rounds >= 1)
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // symmetric adjacency: one row per directed neighbor pair
+    var adj = scope.checkpoint(
+      canon.select(col("a").as("v"), col("b").as("n"))
+        .union(canon.select(col("b").as("v"), col("a").as("n"))))
+    var active = scope.checkpoint(
+      adj.select(col("v")).distinct()
+        .withColumn("h", Sampling.detHash2(col("v"))))
+    var mis: DataFrame = null
+    for (r <- 1 to rounds) {
+      // a vertex LOSES if any active neighbor precedes it in (h, id)
+      val losers = adj
+        .join(active, Seq("v"))
+        .join(active.select(col("v").as("n"), col("h").as("nh")), Seq("n"))
+        .filter(col("nh") < col("h") ||
+          (col("nh") === col("h") && col("n") < col("v")))
+        .select(col("v")).distinct()
+      val winners = active.join(losers, Seq("v"), "left_anti")
+        .select(col("v"), lit(r).as("sel_round"))
+      mis = if (mis == null) winners else mis.unionByName(winners)
+      // winners and their neighbors leave
+      val removed = winners.select(col("v"))
+        .union(adj.join(winners.select(col("v").as("n")), Seq("n"), "left_semi")
+          .select(col("v")))
+        .distinct()
+      active = scope.checkpoint(
+        active.join(removed, Seq("v"), "left_anti"))
+      adj = scope.checkpoint(adj
+        .join(active.select(col("v")), Seq("v"), "left_semi")
+        .join(active.select(col("v").as("n")), Seq("n"), "left_semi"))
+    }
+    mis.unionByName(active.select(col("v"), lit(-1).as("sel_round")))
+  }
 }
