@@ -113,7 +113,7 @@ object Orchestrator {
       Seq("samp_", "pack_", "pipeline_loader")),
     ("timeseries", "sessionization + gap fill + rolling windows + streaks + cohorts",
       Seq("ts_", "w_sessionize", "w_rolling", "w_gaps", "w_cum",
-        "w_cohort", "w_transition", "w_dau")),
+        "w_cohort", "w_transition", "w_dau", "w_pareto", "w_streak")),
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling, SCD2, CDC",
       Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "s20_",
         "lake_")),
