@@ -108,7 +108,8 @@ object Orchestrator {
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis + corpus prep",
       Seq("txt_", "pipeline_corpus", "pipeline_rag", "pipeline_curation")),
-    ("dedup", "deduplication family", Seq("dd_")),
+    ("dedup", "deduplication family + preference-pair mining",
+      Seq("dd_", "pipeline_dpo")),
     ("sampling", "deterministic corpus sampling + packing + loader prep",
       Seq("samp_", "pack_", "pipeline_loader")),
     ("timeseries", "sessionization + gap fill + rolling windows + streaks + cohorts",
@@ -117,7 +118,7 @@ object Orchestrator {
     ("lake_ops", "snapshot diff, checksums, incremental refresh, profiling, SCD2, CDC",
       Seq("s9_", "s10_", "s12_", "s16_", "s17_", "s18_", "s19_", "s20_",
         "lake_")),
-    ("vectors", "similarity search", Seq("vec_")),
+    ("vectors", "similarity search + retrieval eval", Seq("vec_", "eval_")),
     ("graph", "graph view + analytics + embedding prep", Seq("g_", "pipeline_graph")),
     ("multimodal", "media decode plumbing + multimodal corpus prep",
       Seq("mm_", "pipeline_multimodal")))
