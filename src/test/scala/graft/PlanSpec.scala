@@ -684,4 +684,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pareto frontier: price tiers collapse before the cummax window") {
+    val full = plan("w_pareto_frontier")
+    val p = full.split("== Initial Plan ==")(0)
+    // value-frequency compression first, then ONE window — no
+    // dominance self-join anywhere
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hamming retrieval: one long per doc, probes broadcast, top-k only") {
+    val full = plan("vec_hamming_topk")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("keyphrase: one scan feeds islands; word stats join as equi-joins") {
+    val full = plan("txt_keyphrase")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
