@@ -173,16 +173,19 @@ object Queries {
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        // region totals exceed 2^53 scaled units at sf0.1 — the final
-        // decimal→double cast is the one engine-divergent hop (1-ulp
-        // int128→double double-rounding), so revenue ships as the
-        // exact decimal (same fix as a_rollup_totals)
-        .agg(sum(col("o_totalprice").cast("decimal(27,8)"))
-          .cast("decimal(37,8)").as("revenue"),
+        // region totals exceed 2^53 scaled units at sf0.1, so the sum
+        // must stay integer-exact — but wide DECIMAL outputs don't
+        // hash portably across engines. Ship BIGINT cents: per-row
+        // money → exact cents (lossless for a 2-dp column), summed as
+        // 64-bit integers. Fits BIGINT to sf1000 (~2.3e16 cents) and
+        // both engines agree bit-for-bit.
+        .agg(sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT)"))
+          .as("revenue_cents"),
           count(lit(1)).as("n_orders"))
     },
     Some("""SELECT r_name,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,8))) AS DECIMAL(37,8)) AS revenue,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
              count(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey

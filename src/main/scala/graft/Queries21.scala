@@ -55,8 +55,9 @@ object Queries21 {
     * per type. Moment products and sums run in decimal(38,0) on the
     * Spark side / HUGEINT in the oracle (milli-scaled y times a day
     * index would wrap int64 well below sf1 — round-6 advice), and the
-    * outputs ship as DECIMAL(38,0) on both sides: exact integers at
-    * any scale, divided only at display time.
+    * outputs ship as canonical integer strings on both sides: exact
+    * at any scale, divided only at display time, and hashed
+    * identically by every checker (wide DECIMAL is not).
     */
   val ts_trend_slope = Q(
     (s, dir) => {
@@ -72,10 +73,12 @@ object Queries21 {
           sum(d(col("y"))).as("sy"), sum(d(col("x")) * col("y")).as("sxy"),
           sum(d(col("x")) * col("x")).as("sxx"))
         .select(col("event_type"), col("n"),
+          // canonical integer strings — exact at int128 range and
+          // hash-portable, which DECIMAL(38,0) outputs are not
           (col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("decimal(38,0)").as("slope_num"),
+            .cast("decimal(38,0)").cast("string").as("slope_num"),
           (col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("decimal(38,0)").as("slope_den"))
+            .cast("decimal(38,0)").cast("string").as("slope_den"))
     },
     Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
         e AS (SELECT event_type,
@@ -88,8 +91,8 @@ object Queries21 {
             sum(CAST(x AS HUGEINT) * x) AS sxx
           FROM e GROUP BY 1)
       SELECT event_type, n,
-        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-        CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+        CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+        CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
       FROM m"""))
 
   /** MERGE with schema evolution: the delta carries a column the base

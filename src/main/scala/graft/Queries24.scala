@@ -72,8 +72,9 @@ object Queries24 {
     * Spark side / HUGEINT (int128) in the oracle, so NOTHING can wrap
     * at any realistic scale: with |y| ≤ 10⁶ deci-units and n ≤ 10¹²
     * rows per type, the worst term n·Σxy stays under 10³⁶ < 10³⁸.
-    * Outputs are DECIMAL(38,0) on both sides — exact integers, engine
-    * bit-parity by construction (round-6 verdict task 6).
+    * Outputs ship as canonical integer strings on both sides — exact
+    * integers, engine bit-parity by construction, and hash-portable
+    * where wide DECIMAL is not (round-7 verdict task 1).
     */
   val ts_autocorr_lag1 = Q(
     (s, dir) => {
@@ -93,11 +94,11 @@ object Queries24 {
           sum(d(col("y")) * col("y")).as("syy"))
         .select(col("event_type"), col("n"),
           (col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("decimal(38,0)").as("r_num"),
+            .cast("decimal(38,0)").cast("string").as("r_num"),
           (col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("decimal(38,0)").as("r_den_x"),
+            .cast("decimal(38,0)").cast("string").as("r_den_x"),
           (col("n") * col("syy") - col("sy") * col("sy"))
-            .cast("decimal(38,0)").as("r_den_y"))
+            .cast("decimal(38,0)").cast("string").as("r_den_y"))
     },
     Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
             CAST(CAST(value AS DECIMAL(27,1)) * 10 AS BIGINT) AS y FROM events),
@@ -112,9 +113,9 @@ object Queries24 {
             sum(CAST(y AS HUGEINT) * y) AS syy
           FROM q GROUP BY 1)
       SELECT event_type, n,
-        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS r_num,
-        CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS r_den_x,
-        CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS r_den_y
+        CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
+        CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS r_den_x,
+        CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS VARCHAR) AS r_den_y
       FROM m"""))
 
   private val toksSql =

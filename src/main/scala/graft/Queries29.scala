@@ -102,7 +102,12 @@ object Queries29 {
       val sources = T_(s, dir, "orders")
         .filter(col("o_orderkey") % 1000 === 0)
         .select((col("o_orderkey") + 10000000L).as("id"))
+      // the vertex-id path ships as a '->' joined string: same
+      // information, and scalar outputs hash/sort portably where
+      // list-typed columns do not
       GraphOps.kHopPaths(edges, sources, maxHops = 3)
+        .withColumn("path",
+          array_join(expr("CAST(path AS ARRAY<STRING>)"), "->"))
     },
     Some("""WITH edges AS (
         SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst FROM orders
@@ -120,9 +125,12 @@ object Queries29 {
       h3 AS (SELECT h2.start, e.dst AS "end", list_append(h2.path, e.dst) AS path
         FROM h2 JOIN edges e ON h2."end" = e.src
         WHERE NOT list_contains(h2.path, e.dst))
-      SELECT start, "end", CAST(1 AS INTEGER) AS hops, path FROM h1
-      UNION ALL SELECT start, "end", CAST(2 AS INTEGER), path FROM h2
-      UNION ALL SELECT start, "end", CAST(3 AS INTEGER), path FROM h3"""))
+      SELECT start, "end", CAST(1 AS INTEGER) AS hops,
+        array_to_string(path, '->') AS path FROM h1
+      UNION ALL SELECT start, "end", CAST(2 AS INTEGER),
+        array_to_string(path, '->') FROM h2
+      UNION ALL SELECT start, "end", CAST(3 AS INTEGER),
+        array_to_string(path, '->') FROM h3"""))
 
   /** Multi-key fuzzy join ([[Dedup.fuzzyJoinBlockedMulti]]): the
     * recall dial over the single edge-char family. The perturbation

@@ -74,7 +74,11 @@ object Queries30 {
       val sources = T_(s, dir, "orders")
         .filter(col("o_orderkey") % 500 === 0)
         .select((col("o_orderkey") + 10000000L).as("id"))
+      // scalar '->' path string: hash/sort-portable where a
+      // list-typed column is not
       GraphOps.kHopPaths(typed, sources, maxHops = 2)
+        .withColumn("path",
+          array_join(expr("CAST(path AS ARRAY<STRING>)"), "->"))
     },
     Some("""WITH edges AS (
         SELECT 10000000 + o_orderkey AS src, 10000 + o_custkey AS dst,
@@ -94,8 +98,10 @@ object Queries30 {
       h2 AS (SELECT h1.start, e.dst AS "end", list_append(h1.path, e.dst) AS path
         FROM h1 JOIN typed e ON h1."end" = e.src
         WHERE NOT list_contains(h1.path, e.dst))
-      SELECT start, "end", CAST(1 AS INTEGER) AS hops, path FROM h1
-      UNION ALL SELECT start, "end", CAST(2 AS INTEGER), path FROM h2"""))
+      SELECT start, "end", CAST(1 AS INTEGER) AS hops,
+        array_to_string(path, '->') AS path FROM h1
+      UNION ALL SELECT start, "end", CAST(2 AS INTEGER),
+        array_to_string(path, '->') FROM h2"""))
 
   /** Incremental graph refresh ([[GraphExport.exportVerticesDelta]]):
     * export the 4-label graph, then refresh ONLY the Nation label
@@ -176,7 +182,12 @@ object Queries30 {
       val sources = T_(s, dir, "customer")
         .filter(col("c_custkey") % 300 === 0)
         .select((col("c_custkey") + 10000L).as("id"))
+      // rank selection happens INSIDE kCheapestPaths on the integer
+      // array (exact lexicographic tiebreak); only the shipped column
+      // is the '->' string — scalar, hash/sort-portable
       GraphOps.kCheapestPaths(edges, sources, maxHops = 2, k = 2)
+        .withColumn("path",
+          array_join(expr("CAST(path AS ARRAY<STRING>)"), "->"))
     },
     Some("""WITH edges0 AS (
         SELECT 10000 + o_custkey AS src, 10000000 + o_orderkey AS dst FROM orders
@@ -197,11 +208,13 @@ object Queries30 {
         WHERE NOT list_contains(h1.path, e.dst)),
       lv AS (SELECT start, "end", CAST(1 AS INTEGER) AS hops, cost, path FROM h1
         UNION ALL SELECT start, "end", CAST(2 AS INTEGER), cost, path FROM h2)
-      SELECT start, "end", hops, cost, path,
-        CAST(row_number() OVER (PARTITION BY start, "end"
-          ORDER BY cost ASC, path ASC) AS INTEGER) AS rank
-      FROM lv
-      QUALIFY rank <= 2"""))
+      SELECT start, "end", hops, cost,
+        array_to_string(path, '->') AS path, rank
+      FROM (SELECT start, "end", hops, cost, path,
+          CAST(row_number() OVER (PARTITION BY start, "end"
+            ORDER BY cost ASC, path ASC) AS INTEGER) AS rank
+        FROM lv)
+      WHERE rank <= 2"""))
 
   /** Length-curriculum epoch order: tier documents by
     * floor(log2(n_tokens+1)) — the binary-string-length idiom, pure

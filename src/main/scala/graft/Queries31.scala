@@ -140,8 +140,8 @@ object Queries31 {
             CAST(n_ref AS HUGEINT) * t_cur * t_ref AS den
           FROM c, t)
       SELECT category, n_ref, n_cur,
-        CAST(dd * dd AS DECIMAL(38,0)) AS chi2_num,
-        CAST(den AS DECIMAL(38,0)) AS chi2_den
+        CAST(CAST(dd * dd AS DECIMAL(38,0)) AS VARCHAR) AS chi2_num,
+        CAST(CAST(den AS DECIMAL(38,0)) AS VARCHAR) AS chi2_den
       FROM d ORDER BY category"""))
 
   /** Modularity of the region partition over the order→customer→
@@ -223,10 +223,11 @@ object Queries31 {
       SELECT nv.community, nv.n_vertices,
         CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
         CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
-        CAST(4 * CAST(m.m AS HUGEINT) * coalesce(intra.intra_edges, 0)
+        CAST(CAST(4 * CAST(m.m AS HUGEINT) * coalesce(intra.intra_edges, 0)
           - CAST(coalesce(deg.degree, 0) AS HUGEINT)
-            * coalesce(deg.degree, 0) AS DECIMAL(38,0)) AS q_num,
-        CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DECIMAL(38,0)) AS q_den
+            * coalesce(deg.degree, 0) AS DECIMAL(38,0)) AS VARCHAR) AS q_num,
+        CAST(CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DECIMAL(38,0))
+          AS VARCHAR) AS q_den
       FROM nv LEFT JOIN deg USING (community)
         LEFT JOIN intra USING (community), m
       ORDER BY community"""))
@@ -309,10 +310,14 @@ object Queries31 {
           sum(d(col("vq")) * col("vq")).as("q"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
         .select(col("pos"), col("n"),
-          col("s_micro").cast("decimal(38,0)").as("mean_num"),
+          // rational components ship as canonical integer strings
+          // (hash-portable; wide DECIMAL is not)
+          col("s_micro").cast("decimal(38,0)")
+            .cast("string").as("mean_num"),
           (col("n") * col("q") - col("s_micro") * col("s_micro"))
-            .cast("decimal(38,0)").as("var_num"),
-          (d(col("n")) * col("n")).cast("decimal(38,0)").as("var_den"),
+            .cast("decimal(38,0)").cast("string").as("var_num"),
+          (d(col("n")) * col("n")).cast("decimal(38,0)")
+            .cast("string").as("var_den"),
           col("vmin"), col("vmax"))
     },
     Some("""WITH x AS (SELECT CAST(i.i AS INTEGER) AS pos,
@@ -328,9 +333,11 @@ object Queries31 {
             min(v) AS vmin, max(v) AS vmax
           FROM q GROUP BY 1)
       SELECT pos, n,
-        CAST(s_micro AS DECIMAL(38,0)) AS mean_num,
-        CAST(n * q - s_micro * s_micro AS DECIMAL(38,0)) AS var_num,
-        CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS var_den,
+        CAST(CAST(s_micro AS DECIMAL(38,0)) AS VARCHAR) AS mean_num,
+        CAST(CAST(n * q - s_micro * s_micro AS DECIMAL(38,0)) AS VARCHAR)
+          AS var_num,
+        CAST(CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS VARCHAR)
+          AS var_den,
         vmin, vmax
       FROM agg"""))
 

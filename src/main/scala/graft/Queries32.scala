@@ -76,7 +76,10 @@ object Queries32 {
     TimeSeries.cusum(x, col("event_type"), Seq(col("day")), col("__x"))
       .withColumn("is_drift",
         col("cusum") > (col("total") * 2).cast("decimal(38,0)"))
-      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+      .select(col("event_type"), col("day"), col("n"),
+        // exact accumulator ships as a canonical integer string
+        // (hash-portable; wide DECIMAL is not)
+        col("cusum").cast("string").as("cusum"),
         col("is_drift"))
       .orderBy(col("event_type"), col("day"))
   }
@@ -100,7 +103,7 @@ object Queries32 {
         c2 AS (SELECT *, least(min(cum) OVER (PARTITION BY event_type
             ORDER BY day), 0) AS low FROM c1)
       SELECT event_type, day, n,
-        CAST(cum - low AS DECIMAL(38,0)) AS cusum,
+        CAST(CAST(cum - low AS DECIMAL(38,0)) AS VARCHAR) AS cusum,
         cum - low > 2 * CAST(total AS HUGEINT) AS is_drift
       FROM c2 ORDER BY event_type, day"""))
 
@@ -171,7 +174,7 @@ object Queries32 {
           sum(col("weight_bp")).as("w_bp"),
           sum(col("toks")).as("toks"),
           sum(col("norm2").cast("decimal(38,0)")).cast("decimal(38,0)")
-            .as("norm2_micro2"))
+            .cast("string").as("norm2_micro2"))
         .orderBy(col("lang"), col("label"))
     },
     Some(s"""WITH g AS (SELECT doc_id, text, lang FROM documents
@@ -187,7 +190,7 @@ object Queries32 {
       SELECT lang, label, count(*) AS n_items,
         CAST(sum(weight_bp) AS BIGINT) AS w_bp,
         CAST(sum(toks) AS BIGINT) AS toks,
-        CAST(sum(norm2) AS DECIMAL(38,0)) AS norm2_micro2
+        CAST(CAST(sum(norm2) AS DECIMAL(38,0)) AS VARCHAR) AS norm2_micro2
       FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Map[String, Q] = Map(

@@ -92,15 +92,16 @@ object Queries33 {
           sum(when(col("cur"), d(col("x")) * col("x")).otherwise(0L))
             .as("q2"))
         .select(col("event_type"), col("n_ref"), col("n_cur"),
+          // rational pair as canonical integer strings (hash-portable)
           ((col("s1") * col("n_cur") - col("s2") * col("n_ref"))
             * (col("s1") * col("n_cur") - col("s2") * col("n_ref"))
             * (col("n_ref") - 1) * (col("n_cur") - 1))
-            .cast("decimal(38,0)").as("t2_num"),
+            .cast("decimal(38,0)").cast("string").as("t2_num"),
           ((col("n_ref") * col("q1") - col("s1") * col("s1"))
             * col("n_cur") * col("n_cur") * (col("n_cur") - 1)
             + (col("n_cur") * col("q2") - col("s2") * col("s2"))
             * col("n_ref") * col("n_ref") * (col("n_ref") - 1))
-            .cast("decimal(38,0)").as("t2_den"))
+            .cast("decimal(38,0)").cast("string").as("t2_den"))
         .orderBy(col("event_type"))
     },
     Some(s"""WITH b AS (SELECT event_type, $milliSql AS x,
@@ -116,11 +117,12 @@ object Queries33 {
               ELSE 0 END) AS q2
           FROM b GROUP BY 1)
       SELECT event_type, n_ref, n_cur,
-        CAST((s1 * n_cur - s2 * n_ref) * (s1 * n_cur - s2 * n_ref)
-          * (n_ref - 1) * (n_cur - 1) AS DECIMAL(38,0)) AS t2_num,
-        CAST((n_ref * q1 - s1 * s1) * n_cur * n_cur * (n_cur - 1)
+        CAST(CAST((s1 * n_cur - s2 * n_ref) * (s1 * n_cur - s2 * n_ref)
+          * (n_ref - 1) * (n_cur - 1) AS DECIMAL(38,0)) AS VARCHAR)
+          AS t2_num,
+        CAST(CAST((n_ref * q1 - s1 * s1) * n_cur * n_cur * (n_cur - 1)
           + (n_cur * q2 - s2 * s2) * n_ref * n_ref * (n_ref - 1)
-          AS DECIMAL(38,0)) AS t2_den
+          AS DECIMAL(38,0)) AS VARCHAR) AS t2_den
       FROM g ORDER BY event_type"""))
 
   private val vqSql =
@@ -151,7 +153,8 @@ object Queries33 {
       val pairs = c.as("a").join(c.as("b"),
           col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
         .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
-        .agg(sum(col("a.s") * col("b.s")).cast("decimal(38,0)").as("dot_num"))
+        .agg(sum(col("a.s") * col("b.s")).cast("decimal(38,0)")
+          .cast("string").as("dot_num"))
       pairs
         .join(n.select(col("label").as("label_a"), col("n").as("n_a")),
           "label_a")
@@ -173,7 +176,7 @@ object Queries33 {
           FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
           GROUP BY 1, 2)
       SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
-        CAST(dot AS DECIMAL(38,0)) AS dot_num
+        CAST(CAST(dot AS DECIMAL(38,0)) AS VARCHAR) AS dot_num
       FROM p JOIN n na ON label_a = na.label
         JOIN n nb ON label_b = nb.label
       ORDER BY label_a, label_b"""))

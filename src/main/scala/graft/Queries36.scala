@@ -48,7 +48,7 @@ object Queries36 {
           min(col("delta_us")).as("min_us"),
           max(col("delta_us")).as("max_us"),
           sum(col("delta_us").cast("decimal(38,0)")).cast("decimal(38,0)")
-            .as("sum_us"))
+            .cast("string").as("sum_us"))
         .crossJoin(broadcast(nv))
         .crossJoin(broadcast(med))
         .select(col("n_viewed"), col("n_converted"), col("min_us"),
@@ -80,7 +80,8 @@ object Queries36 {
         agg.sum_us, med.p50_us
       FROM (SELECT count(*) AS n_converted, min(delta_us) AS min_us,
           max(delta_us) AS max_us,
-          CAST(SUM(CAST(delta_us AS HUGEINT)) AS DECIMAL(38,0)) AS sum_us
+          CAST(CAST(SUM(CAST(delta_us AS HUGEINT)) AS DECIMAL(38,0))
+            AS VARCHAR) AS sum_us
         FROM conv) agg, nv, med"""))
 
   private val normSql =
@@ -159,8 +160,9 @@ object Queries36 {
           row_number().over(Window.partitionBy(col("label"))
             .orderBy(col("dist2q").desc, col("vec_id").asc)))
         .filter(col("rank") <= 3)
-        .select(col("label"), col("rank"), col("vec_id"), col("dist2q"),
-          col("n"))
+        // rank on the exact decimal, ship it as a canonical string
+        .select(col("label"), col("rank"), col("vec_id"),
+          col("dist2q").cast("string").as("dist2q"), col("n"))
         .orderBy(col("label"), col("rank"))
     },
     Some(s"""WITH x AS (SELECT vec_id, label, CAST(i.i AS INTEGER) AS pos,
@@ -176,7 +178,8 @@ object Queries36 {
             max(n) AS n
           FROM x JOIN sums ON x.label = sums.label AND x.pos = sums.pos
           GROUP BY 1, 2)
-      SELECT label, rank, vec_id, CAST(dist2q AS DECIMAL(38,0)) AS dist2q, n
+      SELECT label, rank, vec_id,
+        CAST(CAST(dist2q AS DECIMAL(38,0)) AS VARCHAR) AS dist2q, n
       FROM (SELECT label, vec_id, dist2q, n,
           CAST(row_number() OVER (PARTITION BY label
             ORDER BY dist2q DESC, vec_id ASC) AS INTEGER) AS rank

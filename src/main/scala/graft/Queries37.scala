@@ -82,10 +82,14 @@ object Queries37 {
           sum(d(col("j")) + col("k")).as("s2"),
           sum(d(col("j")) * col("j") + d(col("k")) * col("k")).as("s3"))
         .select(col("m"),
+          // int128-range moments ship as canonical integer strings
+          // (portable hashing; DECIMAL(38,0) is not)
           (lit(4).cast("decimal(38,0)") * col("m") * col("s1")
-            - col("s2") * col("s2")).cast("decimal(38,0)").as("r_num"),
+            - col("s2") * col("s2")).cast("decimal(38,0)")
+            .cast("string").as("r_num"),
           (lit(2).cast("decimal(38,0)") * col("m") * col("s3")
-            - col("s2") * col("s2")).cast("decimal(38,0)").as("r_den"))
+            - col("s2") * col("s2")).cast("decimal(38,0)")
+            .cast("string").as("r_den"))
     },
     Some("""WITH op AS (SELECT DISTINCT 10000000 + l_orderkey AS src,
             20000000 + l_partkey AS dst FROM lineitem),
@@ -100,10 +104,10 @@ object Queries37 {
             sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k) AS s3
           FROM wd)
       SELECT m,
-        CAST(4 * CAST(m AS HUGEINT) * s1 - s2 * s2 AS DECIMAL(38,0))
-          AS r_num,
-        CAST(2 * CAST(m AS HUGEINT) * s3 - s2 * s2 AS DECIMAL(38,0))
-          AS r_den
+        CAST(CAST(4 * CAST(m AS HUGEINT) * s1 - s2 * s2 AS DECIMAL(38,0))
+          AS VARCHAR) AS r_num,
+        CAST(CAST(2 * CAST(m AS HUGEINT) * s3 - s2 * s2 AS DECIMAL(38,0))
+          AS VARCHAR) AS r_den
       FROM mo"""))
 
   /** AUTOCORRELATION FUNCTION at lags 1..5 — the multi-lag
@@ -137,12 +141,15 @@ object Queries37 {
           sum(d(col("x")) * col("x")).as("sxx"),
           sum(d(col("y")) * col("y")).as("syy"))
         .select(col("event_type"), col("lag"), col("n"),
+          // wide-decimal moments ship as canonical integer strings:
+          // exact at int128 range, and (unlike DECIMAL(38,0)) hashed
+          // identically by every downstream checker
           (col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("decimal(38,0)").as("r_num"),
+            .cast("decimal(38,0)").cast("string").as("r_num"),
           (col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("decimal(38,0)").as("r_den_x"),
+            .cast("decimal(38,0)").cast("string").as("r_den_x"),
           (col("n") * col("syy") - col("sy") * col("sy"))
-            .cast("decimal(38,0)").as("r_den_y"))
+            .cast("decimal(38,0)").cast("string").as("r_den_y"))
         .orderBy(col("event_type"), col("lag"))
     },
     Some {
@@ -163,9 +170,9 @@ object Queries37 {
             sum(CAST(y AS HUGEINT) * y) AS syy
           FROM q GROUP BY 1, 2)
       SELECT event_type, lag, n,
-        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS r_num,
-        CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS r_den_x,
-        CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS r_den_y
+        CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
+        CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS r_den_x,
+        CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS VARCHAR) AS r_den_y
       FROM m ORDER BY event_type, lag"""
     })
 

@@ -89,7 +89,7 @@ object Queries38 {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_eval"),
           sum(abs(col("v_milli") - col("f_milli")).cast("decimal(38,0)"))
-            .cast("decimal(38,0)").as("abs_err_sum"),
+            .cast("decimal(38,0)").cast("string").as("abs_err_sum"),
           max(abs(col("v_milli") - col("f_milli"))).as("max_err"))
         .orderBy(col("event_type"))
     },
@@ -102,8 +102,8 @@ object Queries38 {
               AS f_milli
           FROM daily)
       SELECT event_type, count(*) AS n_eval,
-        CAST(SUM(CAST(abs(v_milli - f_milli) AS HUGEINT)) AS DECIMAL(38,0))
-          AS abs_err_sum,
+        CAST(CAST(SUM(CAST(abs(v_milli - f_milli) AS HUGEINT))
+          AS DECIMAL(38,0)) AS VARCHAR) AS abs_err_sum,
         max(abs(v_milli - f_milli)) AS max_err
       FROM f WHERE f_milli IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))

@@ -94,13 +94,14 @@ object Queries8 {
     * the only shuffle is orders x customer on the join key and the
     * post-expand aggregate.
     *
-    * Revenue ships as DECIMAL(37,2), not double: these are the
-    * LARGEST sums in the catalog (region/grand totals), and at sf0.1
-    * the scaled value exceeds 2^53 — the final decimal→double cast
-    * is where engines diverge (an int128→double conversion may
-    * double-round; observed 1-ulp split on two region rows at sf0.1).
-    * Keeping the exact decimal removes the only inexact hop; both
-    * engines' decimal sums are integer-exact at any scale.
+    * Revenue ships as BIGINT cents, not double and not DECIMAL:
+    * these are the LARGEST sums in the catalog (region/grand
+    * totals), and at sf0.1 the scaled value exceeds 2^53 — a final
+    * decimal→double cast is where engines diverge (1-ulp
+    * double-rounding on int128→double, observed on two region rows
+    * at sf0.1), while a wide DECIMAL output doesn't hash portably.
+    * Per-row money → exact cents (lossless for 2-dp), 64-bit sums;
+    * fits BIGINT through sf1000 (grand total ~2.3e16 cents).
     */
   val a_rollup_totals = Q(
     (s, dir) => T_(s, dir, "orders")
@@ -110,12 +111,12 @@ object Queries8 {
       .rollup(col("r_name"), col("n_name"))
       .agg(grouping_id().cast("int").as("lvl"),
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(27,2)"))
-          .cast("decimal(37,2)").as("revenue")),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT)"))
+          .as("revenue_cents")),
     Some("""SELECT r.r_name, n.n_name,
         CAST(GROUPING(r.r_name, n.n_name) AS INTEGER) AS lvl,
         count(*) AS n_orders,
-        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DECIMAL(37,2)) AS revenue
+        CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -106,8 +106,11 @@ object DataQuality {
         (d(col("n_cur")) * col("t_ref") - d(col("n_ref")) * col("t_cur"))
           .cast("decimal(38,0)"))
       .select(col("category"), col("n_ref"), col("n_cur"),
-        (col("__d") * col("__d")).cast("decimal(38,0)").as("chi2_num"),
+        // rational pair ships as canonical integer strings: exact at
+        // int128 range and hash-portable (wide DECIMAL is not)
+        (col("__d") * col("__d")).cast("decimal(38,0)")
+          .cast("string").as("chi2_num"),
         (d(col("n_ref")) * col("t_cur") * col("t_ref"))
-          .cast("decimal(38,0)").as("chi2_den"))
+          .cast("decimal(38,0)").cast("string").as("chi2_den"))
   }
 }

@@ -995,7 +995,10 @@ object GraphOps {
       .select(col("community"), col("n_vertices"),
         col("intra_edges").cast("long").as("intra_edges"),
         col("degree").cast("long").as("degree"),
-        col("q_num"), col("q_den"))
+        // rational pair ships as canonical integer strings: exact at
+        // int128 range and hash-portable (wide DECIMAL is not)
+        col("q_num").cast("string").as("q_num"),
+        col("q_den").cast("string").as("q_den"))
   }
 
   /** Luby-style MAXIMAL INDEPENDENT SET with deterministic hash

@@ -76,8 +76,8 @@ class Batch31Spec extends AnyFunSuite {
     val got = DataQuality.chi2Drift(df, col("cat"), col("cur"))
       .collect().map(r => r.getAs[String]("category") ->
         (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
-          r.getAs[java.math.BigDecimal]("chi2_num").longValueExact(),
-          r.getAs[java.math.BigDecimal]("chi2_den").longValueExact()))
+          r.getAs[String]("chi2_num").toLong,
+          r.getAs[String]("chi2_den").toLong))
       .toMap
     // totals: ref 40, cur 47. identical-mix would need n_cur*40 == n_ref*47
     val (_, _, numA, denA) = got("a")
@@ -96,8 +96,8 @@ class Batch31Spec extends AnyFunSuite {
     val got = GraphOps.modularity(edges, assign).collect()
       .map(r => r.getAs[Long]("community") ->
         (r.getAs[Long]("intra_edges"), r.getAs[Long]("degree"),
-          r.getAs[java.math.BigDecimal]("q_num").longValueExact(),
-          r.getAs[java.math.BigDecimal]("q_den").longValueExact()))
+          r.getAs[String]("q_num").toLong,
+          r.getAs[String]("q_den").toLong))
       .toMap
     // m=7; each side: intra=3, degree=7 (2+2+3); q_num=4*7*3-49=35; den=196
     assert(got(0L) == (3L, 7L, 35L, 196L))

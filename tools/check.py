@@ -73,6 +73,28 @@ def norm_cell(v):
     return v
 
 
+def driver_unhashable(cols, types):
+    """Column types the DRIVER's checker cannot hash/sort even when
+    both engines agree on values (round-7 postmortem): decimal128
+    with precision > 18 (python Decimal repr is not canonical across
+    trailing-zero scales) and any list<> (pandas sort_values throws
+    'unhashable type: numpy.ndarray'). Final output schemas must ship
+    these as BIGINT-quantized integers or canonical strings."""
+    bad = []
+    for c, t in zip(cols, types):
+        s = str(t)
+        if s.startswith("decimal"):
+            try:
+                prec = int(s.split("(")[1].split(",")[0])
+            except (IndexError, ValueError):
+                prec = 38
+            if prec > 18:
+                bad.append(f"{c}: {s}")
+        elif s.startswith("list"):
+            bad.append(f"{c}: {s}")
+    return bad
+
+
 def canon(tbl):
     """Arrow table -> (sorted rows, sorted col names, matching col types)."""
     cols = list(tbl.schema.names)
@@ -188,6 +210,16 @@ def main():
                 continue
             g_rows, g_cols, g_types = canon(g_tbl)
             w_rows, w_cols, w_types = canon(w_tbl)
+            unh = ([f"spark {d}" for d in driver_unhashable(g_cols, g_types)]
+                   + [f"oracle {d}" for d in driver_unhashable(w_cols, w_types)])
+            if unh:
+                print(f"FAIL {name}: driver-unhashable output types — "
+                      + "; ".join(unh))
+                results[name] = {"rows": len(g_rows) == len(w_rows),
+                                 "schema": False, "hash": False,
+                                 "unhashable": unh}
+                n_fail += 1
+                continue
             if g_cols != w_cols:
                 print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
                 results[name] = {"rows": len(g_rows) == len(w_rows),
