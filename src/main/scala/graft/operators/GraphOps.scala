@@ -791,6 +791,14 @@ object GraphOps {
   def hits(edges: DataFrame, iterations: Int,
            scope: CacheScope = CacheScope.global): DataFrame = {
     val e = scope.checkpoint(edges.select(col("src"), col("dst")).distinct())
+    // the two message directions join on different edge keys (src for
+    // the auth pass, dst for the hub pass), so keep TWO checkpointed
+    // copies, each pre-partitioned on its join key — the pageRank
+    // discipline. The score side arrives hash-partitioned by id from
+    // its groupBy, so every per-iteration join is exchange-free and
+    // the only shuffle per half-iteration is the message aggregate.
+    val eBySrc = scope.checkpoint(e.repartition(col("src")))
+    val eByDst = scope.checkpoint(e.repartition(col("dst")))
     val vertices = scope.checkpoint(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     // decimal sum → exact integer grid → double (the pageRank hop)
@@ -807,14 +815,16 @@ object GraphOps {
       // raw sums are referenced twice each (normalize + L1 total), so
       // checkpoint them — plans stay constant-size per iteration (the
       // connectedComponents discipline), instead of doubling
-      val authRaw = scope.checkpoint(e.join(hub, e("src") === hub("id"))
+      val authRaw = scope.checkpoint(
+        eBySrc.join(hub, eBySrc("src") === hub("id"))
         .select(col("dst").as("id"), col("v"))
         .unionByName(zeroV)
         .groupBy(col("id")).agg(qsum(col("v")).as("v")))
       val authTot = authRaw.agg(qsum(col("v")).as("tot"))
       auth = authRaw.crossJoin(broadcast(authTot))
         .select(col("id"), qdiv(col("v"), col("tot")).as("v"))
-      val hubRaw = scope.checkpoint(e.join(auth, e("dst") === auth("id"))
+      val hubRaw = scope.checkpoint(
+        eByDst.join(auth, eByDst("dst") === auth("id"))
         .select(col("src").as("id"), col("v"))
         .unionByName(zeroV)
         .groupBy(col("id")).agg(qsum(col("v")).as("v")))

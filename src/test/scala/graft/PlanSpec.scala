@@ -116,6 +116,34 @@ class PlanSpec extends AnyFunSuite {
     assert(ng.toLowerCase.contains("distinctwordgrams"), ng)
   }
 
+  test("hits half-iteration: pre-partitioned edges join the score exchange-free") {
+    // hits checkpoints every iteration (plans are truncated), so the
+    // final plan can't witness the loop. Mirror ONE half-iteration
+    // exactly as hits builds it — checkpointed repartition(src) edge
+    // copy joined to a groupBy-partitioned score, then the message
+    // aggregate — and assert the ONLY exchange is that aggregate:
+    // LogicalRDD must preserve the hash(src) partitioning and the
+    // join must reuse the score side's aggregate partitioning.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val scope = new graft.operators.CacheScope
+    try {
+      val e = scope.checkpoint(
+        (1L to 400L).map(i => (i % 37, i % 53)).toDF("src", "dst").distinct())
+      val eBySrc = scope.checkpoint(e.repartition(col("src")))
+      val hub = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(lit(1.0).as("v"))
+      val authRaw = eBySrc.join(hub, eBySrc("src") === hub("id"))
+        .select(col("dst").as("id"), col("v"))
+        .groupBy(col("id")).agg(sum(col("v")).as("v"))
+      val n = shuffleCount(authRaw)
+      // hub's own groupBy is 1 exchange, the message aggregate is 1;
+      // the JOIN itself must add none (un-co-partitioned edges would)
+      assert(n <= 2, s"expected <=2 shuffles (score agg + message agg), saw $n")
+    } finally scope.release()
+  }
+
   test("pageRank plans one shuffle per iteration and nothing more") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
