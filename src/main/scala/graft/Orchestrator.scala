@@ -102,12 +102,17 @@ object Orchestrator {
         "p1_", "p3_")),
     ("joins", "dim/as-of/semi joins", Seq("j")),
     ("day_metrics", "daily roll-ups + pivots + funnels",
-      Seq("a", "r", "pipeline_day", "funnel_")),
+      // the reshape family is enumerated (r1_..r8_), not the bare "r"
+      // catch-all: "r" also swallowed rag_* (a text/retrieval query)
+      // into this stage's timing and attribution
+      Seq("a", "r1_", "r2_", "r3_", "r4_", "r5_", "r6_", "r7_", "r8_",
+        "pipeline_day", "funnel_")),
     ("functions", "scalar parse/convert suites",
       Seq("f_", "f1", "f2", "f5", "f6", "f8", "o", "w_running", "set_", "sql_")),
     ("app_chain", "application chain", Seq("pipeline_app")),
     ("text", "text analysis + corpus prep",
-      Seq("txt_", "pipeline_corpus", "pipeline_rag", "pipeline_curation")),
+      Seq("txt_", "rag_", "pipeline_corpus", "pipeline_rag",
+        "pipeline_curation")),
     ("dedup", "deduplication family + preference-pair mining",
       Seq("dd_", "pipeline_dpo")),
     ("sampling", "deterministic corpus sampling + packing + loader prep",

@@ -20,9 +20,8 @@ object Queries41 {
 
   private val tokensSqlD =
     """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
-  private def detHashSql(k: String) =
-    s"(($k) % 94906249) * 1103515245 % 2147483647"
-  private def detHash2Sql(k: String) = detHashSql(detHashSql(k))
+  private def detHashSql(k: String) = Sampling.detHashSql(k)
+  private def detHash2Sql(k: String) = Sampling.detHash2Sql(k)
 
   // ===========================================================
   // Bloom-filter semi-join pruning (audited)

@@ -23,10 +23,8 @@ object Queries44 {
 
   private val misRounds = 6
 
-  private def detHash2Sql(k: String) = {
-    val h1 = s"(($k) % 94906249) * 1103515245 % 2147483647"
-    s"(($h1) % 94906249) * 1103515245 % 2147483647"
-  }
+  private def detHash2Sql(k: String) =
+    graft.operators.Sampling.detHash2Sql(k)
 
   private def misRoundSql(r: Int): String = {
     val p = r - 1

@@ -15,10 +15,8 @@ object Queries46 {
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
-  private def detHash2Sql(k: String) = {
-    val h1 = s"(($k) % 94906249) * 1103515245 % 2147483647"
-    s"(($h1) % 94906249) * 1103515245 % 2147483647"
-  }
+  private def detHash2Sql(k: String) =
+    graft.operators.Sampling.detHash2Sql(k)
 
   // ===========================================================
   // Exact two-sample Kolmogorov-Smirnov statistic

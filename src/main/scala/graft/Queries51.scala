@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Packing
+import graft.sources.Tables
+import Queries.Q
+
+/** Batch 51 (round 8): the single-mega-stratum form of pair packing.
+  *
+  * [[graft.operators.Packing.packPaired]] ranks within each stratum
+  * via a `partitionBy(stratum)` window — correct, but a stratum that
+  * dominates the corpus (one source being 90% of documents is the
+  * NORMAL shape of a crawl) rides through one task. The round-7 skew
+  * soak measured that window at 1.2–2.3× on a 10× hot stratum.
+  * [[graft.operators.Packing.packPairedLarge]] is the escape hatch:
+  * the per-stratum descending rank is derived from a
+  * [[graft.operators.GlobalOrder]] distributed prefix-sum over the
+  * total order (stratum, toks desc, id) minus a broadcast per-stratum
+  * offset, so the hot stratum sorts at full parallelism. Bins are
+  * IDENTICAL to packPaired's (bin_id widens to BIGINT — at the scale
+  * that needs this form, ranks exceed int32); the oracle replays the
+  * same rank-complement pairing in SQL, so this entry pins the
+  * equivalence cross-engine while `PackingSpec` pins it cross-form.
+  */
+object Queries51 {
+
+  private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.read(s, dir, n)
+
+  private val toksSql =
+    """CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\s+')) END"""
+
+  /** Pair packing into 200-token bins per source via the prefix-sum
+    * rank — same semantics as `pack_bestfit` (which packs per `lang`
+    * at 120 via the window form), different stratum/budget so the two
+    * entries exercise different fill patterns.
+    */
+  val pack_bestfit_large = Q(
+    (s, dir) => Packing.packPairedLarge(
+        T_(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            T.wsTokenCount(col("text")).as("toks")),
+        col("source"), col("toks"), col("doc_id"), ctxLen = 200L)
+      .orderBy(col("stratum"), col("bin_id")),
+    Some(s"""WITH d AS (SELECT source AS stratum, doc_id AS id,
+            CAST($toksSql AS BIGINT) AS toks FROM documents),
+        ranked AS (SELECT stratum, id, toks,
+            CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY toks DESC, id ASC) AS BIGINT) AS r,
+            count(*) OVER (PARTITION BY stratum) AS n
+          FROM d WHERE toks > 0 AND toks <= 200),
+        ls AS (SELECT * FROM ranked WHERE r * 2 <= n + 1),
+        ss AS (SELECT stratum, CAST(n + 1 - r AS BIGINT) AS cr,
+            r AS r_short, id AS id_short, toks AS toks_short
+          FROM ranked WHERE r * 2 > n + 1),
+        j AS (SELECT ls.stratum, ls.r, ls.id, ls.toks,
+            ss.r_short, ss.id_short, ss.toks_short,
+            ss.id_short IS NOT NULL AND ls.toks + ss.toks_short <= 200
+              AS paired
+          FROM ls LEFT JOIN ss ON ls.stratum = ss.stratum AND ls.r = ss.cr),
+        bins AS (
+          SELECT stratum, r AS bin_id, id AS id_long,
+            CASE WHEN paired THEN id_short END AS id_short,
+            CASE WHEN paired THEN 2 ELSE 1 END AS n_docs,
+            CASE WHEN paired THEN toks + toks_short ELSE toks END
+              AS bin_tokens
+          FROM j
+          UNION ALL
+          SELECT stratum, r_short AS bin_id, id_short AS id_long,
+            NULL AS id_short, 1 AS n_docs, toks_short AS bin_tokens
+          FROM j WHERE id_short IS NOT NULL AND NOT paired)
+      SELECT stratum, bin_id, id_long, id_short, n_docs, bin_tokens,
+        10000 * bin_tokens // 200 AS fill_bp
+      FROM bins ORDER BY stratum, bin_id"""))
+
+  val all: Map[String, Q] = Map(
+    "pack_bestfit_large" -> pack_bestfit_large,
+  )
+}

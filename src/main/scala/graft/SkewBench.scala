@@ -169,6 +169,17 @@ object SkewBench {
             col("doc_id"), 256L)
           .groupBy(col("stratum"))
           .agg(count(lit(1)).as("bins"), sum(col("bin_tokens")).as("toks"))
+      }),
+      // the hot-stratum-SAFE form: GlobalOrder prefix-sum rank — the
+      // soak pair (pack_paired_skew vs this) is the documented
+      // evidence for when to switch, the j11 pit pattern repeated
+      "pack_paired_large_skew" -> ((s, d) => {
+        val t = docs(s, d).select(col("doc_id"), col("source"),
+          T.wsTokenCount(col("text")).as("toks"))
+        graft.operators.Packing.packPairedLarge(t, col("source"),
+            col("toks"), col("doc_id"), 256L)
+          .groupBy(col("stratum"))
+          .agg(count(lit(1)).as("bins"), sum(col("bin_tokens")).as("toks"))
       }))
     val unc: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dd_minhash_uncapped" -> ((s, d) =>

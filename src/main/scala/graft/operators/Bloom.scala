@@ -32,11 +32,19 @@ object Bloom {
   val BitsPerWord = 63
   val Bits: Long = Words.toLong * BitsPerWord
 
+  // pmod, not %: Spark's % is sign-preserving, so a negative key
+  // would produce a negative position → negative shiftleft counts →
+  // garbage masks. pmod pins positions into [0, Bits) for ANY long
+  // (identical to % for the non-negative keys all current call sites
+  // feed; [[posSql]] mirrors the same wrap) — cheaper than a per-row
+  // guard pass on the probe side.
   private def posCols(k: Column): Seq[Column] =
-    Seq(Sampling.detHash(k) % Bits, Sampling.detHash2(k) % Bits)
+    Seq(pmod(Sampling.detHash(k), lit(Bits)),
+      pmod(Sampling.detHash2(k), lit(Bits)))
 
   /** Build the bitmap table `(word INT, bm BIGINT)` over the DISTINCT
-    * values of `key` (must be a non-negative integral column). At most
+    * values of `key` (any integral column — positions are pmod-pinned
+    * into range, so negative keys are well-defined). At most
     * [[Words]] rows.
     */
   def build(df: DataFrame, key: Column): DataFrame =
@@ -53,6 +61,17 @@ object Bloom {
     * join.
     */
   def probe(bits: DataFrame, df: DataFrame, key: Column): DataFrame = {
+    // the scratch columns live briefly on the CALLER's frame — a
+    // caller column with one of these names would be silently
+    // clobbered (and dropped!) by the probe, so refuse loudly
+    val scratch = Seq("_p1", "_p2", "_w1", "_m1", "_w2", "_m2",
+      "_bm1", "_bm2")
+    val clashes = df.columns.filter(scratch.contains)
+    require(clashes.isEmpty,
+      s"Bloom.probe reserves scratch columns ${scratch.mkString(", ")}; " +
+        s"input already has ${clashes.mkString(", ")} — rename before probing")
+    require(!df.columns.contains("bloom_pass"),
+      "Bloom.probe emits `bloom_pass`; input already has that column")
     val withPos = df.withColumn("_p1", posCols(key.cast("long"))(0))
       .withColumn("_p2", posCols(key.cast("long"))(1))
       .withColumn("_w1", expr("CAST(_p1 div 63 AS INT)"))
@@ -66,14 +85,16 @@ object Bloom {
       .join(b2, Seq("_w2"), "left")
       .withColumn("bloom_pass",
         expr("(coalesce(_bm1, 0) & _m1) != 0 AND (coalesce(_bm2, 0) & _m2) != 0"))
-      .drop("_p1", "_p2", "_w1", "_m1", "_w2", "_m2", "_bm1", "_bm2")
+      .drop(scratch: _*)
   }
 
   /** The two hash/position expressions as DuckDB SQL over column
     * expression `k`, for oracle replay. */
   def posSql(k: String): Seq[String] = {
-    val h1 = s"(($k) % 94906249) * 1103515245 % 2147483647"
-    val h2 = s"(($h1) % 94906249) * 1103515245 % 2147483647"
-    Seq(s"(($h1) % $Bits)", s"(($h2) % $Bits)")
+    val h1 = Sampling.detHashSql(k)
+    val h2 = Sampling.detHashSql(h1)
+    // ((h % B) + B) % B = Spark's pmod (DuckDB % is sign-preserving)
+    Seq(s"(((($h1) % $Bits) + $Bits) % $Bits)",
+      s"(((($h2) % $Bits) + $Bits) % $Bits)")
   }
 }

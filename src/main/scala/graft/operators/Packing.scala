@@ -83,18 +83,62 @@ object Packing {
   def packPaired(df: DataFrame, stratum: Column, tokens: Column,
                  id: Column, ctxLen: Long): DataFrame = {
     require(ctxLen > 0, "context length must be positive")
-    val base = df
-      .filter(tokens > 0 && tokens <= ctxLen)
-      .select(stratum.as("stratum"), id.as("id"),
-        tokens.cast("long").as("toks"))
+    val base = prepare(df, stratum, tokens, id, ctxLen)
     val wDesc = Window.partitionBy(col("stratum"))
       .orderBy(col("toks").desc, col("id").asc)
     val ranked = base
       .withColumn("r", row_number().over(wDesc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+    pairBins(ranked, ctxLen)
+  }
+
+  /** The single-mega-stratum form of [[packPaired]]: identical bins
+    * (bin_id is BIGINT instead of INT — ranks can exceed 2^31 at this
+    * scale), but the per-stratum descending rank comes from
+    * [[GlobalOrder.withGlobalIndex]] over the total order (stratum,
+    * toks desc, id) minus a broadcast per-stratum prefix offset,
+    * instead of a `partitionBy(stratum)` window. The window form
+    * funnels a hot stratum through ONE task (the round-7 soak measured
+    * it at 1.2–2.3× on a dominant source); here the sort is a range
+    * shuffle at full parallelism and the offset/count table is one
+    * tiny broadcast (#strata rows). Output is order-identical because
+    * the order is total.
+    */
+  def packPairedLarge(df: DataFrame, stratum: Column, tokens: Column,
+                      id: Column, ctxLen: Long,
+                      scope: CacheScope = CacheScope.global): DataFrame = {
+    require(ctxLen > 0, "context length must be positive")
+    val base = prepare(df, stratum, tokens, id, ctxLen)
+    // per-stratum size + prefix offset: strata are few (languages,
+    // sources), so this is a tiny aggregate; the single-partition
+    // window runs over #strata rows, never data
+    val offsets = base.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+      .withColumn("__soff",
+        coalesce(sum(col("n")).over(Window.orderBy(col("stratum").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val indexed = GlobalOrder.withGlobalIndex(base,
+      Seq(col("stratum").asc, col("toks").desc, col("id").asc), scope)
+    val ranked = indexed
+      .join(broadcast(offsets), Seq("stratum"))
+      .withColumn("r", col("pos") - col("__soff"))
+      .drop("pos", "__soff")
+    pairBins(ranked, ctxLen)
+  }
+
+  private def prepare(df: DataFrame, stratum: Column, tokens: Column,
+                      id: Column, ctxLen: Long): DataFrame =
+    df.filter(tokens > 0 && tokens <= ctxLen)
+      .select(stratum.as("stratum"), id.as("id"),
+        tokens.cast("long").as("toks"))
+
+  /** Complement-rank pairing over a ranked frame (stratum, id, toks,
+    * r, n): shared tail of [[packPaired]] / [[packPairedLarge]].
+    */
+  private def pairBins(ranked: DataFrame, ctxLen: Long): DataFrame = {
     val longSide = ranked.filter(col("r") * 2 <= col("n") + 1)
     val shortSide = ranked.filter(col("r") * 2 > col("n") + 1)
-      .select(col("stratum"), (col("n") + 1 - col("r")).as("r"),
+      .select(col("stratum"), (col("n") + 1 - col("r")).cast(
+          ranked.schema("r").dataType).as("r"),
         col("r").as("r_short"),
         col("id").as("id_short"), col("toks").as("toks_short"))
     val joined = longSide.join(shortSide, Seq("stratum", "r"), "left")

@@ -36,6 +36,17 @@ object Sampling {
     */
   def detHash2(id: Column): Column = detHash(detHash(id))
 
+  /** [[detHash]] as DuckDB SQL over expression `k` — the oracle-side
+    * twin. Oracle batches must reference THIS, never re-type the
+    * literal: a future change to [[detHash]] would otherwise silently
+    * desynchronize whichever private copies didn't get the memo.
+    */
+  def detHashSql(k: String): String =
+    s"(($k) % 94906249) * 1103515245 % 2147483647"
+
+  /** [[detHash2]]'s oracle-side twin. */
+  def detHash2Sql(k: String): String = detHashSql(detHashSql(k))
+
   /** Per-stratum Bernoulli sampling with a deterministic gate:
     * keep a row iff `detHash(id) % 10000` falls under its stratum's
     * rate (in basis points, 0..10000 — integral so the threshold is

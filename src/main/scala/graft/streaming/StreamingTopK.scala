@@ -15,11 +15,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingTopK {
 
+  // memory-sink temp views are session-global, so each invocation
+  // gets a unique suffix: two concurrent runs in one SparkSession
+  // would otherwise collide on the view name and read each other's
+  // (or a stale run's) counts
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Drive the windowed count to exhaustion over a parquet dir, then
     * rank: per tumbling day, the top-k event types by count
     * (count desc, type asc — total order). */
   def windowTopKOnce(spark: SparkSession, parquetPath: String, k: Int,
                      queryName: String = "stream_window_topk"): DataFrame = {
+    val name = s"${queryName}_${invocation.incrementAndGet()}"
     val agg = StreamSource.parquet(spark, parquetPath)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -27,12 +34,12 @@ object StreamingTopK {
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
-      .queryName(queryName)
+      .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    spark.table(name)
       .select(to_date(col("w.start")).as("date"), col("event_type"), col("n"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("date"))
