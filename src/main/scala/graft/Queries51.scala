@@ -76,7 +76,70 @@ object Queries51 {
         10000 * bin_tokens // 200 AS fill_bp
       FROM bins ORDER BY stratum, bin_id"""))
 
+  /** The Cypher MERGE sink driven end-to-end over the 4-label
+    * order/customer/nation/region graph (the `g_export_roundtrip`
+    * fixture): constraints + batched UNWIND MERGE through
+    * [[graft.sinks.CypherSink]] into the in-memory Bolt interpreter,
+    * then the emitted rows are per-label node counts and per-rel edge
+    * counts read from the STORE (not the input frames), plus a
+    * constraints row — so the entry proves the full write path
+    * delivered every row exactly once. The store is the local-mode
+    * stand-in for a Bolt pool (zero-egress build); the write path —
+    * gates, DDL-once, executor-parallel batching — is the production
+    * one.
+    */
+  val g_cypher_sink = Q(
+    (s, dir) => {
+      import graft.domain.GraphAssembly
+      import graft.sinks.{CypherSink, InMemoryBolt}
+      val verts =
+        GraphAssembly.vertices(T_(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          "Order", Seq("o_orderkey"))
+        .unionByName(GraphAssembly.vertices(T_(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          "Customer", Seq("c_custkey")))
+        .unionByName(GraphAssembly.vertices(T_(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")),
+          "Nation", Seq("n_nationkey")))
+        .unionByName(GraphAssembly.vertices(T_(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name")),
+          "Region", Seq("r_regionkey")))
+      val edges =
+        GraphAssembly.edges(T_(s, dir, "orders"), "PLACED_BY",
+          "Order", Seq("o_orderkey"), "Customer", Seq("o_custkey"))
+        .unionByName(GraphAssembly.edges(T_(s, dir, "customer"), "IN_NATION",
+          "Customer", Seq("c_custkey"), "Nation", Seq("c_nationkey")))
+        .unionByName(GraphAssembly.edges(T_(s, dir, "nation"), "IN_REGION",
+          "Nation", Seq("n_nationkey"), "Region", Seq("n_regionkey")))
+      val token = s"g_cypher_sink_${graft.sources.Staging.dirKey(dir)}"
+      InMemoryBolt.drop(token) // fresh store per invocation (bench reps)
+      CypherSink.writeGraph(verts, edges,
+        InMemoryBolt.Factory(token), batchSize = 1000)
+      val st = InMemoryBolt.store(token)
+      val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
+        .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
+      val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
+        .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
+      val checkRows = Seq(("check", "constraints", st.constraints.size.toLong))
+      val out = nodeRows ++ edgeRows ++ checkRows
+      InMemoryBolt.drop(token)
+      import s.implicits._
+      out.toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+    },
+    Some("""SELECT kind, name, n FROM (
+        SELECT 'node' AS kind, 'Order' AS name, count(*) AS n FROM orders
+        UNION ALL SELECT 'node', 'Customer', count(*) FROM customer
+        UNION ALL SELECT 'node', 'Nation', count(*) FROM nation
+        UNION ALL SELECT 'node', 'Region', count(*) FROM region
+        UNION ALL SELECT 'edge', 'PLACED_BY', count(*) FROM orders
+        UNION ALL SELECT 'edge', 'IN_NATION', count(*) FROM customer
+        UNION ALL SELECT 'edge', 'IN_REGION', count(*) FROM nation
+        UNION ALL SELECT 'check', 'constraints', 4)
+      ORDER BY kind, name"""))
+
   val all: Map[String, Q] = Map(
     "pack_bestfit_large" -> pack_bestfit_large,
+    "g_cypher_sink" -> g_cypher_sink,
   )
 }

@@ -1,0 +1,272 @@
+package graft.sinks
+
+import java.sql.Timestamp
+import java.time.ZoneOffset
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphExport
+
+/** Cypher `MERGE` sink — the network twin of [[GraphExport]]'s
+  * parquet layout, mirroring the reference engine's terminal
+  * artifact: every reference projector ends in an idempotent
+  * batched `UNWIND $rows MERGE ...` into Neo4j behind uniqueness
+  * constraints (app/graph_app_nutrient_content.py:137-166 for the
+  * UNWIND batching, BATCH_SIZE=1000 at :34; app/graph_constraints.py:
+  * 2-133 for the DDL; app/utils.py:45-70 for the `datetime($p)`
+  * component-map temporal encoding — SURVEY §2.6 F12).
+  *
+  * Architecture: statement RENDERING and row ENCODING are pure
+  * functions (testable, engine-independent); TRANSPORT is a
+  * pluggable factory so the write path is identical whether the
+  * session is a real Bolt driver (not available in this zero-egress
+  * build — see [[BoltSessionFactory]]) or the in-memory MERGE
+  * interpreter the round-trip spec drives.
+  *
+  * Scale shape: constraints run ONCE on the driver; rows stream out
+  * via `foreachPartition` with one UNWIND statement per `batchSize`
+  * rows — the executor-parallel form of the reference's async pool
+  * writes. No collect, no per-row statements; a 1000-executor run
+  * holds `executors × batchSize` rows in flight. Edges are written
+  * AFTER vertices (the reference's MATCH-then-MERGE discipline:
+  * an edge whose endpoint is missing is a gate failure, not a
+  * silently created half-node).
+  */
+object CypherSink {
+
+  /** Neo4j `datetime($p)` component map for an epoch-micros instant
+    * (UTC), optionally carrying an explicit `timezone` offset string
+    * — the reference's `to_neo_datetime_params` (app/utils.py:45-57).
+    * Seconds stay integral: the reference encodes to whole seconds.
+    */
+  def datetimeParams(epochMicros: Long, tzOffset: Option[String] = None)
+      : Map[String, Any] = {
+    val odt = java.time.Instant.EPOCH.plus(epochMicros,
+      java.time.temporal.ChronoUnit.MICROS).atOffset(ZoneOffset.UTC)
+    val base = Map[String, Any](
+      "year" -> odt.getYear, "month" -> odt.getMonthValue,
+      "day" -> odt.getDayOfMonth, "hour" -> odt.getHour,
+      "minute" -> odt.getMinute, "second" -> odt.getSecond)
+    tzOffset.fold(base)(off => base + ("timezone" -> off))
+  }
+
+  /** Uniqueness-constraint DDL for a label's key columns — the
+    * reference's per-label `CREATE CONSTRAINT ... IS UNIQUE`
+    * (app/graph_constraints.py). */
+  def constraintDdl(label: String, keys: Seq[String]): String = {
+    require(keys.nonEmpty, "a uniqueness constraint needs key columns")
+    val ident = sanitizeIdent(label)
+    val reqs = keys.map(k => s"n.`${sanitizeIdent(k)}`").mkString(", ")
+    val req = if (keys.length == 1) s"$reqs IS UNIQUE"
+              else s"($reqs) IS UNIQUE"
+    s"""CREATE CONSTRAINT ${ident.toLowerCase}_unique IF NOT EXISTS
+       |FOR (n:`$ident`) REQUIRE $req""".stripMargin
+  }
+
+  /** One batched vertex upsert: MERGE on the key columns, SET the
+    * rest — the UNWIND form every reference projector batches
+    * through. */
+  def mergeVerticesCypher(label: String, keys: Seq[String],
+                          props: Seq[String]): String = {
+    val keyPat = keys.map(k =>
+      s"`${sanitizeIdent(k)}`: r.`${sanitizeIdent(k)}`").mkString(", ")
+    val sets = props.filterNot(keys.contains).map(p =>
+      s"n.`${sanitizeIdent(p)}` = r.`${sanitizeIdent(p)}`")
+    val setClause = if (sets.isEmpty) "" else sets.mkString("SET ", ", ", "")
+    s"""UNWIND $$rows AS r
+       |MERGE (n:`${sanitizeIdent(label)}` { $keyPat })
+       |$setClause""".stripMargin.trim
+  }
+
+  /** One batched edge upsert: MATCH both endpoints by key, MERGE the
+    * relationship — never creates half-present endpoints. */
+  def mergeEdgesCypher(rel: String, srcLabel: String, srcKey: String,
+                       dstLabel: String, dstKey: String): String =
+    s"""UNWIND $$rows AS r
+       |MATCH (s:`${sanitizeIdent(srcLabel)}` { `${sanitizeIdent(srcKey)}`: r.src })
+       |MATCH (d:`${sanitizeIdent(dstLabel)}` { `${sanitizeIdent(dstKey)}`: r.dst })
+       |MERGE (s)-[:`${sanitizeIdent(rel)}`]->(d)""".stripMargin
+
+  /** Labels/relationship types/property names are interpolated into
+    * statement text (parameters cannot carry identifiers in Cypher),
+    * so they must never smuggle backticks or control characters. */
+  def sanitizeIdent(s: String): String = {
+    require(s != null && s.nonEmpty, "empty Cypher identifier")
+    require(!s.exists(c => c == '`' || c.isControl),
+      s"Cypher identifier contains backtick/control char: $s")
+    s
+  }
+
+  /** A Spark cell → Cypher parameter value. Timestamps become the
+    * reference's datetime component map; everything else Bolt-native. */
+  def toParam(v: Any): Any = v match {
+    case t: Timestamp =>
+      datetimeParams(t.toInstant.getEpochSecond * 1000000L +
+        t.toInstant.getNano / 1000L)
+    case d: java.sql.Date => Map[String, Any](
+      "year" -> d.toLocalDate.getYear, "month" -> d.toLocalDate.getMonthValue,
+      "day" -> d.toLocalDate.getDayOfMonth)
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case other => other
+  }
+
+  /** Write the property graph through `factory`, gated exactly like
+    * the parquet export: duplicate vertex ids or dangling edge
+    * endpoints abort BEFORE the first network write. `vertices` must
+    * carry (id, label, props…); `edges` (src, dst, rel).
+    *
+    * Returns (vertexRows, edgeRows) written.
+    */
+  def writeGraph(vertices: DataFrame, edges: DataFrame,
+                 factory: BoltSessionFactory,
+                 batchSize: Int = 1000): (Long, Long) = {
+    require(batchSize > 0, "batchSize must be positive")
+    val (dups, dangling) = GraphExport.integrityGate(vertices, edges)
+    require(dups == 0L, s"duplicate vertex ids — refusing to MERGE")
+    require(dangling == 0L, s"dangling edge endpoints — refusing to MERGE")
+
+    // constraints + per-label statements once, on the driver, from the
+    // SCHEMA (labels are few; distinct() over the label column only)
+    val vCols = vertices.columns.toSeq
+    require(Seq("id", "label").forall(vCols.contains),
+      "vertices must carry (id, label, props…)")
+    val labels = vertices.select(col("label")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val rels = edges.select(col("rel")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val ddl = factory.open()
+    try {
+      labels.foreach(l => ddl.run(constraintDdl(l, Seq("id")), Map.empty))
+    } finally ddl.close()
+
+    val propCols = vCols.filterNot(Seq("label").contains)
+    val vStmt = labels.map(l =>
+      l -> mergeVerticesCypher(l, Seq("id"), propCols)).toMap
+    val eStmt = rels.map(r =>
+      // graph-wide id space: endpoint labels are not re-derived per
+      // edge; MATCH by id across the merged space mirrors the
+      // assembly's surrogate-id design (ids are globally unique)
+      r -> s"""UNWIND $$rows AS r
+              |MATCH (s { id: r.src })
+              |MATCH (d { id: r.dst })
+              |MERGE (s)-[:`${sanitizeIdent(r)}`]->(d)""".stripMargin).toMap
+
+    val nV = vertices.sparkSession.sparkContext.longAccumulator("cypher_v")
+    val nE = vertices.sparkSession.sparkContext.longAccumulator("cypher_e")
+    vertices.foreachPartition { (it: Iterator[Row]) =>
+      val sess = factory.open()
+      try {
+        it.grouped(batchSize).foreach { batch =>
+          batch.groupBy(_.getAs[String]("label")).foreach {
+            case (label, rows) =>
+              val params = rows.map(r => propCols.map(c =>
+                c -> toParam(r.getAs[Any](c))).toMap)
+              sess.run(vStmt(label), Map("rows" -> params))
+              nV.add(rows.size)
+          }
+        }
+      } finally sess.close()
+    }
+    edges.foreachPartition { (it: Iterator[Row]) =>
+      val sess = factory.open()
+      try {
+        it.grouped(batchSize).foreach { batch =>
+          batch.groupBy(_.getAs[String]("rel")).foreach {
+            case (rel, rows) =>
+              val params = rows.map(r => Map[String, Any](
+                "src" -> r.getAs[Any]("src"), "dst" -> r.getAs[Any]("dst")))
+              sess.run(eStmt(rel), Map("rows" -> params))
+              nE.add(rows.size)
+          }
+        }
+      } finally sess.close()
+    }
+    (nV.value, nE.value)
+  }
+}
+
+/** One logical Bolt session: run a statement with parameters. A real
+  * implementation would wrap the Neo4j Java driver's
+  * `session.run(query, params)` — that driver is not on this build's
+  * classpath (zero-egress sandbox), so the only shipped
+  * implementation is the in-memory MERGE interpreter
+  * ([[InMemoryBolt]]) the round-trip spec drives. The factory is
+  * Serializable because it ships to executors inside
+  * `foreachPartition`.
+  */
+trait BoltSession {
+  def run(cypher: String, params: Map[String, Any]): Unit
+  def close(): Unit
+}
+
+trait BoltSessionFactory extends Serializable {
+  def open(): BoltSession
+}
+
+/** In-memory MERGE interpreter for exactly the statement shapes
+  * [[CypherSink]] emits (NOT a general Cypher engine): constraint DDL
+  * is recorded; vertex UNWIND-MERGE upserts by (label, key map); edge
+  * UNWIND-MATCH-MERGE inserts the (src, rel, dst) triple iff both
+  * endpoints exist, once. Thread-safe — local[n] executors share the
+  * JVM, so partitions write concurrently like a real Bolt pool.
+  */
+object InMemoryBolt {
+  final case class Store(
+      constraints: mutable.Set[String] = mutable.Set.empty,
+      nodes: mutable.Map[(String, Any), Map[String, Any]] = mutable.Map.empty,
+      edges: mutable.Set[(Any, String, Any)] = mutable.Set.empty,
+      // id index: MATCH-by-id must not scan the node map per edge
+      ids: mutable.Set[Any] = mutable.Set.empty,
+      var statements: Long = 0L)
+
+  private val stores = new java.util.concurrent.ConcurrentHashMap[String, Store]()
+
+  def store(token: String): Store =
+    stores.computeIfAbsent(token, _ => Store())
+
+  def drop(token: String): Unit = { stores.remove(token); () }
+
+  /** A factory bound to a named store (the token crosses the
+    * closure; the store lives in this JVM's registry — the local-mode
+    * stand-in for a connection pool's URI). */
+  final case class Factory(token: String) extends BoltSessionFactory {
+    def open(): BoltSession = new Session(store(token))
+  }
+
+  private val MergeV =
+    """(?s)UNWIND \$rows AS r\s*MERGE \(n:`([^`]+)` \{ `id`: r\.`id` \}\)(.*)""".r
+  private val MergeE =
+    """(?s)UNWIND \$rows AS r\s*MATCH \(s \{ id: r\.src \}\)\s*MATCH \(d \{ id: r\.dst \}\)\s*MERGE \(s\)-\[:`([^`]+)`\]->\(d\)""".r
+
+  final class Session(s: Store) extends BoltSession {
+    def run(cypher: String, params: Map[String, Any]): Unit = s.synchronized {
+      s.statements += 1
+      cypher.trim match {
+        case c if c.startsWith("CREATE CONSTRAINT") =>
+          s.constraints += c.linesIterator.next().trim; ()
+        case MergeV(label, _) =>
+          rows(params).foreach { r =>
+            val key = (label, r("id"))
+            s.nodes(key) = s.nodes.getOrElse(key, Map.empty) ++ r
+            s.ids += r("id"); ()
+          }
+        case MergeE(rel) =>
+          rows(params).foreach { r =>
+            val (src, dst) = (r("src"), r("dst"))
+            require(s.ids.contains(src) && s.ids.contains(dst),
+              s"edge endpoint missing: $src -> $dst")
+            s.edges += ((src, rel, dst)); ()
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"InMemoryBolt does not interpret: ${other.take(80)}")
+      }
+    }
+    def close(): Unit = ()
+    private def rows(params: Map[String, Any]): Seq[Map[String, Any]] =
+      params("rows").asInstanceOf[Seq[Map[String, Any]]]
+  }
+}

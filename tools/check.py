@@ -107,11 +107,11 @@ def canon(tbl):
             [types[i] for i in order])
 
 
-def run_chunked(chunk, json_out, sf_dir, out_dir):
+def run_chunked(chunk, json_out, sf_dir, out_dir, only=()):
     import subprocess
     import tempfile
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
-    names = sorted(oracle)
+    names = sorted(n for n in oracle if not only or n in only)
     merged = {}
 
     def run_child(qs):
@@ -165,7 +165,7 @@ def main():
         args = args[2:]
     sf_dir, out_dir = args[0], args[1]
     if chunk:
-        run_chunked(chunk, json_out, sf_dir, out_dir)
+        run_chunked(chunk, json_out, sf_dir, out_dir, only=set(args[2:]))
         return
     only = set(args[2:])
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
