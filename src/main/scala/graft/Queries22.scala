@@ -195,16 +195,25 @@ object Queries22 {
         .select((col("o_totalprice").cast("decimal(27,2)") * 100)
           .cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      // decimal(38,0) from the PER-ROW product on: v·rankRange is
+      // ~v·n²/4 per row and the summed s1 is ~v·n²·distinct — both
+      // blow through int64 well below sf1 (the round-8 amplified
+      // sweep caught exactly this), so every term after the frequency
+      // table is exact decimal, and the rationals ship as canonical
+      // integer strings per the engine-wide wide-rational convention
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val wCum = Window.orderBy(col("v").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       freq.withColumn("cum", sum(col("c")).over(wCum))
         .select(col("v"), col("c"), col("cum"))
-        .agg(sum(col("c")).as("n"), sum(col("v") * col("c")).as("s"),
-          sum(col("v") * ((col("cum") - col("c")) * col("c")
+        .agg(sum(col("c")).as("n"), sum(d(col("v")) * col("c")).as("s"),
+          sum(d(col("v")) * ((col("cum") - col("c")) * col("c")
             + expr("c * (c + 1) div 2"))).as("s1"))
         .select(col("n"),
-          (lit(2) * col("s1") - (col("n") + 1) * col("s")).as("gini_num"),
-          (col("n") * col("s")).as("gini_den"))
+          (lit(2) * col("s1") - (col("n") + 1) * col("s"))
+            .cast("decimal(38,0)").cast("string").as("gini_num"),
+          (col("n") * col("s")).cast("decimal(38,0)")
+            .cast("string").as("gini_den"))
     },
     Some("""WITH f AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT) AS v,
             count(*) AS c
@@ -212,12 +221,13 @@ object Queries22 {
         cumt AS (SELECT v, c,
             sum(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum
           FROM f),
-        m AS (SELECT sum(c) AS n, sum(v * c) AS s,
-            sum(v * ((cum - c) * c + c * (c + 1) // 2)) AS s1
+        m AS (SELECT sum(c) AS n,
+            sum(CAST(v AS HUGEINT) * c) AS s,
+            sum(CAST(v AS HUGEINT) * ((cum - c) * c + c * (c + 1) // 2)) AS s1
           FROM cumt)
       SELECT CAST(n AS BIGINT) AS n,
-        CAST(2 * s1 - (n + 1) * s AS BIGINT) AS gini_num,
-        CAST(n * s AS BIGINT) AS gini_den FROM m"""))
+        CAST(CAST(2 * s1 - (n + 1) * s AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+        CAST(CAST(n * s AS DECIMAL(38,0)) AS VARCHAR) AS gini_den FROM m"""))
 
   val all: Map[String, Q] = Map(
     "j5_asof_attribution" -> j5_asof_attribution,

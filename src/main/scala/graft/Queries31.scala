@@ -209,7 +209,11 @@ object Queries31 {
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
           UNION ALL SELECT 20000000 + p_partkey, p_partkey % 5 FROM part),
-        wc AS (SELECT sa.community AS c_src, sb.community AS c_dst
+        -- MATERIALIZED: wc is referenced 4x (m, deg twice, intra) and
+        -- assign 3x; DuckDB 1.0 re-inlines CTEs per reference, and at
+        -- 10x data the re-planned inlines ran minutes-to-never where
+        -- the materialized form takes 0.5 s (round-8 amplified sweep)
+        wc AS MATERIALIZED (SELECT sa.community AS c_src, sb.community AS c_dst
           FROM edges e JOIN assign sa ON e.src = sa.id
             JOIN assign sb ON e.dst = sb.id),
         m AS (SELECT count(*) AS m FROM wc),
