@@ -790,17 +790,20 @@ object GraphOps {
     */
   def hits(edges: DataFrame, iterations: Int,
            scope: CacheScope = CacheScope.global): DataFrame = {
-    val e = scope.checkpoint(edges.select(col("src"), col("dst")).distinct())
     // the two message directions join on different edge keys (src for
     // the auth pass, dst for the hub pass), so keep TWO checkpointed
     // copies, each pre-partitioned on its join key — the pageRank
     // discipline. The score side arrives hash-partitioned by id from
     // its groupBy, so every per-iteration join is exchange-free and
     // the only shuffle per half-iteration is the message aggregate.
-    val eBySrc = scope.checkpoint(e.repartition(col("src")))
-    val eByDst = scope.checkpoint(e.repartition(col("dst")))
-    val vertices = scope.checkpoint(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
+    // eByDst and vertices derive FROM the materialized eBySrc (not a
+    // third checkpointed copy of the distinct edge set): one fewer
+    // materialization up front, and the distinct still runs once.
+    val eBySrc = scope.checkpoint(edges.select(col("src"), col("dst"))
+      .distinct().repartition(col("src")))
+    val eByDst = scope.checkpoint(eBySrc.repartition(col("dst")))
+    val vertices = scope.checkpoint(eBySrc.select(col("src").as("id"))
+      .union(eBySrc.select(col("dst").as("id"))).distinct())
     // decimal sum → exact integer grid → double (the pageRank hop)
     def qsum(c: Column): Column =
       round(sum(c.cast("decimal(27,15)")) * 1000000000L)
