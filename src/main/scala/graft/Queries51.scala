@@ -138,8 +138,72 @@ object Queries51 {
         UNION ALL SELECT 'check', 'constraints', 4)
       ORDER BY kind, name"""))
 
+  /** Incremental IVF index refresh ([[Similarity.ivfDeltaAssign]]):
+    * the 80% lowest-gate vectors are the standing corpus (seeded
+    * 2-round Lloyd index, the `vec_ivf_ann` machinery), the other 20%
+    * arrive as a delta and are assigned to the EXISTING centroids —
+    * the cheap every-ingest-batch path; the standing corpus is never
+    * rescanned. Output is the per-cell occupancy ledger a re-cluster
+    * policy reads: base count, delta count, and drift in basis
+    * points. The oracle replays the seed sample, both Lloyd rounds,
+    * both assigns, and the roll-up.
+    */
+  val vec_ivf_delta = Q(
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = T_(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 < 8)
+      val delta = emb.filter(col("vec_id") % 10 >= 8)
+      val (indexed, centroids) =
+        Similarity.ivfKMeans(base, "embedding", "vec_id", nCells = 16, iters = 2)
+      Similarity.ivfDeltaAssign(indexed, centroids, delta, "embedding", "vec_id")
+        .groupBy(col("cell"))
+        .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("base_n"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("delta_n"),
+          count(lit(1)).as("total_n"))
+        .withColumn("drift_bp", expr("10000L * delta_n div total_n"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE vec_id % 10 < 8),
+      cent0 AS (
+        SELECT id AS cell,
+          [CAST(v[i] AS DOUBLE) FOR i IN range(1, len(v) + 1)] AS cv
+        FROM c
+        QUALIFY row_number() OVER (ORDER BY
+          (CAST(id AS BIGINT) % 94906249) * 1103515245 % 2147483647 ASC,
+          id ASC) <= 16),
+      ${Queries3.lloydRoundSql(1, "cent0")},
+      ${Queries3.lloydRoundSql(2, "cent1")},
+      base_assigned AS (
+        SELECT id, cell FROM (
+          SELECT c.id, cent2.cell,
+            row_number() OVER (PARTITION BY c.id
+              ORDER BY ${Queries3.cosineSql("v", "cv")} DESC NULLS LAST,
+                cent2.cell ASC) AS rn
+          FROM c, cent2) WHERE rn = 1),
+      d AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE vec_id % 10 >= 8),
+      delta_assigned AS (
+        SELECT id, cell FROM (
+          SELECT d.id, cent2.cell,
+            row_number() OVER (PARTITION BY d.id
+              ORDER BY ${Queries3.cosineSql("v", "cv")} DESC NULLS LAST,
+                cent2.cell ASC) AS rn
+          FROM d, cent2) WHERE rn = 1),
+      u AS (SELECT id, cell, false AS is_delta FROM base_assigned
+        UNION ALL SELECT id, cell, true AS is_delta FROM delta_assigned)
+      SELECT cell,
+        CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+        CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS delta_n,
+        count(*) AS total_n,
+        10000 * CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+          // count(*) AS drift_bp
+      FROM u GROUP BY cell ORDER BY cell"""))
+
   val all: Map[String, Q] = Map(
     "pack_bestfit_large" -> pack_bestfit_large,
     "g_cypher_sink" -> g_cypher_sink,
+    "vec_ivf_delta" -> vec_ivf_delta,
   )
 }

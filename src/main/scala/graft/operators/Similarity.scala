@@ -185,6 +185,25 @@ object Similarity {
     twoPhaseTopK(scored, k)
   }
 
+  /** Incremental IVF refresh: assign ONLY the delta vectors to the
+    * EXISTING centroids and union them into the index — the
+    * production cadence for a vector store (cheap delta-assign on
+    * every ingest batch; full re-cluster only when occupancy drift
+    * says so, which is what the per-cell `is_delta` split lets a
+    * caller measure). The assign job reads nothing but the delta
+    * rows plus the broadcast centroid table (nCells rows) — the
+    * [[Dedup]] delta-store discipline applied to the ANN index; the
+    * standing corpus is never rescanned.
+    */
+  def ivfDeltaAssign(indexed: DataFrame, centroids: DataFrame,
+                     delta: DataFrame, vecCol: String, idCol: String)
+      : DataFrame =
+    indexed.select(col("id"), col("v"), col("cell"),
+        lit(false).as("is_delta"))
+      .unionByName(assignCells(delta, vecCol, idCol, centroids)
+        .select(col("id"), col("v"), col("cell"),
+          lit(true).as("is_delta")))
+
   /** Batch kNN JOIN via IVF — the corpus-sized-query-side variant of
     * [[ivfTopK]]. When |queries| ≈ |corpus| (cross-corpus semantic
     * dedup, dataset-vs-dataset contamination, full-corpus self-kNN),

@@ -37,6 +37,33 @@ class Batch51Spec extends AnyFunSuite {
       "prefix-sum rank and window rank must produce identical bins")
   }
 
+  test("ivfDeltaAssign: delta joins the index under existing centroids, base untouched") {
+    import graft.operators.Similarity
+    val mk = (id: Long, x: Double, y: Double) => (id, Array(x.toFloat, y.toFloat))
+    val base = Seq(mk(1L, 1.0, 0.0), mk(2L, 0.9, 0.1),
+      mk(3L, 0.0, 1.0), mk(4L, 0.1, 0.9)).toDF("vec_id", "embedding")
+    val delta = Seq(mk(10L, 1.0, 0.05), mk(11L, 0.05, 1.0))
+      .toDF("vec_id", "embedding")
+    val (indexed, centroids) =
+      Similarity.ivfKMeans(base, "embedding", "vec_id", nCells = 2, iters = 1)
+    val baseCells = indexed.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Similarity.ivfDeltaAssign(indexed, centroids, delta,
+      "embedding", "vec_id")
+    val rows = merged.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("cell"), r.getAs[Boolean]("is_delta"))).toSeq
+    assert(rows.length == 6, "base + delta all present exactly once")
+    assert(rows.filter(_._3).map(_._1).sorted == Seq(10L, 11L))
+    // base assignments are unchanged by the refresh
+    rows.filterNot(_._3).foreach { case (id, cell, _) =>
+      assert(baseCells(id) == cell, s"base vector $id moved cells")
+    }
+    // each delta vector lands with the base vectors it is nearest to
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    assert(cellOf(10L) == cellOf(1L) && cellOf(11L) == cellOf(3L),
+      "delta assigned to the nearest existing centroid")
+  }
+
   test("packPairedLarge: every surviving doc lands in exactly one bin") {
     val bins = Packing.packPairedLarge(fixture, col("lang"), col("toks"),
       col("id"), 256L)
