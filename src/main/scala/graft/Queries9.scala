@@ -179,8 +179,16 @@ object Queries9 {
         .agg(count(lit(1)).cast("int").as("n_rows"),
           sum(when(col("l_extendedprice") > col("thr"), 1).otherwise(0))
             .cast("int").as("n_clipped"),
-          (sum(col("clipped").cast("decimal(27,8)")).cast("double") /
-            count(lit(1))).cast("double").as("win_mean"))
+          // micro-quantized integer mean, not a double: the exact
+          // decimal sum's scaled units pass 2^53 at ~10x this bench
+          // scale, where decimal->double casts split 1 ulp between
+          // engines (caught by the round-8 amplified sweep). Integer
+          // div of exact integers is engine-portable at any scale.
+          sum((col("clipped").cast("decimal(27,6)") * 1000000)
+              .cast("decimal(38,0)")).cast("decimal(38,0)").as("__s"),
+          count(lit(1)).as("__n"))
+        .withColumn("win_mean_micro", expr("cast(__s div __n as bigint)"))
+        .drop("__s", "__n")
     },
     Some("""WITH f AS (SELECT l_returnflag AS g,
         CAST(floor(l_extendedprice) AS BIGINT) AS v, count(*) AS c
@@ -193,8 +201,11 @@ object Queries9 {
       SELECT l_returnflag, CAST(count(*) AS INTEGER) AS n_rows,
         CAST(sum(CASE WHEN l_extendedprice > thr THEN 1 ELSE 0 END) AS INTEGER)
           AS n_clipped,
-        CAST(CAST(SUM(CAST(least(l_extendedprice, thr) AS DECIMAL(27,8)))
-          AS DOUBLE) / COUNT(*) AS DOUBLE) AS win_mean
+        -- HUGEINT //: DuckDB's // on DECIMAL operands ROUNDS the
+        -- decimal quotient; on integers it floors like Spark's div
+        CAST(CAST(SUM(CAST(CAST(least(l_extendedprice, thr) AS DECIMAL(27,6))
+              * 1000000 AS DECIMAL(38,0))) AS HUGEINT)
+          // COUNT(*) AS BIGINT) AS win_mean_micro
       FROM lineitem JOIN thr ON l_returnflag = thr.g
       GROUP BY l_returnflag"""))
 

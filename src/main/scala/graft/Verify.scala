@@ -41,9 +41,12 @@ object Verify {
     // the manifest has 150+ hashed entries, the gate ran and the data
     // exists — any later emptiness is a checker-side hand-off failure.
     val manifest = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    SparkEntry.queries
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // deterministic (sorted) order + a start line: a sweep that
+      // wedges mid-query is then attributable from the log alone
+      System.err.println(s"[verify] start $name")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
