@@ -118,11 +118,18 @@ object Queries5 {
       s.table(liName)
         .join(s.table(ordName).hint("merge"), "l_orderkey")
         .groupBy(year(col("o_orderdate")).as("yr"))
-        .agg(decSum(col("l_extendedprice")).as("rev"))
+        // BIGINT micro-units, not a decSum double: the per-year sum's
+        // scaled units pass 2^53 at ~10x this bench scale, where the
+        // decimal->double cast splits 1 ulp between engines (round-8
+        // amplified sweep, same class as a_winsorize)
+        .agg(sum((col("l_extendedprice").cast("decimal(27,6)") * 1000000)
+            .cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("long").as("rev_micro"))
         .orderBy("yr")
     },
     Some("""SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
-        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) AS rev
+        CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(27,6)) * 1000000
+          AS DECIMAL(38,0))) AS BIGINT) AS rev_micro
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1 ORDER BY 1"""),
     bench = false)
