@@ -238,15 +238,22 @@ object Queries5 {
         s, s"$dir/events.parquet", gapSeconds = 3600,
         queryName = "stream_sessionize_q")
       .orderBy("user_id", "start"),
-    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
           floor(value * 1000) AS v FROM events),
-      l AS (SELECT user_id, tms, v,
-          lag(tms) OVER (PARTITION BY user_id ORDER BY tms) AS prev FROM e),
-      s AS (SELECT user_id, tms, v,
+      -- ORDER BY (tms, event_id), not tms alone: with tied
+      -- timestamps (normal in real feeds; the 10x fixture has them)
+      -- the lag window and the running-sum window may order ties
+      -- DIFFERENTLY, splitting a tied group across two sessions.
+      -- Any consistent total order yields the correct sessions (ties
+      -- chain at gap 0); the stream side is tie-order-invariant.
+      l AS (SELECT user_id, event_id, tms, v,
+          lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+            AS prev FROM e),
+      s AS (SELECT user_id, event_id, tms, v,
           CASE WHEN prev IS NULL OR tms - prev > 3600000 THEN 1 ELSE 0 END AS ns
         FROM l),
       g AS (SELECT user_id, tms, v,
-          sum(ns) OVER (PARTITION BY user_id ORDER BY tms
+          sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
             ROWS UNBOUNDED PRECEDING) AS sid FROM s)
       SELECT user_id, make_timestamp(min(tms) * 1000) AS start,
         make_timestamp(max(tms) * 1000) AS "end",
