@@ -102,8 +102,12 @@ object Queries35 {
     },
     Some {
       val pairsSql = Queries34.pipeline_graph_embed.oracle.get
-      s"""WITH pairs AS (SELECT center, context FROM ($pairsSql)),
-        vocab AS (SELECT center AS node,
+      -- MATERIALIZED: pairs embeds the entire graph-embed pipeline
+      -- SQL and is referenced 3x; DuckDB re-inlines CTEs per
+      -- reference and the re-planned walk pipeline spilled 40+ GB at
+      -- 10x (the g_modularity lesson, one batch later)
+      s"""WITH pairs AS MATERIALIZED (SELECT center, context FROM ($pairsSql)),
+        vocab AS MATERIALIZED (SELECT center AS node,
             row_number() OVER (ORDER BY center ASC) AS pos
           FROM (SELECT DISTINCT center FROM pairs)),
         v AS (SELECT count(*) AS vn FROM vocab),
