@@ -102,10 +102,10 @@ object Queries35 {
     },
     Some {
       val pairsSql = Queries34.pipeline_graph_embed.oracle.get
-      -- MATERIALIZED: pairs embeds the entire graph-embed pipeline
-      -- SQL and is referenced 3x; DuckDB re-inlines CTEs per
-      -- reference and the re-planned walk pipeline spilled 40+ GB at
-      -- 10x (the g_modularity lesson, one batch later)
+      // MATERIALIZED: pairs embeds the entire graph-embed pipeline
+      // SQL and is referenced 3x; DuckDB re-inlines CTEs per
+      // reference and the re-planned walk pipeline spilled 40+ GB at
+      // 10x (the g_modularity lesson, one batch later)
       s"""WITH pairs AS MATERIALIZED (SELECT center, context FROM ($pairsSql)),
         vocab AS MATERIALIZED (SELECT center AS node,
             row_number() OVER (ORDER BY center ASC) AS pos
