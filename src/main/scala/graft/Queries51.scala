@@ -26,6 +26,8 @@ import Queries.Q
   */
 object Queries51 {
 
+  private[graft] val sinkNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def T_(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.read(s, dir, n)
 
@@ -112,8 +114,10 @@ object Queries51 {
           "Customer", Seq("c_custkey"), "Nation", Seq("c_nationkey")))
         .unionByName(GraphAssembly.edges(T_(s, dir, "nation"), "IN_REGION",
           "Nation", Seq("n_nationkey"), "Region", Seq("n_regionkey")))
-      val token = s"g_cypher_sink_${graft.sources.Staging.dirKey(dir)}"
-      InMemoryBolt.drop(token) // fresh store per invocation (bench reps)
+      // per-invocation nonce: two concurrent runs over the same
+      // dataset in one JVM must not drop/interleave each other's store
+      val token = s"g_cypher_sink_${graft.sources.Staging.dirKey(dir)}" +
+        s"_${Queries51.sinkNonce.incrementAndGet()}"
       CypherSink.writeGraph(verts, edges,
         InMemoryBolt.Factory(token), batchSize = 1000)
       val st = InMemoryBolt.store(token)

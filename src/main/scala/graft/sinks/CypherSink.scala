@@ -135,8 +135,24 @@ object CypherSink {
       "vertices must carry (id, label, props…)")
     val labels = vertices.select(col("label")).distinct()
       .collect().map(_.getString(0)).sorted
-    val rels = edges.select(col("rel")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // Endpoint labels: edges carry only (src, dst, rel), so each
+    // endpoint's label is derived by joining the vertex (id → label)
+    // map — the same equi-join shape the integrity gate already paid,
+    // no new asymptotic cost. Every edge batch then goes through the
+    // INDEX-BACKED mergeEdgesCypher form: a label-less
+    // `MATCH (s { id: ... })` cannot use per-label uniqueness indexes
+    // in real Neo4j and degrades to an AllNodesScan per edge row.
+    val vLab = vertices.select(col("id"), col("label"))
+    val eLab = edges.join(
+        vLab.withColumnRenamed("id", "src")
+          .withColumnRenamed("label", "src_label"), Seq("src"))
+      .join(
+        vLab.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+    val combos = eLab
+      .select(col("rel"), col("src_label"), col("dst_label")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted
     val ddl = factory.open()
     try {
       labels.foreach(l => ddl.run(constraintDdl(l, Seq("id")), Map.empty))
@@ -145,14 +161,9 @@ object CypherSink {
     val propCols = vCols.filterNot(Seq("label").contains)
     val vStmt = labels.map(l =>
       l -> mergeVerticesCypher(l, Seq("id"), propCols)).toMap
-    val eStmt = rels.map(r =>
-      // graph-wide id space: endpoint labels are not re-derived per
-      // edge; MATCH by id across the merged space mirrors the
-      // assembly's surrogate-id design (ids are globally unique)
-      r -> s"""UNWIND $$rows AS r
-              |MATCH (s { id: r.src })
-              |MATCH (d { id: r.dst })
-              |MERGE (s)-[:`${sanitizeIdent(r)}`]->(d)""".stripMargin).toMap
+    val eStmt = combos.map { case k @ (rel, srcLab, dstLab) =>
+      k -> mergeEdgesCypher(rel, srcLab, "id", dstLab, "id")
+    }.toMap
 
     val nV = vertices.sparkSession.sparkContext.longAccumulator("cypher_v")
     val nE = vertices.sparkSession.sparkContext.longAccumulator("cypher_e")
@@ -170,15 +181,17 @@ object CypherSink {
         }
       } finally sess.close()
     }
-    edges.foreachPartition { (it: Iterator[Row]) =>
+    eLab.foreachPartition { (it: Iterator[Row]) =>
       val sess = factory.open()
       try {
         it.grouped(batchSize).foreach { batch =>
-          batch.groupBy(_.getAs[String]("rel")).foreach {
-            case (rel, rows) =>
+          batch.groupBy(r => (r.getAs[String]("rel"),
+            r.getAs[String]("src_label"), r.getAs[String]("dst_label")))
+          .foreach {
+            case (key, rows) =>
               val params = rows.map(r => Map[String, Any](
                 "src" -> r.getAs[Any]("src"), "dst" -> r.getAs[Any]("dst")))
-              sess.run(eStmt(rel), Map("rows" -> params))
+              sess.run(eStmt(key), Map("rows" -> params))
               nE.add(rows.size)
           }
         }
@@ -218,8 +231,6 @@ object InMemoryBolt {
       constraints: mutable.Set[String] = mutable.Set.empty,
       nodes: mutable.Map[(String, Any), Map[String, Any]] = mutable.Map.empty,
       edges: mutable.Set[(Any, String, Any)] = mutable.Set.empty,
-      // id index: MATCH-by-id must not scan the node map per edge
-      ids: mutable.Set[Any] = mutable.Set.empty,
       var statements: Long = 0L)
 
   private val stores = new java.util.concurrent.ConcurrentHashMap[String, Store]()
@@ -239,7 +250,7 @@ object InMemoryBolt {
   private val MergeV =
     """(?s)UNWIND \$rows AS r\s*MERGE \(n:`([^`]+)` \{ `id`: r\.`id` \}\)(.*)""".r
   private val MergeE =
-    """(?s)UNWIND \$rows AS r\s*MATCH \(s \{ id: r\.src \}\)\s*MATCH \(d \{ id: r\.dst \}\)\s*MERGE \(s\)-\[:`([^`]+)`\]->\(d\)""".r
+    """(?s)UNWIND \$rows AS r\s*MATCH \(s:`([^`]+)` \{ `[^`]+`: r\.src \}\)\s*MATCH \(d:`([^`]+)` \{ `[^`]+`: r\.dst \}\)\s*MERGE \(s\)-\[:`([^`]+)`\]->\(d\)""".r
 
   final class Session(s: Store) extends BoltSession {
     def run(cypher: String, params: Map[String, Any]): Unit = s.synchronized {
@@ -250,14 +261,17 @@ object InMemoryBolt {
         case MergeV(label, _) =>
           rows(params).foreach { r =>
             val key = (label, r("id"))
-            s.nodes(key) = s.nodes.getOrElse(key, Map.empty) ++ r
-            s.ids += r("id"); ()
+            s.nodes(key) = s.nodes.getOrElse(key, Map.empty) ++ r; ()
           }
-        case MergeE(rel) =>
+        case MergeE(srcLab, dstLab, rel) =>
           rows(params).foreach { r =>
             val (src, dst) = (r("src"), r("dst"))
-            require(s.ids.contains(src) && s.ids.contains(dst),
-              s"edge endpoint missing: $src -> $dst")
+            // labeled MATCH: the endpoint must exist UNDER THAT LABEL
+            // (the index a real Neo4j would consult), not merely as
+            // some node with the id
+            require(s.nodes.contains((srcLab, src)) &&
+              s.nodes.contains((dstLab, dst)),
+              s"edge endpoint missing: ($srcLab)$src -> ($dstLab)$dst")
             s.edges += ((src, rel, dst)); ()
           }
         case other =>

@@ -39,8 +39,18 @@ object StreamingTopK {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    // a complete-mode memory sink is already driver-resident (bounded:
+    // watermark-horizon windows × event types), so pinning the counts
+    // locally costs nothing — and then the temp view can be DROPPED
+    // instead of accumulating one view (+ result table) per invocation
+    // for the life of the session
+    val counts = spark.table(name)
       .select(to_date(col("w.start")).as("date"), col("event_type"), col("n"))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      java.util.Arrays.asList(counts.collect(): _*))
+    val schema = counts.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(rows, schema)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("date"))
           .orderBy(col("n").desc, col("event_type").asc)))
