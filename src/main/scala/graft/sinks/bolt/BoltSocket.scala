@@ -1,0 +1,180 @@
+package graft.sinks.bolt
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+
+import graft.sinks.{BoltSession, BoltSessionFactory}
+
+/** Real-socket Bolt transport for [[graft.sinks.CypherSink]]: the
+  * network twin of the reference's async Neo4j driver pool
+  * (app/neo4j_pool.py:6-19), built directly on the PUBLIC Bolt wire
+  * protocol (handshake + chunked PackStream messages) so it needs no
+  * driver jar — this build is zero-dependency. One [[BoltSocketSession]]
+  * is one Bolt connection in autocommit mode, exactly how
+  * `CypherSink.writeGraph` uses a session: open per partition, a
+  * sequence of RUN+PULL round-trips, close.
+  *
+  * Protocol subset (Bolt ≤ 5.0, auth carried in HELLO):
+  *
+  *   - handshake: magic `60 60 B0 17` + 4 proposed versions; the
+  *     server answers with the one it picks (5.0 preferred, 4.4
+  *     fallback — both use the same message shapes this client sends)
+  *   - messages out: HELLO 0x01, RUN 0x10, PULL 0x3F, GOODBYE 0x02
+  *   - messages in: SUCCESS 0x70, RECORD 0x71 (drained and discarded
+  *     — MERGE statements return no rows), IGNORED 0x7E,
+  *     FAILURE 0x7F (surfaced as an exception carrying the server's
+  *     code/message)
+  *   - framing: 2-byte big-endian chunk sizes, 0x0000 terminator;
+  *     zero-size chunks BETWEEN messages are NOOP keepalives
+  *
+  * Scale shape: `writeGraph` opens `executors × cores` concurrent
+  * sessions, each pipelining one UNWIND batch per RUN — the same
+  * fan-out discipline as the reference pool's `max_connection_pool
+  * _size`. Backpressure is the socket itself: a slow server blocks
+  * the writer thread, never queues unbounded rows.
+  */
+object BoltSocket {
+  val Magic: Array[Byte] =
+    Array(0x60.toByte, 0x60.toByte, 0xB0.toByte, 0x17.toByte)
+
+  // proposed versions, most-preferred first: 5.0, 4.4 (zero-padded).
+  // Encoding per spec: 4 bytes each, minor in byte 2, major in byte 3.
+  val ProposedVersions: Seq[Int] = Seq(0x00000005, 0x00000404, 0, 0)
+
+  final val MsgHello = 0x01.toByte
+  final val MsgGoodbye = 0x02.toByte
+  final val MsgRun = 0x10.toByte
+  final val MsgPull = 0x3F.toByte
+  final val MsgSuccess = 0x70.toByte
+  final val MsgRecord = 0x71.toByte
+  final val MsgIgnored = 0x7E.toByte
+  final val MsgFailure = 0x7F.toByte
+
+  /** Write one message as chunked PackStream. */
+  def writeMessage(out: DataOutputStream, msg: PackStream.Struct): Unit = {
+    val bytes = PackStream.pack(msg)
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(0xFFFF, bytes.length - off)
+      out.writeShort(n)
+      out.write(bytes, off, n)
+      off += n
+    }
+    out.writeShort(0) // end-of-message
+    out.flush()
+  }
+
+  /** Read one message (assembling chunks; zero-size chunks before any
+    * payload are NOOPs). */
+  def readMessage(in: DataInputStream): PackStream.Struct = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val size = in.readUnsignedShort()
+      if (size == 0) {
+        if (buf.size() > 0) done = true // terminator
+        // else: NOOP keepalive — keep waiting
+      } else {
+        val chunk = new Array[Byte](size)
+        in.readFully(chunk)
+        buf.write(chunk)
+      }
+    }
+    PackStream.unpack(buf.toByteArray) match {
+      case s: PackStream.Struct => s
+      case other => throw new IllegalStateException(
+        s"Bolt message is not a structure: $other")
+    }
+  }
+}
+
+/** A failure the server reported (Bolt FAILURE message). */
+final class BoltFailure(val code: String, message: String)
+    extends RuntimeException(s"$code: $message")
+
+final class BoltSocketSession(host: String, port: Int, userAgent: String,
+                              connectTimeoutMs: Int) extends BoltSession {
+  import BoltSocket._
+
+  private val socket = new Socket()
+  socket.setTcpNoDelay(true)
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+  private val in = new DataInputStream(
+    new BufferedInputStream(socket.getInputStream, 1 << 16))
+  val negotiatedVersion: Int = handshake()
+  hello()
+
+  private def handshake(): Int = {
+    out.write(Magic)
+    ProposedVersions.foreach(out.writeInt)
+    out.flush()
+    val v = in.readInt()
+    require(ProposedVersions.contains(v) && v != 0,
+      f"server picked unsupported Bolt version 0x$v%08X")
+    v
+  }
+
+  private def hello(): Unit = {
+    writeMessage(out, PackStream.Struct(MsgHello, Seq(Map[String, Any](
+      "user_agent" -> userAgent, "scheme" -> "none"))))
+    await("HELLO")
+  }
+
+  /** One autocommit statement: RUN + PULL pipelined, both confirmed.
+    * Records are drained and discarded (the MERGE write path returns
+    * no rows; a sink must still consume them to keep the stream in
+    * sync). */
+  override def run(cypher: String, params: Map[String, Any]): Unit = {
+    writeMessage(out, PackStream.Struct(MsgRun,
+      Seq(cypher, params, Map.empty[String, Any])))
+    writeMessage(out, PackStream.Struct(MsgPull,
+      Seq(Map[String, Any]("n" -> -1L))))
+    await("RUN")
+    await("PULL")
+  }
+
+  /** Read until SUCCESS (draining RECORDs); FAILURE throws. */
+  private def await(what: String): Unit = {
+    var done = false
+    while (!done) {
+      val msg = readMessage(in)
+      msg.signature match {
+        case MsgSuccess => done = true
+        case MsgRecord => // drain
+        case MsgIgnored => throw new IllegalStateException(
+          s"$what was IGNORED — connection is in a failed state")
+        case MsgFailure =>
+          val meta = msg.fields.headOption match {
+            case Some(m: Map[_, _]) =>
+              m.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty[String, Any]
+          }
+          throw new BoltFailure(
+            meta.getOrElse("code", "Neo.UnknownError").toString,
+            meta.getOrElse("message", s"$what failed").toString)
+        case other => throw new IllegalStateException(
+          f"unexpected Bolt message 0x$other%02X during $what")
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    try {
+      writeMessage(out, PackStream.Struct(MsgGoodbye, Seq.empty))
+    } catch { case _: java.io.IOException => () } // peer already gone
+    finally socket.close()
+  }
+}
+
+/** Serializable factory — host/port cross the closure into
+  * `foreachPartition`, each task opens its own connection (the
+  * executor-side analogue of one pooled driver session). */
+final case class BoltSocketSessionFactory(
+    host: String, port: Int,
+    userAgent: String = "graft-cypher-sink/1.0",
+    connectTimeoutMs: Int = 10000) extends BoltSessionFactory {
+  override def open(): BoltSession =
+    new BoltSocketSession(host, port, userAgent, connectTimeoutMs)
+}
