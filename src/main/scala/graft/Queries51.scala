@@ -78,23 +78,13 @@ object Queries51 {
         10000 * bin_tokens // 200 AS fill_bp
       FROM bins ORDER BY stratum, bin_id"""))
 
-  /** The Cypher MERGE sink driven end-to-end over the 4-label
-    * order/customer/nation/region graph (the `g_export_roundtrip`
-    * fixture): constraints + batched UNWIND MERGE through
-    * [[graft.sinks.CypherSink]] into the in-memory Bolt interpreter,
-    * then the emitted rows are per-label node counts and per-rel edge
-    * counts read from the STORE (not the input frames), plus a
-    * constraints row — so the entry proves the full write path
-    * delivered every row exactly once. The store is the local-mode
-    * stand-in for a Bolt pool (zero-egress build); the write path —
-    * gates, DDL-once, executor-parallel batching — is the production
-    * one.
-    */
-  val g_cypher_sink = Q(
-    (s, dir) => {
-      import graft.domain.GraphAssembly
-      import graft.sinks.{CypherSink, InMemoryBolt}
-      val verts =
+  /** The 4-label order/customer/nation/region fixture graph both
+    * Cypher-sink entries write (also `g_export_roundtrip`'s shape). */
+  private[graft] def sinkFixtureGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+                     org.apache.spark.sql.DataFrame) = {
+    import graft.domain.GraphAssembly
+    val verts =
         GraphAssembly.vertices(T_(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
           "Order", Seq("o_orderkey"))
@@ -114,6 +104,25 @@ object Queries51 {
           "Customer", Seq("c_custkey"), "Nation", Seq("c_nationkey")))
         .unionByName(GraphAssembly.edges(T_(s, dir, "nation"), "IN_REGION",
           "Nation", Seq("n_nationkey"), "Region", Seq("n_regionkey")))
+    (verts, edges)
+  }
+
+  /** The Cypher MERGE sink driven end-to-end over the 4-label
+    * fixture graph: constraints + batched UNWIND MERGE through
+    * [[graft.sinks.CypherSink]] into the in-memory Bolt interpreter,
+    * then the emitted rows are per-label node counts and per-rel edge
+    * counts read from the STORE (not the input frames), plus a
+    * constraints row — so the entry proves the full write path
+    * delivered every row exactly once. The store is the local-mode
+    * stand-in for a Bolt pool; the write path — gates, DDL-once,
+    * executor-parallel batching — is the production one. The
+    * `g_cypher_sink_tcp` twin (Queries52) swaps the factory for the
+    * real-socket transport.
+    */
+  val g_cypher_sink = Q(
+    (s, dir) => {
+      import graft.sinks.{CypherSink, InMemoryBolt}
+      val (verts, edges) = sinkFixtureGraph(s, dir)
       // per-invocation nonce: two concurrent runs over the same
       // dataset in one JVM must not drop/interleave each other's store
       val token = s"g_cypher_sink_${graft.sources.Staging.dirKey(dir)}" +

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries.Q
+
+/** Batch 52 (round 9): the Cypher sink through the REAL Bolt wire
+  * protocol. `g_cypher_sink` proves the write path against the
+  * in-memory interpreter; this twin routes the identical writeGraph
+  * call through [[graft.sinks.bolt.BoltSocketSessionFactory]] — TCP
+  * handshake, 5.0 version negotiation, chunked PackStream framing,
+  * HELLO/RUN/PULL — into an in-process loopback server
+  * ([[graft.sinks.bolt.BoltLoopbackServer]]) that interprets the
+  * statements with the same MERGE semantics. Every layer short of a
+  * remote Neo4j endpoint (the reference's terminal artifact,
+  * app/neo4j_pool.py:6-19) is the production one, including one real
+  * socket per partition task — so this entry is also a throughput
+  * measurement of the wire encoding under executor parallelism.
+  */
+object Queries52 {
+
+  /** Same oracle-checked counts as `g_cypher_sink`, but read from a
+    * store every row of which crossed a genuine TCP socket. The
+    * `check` row counts negotiated Bolt-5.0 connections ≥ 1 via the
+    * constraints store instead (connection count varies with
+    * partitioning; constraints are deterministic: 4 labels).
+    */
+  val g_cypher_sink_tcp = Q(
+    (s, dir) => {
+      import graft.sinks.InMemoryBolt
+      import graft.sinks.bolt.{BoltLoopbackServer, BoltSocketSessionFactory}
+      val (verts, edges) = Queries51.sinkFixtureGraph(s, dir)
+      val token = s"g_cypher_sink_tcp_${graft.sources.Staging.dirKey(dir)}" +
+        s"_${Queries51.sinkNonce.incrementAndGet()}"
+      val srv = new BoltLoopbackServer(token)
+      try {
+        graft.sinks.CypherSink.writeGraph(verts, edges,
+          BoltSocketSessionFactory(srv.host, srv.port), batchSize = 1000)
+        val st = InMemoryBolt.store(token)
+        val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
+          .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
+        val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
+          .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
+        val checkRows =
+          Seq(("check", "constraints", st.constraints.size.toLong))
+        val out = nodeRows ++ edgeRows ++ checkRows
+        import s.implicits._
+        out.toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+      } finally { srv.close(); InMemoryBolt.drop(token) }
+    },
+    // identical truth to g_cypher_sink: the transport must not change
+    // what lands in the store
+    Queries51.g_cypher_sink.oracle)
+
+  val all: Map[String, Q] = Map(
+    "g_cypher_sink_tcp" -> g_cypher_sink_tcp,
+  )
+}

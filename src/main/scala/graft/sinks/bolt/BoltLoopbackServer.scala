@@ -1,4 +1,4 @@
-package graft
+package graft.sinks.bolt
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.{ServerSocket, Socket, SocketException}
@@ -8,34 +8,44 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import graft.sinks.InMemoryBolt
-import graft.sinks.bolt.{BoltSocket, PackStream}
 
-/** In-process Bolt wire-protocol server: speaks the REAL protocol
-  * (handshake, chunked PackStream framing, HELLO/RUN/PULL/GOODBYE)
-  * over genuine TCP loopback sockets, records every decoded RUN, and
-  * interprets the statements with the same [[InMemoryBolt]] MERGE
-  * interpreter the in-memory factory uses — so a writeGraph run
-  * through [[graft.sinks.bolt.BoltSocketSessionFactory]] can be
-  * asserted equal, store-for-store, to the in-memory run. This is the
-  * closest a zero-egress build can get to a live Neo4j: everything
-  * except the remote endpoint is production-shaped.
+/** In-process Bolt wire-protocol server — the loopback stand-in for a
+  * live Neo4j endpoint in this zero-egress build. Speaks the REAL
+  * protocol over genuine TCP sockets (handshake, chunked PackStream
+  * framing, HELLO/RUN/PULL/GOODBYE) and interprets the statements with
+  * the same [[InMemoryBolt]] MERGE interpreter the in-memory factory
+  * uses, so a `writeGraph` routed through
+  * [[BoltSocketSessionFactory]] exercises every production layer —
+  * client codec, framing, version negotiation, concurrent per-task
+  * connections — short of the remote endpoint itself (the reference's
+  * terminal artifact, app/neo4j_pool.py:6-19).
   *
-  * `failOn`: statements containing the marker trigger a Bolt FAILURE
-  * response (for failure-propagation tests).
+  * Recording: statement texts are always recorded (one short string
+  * per batch — bounded by batch count). Full parameter recording is
+  * OFF by default — a corpus-scale write would otherwise duplicate
+  * every row in the recorder — and enabled per-test via
+  * `recordParams = true`.
+  *
+  * `failOn`: statements containing the marker get a Bolt FAILURE
+  * response (failure-propagation tests).
   */
-final class BoltTestServer(storeToken: String, failOn: Option[String] = None) {
-  private val server = new ServerSocket(0, 64,
+final class BoltLoopbackServer(storeToken: String,
+                               failOn: Option[String] = None,
+                               recordParams: Boolean = false) {
+  private val server = new ServerSocket(0, 256,
     java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
   val host: String = server.getInetAddress.getHostAddress
 
-  /** (statement, params) of every RUN, in arrival order across all
-    * connections. */
+  /** Statement text of every RUN, arrival order across connections. */
+  val statements = new ConcurrentLinkedQueue[String]()
+  /** (statement, params) — populated only when `recordParams`. */
   val recorded = new ConcurrentLinkedQueue[(String, Map[String, Any])]()
   val connections = new AtomicLong(0L)
   val negotiated = new ConcurrentLinkedQueue[Integer]()
 
-  def recordedStatements: Seq[(String, Map[String, Any])] =
+  def recordedStatements: Seq[String] = statements.iterator().asScala.toSeq
+  def recordedRuns: Seq[(String, Map[String, Any])] =
     recorded.iterator().asScala.toSeq
 
   @volatile private var running = true
@@ -51,7 +61,7 @@ final class BoltTestServer(storeToken: String, failOn: Option[String] = None) {
         case _: SocketException => () // closed
       }
     }
-  }, "bolt-acceptor")
+  }, s"bolt-acceptor-$port")
   acceptor.setDaemon(true)
   acceptor.start()
 
@@ -73,7 +83,7 @@ final class BoltTestServer(storeToken: String, failOn: Option[String] = None) {
       if (chosen == 0) { sock.close(); return }
       negotiated.add(chosen)
 
-      val session = new InMemoryBolt.Factory(storeToken).open()
+      val session = InMemoryBolt.Factory(storeToken).open()
       var open = true
       while (open) {
         val msg =
@@ -88,7 +98,8 @@ final class BoltTestServer(storeToken: String, failOn: Option[String] = None) {
           case BoltSocket.MsgRun =>
             val stmt = msg.fields.head.asInstanceOf[String]
             val params = msg.fields(1).asInstanceOf[Map[String, Any]]
-            recorded.add((stmt, params))
+            statements.add(stmt)
+            if (recordParams) recorded.add((stmt, params))
             if (failOn.exists(stmt.contains)) {
               failure(out, "Neo.ClientError.Statement.SyntaxError",
                 s"fixture-injected failure for: ${stmt.take(40)}")

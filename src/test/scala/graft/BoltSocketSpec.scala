@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sinks.{CypherSink, InMemoryBolt}
-import graft.sinks.bolt.{BoltFailure, BoltSocketSessionFactory, PackStream}
+import graft.sinks.bolt.{BoltFailure, BoltLoopbackServer, BoltSocketSessionFactory, PackStream}
 
 /** The real-socket Bolt transport end-to-end: PackStream codec
   * round-trips, version negotiation, chunked framing past the 64 KiB
@@ -75,7 +75,7 @@ class BoltSocketSpec extends AnyFunSuite {
   test("writeGraph over TCP equals writeGraph in memory, and the wire " +
       "saw batched labeled statements") {
     val (v, e) = graph
-    val srv = new BoltTestServer("bolt_socket_rt")
+    val srv = new BoltLoopbackServer("bolt_socket_rt", recordParams = true)
     InMemoryBolt.drop("bolt_socket_rt")
     InMemoryBolt.drop("bolt_mem_rt")
     try {
@@ -92,7 +92,7 @@ class BoltSocketSpec extends AnyFunSuite {
       assert(viaWire.edges == direct.edges)
       assert(viaWire.constraints == direct.constraints)
       // wire-level assertions from the recorder
-      val stmts = srv.recordedStatements
+      val stmts = srv.recordedRuns
       assert(stmts.exists(_._1.startsWith("CREATE CONSTRAINT")))
       val runs = stmts.filter(_._1.startsWith("UNWIND"))
       assert(runs.nonEmpty && runs.forall(_._2.contains("rows")),
@@ -113,7 +113,7 @@ class BoltSocketSpec extends AnyFunSuite {
     val big = Seq.tabulate(300)(i => (i.toLong, "Doc", "x" * 400))
       .toDF("id", "label", "body")
     val noEdges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
-    val srv = new BoltTestServer("bolt_socket_big")
+    val srv = new BoltLoopbackServer("bolt_socket_big")
     InMemoryBolt.drop("bolt_socket_big")
     try {
       // batchSize 300 → one UNWIND with 300 × 400-char rows ≈ 120 KiB,
@@ -129,7 +129,7 @@ class BoltSocketSpec extends AnyFunSuite {
 
   test("a server FAILURE surfaces as BoltFailure with the server's code") {
     val (v, e) = graph
-    val srv = new BoltTestServer("bolt_socket_fail",
+    val srv = new BoltLoopbackServer("bolt_socket_fail",
       failOn = Some("CREATE CONSTRAINT"))
     InMemoryBolt.drop("bolt_socket_fail")
     try {
