@@ -68,6 +68,11 @@ final class BoltLoopbackServer(storeToken: String,
   def close(): Unit = { running = false; server.close() }
 
   private def serve(sock: Socket): Unit = {
+    // tiny SUCCESS frames must leave immediately: without NODELAY,
+    // Nagle + delayed-ACK holds each ~10-byte response ~40 ms, which
+    // at one response per UNWIND batch dominates the whole write
+    // (measured 17 s → ~4 s on the sf0.1 fixture graph)
+    sock.setTcpNoDelay(true)
     val in = new DataInputStream(
       new BufferedInputStream(sock.getInputStream, 1 << 16))
     val out = new DataOutputStream(
