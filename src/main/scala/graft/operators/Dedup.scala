@@ -741,7 +741,14 @@ object Dedup {
       .withColumn("__bk", explode(array((-1 to 1).map(i =>
         key(col(dirtyName), col("__b") + i)): _*)))
       .drop("__b")
-    probe.join(build, "__bk")
+    // Pin the join's parallelism with an EXPLICIT-count repartition:
+    // AQE coalesces post-shuffle partitions by BYTES, and this join's
+    // output is small while its cost is CPU (a bounded levenshtein per
+    // candidate pair) — measured 12.7 s in ONE coalesced task at
+    // sf0.1, insensitive to core count. A user repartition-by-num is
+    // never coalesced, so the candidate evaluation keeps full width.
+    val n = dirty.sparkSession.sessionState.conf.numShufflePartitions
+    probe.repartition(n, col("__bk")).join(build, "__bk")
       .filter(abs(length(col(dirtyName)) - length(col(cleanName))) <= maxDist)
       .withColumn("dist",
         levenshtein(col(dirtyName), col(cleanName), maxDist).cast("int"))
