@@ -122,7 +122,13 @@ object Queries18 {
         transform(sequence(lit(0), size(toks) - 2),
           i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>"))
+      // the corpus parquet compresses ~100:1, so BYTES give the scan
+      // one partition while the per-row token work is the real cost
+      // (measured 9.6 s in a single task at sf0.1) — widen explicitly;
+      // the round-robin shuffle moves only the raw text once and is
+      // noise next to the bigram build it parallelizes
       T_(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(explode(bigrams).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

@@ -188,6 +188,9 @@ object Queries37 {
     (s, dir) => {
       val cand = Queries3.dd_minhash_lsh.fn(s, dir)
       val sets = T_(s, dir, "documents")
+        // corpus parquet compresses ~100:1 → one scan partition by
+        // bytes; the 5-gram build is CPU-bound, widen explicitly
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"),
           regexp_replace(lower(trim(substring(col("text"), 1, 2000))),
             "\\s+", " ").as("norm"))
@@ -195,9 +198,17 @@ object Queries37 {
         .select(col("doc_id"), expr(
           "array_distinct(transform(sequence(1, length(norm) - 4)," +
             " i -> substring(norm, i, 5)))").as("g"))
-      cand
+      // pin the scoring width: the pair table is small in BYTES (AQE
+      // coalesces it to one task) but each pair pays an array_union
+      // over two ~2000-gram sets — explicit-count repartitions keep
+      // both join stages at full parallelism (measured 8.9 s + 2.2 s
+      // single-task stages before; CPU-cost-vs-byte-size, the
+      // fuzzyJoinBlocked lesson)
+      val n = s.sessionState.conf.numShufflePartitions
+      cand.repartition(n, col("id_a"))
         .join(sets.select(col("doc_id").as("id_a"), col("g").as("ga")),
           "id_a")
+        .repartition(n, col("id_b"))
         .join(sets.select(col("doc_id").as("id_b"), col("g").as("gb")),
           "id_b")
         .withColumn("inter",
