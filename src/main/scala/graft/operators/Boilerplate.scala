@@ -70,14 +70,22 @@ object Boilerplate {
     */
   def removeFrequentLines(docs: DataFrame, id: Column, textCol: Column,
                           lineWords: Int, dfThreshold: Long): DataFrame = {
-    val segs = segmentLines(docs, id, textCol, lineWords)
+    // Widen ONLY under-partitioned inputs: a corpus parquet can
+    // compress ~100:1, so a byte-sized scan plan underestimates the
+    // CPU of segmentation (measured: the whole corpus segmented twice
+    // in one task). A corpus that already has scan parallelism must
+    // NOT pay a full-text shuffle here.
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val wide = if (docs.rdd.getNumPartitions < n) docs.repartition(n)
+               else docs
+    val segs = segmentLines(wide, id, textCol, lineWords)
     val boiler = lineDf(segs).filter(col("df") >= dfThreshold).select("line")
     val kept = segs.join(boiler, Seq("line"), "left_anti")
     // n_lines is pure per-row arithmetic on the docs table — computing
     // it there instead of re-aggregating `segs` saves a third scan +
     // explode of the corpus (segs is already read twice: once for the
     // frequency table, once for the removal join)
-    val perDoc = docs.select(id.as("id"),
+    val perDoc = wide.select(id.as("id"),
       when(length(textCol) > 0,
         ceil(size(split(textCol, " ")).cast("double") / lineWords).cast("long"))
         .otherwise(0L).as("n_lines"))

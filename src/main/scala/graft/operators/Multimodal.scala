@@ -115,7 +115,12 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
-    val rows = ids.select(col("media_id")).rdd
+    // ids usually come from a corpus scan whose parquet compresses
+    // ~100:1 → ONE partition by bytes, which would serialize the
+    // CPU-bound pixel/codec work below; widening shuffles only the id
+    // column (the fuzzyJoinBlocked AQE lesson: cost is CPU, not bytes)
+    val rows = ids.select(col("media_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions).rdd
       .mapPartitions(_.map(r => Row(r.getLong(0), syntheticPng(r.getLong(0)))))
     spark.createDataFrame(rows, schema)
   }
@@ -263,7 +268,8 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
-    val rows = ids.select(col("media_id")).rdd
+    val rows = ids.select(col("media_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions).rdd
       .mapPartitions(_.map(r => Row(r.getLong(0), syntheticWav(r.getLong(0)))))
     spark.createDataFrame(rows, schema)
   }
@@ -367,7 +373,8 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
-    val rows = ids.select(col("media_id")).rdd
+    val rows = ids.select(col("media_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions).rdd
       .mapPartitions(_.map(r => Row(r.getLong(0), syntheticVideo(r.getLong(0)))))
     spark.createDataFrame(rows, schema)
   }
