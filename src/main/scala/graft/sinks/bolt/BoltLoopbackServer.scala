@@ -27,11 +27,21 @@ import graft.sinks.InMemoryBolt
   * `recordParams = true`.
   *
   * `failOn`: statements containing the marker get a Bolt FAILURE
-  * response (failure-propagation tests).
+  * response (failure-propagation tests). `failTransientOnce`: the
+  * FIRST arrival of each distinct statement text gets a
+  * `Neo.TransientError` FAILURE before interpretation — the
+  * idempotent-retry test shape (the statement is NOT applied, a
+  * retried delivery succeeds). `supported` narrows the Bolt versions
+  * the server accepts (e.g. 5.1-only to force the LOGON auth flow;
+  * at ≥5.1 a RUN before LOGON is rejected as a security error, per
+  * protocol).
   */
 final class BoltLoopbackServer(storeToken: String,
                                failOn: Option[String] = None,
-                               recordParams: Boolean = false) {
+                               recordParams: Boolean = false,
+                               failTransientOnce: Boolean = false,
+                               supported: Set[Int] =
+                                 Set(0x00000105, 0x00000005, 0x00000404)) {
   private val server = new ServerSocket(0, 256,
     java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -43,6 +53,8 @@ final class BoltLoopbackServer(storeToken: String,
   val recorded = new ConcurrentLinkedQueue[(String, Map[String, Any])]()
   val connections = new AtomicLong(0L)
   val negotiated = new ConcurrentLinkedQueue[Integer]()
+  private val failedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def recordedStatements: Seq[String] = statements.iterator().asScala.toSeq
   def recordedRuns: Seq[(String, Map[String, Any])] =
@@ -82,11 +94,13 @@ final class BoltLoopbackServer(storeToken: String,
       val magic = new Array[Byte](4); in.readFully(magic)
       require(magic.sameElements(BoltSocket.Magic), "bad Bolt magic")
       val proposed = Seq.fill(4)(in.readInt())
-      val chosen = proposed.find(v => v == 0x00000005 || v == 0x00000404)
-        .getOrElse(0)
+      val chosen = proposed.find(supported.contains).getOrElse(0)
       out.writeInt(chosen); out.flush()
       if (chosen == 0) { sock.close(); return }
       negotiated.add(chosen)
+      val (major, minor) = BoltSocket.versionParts(chosen)
+      val needsLogon = major > 5 || (major == 5 && minor >= 1)
+      var loggedOn = !needsLogon
 
       val session = InMemoryBolt.Factory(storeToken).open()
       var open = true
@@ -98,6 +112,9 @@ final class BoltLoopbackServer(storeToken: String,
           case BoltSocket.MsgHello =>
             success(out, Map("server" -> "Neo4j/5.0-loopback-fixture",
               "connection_id" -> s"bolt-${connections.get}"))
+          case BoltSocket.MsgLogon =>
+            loggedOn = true
+            success(out, Map.empty[String, Any])
           case BoltSocket.MsgGoodbye =>
             open = false
           case BoltSocket.MsgRun =>
@@ -105,9 +122,17 @@ final class BoltLoopbackServer(storeToken: String,
             val params = msg.fields(1).asInstanceOf[Map[String, Any]]
             statements.add(stmt)
             if (recordParams) recorded.add((stmt, params))
-            if (failOn.exists(stmt.contains)) {
+            if (!loggedOn) {
+              failure(out, "Neo.ClientError.Security.Unauthorized",
+                "RUN before LOGON on a 5.1+ connection")
+            } else if (failOn.exists(stmt.contains)) {
               failure(out, "Neo.ClientError.Statement.SyntaxError",
                 s"fixture-injected failure for: ${stmt.take(40)}")
+            } else if (failTransientOnce && failedOnce.add(stmt)) {
+              // first delivery of this statement: transient-fail
+              // WITHOUT applying it — the retry must redeliver
+              failure(out, "Neo.TransientError.Transaction.DeadlockDetected",
+                "fixture-injected transient failure (first attempt)")
             } else {
               session.run(stmt, params)
               success(out, Map("fields" -> Seq.empty[Any]))

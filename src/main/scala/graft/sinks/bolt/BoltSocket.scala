@@ -37,12 +37,17 @@ object BoltSocket {
   val Magic: Array[Byte] =
     Array(0x60.toByte, 0x60.toByte, 0xB0.toByte, 0x17.toByte)
 
-  // proposed versions, most-preferred first: 5.0, 4.4 (zero-padded).
-  // Encoding per spec: 4 bytes each, minor in byte 2, major in byte 3.
-  val ProposedVersions: Seq[Int] = Seq(0x00000005, 0x00000404, 0, 0)
+  // proposed versions, most-preferred first: 5.1 (LOGON auth), 5.0,
+  // 4.4 (both auth-in-HELLO). Encoding per spec: 4 bytes each, minor
+  // in byte 2, major in byte 3.
+  val ProposedVersions: Seq[Int] = Seq(0x00000105, 0x00000005, 0x00000404, 0)
+
+  /** (major, minor) of a negotiated version int. */
+  def versionParts(v: Int): (Int, Int) = (v & 0xFF, (v >> 8) & 0xFF)
 
   final val MsgHello = 0x01.toByte
   final val MsgGoodbye = 0x02.toByte
+  final val MsgLogon = 0x6A.toByte
   final val MsgRun = 0x10.toByte
   final val MsgPull = 0x3F.toByte
   final val MsgSuccess = 0x70.toByte
@@ -117,9 +122,20 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
   }
 
   private def hello(): Unit = {
-    writeMessage(out, PackStream.Struct(MsgHello, Seq(Map[String, Any](
-      "user_agent" -> userAgent, "scheme" -> "none"))))
+    val (major, minor) = versionParts(negotiatedVersion)
+    val logonAuth = major > 5 || (major == 5 && minor >= 1)
+    // 5.1+ moved authentication out of HELLO into a LOGON message;
+    // ≤5.0 carries the auth scheme in the HELLO map
+    val meta = if (logonAuth) Map[String, Any]("user_agent" -> userAgent)
+               else Map[String, Any]("user_agent" -> userAgent,
+                 "scheme" -> "none")
+    writeMessage(out, PackStream.Struct(MsgHello, Seq(meta)))
     await("HELLO")
+    if (logonAuth) {
+      writeMessage(out, PackStream.Struct(MsgLogon,
+        Seq(Map[String, Any]("scheme" -> "none"))))
+      await("LOGON")
+    }
   }
 
   /** One autocommit statement: RUN + PULL pipelined, both confirmed.
@@ -168,13 +184,62 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
   }
 }
 
+/** Per-statement retry over reconnection. Correct ONLY because the
+  * sink's statement family is idempotent (MERGE upserts behind
+  * uniqueness constraints — re-running a batch converges to the same
+  * store), which is exactly why the reference's projectors are safely
+  * re-runnable. Retries on: connection-level IOExceptions, server
+  * `Neo.TransientError.*` codes, and the IGNORED state (a connection
+  * already failed mid-pipeline) — each retry abandons the connection
+  * and opens a fresh one, the Bolt-level equivalent of a driver
+  * pool's retryable-unit-of-work. Auth/syntax/constraint failures
+  * (`Neo.ClientError.*`) never retry.
+  */
+final class RetryingBoltSession(openConn: () => BoltSession,
+                                maxRetries: Int, backoffMs: Long)
+    extends BoltSession {
+  private var cur = openConn()
+
+  private def retryable(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case f: BoltFailure => f.code.startsWith("Neo.TransientError")
+    case _: IllegalStateException => true // IGNORED mid-pipeline
+    case _ => false
+  }
+
+  override def run(cypher: String, params: Map[String, Any]): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { cur.run(cypher, params); done = true }
+      catch {
+        case e: Throwable if attempt < maxRetries && retryable(e) =>
+          attempt += 1
+          try cur.close() catch { case _: Exception => () }
+          Thread.sleep(backoffMs * attempt)
+          cur = openConn()
+      }
+    }
+  }
+
+  override def close(): Unit = cur.close()
+}
+
 /** Serializable factory — host/port cross the closure into
   * `foreachPartition`, each task opens its own connection (the
-  * executor-side analogue of one pooled driver session). */
+  * executor-side analogue of one pooled driver session).
+  * `maxRetries > 0` wraps each session in [[RetryingBoltSession]]
+  * (safe for this sink's idempotent MERGE statement family). */
 final case class BoltSocketSessionFactory(
     host: String, port: Int,
     userAgent: String = "graft-cypher-sink/1.0",
-    connectTimeoutMs: Int = 10000) extends BoltSessionFactory {
-  override def open(): BoltSession =
-    new BoltSocketSession(host, port, userAgent, connectTimeoutMs)
+    connectTimeoutMs: Int = 10000,
+    maxRetries: Int = 0,
+    retryBackoffMs: Long = 50L) extends BoltSessionFactory {
+  override def open(): BoltSession = {
+    val mk = () => new BoltSocketSession(host, port, userAgent,
+      connectTimeoutMs): BoltSession
+    if (maxRetries <= 0) mk() else new RetryingBoltSession(mk, maxRetries,
+      retryBackoffMs)
+  }
 }

@@ -104,7 +104,8 @@ class BoltSocketSpec extends AnyFunSuite {
         .flatMap(_._2("rows").asInstanceOf[Seq[Map[String, Any]]])
       val om = vertexRows.head("observed_at").asInstanceOf[Map[String, Any]]
       assert(om("year") == 2024L && om("month") == 3L)
-      assert(srv.negotiated.peek() == 0x00000005, "server picked Bolt 5.0")
+      assert(srv.negotiated.peek() == 0x00000105,
+        "server picked the most-preferred proposed version (5.1)")
     } finally { srv.close(); InMemoryBolt.drop("bolt_socket_rt")
       InMemoryBolt.drop("bolt_mem_rt") }
   }
@@ -125,6 +126,56 @@ class BoltSocketSpec extends AnyFunSuite {
       assert(st.nodes.size == 300 &&
         st.nodes(("Doc", 7L))("body") == "x" * 400)
     } finally { srv.close(); InMemoryBolt.drop("bolt_socket_big") }
+  }
+
+  test("a 5.1-only server forces the LOGON auth flow and still round-trips") {
+    val (v, e) = graph
+    val srv = new BoltLoopbackServer("bolt_socket_51",
+      supported = Set(0x00000105))
+    InMemoryBolt.drop("bolt_socket_51")
+    try {
+      val (nv, ne) = CypherSink.writeGraph(v, e,
+        BoltSocketSessionFactory(srv.host, srv.port), batchSize = 2)
+      assert((nv, ne) == (3L, 2L))
+      assert(srv.negotiated.peek() == 0x00000105, "server picked Bolt 5.1")
+      assert(InMemoryBolt.store("bolt_socket_51").nodes.size == 3)
+    } finally { srv.close(); InMemoryBolt.drop("bolt_socket_51") }
+  }
+
+  test("idempotent retry redelivers through transient failures") {
+    val (v, e) = graph
+    val srv = new BoltLoopbackServer("bolt_socket_retry",
+      failTransientOnce = true)
+    InMemoryBolt.drop("bolt_socket_retry")
+    try {
+      val (nv, ne) = CypherSink.writeGraph(v, e,
+        BoltSocketSessionFactory(srv.host, srv.port,
+          maxRetries = 2, retryBackoffMs = 5L), batchSize = 2)
+      assert((nv, ne) == (3L, 2L))
+      val st = InMemoryBolt.store("bolt_socket_retry")
+      assert(st.nodes.size == 3 && st.edges.size == 2,
+        "every batch must land exactly once despite first-attempt failures")
+      // each distinct statement was delivered at least twice: the
+      // transient-failed first attempt plus the successful retry
+      val counts = srv.recordedStatements.groupBy(identity).map(_._2.size)
+      assert(counts.forall(_ >= 2), s"redelivery missing: $counts")
+    } finally { srv.close(); InMemoryBolt.drop("bolt_socket_retry") }
+  }
+
+  test("client errors are NOT retried even with retries enabled") {
+    val (v, e) = graph
+    val srv = new BoltLoopbackServer("bolt_socket_noretry",
+      failOn = Some("CREATE CONSTRAINT"))
+    InMemoryBolt.drop("bolt_socket_noretry")
+    try {
+      val ex = intercept[BoltFailure](CypherSink.writeGraph(v, e,
+        BoltSocketSessionFactory(srv.host, srv.port,
+          maxRetries = 3, retryBackoffMs = 5L)))
+      assert(ex.code.startsWith("Neo.ClientError"))
+      assert(srv.recordedStatements.count(
+        _.startsWith("CREATE CONSTRAINT")) == 1,
+        "a ClientError must not be redelivered")
+    } finally { srv.close(); InMemoryBolt.drop("bolt_socket_noretry") }
   }
 
   test("a server FAILURE surfaces as BoltFailure with the server's code") {
