@@ -52,7 +52,44 @@ object Queries52 {
     // what lands in the store
     Queries51.g_cypher_sink.oracle)
 
+  /** The wire sink under injected FAULTS: the loopback server
+    * transient-fails the FIRST delivery of every distinct statement
+    * (without applying it) and the factory retries on a fresh
+    * connection — the oracle-checked counts prove the redelivered
+    * batches land EXACTLY ONCE, the idempotence property that makes
+    * the reference's projectors safely re-runnable and this sink safe
+    * to retry at 1000-executor scale where transient network errors
+    * are the norm, not the exception.
+    */
+  val g_cypher_sink_resilient = Q(
+    (s, dir) => {
+      import graft.sinks.InMemoryBolt
+      import graft.sinks.bolt.{BoltLoopbackServer, BoltSocketSessionFactory}
+      val (verts, edges) = Queries51.sinkFixtureGraph(s, dir)
+      val token = s"g_cypher_sink_res_${graft.sources.Staging.dirKey(dir)}" +
+        s"_${Queries51.sinkNonce.incrementAndGet()}"
+      val srv = new BoltLoopbackServer(token, failTransientOnce = true)
+      try {
+        graft.sinks.CypherSink.writeGraph(verts, edges,
+          BoltSocketSessionFactory(srv.host, srv.port,
+            maxRetries = 3, retryBackoffMs = 5L), batchSize = 1000)
+        val st = InMemoryBolt.store(token)
+        val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
+          .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
+        val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
+          .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
+        val checkRows =
+          Seq(("check", "constraints", st.constraints.size.toLong))
+        val out = nodeRows ++ edgeRows ++ checkRows
+        import s.implicits._
+        out.toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+      } finally { srv.close(); InMemoryBolt.drop(token) }
+    },
+    // identical truth again: faults + retry must not change the store
+    Queries51.g_cypher_sink.oracle)
+
   val all: Map[String, Q] = Map(
     "g_cypher_sink_tcp" -> g_cypher_sink_tcp,
+    "g_cypher_sink_resilient" -> g_cypher_sink_resilient,
   )
 }
