@@ -119,6 +119,22 @@ object Queries51 {
     * `g_cypher_sink_tcp` twin (Queries52) swaps the factory for the
     * real-socket transport.
     */
+  /** Per-label node counts, per-rel edge counts, and a constraints
+    * row read from a sink STORE (not the input frames) — the shared
+    * output shape of all three Cypher-sink entries, so their oracles
+    * can never silently diverge. */
+  private[graft] def storeCounts(s: org.apache.spark.sql.SparkSession,
+      st: graft.sinks.InMemoryBolt.Store): org.apache.spark.sql.DataFrame = {
+    val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
+      .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
+    val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
+      .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
+    val checkRows = Seq(("check", "constraints", st.constraints.size.toLong))
+    import s.implicits._
+    (nodeRows ++ edgeRows ++ checkRows)
+      .toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+  }
+
   val g_cypher_sink = Q(
     (s, dir) => {
       import graft.sinks.{CypherSink, InMemoryBolt}
@@ -127,18 +143,13 @@ object Queries51 {
       // dataset in one JVM must not drop/interleave each other's store
       val token = s"g_cypher_sink_${graft.sources.Staging.dirKey(dir)}" +
         s"_${Queries51.sinkNonce.incrementAndGet()}"
-      CypherSink.writeGraph(verts, edges,
-        InMemoryBolt.Factory(token), batchSize = 1000)
-      val st = InMemoryBolt.store(token)
-      val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
-        .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
-      val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
-        .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
-      val checkRows = Seq(("check", "constraints", st.constraints.size.toLong))
-      val out = nodeRows ++ edgeRows ++ checkRows
-      InMemoryBolt.drop(token)
-      import s.implicits._
-      out.toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+      try {
+        CypherSink.writeGraph(verts, edges,
+          InMemoryBolt.Factory(token), batchSize = 1000)
+        storeCounts(s, InMemoryBolt.store(token))
+      } finally InMemoryBolt.drop(token) // incl. failed runs — nonce'd
+                                         // tokens would otherwise leak
+                                         // one store per failure
     },
     Some("""SELECT kind, name, n FROM (
         SELECT 'node' AS kind, 'Order' AS name, count(*) AS n FROM orders

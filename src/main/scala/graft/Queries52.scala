@@ -19,11 +19,10 @@ import Queries.Q
   */
 object Queries52 {
 
-  /** Same oracle-checked counts as `g_cypher_sink`, but read from a
-    * store every row of which crossed a genuine TCP socket. The
-    * `check` row counts negotiated Bolt-5.0 connections ≥ 1 via the
-    * constraints store instead (connection count varies with
-    * partitioning; constraints are deterministic: 4 labels).
+  /** Same oracle-checked counts as `g_cypher_sink` — per-label nodes,
+    * per-rel edges, and the 4-label constraints row — but read from a
+    * store every row of which crossed a genuine TCP socket
+    * ([[Queries51.storeCounts]] is the shared output shape).
     */
   val g_cypher_sink_tcp = Q(
     (s, dir) => {
@@ -36,16 +35,7 @@ object Queries52 {
       try {
         graft.sinks.CypherSink.writeGraph(verts, edges,
           BoltSocketSessionFactory(srv.host, srv.port), batchSize = 1000)
-        val st = InMemoryBolt.store(token)
-        val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
-          .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
-        val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
-          .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
-        val checkRows =
-          Seq(("check", "constraints", st.constraints.size.toLong))
-        val out = nodeRows ++ edgeRows ++ checkRows
-        import s.implicits._
-        out.toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+        Queries51.storeCounts(s, InMemoryBolt.store(token))
       } finally { srv.close(); InMemoryBolt.drop(token) }
     },
     // identical truth to g_cypher_sink: the transport must not change
@@ -73,16 +63,7 @@ object Queries52 {
         graft.sinks.CypherSink.writeGraph(verts, edges,
           BoltSocketSessionFactory(srv.host, srv.port,
             maxRetries = 3, retryBackoffMs = 5L), batchSize = 1000)
-        val st = InMemoryBolt.store(token)
-        val nodeRows = st.nodes.keysIterator.toSeq.groupBy(_._1)
-          .toSeq.map { case (label, ks) => ("node", label, ks.size.toLong) }
-        val edgeRows = st.edges.iterator.toSeq.groupBy(_._2)
-          .toSeq.map { case (rel, es) => ("edge", rel, es.size.toLong) }
-        val checkRows =
-          Seq(("check", "constraints", st.constraints.size.toLong))
-        val out = nodeRows ++ edgeRows ++ checkRows
-        import s.implicits._
-        out.toDF("kind", "name", "n").orderBy(col("kind"), col("name"))
+        Queries51.storeCounts(s, InMemoryBolt.store(token))
       } finally { srv.close(); InMemoryBolt.drop(token) }
     },
     // identical truth again: faults + retry must not change the store

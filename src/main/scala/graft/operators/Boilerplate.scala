@@ -70,14 +70,13 @@ object Boilerplate {
     */
   def removeFrequentLines(docs: DataFrame, id: Column, textCol: Column,
                           lineWords: Int, dfThreshold: Long): DataFrame = {
-    // Widen ONLY under-partitioned inputs: a corpus parquet can
-    // compress ~100:1, so a byte-sized scan plan underestimates the
-    // CPU of segmentation (measured: the whole corpus segmented twice
-    // in one task). A corpus that already has scan parallelism must
-    // NOT pay a full-text shuffle here.
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val wide = if (docs.rdd.getNumPartitions < n) docs.repartition(n)
-               else docs
+    // Widen ONLY under-partitioned scan-shaped inputs: a corpus
+    // parquet can compress ~100:1, so a byte-sized scan plan
+    // underestimates the CPU of segmentation (measured: the whole
+    // corpus segmented twice in one task). A corpus that already has
+    // scan parallelism — or upstream shuffles — pays nothing; see
+    // [[Width.widenIfNarrowScan]].
+    val wide = Width.widenIfNarrowScan(docs)
     val segs = segmentLines(wide, id, textCol, lineWords)
     val boiler = lineDf(segs).filter(col("df") >= dfThreshold).select("line")
     val kept = segs.join(boiler, Seq("line"), "left_anti")

@@ -468,12 +468,11 @@ object Dedup {
     // in-kernel, bit-identical to concat_ws over slices), so the set
     // size is just size(array) and the inverted index is a single
     // explode: no per-doc distinct shuffle, no sizes aggregate + join
-    // Widen ONLY under-partitioned inputs (corpus parquet compresses
-    // ~100:1 → byte-sized scans serialize the CPU-bound gram build);
-    // an already-parallel corpus pays no shuffle here.
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val wide = if (docs.rdd.getNumPartitions < n) docs.repartition(n)
-               else docs
+    // Widen ONLY under-partitioned scan-shaped inputs (corpus parquet
+    // compresses ~100:1 → byte-sized scans serialize the CPU-bound
+    // gram build); see [[Width.widenIfNarrowScan]] for why a frame
+    // with upstream shuffles is left alone.
+    val wide = Width.widenIfNarrowScan(docs)
     val inv0 = wide
       .select(col(idCol).as("id"),
         graft.plans.TextExpressions.distinctWordGramsFast(

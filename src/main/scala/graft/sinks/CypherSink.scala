@@ -143,12 +143,18 @@ object CypherSink {
     // `MATCH (s { id: ... })` cannot use per-label uniqueness indexes
     // in real Neo4j and degrades to an AllNodesScan per edge row.
     val vLab = vertices.select(col("id"), col("label"))
+    // persisted: read once for the combos collect and again by the
+    // edge writer — without it the edges⋈vertices double-join runs
+    // twice, and a nondeterministic input recomputed differently
+    // between the two reads could surface a combo key the statement
+    // map has never seen
     val eLab = edges.join(
         vLab.withColumnRenamed("id", "src")
           .withColumnRenamed("label", "src_label"), Seq("src"))
       .join(
         vLab.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
+      .persist()
     val combos = eLab
       .select(col("rel"), col("src_label"), col("dst_label")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
@@ -181,22 +187,24 @@ object CypherSink {
         }
       } finally sess.close()
     }
-    eLab.foreachPartition { (it: Iterator[Row]) =>
-      val sess = factory.open()
-      try {
-        it.grouped(batchSize).foreach { batch =>
-          batch.groupBy(r => (r.getAs[String]("rel"),
-            r.getAs[String]("src_label"), r.getAs[String]("dst_label")))
-          .foreach {
-            case (key, rows) =>
-              val params = rows.map(r => Map[String, Any](
-                "src" -> r.getAs[Any]("src"), "dst" -> r.getAs[Any]("dst")))
-              sess.run(eStmt(key), Map("rows" -> params))
-              nE.add(rows.size)
+    try {
+      eLab.foreachPartition { (it: Iterator[Row]) =>
+        val sess = factory.open()
+        try {
+          it.grouped(batchSize).foreach { batch =>
+            batch.groupBy(r => (r.getAs[String]("rel"),
+              r.getAs[String]("src_label"), r.getAs[String]("dst_label")))
+            .foreach {
+              case (key, rows) =>
+                val params = rows.map(r => Map[String, Any](
+                  "src" -> r.getAs[Any]("src"), "dst" -> r.getAs[Any]("dst")))
+                sess.run(eStmt(key), Map("rows" -> params))
+                nE.add(rows.size)
+            }
           }
-        }
-      } finally sess.close()
-    }
+        } finally sess.close()
+      }
+    } finally { eLab.unpersist(); () }
     (nV.value, nE.value)
   }
 }

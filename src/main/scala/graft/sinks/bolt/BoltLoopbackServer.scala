@@ -104,6 +104,15 @@ final class BoltLoopbackServer(storeToken: String,
 
       val session = InMemoryBolt.Factory(storeToken).open()
       var open = true
+      // the Bolt failed-connection state machine: after a FAILURE,
+      // every subsequent request is IGNORED until a RESET (which this
+      // sink's client never sends — it abandons the connection), so
+      // the pipelined PULL after a failed RUN gets IGNORED, not a
+      // stale SUCCESS that would desync request/response pairing
+      var failedState = false
+      def fail(code: String, m: String): Unit = {
+        failedState = true; failure(out, code, m)
+      }
       while (open) {
         val msg =
           try BoltSocket.readMessage(in)
@@ -117,30 +126,41 @@ final class BoltLoopbackServer(storeToken: String,
             success(out, Map.empty[String, Any])
           case BoltSocket.MsgGoodbye =>
             open = false
+          case _ if failedState =>
+            BoltSocket.writeMessage(out,
+              PackStream.Struct(BoltSocket.MsgIgnored, Seq.empty))
           case BoltSocket.MsgRun =>
             val stmt = msg.fields.head.asInstanceOf[String]
             val params = msg.fields(1).asInstanceOf[Map[String, Any]]
             statements.add(stmt)
             if (recordParams) recorded.add((stmt, params))
             if (!loggedOn) {
-              failure(out, "Neo.ClientError.Security.Unauthorized",
+              fail("Neo.ClientError.Security.Unauthorized",
                 "RUN before LOGON on a 5.1+ connection")
             } else if (failOn.exists(stmt.contains)) {
-              failure(out, "Neo.ClientError.Statement.SyntaxError",
+              fail("Neo.ClientError.Statement.SyntaxError",
                 s"fixture-injected failure for: ${stmt.take(40)}")
             } else if (failTransientOnce && failedOnce.add(stmt)) {
               // first delivery of this statement: transient-fail
               // WITHOUT applying it — the retry must redeliver
-              failure(out, "Neo.TransientError.Transaction.DeadlockDetected",
+              fail("Neo.TransientError.Transaction.DeadlockDetected",
                 "fixture-injected transient failure (first attempt)")
             } else {
-              session.run(stmt, params)
-              success(out, Map("fields" -> Seq.empty[Any]))
+              // an interpreter error must surface as a FAILURE frame,
+              // not a dead thread + bare EOF at the client
+              try {
+                session.run(stmt, params)
+                success(out, Map("fields" -> Seq.empty[Any]))
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  fail("Neo.ClientError.Statement.SemanticError",
+                    s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              }
             }
           case BoltSocket.MsgPull =>
             success(out, Map.empty[String, Any])
           case other =>
-            failure(out, "Neo.ClientError.Request.Invalid",
+            fail("Neo.ClientError.Request.Invalid",
               f"fixture does not handle message 0x$other%02X")
         }
       }

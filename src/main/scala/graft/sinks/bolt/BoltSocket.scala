@@ -108,8 +108,16 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
     new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   private val in = new DataInputStream(
     new BufferedInputStream(socket.getInputStream, 1 << 16))
-  val negotiatedVersion: Int = handshake()
-  hello()
+  // handshake + auth inside one guard: a constructor failure would
+  // otherwise orphan the connected socket with no reference for any
+  // caller to close (one leaked FD per attempt under the retry loop)
+  val negotiatedVersion: Int =
+    try { val v = handshake(); hello(v); v }
+    catch {
+      case e: Throwable =>
+        try socket.close() catch { case _: java.io.IOException => () }
+        throw e
+    }
 
   private def handshake(): Int = {
     out.write(Magic)
@@ -121,8 +129,8 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
     v
   }
 
-  private def hello(): Unit = {
-    val (major, minor) = versionParts(negotiatedVersion)
+  private def hello(version: Int): Unit = {
+    val (major, minor) = versionParts(version)
     val logonAuth = major > 5 || (major == 5 && minor >= 1)
     // 5.1+ moved authentication out of HELLO into a LOGON message;
     // ≤5.0 carries the auth scheme in the HELLO map
@@ -193,17 +201,20 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
   * already failed mid-pipeline) — each retry abandons the connection
   * and opens a fresh one, the Bolt-level equivalent of a driver
   * pool's retryable-unit-of-work. Auth/syntax/constraint failures
-  * (`Neo.ClientError.*`) never retry.
+  * (`Neo.ClientError.*`) and protocol desyncs (unexpected message,
+  * IGNORED) never retry — those are deterministic bugs, and
+  * re-running them would only mask the cause.
   */
 final class RetryingBoltSession(openConn: () => BoltSession,
                                 maxRetries: Int, backoffMs: Long)
     extends BoltSession {
-  private var cur = openConn()
+  // lazily (re)opened so that CONNECT failures are retried too — a
+  // briefly unreachable server is the canonical transient fault
+  private var cur: BoltSession = null
 
   private def retryable(e: Throwable): Boolean = e match {
     case _: java.io.IOException => true
     case f: BoltFailure => f.code.startsWith("Neo.TransientError")
-    case _: IllegalStateException => true // IGNORED mid-pipeline
     case _ => false
   }
 
@@ -211,18 +222,23 @@ final class RetryingBoltSession(openConn: () => BoltSession,
     var attempt = 0
     var done = false
     while (!done) {
-      try { cur.run(cypher, params); done = true }
-      catch {
+      try {
+        if (cur == null) cur = openConn()
+        cur.run(cypher, params)
+        done = true
+      } catch {
         case e: Throwable if attempt < maxRetries && retryable(e) =>
           attempt += 1
-          try cur.close() catch { case _: Exception => () }
+          if (cur != null) {
+            try cur.close() catch { case _: Exception => () }
+            cur = null
+          }
           Thread.sleep(backoffMs * attempt)
-          cur = openConn()
       }
     }
   }
 
-  override def close(): Unit = cur.close()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Serializable factory — host/port cross the closure into
