@@ -69,8 +69,39 @@ object Queries52 {
     // identical truth again: faults + retry must not change the store
     Queries51.g_cypher_sink.oracle)
 
+  /** Streaming ingest → Cypher MERGE sink: the orders feed drives
+    * per-micro-batch `UNWIND … MERGE` graph writes (facts from the
+    * batch, dims re-MERGEd each tick like the reference's idempotent
+    * projectors). The oracle is the batch replay — the stream must
+    * converge to it regardless of batch boundaries, which is the
+    * idempotence-as-exactly-once property the MERGE family provides.
+    */
+  val stream_cypher_sink = Q(
+    (s, dir) => {
+      import graft.sinks.InMemoryBolt
+      val token = s"stream_cypher_${graft.sources.Staging.dirKey(dir)}" +
+        s"_${Queries51.sinkNonce.incrementAndGet()}"
+      try {
+        graft.streaming.StreamingCypherSink.ordersGraphOnce(
+          s, s"$dir/orders.parquet",
+          graft.sources.Tables.read(s, dir, "customer"),
+          graft.sources.Tables.read(s, dir, "nation"),
+          graft.sources.Tables.read(s, dir, "region"),
+          InMemoryBolt.Factory(token))
+        Queries51.storeCounts(s, InMemoryBolt.store(token))
+      } finally InMemoryBolt.drop(token)
+    },
+    // the same truth as the batch sink entries, minus nothing: every
+    // order lands exactly once, dims exactly once, 4 constraints
+    Queries51.g_cypher_sink.oracle,
+    // cost model is stream-drain + per-batch sink writes, not a plain
+    // batch plan — excluded from the bench set like the other
+    // streaming runners
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "g_cypher_sink_tcp" -> g_cypher_sink_tcp,
     "g_cypher_sink_resilient" -> g_cypher_sink_resilient,
+    "stream_cypher_sink" -> stream_cypher_sink,
   )
 }
