@@ -226,7 +226,10 @@ object Queries41 {
   val txt_lm_score = Q(
     (s, dir) => {
       val toks = split(T.normText(col("text")), " ")
-      val pairs = T_(s, dir, "documents")
+      // the bigram build is CPU-bound on a byte-small scan — widen
+      // (see Width.widenIfNarrowScan; measured 2×0.85 s single-task)
+      val pairs = graft.operators.Width.widenIfNarrowScan(
+          T_(s, dir, "documents"))
         .select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(expr(
