@@ -30,6 +30,33 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.Tables.read(spark, sfDir, t).count())
+    // Stage the 27-label assembly OUTSIDE the timed region. Three
+    // catalog entries consume the identical staged frames
+    // (Queries6.stagedAssembly lands them as parquet once per
+    // (dataset, JVM)); without this, a reps=1 run times the full
+    // staging inside whichever consumer runs first (alphabetically
+    // g_assembly) — a guaranteed ~6x "regression" vs the warm median
+    // that says nothing about the engine (round-9 verdict item 1a).
+    val _ = Queries6.stagedAssembly(spark, sfDir)
+    // One untimed throwaway pass through the FULL timed path — hash
+    // agg + join + window + the noop writer — so the first timed
+    // queries (alphabetically the a* family) don't absorb the
+    // codegen-compiler/exchange/writer machinery warmup the plain
+    // count() table touches above don't reach. The a1/a2/a3/a10 head
+    // of every driver run was flagged at 2-3x on sub-second medians
+    // for exactly this reason.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("v")
+      val d = spark.range(0, 1L << 18)
+        .select((col("id") % 97).as("g"), col("id").as("v"))
+      d.groupBy("g").agg(sum("v").as("s"))
+        .join(d.select(col("g"), row_number().over(w).as("r")), "g")
+        .write.format("noop").mode("overwrite").save()
+    }
+    graft.operators.CacheScope.global.release()
+    System.gc()
     // SPARK_GRAFT_REPS > 1 → run each query that many times and report
     // the MEDIAN (the warm-baseline recording mode; rep 1 absorbs the
     // query's codegen compile). Driver runs keep the default of 1.

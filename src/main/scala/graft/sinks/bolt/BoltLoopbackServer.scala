@@ -55,6 +55,12 @@ final class BoltLoopbackServer(storeToken: String,
   val negotiated = new ConcurrentLinkedQueue[Integer]()
   private val failedOnce =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // every accepted connection socket, so close() can sever them too —
+  // otherwise a straggling handler thread (each holds an InMemoryBolt
+  // session) could keep writing to a store recreated under the same
+  // token after the server is "shut down"
+  private val accepted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   def recordedStatements: Seq[String] = statements.iterator().asScala.toSeq
   def recordedRuns: Seq[(String, Map[String, Any])] =
@@ -65,6 +71,7 @@ final class BoltLoopbackServer(storeToken: String,
     while (running) {
       try {
         val s = server.accept()
+        accepted.add(s)
         connections.incrementAndGet()
         val t = new Thread(() => serve(s), s"bolt-conn-${connections.get}")
         t.setDaemon(true)
@@ -77,7 +84,17 @@ final class BoltLoopbackServer(storeToken: String,
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def close(): Unit = { running = false; server.close() }
+  def close(): Unit = {
+    running = false
+    server.close()
+    // sever live connections as well: handler threads are daemon, but
+    // "server closed" must mean no handler can mutate the store after
+    // this call returns to the caller's drop/recreate sequence
+    accepted.iterator().asScala.foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
+    accepted.clear()
+  }
 
   private def serve(sock: Socket): Unit = {
     // tiny SUCCESS frames must leave immediately: without NODELAY,
@@ -166,7 +183,7 @@ final class BoltLoopbackServer(storeToken: String,
       }
     } catch {
       case _: EOFException | _: SocketException => () // client went away
-    } finally sock.close()
+    } finally { sock.close(); accepted.remove(sock) }
   }
 
   private def success(out: DataOutputStream, meta: Map[String, Any]): Unit =

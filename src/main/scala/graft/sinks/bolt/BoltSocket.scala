@@ -196,9 +196,8 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
   * sink's statement family is idempotent (MERGE upserts behind
   * uniqueness constraints — re-running a batch converges to the same
   * store), which is exactly why the reference's projectors are safely
-  * re-runnable. Retries on: connection-level IOExceptions, server
-  * `Neo.TransientError.*` codes, and the IGNORED state (a connection
-  * already failed mid-pipeline) — each retry abandons the connection
+  * re-runnable. Retries on: connection-level IOExceptions and server
+  * `Neo.TransientError.*` codes — each retry abandons the connection
   * and opens a fresh one, the Bolt-level equivalent of a driver
   * pool's retryable-unit-of-work. Auth/syntax/constraint failures
   * (`Neo.ClientError.*`) and protocol desyncs (unexpected message,

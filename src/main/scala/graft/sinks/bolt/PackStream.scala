@@ -14,6 +14,7 @@ import scala.collection.mutable
   *
   *   - Null, Boolean, Integer (TINY_INT through INT_64), Float64
   *   - String, List, Map (tiny / 8 / 16 / 32 sizes)
+  *   - Bytes (8 / 16 / 32 sizes) — Array[Byte] round-trips byte-equal
   *   - Structure (tiny size + signature byte) — Bolt messages
   *
   * Values map Scala-side as: null, Boolean, Byte/Short/Int/Long
@@ -41,6 +42,9 @@ object PackStream {
   private final val INT16 = 0xC9
   private final val INT32 = 0xCA
   private final val INT64 = 0xCB
+  private final val BYTES8 = 0xCC
+  private final val BYTES16 = 0xCD
+  private final val BYTES32 = 0xCE
   private final val STRING8 = 0xD0
   private final val STRING16 = 0xD1
   private final val STRING32 = 0xD2
@@ -83,6 +87,16 @@ object PackStream {
     case s: collection.Seq[_] =>
       writeSize(out, s.size, 0x90, LIST8, LIST16, LIST32)
       s.foreach(write(out, _))
+    // Array[Byte] (Spark BinaryType props, e.g. multimodal payloads)
+    // MUST take the spec's BYTES markers, not fall through to the
+    // generic Array→List case — a real Neo4j would otherwise store a
+    // LIST<INTEGER> and the round-trip would no longer be byte-equal.
+    // BYTES has no tiny form: 8/16/32 sizes only.
+    case a: Array[Byte] =>
+      if (a.length <= 255) { out.writeByte(BYTES8); out.writeByte(a.length) }
+      else if (a.length <= 65535) { out.writeByte(BYTES16); out.writeShort(a.length) }
+      else { out.writeByte(BYTES32); out.writeInt(a.length) }
+      out.write(a)
     case a: Array[_] =>
       writeSize(out, a.length, 0x90, LIST8, LIST16, LIST32)
       a.foreach(write(out, _))
@@ -127,6 +141,9 @@ object PackStream {
       case INT16 => in.readShort().toLong
       case INT32 => in.readInt().toLong
       case INT64 => in.readLong()
+      case BYTES8 => readBytes(in, in.readUnsignedByte())
+      case BYTES16 => readBytes(in, in.readUnsignedShort())
+      case BYTES32 => readBytes(in, in.readInt())
       case STRING8 => readString(in, in.readUnsignedByte())
       case STRING16 => readString(in, in.readUnsignedShort())
       case STRING32 => readString(in, in.readInt())
@@ -151,6 +168,12 @@ object PackStream {
 
   private def readString(in: DataInputStream, n: Int): String = {
     val b = new Array[Byte](n); in.readFully(b); new String(b, UTF_8)
+  }
+
+  /** BYTES decode to Array[Byte] — callers comparing decoded values
+    * must use sameElements (JVM array equality is by reference). */
+  private def readBytes(in: DataInputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); in.readFully(b); b
   }
 
   private def readList(in: DataInputStream, n: Int): Seq[Any] =

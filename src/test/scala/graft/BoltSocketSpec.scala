@@ -53,6 +53,28 @@ class BoltSocketSpec extends AnyFunSuite {
     assert(roundtrip(st) == st)
   }
 
+  test("PackStream BYTES markers: Array[Byte] round-trips byte-equal " +
+      "at every width (not as LIST<INTEGER>)") {
+    for (n <- Seq(0, 1, 255, 256, 65535, 65536, 70000)) {
+      val a = Array.tabulate(n)(i => (i % 251).toByte)
+      val back = roundtrip(a)
+      assert(back.isInstanceOf[Array[Byte]], s"bytes len $n decoded as ${back.getClass}")
+      assert(back.asInstanceOf[Array[Byte]].sameElements(a), s"bytes len $n")
+    }
+    // on the wire it must be the spec's BYTES_8 marker + size + raw
+    // payload — 5 bytes total for 3 payload bytes, not a LIST of ints
+    val packed = PackStream.pack(Array[Byte](1, 2, 3))
+    assert((packed(0) & 0xFF) == 0xCC && (packed(1) & 0xFF) == 3)
+    assert(packed.length == 5)
+    // and a BinaryType-shaped property inside the UNWIND rows map
+    // survives the nesting
+    val m = PackStream.unpack(PackStream.pack(
+      Map("rows" -> Seq(Map("payload" -> Array[Byte](9, 8, 7))))))
+    val payload = m.asInstanceOf[Map[String, Any]]("rows")
+      .asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]("payload")
+    assert(payload.asInstanceOf[Array[Byte]].sameElements(Array[Byte](9, 8, 7)))
+  }
+
   test("PackStream rejects what the wire cannot carry") {
     assertThrows[IllegalArgumentException](
       PackStream.pack(new java.util.Date()))
