@@ -8,9 +8,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-import graft.operators.GraphExport
 
-/** Cypher `MERGE` sink — the network twin of [[GraphExport]]'s
+/** Cypher `MERGE` sink — the network twin of [[graft.operators.GraphExport]]'s
   * parquet layout, mirroring the reference engine's terminal
   * artifact: every reference projector ends in an idempotent
   * batched `UNWIND $rows MERGE ...` into Neo4j behind uniqueness
@@ -124,9 +123,12 @@ object CypherSink {
                  factory: BoltSessionFactory,
                  batchSize: Int = 1000): (Long, Long) = {
     require(batchSize > 0, "batchSize must be positive")
-    val (dups, dangling) = GraphExport.integrityGate(vertices, edges)
+    // Gate 1: duplicate vertex ids (probe, not full count — one hit
+    // aborts). Checked FIRST because the fused dangling check below is
+    // only sound on a unique-id vertex set.
+    val dups = vertices.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(1).count()
     require(dups == 0L, s"duplicate vertex ids — refusing to MERGE")
-    require(dangling == 0L, s"dangling edge endpoints — refusing to MERGE")
 
     // constraints + per-label statements once, on the driver, from the
     // SCHEMA (labels are few; distinct() over the label column only)
@@ -137,17 +139,16 @@ object CypherSink {
       .collect().map(_.getString(0)).sorted
     // Endpoint labels: edges carry only (src, dst, rel), so each
     // endpoint's label is derived by joining the vertex (id → label)
-    // map — the same equi-join shape the integrity gate already paid,
-    // no new asymptotic cost. Every edge batch then goes through the
-    // INDEX-BACKED mergeEdgesCypher form: a label-less
-    // `MATCH (s { id: ... })` cannot use per-label uniqueness indexes
-    // in real Neo4j and degrades to an AllNodesScan per edge row.
+    // map. Every edge batch then goes through the INDEX-BACKED
+    // mergeEdgesCypher form: a label-less `MATCH (s { id: ... })`
+    // cannot use per-label uniqueness indexes in real Neo4j and
+    // degrades to an AllNodesScan per edge row.
     val vLab = vertices.select(col("id"), col("label"))
-    // persisted: read once for the combos collect and again by the
-    // edge writer — without it the edges⋈vertices double-join runs
-    // twice, and a nondeterministic input recomputed differently
-    // between the two reads could surface a combo key the statement
-    // map has never seen
+    // persisted: read once for the gate count + combos collect and
+    // again by the edge writer — without it the edges⋈vertices
+    // double-join runs twice, and a nondeterministic input recomputed
+    // differently between the two reads could surface a combo key the
+    // statement map has never seen
     val eLab = edges.join(
         vLab.withColumnRenamed("id", "src")
           .withColumnRenamed("label", "src_label"), Seq("src"))
@@ -155,6 +156,15 @@ object CypherSink {
         vLab.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
       .persist()
+    // Gate 2, FUSED into the label-derivation joins (one edges⋈vertices
+    // pass instead of the r9 hardening's two): with unique vertex ids
+    // (gate 1), an edge survives both inner joins iff BOTH endpoints
+    // exist — so any dangling endpoint (null src/dst included) shows
+    // up as edges.count != eLab.count. The eLab count also materializes
+    // the persist before the first network write, preserving the
+    // abort-before-write property.
+    val dangling = edges.count() - eLab.count()
+    require(dangling == 0L, s"dangling edge endpoints — refusing to MERGE")
     val combos = eLab
       .select(col("rel"), col("src_label"), col("dst_label")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
