@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.sources.pgwire.{PgWire, PgWireLoopbackServer}
+import Queries.Q
+
+/** Batch 53 (round 10): the relational SOURCE through the real
+  * pgwire-v3 wire protocol — the Postgres analog of round 9's Bolt
+  * transport, closing the last simulated endpoint. The reference
+  * reads its inputs from a pooled network Postgres
+  * (main_graph_topraq.py:94-95, filtered fetchers at
+  * graph_irrigation_event.py:55-65); here the same filtered-scan
+  * shape runs through `spark.read.format("pgwire")` — a DataSource
+  * V2 with column pruning and predicate pushdown rendered INTO the
+  * SQL on the wire — against an in-process loopback server speaking
+  * genuine protocol over genuine TCP
+  * ([[graft.sources.pgwire.PgWireLoopbackServer]]).
+  */
+object Queries53 {
+
+  /** Loopback server seeded with the (custkey, nationkey, acctbal,
+    * mktsegment) projection of `customer`. The collect is FIXTURE
+    * SEEDING — it builds the server's in-memory store, exactly like
+    * the sink entries build their in-memory Bolt stores; the operator
+    * under test is the distributed read on the other side of the
+    * socket. Returns the server plus the key bounds for partitioned
+    * reads.
+    */
+  private[graft] def customerServer(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (PgWireLoopbackServer, Long, Long) = {
+    val rows = Tables.read(s, dir, "customer")
+      .select(col("c_custkey").cast("long"),
+        col("c_nationkey").cast("long"),
+        col("c_acctbal").cast("double"),
+        col("c_mktsegment").cast("string"))
+      .collect()
+      .map { r =>
+        Array[Any](
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+          if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)),
+          if (r.isNullAt(3)) null else r.getString(3))
+      }.toSeq
+    val keys = rows.flatMap(r => Option(r(0)).map(_.asInstanceOf[Long]))
+    val srv = new PgWireLoopbackServer(Map("customer" ->
+      PgWireLoopbackServer.Table(
+        Seq(("c_custkey", PgWire.OidInt8), ("c_nationkey", PgWire.OidInt8),
+          ("c_acctbal", PgWire.OidFloat8), ("c_mktsegment", PgWire.OidText)),
+        rows)))
+    (srv, keys.min, keys.max)
+  }
+
+  /** Filtered, pruned, PARTITIONED scan through the wire: 4 range
+    * partitions on c_custkey (4 concurrent sockets, each streaming
+    * its own range-predicated query), segment + balance predicates
+    * pushed down into the server-side WHERE. The server APPLIES the
+    * predicates (the source marks them fully handled, so Spark never
+    * re-filters) — the oracle match therefore proves the pushdown
+    * worked end to end, not merely that SQL text mentioned it.
+    * bench=false like `jdbc_pushdown_roundtrip`: it measures a
+    * loopback fixture, not the engine.
+    */
+  val s1_pgwire_scan = Q(
+    (s, dir) => {
+      val (srv, lo, hi) = customerServer(s, dir)
+      try {
+        val df = s.read.format("pgwire")
+          .option("host", srv.host).option("port", srv.port.toString)
+          .option("table", "customer")
+          .option("partitionColumn", "c_custkey")
+          .option("numPartitions", "4")
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .load()
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_acctbal") > lit(1000.0))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+        // materialize while the server is up (the returned frame is
+        // executed by the harness after this function exits)
+        graft.operators.CacheScope.global.checkpoint(df)
+      } finally srv.close()
+    },
+    Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        c_acctbal
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+      ORDER BY c_custkey"""),
+    bench = false)
+
+  val all: Map[String, Q] = Map(
+    "s1_pgwire_scan" -> s1_pgwire_scan,
+  )
+}

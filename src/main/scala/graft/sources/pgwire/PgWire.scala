@@ -1,0 +1,202 @@
+package graft.sources.pgwire
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** PostgreSQL frontend/backend wire protocol v3 — the format the
+  * reference's pooled Postgres source speaks on the wire
+  * (main_graph_topraq.py:94-95 reads through a psycopg pool; the
+  * protocol itself is public PostgreSQL documentation, "Frontend/
+  * Backend Protocol, Message Formats"). Implements the simple-query
+  * subset a read-only Spark source needs, both directions:
+  *
+  *   - frontend: StartupMessage (196608 + key/value params),
+  *     Query ('Q'), Terminate ('X')
+  *   - backend: AuthenticationOk ('R'/0), ParameterStatus ('S'),
+  *     ReadyForQuery ('Z'), RowDescription ('T'), DataRow ('D'),
+  *     CommandComplete ('C'), ErrorResponse ('E')
+  *
+  * All result cells travel in TEXT format (format code 0): int8 and
+  * float8 as their canonical string forms (Long.toString /
+  * Double.toString round-trip losslessly), text verbatim, NULL as the
+  * -1 length sentinel. Pure bytes, no driver classes — the Postgres
+  * analog of [[graft.sinks.bolt.PackStream]].
+  */
+object PgWire {
+
+  /** Public pg_catalog type OIDs for the three wire types this source
+    * carries. */
+  final val OidInt8 = 20
+  final val OidFloat8 = 701
+  final val OidText = 25
+
+  final val ProtocolV3 = 196608 // 3 << 16
+
+  final case class Field(name: String, oid: Int)
+
+  /** One backend message: tag byte + payload (length stripped). */
+  final case class Msg(tag: Byte, body: Array[Byte])
+
+  // ---- frontend encode ----
+
+  def writeStartup(out: DataOutputStream, params: Map[String, String]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(ProtocolV3)
+    params.foreach { case (k, v) =>
+      b.write(k.getBytes(UTF_8)); b.writeByte(0)
+      b.write(v.getBytes(UTF_8)); b.writeByte(0)
+    }
+    b.writeByte(0)
+    out.writeInt(4 + body.size())
+    body.writeTo(out)
+    out.flush()
+  }
+
+  def writeQuery(out: DataOutputStream, sql: String): Unit =
+    writeMsg(out, 'Q', sql.getBytes(UTF_8) :+ 0.toByte)
+
+  def writeTerminate(out: DataOutputStream): Unit =
+    writeMsg(out, 'X', Array.emptyByteArray)
+
+  // ---- backend encode ----
+
+  def writeAuthOk(out: DataOutputStream): Unit = {
+    val b = new java.io.ByteArrayOutputStream(4)
+    new DataOutputStream(b).writeInt(0)
+    writeMsg(out, 'R', b.toByteArray)
+  }
+
+  def writeParameterStatus(out: DataOutputStream, k: String, v: String): Unit =
+    writeMsg(out, 'S',
+      (k.getBytes(UTF_8) :+ 0.toByte) ++ (v.getBytes(UTF_8) :+ 0.toByte))
+
+  def writeReadyForQuery(out: DataOutputStream): Unit =
+    writeMsg(out, 'Z', Array('I'.toByte))
+
+  def writeRowDescription(out: DataOutputStream, fields: Seq[Field]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeShort(fields.length)
+    fields.foreach { f =>
+      b.write(f.name.getBytes(UTF_8)); b.writeByte(0)
+      b.writeInt(0)        // table OID (none)
+      b.writeShort(0)      // attribute number (none)
+      b.writeInt(f.oid)
+      b.writeShort(if (f.oid == OidText) -1 else 8) // typlen
+      b.writeInt(-1)       // typmod
+      b.writeShort(0)      // format: text
+    }
+    writeMsg(out, 'T', body.toByteArray)
+  }
+
+  /** `cells` as text-format column values; null → NULL sentinel. */
+  def writeDataRow(out: DataOutputStream, cells: Seq[String]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeShort(cells.length)
+    cells.foreach {
+      case null => b.writeInt(-1)
+      case s =>
+        val bytes = s.getBytes(UTF_8)
+        b.writeInt(bytes.length); b.write(bytes)
+    }
+    writeMsg(out, 'D', body.toByteArray)
+  }
+
+  def writeCommandComplete(out: DataOutputStream, tag: String): Unit =
+    writeMsg(out, 'C', tag.getBytes(UTF_8) :+ 0.toByte)
+
+  def writeError(out: DataOutputStream, sqlState: String, message: String): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    def fld(code: Char, v: String): Unit = {
+      body.write(code)
+      body.write(v.getBytes(UTF_8)); body.write(0)
+    }
+    fld('S', "ERROR"); fld('C', sqlState); fld('M', message)
+    body.write(0)
+    writeMsg(out, 'E', body.toByteArray)
+  }
+
+  // ---- shared framing ----
+
+  def writeMsg(out: DataOutputStream, tag: Char, body: Array[Byte]): Unit = {
+    out.writeByte(tag)
+    out.writeInt(4 + body.length)
+    out.write(body)
+    out.flush()
+  }
+
+  /** Read one tagged message (anything after the startup message). */
+  def readMsg(in: DataInputStream): Msg = {
+    val tag = in.readByte()
+    val len = in.readInt()
+    require(len >= 4 && len <= (1 << 26), s"pgwire message length $len")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Msg(tag, body)
+  }
+
+  /** Server side: read the startup message's parameter map (the
+    * length-prefixed, untagged first message of a connection). */
+  def readStartup(in: DataInputStream): Map[String, String] = {
+    val len = in.readInt()
+    require(len >= 8 && len <= (1 << 20), s"pgwire startup length $len")
+    val proto = in.readInt()
+    require(proto == ProtocolV3,
+      f"unsupported pgwire protocol 0x$proto%08X (only 3.0)")
+    val body = new Array[Byte](len - 8)
+    in.readFully(body)
+    val parts = new String(body, UTF_8).split("\u0000").filter(_.nonEmpty)
+    parts.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+  }
+
+  // ---- body decode helpers (client side) ----
+
+  def parseRowDescription(body: Array[Byte]): Seq[Field] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val n = in.readShort()
+    (0 until n).map { _ =>
+      val name = readCString(in)
+      in.readInt(); in.readShort()
+      val oid = in.readInt()
+      in.readShort(); in.readInt(); in.readShort()
+      Field(name, oid)
+    }
+  }
+
+  /** Text-format cells; null cell → null. */
+  def parseDataRow(body: Array[Byte]): Array[String] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val n = in.readShort()
+    Array.tabulate(n) { _ =>
+      val len = in.readInt()
+      if (len < 0) null
+      else {
+        val b = new Array[Byte](len); in.readFully(b); new String(b, UTF_8)
+      }
+    }
+  }
+
+  def parseError(body: Array[Byte]): String = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val fields = scala.collection.mutable.Map.empty[Char, String]
+    var code = in.read()
+    while (code > 0) {
+      fields += code.toChar -> readCString(in)
+      code = in.read()
+    }
+    s"${fields.getOrElse('C', "?????")}: ${fields.getOrElse('M', "unknown")}"
+  }
+
+  private def readCString(in: DataInputStream): String = {
+    val b = new java.io.ByteArrayOutputStream()
+    var c = in.readByte()
+    while (c != 0) { b.write(c); c = in.readByte() }
+    new String(b.toByteArray, UTF_8)
+  }
+
+  /** Client-side EOF guard for readMsg. */
+  def readMsgOpt(in: DataInputStream): Option[Msg] =
+    try Some(readMsg(in)) catch { case _: EOFException => None }
+}

@@ -1,0 +1,222 @@
+package graft.sources.pgwire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+/** In-process pgwire-v3 server — the loopback stand-in for the
+  * reference's network Postgres (main_graph_topraq.py:94-95) in this
+  * zero-egress build, mirroring [[graft.sinks.bolt.BoltLoopbackServer]]
+  * on the source side. Speaks the REAL protocol over genuine TCP
+  * (startup, AuthenticationOk, simple Query, text DataRows) and
+  * answers from an in-memory table registry with a small evaluator for
+  * exactly the SQL shapes the Spark source generates:
+  *
+  *   `SELECT cols FROM table [WHERE p1 AND p2 ...] [LIMIT n]`
+  *
+  * where each predicate is `col op literal` (op ∈ =, <>, <, <=, >,
+  * >=), `col IS [NOT] NULL`, and literals are numbers or
+  * single-quoted strings ('' escape). Applying the WHERE server-side
+  * is the point: the Spark source marks pushed filters as fully
+  * handled, so rows the server failed to filter would surface as
+  * wrong results — the oracle proves pushdown WORKS, not just that
+  * the SQL mentions it.
+  *
+  * Every received statement is recorded (arrival order across
+  * connections), so specs assert what actually crossed the wire —
+  * pushed-down predicates, pruned column lists, per-partition range
+  * clauses.
+  *
+  * Cell values are Long / Double / String / null (wire types int8,
+  * float8, text).
+  */
+final class PgWireLoopbackServer(
+    tables: Map[String, PgWireLoopbackServer.Table]) {
+
+  private val server = new ServerSocket(0, 128,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+
+  /** SQL text of every Query message, arrival order. */
+  val statements = new ConcurrentLinkedQueue[String]()
+  val connections = new AtomicLong(0L)
+  def recordedStatements: Seq[String] = statements.iterator().asScala.toSeq
+
+  private val accepted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
+  @volatile private var running = true
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        accepted.add(s)
+        connections.incrementAndGet()
+        val t = new Thread(() => serve(s), s"pgwire-conn-${connections.get}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: SocketException => () /* closed */ }
+    }
+  }, s"pgwire-acceptor-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    running = false
+    server.close()
+    accepted.iterator().asScala.foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
+    accepted.clear()
+  }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true) // same Nagle lesson as the Bolt loopback
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      PgWire.readStartup(in) // params unused: fixture trusts loopback
+      PgWire.writeAuthOk(out)
+      PgWire.writeParameterStatus(out, "server_version", "16.0-loopback-fixture")
+      PgWire.writeReadyForQuery(out)
+      var open = true
+      while (open) {
+        val msg =
+          try PgWire.readMsg(in)
+          catch { case _: EOFException => open = false; null }
+        if (open) msg.tag.toChar match {
+          case 'X' => open = false
+          case 'Q' =>
+            val sql = new String(msg.body, java.nio.charset.StandardCharsets.UTF_8)
+              .takeWhile(_ != '\u0000') // body is sql + trailing NUL
+            statements.add(sql)
+            try {
+              val (fields, rows) = execute(sql)
+              PgWire.writeRowDescription(out, fields)
+              rows.foreach { r =>
+                PgWire.writeDataRow(out, r.map {
+                  case null => null
+                  case l: java.lang.Long => l.toString
+                  case d: java.lang.Double => d.toString
+                  case s: String => s
+                  case other => other.toString
+                })
+              }
+              PgWire.writeCommandComplete(out, s"SELECT ${rows.length}")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                PgWire.writeError(out, "42601",
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+            PgWire.writeReadyForQuery(out)
+          case other =>
+            PgWire.writeError(out, "08P01",
+              s"fixture does not handle message '$other'")
+            PgWire.writeReadyForQuery(out)
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => () // client went away
+    } finally { sock.close(); accepted.remove(sock) }
+  }
+
+  // ---- the SELECT evaluator ----
+
+  private val SelectRe =
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+
+  private def execute(sql: String)
+      : (Seq[PgWire.Field], Seq[Seq[Any]]) = sql match {
+    case SelectRe(colsRaw, tableName, whereRaw, limitRaw) =>
+      val table = tables.getOrElse(tableName.toLowerCase,
+        throw new IllegalArgumentException(s"unknown table $tableName"))
+      val colIdx = table.columns.map(_._1).zipWithIndex.toMap
+      val projected: Seq[Int] =
+        if (colsRaw.trim == "*") table.columns.indices
+        else colsRaw.split(",").map(_.trim).toSeq.map(c =>
+          colIdx.getOrElse(c, throw new IllegalArgumentException(
+            s"unknown column $c in $tableName")))
+      val preds = Option(whereRaw).toSeq
+        .flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
+        .map(p => parsePredicate(p.trim, colIdx))
+      val limit = Option(limitRaw).map(_.toInt).getOrElse(Int.MaxValue)
+      val fields = projected.map { i =>
+        val (name, oid) = table.columns(i); PgWire.Field(name, oid)
+      }
+      val rows = table.rows.iterator
+        .filter(r => preds.forall(_(r)))
+        .take(limit)
+        .map(r => projected.map(r(_)))
+        .toSeq
+      (fields, rows)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"fixture supports only simple SELECT, got: ${sql.take(80)}")
+  }
+
+  private val CmpRe = """(?s)^(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*(.+)$""".r
+  private val IsNullRe = """(?is)^(\w+)\s+IS\s+NULL$""".r
+  private val IsNotNullRe = """(?is)^(\w+)\s+IS\s+NOT\s+NULL$""".r
+
+  private def parsePredicate(p: String, colIdx: Map[String, Int])
+      : Array[Any] => Boolean = {
+    def idx(c: String): Int = colIdx.getOrElse(c,
+      throw new IllegalArgumentException(s"unknown column $c in WHERE"))
+    p match {
+      case IsNotNullRe(c) =>
+        val i = idx(c); r => r(i) != null
+      case IsNullRe(c) =>
+        val i = idx(c); r => r(i) == null
+      case CmpRe(c, op, litRaw) =>
+        val i = idx(c)
+        val lit = parseLiteral(litRaw.trim)
+        r => {
+          val v = r(i)
+          // SQL three-valued logic: NULL compares to nothing
+          if (v == null || lit == null) false
+          else {
+            val cmp = compare(v, lit)
+            op match {
+              case "=" => cmp == 0
+              case "<>" | "!=" => cmp != 0
+              case "<" => cmp < 0
+              case "<=" => cmp <= 0
+              case ">" => cmp > 0
+              case ">=" => cmp >= 0
+            }
+          }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported predicate: $other")
+    }
+  }
+
+  private def parseLiteral(s: String): Any =
+    if (s.equalsIgnoreCase("NULL")) null
+    else if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
+      s.substring(1, s.length - 1).replace("''", "'")
+    else if (s.matches("[+-]?\\d+")) java.lang.Long.valueOf(s)
+    else java.lang.Double.valueOf(s) // throws on garbage → ErrorResponse
+
+  private def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case _ => throw new IllegalArgumentException(
+      s"cannot compare ${a.getClass.getSimpleName} to ${b.getClass.getSimpleName}")
+  }
+}
+
+object PgWireLoopbackServer {
+
+  /** An in-memory table: (name, type OID) per column + row values
+    * (Long / Double / String / null, matching the OID). */
+  final case class Table(columns: Seq[(String, Int)], rows: Seq[Array[Any]])
+}
