@@ -91,7 +91,59 @@ object Queries53 {
       ORDER BY c_custkey"""),
     bench = false)
 
+  /** BinaryType properties through the REAL Bolt wire: every
+    * document's UTF-8 payload rides a binary prop through
+    * PackStream's BYTES markers (0xCC/0xCD/0xCE — the round-9 advice
+    * gap, now first-class) over genuine TCP into the MERGE store, and
+    * the emitted rows re-aggregate the STORE's payloads — per-source
+    * doc count and total payload bytes. A wire that re-encoded
+    * binary as LIST<INTEGER> (the old silent fallthrough) or dropped
+    * a byte anywhere would shift `total_bytes` off the oracle's
+    * byte-exact replay. `BoltSocketSpec` additionally pins full
+    * byte-EQUALITY per payload; this entry pins whole-corpus delivery
+    * cross-engine.
+    */
+  val g_cypher_sink_binary = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.sinks.InMemoryBolt
+      import graft.sinks.bolt.{BoltLoopbackServer, BoltSocketSessionFactory}
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit("Doc").as("label"),
+          encode(col("text"), "UTF-8").as("payload"), col("source"))
+      val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+      val token = s"g_cypher_sink_bin_${graft.sources.Staging.dirKey(dir)}" +
+        s"_${Queries51.sinkNonce.incrementAndGet()}"
+      val srv = new BoltLoopbackServer(token)
+      try {
+        graft.sinks.CypherSink.writeGraph(docs, edges,
+          BoltSocketSessionFactory(srv.host, srv.port), batchSize = 1000)
+        val st = InMemoryBolt.store(token)
+        // read back from the STORE (driver-side small: one (source,
+        // byte-length) pair per doc, same class as storeCounts)
+        val rows: Seq[(String, java.lang.Long)] =
+          st.nodes.valuesIterator.map { props =>
+            val src = props("source").asInstanceOf[String]
+            val len: java.lang.Long = props.getOrElse("payload", null) match {
+              case null => null
+              case a: Array[Byte] => java.lang.Long.valueOf(a.length.toLong)
+              case other => throw new IllegalStateException(
+                s"payload decoded as ${other.getClass.getName}, not bytes")
+            }
+            (src, len)
+          }.toSeq
+        rows.toDF("source", "len")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_bytes"))
+          .orderBy(col("source"))
+      } finally { srv.close(); InMemoryBolt.drop(token) }
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val all: Map[String, Q] = Map(
     "s1_pgwire_scan" -> s1_pgwire_scan,
+    "g_cypher_sink_binary" -> g_cypher_sink_binary,
   )
 }

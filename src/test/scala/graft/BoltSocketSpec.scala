@@ -94,6 +94,33 @@ class BoltSocketSpec extends AnyFunSuite {
     (v, e)
   }
 
+  test("binary props ride the BYTES markers over TCP byte-equal " +
+      "(null, sign bytes, multibyte source, >64 KiB chunked)") {
+    val payloads = Map[Long, Array[Byte]](
+      1L -> Array[Byte](0, 1, -1, 127, -128),
+      2L -> "münchen ü§".getBytes("UTF-8"),
+      3L -> Array.tabulate(70000)(i => (i % 251).toByte)) // BYTES32 + multi-chunk
+    val v = (payloads.toSeq.map { case (id, b) => (id, "Blob", b) } :+
+        ((4L, "Blob", null: Array[Byte])))
+      .toDF("id", "label", "payload")
+    val e = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    val srv = new BoltLoopbackServer("bolt_bin_rt")
+    InMemoryBolt.drop("bolt_bin_rt")
+    try {
+      CypherSink.writeGraph(v, e,
+        BoltSocketSessionFactory(srv.host, srv.port), batchSize = 2)
+      val st = InMemoryBolt.store("bolt_bin_rt")
+      assert(st.nodes.size == 4)
+      payloads.foreach { case (id, expect) =>
+        val got = st.nodes(("Blob", id))("payload")
+        assert(got.isInstanceOf[Array[Byte]],
+          s"payload $id decoded as ${got.getClass}")
+        assert(got.asInstanceOf[Array[Byte]].sameElements(expect), s"payload $id")
+      }
+      assert(st.nodes(("Blob", 4L))("payload") == null)
+    } finally { srv.close(); InMemoryBolt.drop("bolt_bin_rt") }
+  }
+
   test("writeGraph over TCP equals writeGraph in memory, and the wire " +
       "saw batched labeled statements") {
     val (v, e) = graph
