@@ -142,8 +142,46 @@ object Queries53 {
         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
       FROM documents GROUP BY source ORDER BY source"""))
 
+  /** Aggregate pushdown through the wire: the grouped COUNT/SUM/MIN/
+    * MAX ships as ONE `SELECT … GROUP BY …` and only the 25-row
+    * answer crosses the socket — the reference's filtered fetchers
+    * pull rows and aggregate client-side
+    * (graph_irrigation_event.py:55-65); at warehouse scale the pushed
+    * form moves an answer instead of a table. SUM runs over the
+    * integer key (order-independent exact), MIN/MAX over the double
+    * balance (order-independent), so the server's fold and DuckDB's
+    * agree bit-for-bit. `PgWireSpec` pins that the wire really saw
+    * the grouped query and never the table.
+    */
+  val s1_pgwire_agg_pushdown = Q(
+    (s, dir) => {
+      val (srv, _, _) = customerServer(s, dir)
+      try {
+        val df = s.read.format("pgwire")
+          .option("host", srv.host).option("port", srv.port.toString)
+          .option("table", "customer")
+          .load()
+          .filter(col("c_acctbal") > lit(0.0))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_custkey")).as("sum_key"),
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"))
+          .orderBy(col("c_nationkey"))
+        graft.operators.CacheScope.global.checkpoint(df)
+      } finally srv.close()
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        count(*) AS n_cust,
+        CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+        MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+      FROM customer WHERE c_acctbal > 0.0
+      GROUP BY 1 ORDER BY 1"""),
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "s1_pgwire_scan" -> s1_pgwire_scan,
+    "s1_pgwire_agg_pushdown" -> s1_pgwire_agg_pushdown,
     "g_cypher_sink_binary" -> g_cypher_sink_binary,
   )
 }

@@ -129,32 +129,106 @@ final class PgWireLoopbackServer(
   // ---- the SELECT evaluator ----
 
   private val SelectRe =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+  private val AggItemRe =
+    """(?is)^(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val ColItemRe = """(?is)^(\w+)(?:\s+AS\s+(\w+))?$""".r
 
   private def execute(sql: String)
       : (Seq[PgWire.Field], Seq[Seq[Any]]) = sql match {
-    case SelectRe(colsRaw, tableName, whereRaw, limitRaw) =>
+    case SelectRe(colsRaw, tableName, whereRaw, groupRaw, limitRaw) =>
       val table = tables.getOrElse(tableName.toLowerCase,
         throw new IllegalArgumentException(s"unknown table $tableName"))
       val colIdx = table.columns.map(_._1).zipWithIndex.toMap
-      val projected: Seq[Int] =
-        if (colsRaw.trim == "*") table.columns.indices
-        else colsRaw.split(",").map(_.trim).toSeq.map(c =>
-          colIdx.getOrElse(c, throw new IllegalArgumentException(
-            s"unknown column $c in $tableName")))
       val preds = Option(whereRaw).toSeq
         .flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
         .map(p => parsePredicate(p.trim, colIdx))
       val limit = Option(limitRaw).map(_.toInt).getOrElse(Int.MaxValue)
-      val fields = projected.map { i =>
-        val (name, oid) = table.columns(i); PgWire.Field(name, oid)
+      def filtered = table.rows.iterator.filter(r => preds.forall(_(r)))
+      val items =
+        if (colsRaw.trim == "*") table.columns.map(c => (c._1, None: Option[String]))
+        else colsRaw.split(",").map(_.trim).toSeq.map {
+          case AggItemRe(f, a, al) => (s"${f.toUpperCase}($a)", Option(al))
+          case ColItemRe(c, al) => (c, Option(al))
+          case other => throw new IllegalArgumentException(
+            s"unsupported select item: $other")
+        }
+      val isAgg = groupRaw != null || items.exists(_._1.endsWith(")"))
+
+      if (!isAgg) {
+        val projected = items.map { case (c, _) =>
+          colIdx.getOrElse(c, throw new IllegalArgumentException(
+            s"unknown column $c in $tableName"))
+        }
+        val fields = items.zip(projected).map { case ((_, alias), i) =>
+          val (name, oid) = table.columns(i)
+          PgWire.Field(alias.getOrElse(name), oid)
+        }
+        (fields, filtered.take(limit).map(r => projected.map(r(_))).toSeq)
+      } else {
+        // GROUP BY / aggregate path — the shapes Spark's aggregate
+        // pushdown renders: group columns + COUNT/SUM/MIN/MAX items
+        val gNames = Option(groupRaw).toSeq
+          .flatMap(_.split(",").map(_.trim).toSeq)
+        val gIdx = gNames.map(c => colIdx.getOrElse(c,
+          throw new IllegalArgumentException(s"unknown GROUP BY column $c")))
+        def oidOf(c: String): Int = table.columns(colIdx(c))._2
+        // (field, per-group evaluator)
+        val evals: Seq[(PgWire.Field, Seq[Array[Any]] => Any)] =
+          items.map {
+            case (item @ AggItemRe(f, arg, _), alias) =>
+              val name = alias.getOrElse(item.toLowerCase)
+              f.toUpperCase match {
+                case "COUNT" if arg == "*" =>
+                  (PgWire.Field(name, PgWire.OidInt8),
+                    (rs: Seq[Array[Any]]) => java.lang.Long.valueOf(rs.size.toLong))
+                case "COUNT" =>
+                  val i = colIdx(arg)
+                  (PgWire.Field(name, PgWire.OidInt8),
+                    (rs: Seq[Array[Any]]) =>
+                      java.lang.Long.valueOf(rs.count(_(i) != null).toLong))
+                case "SUM" =>
+                  val i = colIdx(arg)
+                  val oid = oidOf(arg)
+                  require(oid != PgWire.OidText, s"SUM over text column $arg")
+                  (PgWire.Field(name, oid), (rs: Seq[Array[Any]]) => {
+                    val vs = rs.map(_(i)).filter(_ != null)
+                    if (vs.isEmpty) null
+                    else if (oid == PgWire.OidInt8)
+                      java.lang.Long.valueOf(vs.map(_.asInstanceOf[Long]).sum)
+                    else java.lang.Double.valueOf(vs.map(_.asInstanceOf[Double]).sum)
+                  })
+                case mm @ ("MIN" | "MAX") =>
+                  val i = colIdx(arg)
+                  (PgWire.Field(name, oidOf(arg)), (rs: Seq[Array[Any]]) => {
+                    val vs = rs.map(_(i)).filter(_ != null)
+                    if (vs.isEmpty) null
+                    else {
+                      val ord = new Ordering[Any] {
+                        def compare(a: Any, b: Any): Int =
+                          PgWireLoopbackServer.this.compare(a, b)
+                      }
+                      if (mm == "MIN") vs.min(ord) else vs.max(ord)
+                    }
+                  })
+              }
+            case (c, alias) =>
+              val pos = gNames.indexOf(c)
+              require(pos >= 0, s"non-aggregated select item $c not in GROUP BY")
+              val i = colIdx(c)
+              (PgWire.Field(alias.getOrElse(c), oidOf(c)),
+                (rs: Seq[Array[Any]]) => rs.head(i))
+          }
+        val groups: Seq[Seq[Array[Any]]] =
+          if (gIdx.isEmpty) Seq(filtered.toSeq) // global aggregate: 1 row even when empty
+          else filtered.toSeq.groupBy(r => gIdx.map(r(_)).toVector).values.toSeq
+        val rows = groups.iterator
+          .filter(g => gIdx.isEmpty || g.nonEmpty)
+          .take(limit)
+          .map(g => evals.map(_._2(g)))
+          .toSeq
+        (evals.map(_._1), rows)
       }
-      val rows = table.rows.iterator
-        .filter(r => preds.forall(_(r)))
-        .take(limit)
-        .map(r => projected.map(r(_)))
-        .toSeq
-      (fields, rows)
     case _ =>
       throw new IllegalArgumentException(
         s"fixture supports only simple SELECT, got: ${sql.take(80)}")

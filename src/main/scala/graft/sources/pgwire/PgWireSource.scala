@@ -9,8 +9,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
@@ -35,6 +36,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * proves pushdown end to end. Filters the translator cannot render
   * stay residual and Spark evaluates them post-scan — fail-safe,
   * never wrong.
+  *
+  * `SupportsPushDownAggregates` (COMPLETE pushdown only, on
+  * single-connection scans): a `groupBy(k).agg(count/sum/min/max)`
+  * ships as `SELECT k, COUNT(*) … GROUP BY k` and only the
+  * group-count×width result crosses the wire — the difference
+  * between moving a table and moving an answer, which at 100 TB is
+  * the whole game. Range-striped scans refuse (partial-merge
+  * semantics) and let Spark aggregate the streamed rows.
+  * `SupportsPushDownLimit` ships `LIMIT n`; on striped scans it is
+  * declared partial so Spark keeps the global limit.
   *
   * Scale shape: `partitionColumn`/`lowerBound`/`upperBound`/
   * `numPartitions` options stride the key range like Spark's JDBC
@@ -128,18 +139,27 @@ private[pgwire] class PgWireTable(tableSchema: StructType,
 private[pgwire] class PgWireScanBuilder(tableSchema: StructType,
                                         options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  // (select items with AS aliases, group-by cols, result schema)
+  private var agg: Option[(Seq[String], Seq[String], StructType)] = None
+  private var pushedLimit: Option[Int] = None
+
+  private def partitioned: Boolean = options.get("partitionColumn") != null
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // Spark hands the post-pruning schema; empty (count(*)-style scans)
-    // falls back to the narrowest single column so the wire query
-    // stays valid SQL
-    required =
-      if (requiredSchema.fields.nonEmpty) requiredSchema
-      else StructType(tableSchema.fields.take(1))
+    // With an aggregation pushed, the scan's output IS the aggregate
+    // schema (Spark projects above it); only the plain-scan path
+    // prunes the wire column list. Empty (count(*)-style scans) falls
+    // back to the narrowest single column so the wire query stays
+    // valid SQL.
+    if (agg.isEmpty)
+      required =
+        if (requiredSchema.fields.nonEmpty) requiredSchema
+        else StructType(tableSchema.fields.take(1))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) =
@@ -150,29 +170,121 @@ private[pgwire] class PgWireScanBuilder(tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new PgWireScan(required, pushed.flatMap(PgWireSource.render), options)
+  // ---- aggregate pushdown (COMPLETE only, single-connection scans) ----
+  //
+  // Spark's complete pushdown expects the scan to emit FINAL aggregate
+  // values, positionally (group columns first, then aggregates) — a
+  // group-count×width result instead of the full table. Range-striped
+  // scans would need partial-merge semantics, so they refuse and let
+  // Spark aggregate the streamed rows (fail-safe, never wrong).
+
+  private def refName(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0)).filter(_.matches("\\w+"))
+    case _ => None
+  }
+
+  private def fieldType(c: String): Option[DataType] =
+    tableSchema.fields.find(_.name == c).map(_.dataType)
+
+  private def translate(aggregation: Aggregation)
+      : Option[(Seq[String], Seq[String], StructType)] = {
+    val gb = aggregation.groupByExpressions.toSeq.map(refName)
+    if (gb.exists(_.isEmpty)) return None
+    val gcols = gb.flatten
+    val items = aggregation.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (f, i) =>
+        val alias = s"agg_$i"
+        f match {
+          case _: CountStar =>
+            Some((s"COUNT(*) AS $alias", alias, LongType: DataType))
+          case c: Count if !c.isDistinct =>
+            refName(c.column).map(n =>
+              (s"COUNT($n) AS $alias", alias, LongType: DataType))
+          case s: Sum if !s.isDistinct =>
+            refName(s.column).flatMap(n => fieldType(n).collect {
+              // SUM result type matches Spark's: long→long, double→double
+              case LongType => (s"SUM($n) AS $alias", alias, LongType: DataType)
+              case DoubleType => (s"SUM($n) AS $alias", alias, DoubleType: DataType)
+            })
+          case m: Min =>
+            refName(m.column).flatMap(n => fieldType(n).map(t =>
+              (s"MIN($n) AS $alias", alias, t)))
+          case m: Max =>
+            refName(m.column).flatMap(n => fieldType(n).map(t =>
+              (s"MAX($n) AS $alias", alias, t)))
+          case _ => None // AVG, distinct forms, general funcs: not pushed
+        }
+    }
+    val gTypes = gcols.map(fieldType)
+    if (items.exists(_.isEmpty) || gTypes.exists(_.isEmpty)) None
+    else {
+      val sel = gcols ++ items.flatten.map(_._1)
+      val schema = StructType(
+        gcols.zip(gTypes.flatten).map { case (c, t) => StructField(c, t) } ++
+          items.flatten.map { case (_, alias, t) => StructField(alias, t) })
+      Some((sel, gcols, schema))
+    }
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    !partitioned && translate(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (partitioned) false
+    else translate(aggregation) match {
+      case Some(t) => agg = Some(t); true
+      case None => false
+    }
+
+  // ---- limit pushdown ----
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit); true
+  }
+
+  // Per-partition LIMIT on a striped read is only a partial push —
+  // Spark must keep its global limit. A single-connection scan's
+  // server-side LIMIT is exact.
+  override def isPartiallyPushed(): Boolean = partitioned
+
+  override def build(): Scan = agg match {
+    case Some((sel, gcols, schema)) =>
+      new PgWireScan(schema, pushed.flatMap(PgWireSource.render), options,
+        Some((sel, gcols)), pushedLimit)
+    case None =>
+      new PgWireScan(required, pushed.flatMap(PgWireSource.render), options,
+        None, pushedLimit)
+  }
 }
 
 private[pgwire] class PgWireScan(required: StructType,
                                  predicates: Array[String],
-                                 options: CaseInsensitiveStringMap)
+                                 options: CaseInsensitiveStringMap,
+                                 agg: Option[(Seq[String], Seq[String])],
+                                 limit: Option[Int])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val (_, _, table) = PgWireSource.endpoint(options)
-    s"pgwire table=$table pushed=[${predicates.mkString(" AND ")}]"
+    s"pgwire table=$table pushed=[${predicates.mkString(" AND ")}]" +
+      agg.map { case (_, g) => s" agg=[groupBy ${g.mkString(",")}]" }.getOrElse("") +
+      limit.map(l => s" limit=$l").getOrElse("")
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (_, _, table) = PgWireSource.endpoint(options)
-    val cols = required.fieldNames.mkString(", ")
+    val cols = agg.map(_._1.mkString(", "))
+      .getOrElse(required.fieldNames.mkString(", "))
     def sqlFor(extra: Seq[String]): String = {
       val where = predicates.toSeq ++ extra
+      val gb = agg.map(_._2).filter(_.nonEmpty)
+        .map(g => s" GROUP BY ${g.mkString(", ")}").getOrElse("")
       s"SELECT $cols FROM $table" +
-        (if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", ""))
+        (if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")) +
+        gb + limit.map(l => s" LIMIT $l").getOrElse("")
     }
     val partCol = options.get("partitionColumn")
     if (partCol == null) Array(PgWirePartition(sqlFor(Nil)))

@@ -124,6 +124,65 @@ class PgWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("aggregate pushdown: GROUP BY + COUNT/SUM/MIN/MAX ship as ONE " +
+      "wire query returning the answer, not the table") {
+    val srv = new PgWireLoopbackServer(fixtureTables)
+    try {
+      import org.apache.spark.sql.functions._
+      val got = read(srv).load()
+        .filter(col("score") > lit(10.0))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("score")).as("min_s"), max(col("score")).as("max_s"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1.getOrElse(""))
+      // truth from the fixture generator: score=i*1.5 (null at i%10==0),
+      // name=name_{i%5} (null at i%7==0)
+      val data = (0L until 100L)
+        .filter(i => i % 10 != 0 && i * 1.5 > 10.0)
+        .map(i => (if (i % 7 == 0) None else Some(s"name_${i % 5}"), i))
+      val expect = data.groupBy(_._1).toSeq.map { case (name, rs) =>
+        val ids = rs.map(_._2)
+        (name, ids.size.toLong, ids.sum,
+          ids.map(_ * 1.5).min, ids.map(_ * 1.5).max)
+      }.sortBy(_._1.getOrElse(""))
+      assert(got.toSeq == expect)
+      // the wire saw ONE grouped query (group-count rows), never the table
+      val dataQueries = srv.recordedStatements.filterNot(_.contains("LIMIT 0"))
+      assert(dataQueries.length == 1, dataQueries)
+      val q = dataQueries.head
+      assert(q.contains("GROUP BY name"), q)
+      assert(q.contains("COUNT(*) AS agg_0"), q)
+      assert(q.contains("SUM(id) AS agg_1"), q)
+      assert(q.contains("MIN(score) AS agg_2"), q)
+      assert(q.contains("MAX(score) AS agg_3"), q)
+      assert(q.contains("score > 10.0"), q)
+    } finally srv.close()
+  }
+
+  test("limit pushdown: LIMIT crosses the wire; striped scans stay " +
+      "partial so the global limit holds") {
+    val srv = new PgWireLoopbackServer(fixtureTables)
+    try {
+      val single = read(srv).load().select("id").limit(7).collect()
+      assert(single.length == 7)
+      assert(srv.recordedStatements.exists(_.endsWith("LIMIT 7")))
+      val striped = read(srv)
+        .option("partitionColumn", "id")
+        .option("numPartitions", "4")
+        .option("lowerBound", "0").option("upperBound", "99")
+        .load().select("id").limit(7).collect()
+      // 4 partitions each LIMIT 7 on the wire, but exactly 7 survive
+      assert(striped.length == 7)
+      val stripedQs = srv.recordedStatements
+        .filter(q => q.contains("id >= ") || q.contains("id < "))
+      assert(stripedQs.nonEmpty && stripedQs.forall(_.endsWith("LIMIT 7")),
+        stripedQs)
+    } finally srv.close()
+  }
+
   test("server errors surface: unknown table fails the read") {
     val srv = new PgWireLoopbackServer(fixtureTables)
     try {
