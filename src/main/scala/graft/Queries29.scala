@@ -51,22 +51,33 @@ object Queries29 {
           "Nation", Seq("n_nationkey"), "Region", Seq("n_regionkey")))
       val root = java.nio.file.Files
         .createTempDirectory("graft_graph_export").toString
-      val (vBack, eBack) = GraphExport.exportGraph(s, verts, edges, root)
+      // persisted: the 4-way union-of-scans otherwise recomputes for
+      // the gate, the export write, and both exceptAll sides
+      val scope = graft.operators.CacheScope.global
+      val vertsP = scope.persist(verts)
+      val edgesP = scope.persist(edges)
+      val (vBack, eBack) = GraphExport.exportGraph(s, vertsP, edgesP, root)
       // read-back column order differs (partition col moves last);
       // realign before the symmetric difference
-      val vB = vBack.select("id", "label", "props")
-      val eB = eBack.select("src", "dst", "rel")
-      val vDiff = verts.exceptAll(vB).count() + vB.exceptAll(verts).count()
-      val eDiff = edges.exceptAll(eB).count() + eB.exceptAll(edges).count()
+      val vB = scope.persist(vBack.select("id", "label", "props"))
+      val eB = scope.persist(eBack.select("src", "dst", "rel"))
+      // the symmetric-difference checks fold INTO the output plan as
+      // singleton-aggregate rows instead of four driver-side count()
+      // actions — one terminal action schedules every branch
+      // concurrently (the old serial counts were most of the wall)
+      def diffRow(name: String, a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).agg(count(lit(1)).as("c1"))
+          .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("c2")))
+          .select(lit("check").as("kind"), lit(name).as("name"),
+            (col("c1") + col("c2")).as("n"))
       vB.groupBy(col("label").as("name")).agg(count(lit(1)).as("n"))
         .select(lit("vertex").as("kind"), col("name"), col("n"))
         .unionByName(
           eB.groupBy(col("rel").as("name")).agg(count(lit(1)).as("n"))
             .select(lit("edge").as("kind"), col("name"), col("n")))
-        .unionByName(s.range(1).select(lit("check").as("kind"),
-          lit("verts_roundtrip_diff").as("name"), lit(vDiff).as("n")))
-        .unionByName(s.range(1).select(lit("check").as("kind"),
-          lit("edges_roundtrip_diff").as("name"), lit(eDiff).as("n")))
+        .unionByName(diffRow("verts_roundtrip_diff", vertsP, vB))
+        .unionByName(diffRow("edges_roundtrip_diff", edgesP, eB))
         .orderBy(col("kind"), col("name"))
     },
     Some("""SELECT kind, name, n FROM (

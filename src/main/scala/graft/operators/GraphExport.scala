@@ -62,6 +62,14 @@ object GraphExport {
       .filter(col("count") > 1).limit(1).count()
     require(dups == 0,
       s"graph export gate: duplicate vertex ids (count probe hit $dups)")
+    writeVertices(spark, vertices, root, filesPerSide)
+  }
+
+  /** The vertex write WITHOUT the gate — for callers that already
+    * paid it (exportGraph's integrityGate covers the dups probe; the
+    * old path re-ran the full vertices aggregate a second time). */
+  private def writeVertices(spark: SparkSession, vertices: DataFrame,
+                            root: String, filesPerSide: Int): DataFrame = {
     vertices
       .repartitionByRange(filesPerSide, col("label"), col("id"))
       .sortWithinPartitions(col("label"), col("id"))
@@ -77,7 +85,7 @@ object GraphExport {
       s"graph export gate: duplicate vertex ids (count probe hit $dups)")
     require(dangling == 0,
       s"graph export gate: dangling edge endpoints (probe hit $dangling)")
-    exportVertices(spark, vertices, root, filesPerSide)
+    writeVertices(spark, vertices, root, filesPerSide)
     edges
       .repartitionByRange(filesPerSide, col("rel"), col("src"), col("dst"))
       .sortWithinPartitions(col("rel"), col("src"), col("dst"))
