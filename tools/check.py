@@ -181,8 +181,11 @@ def main():
         for t in TABLES:
             p = Path(sf_dir, f"{t}.parquet")
             if p.exists():
+                # driver testdata is a single file; amplified fixtures
+                # (SkewGen) are Spark-written directories
+                pat = f"{p}/*.parquet" if p.is_dir() else str(p)
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
         return con
 
     n_pass = n_fail = 0
