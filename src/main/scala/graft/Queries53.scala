@@ -179,9 +179,94 @@ object Queries53 {
       GROUP BY 1 ORDER BY 1"""),
     bench = false)
 
+  /** The WRITE half of the wire: every `orders` row ships through a
+    * distributed `COPY FROM STDIN` (4 partitions = 4 concurrent
+    * sockets, each streaming its own COPY statement with the
+    * per-partition `COPY n` delivery guard —
+    * [[graft.sources.pgwire.PgWireCopySink]]), then the emitted frame
+    * re-reads the SERVER's table through the pgwire source with the
+    * grouped aggregate pushed down — so the only rows Spark sees on
+    * the way back are the per-priority answers computed over what
+    * actually landed in the store. Any dropped/duplicated/corrupted
+    * row anywhere in encode → frame → decode shifts `n_orders` or the
+    * exact `sum_cents` off the oracle's direct replay. Cents ride as
+    * BIGINT (the decimal-at-totals-grain policy; a double sum would be
+    * order-dependent across engines). bench=false: loopback fixture,
+    * not the engine.
+    */
+  val s1_pgwire_copy_roundtrip = Q(
+    (s, dir) => {
+      val srv = new PgWireLoopbackServer(Map.empty)
+      srv.defineTable("orders_copy", Seq(
+        ("o_orderkey", PgWire.OidInt8), ("o_custkey", PgWire.OidInt8),
+        ("cents", PgWire.OidInt8), ("priority", PgWire.OidText)))
+      try {
+        val out = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_custkey").cast("long").as("o_custkey"),
+            (col("o_totalprice").cast("decimal(27,2)") * 100)
+              .cast("long").as("cents"),
+            col("o_orderpriority").as("priority"))
+          .repartition(4)
+        graft.sources.pgwire.PgWireCopySink.copyTo(
+          out, srv.host, srv.port, "orders_copy")
+        val back = s.read.format("pgwire")
+          .option("host", srv.host).option("port", srv.port.toString)
+          .option("table", "orders_copy")
+          .load()
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("priority"))
+        graft.operators.CacheScope.global.checkpoint(back)
+      } finally srv.close()
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n_orders,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(27,2)) * 100 AS BIGINT))
+          AS BIGINT) AS sum_cents
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+    bench = false)
+
+  /** Streaming ingest → relational COPY sink: the orders feed lands
+    * per-micro-batch through `COPY FROM STDIN` into per-batch tables
+    * (truncate-and-load under the batch id = replay-idempotent —
+    * [[graft.streaming.StreamingPgCopy]]), then the emitted frame
+    * re-reads every batch table through the pgwire source and
+    * aggregates their union. The oracle is the batch replay: the
+    * stream must converge to it regardless of batch boundaries, the
+    * same exactly-once-by-idempotence property the Cypher streaming
+    * sink proves on the graph side. bench=false: stream-drain + wire
+    * fixture, not a plain batch plan.
+    */
+  val stream_pgwire_copy = Q(
+    (s, dir) => {
+      val srv = new PgWireLoopbackServer(Map.empty)
+      try {
+        val cols = Seq(
+          ("o_orderkey", PgWire.OidInt8), ("o_custkey", PgWire.OidInt8),
+          ("cents", PgWire.OidInt8), ("priority", PgWire.OidText))
+        val tables = graft.streaming.StreamingPgCopy.runOnce(
+          graft.streaming.StreamingPgCopy.ordersFeed(s, s"$dir/orders.parquet"),
+          srv.host, srv.port, "orders_stream",
+          t => srv.defineTable(t, cols))
+        val back = tables.map { t =>
+            s.read.format("pgwire")
+              .option("host", srv.host).option("port", srv.port.toString)
+              .option("table", t).load()
+          }.reduce(_ unionByName _)
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("priority"))
+        graft.operators.CacheScope.global.checkpoint(back)
+      } finally srv.close()
+    },
+    s1_pgwire_copy_roundtrip.oracle,
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "s1_pgwire_scan" -> s1_pgwire_scan,
     "s1_pgwire_agg_pushdown" -> s1_pgwire_agg_pushdown,
+    "s1_pgwire_copy_roundtrip" -> s1_pgwire_copy_roundtrip,
+    "stream_pgwire_copy" -> stream_pgwire_copy,
     "g_cypher_sink_binary" -> g_cypher_sink_binary,
   )
 }

@@ -107,6 +107,99 @@ object PgWire {
   def writeCommandComplete(out: DataOutputStream, tag: String): Unit =
     writeMsg(out, 'C', tag.getBytes(UTF_8) :+ 0.toByte)
 
+  // ---- COPY sub-protocol (bulk ingest; public docs "COPY" + message
+  // formats CopyInResponse/CopyData/CopyDone/CopyFail) ----
+
+  /** Backend: CopyInResponse ('G') — overall text format (0) + one
+    * format code 0 per column. */
+  def writeCopyInResponse(out: DataOutputStream, nCols: Int): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeByte(0) // overall format: text
+    b.writeShort(nCols)
+    (0 until nCols).foreach(_ => b.writeShort(0))
+    writeMsg(out, 'G', body.toByteArray)
+  }
+
+  /** Frontend: one CopyData ('d') frame. Frame boundaries carry no
+    * meaning — rows (and even UTF-8 sequences) may span frames. */
+  def writeCopyData(out: DataOutputStream, payload: Array[Byte]): Unit =
+    writeMsg(out, 'd', payload)
+
+  def writeCopyDone(out: DataOutputStream): Unit =
+    writeMsg(out, 'c', Array.emptyByteArray)
+
+  def writeCopyFail(out: DataOutputStream, message: String): Unit =
+    writeMsg(out, 'f', message.getBytes(UTF_8) :+ 0.toByte)
+
+  // ---- COPY text format (tab-separated, newline rows, \N null,
+  // backslash escapes — public docs "COPY ... TEXT Format") ----
+
+  /** One row as COPY text: cells tab-joined + trailing newline; null →
+    * `\N`; backslash/tab/newline/CR in data escaped. */
+  def copyEncodeRow(cells: Seq[String]): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var first = true
+    cells.foreach { c =>
+      if (!first) sb.append('\t')
+      first = false
+      if (c == null) sb.append("\\N")
+      else {
+        var i = 0
+        while (i < c.length) {
+          c.charAt(i) match {
+            case '\\' => sb.append("\\\\")
+            case '\t' => sb.append("\\t")
+            case '\n' => sb.append("\\n")
+            case '\r' => sb.append("\\r")
+            case ch => sb.append(ch)
+          }
+          i += 1
+        }
+      }
+    }
+    sb.append('\n').toString
+  }
+
+  /** One COPY text line (no trailing newline) → cells; `\N` → null. */
+  def copyDecodeLine(line: String): Array[String] = {
+    val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(64)
+    var escaped = false
+    var isNull = false
+    var sawEscape = false
+    def flush(): Unit = {
+      // bare \N (the whole cell, un-escaped) is the null sentinel
+      cells += (if (isNull && sb.length == 1 && sb.charAt(0) == 'N') null
+                else sb.toString)
+      sb.setLength(0); isNull = false; sawEscape = false
+    }
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (escaped) {
+        ch match {
+          case '\\' => sb.append('\\')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 'N' if sb.length == 0 && !sawEscape => sb.append('N'); isNull = true
+          case other => sb.append(other) // unknown escape: literal char
+        }
+        sawEscape = true
+        escaped = false
+      } else ch match {
+        case '\\' => escaped = true
+        case '\t' => flush()
+        case other => sb.append(other); isNull = false
+      }
+      i += 1
+    }
+    require(!escaped, s"COPY line ends mid-escape: $line")
+    flush()
+    cells.toArray
+  }
+
   def writeError(out: DataOutputStream, sqlState: String, message: String): Unit = {
     val body = new java.io.ByteArrayOutputStream()
     def fld(code: Char, v: String): Unit = {

@@ -34,7 +34,30 @@ import scala.jdk.CollectionConverters._
   * float8, text).
   */
 final class PgWireLoopbackServer(
-    tables: Map[String, PgWireLoopbackServer.Table]) {
+    seed: Map[String, PgWireLoopbackServer.Table]) {
+
+  /** Mutable per-table store: seeded tables plus COPY-writable ones.
+    * Rows land in a concurrent queue so concurrent per-partition COPY
+    * connections append without coordination (matching real Postgres,
+    * where concurrent COPY to one table is the standard bulk-load
+    * fan-in). */
+  private final class Store(val columns: Seq[(String, Int)]) {
+    val rows = new ConcurrentLinkedQueue[Array[Any]]()
+    def snapshot: Seq[Array[Any]] = rows.iterator().asScala.toSeq
+  }
+  private val stores = scala.collection.concurrent.TrieMap.empty[String, Store]
+  seed.foreach { case (n, t) =>
+    val st = new Store(t.columns)
+    t.rows.foreach(st.rows.add)
+    stores.put(n.toLowerCase, st)
+  }
+
+  /** Register an empty COPY-target table. */
+  def defineTable(name: String, columns: Seq[(String, Int)]): Unit =
+    stores.put(name.toLowerCase, new Store(columns))
+
+  def rowCount(name: String): Long =
+    stores.get(name.toLowerCase).map(_.rows.size.toLong).getOrElse(0L)
 
   private val server = new ServerSocket(0, 128,
     java.net.InetAddress.getLoopbackAddress)
@@ -96,7 +119,10 @@ final class PgWireLoopbackServer(
             val sql = new String(msg.body, java.nio.charset.StandardCharsets.UTF_8)
               .takeWhile(_ != '\u0000') // body is sql + trailing NUL
             statements.add(sql)
-            try {
+            if (CopyRe.findFirstIn(sql).isDefined) {
+              copyIn(sql, in, out)
+              PgWire.writeReadyForQuery(out)
+            } else try {
               val (fields, rows) = execute(sql)
               PgWire.writeRowDescription(out, fields)
               rows.foreach { r =>
@@ -126,6 +152,103 @@ final class PgWireLoopbackServer(
     } finally { sock.close(); accepted.remove(sock) }
   }
 
+  // ---- COPY FROM STDIN (the bulk-ingest write path) ----
+
+  private val CopyRe =
+    """(?is)^\s*COPY\s+(\w+)\s*\(([\w\s,]+)\)\s+FROM\s+STDIN\s*;?\s*$""".r
+
+  /** Serve one COPY-in: CopyInResponse, then accumulate CopyData
+    * frames until CopyDone (frame boundaries carry no meaning — rows
+    * and UTF-8 sequences may span frames, so bytes concatenate BEFORE
+    * decoding), parse the text-format rows against the declared column
+    * types, append to the store, CommandComplete("COPY n"). Errors
+    * (unknown table/column, bad cell) answer ErrorResponse after
+    * draining the stream so the connection stays usable. */
+  private def copyIn(sql: String, in: DataInputStream,
+                     out: DataOutputStream): Unit = {
+    val CopyRe(tableName, colsRaw) = sql: @unchecked
+    // validate the target BEFORE CopyInResponse (the client sends no
+    // data until it sees 'G'): an invalid COPY answers ErrorResponse
+    // immediately, like a real backend
+    val validated: Either[String, (Store, Seq[Int])] =
+      try {
+        val table = stores.getOrElse(tableName.toLowerCase,
+          throw new IllegalArgumentException(s"unknown COPY table $tableName"))
+        val colIdx = table.columns.map(_._1).zipWithIndex.toMap
+        val targets = colsRaw.split(",").map(_.trim).toSeq
+        val perm = targets.map(c => colIdx.getOrElse(c,
+          throw new IllegalArgumentException(s"unknown COPY column $c")))
+        require(perm.distinct.size == table.columns.size,
+          s"COPY must list every column of $tableName exactly once")
+        Right((table, perm))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    validated match {
+      case Left(msg) =>
+        PgWire.writeError(out, "42P01", msg)
+        return
+      case Right(_) =>
+        PgWire.writeCopyInResponse(out, colsRaw.split(",").length)
+    }
+    val Right((table, perm)) = validated: @unchecked
+    val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    var done = false
+    var failed: String = null
+    while (!done) {
+      val m = PgWire.readMsg(in)
+      m.tag.toChar match {
+        case 'd' => if (failed == null) buf.write(m.body)
+        case 'c' => done = true
+        case 'f' => // body is a bare NUL-terminated message string
+          failed = "client CopyFail: " + new String(m.body,
+            java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != 0)
+          done = true
+        case other =>
+          failed = s"unexpected message '$other' during COPY"; done = true
+      }
+      require(buf.size <= (1 << 28), "COPY payload exceeds fixture cap")
+    }
+    val result: Either[String, Int] =
+      if (failed != null) Left(failed)
+      else try {
+        val text = new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+        // split on UNESCAPED newlines only: copyEncodeRow escapes \n in
+        // data, so a raw '\n' byte is always a row boundary
+        val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+        // parse EVERYTHING before appending anything: a malformed row
+        // rejects the whole COPY (all-or-nothing per statement, like a
+        // real server's transactional COPY)
+        val parsed = lines.map { line =>
+          val cells = PgWire.copyDecodeLine(line)
+          require(cells.length == perm.length,
+            s"COPY row has ${cells.length} cells, expected ${perm.length}")
+          val row = new Array[Any](table.columns.length)
+          cells.zip(perm).foreach { case (cell, i) =>
+            row(i) =
+              if (cell == null) null
+              else table.columns(i)._2 match {
+                case PgWire.OidInt8 => java.lang.Long.valueOf(cell)
+                case PgWire.OidFloat8 => java.lang.Double.valueOf(cell)
+                case _ => cell
+              }
+          }
+          row
+        }
+        parsed.foreach(table.rows.add)
+        Right(parsed.size)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    result match {
+      case Right(n) => PgWire.writeCommandComplete(out, s"COPY $n")
+      case Left(msg) => PgWire.writeError(out, "22P04", msg)
+    }
+  }
+
   // ---- the SELECT evaluator ----
 
   private val SelectRe =
@@ -137,14 +260,14 @@ final class PgWireLoopbackServer(
   private def execute(sql: String)
       : (Seq[PgWire.Field], Seq[Seq[Any]]) = sql match {
     case SelectRe(colsRaw, tableName, whereRaw, groupRaw, limitRaw) =>
-      val table = tables.getOrElse(tableName.toLowerCase,
+      val table = stores.getOrElse(tableName.toLowerCase,
         throw new IllegalArgumentException(s"unknown table $tableName"))
       val colIdx = table.columns.map(_._1).zipWithIndex.toMap
       val preds = Option(whereRaw).toSeq
         .flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
         .map(p => parsePredicate(p.trim, colIdx))
       val limit = Option(limitRaw).map(_.toInt).getOrElse(Int.MaxValue)
-      def filtered = table.rows.iterator.filter(r => preds.forall(_(r)))
+      def filtered = table.snapshot.iterator.filter(r => preds.forall(_(r)))
       val items =
         if (colsRaw.trim == "*") table.columns.map(c => (c._1, None: Option[String]))
         else colsRaw.split(",").map(_.trim).toSeq.map {

@@ -433,6 +433,59 @@ private[pgwire] final class PgWireClient(host: String, port: Int)
     (fields, rows.result())
   }
 
+  /** One COPY-in statement: send `sql` (a `COPY t (cols) FROM STDIN`),
+    * await CopyInResponse, stream the rows as text-format CopyData
+    * frames (flushed at `bufferBytes` boundaries — rows may span
+    * frames; the server concatenates before decoding), CopyDone, and
+    * return the server-acknowledged row count from `CommandComplete
+    * "COPY n"`. Throws if the server rejects the COPY or acknowledges
+    * a different count than was sent — the per-partition delivery
+    * guard. */
+  def copyIn(sql: String, rows: Iterator[Seq[String]],
+             bufferBytes: Int = 1 << 16): Long = {
+    send(sql)
+    var started = false
+    while (!started) {
+      val m = read()
+      m.tag.toChar match {
+        case 'G' => started = true
+        case 'E' => throw new java.io.IOException(
+          "pgwire COPY rejected: " + PgWire.parseError(m.body))
+        case _ => () // NoticeResponse / ParameterStatus
+      }
+    }
+    val buf = new java.io.ByteArrayOutputStream(bufferBytes + (1 << 12))
+    var sent = 0L
+    rows.foreach { cells =>
+      buf.write(PgWire.copyEncodeRow(cells)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sent += 1
+      if (buf.size >= bufferBytes) {
+        PgWire.writeCopyData(out, buf.toByteArray); buf.reset()
+      }
+    }
+    if (buf.size > 0) PgWire.writeCopyData(out, buf.toByteArray)
+    PgWire.writeCopyDone(out)
+    var acked = -1L
+    var done = false
+    while (!done) {
+      val m = read()
+      m.tag.toChar match {
+        case 'C' =>
+          val tag = new String(m.body,
+            java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != 0)
+          acked = tag.stripPrefix("COPY ").trim.toLong
+        case 'Z' => done = true
+        case 'E' => throw new java.io.IOException(
+          "pgwire COPY failed: " + PgWire.parseError(m.body))
+        case _ => ()
+      }
+    }
+    if (acked != sent) throw new java.io.IOException(
+      s"pgwire COPY acknowledged $acked rows, sent $sent")
+    acked
+  }
+
   override def close(): Unit = {
     try PgWire.writeTerminate(out)
     catch { case _: java.io.IOException => () }

@@ -198,6 +198,193 @@ class PgWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("COPY text codec: escapes and the null sentinel round-trip") {
+    val nasty = Seq(
+      Seq("plain", null, ""),
+      Seq("tab\there", "line\nbreak", "back\\slash"),
+      Seq("\\N", "cr\rchar", "unié中"),
+      Seq("N", "\t\n\\", null))
+    nasty.foreach { row =>
+      val line = PgWire.copyEncodeRow(row)
+      assert(line.endsWith("\n"))
+      // encoded form carries no raw tab/newline inside cells: the only
+      // raw tabs are separators, the only raw newline the terminator
+      assert(line.dropRight(1).count(_ == '\t') == row.length - 1)
+      assert(!line.dropRight(1).contains('\n'))
+      assert(PgWire.copyDecodeLine(line.dropRight(1)).toSeq == row)
+    }
+    // empty string and null are DISTINCT through the format
+    assert(PgWire.copyDecodeLine(PgWire.copyEncodeRow(
+      Seq("", null)).dropRight(1)).toSeq == Seq("", null))
+  }
+
+  test("distributed COPY: 4 partitions stream 4 concurrent statements; " +
+      "nulls, escapes, and types land byte-exact in the store") {
+    val srv = new PgWireLoopbackServer(Map.empty)
+    try {
+      srv.defineTable("sink_t", Seq(("k", PgWire.OidInt8),
+        ("v", PgWire.OidFloat8), ("s", PgWire.OidText)))
+      import spark.implicits._
+      val data = (0L until 200L).map { i =>
+        (i,
+          if (i % 9 == 0) None else Some(i * 0.25),
+          if (i % 11 == 0) None
+          else Some(s"s\t$i\n\\${i % 3}")) // hostile: tab+newline+backslash
+      }
+      val df = data.toDF("k", "v", "s")
+        .selectExpr("k", "v", "s").repartition(4)
+      graft.sources.pgwire.PgWireCopySink.copyTo(
+        df, srv.host, srv.port, "sink_t")
+      assert(srv.rowCount("sink_t") == 200)
+      val copies = srv.recordedStatements.filter(_.startsWith("COPY"))
+      assert(copies.length == 4 &&
+        copies.forall(_ == "COPY sink_t (k, v, s) FROM STDIN"), copies)
+      assert(srv.connections.get == 4)
+      // read back over the wire and compare cell-exact
+      val got = spark.read.format("pgwire")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("table", "sink_t").load()
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(got == data)
+    } finally srv.close()
+  }
+
+  test("COPY is all-or-nothing: a malformed cell rejects the whole " +
+      "statement and the store stays empty") {
+    val srv = new PgWireLoopbackServer(Map.empty)
+    try {
+      srv.defineTable("strict_t", Seq(("k", PgWire.OidInt8)))
+      import spark.implicits._
+      // text cells into an int8 column: the server's Long parse fails
+      // on the non-numeric row AFTER valid ones were seen in-stream
+      val df = Seq("1", "2", "not_a_number", "4").toDF("k").coalesce(1)
+      val e = intercept[Exception] {
+        graft.sources.pgwire.PgWireCopySink.copyTo(
+          df, srv.host, srv.port, "strict_t")
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("COPY failed")))
+      assert(srv.rowCount("strict_t") == 0) // valid rows did NOT splice in
+    } finally srv.close()
+  }
+
+  test("COPY to an unknown table is rejected at the wire") {
+    val srv = new PgWireLoopbackServer(Map.empty)
+    try {
+      import spark.implicits._
+      val e = intercept[Exception] {
+        graft.sources.pgwire.PgWireCopySink.copyTo(
+          Seq(1L).toDF("k").coalesce(1), srv.host, srv.port, "nope")
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("unknown COPY table")))
+    } finally srv.close()
+  }
+
+  test("unsupported column types are rejected on the driver at plan time") {
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val srv = new PgWireLoopbackServer(Map.empty)
+    try {
+      srv.defineTable("t2", Seq(("k", PgWire.OidInt8)))
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.pgwire.PgWireCopySink.copyTo(
+          df, srv.host, srv.port, "t2")
+      }
+      assert(e.getMessage.contains("cast to long/double/string first"))
+      assert(srv.connections.get == 0) // rejected before any socket
+    } finally srv.close()
+  }
+
+  test("streaming COPY: 4 micro-batches land in 4 per-batch tables; " +
+      "union equals the batch replay; replay is idempotent") {
+    val srv = new PgWireLoopbackServer(Map.empty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_pgcopy").toString
+    try {
+      val orders = graft.sources.Tables
+        .read(spark, "/root/testdata/sf0.001", "orders")
+      orders.repartition(4).write.mode("overwrite").parquet(dir)
+      val total = orders.count()
+      val cols = Seq(
+        ("o_orderkey", PgWire.OidInt8), ("o_custkey", PgWire.OidInt8),
+        ("cents", PgWire.OidInt8), ("priority", PgWire.OidText))
+      def runOnce() = graft.streaming.StreamingPgCopy.runOnce(
+        graft.streaming.StreamingPgCopy.ordersFeed(
+          spark, dir, maxFilesPerTrigger = Some(1)),
+        srv.host, srv.port, "ord_s", t => srv.defineTable(t, cols))
+      val tables = runOnce()
+      assert(tables.length == 4 &&
+        tables == (0 until 4).map(i => s"ord_s_b$i"))
+      assert(tables.map(srv.rowCount).sum == total)
+      // a full REPLAY (fresh stream, same batch ids from scratch)
+      // truncates and re-lands every batch table: same store after
+      val again = runOnce()
+      assert(again == tables)
+      assert(tables.map(srv.rowCount).sum == total)
+      // union across batch tables == direct batch aggregate
+      import org.apache.spark.sql.functions._
+      val got = tables.map { t =>
+          spark.read.format("pgwire")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("table", t).load()
+        }.reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n"), sum("cents").as("c")).collect()(0)
+      val want = orders
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_totalprice").cast("decimal(27,2)") * 100)
+            .cast("long")).as("c")).collect()(0)
+      assert(got == want)
+    } finally {
+      srv.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
+  test("stream_pgwire_copy matches the plain parquet replay") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stream_pgwire_copy")(spark, dir)
+      .collect()
+    val want = graft.sources.Tables.read(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(27,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .orderBy(col("priority"))
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    graft.operators.CacheScope.global.release()
+  }
+
+  test("s1_pgwire_copy_roundtrip matches the plain parquet replay") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("s1_pgwire_copy_roundtrip")(spark, dir)
+      .collect()
+    val want = graft.sources.Tables.read(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(27,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .orderBy(col("priority"))
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    graft.operators.CacheScope.global.release()
+  }
+
   test("s1_pgwire_scan matches the plain parquet replay") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
