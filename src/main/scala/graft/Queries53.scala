@@ -91,6 +91,58 @@ object Queries53 {
       ORDER BY c_custkey"""),
     bench = false)
 
+  /** The extended-query protocol end to end: the same filtered,
+    * pruned, 4-way-partitioned scan as `s1_pgwire_scan`, but shipped
+    * the way real drivers ship it — Parse/Bind/Describe/Execute/Sync,
+    * pushed predicate VALUES as bound wire parameters (`$n`
+    * placeholders in the statement text, never spliced literals) and
+    * int8/float8 result columns in BINARY format (8-byte big-endian
+    * cells: fewer wire bytes, zero text parsing on the decode hot
+    * path — at warehouse scale the decode CPU is the scan's cost).
+    * The entry gates on the recorded wire traffic: every SELECT that
+    * crossed the socket must be placeholder-parameterized with no
+    * inlined filter literal, and every Bind must have requested
+    * binary results — then the oracle proves the parameter binding
+    * and binary decode produced exactly the right rows.
+    */
+  val s1_pgwire_extended = Q(
+    (s, dir) => {
+      val (srv, lo, hi) = customerServer(s, dir)
+      try {
+        val df = s.read.format("pgwire")
+          .option("host", srv.host).option("port", srv.port.toString)
+          .option("table", "customer")
+          .option("protocol", "extended")
+          .option("partitionColumn", "c_custkey")
+          .option("numPartitions", "4")
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .load()
+          .filter(col("c_mktsegment") === "MACHINERY" &&
+            col("c_acctbal") < lit(5000.0))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+        val out = graft.operators.CacheScope.global.checkpoint(df)
+        // wire gate: parameterized statements only, binary results
+        // asked (the schema-inference `LIMIT 0` probe has no WHERE and
+        // is exempt)
+        val sels = srv.recordedStatements.filter(_.contains(" WHERE "))
+        require(sels.nonEmpty && sels.forall(q =>
+          q.contains("$1") && !q.contains("MACHINERY") && !q.contains("5000")),
+          s"extended-protocol scan leaked literals into SQL: $sels")
+        require(srv.recordedBinds.nonEmpty &&
+          srv.recordedBinds.forall(_._3.contains(1)),
+          "extended-protocol scan did not request binary results")
+        out
+      } finally srv.close()
+    },
+    Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        c_acctbal
+      FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 5000.0
+      ORDER BY c_custkey"""),
+    bench = false)
+
   /** BinaryType properties through the REAL Bolt wire: every
     * document's UTF-8 payload rides a binary prop through
     * PackStream's BYTES markers (0xCC/0xCD/0xCE — the round-9 advice
@@ -264,6 +316,7 @@ object Queries53 {
 
   val all: Map[String, Q] = Map(
     "s1_pgwire_scan" -> s1_pgwire_scan,
+    "s1_pgwire_extended" -> s1_pgwire_extended,
     "s1_pgwire_agg_pushdown" -> s1_pgwire_agg_pushdown,
     "s1_pgwire_copy_roundtrip" -> s1_pgwire_copy_roundtrip,
     "stream_pgwire_copy" -> stream_pgwire_copy,

@@ -16,11 +16,23 @@ import java.nio.charset.StandardCharsets.UTF_8
   *     ReadyForQuery ('Z'), RowDescription ('T'), DataRow ('D'),
   *     CommandComplete ('C'), ErrorResponse ('E')
   *
-  * All result cells travel in TEXT format (format code 0): int8 and
-  * float8 as their canonical string forms (Long.toString /
-  * Double.toString round-trip losslessly), text verbatim, NULL as the
-  * -1 length sentinel. Pure bytes, no driver classes — the Postgres
-  * analog of [[graft.sinks.bolt.PackStream]].
+  * All simple-query result cells travel in TEXT format (format code
+  * 0): int8 and float8 as their canonical string forms (Long.toString
+  * / Double.toString round-trip losslessly), text verbatim, NULL as
+  * the -1 length sentinel. Pure bytes, no driver classes — the
+  * Postgres analog of [[graft.sinks.bolt.PackStream]].
+  *
+  * Extended-query protocol (public docs "Extended Query"): Parse
+  * ('P') / Bind ('B') / Describe ('D') / Execute ('E') / Close ('C')
+  * / Sync ('S') frontend messages and their backend acks
+  * (ParseComplete '1', BindComplete '2', CloseComplete '3',
+  * ParameterDescription 't', NoData 'n', PortalSuspended 's') — the
+  * path every real driver takes: statements carry `$n` placeholders,
+  * values ride as BOUND PARAMETERS (never spliced into SQL text), and
+  * per-column result format codes let int8/float8 cells return in
+  * BINARY format (8-byte big-endian two's-complement / IEEE-754 bits
+  * — public docs pg_type send functions int8send/float8send): fewer
+  * wire bytes and zero text-parse cost on the hot decode path.
   */
 object PgWire {
 
@@ -32,7 +44,9 @@ object PgWire {
 
   final val ProtocolV3 = 196608 // 3 << 16
 
-  final case class Field(name: String, oid: Int)
+  /** `format`: 0 = text, 1 = binary (per-column result format code,
+    * negotiated by Bind's result-format list). */
+  final case class Field(name: String, oid: Int, format: Int = 0)
 
   /** One backend message: tag byte + payload (length stripped). */
   final case class Msg(tag: Byte, body: Array[Byte])
@@ -58,6 +72,198 @@ object PgWire {
 
   def writeTerminate(out: DataOutputStream): Unit =
     writeMsg(out, 'X', Array.emptyByteArray)
+
+  // ---- extended-query frontend encode ----
+
+  /** Parse ('P'): named (or unnamed, "") prepared statement from SQL
+    * with `$n` placeholders + declared parameter type OIDs. */
+  def writeParse(out: DataOutputStream, stmt: String, sql: String,
+                 paramOids: Seq[Int]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.write(stmt.getBytes(UTF_8)); b.writeByte(0)
+    b.write(sql.getBytes(UTF_8)); b.writeByte(0)
+    b.writeShort(paramOids.length)
+    paramOids.foreach(b.writeInt)
+    writeMsg(out, 'P', body.toByteArray)
+  }
+
+  /** Bind ('B'): create a portal from a prepared statement.
+    * `params` are pre-encoded cell bytes (null = SQL NULL) with their
+    * per-parameter format codes; `resultFormats` is the per-column
+    * result format list (empty = all text). */
+  def writeBind(out: DataOutputStream, portal: String, stmt: String,
+                paramFormats: Seq[Int], params: Seq[Array[Byte]],
+                resultFormats: Seq[Int]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.write(portal.getBytes(UTF_8)); b.writeByte(0)
+    b.write(stmt.getBytes(UTF_8)); b.writeByte(0)
+    b.writeShort(paramFormats.length)
+    paramFormats.foreach(b.writeShort)
+    b.writeShort(params.length)
+    params.foreach {
+      case null => b.writeInt(-1)
+      case bytes => b.writeInt(bytes.length); b.write(bytes)
+    }
+    b.writeShort(resultFormats.length)
+    resultFormats.foreach(b.writeShort)
+    writeMsg(out, 'B', body.toByteArray)
+  }
+
+  /** Describe ('D'): kind 'S' = prepared statement, 'P' = portal. */
+  def writeDescribe(out: DataOutputStream, kind: Char, name: String): Unit =
+    writeMsg(out, 'D', kind.toByte +: (name.getBytes(UTF_8) :+ 0.toByte))
+
+  /** Execute ('E'): run a portal; maxRows 0 = no limit, >0 = suspend
+    * after that many rows (PortalSuspended) — the fetch-size cursor
+    * JDBC's setFetchSize rides on. */
+  def writeExecute(out: DataOutputStream, portal: String, maxRows: Int): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.write(portal.getBytes(UTF_8)); b.writeByte(0)
+    b.writeInt(maxRows)
+    writeMsg(out, 'E', body.toByteArray)
+  }
+
+  /** Close ('C' frontend): kind 'S' = statement, 'P' = portal. */
+  def writeCloseStmt(out: DataOutputStream, kind: Char, name: String): Unit =
+    writeMsg(out, 'C', kind.toByte +: (name.getBytes(UTF_8) :+ 0.toByte))
+
+  def writeSync(out: DataOutputStream): Unit =
+    writeMsg(out, 'S', Array.emptyByteArray)
+
+  // ---- extended-query backend encode ----
+
+  def writeParseComplete(out: DataOutputStream): Unit =
+    writeMsg(out, '1', Array.emptyByteArray)
+  def writeBindComplete(out: DataOutputStream): Unit =
+    writeMsg(out, '2', Array.emptyByteArray)
+  def writeCloseComplete(out: DataOutputStream): Unit =
+    writeMsg(out, '3', Array.emptyByteArray)
+  def writeNoData(out: DataOutputStream): Unit =
+    writeMsg(out, 'n', Array.emptyByteArray)
+  def writePortalSuspended(out: DataOutputStream): Unit =
+    writeMsg(out, 's', Array.emptyByteArray)
+
+  def writeParameterDescription(out: DataOutputStream, oids: Seq[Int]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeShort(oids.length)
+    oids.foreach(b.writeInt)
+    writeMsg(out, 't', body.toByteArray)
+  }
+
+  // ---- extended-query server-side decode ----
+
+  def parseParse(body: Array[Byte]): (String, String, Seq[Int]) = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val stmt = readCString(in)
+    val sql = readCString(in)
+    val n = in.readShort()
+    (stmt, sql, (0 until n).map(_ => in.readInt()))
+  }
+
+  /** → (portal, stmt, paramFormats, params (null = SQL NULL),
+    * resultFormats). */
+  def parseBind(body: Array[Byte])
+      : (String, String, Seq[Int], Seq[Array[Byte]], Seq[Int]) = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val portal = readCString(in)
+    val stmt = readCString(in)
+    val nf = in.readShort()
+    val formats = (0 until nf).map(_ => in.readShort().toInt)
+    val np = in.readShort()
+    val params = (0 until np).map { _ =>
+      val len = in.readInt()
+      if (len < 0) null
+      else { val b = new Array[Byte](len); in.readFully(b); b }
+    }
+    val nr = in.readShort()
+    val results = (0 until nr).map(_ => in.readShort().toInt)
+    (portal, stmt, formats, params, results)
+  }
+
+  def parseDescribe(body: Array[Byte]): (Char, String) = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    (in.readByte().toChar, readCString(in))
+  }
+
+  def parseExecute(body: Array[Byte]): (String, Int) = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    (readCString(in), in.readInt())
+  }
+
+  def parseParameterDescription(body: Array[Byte]): Seq[Int] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val n = in.readShort()
+    (0 until n).map(_ => in.readInt())
+  }
+
+  // ---- binary cell format (format code 1) ----
+
+  /** int8send: 8-byte big-endian two's-complement. */
+  def binInt8(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+
+  /** float8send: IEEE-754 bit pattern, big-endian. */
+  def binFloat8(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+
+  def binToInt8(b: Array[Byte]): Long = {
+    require(b.length == 8, s"binary int8 cell has ${b.length} bytes")
+    java.nio.ByteBuffer.wrap(b).getLong
+  }
+
+  def binToFloat8(b: Array[Byte]): Double = {
+    require(b.length == 8, s"binary float8 cell has ${b.length} bytes")
+    java.nio.ByteBuffer.wrap(b).getDouble
+  }
+
+  /** Encode one cell for the wire: `format` 0 = canonical text bytes,
+    * 1 = the type's binary send format (text columns are UTF-8 either
+    * way). null → null (the writer emits the -1 sentinel). */
+  def encodeCell(v: Any, oid: Int, format: Int): Array[Byte] = v match {
+    case null => null
+    case l: java.lang.Long if format == 1 && oid == OidInt8 => binInt8(l)
+    case d: java.lang.Double if format == 1 && oid == OidFloat8 => binFloat8(d)
+    case other =>
+      require(format == 0 || oid == OidText,
+        s"no binary codec for OID $oid value ${other.getClass.getSimpleName}")
+      other.toString.getBytes(UTF_8)
+  }
+
+  /** Decode one wire cell to Long / Double / String per OID+format. */
+  def decodeCell(b: Array[Byte], oid: Int, format: Int): Any =
+    if (b == null) null
+    else if (format == 1) oid match {
+      case OidInt8 => java.lang.Long.valueOf(binToInt8(b))
+      case OidFloat8 => java.lang.Double.valueOf(binToFloat8(b))
+      case OidText => new String(b, UTF_8)
+      case other =>
+        throw new IllegalArgumentException(s"no binary codec for OID $other")
+    } else {
+      val s = new String(b, UTF_8)
+      oid match {
+        case OidInt8 => java.lang.Long.valueOf(s)
+        case OidFloat8 => java.lang.Double.valueOf(s)
+        case _ => s
+      }
+    }
+
+  /** DataRow from pre-encoded cell bytes (null = NULL sentinel) —
+    * the extended-protocol row writer (text and binary cells mix
+    * freely per the negotiated result formats). */
+  def writeDataRowRaw(out: DataOutputStream, cells: Seq[Array[Byte]]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeShort(cells.length)
+    cells.foreach {
+      case null => b.writeInt(-1)
+      case bytes => b.writeInt(bytes.length); b.write(bytes)
+    }
+    writeMsg(out, 'D', body.toByteArray)
+  }
 
   // ---- backend encode ----
 
@@ -85,7 +291,7 @@ object PgWire {
       b.writeInt(f.oid)
       b.writeShort(if (f.oid == OidText) -1 else 8) // typlen
       b.writeInt(-1)       // typmod
-      b.writeShort(0)      // format: text
+      b.writeShort(f.format) // 0 = text, 1 = binary
     }
     writeMsg(out, 'T', body.toByteArray)
   }
@@ -253,8 +459,21 @@ object PgWire {
       val name = readCString(in)
       in.readInt(); in.readShort()
       val oid = in.readInt()
-      in.readShort(); in.readInt(); in.readShort()
-      Field(name, oid)
+      in.readShort(); in.readInt()
+      val format = in.readShort()
+      Field(name, oid, format)
+    }
+  }
+
+  /** Raw cell bytes (null cell → null) — the extended-protocol row
+    * parser; decode per the RowDescription's per-column formats. */
+  def parseDataRowRaw(body: Array[Byte]): Array[Array[Byte]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val n = in.readShort()
+    Array.tabulate(n) { _ =>
+      val len = in.readInt()
+      if (len < 0) null
+      else { val b = new Array[Byte](len); in.readFully(b); b }
     }
   }
 

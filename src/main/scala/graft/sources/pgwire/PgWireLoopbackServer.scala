@@ -64,10 +64,17 @@ final class PgWireLoopbackServer(
   val port: Int = server.getLocalPort
   val host: String = server.getInetAddress.getHostAddress
 
-  /** SQL text of every Query message, arrival order. */
+  /** SQL text of every Query AND Parse message, arrival order — for
+    * extended-protocol traffic this is the PARAMETERIZED text (`$n`
+    * placeholders), proving values never rode inside SQL. */
   val statements = new ConcurrentLinkedQueue[String]()
+  /** Every Bind: (statement SQL, decoded param values, requested
+    * result format codes) — what actually crossed the wire. */
+  val binds = new ConcurrentLinkedQueue[(String, Seq[Any], Seq[Int])]()
   val connections = new AtomicLong(0L)
   def recordedStatements: Seq[String] = statements.iterator().asScala.toSeq
+  def recordedBinds: Seq[(String, Seq[Any], Seq[Int])] =
+    binds.iterator().asScala.toSeq
 
   private val accepted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
@@ -108,6 +115,18 @@ final class PgWireLoopbackServer(
       PgWire.writeAuthOk(out)
       PgWire.writeParameterStatus(out, "server_version", "16.0-loopback-fixture")
       PgWire.writeReadyForQuery(out)
+      // ---- per-connection extended-protocol state ----
+      // prepared statements: name -> (sql, declared param OIDs)
+      val prepared = scala.collection.mutable.Map.empty[String, (String, Seq[Int])]
+      // portals: name -> (fields incl. result formats, remaining rows)
+      val portals = scala.collection.mutable.Map
+        .empty[String, (Seq[PgWire.Field], Iterator[Seq[Any]])]
+      // after an extended-phase error, skip messages until Sync
+      var errorState = false
+      def extErr(sqlState: String, msg: String): Unit = {
+        PgWire.writeError(out, sqlState, msg)
+        errorState = true
+      }
       var open = true
       while (open) {
         val msg =
@@ -141,6 +160,110 @@ final class PgWireLoopbackServer(
                   s"${e.getClass.getSimpleName}: ${e.getMessage}")
             }
             PgWire.writeReadyForQuery(out)
+
+          // ---- extended-query protocol ----
+          // No ReadyForQuery until Sync; an error poisons the phase
+          // and every further message before Sync is skipped (public
+          // docs: "Extended Query", error handling).
+          case 'S' => // Sync: end of pipeline
+            errorState = false
+            PgWire.writeReadyForQuery(out)
+          case 'P' if !errorState =>
+            val (name, sql, oids) = PgWire.parseParse(msg.body)
+            statements.add(sql)
+            prepared.put(name, (sql, oids))
+            PgWire.writeParseComplete(out)
+          case 'B' if !errorState =>
+            val (portal, stmt, pFormats, pCells, rFormats) =
+              PgWire.parseBind(msg.body)
+            prepared.get(stmt) match {
+              case None => extErr("26000", s"unknown prepared statement '$stmt'")
+              case Some((sql, oids)) =>
+                try {
+                  val params = pCells.zipWithIndex.map { case (cell, i) =>
+                    val fmt =
+                      if (pFormats.isEmpty) 0
+                      else if (pFormats.length == 1) pFormats.head
+                      else pFormats(i)
+                    val oid = if (i < oids.length) oids(i) else 0
+                    if (cell == null) null
+                    else if (oid != 0) PgWire.decodeCell(cell, oid, fmt)
+                    else {
+                      require(fmt == 0,
+                        s"binary parameter $$${i + 1} needs a declared type OID")
+                      inferText(new String(cell,
+                        java.nio.charset.StandardCharsets.UTF_8))
+                    }
+                  }
+                  binds.add((sql, params, rFormats))
+                  val (fields, rows) = execute(sql, params.toIndexedSeq)
+                  val withFormats = fields.zipWithIndex.map { case (f, i) =>
+                    val fmt =
+                      if (rFormats.isEmpty) 0
+                      else if (rFormats.length == 1) rFormats.head
+                      else rFormats(i)
+                    f.copy(format = fmt)
+                  }
+                  portals.put(portal, (withFormats, rows.iterator))
+                  PgWire.writeBindComplete(out)
+                } catch {
+                  case scala.util.control.NonFatal(e) =>
+                    extErr("42601",
+                      s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                }
+            }
+          case 'D' if !errorState =>
+            val (kind, name) = PgWire.parseDescribe(msg.body)
+            kind match {
+              case 'P' => portals.get(name) match {
+                case Some((fields, _)) =>
+                  PgWire.writeRowDescription(out, fields)
+                case None => extErr("34000", s"unknown portal '$name'")
+              }
+              case 'S' => prepared.get(name) match {
+                case Some((sql, oids)) =>
+                  PgWire.writeParameterDescription(out, oids)
+                  // statement-level shape: evaluate against all-NULL
+                  // params (field list is param-independent)
+                  try {
+                    val (fields, _) = execute(sql,
+                      IndexedSeq.fill[Any](oids.length)(null))
+                    PgWire.writeRowDescription(out, fields)
+                  } catch {
+                    case scala.util.control.NonFatal(_) =>
+                      PgWire.writeNoData(out)
+                  }
+                case None =>
+                  extErr("26000", s"unknown prepared statement '$name'")
+              }
+              case other => extErr("08P01", s"bad Describe kind '$other'")
+            }
+          case 'E' if !errorState =>
+            val (name, maxRows) = PgWire.parseExecute(msg.body)
+            portals.get(name) match {
+              case None => extErr("34000", s"unknown portal '$name'")
+              case Some((fields, it)) =>
+                var sent = 0
+                while (it.hasNext && (maxRows <= 0 || sent < maxRows)) {
+                  val r = it.next()
+                  PgWire.writeDataRowRaw(out, r.zip(fields).map {
+                    case (v, f) => PgWire.encodeCell(v, f.oid, f.format)
+                  })
+                  sent += 1
+                }
+                if (it.hasNext) PgWire.writePortalSuspended(out)
+                else PgWire.writeCommandComplete(out, s"SELECT $sent")
+            }
+          case 'C' if !errorState =>
+            val (kind, name) = PgWire.parseDescribe(msg.body) // same wire shape
+            kind match {
+              case 'S' => prepared.remove(name)
+              case 'P' => portals.remove(name)
+              case _ => ()
+            }
+            PgWire.writeCloseComplete(out)
+          case 'P' | 'B' | 'D' | 'E' | 'C' => () // poisoned: wait for Sync
+
           case other =>
             PgWire.writeError(out, "08P01",
               s"fixture does not handle message '$other'")
@@ -257,7 +380,8 @@ final class PgWireLoopbackServer(
     """(?is)^(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val ColItemRe = """(?is)^(\w+)(?:\s+AS\s+(\w+))?$""".r
 
-  private def execute(sql: String)
+  private def execute(sql: String,
+                      params: IndexedSeq[Any] = IndexedSeq.empty)
       : (Seq[PgWire.Field], Seq[Seq[Any]]) = sql match {
     case SelectRe(colsRaw, tableName, whereRaw, groupRaw, limitRaw) =>
       val table = stores.getOrElse(tableName.toLowerCase,
@@ -265,7 +389,7 @@ final class PgWireLoopbackServer(
       val colIdx = table.columns.map(_._1).zipWithIndex.toMap
       val preds = Option(whereRaw).toSeq
         .flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
-        .map(p => parsePredicate(p.trim, colIdx))
+        .map(p => parsePredicate(p.trim, colIdx, params))
       val limit = Option(limitRaw).map(_.toInt).getOrElse(Int.MaxValue)
       def filtered = table.snapshot.iterator.filter(r => preds.forall(_(r)))
       val items =
@@ -361,7 +485,8 @@ final class PgWireLoopbackServer(
   private val IsNullRe = """(?is)^(\w+)\s+IS\s+NULL$""".r
   private val IsNotNullRe = """(?is)^(\w+)\s+IS\s+NOT\s+NULL$""".r
 
-  private def parsePredicate(p: String, colIdx: Map[String, Int])
+  private def parsePredicate(p: String, colIdx: Map[String, Int],
+                             params: IndexedSeq[Any])
       : Array[Any] => Boolean = {
     def idx(c: String): Int = colIdx.getOrElse(c,
       throw new IllegalArgumentException(s"unknown column $c in WHERE"))
@@ -372,7 +497,7 @@ final class PgWireLoopbackServer(
         val i = idx(c); r => r(i) == null
       case CmpRe(c, op, litRaw) =>
         val i = idx(c)
-        val lit = parseLiteral(litRaw.trim)
+        val lit = parseLiteral(litRaw.trim, params)
         r => {
           val v = r(i)
           // SQL three-valued logic: NULL compares to nothing
@@ -394,12 +519,25 @@ final class PgWireLoopbackServer(
     }
   }
 
-  private def parseLiteral(s: String): Any =
+  private def parseLiteral(s: String, params: IndexedSeq[Any]): Any =
     if (s.equalsIgnoreCase("NULL")) null
+    else if (s.matches("\\$\\d+")) { // extended-protocol placeholder
+      val n = s.drop(1).toInt
+      require(n >= 1 && n <= params.length,
+        s"parameter $s out of range (${params.length} bound)")
+      params(n - 1)
+    }
     else if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
       s.substring(1, s.length - 1).replace("''", "'")
     else if (s.matches("[+-]?\\d+")) java.lang.Long.valueOf(s)
     else java.lang.Double.valueOf(s) // throws on garbage → ErrorResponse
+
+  /** Text-format parameter with no declared OID: narrowest of
+    * long / double / string. */
+  private def inferText(s: String): Any =
+    if (s.matches("[+-]?\\d+")) java.lang.Long.valueOf(s)
+    else try java.lang.Double.valueOf(s)
+    catch { case _: NumberFormatException => s }
 
   private def compare(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)

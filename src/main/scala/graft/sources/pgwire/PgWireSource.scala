@@ -122,6 +122,64 @@ private[pgwire] object PgWireSource {
 
   /** Only bare top-level columns (no dots = no nested fields). */
   private def simpleCol(c: String): Boolean = c.matches("\\w+")
+
+  /** Wire type OID for a pushed parameter value; None if the value
+    * has no wire type (stays residual). */
+  def paramOid(v: Any): Option[Int] = v match {
+    case null => None
+    case _: String => Some(PgWire.OidText)
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => Some(PgWire.OidInt8)
+    case _: java.lang.Double | _: java.lang.Float => Some(PgWire.OidFloat8)
+    case _ => None
+  }
+
+  /** Normalize a filter value to its wire representation
+    * (Long / Double / String). */
+  def paramValue(v: Any): Any = v match {
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Short => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue())
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue())
+    case other => other
+  }
+
+  /** A v1 filter → (predicate fragment with `?` placeholders, bound
+    * params), or None to leave it residual — the extended-protocol
+    * renderer: values ride as wire parameters, never SQL text. The
+    * `?` markers are numbered `$1..$n` once the full WHERE is
+    * assembled (placeholder numbering is global to the statement). */
+  def renderParam(f: Filter): Option[(String, Seq[(Int, Any)])] = {
+    def cmp(c: String, op: String, v: Any): Option[(String, Seq[(Int, Any)])] =
+      if (!simpleCol(c)) None
+      else paramOid(v).map(oid => (s"$c $op ?", Seq((oid, paramValue(v)))))
+    f match {
+      case sources.EqualTo(c, v) => cmp(c, "=", v)
+      case sources.GreaterThan(c, v) => cmp(c, ">", v)
+      case sources.GreaterThanOrEqual(c, v) => cmp(c, ">=", v)
+      case sources.LessThan(c, v) => cmp(c, "<", v)
+      case sources.LessThanOrEqual(c, v) => cmp(c, "<=", v)
+      case sources.IsNull(c) if simpleCol(c) => Some((s"$c IS NULL", Nil))
+      case sources.IsNotNull(c) if simpleCol(c) => Some((s"$c IS NOT NULL", Nil))
+      case _ => None
+    }
+  }
+
+  /** Number the `?` markers of assembled fragments `$1..$n` in order
+    * — the final statement text plus its positional parameter list. */
+  def numberPlaceholders(fragments: Seq[(String, Seq[(Int, Any)])])
+      : (Seq[String], Seq[(Int, Any)]) = {
+    var n = 0
+    val sqls = fragments.map { case (frag, ps) =>
+      var out = frag
+      ps.foreach { _ =>
+        n += 1
+        out = out.replaceFirst("\\?", "\\$" + n)
+      }
+      out
+    }
+    (sqls, fragments.flatMap(_._2))
+  }
 }
 
 private[pgwire] class PgWireTable(tableSchema: StructType,
@@ -250,44 +308,62 @@ private[pgwire] class PgWireScanBuilder(tableSchema: StructType,
 
   override def build(): Scan = agg match {
     case Some((sel, gcols, schema)) =>
-      new PgWireScan(schema, pushed.flatMap(PgWireSource.render), options,
-        Some((sel, gcols)), pushedLimit)
+      new PgWireScan(schema, pushed, options, Some((sel, gcols)), pushedLimit)
     case None =>
-      new PgWireScan(required, pushed.flatMap(PgWireSource.render), options,
-        None, pushedLimit)
+      new PgWireScan(required, pushed, options, None, pushedLimit)
   }
 }
 
 private[pgwire] class PgWireScan(required: StructType,
-                                 predicates: Array[String],
+                                 filters: Array[Filter],
                                  options: CaseInsensitiveStringMap,
                                  agg: Option[(Seq[String], Seq[String])],
                                  limit: Option[Int])
     extends Scan with Batch {
 
+  /** `protocol=extended`: ship the statement through Parse/Bind/
+    * Execute — pushed filter values ride as BOUND PARAMETERS (`$n`
+    * placeholders in the wire SQL) and int8/float8 result columns
+    * return in binary format. Default is the simple-query protocol
+    * with literals rendered into the SQL. */
+  private def extended: Boolean = "extended" == options.get("protocol")
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val (_, _, table) = PgWireSource.endpoint(options)
-    s"pgwire table=$table pushed=[${predicates.mkString(" AND ")}]" +
+    val shown = filters.flatMap(PgWireSource.render)
+    s"pgwire table=$table pushed=[${shown.mkString(" AND ")}]" +
       agg.map { case (_, g) => s" agg=[groupBy ${g.mkString(",")}]" }.getOrElse("") +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      (if (extended) " protocol=extended" else "")
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (_, _, table) = PgWireSource.endpoint(options)
     val cols = agg.map(_._1.mkString(", "))
       .getOrElse(required.fieldNames.mkString(", "))
-    def sqlFor(extra: Seq[String]): String = {
-      val where = predicates.toSeq ++ extra
+    // each pushed predicate as (fragment, params): simple mode inlines
+    // literals (params empty); extended mode leaves `?` placeholders
+    val base: Seq[(String, Seq[(Int, Any)])] =
+      if (extended) filters.toSeq.flatMap(PgWireSource.renderParam)
+      else filters.toSeq.flatMap(f => PgWireSource.render(f).map((_, Nil)))
+    def partitionFor(extra: Seq[(String, Seq[(Int, Any)])]): PgWirePartition = {
+      val (frags, params) = PgWireSource.numberPlaceholders(base ++ extra)
       val gb = agg.map(_._2).filter(_.nonEmpty)
         .map(g => s" GROUP BY ${g.mkString(", ")}").getOrElse("")
-      s"SELECT $cols FROM $table" +
-        (if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")) +
+      val sql = s"SELECT $cols FROM $table" +
+        (if (frags.isEmpty) "" else frags.mkString(" WHERE ", " AND ", "")) +
         gb + limit.map(l => s" LIMIT $l").getOrElse("")
+      PgWirePartition(sql, params)
     }
+    def bound(op: String, v: Long): (String, Seq[(Int, Any)]) =
+      if (extended)
+        (s"${options.get("partitionColumn")} $op ?",
+          Seq((PgWire.OidInt8, java.lang.Long.valueOf(v))))
+      else (s"${options.get("partitionColumn")} $op $v", Nil)
     val partCol = options.get("partitionColumn")
-    if (partCol == null) Array(PgWirePartition(sqlFor(Nil)))
+    if (partCol == null) Array(partitionFor(Nil))
     else {
       // JDBC-style strided ranges; the partition column must be
       // non-null (range clauses drop NULL rows by SQL semantics)
@@ -295,47 +371,72 @@ private[pgwire] class PgWireScan(required: StructType,
       val lo = options.get("lowerBound").toLong
       val hi = options.get("upperBound").toLong
       require(hi >= lo, s"pgwire bounds: upperBound $hi < lowerBound $lo")
-      if (n == 1) Array(PgWirePartition(sqlFor(Nil)))
+      if (n == 1) Array(partitionFor(Nil))
       else {
         val stride = math.max(1L, (hi - lo) / n)
         val bounds = (1 until n).map(i => lo + stride * i).distinct
           .filter(b => b > lo && b < hi)
-        val cuts = (Seq.empty[String] +: bounds.map(b => Seq(s"$partCol >= $b")))
-          .zip(bounds.map(b => Seq(s"$partCol < $b")) :+ Seq.empty[String])
+        val cuts = (Seq.empty[(String, Seq[(Int, Any)])] +:
+            bounds.map(b => Seq(bound(">=", b))))
+          .zip(bounds.map(b => Seq(bound("<", b))) :+
+            Seq.empty[(String, Seq[(Int, Any)])])
           .map { case (loC, hiC) => loC ++ hiC }
-        cuts.map(c => PgWirePartition(sqlFor(c)): InputPartition).toArray
+        cuts.map(c => partitionFor(c): InputPartition).toArray
       }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (host, port, _) = PgWireSource.endpoint(options)
-    new PgWireReaderFactory(host, port, required)
+    new PgWireReaderFactory(host, port, required, extended)
   }
 }
 
-private[pgwire] final case class PgWirePartition(sql: String)
+/** One partition task's statement: `sql` (with `$n` placeholders in
+  * extended mode) + its positional wire parameters (type OID,
+  * Long/Double/String value). */
+private[pgwire] final case class PgWirePartition(
+    sql: String, params: Seq[(Int, Any)] = Nil)
     extends InputPartition
 
 private[pgwire] class PgWireReaderFactory(host: String, port: Int,
-                                          schema: StructType)
+                                          schema: StructType,
+                                          extended: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] =
-    new PgWireRowReader(host, port, schema,
-      partition.asInstanceOf[PgWirePartition].sql)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PgWirePartition]
+    new PgWireRowReader(host, port, schema, p.sql, p.params, extended)
+  }
 }
 
 /** Streams DataRows off one socket into InternalRows — rows never
-  * buffer driver-side, and each partition task owns its connection. */
+  * buffer driver-side, and each partition task owns its connection.
+  * In extended mode the statement ships Parse/Bind/Execute with the
+  * partition's values as bound parameters, int8/float8 columns are
+  * requested in BINARY result format (8 bytes each, no text parse on
+  * this hot path), and cells decode per the RowDescription's
+  * per-column format codes. */
 private[pgwire] class PgWireRowReader(host: String, port: Int,
-                                      schema: StructType, sql: String)
+                                      schema: StructType, sql: String,
+                                      params: Seq[(Int, Any)],
+                                      extended: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val client = new PgWireClient(host, port)
   private val types: Array[DataType] = schema.fields.map(_.dataType)
-  client.send(sql)
-  private var fieldsSeen = false
+  if (extended)
+    client.sendPrepared(sql, params,
+      types.toSeq.map {
+        case LongType | DoubleType => 1
+        case _ => 0
+      })
+  else {
+    require(params.isEmpty,
+      "bound parameters require protocol=extended")
+    client.send(sql)
+  }
+  private var fields: Seq[PgWire.Field] = Nil
   private var done = false
   private var current: InternalRow = _
 
@@ -346,33 +447,33 @@ private[pgwire] class PgWireRowReader(host: String, port: Int,
       val m = client.read()
       m.tag.toChar match {
         case 'T' =>
-          val fields = PgWire.parseRowDescription(m.body)
+          fields = PgWire.parseRowDescription(m.body)
           require(fields.map(_.name) == schema.fieldNames.toSeq,
             s"pgwire schema drift: wire ${fields.map(_.name)} vs plan ${schema.fieldNames.toSeq}")
-          fieldsSeen = true
         case 'D' =>
-          require(fieldsSeen, "DataRow before RowDescription")
-          val cells = PgWire.parseDataRow(m.body)
+          require(fields.nonEmpty, "DataRow before RowDescription")
+          val cells = PgWire.parseDataRowRaw(m.body)
           val vals = new Array[Any](cells.length)
           var i = 0
           while (i < cells.length) {
+            val f = fields(i)
             vals(i) =
               if (cells(i) == null) null
-              else types(i) match {
-                case LongType => cells(i).toLong
-                case DoubleType => cells(i).toDouble
-                case StringType => UTF8String.fromString(cells(i))
-                case other => throw new IllegalStateException(
-                  s"unexpected read type $other")
+              else (types(i), PgWire.decodeCell(cells(i), f.oid, f.format)) match {
+                case (LongType, l: java.lang.Long) => l.longValue()
+                case (DoubleType, d: java.lang.Double) => d.doubleValue()
+                case (StringType, s: String) => UTF8String.fromString(s)
+                case (t, v) => throw new IllegalStateException(
+                  s"wire cell ${v.getClass.getSimpleName} vs plan type $t")
               }
             i += 1
           }
           row = new GenericInternalRow(vals)
-        case 'C' => () // CommandComplete; ReadyForQuery follows
+        case 'C' | 's' => () // CommandComplete / PortalSuspended
         case 'Z' => done = true
         case 'E' => throw new java.io.IOException(
           "pgwire error: " + PgWire.parseError(m.body))
-        case _ => () // ParameterStatus / NoticeResponse: skip
+        case _ => () // ParseComplete/BindComplete/ParameterStatus/…: skip
       }
     }
     current = row
@@ -410,6 +511,31 @@ private[pgwire] final class PgWireClient(host: String, port: Int)
 
   def send(sql: String): Unit = PgWire.writeQuery(out, sql)
   def read(): PgWire.Msg = PgWire.readMsg(in)
+
+  /** Extended-protocol pipeline for one parameterized statement:
+    * Parse (unnamed, `$n` placeholders + declared OIDs) → Bind
+    * (values as wire parameters — binary for int8/float8, text for
+    * strings; `resultFormats` negotiates per-column binary results)
+    * → Describe(portal) → Execute(maxRows 0) → Sync, pipelined
+    * without waiting for intermediate acks. The caller then drains
+    * '1'/'2'/'T'/'D'/'C'/'Z' via [[read]] exactly like the
+    * simple-query path — values NEVER ride inside SQL text.
+    */
+  def sendPrepared(sql: String, params: Seq[(Int, Any)],
+                   resultFormats: Seq[Int]): Unit = {
+    PgWire.writeParse(out, "", sql, params.map(_._1))
+    val cells = params.map {
+      case (_, null) => null
+      case (oid, v) => PgWire.encodeCell(v, oid,
+        if (oid == PgWire.OidText) 0 else 1)
+    }
+    val formats = params.map { case (oid, _) =>
+      if (oid == PgWire.OidText) 0 else 1 }
+    PgWire.writeBind(out, "", "", formats, cells, resultFormats)
+    PgWire.writeDescribe(out, 'P', "")
+    PgWire.writeExecute(out, "", 0)
+    PgWire.writeSync(out)
+  }
 
   /** One query, fully drained (schema-inference helper; not on the
     * per-row read path). */

@@ -400,4 +400,201 @@ class PgWireSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
     graft.operators.CacheScope.global.release()
   }
+
+  // ---- extended-query protocol (Parse/Bind/Describe/Execute/Sync) ----
+
+  test("binary cell codec: int8/float8 round-trip at the edges; mixed " +
+      "text/binary rows carry nulls") {
+    Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 1234567890123L).foreach {
+      v => assert(PgWire.binToInt8(PgWire.binInt8(v)) == v) }
+    Seq(0.0, -0.0, 1.5, -273.15, Double.MaxValue, Double.MinPositiveValue,
+        Double.PositiveInfinity, Double.NegativeInfinity).foreach { v =>
+      assert(PgWire.binToFloat8(PgWire.binFloat8(v)) == v) }
+    assert(java.lang.Double.isNaN(
+      PgWire.binToFloat8(PgWire.binFloat8(Double.NaN))))
+    // encodeCell/decodeCell agree in both formats
+    assert(PgWire.decodeCell(PgWire.encodeCell(42L, PgWire.OidInt8, 1),
+      PgWire.OidInt8, 1) == 42L)
+    assert(PgWire.decodeCell(PgWire.encodeCell(42L, PgWire.OidInt8, 0),
+      PgWire.OidInt8, 0) == 42L)
+    assert(PgWire.decodeCell(PgWire.encodeCell("héllo", PgWire.OidText, 1),
+      PgWire.OidText, 1) == "héllo")
+    // a mixed-format DataRow with a null round-trips raw
+    val bos = new java.io.ByteArrayOutputStream()
+    PgWire.writeDataRowRaw(new java.io.DataOutputStream(bos),
+      Seq(PgWire.binInt8(7L), null, "x".getBytes("UTF-8")))
+    val m = PgWire.readMsg(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    val cells = PgWire.parseDataRowRaw(m.body)
+    assert(PgWire.binToInt8(cells(0)) == 7L && cells(1) == null &&
+      new String(cells(2), "UTF-8") == "x")
+  }
+
+  test("extended message codec: Parse/Bind/Describe/Execute round-trip") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    PgWire.writeParse(out, "s1", "SELECT id FROM people WHERE id > $1",
+      Seq(PgWire.OidInt8))
+    PgWire.writeBind(out, "p1", "s1", Seq(1), Seq(PgWire.binInt8(5L), null),
+      Seq(1, 0))
+    PgWire.writeDescribe(out, 'P', "p1")
+    PgWire.writeExecute(out, "p1", 25)
+    PgWire.writeSync(out)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val p = PgWire.readMsg(in)
+    assert(p.tag.toChar == 'P' && PgWire.parseParse(p.body) ==
+      (("s1", "SELECT id FROM people WHERE id > $1", Seq(PgWire.OidInt8))))
+    val b = PgWire.readMsg(in)
+    val (portal, stmt, pf, params, rf) = PgWire.parseBind(b.body)
+    assert(b.tag.toChar == 'B' && portal == "p1" && stmt == "s1" &&
+      pf == Seq(1) && PgWire.binToInt8(params.head) == 5L &&
+      params(1) == null && rf == Seq(1, 0))
+    val d = PgWire.readMsg(in)
+    assert(d.tag.toChar == 'D' && PgWire.parseDescribe(d.body) == (('P', "p1")))
+    val e = PgWire.readMsg(in)
+    assert(e.tag.toChar == 'E' && PgWire.parseExecute(e.body) == (("p1", 25)))
+    assert(PgWire.readMsg(in).tag.toChar == 'S')
+  }
+
+  test("extended-protocol scan: values ride as bound parameters (no " +
+      "literal in any SQL), numeric cells return binary, results equal " +
+      "the simple-protocol read") {
+    import org.apache.spark.sql.functions._
+    def run(protocol: String, srv: PgWireLoopbackServer) =
+      read(srv).option("protocol", protocol)
+        .option("partitionColumn", "id")
+        .option("numPartitions", "3")
+        .option("lowerBound", "0").option("upperBound", "99")
+        .load()
+        .filter(col("score") > lit(30.0) && col("name") === "name_2")
+        .select(col("id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val srvS = new PgWireLoopbackServer(fixtureTables)
+    val simple = try run("simple", srvS) finally srvS.close()
+    val srv = new PgWireLoopbackServer(fixtureTables)
+    try {
+      val ext = run("extended", srv)
+      assert(ext == simple && ext.nonEmpty)
+      val parametrized = srv.recordedStatements.filter(_.contains(" WHERE "))
+      assert(parametrized.length == 3) // one Parse per range partition
+      parametrized.foreach { q =>
+        assert(q.contains("$1") && q.contains("$2"), q)
+        assert(!q.contains("30.0") && !q.contains("name_2"), q)
+        assert(q.startsWith("SELECT id, score FROM people"), q)
+      }
+      // every Bind carried the filter values and asked binary results
+      val binds = srv.recordedBinds
+      assert(binds.length == 3)
+      binds.foreach { case (sql, params, rFormats) =>
+        assert(sql.contains("$1"))
+        assert(params.contains(30.0) && params.contains("name_2"), params)
+        assert(rFormats == Seq(1, 1), rFormats) // id, score both binary
+      }
+      // range-cut bounds are parameters too: the middle stripe binds 4
+      assert(binds.map(_._2.length).sorted == Seq(3, 3, 4))
+    } finally srv.close()
+  }
+
+  test("portal suspension: Execute with maxRows pages through the " +
+      "result like a JDBC fetchSize cursor") {
+    val srv = new PgWireLoopbackServer(fixtureTables)
+    val sock = new java.net.Socket(srv.host, srv.port)
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      PgWire.writeStartup(out, Map("user" -> "t"))
+      var m = PgWire.readMsg(in)
+      while (m.tag.toChar != 'Z') m = PgWire.readMsg(in)
+      PgWire.writeParse(out, "", "SELECT id FROM people WHERE id >= $1",
+        Seq(PgWire.OidInt8))
+      PgWire.writeBind(out, "", "", Seq(1), Seq(PgWire.binInt8(40L)), Seq(1))
+      PgWire.writeDescribe(out, 'P', "")
+      var ids = Seq.empty[Long]
+      var finished = false
+      var executes = 0
+      while (!finished) {
+        PgWire.writeExecute(out, "", 25) // 60 rows → 25 + 25 + 10
+        executes += 1
+        var burst = true
+        while (burst) {
+          val msg = PgWire.readMsg(in)
+          msg.tag.toChar match {
+            case 'D' =>
+              ids :+= PgWire.binToInt8(PgWire.parseDataRowRaw(msg.body)(0))
+            case 's' => burst = false // PortalSuspended: more remains
+            case 'C' => burst = false; finished = true
+            case '1' | '2' | 'T' => ()
+            case other => fail(s"unexpected tag '$other'")
+          }
+        }
+      }
+      PgWire.writeSync(out)
+      assert(PgWire.readMsg(in).tag.toChar == 'Z')
+      assert(executes == 3)
+      assert(ids == (40L until 100L))
+    } finally { sock.close(); srv.close() }
+  }
+
+  test("extended-protocol errors poison the pipeline until Sync, then " +
+      "the connection recovers; NULL parameters compare to nothing") {
+    val srv = new PgWireLoopbackServer(fixtureTables)
+    val sock = new java.net.Socket(srv.host, srv.port)
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      PgWire.writeStartup(out, Map("user" -> "t"))
+      var m = PgWire.readMsg(in)
+      while (m.tag.toChar != 'Z') m = PgWire.readMsg(in)
+      // bind to a statement that was never parsed → error; the queued
+      // Execute is SKIPPED (no rows, no CommandComplete) until Sync
+      PgWire.writeBind(out, "", "nope", Nil, Nil, Nil)
+      PgWire.writeExecute(out, "", 0)
+      PgWire.writeSync(out)
+      assert(PgWire.readMsg(in).tag.toChar == 'E')
+      assert(PgWire.readMsg(in).tag.toChar == 'Z') // straight to ReadyForQuery
+      // connection recovers: NULL param → three-valued logic, 0 rows
+      PgWire.writeParse(out, "", "SELECT id FROM people WHERE score > $1",
+        Seq(PgWire.OidFloat8))
+      PgWire.writeBind(out, "", "", Seq(1), Seq(null), Seq(0))
+      PgWire.writeDescribe(out, 'P', "")
+      PgWire.writeExecute(out, "", 0)
+      PgWire.writeSync(out)
+      var rows = 0
+      var done = false
+      while (!done) {
+        val msg = PgWire.readMsg(in)
+        msg.tag.toChar match {
+          case 'D' => rows += 1
+          case 'Z' => done = true
+          case 'E' => fail("recovered pipeline errored: " +
+            PgWire.parseError(msg.body))
+          case _ => ()
+        }
+      }
+      assert(rows == 0)
+    } finally { sock.close(); srv.close() }
+  }
+
+  test("s1_pgwire_extended matches the plain parquet replay") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("s1_pgwire_extended")(spark, dir).collect()
+    val want = graft.sources.Tables.read(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY" &&
+        col("c_acctbal") < lit(5000.0))
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        col("c_acctbal").cast("double"))
+      .orderBy(col("c_custkey"))
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    graft.operators.CacheScope.global.release()
+  }
 }
