@@ -143,6 +143,60 @@ object Queries53 {
       ORDER BY c_custkey"""),
     bench = false)
 
+  /** SCRAM-SHA-256 authenticated scan — the credential exchange real
+    * PostgreSQL demands (public docs "SASL Authentication"; RFC 5802
+    * framing, RFC 7677 hash suite, pinned against the RFC's published
+    * test vector in PgWireSpec). The server holds only the DERIVED
+    * verifier (StoredKey/ServerKey/salt/i — the pg_authid shape); the
+    * password never crosses the wire, and the client verifies the
+    * server's `v=` signature, so authentication is MUTUAL. The entry
+    * gates the negative path first (wrong password → rejected, no
+    * data crosses), then reads through authenticated partitioned
+    * sockets and the oracle proves the authenticated read end to end.
+    */
+  val s1_pgwire_scram = Q(
+    (s, dir) => {
+      val (srv, lo, hi) = customerServer(s, dir)
+      srv.requireAuth("etl_reader", "s3cret-fixture-pw")
+      try {
+        def reader(pw: String) = s.read.format("pgwire")
+          .option("host", srv.host).option("port", srv.port.toString)
+          .option("table", "customer")
+          .option("user", "etl_reader").option("password", pw)
+          .option("partitionColumn", "c_custkey")
+          .option("numPartitions", "4")
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+        // negative gate: a wrong password must fail BEFORE any data
+        val denied =
+          try { reader("wrong-password").load().collect(); false }
+          catch { case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+              .exists(t => Option(t.getMessage)
+                .exists(_.contains("authentication failed"))) }
+        require(denied, "wrong password was not rejected by the server")
+        val df = reader("s3cret-fixture-pw").load()
+          .filter(col("c_acctbal") >= lit(9000.0))
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+        val out = graft.operators.CacheScope.global.checkpoint(df)
+        // every successful auth was the right user; failures recorded
+        val attempts = srv.authAttempts.iterator()
+        var sawFail = false
+        attempts.forEachRemaining { a =>
+          if (!a._2) sawFail = true
+          else require(a._1 == "etl_reader", s"unexpected principal ${a._1}")
+        }
+        require(sawFail, "the rejected attempt was not recorded")
+        out
+      } finally srv.close()
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_acctbal >= 9000.0
+      ORDER BY c_custkey"""),
+    bench = false)
+
   /** BinaryType properties through the REAL Bolt wire: every
     * document's UTF-8 payload rides a binary prop through
     * PackStream's BYTES markers (0xCC/0xCD/0xCE — the round-9 advice
@@ -317,6 +371,7 @@ object Queries53 {
   val all: Map[String, Q] = Map(
     "s1_pgwire_scan" -> s1_pgwire_scan,
     "s1_pgwire_extended" -> s1_pgwire_extended,
+    "s1_pgwire_scram" -> s1_pgwire_scram,
     "s1_pgwire_agg_pushdown" -> s1_pgwire_agg_pushdown,
     "s1_pgwire_copy_roundtrip" -> s1_pgwire_copy_roundtrip,
     "stream_pgwire_copy" -> stream_pgwire_copy,

@@ -273,6 +273,78 @@ object PgWire {
     writeMsg(out, 'R', b.toByteArray)
   }
 
+  // ---- SASL authentication (public docs "SASL Authentication";
+  // AuthenticationSASL family rides the 'R' tag with a code) ----
+
+  /** AuthenticationSASL (code 10): advertise mechanism names. */
+  def writeAuthSasl(out: DataOutputStream, mechanisms: Seq[String]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(10)
+    mechanisms.foreach { m => b.write(m.getBytes(UTF_8)); b.writeByte(0) }
+    b.writeByte(0)
+    writeMsg(out, 'R', body.toByteArray)
+  }
+
+  /** AuthenticationSASLContinue (code 11): server-first-message. */
+  def writeAuthSaslContinue(out: DataOutputStream, data: String): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(11)
+    b.write(data.getBytes(UTF_8))
+    writeMsg(out, 'R', body.toByteArray)
+  }
+
+  /** AuthenticationSASLFinal (code 12): server-final-message. */
+  def writeAuthSaslFinal(out: DataOutputStream, data: String): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(12)
+    b.write(data.getBytes(UTF_8))
+    writeMsg(out, 'R', body.toByteArray)
+  }
+
+  /** Frontend SASLInitialResponse ('p'): chosen mechanism +
+    * length-prefixed initial client response. */
+  def writeSaslInitialResponse(out: DataOutputStream, mechanism: String,
+                               data: String): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.write(mechanism.getBytes(UTF_8)); b.writeByte(0)
+    val bytes = data.getBytes(UTF_8)
+    b.writeInt(bytes.length)
+    b.write(bytes)
+    writeMsg(out, 'p', body.toByteArray)
+  }
+
+  /** Frontend SASLResponse ('p'): continuation data, no framing. */
+  def writeSaslResponse(out: DataOutputStream, data: String): Unit =
+    writeMsg(out, 'p', data.getBytes(UTF_8))
+
+  /** 'R' body → auth code (0 ok, 10/11/12 SASL states). */
+  def authCode(body: Array[Byte]): Int =
+    new DataInputStream(new java.io.ByteArrayInputStream(body)).readInt()
+
+  /** 'R' body after the code, as UTF-8 (SASL challenge payloads). */
+  def authData(body: Array[Byte]): String =
+    new String(body, 4, body.length - 4, UTF_8)
+
+  /** AuthenticationSASL body → advertised mechanisms. */
+  def parseSaslMechanisms(body: Array[Byte]): Seq[String] =
+    new String(body, 4, body.length - 4, UTF_8)
+      .split("\u0000").toSeq.filter(_.nonEmpty)
+
+  /** Server side: SASLInitialResponse body → (mechanism, initial
+    * client response). */
+  def parseSaslInitialResponse(body: Array[Byte]): (String, String) = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
+    val mech = readCString(in)
+    val len = in.readInt()
+    val data = new Array[Byte](len)
+    if (len > 0) in.readFully(data)
+    (mech, new String(data, UTF_8))
+  }
+
   def writeParameterStatus(out: DataOutputStream, k: String, v: String): Unit =
     writeMsg(out, 'S',
       (k.getBytes(UTF_8) :+ 0.toByte) ++ (v.getBytes(UTF_8) :+ 0.toByte))

@@ -56,6 +56,25 @@ final class PgWireLoopbackServer(
   def defineTable(name: String, columns: Seq[(String, Int)]): Unit =
     stores.put(name.toLowerCase, new Store(columns))
 
+  // ---- SCRAM-SHA-256 credentials (off by default: the no-auth trust
+  // path stays for fixtures that don't exercise auth) ----
+
+  /** Per-user DERIVED verifier only (StoredKey/ServerKey/salt/i) —
+    * the password is discarded after derivation, like pg_authid. */
+  private val users =
+    scala.collection.concurrent.TrieMap.empty[String, Scram.Verifier]
+
+  /** Demand SCRAM-SHA-256 for every new connection and register a
+    * user. Existing connections are unaffected. */
+  def requireAuth(user: String, password: String): Unit = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    users.put(user, Scram.deriveVerifier(password, salt, 4096))
+  }
+
+  /** Authentication outcomes, arrival order: (user, success). */
+  val authAttempts = new ConcurrentLinkedQueue[(String, Boolean)]()
+
   def rowCount(name: String): Long =
     stores.get(name.toLowerCase).map(_.rows.size.toLong).getOrElse(0L)
 
@@ -111,8 +130,14 @@ final class PgWireLoopbackServer(
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     try {
-      PgWire.readStartup(in) // params unused: fixture trusts loopback
-      PgWire.writeAuthOk(out)
+      val startup = PgWire.readStartup(in)
+      if (users.nonEmpty) {
+        // SCRAM-SHA-256 demanded: real PG keys the exchange on the
+        // startup 'user' parameter (the SCRAM n= field is ignored)
+        if (!scramExchange(startup.getOrElse("user", ""), in, out)) {
+          out.flush(); return
+        }
+      } else PgWire.writeAuthOk(out) // trust: no credentials registered
       PgWire.writeParameterStatus(out, "server_version", "16.0-loopback-fixture")
       PgWire.writeReadyForQuery(out)
       // ---- per-connection extended-protocol state ----
@@ -273,6 +298,64 @@ final class PgWireLoopbackServer(
     } catch {
       case _: EOFException | _: SocketException => () // client went away
     } finally { sock.close(); accepted.remove(sock) }
+  }
+
+  /** One SCRAM-SHA-256 exchange (server side). Returns true and has
+    * written AuthenticationSASLFinal + AuthenticationOk on success;
+    * returns false after an ErrorResponse on any failure (unknown
+    * user, bad proof, protocol deviation). The AuthMessage is
+    * reconstructed from the EXACT bytes that crossed the wire (the
+    * received client-final minus its `,p=` suffix), so any tampering
+    * with nonce or channel-binding breaks the proof. */
+  private def scramExchange(user: String, in: DataInputStream,
+                            out: DataOutputStream): Boolean = {
+    def fail(msg: String): Boolean = {
+      authAttempts.add((user, false))
+      // the peer may already be gone (e.g. client had no password and
+      // hung up mid-exchange) — the refusal must not kill the handler
+      try PgWire.writeError(out, "28P01", msg)
+      catch { case _: java.io.IOException => () }
+      false
+    }
+    try {
+      PgWire.writeAuthSasl(out, Seq(Scram.Mechanism))
+      val init = PgWire.readMsg(in)
+      if (init.tag.toChar != 'p')
+        return fail(s"expected SASLInitialResponse, got '${init.tag.toChar}'")
+      val (mech, clientFirst) = PgWire.parseSaslInitialResponse(init.body)
+      if (mech != Scram.Mechanism)
+        return fail(s"unsupported SASL mechanism $mech")
+      val (_, clientNonce) = Scram.parseClientFirst(clientFirst)
+      val verifier = users.get(user) match {
+        case Some(v) => v
+        case None => return fail(s"password authentication failed for user \"$user\"")
+      }
+      val fullNonce = clientNonce + Scram.newNonce()
+      val serverFirst =
+        Scram.serverFirst(fullNonce, verifier.salt, verifier.iterations)
+      PgWire.writeAuthSaslContinue(out, serverFirst)
+      val fin = PgWire.readMsg(in)
+      if (fin.tag.toChar != 'p')
+        return fail(s"expected SASLResponse, got '${fin.tag.toChar}'")
+      val clientFinal = new String(fin.body,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val (cb, nonce, proof) = Scram.parseClientFinal(clientFinal)
+      val cut = clientFinal.lastIndexOf(",p=")
+      if (cb != "biws" || nonce != fullNonce || cut < 0)
+        return fail("SCRAM channel-binding/nonce mismatch")
+      val authMsg = Scram.clientFirstBare(clientFirst) + "," +
+        serverFirst + "," + clientFinal.substring(0, cut)
+      if (!Scram.verifyProof(verifier, authMsg, proof))
+        return fail(s"password authentication failed for user \"$user\"")
+      PgWire.writeAuthSaslFinal(out,
+        Scram.serverFinal(Scram.serverSignature(verifier, authMsg)))
+      PgWire.writeAuthOk(out)
+      authAttempts.add((user, true))
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fail(s"SCRAM exchange failed: ${e.getMessage}")
+    }
   }
 
   // ---- COPY FROM STDIN (the bulk-ingest write path) ----

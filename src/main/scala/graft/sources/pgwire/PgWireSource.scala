@@ -65,7 +65,8 @@ class PgWireTableProvider extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (host, port, table) = PgWireSource.endpoint(options)
-    val client = new PgWireClient(host, port)
+    val (user, password) = PgWireSource.creds(options)
+    val client = new PgWireClient(host, port, user, password)
     try {
       val (fields, _) = client.queryAll(s"SELECT * FROM $table LIMIT 0")
       StructType(fields.map(f =>
@@ -88,6 +89,12 @@ private[pgwire] object PgWireSource {
     }
     (req("host"), req("port").toInt, req("table"))
   }
+
+  /** `user`/`password` options (SCRAM-SHA-256 when the server demands
+    * it; `user` defaults to "graft" like the startup message). */
+  def creds(options: CaseInsensitiveStringMap): (String, Option[String]) =
+    (Option(options.get("user")).getOrElse("graft"),
+      Option(options.get("password")))
 
   def oidToType(oid: Int): DataType = oid match {
     case PgWire.OidInt8 => LongType
@@ -388,7 +395,8 @@ private[pgwire] class PgWireScan(required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (host, port, _) = PgWireSource.endpoint(options)
-    new PgWireReaderFactory(host, port, required, extended)
+    val (user, password) = PgWireSource.creds(options)
+    new PgWireReaderFactory(host, port, required, extended, user, password)
   }
 }
 
@@ -401,12 +409,15 @@ private[pgwire] final case class PgWirePartition(
 
 private[pgwire] class PgWireReaderFactory(host: String, port: Int,
                                           schema: StructType,
-                                          extended: Boolean)
+                                          extended: Boolean,
+                                          user: String,
+                                          password: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PgWirePartition]
-    new PgWireRowReader(host, port, schema, p.sql, p.params, extended)
+    new PgWireRowReader(host, port, schema, p.sql, p.params, extended,
+      user, password)
   }
 }
 
@@ -420,10 +431,12 @@ private[pgwire] class PgWireReaderFactory(host: String, port: Int,
 private[pgwire] class PgWireRowReader(host: String, port: Int,
                                       schema: StructType, sql: String,
                                       params: Seq[(Int, Any)],
-                                      extended: Boolean)
+                                      extended: Boolean,
+                                      user: String = "graft",
+                                      password: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
-  private val client = new PgWireClient(host, port)
+  private val client = new PgWireClient(host, port, user, password)
   private val types: Array[DataType] = schema.fields.map(_.dataType)
   if (extended)
     client.sendPrepared(sql, params,
@@ -484,8 +497,14 @@ private[pgwire] class PgWireRowReader(host: String, port: Int,
   override def close(): Unit = client.close()
 }
 
-/** Minimal pgwire frontend: startup + simple queries on one socket. */
-private[pgwire] final class PgWireClient(host: String, port: Int)
+/** Minimal pgwire frontend: startup + simple queries on one socket.
+  * When the server demands SASL, runs the SCRAM-SHA-256 exchange
+  * ([[Scram]]) — including verifying the server's `v=` signature, so
+  * authentication is MUTUAL: a server that does not hold the
+  * password verifier is rejected client-side. */
+private[pgwire] final class PgWireClient(host: String, port: Int,
+                                         user: String = "graft",
+                                         password: Option[String] = None)
     extends AutoCloseable {
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -493,7 +512,7 @@ private[pgwire] final class PgWireClient(host: String, port: Int)
     new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(
     new BufferedOutputStream(socket.getOutputStream, 1 << 16))
-  PgWire.writeStartup(out, Map("user" -> "graft", "database" -> "graft"))
+  PgWire.writeStartup(out, Map("user" -> user, "database" -> "graft"))
   awaitReady()
 
   private def awaitReady(): Unit = {
@@ -502,11 +521,56 @@ private[pgwire] final class PgWireClient(host: String, port: Int)
       val m = PgWire.readMsg(in)
       m.tag.toChar match {
         case 'Z' => ready = true
+        case 'R' => PgWire.authCode(m.body) match {
+          case 0 => () // AuthenticationOk
+          case 10 =>
+            val mechs = PgWire.parseSaslMechanisms(m.body)
+            require(mechs.contains(Scram.Mechanism),
+              s"server offers no supported SASL mechanism: $mechs")
+            scram()
+          case other => throw new java.io.IOException(
+            s"unsupported pgwire authentication request $other")
+        }
         case 'E' => throw new java.io.IOException(
           "pgwire startup error: " + PgWire.parseError(m.body))
-        case _ => () // AuthenticationOk, ParameterStatus, BackendKeyData
+        case _ => () // ParameterStatus, BackendKeyData
       }
     }
+  }
+
+  /** Client half of SCRAM-SHA-256; returns after AuthenticationSASLFinal
+    * with the server signature VERIFIED (throws on mismatch). The
+    * trailing AuthenticationOk/ReadyForQuery drain in awaitReady. */
+  private def scram(): Unit = {
+    val pw = password.getOrElse(throw new java.io.IOException(
+      s"pgwire server demands $user's password (SCRAM-SHA-256) but none was configured"))
+    val clientNonce = Scram.newNonce()
+    val clientFirst = Scram.clientFirst(user, clientNonce)
+    PgWire.writeSaslInitialResponse(out, Scram.Mechanism, clientFirst)
+    val cont = PgWire.readMsg(in)
+    if (cont.tag.toChar == 'E') throw new java.io.IOException(
+      "pgwire auth error: " + PgWire.parseError(cont.body))
+    require(cont.tag.toChar == 'R' && PgWire.authCode(cont.body) == 11,
+      s"expected AuthenticationSASLContinue, got '${cont.tag.toChar}'")
+    val serverFirst = PgWire.authData(cont.body)
+    val (fullNonce, salt, iterations) = Scram.parseServerFirst(serverFirst)
+    require(fullNonce.startsWith(clientNonce),
+      "server nonce does not extend the client nonce")
+    val authMsg = Scram.authMessage(
+      Scram.clientFirstBare(clientFirst), serverFirst, fullNonce)
+    val proof = Scram.clientProof(pw, salt, iterations, authMsg)
+    PgWire.writeSaslResponse(out, Scram.clientFinal(fullNonce, proof))
+    val fin = PgWire.readMsg(in)
+    if (fin.tag.toChar == 'E') throw new java.io.IOException(
+      "pgwire auth error: " + PgWire.parseError(fin.body))
+    require(fin.tag.toChar == 'R' && PgWire.authCode(fin.body) == 12,
+      s"expected AuthenticationSASLFinal, got '${fin.tag.toChar}'")
+    val serverSig = Scram.parseServerFinal(PgWire.authData(fin.body))
+    val expected = Scram.serverSignatureFromPassword(
+      pw, salt, iterations, authMsg)
+    if (!java.security.MessageDigest.isEqual(serverSig, expected))
+      throw new java.io.IOException(
+        "pgwire server failed MUTUAL authentication: bad server signature")
   }
 
   def send(sql: String): Unit = PgWire.writeQuery(out, sql)

@@ -582,6 +582,93 @@ class PgWireSpec extends AnyFunSuite {
     } finally { sock.close(); srv.close() }
   }
 
+  // ---- SCRAM-SHA-256 authentication ----
+
+  test("SCRAM-SHA-256 matches the RFC 7677 published test vector") {
+    import graft.sources.pgwire.Scram
+    // RFC 7677 §3: user "user", password "pencil", the fixed nonces
+    val clientFirst = "n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val (fullNonce, salt, iterations) = Scram.parseServerFirst(serverFirst)
+    assert(iterations == 4096)
+    val authMsg = Scram.authMessage(
+      Scram.clientFirstBare(clientFirst), serverFirst, fullNonce)
+    val proof = Scram.clientProof("pencil", salt, iterations, authMsg)
+    assert(Scram.b64(proof) == "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    val verifier = Scram.deriveVerifier("pencil", salt, iterations)
+    assert(Scram.verifyProof(verifier, authMsg, proof))
+    assert(Scram.b64(Scram.serverSignature(verifier, authMsg)) ==
+      "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    // and the negative: one flipped password character kills the proof
+    assert(!Scram.verifyProof(verifier, authMsg,
+      Scram.clientProof("pencil2", salt, iterations, authMsg)))
+    // mutual-auth property: a server without the right verifier cannot
+    // forge the v= signature the client checks
+    val impostor = Scram.deriveVerifier("not-pencil", salt, iterations)
+    assert(!java.security.MessageDigest.isEqual(
+      Scram.serverSignature(impostor, authMsg),
+      Scram.serverSignatureFromPassword("pencil", salt, iterations, authMsg)))
+    // RFC 5802 username escaping round-trips
+    assert(Scram.unescape(Scram.escape("we=ird,user")) == "we=ird,user")
+    assert(!Scram.escape("we=ird,user").contains(","))
+  }
+
+  test("authenticated scan: SCRAM succeeds with the right password, " +
+      "rejects the wrong one, and matches the trusted read") {
+    import org.apache.spark.sql.functions._
+    val trusted = {
+      val srv = new PgWireLoopbackServer(fixtureTables)
+      try read(srv).load().filter(col("id") < 50)
+        .collect().map(_.toSeq).toSeq
+      finally srv.close()
+    }
+    val srv = new PgWireLoopbackServer(fixtureTables)
+    srv.requireAuth("alice", "correct horse battery")
+    try {
+      def rd(user: String, pw: String) =
+        read(srv).option("user", user).option("password", pw)
+          .option("partitionColumn", "id")
+          .option("numPartitions", "2")
+          .option("lowerBound", "0").option("upperBound", "99")
+          .load().filter(col("id") < 50)
+      val got = rd("alice", "correct horse battery")
+        .collect().map(_.toSeq).toSeq
+      assert(got.sortBy(_.head.asInstanceOf[Long]) ==
+        trusted.sortBy(_.head.asInstanceOf[Long]))
+      // schema-inference + 2 partition sockets all authenticated
+      assert(srv.authAttempts.size >= 3)
+      srv.authAttempts.forEach(a => assert(a == (("alice", true))))
+      val bad = intercept[Exception] { rd("alice", "wrong").collect() }
+      val msgs = Iterator.iterate(bad: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .flatMap(t => Option(t.getMessage)).mkString("; ")
+      assert(msgs.contains("authentication failed"), msgs)
+      val missing = intercept[Exception] {
+        read(srv).load().collect() // no password configured at all
+      }
+      val msgs2 = Iterator.iterate(missing: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .flatMap(t => Option(t.getMessage)).mkString("; ")
+      assert(msgs2.contains("SCRAM-SHA-256"), msgs2)
+    } finally srv.close()
+  }
+
+  test("s1_pgwire_scram matches the plain parquet replay") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("s1_pgwire_scram")(spark, dir).collect()
+    val want = graft.sources.Tables.read(spark, dir, "customer")
+      .filter(col("c_acctbal") >= lit(9000.0))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double"))
+      .orderBy(col("c_custkey"))
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    graft.operators.CacheScope.global.release()
+  }
+
   test("s1_pgwire_extended matches the plain parquet replay") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
