@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cypher.PropertyGraph
+import graft.domain.GraphAssembly
+import graft.sources.Tables
+import Queries.Q
+
+/** Batch 54 (round 10): the Cypher READ surface. The reference's
+  * terminal artifact is a Neo4j property graph whose consumers query
+  * it in Cypher; the engine's write side (GraphAssembly, GraphExport,
+  * CypherSink) has been covered since rounds 6-9 — this batch closes
+  * the READ side with `graft.cypher`: a parsed, compiled
+  * `MATCH … WHERE … RETURN …` subset where every query lands on
+  * ordinary Catalyst operators (label-pruned vertex scans, id
+  * equi-joins per hop, one hash aggregate for RETURN).
+  *
+  * Every entry here runs REAL Cypher text through
+  * [[graft.cypher.CypherParser]] + [[graft.cypher.CypherCompiler]],
+  * and the DuckDB oracle recomputes the result RELATIONALLY from the
+  * raw tables — so a hash match proves the whole chain: graph
+  * assembly, parse, compile, and execution semantics.
+  *
+  * Scale notes: the demo graph below is built lazily from the base
+  * tables; a label filter on the 5-branch vertex union constant-folds
+  * the non-matching branches away (each branch carries `lit(label)`,
+  * so `label = 'X'` folds to false and PruneFilters drops the branch
+  * — verified in CypherSpec's plan test), leaving exactly the scans
+  * the query needs. Over a [[graft.operators.GraphExport]] layout the
+  * same filter becomes partition-directory pruning. Props live in a
+  * JSON column (schema-on-read, the graph contract); property access
+  * parses at the point of use — hot analytical paths should project
+  * structured columns instead, which is what every other entry in
+  * this catalog does.
+  */
+object Queries54 {
+
+  private def T_(s: SparkSession, dir: String, name: String) =
+    Tables.read(s, dir, name)
+
+  /** Customer/Nation/Region/Order/Part property graph over the base
+    * tables — five labels, four relationship types, relationship
+    * props on CONTAINS. Vertices ride [[GraphAssembly.vertices]] (the
+    * engine's standard constructor: keys into the id, the rest into
+    * props-json); CONTAINS is built inline because it carries an edge
+    * prop (per-(order, part) total quantity — lineitems collapse to
+    * ONE edge per triple, the MERGE-idempotent identity the compiler
+    * documents).
+    */
+  def demoGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val customer = GraphAssembly.vertices(
+      T_(s, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("mktsegment")),
+      "Customer", Seq("k"))
+    val nation = GraphAssembly.vertices(
+      T_(s, dir, "nation").select(col("n_nationkey").as("k"),
+        col("n_name").as("name")),
+      "Nation", Seq("k"))
+    val region = GraphAssembly.vertices(
+      T_(s, dir, "region").select(col("r_regionkey").as("k"),
+        col("r_name").as("name")),
+      "Region", Seq("k"))
+    // dates as 'yyyy-MM-dd' STRINGS in props: JSON props have no
+    // temporal type — same modeling the reference itself uses for its
+    // string-date vertices (graph_et0.py:67-71)
+    val order = GraphAssembly.vertices(
+      T_(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority").as("orderpriority"),
+        col("o_totalprice").as("totalprice")),
+      "Order", Seq("k"))
+    val part = GraphAssembly.vertices(
+      T_(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_name").as("name"), col("p_brand").as("brand")),
+      "Part", Seq("k"))
+    val vertices = Seq(customer, nation, region, order, part)
+      .reduce(_ unionByName _)
+
+    def noProps(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("props", lit(null).cast("string"))
+    val fromNation = noProps(GraphAssembly.edges(T_(s, dir, "customer"),
+      "FROM_NATION", "Customer", Seq("c_custkey"), "Nation", Seq("c_nationkey")))
+    val inRegion = noProps(GraphAssembly.edges(T_(s, dir, "nation"),
+      "IN_REGION", "Nation", Seq("n_nationkey"), "Region", Seq("n_regionkey")))
+    val placed = noProps(GraphAssembly.edges(T_(s, dir, "orders"),
+      "PLACED", "Customer", Seq("o_custkey"), "Order", Seq("o_orderkey")))
+    val contains = T_(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("quantity"))
+      .select(
+        concat_ws(":", lit("Order"), col("l_orderkey")).as("src"),
+        concat_ws(":", lit("Part"), col("l_partkey")).as("dst"),
+        lit("CONTAINS").as("rel"),
+        to_json(struct(col("quantity"))).as("props"))
+    val edges = Seq(fromNation, inRegion, placed, contains)
+      .reduce(_ unionByName _)
+    PropertyGraph(vertices, edges)
+  }
+
+  /** Single-label node scan: prop-map equality folded into the scan,
+    * typed access via toFloat, string predicate, ORDER BY. */
+  val cy_node_filter = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer {mktsegment: 'BUILDING'})
+         WHERE toFloat(c.acctbal) > 9000.0 AND c.name ENDS WITH '7'
+         RETURN c.name AS name, toFloat(c.acctbal) AS acctbal
+         ORDER BY name"""),
+    Some("""SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(c_acctbal AS DOUBLE) > 9000.0 AND c_name LIKE '%7'
+      ORDER BY name"""))
+
+  /** One hop: Customer -FROM_NATION-> Nation, IN-list on the dim
+    * side — compiles to the same broadcast-able equi-join the
+    * hand-written j1 family uses. */
+  val cy_hop = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+         WHERE n.name IN ['NATION_3', 'NATION_7'] AND c.mktsegment = 'MACHINERY'
+         RETURN n.name AS nation, c.name AS name
+         ORDER BY nation, name"""),
+    Some("""SELECT n_name AS nation, c_name AS name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7') AND c_mktsegment = 'MACHINERY'
+      ORDER BY nation, name"""))
+
+  /** Two hops with opposite directions sharing the middle variable,
+    * implicit group-by (openCypher aggregation semantics). */
+  val cy_multi_hop_agg = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)-[:PLACED]->(o:Order)
+         WHERE o.orderpriority STARTS WITH '1'
+         RETURN n.name AS nation, count(*) AS n_orders,
+                min(o.orderdate) AS first_date
+         ORDER BY nation"""),
+    Some("""SELECT n_name AS nation, COUNT(*) AS n_orders,
+        MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderpriority LIKE '1%'
+      GROUP BY 1 ORDER BY nation"""))
+
+  /** Variable-length path with type alternation: *1..2 expands to a
+    * UNION of 1- and 2-hop join chains (one row per path), label() of
+    * the far endpoint grouped — Customer reaches its Nation at depth
+    * 1 and its Region at depth 2. */
+  val cy_var_path = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer {mktsegment: 'FURNITURE'})
+               -[:FROM_NATION|IN_REGION*1..2]->(x)
+         RETURN label(x) AS dst, count(*) AS n
+         ORDER BY dst"""),
+    Some("""WITH f AS (SELECT c_custkey, c_nationkey FROM customer
+                 WHERE c_mktsegment = 'FURNITURE')
+      SELECT 'Nation' AS dst, COUNT(*) AS n
+        FROM f JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'Region' AS dst, COUNT(*) AS n
+        FROM f JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+      ORDER BY dst"""))
+
+  /** OPTIONAL MATCH → left outer join on the shared variable;
+    * count(c) counts matches only (null-skipping count), so nations
+    * with zero AUTOMOBILE customers keep their row with n_cust=0. */
+  val cy_optional = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (n:Nation)
+         OPTIONAL MATCH (n)<-[:FROM_NATION]-(c:Customer {mktsegment: 'AUTOMOBILE'})
+         RETURN n.name AS nation, count(c) AS n_cust
+         ORDER BY nation"""),
+    Some("""SELECT n_name AS nation, COUNT(c_custkey) AS n_cust
+      FROM nation LEFT JOIN customer
+        ON c_nationkey = n_nationkey AND c_mktsegment = 'AUTOMOBILE'
+      GROUP BY 1 ORDER BY nation"""))
+
+  /** Relationship properties: CONTAINS carries the per-(order, part)
+    * total quantity; the WHERE reads it through toInteger. */
+  val cy_edge_props = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+         WHERE toInteger(l.quantity) >= 45 AND o.orderstatus = 'F'
+         RETURN p.brand AS brand, count(*) AS n,
+                max(toInteger(l.quantity)) AS max_qty
+         ORDER BY brand"""),
+    Some("""WITH e AS (SELECT l_orderkey, l_partkey,
+                 CAST(SUM(l_quantity) AS BIGINT) AS qty
+               FROM lineitem GROUP BY 1, 2)
+      SELECT p_brand AS brand, COUNT(*) AS n, MAX(qty) AS max_qty
+      FROM e JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+      WHERE qty >= 45 AND o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY brand"""))
+
+  /** RETURN DISTINCT + SKIP + LIMIT pagination over a hop. */
+  val cy_distinct_skip = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WHERE o.orderpriority STARTS WITH '2'
+         RETURN DISTINCT c.mktsegment AS seg
+         ORDER BY seg SKIP 1 LIMIT 3"""),
+    Some("""SELECT DISTINCT c_mktsegment AS seg
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      WHERE o_orderpriority LIKE '2%'
+      ORDER BY seg OFFSET 1 LIMIT 3"""))
+
+  val all: Map[String, Q] = Map(
+    "cy_node_filter" -> cy_node_filter,
+    "cy_hop" -> cy_hop,
+    "cy_multi_hop_agg" -> cy_multi_hop_agg,
+    "cy_var_path" -> cy_var_path,
+    "cy_optional" -> cy_optional,
+    "cy_edge_props" -> cy_edge_props,
+    "cy_distinct_skip" -> cy_distinct_skip,
+  )
+}

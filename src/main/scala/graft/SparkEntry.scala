@@ -26,7 +26,8 @@ object SparkEntry {
       Queries38.all ++ Queries39.all ++ Queries40.all ++ Queries41.all ++
       Queries42.all ++ Queries43.all ++ Queries44.all ++ Queries45.all ++
       Queries46.all ++ Queries47.all ++ Queries48.all ++ Queries49.all ++
-      Queries50.all ++ Queries51.all ++ Queries52.all ++ Queries53.all
+      Queries50.all ++ Queries51.all ++ Queries52.all ++ Queries53.all ++
+      Queries54.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

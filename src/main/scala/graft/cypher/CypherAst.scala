@@ -1,0 +1,111 @@
+package graft.cypher
+
+/** AST for the openCypher READ subset the engine compiles to
+  * DataFrame plans ([[CypherCompiler]]).
+  *
+  * Reference capability: the reference's terminal artifact is a live
+  * Neo4j property graph (app/graph_constraints.py:2-133 and every
+  * projector's MERGE) whose CONSUMERS query it in Cypher — the one
+  * user-facing surface the engine's write-side equivalents
+  * (GraphAssembly / GraphExport / CypherSink) did not yet serve. This
+  * package closes it: `MATCH … WHERE … RETURN …` over the engine's
+  * standard graph shape — vertices `(id, label, props-json)`, edges
+  * `(src, dst, rel[, props-json])` — parsed here, compiled to plain
+  * Catalyst plans (joins + filters + aggregates) in
+  * [[CypherCompiler]]. Nothing is interpreted row-at-a-time: a Cypher
+  * query costs exactly what the equivalent hand-written DataFrame
+  * program costs.
+  *
+  * Supported grammar (documented deviations at the bottom):
+  *
+  * {{{
+  * query    := matchPart+ (WHERE expr)? RETURN (DISTINCT)? item (',' item)*
+  *             (ORDER BY oitem (ASC|DESC)? (',' …)*)? (SKIP n)? (LIMIT n)?
+  * matchPart:= (OPTIONAL)? MATCH pattern (',' pattern)*
+  * pattern  := node (edge node)*
+  * node     := '(' var? (':' Label)? propMap? ')'
+  * edge     := '-[' var? (':' Rel ('|' Rel)*)? ('*' m '..' n)? propMap? ']->'
+  *           | '<-[' …same… ']-'
+  * propMap  := '{' key ':' literal (',' key ':' literal)* '}'
+  * expr     := boolean algebra (AND OR NOT, parens) over comparisons
+  *             (= <> < <= > >=), IS (NOT) NULL, IN [lit, …],
+  *             CONTAINS / STARTS WITH / ENDS WITH
+  * atom     := var.prop | id(var) | label(var) | toInteger(e) |
+  *             toFloat(e) | literal
+  * item     := expr (AS alias)? | count(*) | count((DISTINCT)? e) |
+  *             sum(e) | min(e) | max(e) | avg(e)
+  * }}}
+  *
+  * Deviations from full openCypher, all deliberate:
+  *   - properties are stored as a JSON column, so `v.prop` reads as a
+  *     STRING; `toInteger` / `toFloat` (openCypher's own coercion
+  *     functions) make numeric typing explicit — the honest contract
+  *     for a schema-on-read props column;
+  *   - `label(v)` is scalar (the engine's graphs are single-label by
+  *     construction — GraphAssembly.vertices), where openCypher's
+  *     `labels(v)` returns a list;
+  *   - variable-length paths require an explicit bounded range
+  *     `*m..n` (an unbounded `*` over 100 TB is a query bug, not a
+  *     feature) and expand to a union of fixed-length join chains
+  *     with openCypher's relationship-uniqueness (trail) semantics;
+  *   - no CREATE/MERGE/SET/DELETE — writes are the CypherSink's job.
+  */
+object CypherAst {
+
+  // ---- patterns -------------------------------------------------
+  /** `(v:Label {k: lit, …})`; every part optional. Anonymous nodes
+    * get fresh internal names at parse time so the compiler never
+    * special-cases them. */
+  final case class NodePat(name: String, label: Option[String],
+                           props: Map[String, Lit])
+
+  /** One relationship hop. `types` empty = any type; `range` =
+    * Some((m, n)) for `*m..n`. `out=true` is `-[…]->`, else
+    * `<-[…]-`. */
+  final case class EdgePat(name: String, types: Seq[String],
+                           out: Boolean, range: Option[(Int, Int)],
+                           props: Map[String, Lit])
+
+  /** A linear pattern `n0 e0 n1 e1 n2 …`. */
+  final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
+
+  /** One MATCH clause (possibly OPTIONAL) holding 1+ comma patterns. */
+  final case class MatchPart(paths: Seq[PathPat], optional: Boolean)
+
+  // ---- expressions ----------------------------------------------
+  sealed trait Expr
+  /** `v.prop` — JSON-props access, string-typed. */
+  final case class Prop(v: String, key: String) extends Expr
+  /** `id(v)` — the vertex/edge-endpoint id string. */
+  final case class Id(v: String) extends Expr
+  /** `label(v)` — the vertex label (scalar; see deviations). */
+  final case class LabelOf(v: String) extends Expr
+  /** Bare `v` in RETURN/count — resolves to `id(v)`. */
+  final case class Var(v: String) extends Expr
+  final case class Lit(value: Any) extends Expr // String|Long|Double|Boolean|null
+  final case class ToInt(e: Expr) extends Expr
+  final case class ToFloat(e: Expr) extends Expr
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
+  final case class IsNull(e: Expr, not: Boolean) extends Expr
+  final case class InList(e: Expr, vals: Seq[Lit]) extends Expr
+  /** CONTAINS / STARTS WITH / ENDS WITH. */
+  final case class StrPred(op: String, l: Expr, r: Expr) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+
+  // ---- return ---------------------------------------------------
+  /** `agg` = None for plain items; Some("count"|"sum"|"min"|"max"|
+    * "avg") for aggregates; `count(*)` is Agg("count", None).
+    * openCypher implicit grouping: non-aggregate items are the keys. */
+  final case class Item(expr: Option[Expr], agg: Option[String],
+                        distinct: Boolean, alias: String)
+  final case class OrderItem(key: String, asc: Boolean)
+  final case class Return(distinct: Boolean, items: Seq[Item],
+                          orderBy: Seq[OrderItem], skip: Option[Long],
+                          limit: Option[Long])
+
+  /** The whole query. */
+  final case class Query(matches: Seq[MatchPart], where: Option[Expr],
+                         ret: Return)
+}

@@ -1,0 +1,332 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import CypherAst._
+
+/** A queryable property graph in the engine's standard shape:
+  * vertices `(id, label, props)` with `props` a JSON string (what
+  * [[graft.domain.GraphAssembly]] builds and
+  * [[graft.operators.GraphExport]] lays out on disk), edges
+  * `(src, dst, rel)` plus an OPTIONAL `props` JSON column for
+  * relationship properties.
+  *
+  * Edge identity is the `(src, dst, rel)` triple — the engine's
+  * graphs are built by MERGE-idempotent assembly (duplicate triples
+  * are deduped at build time, GraphAssembly/Queries6 edgeSpecs), so
+  * the triple IS the edge, exactly as in the reference's Neo4j store
+  * where every edge is created by `MERGE (s)-[:R]->(d)`.
+  */
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+  /** Compile-and-run a Cypher read query against this graph. */
+  def cypher(query: String): DataFrame =
+    CypherCompiler.run(this, CypherParser.parse(query))
+}
+
+/** Compiles the parsed Cypher READ subset ([[CypherAst]]) to a plain
+  * DataFrame plan — every construct lands on Catalyst operators, so
+  * the optimizer treats a Cypher query exactly like a hand-written
+  * program:
+  *
+  *   - node patterns are vertex scans with the label and prop-map
+  *     equality folded into the scan filter (over a
+  *     [[graft.operators.GraphExport]] layout, `label = …` prunes
+  *     whole partition directories before a byte is read);
+  *   - each hop is one equi-join edges⋈vertices on the id key — the
+  *     shape AQE broadcast-converts when a pattern side is small;
+  *   - variable-length `*m..n` expands to a UNION of fixed-length
+  *     join chains (bounded at parse time: unbounded expansion over
+  *     100 TB is a query bug), one row per path, with openCypher's
+  *     relationship-uniqueness enforced as pairwise triple
+  *     inequality between same-type hops;
+  *   - OPTIONAL MATCH is a left outer join on the shared variables;
+  *   - RETURN with aggregates is the openCypher implicit group-by
+  *     (non-aggregate items are the keys) — one hash aggregate.
+  *
+  * Nothing executes on the driver and nothing is interpreted per
+  * row; `.explain` on the result shows the ordinary scan/join/agg
+  * plan the equivalent DataFrame program would produce.
+  */
+object CypherCompiler {
+
+  private def idCol(v: String) = col(s"$v __id")
+  private def labelCol(v: String) = col(s"$v __label")
+  private def propsCol(v: String) = col(s"$v __props")
+
+  /** Per-query compile state: which variables are bound, and which
+    * edge-variable hops exist per MATCH part (for trail semantics). */
+  private final class St(g: PropertyGraph) {
+    var frame: Option[DataFrame] = None
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
+    val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    val edgeHasProps: Boolean = g.edges.columns.contains("props")
+
+    def nodeFrame(np: NodePat): DataFrame = {
+      val v = np.name
+      val base = np.label.foldLeft(g.vertices)((d, l) => d.filter(col("label") === l))
+      val filtered = np.props.foldLeft(base) { case (d, (k, Lit(value))) =>
+        d.filter(get_json_object(col("props"), s"$$.$k") === lit(value))
+      }
+      filtered.select(col("id").as(s"$v __id"), col("label").as(s"$v __label"),
+        col("props").as(s"$v __props"))
+    }
+
+    def edgeFrame(e: EdgePat, hop: String): DataFrame = {
+      val base =
+        if (e.types.isEmpty) g.edges
+        else if (e.types.size == 1) g.edges.filter(col("rel") === e.types.head)
+        else g.edges.filter(col("rel").isin(e.types: _*))
+      val filtered = e.props.foldLeft(base) { case (d, (k, Lit(value))) =>
+        if (!edgeHasProps) throw new IllegalArgumentException(
+          s"edge property map on [$hop] but the edge table has no props column")
+        d.filter(get_json_object(col("props"), s"$$.$k") === lit(value))
+      }
+      val cols = Seq(col("src").as(s"$hop __src"), col("dst").as(s"$hop __dst"),
+        col("rel").as(s"$hop __rel")) ++
+        (if (edgeHasProps) Seq(col("props").as(s"$hop __eprops")) else Nil)
+      filtered.select(cols: _*)
+    }
+  }
+
+  def run(g: PropertyGraph, q: Query): DataFrame = {
+    val st = new St(g)
+    q.matches.foreach { part =>
+      val partFrame = compilePart(st, part)
+      attach(st, partFrame._1, partFrame._2, part.optional)
+    }
+    val df0 = st.frame.getOrElse(
+      throw new IllegalArgumentException("query bound no variables"))
+    val df1 = q.where.fold(df0)(e => df0.filter(exprCol(st, e)))
+    returnClause(st, df1, q.ret)
+  }
+
+  /** Compile one MATCH part into (frame, boundVars). The part is
+    * compiled standalone — variables already bound in earlier parts
+    * are REBOUND from the graph here and reconciled by [[attach]]'s
+    * join on the shared ids, which is what makes the same code path
+    * serve both plain (inner) and OPTIONAL (left outer) MATCH. */
+  private def compilePart(st: St, part: MatchPart): (DataFrame, Seq[String]) = {
+    var frame: Option[DataFrame] = None
+    val bound = scala.collection.mutable.LinkedHashSet.empty[String]
+    // (hopName, typeSet) per materialized hop in THIS part, for the
+    // openCypher relationship-uniqueness (trail) conditions
+    val hops = scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+    var anonHop = 0
+    def freshHop(): String = { anonHop += 1; s"  h$anonHop" }
+
+    def bindNode(np: NodePat, joinOn: Option[Column]): Unit = {
+      if (bound.contains(np.name)) {
+        // re-walked variable: constrain, don't re-scan — but a label
+        // or prop map on the re-walk still applies as a filter
+        require(np.label.isEmpty ||
+          frame.get.columns.contains(s"${np.name} __label"),
+          "internal: rebound node lost its label column")
+        np.label.foreach(l => frame = frame.map(_.filter(labelCol(np.name) === l)))
+        np.props.foreach { case (k, Lit(value)) =>
+          frame = frame.map(_.filter(
+            get_json_object(propsCol(np.name), s"$$.$k") === lit(value)))
+        }
+        joinOn.foreach(c => frame = frame.map(_.filter(c === idCol(np.name))))
+      } else {
+        val nf = st.nodeFrame(np)
+        frame = frame match {
+          case None => Some(nf)
+          case Some(f) => joinOn match {
+            case Some(c) => Some(f.join(nf, c === idCol(np.name)))
+            // comma-disconnected pattern: Cypher semantics are the
+            // cross product (normally constrained by WHERE)
+            case None => Some(f.crossJoin(nf))
+          }
+        }
+        bound += np.name
+      }
+    }
+
+    part.paths.foreach { path =>
+      bindNode(path.nodes.head, None)
+      path.edges.zipWithIndex.foreach { case (e, i) =>
+        val leftV = path.nodes(i).name
+        val rightN = path.nodes(i + 1)
+        e.range match {
+          case None =>
+            val ef = st.edgeFrame(e, e.name)
+            st.edgeVars += e.name
+            hops += ((e.name, e.types.toSet))
+            val (fromSide, toSide) =
+              if (e.out) (s"${e.name} __src", s"${e.name} __dst")
+              else (s"${e.name} __dst", s"${e.name} __src")
+            frame = Some(frame.get.join(ef, idCol(leftV) === col(fromSide)))
+            bindNode(rightN, Some(col(toSide)))
+          case Some((lo, hi)) =>
+            if (!e.name.startsWith("  "))
+              throw new IllegalArgumentException(
+                "a variable-length relationship cannot be named " +
+                "(openCypher binds it to a LIST; project endpoints instead)")
+            // union of fixed-length chains: (start, end) per PATH —
+            // no distinct, one output row per path instantiation
+            val chains = (lo to hi).map { k =>
+              val names = (1 to k).map(_ => freshHop())
+              var cf = st.edgeFrame(e.copy(name = names.head), names.head)
+              (1 until k).foreach { j =>
+                val prev = names(j - 1); val cur = names(j)
+                val ef = st.edgeFrame(e.copy(name = cur), cur)
+                val prevEnd = if (e.out) s"$prev __dst" else s"$prev __src"
+                val curStart = if (e.out) s"$cur __src" else s"$cur __dst"
+                cf = cf.join(ef, col(prevEnd) === col(curStart))
+              }
+              // trail semantics inside the chain: same-type hops must
+              // be pairwise-distinct triples
+              val uniq = for {
+                a <- names.indices; b <- (a + 1) until names.length
+              } yield not(col(s"${names(a)} __src") === col(s"${names(b)} __src") &&
+                          col(s"${names(a)} __dst") === col(s"${names(b)} __dst") &&
+                          col(s"${names(a)} __rel") === col(s"${names(b)} __rel"))
+              val cu = uniq.foldLeft(cf)((d, c) => d.filter(c))
+              val startC = if (e.out) s"${names.head} __src" else s"${names.head} __dst"
+              val endC = if (e.out) s"${names.last} __dst" else s"${names.last} __src"
+              cu.select(col(startC).as("  vstart"), col(endC).as("  vend"))
+            }
+            val expanded = chains.reduce(_ unionByName _)
+            frame = Some(frame.get.join(expanded,
+              idCol(leftV) === col("  vstart")))
+            bindNode(rightN, Some(col("  vend")))
+            frame = frame.map(_.drop("  vstart", "  vend"))
+        }
+      }
+    }
+    // trail semantics ACROSS fixed hops of this part: any two hops
+    // whose type sets can overlap must be distinct edges. (Hops with
+    // disjoint explicit type sets can never collide — no condition.)
+    val cross = for {
+      a <- hops.indices; b <- (a + 1) until hops.length
+      (na, ta) = hops(a); (nb, tb) = hops(b)
+      if ta.isEmpty || tb.isEmpty || (ta intersect tb).nonEmpty
+    } yield not(col(s"$na __src") === col(s"$nb __src") &&
+                col(s"$na __dst") === col(s"$nb __dst") &&
+                col(s"$na __rel") === col(s"$nb __rel"))
+    val framed = cross.foldLeft(frame.get)((d, c) => d.filter(c))
+    (framed, bound.toSeq)
+  }
+
+  /** Join a compiled MATCH part onto the accumulated frame: inner on
+    * shared variables for plain MATCH, left outer for OPTIONAL; cross
+    * product when nothing is shared (plain MATCH only). */
+  private def attach(st: St, pf: DataFrame, bound: Seq[String],
+                     optional: Boolean): Unit = {
+    st.frame match {
+      case None =>
+        require(!optional, "query cannot start with OPTIONAL MATCH")
+        st.frame = Some(pf)
+        st.nodes ++= bound
+      case Some(f) =>
+        val shared = bound.filter(st.nodes.contains)
+        val fresh = bound.filterNot(st.nodes.contains)
+        if (shared.isEmpty) {
+          if (optional) throw new IllegalArgumentException(
+            "OPTIONAL MATCH must share at least one variable with an " +
+            "earlier MATCH")
+          st.frame = Some(f.crossJoin(pf))
+        } else {
+          // shared vars: drop the re-bound label/props duplicates and
+          // using-join on the id columns (left side keeps its values)
+          val pfPruned = shared.foldLeft(pf)((d, v) =>
+            d.drop(s"$v __label", s"$v __props"))
+          val keys = shared.map(v => s"$v __id")
+          st.frame = Some(f.join(pfPruned, keys,
+            if (optional) "left_outer" else "inner"))
+        }
+        st.nodes ++= fresh
+    }
+  }
+
+  // ---- expressions ------------------------------------------------
+  private def exprCol(st: St, e: Expr): Column = e match {
+    case Prop(v, k) =>
+      if (st.edgeVars.contains(v)) {
+        if (!st.edgeHasProps) throw new IllegalArgumentException(
+          s"$v.$k: the edge table has no props column")
+        get_json_object(col(s"$v __eprops"), s"$$.$k")
+      } else if (st.nodes.contains(v))
+        get_json_object(propsCol(v), s"$$.$k")
+      else throw new IllegalArgumentException(s"unbound variable $v")
+    case Id(v) =>
+      if (!st.nodes.contains(v))
+        throw new IllegalArgumentException(s"unbound variable $v")
+      idCol(v)
+    case Var(v) =>
+      if (st.nodes.contains(v)) idCol(v)
+      else if (st.edgeVars.contains(v)) col(s"$v __rel")
+      else throw new IllegalArgumentException(s"unbound variable $v")
+    case LabelOf(v) =>
+      if (!st.nodes.contains(v))
+        throw new IllegalArgumentException(s"unbound variable $v")
+      labelCol(v)
+    case Lit(value) => lit(value)
+    case ToInt(x) => exprCol(st, x).cast("long")
+    case ToFloat(x) => exprCol(st, x).cast("double")
+    case Cmp(op, l, r) =>
+      val (a, b) = (exprCol(st, l), exprCol(st, r))
+      op match {
+        case "=" => a === b
+        case "<>" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+      }
+    case IsNull(x, notNull) =>
+      if (notNull) exprCol(st, x).isNotNull else exprCol(st, x).isNull
+    case InList(x, vals) => exprCol(st, x).isin(vals.map(_.value): _*)
+    case StrPred(op, l, r) =>
+      val (a, b) = (exprCol(st, l), exprCol(st, r))
+      op match {
+        case "contains" => a.contains(b)
+        case "starts" => a.startsWith(b)
+        case "ends" => a.endsWith(b)
+      }
+    case And(l, r) => exprCol(st, l) && exprCol(st, r)
+    case Or(l, r) => exprCol(st, l) || exprCol(st, r)
+    case Not(x) => !exprCol(st, x)
+  }
+
+  // ---- RETURN -------------------------------------------------------
+  private def returnClause(st: St, df: DataFrame, r: Return): DataFrame = {
+    val hasAgg = r.items.exists(_.agg.isDefined)
+    val projected =
+      if (!hasAgg) {
+        val cols = r.items.map(it => exprCol(st, it.expr.get).as(it.alias))
+        val d = df.select(cols: _*)
+        if (r.distinct) d.distinct() else d
+      } else {
+        // openCypher implicit grouping: non-aggregate items are keys
+        val keys = r.items.filter(_.agg.isEmpty)
+          .map(it => exprCol(st, it.expr.get).as(it.alias))
+        val aggs = r.items.filter(_.agg.isDefined).map { it =>
+          val c = (it.agg.get, it.expr) match {
+            case ("count", None) => count(lit(1))
+            case ("count", Some(e)) if it.distinct =>
+              countDistinct(exprCol(st, e))
+            case ("count", Some(e)) => count(exprCol(st, e))
+            case ("sum", Some(e)) => sum(exprCol(st, e))
+            case ("min", Some(e)) => min(exprCol(st, e))
+            case ("max", Some(e)) => max(exprCol(st, e))
+            case ("avg", Some(e)) => avg(exprCol(st, e))
+            case (a, _) => throw new IllegalArgumentException(s"bad aggregate $a")
+          }
+          c.as(it.alias)
+        }
+        val grouped =
+          if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+          else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        // restore the RETURN item order (groupBy puts keys first)
+        grouped.select(r.items.map(it => col(it.alias)): _*)
+      }
+    val ordered =
+      if (r.orderBy.isEmpty) projected
+      else projected.orderBy(r.orderBy.map(o =>
+        if (o.asc) col(o.key).asc else col(o.key).desc): _*)
+    val skipped = r.skip.fold(ordered)(n => ordered.offset(n.toInt))
+    r.limit.fold(skipped)(n => skipped.limit(n.toInt))
+  }
+}

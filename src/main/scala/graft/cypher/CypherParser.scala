@@ -1,0 +1,373 @@
+package graft.cypher
+
+import CypherAst._
+
+/** Recursive-descent parser for the Cypher READ subset documented on
+  * [[CypherAst]]. Hand-rolled (no parser library — the build's only
+  * dependencies are Spark + scalatest) and ~public-grammar-faithful:
+  * keywords are case-insensitive, identifiers may be backquoted,
+  * strings take single or double quotes.
+  *
+  * Errors carry the token position so a malformed query fails with
+  * `cypher parse error at 37: expected ')' …` rather than a stack of
+  * Nones — this is a user-facing query language, not an internal DSL.
+  */
+object CypherParser {
+
+  final case class Tok(kind: String, s: String, pos: Int)
+
+  // ---- lexer -----------------------------------------------------
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += Tok("ident", q.substring(j, i), j)
+      } else if (c == '`') {
+        val j = i + 1
+        i = j
+        while (i < n && q(i) != '`') i += 1
+        if (i >= n) fail(j, "unterminated backquoted identifier")
+        out += Tok("ident", q.substring(j, i), j - 1)
+        i += 1
+      } else if (c.isDigit) {
+        val j = i
+        while (i < n && q(i).isDigit) i += 1
+        if (i < n && q(i) == '.' && i + 1 < n && q(i + 1).isDigit) {
+          i += 1
+          while (i < n && q(i).isDigit) i += 1
+          out += Tok("float", q.substring(j, i), j)
+        } else out += Tok("int", q.substring(j, i), j)
+      } else if (c == '\'' || c == '"') {
+        val j = i + 1
+        i = j
+        while (i < n && q(i) != c) i += 1
+        if (i >= n) fail(j, "unterminated string literal")
+        out += Tok("str", q.substring(j, i), j - 1)
+        i += 1
+      } else {
+        // two-char operators first, then single punctuation
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (two == "<>" || two == "<=" || two == ">=" || two == "..") {
+          out += Tok("op", two, i); i += 2
+        } else if ("()[]{},:.|*->=<".indexOf(c) >= 0) {
+          out += Tok("op", c.toString, i); i += 1
+        } else fail(i, s"unexpected character '$c'")
+      }
+    }
+    out.result()
+  }
+
+  private def fail(pos: Int, msg: String): Nothing =
+    throw new IllegalArgumentException(s"cypher parse error at $pos: $msg")
+
+  // ---- parser state ----------------------------------------------
+  private final class P(toks: Vector[Tok]) {
+    var i = 0
+    var anon = 0
+    def freshName(prefix: String): String = { anon += 1; s"  $prefix$anon" }
+    def peek: Tok =
+      if (i < toks.length) toks(i) else Tok("eof", "", Int.MaxValue)
+    def peek2: Tok =
+      if (i + 1 < toks.length) toks(i + 1) else Tok("eof", "", Int.MaxValue)
+    def next(): Tok = { val t = peek; i += 1; t }
+    def isKw(t: Tok, kw: String): Boolean =
+      t.kind == "ident" && t.s.equalsIgnoreCase(kw)
+    def atKw(kw: String): Boolean = isKw(peek, kw)
+    def eatKw(kw: String): Unit =
+      if (atKw(kw)) i += 1 else fail(peek.pos, s"expected $kw, got '${peek.s}'")
+    def atOp(op: String): Boolean = peek.kind == "op" && peek.s == op
+    def eatOp(op: String): Unit =
+      if (atOp(op)) i += 1
+      else fail(peek.pos, s"expected '$op', got '${peek.s}'")
+    def ident(): String = {
+      val t = next()
+      if (t.kind != "ident") fail(t.pos, s"expected identifier, got '${t.s}'")
+      t.s
+    }
+  }
+
+  /** Parse one read query. Throws IllegalArgumentException with a
+    * position on malformed input. */
+  def parse(q: String): Query = {
+    val p = new P(lex(q))
+    val matches = Vector.newBuilder[MatchPart]
+    var first = true
+    while (p.atKw("match") || p.atKw("optional")) {
+      val optional = p.atKw("optional")
+      if (optional) {
+        if (first) fail(p.peek.pos, "query cannot start with OPTIONAL MATCH")
+        p.eatKw("optional")
+      }
+      p.eatKw("match")
+      val paths = Vector.newBuilder[PathPat]
+      paths += pathPat(p)
+      while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
+      matches += MatchPart(paths.result(), optional)
+      first = false
+    }
+    val ms = matches.result()
+    if (ms.isEmpty) fail(p.peek.pos, "expected MATCH")
+    val where = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+                else None
+    p.eatKw("return")
+    val ret = returnClause(p)
+    if (p.peek.kind != "eof")
+      fail(p.peek.pos, s"trailing input '${p.peek.s}'")
+    Query(ms, where, ret)
+  }
+
+  // ---- patterns --------------------------------------------------
+  private def pathPat(p: P): PathPat = {
+    val nodes = Vector.newBuilder[NodePat]
+    val edges = Vector.newBuilder[EdgePat]
+    nodes += nodePat(p)
+    while (p.atOp("-") || p.atOp("<")) {
+      edges += edgePat(p)
+      nodes += nodePat(p)
+    }
+    PathPat(nodes.result(), edges.result())
+  }
+
+  private def nodePat(p: P): NodePat = {
+    p.eatOp("(")
+    val name =
+      if (p.peek.kind == "ident") p.ident() else p.freshName("n")
+    val label =
+      if (p.atOp(":")) { p.eatOp(":"); Some(p.ident()) } else None
+    val props = if (p.atOp("{")) propMap(p) else Map.empty[String, Lit]
+    p.eatOp(")")
+    NodePat(name, label, props)
+  }
+
+  private def edgePat(p: P): EdgePat = {
+    // '<' '-' '[' … ']' '-'   |   '-' '[' … ']' '-' '>'
+    val in = p.atOp("<")
+    if (in) { p.eatOp("<"); p.eatOp("-") } else p.eatOp("-")
+    // bare edge `-->` / `<--` (no bracket part)
+    if (!p.atOp("[")) {
+      p.eatOp("-")
+      if (!in) p.eatOp(">")
+      return EdgePat(p.freshName("e"), Nil, out = !in, None, Map.empty)
+    }
+    p.eatOp("[")
+    val name = if (p.peek.kind == "ident") p.ident() else p.freshName("e")
+    val types = Vector.newBuilder[String]
+    if (p.atOp(":")) {
+      p.eatOp(":"); types += p.ident()
+      while (p.atOp("|")) {
+        p.eatOp("|")
+        if (p.atOp(":")) p.eatOp(":") // tolerate `|:REL` (pre-9 Cypher)
+        types += p.ident()
+      }
+    }
+    val range =
+      if (p.atOp("*")) {
+        p.eatOp("*")
+        val lo = p.next() match {
+          case Tok("int", s, _) => s.toInt
+          case t => fail(t.pos,
+            "variable-length needs an explicit bounded range *m..n")
+        }
+        p.eatOp("..")
+        val hi = p.next() match {
+          case Tok("int", s, _) => s.toInt
+          case t => fail(t.pos, "expected upper bound after '..'")
+        }
+        if (lo < 1 || hi < lo)
+          fail(p.peek.pos, s"bad variable-length range *$lo..$hi")
+        Some((lo, hi))
+      } else None
+    val props = if (p.atOp("{")) propMap(p) else Map.empty[String, Lit]
+    p.eatOp("]")
+    p.eatOp("-")
+    val out = p.atOp(">")
+    if (out) p.eatOp(">")
+    if (in && out) fail(p.peek.pos, "edge cannot be both <- and ->")
+    if (!in && !out) fail(p.peek.pos, "undirected edges not supported")
+    EdgePat(name, types.result(), out, range, props)
+  }
+
+  private def propMap(p: P): Map[String, Lit] = {
+    p.eatOp("{")
+    val m = Map.newBuilder[String, Lit]
+    var more = !p.atOp("}")
+    while (more) {
+      val k = p.ident()
+      p.eatOp(":")
+      m += k -> literal(p)
+      more = p.atOp(",")
+      if (more) p.eatOp(",")
+    }
+    p.eatOp("}")
+    m.result()
+  }
+
+  private def literal(p: P): Lit = {
+    val neg = p.atOp("-")
+    if (neg) p.eatOp("-")
+    val t = p.next()
+    t.kind match {
+      case "str" if !neg => Lit(t.s)
+      case "int" => Lit(if (neg) -t.s.toLong else t.s.toLong)
+      case "float" => Lit(if (neg) -t.s.toDouble else t.s.toDouble)
+      case "ident" if !neg && t.s.equalsIgnoreCase("true") => Lit(true)
+      case "ident" if !neg && t.s.equalsIgnoreCase("false") => Lit(false)
+      case "ident" if !neg && t.s.equalsIgnoreCase("null") => Lit(null)
+      case _ => fail(t.pos, s"expected literal, got '${t.s}'")
+    }
+  }
+
+  // ---- expressions -----------------------------------------------
+  private def orExpr(p: P): Expr = {
+    var l = andExpr(p)
+    while (p.atKw("or")) { p.eatKw("or"); l = Or(l, andExpr(p)) }
+    l
+  }
+  private def andExpr(p: P): Expr = {
+    var l = notExpr(p)
+    while (p.atKw("and")) { p.eatKw("and"); l = And(l, notExpr(p)) }
+    l
+  }
+  private def notExpr(p: P): Expr =
+    if (p.atKw("not")) { p.eatKw("not"); Not(notExpr(p)) }
+    else comparison(p)
+
+  private def comparison(p: P): Expr = {
+    val l = atom(p)
+    if (p.peek.kind == "op" && Set("=", "<>", "<", "<=", ">", ">=")(p.peek.s)) {
+      val op = p.next().s
+      Cmp(op, l, atom(p))
+    } else if (p.atKw("is")) {
+      p.eatKw("is")
+      val not = p.atKw("not")
+      if (not) p.eatKw("not")
+      p.eatKw("null")
+      IsNull(l, not)
+    } else if (p.atKw("in")) {
+      p.eatKw("in")
+      p.eatOp("[")
+      val vals = Vector.newBuilder[Lit]
+      if (!p.atOp("]")) {
+        vals += literal(p)
+        while (p.atOp(",")) { p.eatOp(","); vals += literal(p) }
+      }
+      p.eatOp("]")
+      InList(l, vals.result())
+    } else if (p.atKw("contains")) {
+      p.eatKw("contains"); StrPred("contains", l, atom(p))
+    } else if (p.atKw("starts")) {
+      p.eatKw("starts"); p.eatKw("with"); StrPred("starts", l, atom(p))
+    } else if (p.atKw("ends")) {
+      p.eatKw("ends"); p.eatKw("with"); StrPred("ends", l, atom(p))
+    } else l
+  }
+
+  /** Shared by WHERE and RETURN items (minus aggregates, which only
+    * RETURN may hold). */
+  private def atom(p: P): Expr = {
+    if (p.atOp("(")) { p.eatOp("("); val e = orExpr(p); p.eatOp(")"); e }
+    else if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "(") {
+      val fname = p.ident().toLowerCase
+      p.eatOp("(")
+      val e = fname match {
+        case "id" => Id(p.ident())
+        case "label" | "labeloffirst" => LabelOf(p.ident())
+        case "tointeger" => ToInt(atom(p))
+        case "tofloat" => ToFloat(atom(p))
+        case other => fail(p.peek.pos, s"unknown function $other()")
+      }
+      p.eatOp(")")
+      e
+    } else if (p.peek.kind == "ident" &&
+               !Set("true", "false", "null").contains(p.peek.s.toLowerCase)) {
+      val v = p.ident()
+      if (p.atOp(".")) { p.eatOp("."); Prop(v, p.ident()) }
+      else Var(v)
+    } else literal(p)
+  }
+
+  // ---- RETURN ----------------------------------------------------
+  private val aggNames = Set("count", "sum", "min", "max", "avg")
+
+  private def returnClause(p: P): Return = {
+    val distinct = p.atKw("distinct")
+    if (distinct) p.eatKw("distinct")
+    val items = Vector.newBuilder[Item]
+    items += returnItem(p, items.knownSize)
+    while (p.atOp(",")) { p.eatOp(","); items += returnItem(p, items.knownSize) }
+    val orderBy = Vector.newBuilder[OrderItem]
+    if (p.atKw("order")) {
+      p.eatKw("order"); p.eatKw("by")
+      def oitem(): OrderItem = {
+        val k = p.ident()
+        val asc =
+          if (p.atKw("desc")) { p.eatKw("desc"); false }
+          else { if (p.atKw("asc")) p.eatKw("asc"); true }
+        OrderItem(k, asc)
+      }
+      orderBy += oitem()
+      while (p.atOp(",")) { p.eatOp(","); orderBy += oitem() }
+    }
+    val skip = if (p.atKw("skip")) {
+      p.eatKw("skip")
+      p.next() match {
+        case Tok("int", s, _) => Some(s.toLong)
+        case t => fail(t.pos, "expected integer after SKIP")
+      }
+    } else None
+    val limit = if (p.atKw("limit")) {
+      p.eatKw("limit")
+      p.next() match {
+        case Tok("int", s, _) => Some(s.toLong)
+        case t => fail(t.pos, "expected integer after LIMIT")
+      }
+    } else None
+    Return(distinct, items.result(), orderBy.result(), skip, limit)
+  }
+
+  private def returnItem(p: P, idx: Int): Item = {
+    val t = p.peek
+    val item =
+      if (t.kind == "ident" && aggNames(t.s.toLowerCase) &&
+          p.peek2.kind == "op" && p.peek2.s == "(") {
+        val agg = p.ident().toLowerCase
+        p.eatOp("(")
+        val (dist, expr) =
+          if (p.atOp("*")) {
+            if (agg != "count") fail(p.peek.pos, s"$agg(*) is not Cypher")
+            p.eatOp("*"); (false, None)
+          } else {
+            val d = p.atKw("distinct")
+            if (d) p.eatKw("distinct")
+            (d, Some(atom(p)))
+          }
+        p.eatOp(")")
+        Item(expr, Some(agg), dist, defaultAlias(agg, expr, idx))
+      } else {
+        val e = atom(p)
+        Item(Some(e), None, distinct = false, defaultAlias("", Some(e), idx))
+      }
+    if (p.atKw("as")) { p.eatKw("as"); item.copy(alias = p.ident()) }
+    else item
+  }
+
+  /** openCypher names unaliased items by their text; we only need a
+    * stable deterministic default (the driver contract aliases every
+    * output column explicitly anyway). */
+  private def defaultAlias(agg: String, e: Option[Expr], idx: Int): String =
+    (agg, e) match {
+      case ("", Some(Prop(v, k))) => s"${v}_$k"
+      case ("", Some(Var(v))) => v
+      case ("", Some(Id(v))) => s"id_$v"
+      case ("", Some(LabelOf(v))) => s"label_$v"
+      case ("count", None) => "count"
+      case (a, Some(Prop(v, k))) if a.nonEmpty => s"${a}_${v}_$k"
+      case _ => s"col$idx"
+    }
+}
