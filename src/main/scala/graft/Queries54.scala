@@ -37,8 +37,16 @@ import Queries.Q
   */
 object Queries54 {
 
+  /** Base reads widened when byte-small: the graph model pays
+    * to_json at build and get_json_object at access (both
+    * CodegenFallback, CPU-heavy per row), and AQE sizes the scan by
+    * BYTES — a compressed 150k-row table scans as ONE task that then
+    * owns all the JSON work. Widening the RAW scan (before the
+    * props projection) keeps the parquet read cheap and lands the
+    * JSON construction on all cores ([[graft.operators.Width]]'s
+    * scan-shaped-only guarantee applies — the probe runs no jobs). */
   private def T_(s: SparkSession, dir: String, name: String) =
-    Tables.read(s, dir, name)
+    graft.operators.Width.widenIfNarrowScan(Tables.read(s, dir, name))
 
   /** Customer/Nation/Region/Order/Part property graph over the base
     * tables — five labels, four relationship types, relationship
@@ -210,7 +218,72 @@ object Queries54 {
       WHERE o_orderpriority LIKE '2%'
       ORDER BY seg OFFSET 1 LIMIT 3"""))
 
+  /** Cypher over the engine's REAL terminal artifact: the 27-label
+    * assembly ([[Queries6.stagedAssembly]] — the graph every g_*
+    * entry proves). Assembly vertices carry their keys in the id
+    * (props are empty by construction), so the query works the way a
+    * key-graph consumer would: id()/label() plus counting. The oracle
+    * recomputes the PLANTED_WITH relation from the raw tables. */
+  val cy_assembly_read = Q(
+    (s, dir) => {
+      val (verts, eds) = Queries6.stagedAssembly(s, dir)
+      PropertyGraph(verts,
+        eds.withColumn("props", lit(null).cast("string")))
+        .cypher(
+          """MATCH (f:Field)-[:PLANTED_WITH]->(c:Crop)
+             RETURN id(c) AS crop, count(DISTINCT f) AS n_fields
+             ORDER BY crop""")
+    },
+    Some("""SELECT 'Crop:' || n_name AS crop,
+        COUNT(DISTINCT c_custkey) AS n_fields
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY crop"""))
+
+  /** WITH pipeline: aggregate per customer, filter on the aggregate
+    * (the HAVING position), then RE-MATCH from the kept node variable
+    * into a second hop — the openCypher idiom a Neo4j consumer
+    * reaches for first. Compiles to aggregate → filter → join, no
+    * interpretation. */
+  val cy_with_having = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WITH c, count(*) AS n_orders
+         WHERE n_orders >= 14
+         MATCH (c)-[:FROM_NATION]->(n:Nation)
+         RETURN n.name AS nation, count(*) AS n_big, max(n_orders) AS max_orders
+         ORDER BY nation"""),
+    Some("""WITH big AS (
+        SELECT o_custkey AS ck, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1 HAVING COUNT(*) >= 14)
+      SELECT n_name AS nation, COUNT(*) AS n_big, MAX(n_orders) AS max_orders
+      FROM big JOIN customer ON c_custkey = ck
+               JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY nation"""))
+
+  /** shortestPath over the type-alternating expansion: each Customer
+    * reaches its Nation at length 1 and its Region at length 2; the
+    * pattern collapses the bounded expansion to one row per (c, x)
+    * pair with a hash aggregate — no traversal state anywhere. */
+  val cy_shortest = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH p = shortestPath((c:Customer)-[:FROM_NATION|IN_REGION*1..2]->(x))
+         WHERE c.mktsegment = 'HOUSEHOLD'
+         RETURN label(x) AS dst, max(length(p)) AS len, count(*) AS n
+         ORDER BY dst"""),
+    Some("""WITH f AS (SELECT c_custkey, c_nationkey FROM customer
+                 WHERE c_mktsegment = 'HOUSEHOLD')
+      SELECT 'Nation' AS dst, CAST(1 AS BIGINT) AS len, COUNT(*) AS n
+        FROM f JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'Region' AS dst, CAST(2 AS BIGINT) AS len, COUNT(*) AS n
+        FROM f JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+      ORDER BY dst"""))
+
   val all: Map[String, Q] = Map(
+    "cy_assembly_read" -> cy_assembly_read,
+    "cy_with_having" -> cy_with_having,
+    "cy_shortest" -> cy_shortest,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,

@@ -19,8 +19,11 @@ package graft.cypher
   * Supported grammar (documented deviations at the bottom):
   *
   * {{{
-  * query    := matchPart+ (WHERE expr)? RETURN (DISTINCT)? item (',' item)*
+  * query    := segment+ RETURN (DISTINCT)? item (',' item)*
   *             (ORDER BY oitem (ASC|DESC)? (',' …)*)? (SKIP n)? (LIMIT n)?
+  * segment  := matchPart* (WHERE expr)?
+  *             (WITH (DISTINCT)? item (',' item)* (ORDER BY …)?
+  *              (SKIP n)? (LIMIT n)? (WHERE expr)?)?
   * matchPart:= (OPTIONAL)? MATCH pattern (',' pattern)*
   * pattern  := node (edge node)*
   * node     := '(' var? (':' Label)? propMap? ')'
@@ -66,8 +69,12 @@ object CypherAst {
                            out: Boolean, range: Option[(Int, Int)],
                            props: Map[String, Lit])
 
-  /** A linear pattern `n0 e0 n1 e1 n2 …`. */
-  final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat])
+  /** A linear pattern `n0 e0 n1 e1 n2 …`. `shortest` = Some(pathVar)
+    * for `p = shortestPath((a)-[:R*m..n]->(b))` — exactly one
+    * var-length edge, and the pattern yields ONE row per (a, b) pair
+    * at the minimum path length (readable via `length(p)`). */
+  final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
+                           shortest: Option[String] = None)
 
   /** One MATCH clause (possibly OPTIONAL) holding 1+ comma patterns. */
   final case class MatchPart(paths: Seq[PathPat], optional: Boolean)
@@ -82,6 +89,8 @@ object CypherAst {
   final case class LabelOf(v: String) extends Expr
   /** Bare `v` in RETURN/count — resolves to `id(v)`. */
   final case class Var(v: String) extends Expr
+  /** `length(p)` — hop count of a shortestPath binding. */
+  final case class PathLen(v: String) extends Expr
   final case class Lit(value: Any) extends Expr // String|Long|Double|Boolean|null
   final case class ToInt(e: Expr) extends Expr
   final case class ToFloat(e: Expr) extends Expr
@@ -105,7 +114,27 @@ object CypherAst {
                           orderBy: Seq[OrderItem], skip: Option[Long],
                           limit: Option[Long])
 
-  /** The whole query. */
-  final case class Query(matches: Seq[MatchPart], where: Option[Expr],
-                         ret: Return)
+  /** `WITH (DISTINCT)? items (ORDER BY…)? (SKIP n)? (LIMIT n)?
+    * (WHERE expr)?` — the openCypher pipeline operator. Bare node
+    * variables stay bound as nodes downstream; expression items
+    * become value columns named by their alias; everything else goes
+    * out of scope (openCypher's WITH scoping). The trailing WHERE
+    * filters the projected rows (the HAVING position when the WITH
+    * aggregates). */
+  final case class WithClause(distinct: Boolean, items: Seq[Item],
+                              orderBy: Seq[OrderItem], skip: Option[Long],
+                              limit: Option[Long], where: Option[Expr])
+
+  /** One pipeline segment: MATCH parts, an optional WHERE, and the
+    * WITH that hands its projection to the next segment (absent only
+    * on the final segment, which ends in RETURN instead). */
+  final case class Segment(matches: Seq[MatchPart], where: Option[Expr],
+                           withPart: Option[WithClause])
+
+  /** The whole query: 1+ segments, then RETURN. */
+  final case class Query(segments: Seq[Segment], ret: Return) {
+    /** First segment's MATCH parts (convenience for single-segment
+      * queries — most of them). */
+    def matches: Seq[MatchPart] = segments.head.matches
+  }
 }

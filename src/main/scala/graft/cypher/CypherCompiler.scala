@@ -41,6 +41,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   *     relationship-uniqueness enforced as pairwise triple
   *     inequality between same-type hops;
   *   - OPTIONAL MATCH is a left outer join on the shared variables;
+  *   - WITH is a projection (plus hash aggregate when it aggregates)
+  *     followed by a variable-scope reset — openCypher pipeline
+  *     semantics, HAVING via its trailing WHERE;
+  *   - `p = shortestPath((a)-[:R*m..n]->(b))` is the bounded
+  *     expansion collapsed to min hop count per (a, b) pair by one
+  *     hash aggregate — no traversal state, no driver iteration;
   *   - RETURN with aggregates is the openCypher implicit group-by
   *     (non-aggregate items are the keys) — one hash aggregate.
   *
@@ -60,6 +66,10 @@ object CypherCompiler {
     var frame: Option[DataFrame] = None
     val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
     val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** WITH-projected value variables: alias → physical column. */
+    val valueCols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** shortestPath bindings: path var → its length column. */
+    val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val edgeHasProps: Boolean = g.edges.columns.contains("props")
 
     def nodeFrame(np: NodePat): DataFrame = {
@@ -91,15 +101,99 @@ object CypherCompiler {
 
   def run(g: PropertyGraph, q: Query): DataFrame = {
     val st = new St(g)
-    q.matches.foreach { part =>
-      val partFrame = compilePart(st, part)
-      attach(st, partFrame._1, partFrame._2, part.optional)
+    q.segments.foreach { seg =>
+      seg.matches.foreach { part =>
+        val partFrame = compilePart(st, part)
+        attach(st, partFrame._1, partFrame._2, part.optional)
+      }
+      seg.where.foreach(e =>
+        st.frame = st.frame.map(_.filter(exprCol(st, e))))
+      seg.withPart.foreach(w => applyWith(st, w))
     }
     val df0 = st.frame.getOrElse(
       throw new IllegalArgumentException("query bound no variables"))
-    val df1 = q.where.fold(df0)(e => df0.filter(exprCol(st, e)))
-    returnClause(st, df1, q.ret)
+    returnClause(st, df0, q.ret)
   }
+
+  /** The WITH pipeline step: project (and possibly aggregate) the
+    * frame, then RESET the variable scope to exactly the projected
+    * items — bare node variables stay bound as nodes (under their
+    * alias), expression/aggregate items become value columns,
+    * everything else (edge vars, unprojected nodes) goes out of
+    * scope, which is openCypher's WITH semantics. The trailing WHERE
+    * filters the projection (the HAVING position when aggregating).
+    */
+  private def applyWith(st: St, w: WithClause): Unit = {
+    val df = st.frame.getOrElse(
+      throw new IllegalArgumentException("WITH before any MATCH bound rows"))
+    val hasAgg = w.items.exists(_.agg.isDefined)
+    // bare node variables pass through as nodes: WITH c AS x rebinds
+    final case class NodeItem(v: String, alias: String)
+    val nodeItems = w.items.collect {
+      case Item(Some(Var(v)), None, _, alias) if st.nodes.contains(v) =>
+        NodeItem(v, alias)
+    }
+    val valueItems = w.items.filterNot {
+      case Item(Some(Var(v)), None, _, _) => st.nodes.contains(v)
+      case _ => false
+    }
+    def nodeCols(ni: NodeItem): Seq[Column] = Seq(
+      idCol(ni.v).as(s"${ni.alias} __id"),
+      labelCol(ni.v).as(s"${ni.alias} __label"),
+      propsCol(ni.v).as(s"${ni.alias} __props"))
+    def valueKeyCol(it: Item): Column =
+      exprCol(st, it.expr.getOrElse(throw new IllegalArgumentException(
+        s"WITH item ${it.alias} has no expression"))).as(s"${it.alias} __val")
+    val projected =
+      if (!hasAgg) {
+        val cols = nodeItems.flatMap(nodeCols) ++
+          valueItems.map(valueKeyCol)
+        val d = df.select(cols: _*)
+        if (w.distinct) d.distinct() else d
+      } else {
+        val keys = nodeItems.flatMap(nodeCols) ++
+          valueItems.filter(_.agg.isEmpty).map(valueKeyCol)
+        val aggs = valueItems.filter(_.agg.isDefined).map { it =>
+          aggCol(st, it).as(s"${it.alias} __val")
+        }
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      }
+    // new scope BEFORE the trailing WHERE — it sees the projection
+    st.nodes.clear(); st.nodes ++= nodeItems.map(_.alias)
+    st.edgeVars.clear()
+    st.pathVars.clear()
+    st.valueCols.clear()
+    valueItems.foreach(it => st.valueCols += it.alias -> s"${it.alias} __val")
+    def orderCol(o: OrderItem): Column = {
+      val c =
+        if (st.valueCols.contains(o.key)) col(st.valueCols(o.key))
+        else if (st.nodes.contains(o.key)) idCol(o.key)
+        else throw new IllegalArgumentException(
+          s"ORDER BY ${o.key}: not a WITH item")
+      if (o.asc) c.asc else c.desc
+    }
+    val ordered =
+      if (w.orderBy.isEmpty) projected
+      else projected.orderBy(w.orderBy.map(orderCol): _*)
+    val skipped = w.skip.fold(ordered)(n => ordered.offset(n.toInt))
+    val limited = w.limit.fold(skipped)(n => skipped.limit(n.toInt))
+    val filtered = w.where.fold(limited)(e => limited.filter(exprCol(st, e)))
+    st.frame = Some(filtered)
+  }
+
+  /** Aggregate column for a RETURN/WITH item (shared). */
+  private def aggCol(st: St, it: Item): Column =
+    (it.agg.get, it.expr) match {
+      case ("count", None) => count(lit(1))
+      case ("count", Some(e)) if it.distinct => countDistinct(exprCol(st, e))
+      case ("count", Some(e)) => count(exprCol(st, e))
+      case ("sum", Some(e)) => sum(exprCol(st, e))
+      case ("min", Some(e)) => min(exprCol(st, e))
+      case ("max", Some(e)) => max(exprCol(st, e))
+      case ("avg", Some(e)) => avg(exprCol(st, e))
+      case (a, _) => throw new IllegalArgumentException(s"bad aggregate $a")
+    }
 
   /** Compile one MATCH part into (frame, boundVars). The part is
     * compiled standalone — variables already bound in earlier parts
@@ -165,6 +259,7 @@ object CypherCompiler {
                 "(openCypher binds it to a LIST; project endpoints instead)")
             // union of fixed-length chains: (start, end) per PATH —
             // no distinct, one output row per path instantiation
+            // (shortestPath collapses to min length per pair below)
             val chains = (lo to hi).map { k =>
               val names = (1 to k).map(_ => freshHop())
               var cf = st.edgeFrame(e.copy(name = names.head), names.head)
@@ -185,9 +280,21 @@ object CypherCompiler {
               val cu = uniq.foldLeft(cf)((d, c) => d.filter(c))
               val startC = if (e.out) s"${names.head} __src" else s"${names.head} __dst"
               val endC = if (e.out) s"${names.last} __dst" else s"${names.last} __src"
-              cu.select(col(startC).as("  vstart"), col(endC).as("  vend"))
+              cu.select(col(startC).as("  vstart"), col(endC).as("  vend"),
+                lit(k.toLong).as("  vdepth"))
             }
-            val expanded = chains.reduce(_ unionByName _)
+            val unioned = chains.reduce(_ unionByName _)
+            val expanded = path.shortest match {
+              case Some(pvar) =>
+                // openCypher shortestPath: ONE row per (start, end)
+                // pair at the minimum hop count — a hash aggregate
+                // over the bounded expansion, never a traversal
+                val plen = s"$pvar __plen"
+                st.pathVars += pvar -> plen
+                unioned.groupBy(col("  vstart"), col("  vend"))
+                  .agg(min(col("  vdepth")).as(plen))
+              case None => unioned.drop("  vdepth")
+            }
             frame = Some(frame.get.join(expanded,
               idCol(leftV) === col("  vstart")))
             bindNode(rightN, Some(col("  vend")))
@@ -257,7 +364,15 @@ object CypherCompiler {
     case Var(v) =>
       if (st.nodes.contains(v)) idCol(v)
       else if (st.edgeVars.contains(v)) col(s"$v __rel")
+      else if (st.valueCols.contains(v)) col(st.valueCols(v))
+      else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
+        s"$v is a shortestPath binding — only length($v) is supported")
       else throw new IllegalArgumentException(s"unbound variable $v")
+    case PathLen(v) =>
+      if (st.pathVars.contains(v)) col(st.pathVars(v))
+      else if (st.valueCols.contains(v)) col(st.valueCols(v))
+      else throw new IllegalArgumentException(
+        s"length($v): $v is not a shortestPath binding")
     case LabelOf(v) =>
       if (!st.nodes.contains(v))
         throw new IllegalArgumentException(s"unbound variable $v")
@@ -302,20 +417,8 @@ object CypherCompiler {
         // openCypher implicit grouping: non-aggregate items are keys
         val keys = r.items.filter(_.agg.isEmpty)
           .map(it => exprCol(st, it.expr.get).as(it.alias))
-        val aggs = r.items.filter(_.agg.isDefined).map { it =>
-          val c = (it.agg.get, it.expr) match {
-            case ("count", None) => count(lit(1))
-            case ("count", Some(e)) if it.distinct =>
-              countDistinct(exprCol(st, e))
-            case ("count", Some(e)) => count(exprCol(st, e))
-            case ("sum", Some(e)) => sum(exprCol(st, e))
-            case ("min", Some(e)) => min(exprCol(st, e))
-            case ("max", Some(e)) => max(exprCol(st, e))
-            case ("avg", Some(e)) => avg(exprCol(st, e))
-            case (a, _) => throw new IllegalArgumentException(s"bad aggregate $a")
-          }
-          c.as(it.alias)
-        }
+        val aggs = r.items.filter(_.agg.isDefined)
+          .map(it => aggCol(st, it).as(it.alias))
         val grouped =
           if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
           else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

@@ -96,34 +96,74 @@ object CypherParser {
     * position on malformed input. */
   def parse(q: String): Query = {
     val p = new P(lex(q))
-    val matches = Vector.newBuilder[MatchPart]
-    var first = true
-    while (p.atKw("match") || p.atKw("optional")) {
-      val optional = p.atKw("optional")
-      if (optional) {
-        if (first) fail(p.peek.pos, "query cannot start with OPTIONAL MATCH")
-        p.eatKw("optional")
+    val segments = Vector.newBuilder[Segment]
+    var isFirstSegment = true
+    var done = false
+    while (!done) {
+      val matches = Vector.newBuilder[MatchPart]
+      var first = true
+      while (p.atKw("match") || p.atKw("optional")) {
+        val optional = p.atKw("optional")
+        if (optional) {
+          if (first && isFirstSegment)
+            fail(p.peek.pos, "query cannot start with OPTIONAL MATCH")
+          p.eatKw("optional")
+        }
+        p.eatKw("match")
+        val paths = Vector.newBuilder[PathPat]
+        paths += pathPat(p)
+        while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
+        matches += MatchPart(paths.result(), optional)
+        first = false
       }
-      p.eatKw("match")
-      val paths = Vector.newBuilder[PathPat]
-      paths += pathPat(p)
-      while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
-      matches += MatchPart(paths.result(), optional)
-      first = false
+      val ms = matches.result()
+      if (ms.isEmpty && isFirstSegment) fail(p.peek.pos, "expected MATCH")
+      val where = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+                  else None
+      if (p.atKw("with")) {
+        p.eatKw("with")
+        segments += Segment(ms, where, Some(withClause(p)))
+        isFirstSegment = false
+      } else {
+        p.eatKw("return")
+        segments += Segment(ms, where, None)
+        done = true
+      }
     }
-    val ms = matches.result()
-    if (ms.isEmpty) fail(p.peek.pos, "expected MATCH")
-    val where = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
-                else None
-    p.eatKw("return")
     val ret = returnClause(p)
     if (p.peek.kind != "eof")
       fail(p.peek.pos, s"trailing input '${p.peek.s}'")
-    Query(ms, where, ret)
+    Query(segments.result(), ret)
+  }
+
+  /** The WITH projection reuses the RETURN item grammar, plus the
+    * trailing WHERE openCypher allows only here. */
+  private def withClause(p: P): WithClause = {
+    val r = returnClause(p)
+    val where = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+                else None
+    WithClause(r.distinct, r.items, r.orderBy, r.skip, r.limit, where)
   }
 
   // ---- patterns --------------------------------------------------
   private def pathPat(p: P): PathPat = {
+    // `p = shortestPath((a)-[:R*m..n]->(b))`
+    if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "=") {
+      val pvar = p.ident()
+      p.eatOp("=")
+      p.eatKw("shortestpath")
+      p.eatOp("(")
+      val inner = linearPat(p)
+      p.eatOp(")")
+      if (inner.edges.length != 1 || inner.edges.head.range.isEmpty)
+        fail(p.peek.pos,
+          "shortestPath needs exactly one bounded var-length edge")
+      return inner.copy(shortest = Some(pvar))
+    }
+    linearPat(p)
+  }
+
+  private def linearPat(p: P): PathPat = {
     val nodes = Vector.newBuilder[NodePat]
     val edges = Vector.newBuilder[EdgePat]
     nodes += nodePat(p)
@@ -278,6 +318,7 @@ object CypherParser {
       val e = fname match {
         case "id" => Id(p.ident())
         case "label" | "labeloffirst" => LabelOf(p.ident())
+        case "length" => PathLen(p.ident())
         case "tointeger" => ToInt(atom(p))
         case "tofloat" => ToFloat(atom(p))
         case other => fail(p.peek.pos, s"unknown function $other()")

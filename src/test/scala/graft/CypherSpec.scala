@@ -200,6 +200,93 @@ class CypherSpec extends AnyFunSuite {
     assert(plan.contains("C"))
   }
 
+  test("WITH aggregates mid-pipeline, trailing WHERE is the HAVING") {
+    val out = g.cypher(
+      """MATCH (p:Person)-[:LIKES]->(f:Food)
+         WITH f, count(*) AS n WHERE n >= 2
+         RETURN f.name AS food, n ORDER BY food""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("fig", 2L)))
+    val none = g.cypher(
+      """MATCH (p:Person)-[:LIKES]->(f:Food)
+         WITH f, count(*) AS n WHERE n >= 3
+         RETURN f.name AS food, n""").count()
+    assert(none == 0L)
+  }
+
+  test("WITH keeps node bindings across segments (rename + re-match)") {
+    val out = g.cypher(
+      """MATCH (p:Person)-[:KNOWS]->(q:Person)
+         WITH p AS who, q.name AS friend
+         MATCH (who)-[:LIKES]->(f:Food)
+         RETURN who.name AS name, friend, f.name AS food ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // only ann and bob LIKE anything; each knows exactly one person
+    assert(out.toSeq ==
+      Seq(("ann", "bob", "fig"), ("bob", "cat", "fig")))
+  }
+
+  test("WITH scoping: unprojected variables go out of scope") {
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (p:Person)-[:LIKES]->(f:Food)
+         WITH f.name AS fn
+         RETURN p.name AS x"""))
+    assert(e.getMessage.contains("unbound"))
+  }
+
+  test("WITH ORDER BY/LIMIT paginate the pipeline; global agg crosses") {
+    val out = g.cypher(
+      """MATCH (p:Person) WITH p ORDER BY p LIMIT 2
+         MATCH (p)-[:KNOWS]->(r) RETURN p.name AS a, r.name AS b ORDER BY a""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("ann", "bob"), ("bob", "cat")))
+    val cross = g.cypher(
+      """MATCH (p:Person) WITH count(*) AS n
+         MATCH (f:Food) RETURN f.name AS food, n""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(cross.toSeq == Seq(("fig", 4L)))
+  }
+
+  test("shortestPath: one row per pair at the minimum hop count") {
+    // the KNOWS 3-cycle from ann: bob@1, cat@2, ann@3 — and *1..3
+    // also admits NO shorter route to any of them, so min is exact
+    val out = g.cypher(
+      """MATCH p = shortestPath((a:Person {name: 'ann'})-[:KNOWS*1..3]->(b:Person))
+         RETURN b.name AS name, length(p) AS len ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ann", 3L), ("bob", 1L), ("cat", 2L)))
+  }
+
+  test("shortestPath: bare path var is rejected, length() required") {
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*1..2]->(b))
+         RETURN p AS x"""))
+    assert(e.getMessage.contains("length"))
+    val e2 = intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH p = shortestPath((a)-[:R]->(b)) RETURN length(p)"))
+    assert(e2.getMessage.contains("var-length"))
+  }
+
+  test("over a GraphExport layout, (:X) prunes partition directories") {
+    val verts = Seq(("A:1", "A", """{"v":1}"""), ("B:9", "B", "{}"))
+      .toDF("id", "label", "props")
+    val edges = Seq(("A:1", "B:9", "REL")).toDF("src", "dst", "rel")
+    val root = java.nio.file.Files
+      .createTempDirectory("cy_export").toString
+    val (vB, eB) =
+      graft.operators.GraphExport.exportGraph(spark, verts, edges, root)
+    val pg = PropertyGraph(vB,
+      eB.withColumn("props", lit(null).cast("string")))
+    val q = pg.cypher("MATCH (x:A) RETURN id(x) AS i")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("A:1"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the label pattern must reach DIRECTORY-level pruning on the
+    // label-partitioned layout — the Cypher path inherits the same
+    // guarantee Round7Spec proves for the hand-written filter
+    assert(plan.contains("PartitionFilters") && plan.contains("label"),
+      "Cypher label pattern did not partition-prune:\n" + plan)
+  }
+
   test("catalog entries parse (full Cypher text of Queries54)") {
     // compile-time smoke over the real entry queries: the parser
     // accepts them and the compiled plan resolves against the demo
