@@ -61,7 +61,16 @@ object Bench {
     // the MEDIAN (the warm-baseline recording mode; rep 1 absorbs the
     // query's codegen compile). Driver runs keep the default of 1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY="a,b,c_" → bench only entries matching a listed
+    // name or prefix (builder-side medians recording for a new entry
+    // family under the EXACT full-Bench conditions; driver runs keep
+    // the default of everything)
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.filter(_.nonEmpty))
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name == p || name.startsWith(p))) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: evaluates every output row (count() would let
