@@ -168,6 +168,17 @@ object SkewGen {
         .cast("timestamp").as("l_shipdate"))
   }
 
+  /** Part dim covering lineitem's full l_partkey domain (hub key 1 +
+    * hash range 2..200001), so part joins never dangle at any mult. */
+  def part(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).as("p_partkey"),
+      concat(lit("Part#"), col("id")).as("p_name"),
+      concat(lit("Brand#"), h(60, 25)).as("p_brand"),
+      concat(lit("TYPE_"), h(61, 6)).as("p_type"),
+      (h(62, 50) + 1).cast("int").as("p_size"),
+      (h(63, 100000L).cast("double") / 100.0).as("p_retailprice"))
+
   def generate(spark: SparkSession, outDir: String, skew: Boolean,
                mult: Long): Unit = {
     def w(df: DataFrame, name: String): Unit =
@@ -179,6 +190,7 @@ object SkewGen {
     w(nation(spark), "nation")
     w(region(spark), "region")
     w(lineitem(spark, 600000 * mult, skew), "lineitem")
+    w(part(spark, 200001), "part")
   }
 
   def main(args: Array[String]): Unit = {
