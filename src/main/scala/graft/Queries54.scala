@@ -280,10 +280,28 @@ object Queries54 {
                JOIN region ON n_regionkey = r_regionkey
       ORDER BY dst"""))
 
+  /** Query parameters: the reference parameterizes every statement
+    * it sends (parameter maps on each MERGE); the read side honors
+    * the same contract — `$seg`/`$minbal` resolve at compile time
+    * and the filter still folds into the scan. */
+  val cy_params = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer {mktsegment: $seg})
+         WHERE toFloat(c.acctbal) >= $minbal
+         RETURN c.name AS name, toFloat(c.acctbal) AS acctbal
+         ORDER BY name""",
+      Map("seg" -> "HOUSEHOLD", "minbal" -> 9500.0)),
+    Some("""SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer
+      WHERE c_mktsegment = 'HOUSEHOLD'
+        AND CAST(c_acctbal AS DOUBLE) >= 9500.0
+      ORDER BY name"""))
+
   val all: Map[String, Q] = Map(
     "cy_assembly_read" -> cy_assembly_read,
     "cy_with_having" -> cy_with_having,
     "cy_shortest" -> cy_shortest,
+    "cy_params" -> cy_params,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,

@@ -56,18 +56,18 @@ package graft.cypher
 object CypherAst {
 
   // ---- patterns -------------------------------------------------
-  /** `(v:Label {k: lit, …})`; every part optional. Anonymous nodes
-    * get fresh internal names at parse time so the compiler never
-    * special-cases them. */
+  /** `(v:Label {k: lit|$param, …})`; every part optional. Anonymous
+    * nodes get fresh internal names at parse time so the compiler
+    * never special-cases them. */
   final case class NodePat(name: String, label: Option[String],
-                           props: Map[String, Lit])
+                           props: Map[String, Expr])
 
   /** One relationship hop. `types` empty = any type; `range` =
     * Some((m, n)) for `*m..n`. `out=true` is `-[…]->`, else
     * `<-[…]-`. */
   final case class EdgePat(name: String, types: Seq[String],
                            out: Boolean, range: Option[(Int, Int)],
-                           props: Map[String, Lit])
+                           props: Map[String, Expr])
 
   /** A linear pattern `n0 e0 n1 e1 n2 …`. `shortest` = Some(pathVar)
     * for `p = shortestPath((a)-[:R*m..n]->(b))` — exactly one
@@ -92,6 +92,10 @@ object CypherAst {
   /** `length(p)` — hop count of a shortestPath binding. */
   final case class PathLen(v: String) extends Expr
   final case class Lit(value: Any) extends Expr // String|Long|Double|Boolean|null
+  /** `$name` — a query parameter, resolved at compile time from the
+    * params map (the reference parameterizes every statement it
+    * sends; the read side gets the same contract). */
+  final case class Param(name: String) extends Expr
   final case class ToInt(e: Expr) extends Expr
   final case class ToFloat(e: Expr) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=

@@ -19,9 +19,12 @@ import CypherAst._
   * where every edge is created by `MERGE (s)-[:R]->(d)`.
   */
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
-  /** Compile-and-run a Cypher read query against this graph. */
-  def cypher(query: String): DataFrame =
-    CypherCompiler.run(this, CypherParser.parse(query))
+  /** Compile-and-run a Cypher read query against this graph.
+    * `params` resolves `$name` references (openCypher query
+    * parameters — the same parameterize-everything contract the
+    * reference's write side uses). */
+  def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
+    CypherCompiler.run(this, CypherParser.parse(query), params)
 }
 
 /** Compiles the parsed Cypher READ subset ([[CypherAst]]) to a plain
@@ -62,7 +65,7 @@ object CypherCompiler {
 
   /** Per-query compile state: which variables are bound, and which
     * edge-variable hops exist per MATCH part (for trail semantics). */
-  private final class St(g: PropertyGraph) {
+  private final class St(g: PropertyGraph, val params: Map[String, Any]) {
     var frame: Option[DataFrame] = None
     val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
     val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -72,11 +75,21 @@ object CypherCompiler {
     val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val edgeHasProps: Boolean = g.edges.columns.contains("props")
 
+    def paramLit(name: String): Column = lit(params.getOrElse(name,
+      throw new IllegalArgumentException(s"missing query parameter $$$name")))
+
+    def constCol(e: Expr): Column = e match {
+      case Lit(value) => lit(value)
+      case Param(n) => paramLit(n)
+      case other => throw new IllegalArgumentException(
+        s"prop map value must be a literal or $$param, got $other")
+    }
+
     def nodeFrame(np: NodePat): DataFrame = {
       val v = np.name
       val base = np.label.foldLeft(g.vertices)((d, l) => d.filter(col("label") === l))
-      val filtered = np.props.foldLeft(base) { case (d, (k, Lit(value))) =>
-        d.filter(get_json_object(col("props"), s"$$.$k") === lit(value))
+      val filtered = np.props.foldLeft(base) { case (d, (k, e)) =>
+        d.filter(get_json_object(col("props"), s"$$.$k") === constCol(e))
       }
       filtered.select(col("id").as(s"$v __id"), col("label").as(s"$v __label"),
         col("props").as(s"$v __props"))
@@ -87,10 +100,10 @@ object CypherCompiler {
         if (e.types.isEmpty) g.edges
         else if (e.types.size == 1) g.edges.filter(col("rel") === e.types.head)
         else g.edges.filter(col("rel").isin(e.types: _*))
-      val filtered = e.props.foldLeft(base) { case (d, (k, Lit(value))) =>
+      val filtered = e.props.foldLeft(base) { case (d, (k, pe)) =>
         if (!edgeHasProps) throw new IllegalArgumentException(
           s"edge property map on [$hop] but the edge table has no props column")
-        d.filter(get_json_object(col("props"), s"$$.$k") === lit(value))
+        d.filter(get_json_object(col("props"), s"$$.$k") === constCol(pe))
       }
       val cols = Seq(col("src").as(s"$hop __src"), col("dst").as(s"$hop __dst"),
         col("rel").as(s"$hop __rel")) ++
@@ -99,8 +112,9 @@ object CypherCompiler {
     }
   }
 
-  def run(g: PropertyGraph, q: Query): DataFrame = {
-    val st = new St(g)
+  def run(g: PropertyGraph, q: Query,
+          params: Map[String, Any] = Map.empty): DataFrame = {
+    val st = new St(g, params)
     q.segments.foreach { seg =>
       seg.matches.foreach { part =>
         val partFrame = compilePart(st, part)
@@ -217,9 +231,9 @@ object CypherCompiler {
           frame.get.columns.contains(s"${np.name} __label"),
           "internal: rebound node lost its label column")
         np.label.foreach(l => frame = frame.map(_.filter(labelCol(np.name) === l)))
-        np.props.foreach { case (k, Lit(value)) =>
+        np.props.foreach { case (k, pe) =>
           frame = frame.map(_.filter(
-            get_json_object(propsCol(np.name), s"$$.$k") === lit(value)))
+            get_json_object(propsCol(np.name), s"$$.$k") === st.constCol(pe)))
         }
         joinOn.foreach(c => frame = frame.map(_.filter(c === idCol(np.name))))
       } else {
@@ -378,6 +392,7 @@ object CypherCompiler {
         throw new IllegalArgumentException(s"unbound variable $v")
       labelCol(v)
     case Lit(value) => lit(value)
+    case Param(n) => st.paramLit(n)
     case ToInt(x) => exprCol(st, x).cast("long")
     case ToFloat(x) => exprCol(st, x).cast("double")
     case Cmp(op, l, r) =>

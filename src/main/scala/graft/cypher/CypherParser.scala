@@ -43,6 +43,12 @@ object CypherParser {
           while (i < n && q(i).isDigit) i += 1
           out += Tok("float", q.substring(j, i), j)
         } else out += Tok("int", q.substring(j, i), j)
+      } else if (c == '$') {
+        val j = i + 1
+        i = j
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        if (i == j) fail(j, "expected parameter name after '$'")
+        out += Tok("param", q.substring(j, i), j - 1)
       } else if (c == '\'' || c == '"') {
         val j = i + 1
         i = j
@@ -233,14 +239,15 @@ object CypherParser {
     EdgePat(name, types.result(), out, range, props)
   }
 
-  private def propMap(p: P): Map[String, Lit] = {
+  private def propMap(p: P): Map[String, Expr] = {
     p.eatOp("{")
-    val m = Map.newBuilder[String, Lit]
+    val m = Map.newBuilder[String, Expr]
     var more = !p.atOp("}")
     while (more) {
       val k = p.ident()
       p.eatOp(":")
-      m += k -> literal(p)
+      m += k -> (if (p.peek.kind == "param") Param(p.next().s)
+                 else literal(p))
       more = p.atOp(",")
       if (more) p.eatOp(",")
     }
@@ -325,6 +332,8 @@ object CypherParser {
       }
       p.eatOp(")")
       e
+    } else if (p.peek.kind == "param") {
+      Param(p.next().s)
     } else if (p.peek.kind == "ident" &&
                !Set("true", "false", "null").contains(p.peek.s.toLowerCase)) {
       val v = p.ident()

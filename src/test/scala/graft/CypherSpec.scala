@@ -267,6 +267,20 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("var-length"))
   }
 
+  test("query parameters: $p in prop maps and WHERE; missing fails loud") {
+    val one = g.cypher(
+      "MATCH (p:Person {name: $who}) RETURN toInteger(p.age) AS age",
+      Map("who" -> "ann")).collect().map(_.getLong(0))
+    assert(one.toSeq == Seq(30L))
+    val n = g.cypher(
+      "MATCH (p:Person) WHERE toInteger(p.age) >= $min RETURN count(*) AS n",
+      Map("min" -> 30)).collect().head.getLong(0)
+    assert(n == 2L)
+    val e = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person {name: $who}) RETURN p.name AS n").collect())
+    assert(e.getMessage.contains("parameter"))
+  }
+
   test("over a GraphExport layout, (:X) prunes partition directories") {
     val verts = Seq(("A:1", "A", """{"v":1}"""), ("B:9", "B", "{}"))
       .toDF("id", "label", "props")
