@@ -83,7 +83,8 @@ object Queries54 {
       "Order", Seq("k"))
     val part = GraphAssembly.vertices(
       T_(s, dir, "part").select(col("p_partkey").as("k"),
-        col("p_name").as("name"), col("p_brand").as("brand")),
+        col("p_name").as("name"), col("p_brand").as("brand"),
+        col("p_size").as("size")),
       "Part", Seq("k"))
     val vertices = Seq(customer, nation, region, order, part)
       .reduce(_ unionByName _)
@@ -297,11 +298,25 @@ object Queries54 {
         AND CAST(c_acctbal AS DOUBLE) >= 9500.0
       ORDER BY name"""))
 
+  /** Arithmetic with precedence (`% * + <=` in one predicate),
+    * grouped on a computed expression. */
+  val cy_arith = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (p:Part)
+         WHERE toInteger(p.size) % 7 = 0 AND toInteger(p.size) * 2 + 1 <= 61
+         RETURN toInteger(p.size) AS size, count(*) AS n
+         ORDER BY size"""),
+    Some("""SELECT CAST(p_size AS BIGINT) AS size, COUNT(*) AS n
+      FROM part
+      WHERE p_size % 7 = 0 AND p_size * 2 + 1 <= 61
+      GROUP BY 1 ORDER BY size"""))
+
   val all: Map[String, Q] = Map(
     "cy_assembly_read" -> cy_assembly_read,
     "cy_with_having" -> cy_with_having,
     "cy_shortest" -> cy_shortest,
     "cy_params" -> cy_params,
+    "cy_arith" -> cy_arith,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,

@@ -99,6 +99,8 @@ object CypherAst {
   final case class ToInt(e: Expr) extends Expr
   final case class ToFloat(e: Expr) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
+  /** `+ - * / %` with the usual precedence (mul over add). */
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr
   final case class IsNull(e: Expr, not: Boolean) extends Expr
   final case class InList(e: Expr, vals: Seq[Lit]) extends Expr
   /** CONTAINS / STARTS WITH / ENDS WITH. */

@@ -405,6 +405,15 @@ object CypherCompiler {
         case ">" => a > b
         case ">=" => a >= b
       }
+    case Arith(op, l, r) =>
+      val (a, b) = (exprCol(st, l), exprCol(st, r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+      }
     case IsNull(x, notNull) =>
       if (notNull) exprCol(st, x).isNotNull else exprCol(st, x).isNull
     case InList(x, vals) => exprCol(st, x).isin(vals.map(_.value): _*)

@@ -61,7 +61,7 @@ object CypherParser {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (two == "<>" || two == "<=" || two == ">=" || two == "..") {
           out += Tok("op", two, i); i += 2
-        } else if ("()[]{},:.|*->=<".indexOf(c) >= 0) {
+        } else if ("()[]{},:.|*->=<+/%".indexOf(c) >= 0) {
           out += Tok("op", c.toString, i); i += 1
         } else fail(i, s"unexpected character '$c'")
       }
@@ -286,10 +286,10 @@ object CypherParser {
     else comparison(p)
 
   private def comparison(p: P): Expr = {
-    val l = atom(p)
+    val l = addExpr(p)
     if (p.peek.kind == "op" && Set("=", "<>", "<", "<=", ">", ">=")(p.peek.s)) {
       val op = p.next().s
-      Cmp(op, l, atom(p))
+      Cmp(op, l, addExpr(p))
     } else if (p.atKw("is")) {
       p.eatKw("is")
       val not = p.atKw("not")
@@ -307,12 +307,30 @@ object CypherParser {
       p.eatOp("]")
       InList(l, vals.result())
     } else if (p.atKw("contains")) {
-      p.eatKw("contains"); StrPred("contains", l, atom(p))
+      p.eatKw("contains"); StrPred("contains", l, addExpr(p))
     } else if (p.atKw("starts")) {
-      p.eatKw("starts"); p.eatKw("with"); StrPred("starts", l, atom(p))
+      p.eatKw("starts"); p.eatKw("with"); StrPred("starts", l, addExpr(p))
     } else if (p.atKw("ends")) {
-      p.eatKw("ends"); p.eatKw("with"); StrPred("ends", l, atom(p))
+      p.eatKw("ends"); p.eatKw("with"); StrPred("ends", l, addExpr(p))
     } else l
+  }
+
+  private def addExpr(p: P): Expr = {
+    var l = mulExpr(p)
+    while (p.atOp("+") || p.atOp("-")) {
+      val op = p.next().s
+      l = Arith(op, l, mulExpr(p))
+    }
+    l
+  }
+
+  private def mulExpr(p: P): Expr = {
+    var l = atom(p)
+    while (p.atOp("*") || p.atOp("/") || p.atOp("%")) {
+      val op = p.next().s
+      l = Arith(op, l, atom(p))
+    }
+    l
   }
 
   /** Shared by WHERE and RETURN items (minus aggregates, which only
@@ -395,12 +413,12 @@ object CypherParser {
           } else {
             val d = p.atKw("distinct")
             if (d) p.eatKw("distinct")
-            (d, Some(atom(p)))
+            (d, Some(addExpr(p)))
           }
         p.eatOp(")")
         Item(expr, Some(agg), dist, defaultAlias(agg, expr, idx))
       } else {
-        val e = atom(p)
+        val e = addExpr(p)
         Item(Some(e), None, distinct = false, defaultAlias("", Some(e), idx))
       }
     if (p.atKw("as")) { p.eatKw("as"); item.copy(alias = p.ident()) }

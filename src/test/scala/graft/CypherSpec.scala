@@ -281,6 +281,20 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("parameter"))
   }
 
+  test("arithmetic: precedence and grouping on computed expressions") {
+    val out = g.cypher(
+      """MATCH (p:Person) WHERE toInteger(p.age) % 2 = 1
+         RETURN toInteger(p.age) * 2 + 1 AS x ORDER BY x""")
+      .collect().map(_.getLong(0))
+    // odd ages: 25, 35 → 51, 71
+    assert(out.toSeq == Seq(51L, 71L))
+    val agg = g.cypher(
+      "MATCH (p:Person) RETURN sum(toInteger(p.age) / 5) AS s")
+      .collect().head.getDouble(0)
+    // 30/5 + 25/5 + 35/5 (dan has no age → null skipped) = 18
+    assert(agg == 18.0)
+  }
+
   test("over a GraphExport layout, (:X) prunes partition directories") {
     val verts = Seq(("A:1", "A", """{"v":1}"""), ("B:9", "B", "{}"))
       .toDF("id", "label", "props")
