@@ -311,12 +311,50 @@ object Queries54 {
       WHERE p_size % 7 = 0 AND p_size * 2 + 1 <= 61
       GROUP BY 1 ORDER BY size"""))
 
+  /** The engine as a Bolt SERVER: an unmodified Bolt client connects
+    * over real TCP, sends parameterized Cypher, and streams RECORD
+    * frames back — parse/compile/execute happens in
+    * [[graft.cypher.BoltQueryServer]]. Round 9 proved WRITE over the
+    * public wire; this is READ over the same wire, answered by the
+    * engine's own query compiler. The oracle recomputes the result
+    * relationally, so the hash proves the whole stack: graph build →
+    * wire codec → parse → compile → execute → record stream. */
+  val cy_bolt_server = Q(
+    (s, dir) => {
+      val srv = new graft.cypher.BoltQueryServer(demoGraph(s, dir))
+      try {
+        val sess = new graft.sinks.bolt.BoltSocketSession(
+          srv.host, srv.port, "graft-entry", 5000)
+        try {
+          val (fields, rows) = sess.query(
+            """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+               WHERE c.mktsegment = $seg
+               RETURN n.name AS nation, count(*) AS n_cust
+               ORDER BY nation""",
+            Map("seg" -> "BUILDING"))
+          require(fields == Seq("nation", "n_cust"),
+            s"unexpected wire fields: $fields")
+          import s.implicits._
+          rows.map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Long]))
+            .toDF("nation", "n_cust")
+        } finally sess.close()
+      } finally srv.close()
+    },
+    Some("""SELECT n_name AS nation, COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1 ORDER BY nation"""),
+    // wire fixture: measures socket + collect round-trip, not a
+    // batch plan — same bench policy as the other wire entries
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "cy_assembly_read" -> cy_assembly_read,
     "cy_with_having" -> cy_with_having,
     "cy_shortest" -> cy_shortest,
     "cy_params" -> cy_params,
     "cy_arith" -> cy_arith,
+    "cy_bolt_server" -> cy_bolt_server,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,

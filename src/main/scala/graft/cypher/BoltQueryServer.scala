@@ -1,0 +1,175 @@
+package graft.cypher
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import graft.sinks.bolt.{BoltSocket, PackStream}
+
+/** The engine as a Bolt SERVER for READ queries: a Neo4j wire client
+  * connects over genuine TCP (handshake, HELLO/LOGON, chunked
+  * PackStream), sends Cypher text with a parameter map, and streams
+  * back RECORD frames — where the statement is parsed by
+  * [[CypherParser]], compiled by [[CypherCompiler]], and executed by
+  * Spark against a [[PropertyGraph]]. Round 9 proved the engine can
+  * WRITE over the public wire protocol (sinks/bolt, the reference's
+  * terminal artifact boundary); this closes the other direction: a
+  * consumer of the reference's graph can point an unmodified Bolt
+  * client at the engine and run their MATCH queries.
+  *
+  * Protocol per statement: RUN → SUCCESS {fields: […]} (the compiled
+  * frame's column names), PULL {n: -1} → RECORD per row → SUCCESS.
+  * A parse/compile/execution error surfaces as a Bolt FAILURE frame
+  * with `Statement.SyntaxError` / `Statement.SemanticError`, and the
+  * connection enters the protocol's failed state (subsequent
+  * requests IGNORED) — same state machine as the write-side loopback.
+  *
+  * The result set materializes on the serving side before streaming:
+  * that is the nature of the Bolt front door (one socket, one ordered
+  * record stream — the same boundary a real Neo4j or a Spark Thrift
+  * server has), not of the engine: the heavy work (scans, joins,
+  * aggregation) ran distributed BEFORE the collect, and read queries
+  * against a graph are aggregates/top-k by construction. Wide-open
+  * scans belong on the DataFrame API, not a wire cursor.
+  */
+final class BoltQueryServer(graph: PropertyGraph) {
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+  val connections = new AtomicLong(0L)
+
+  private val accepted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (!server.isClosed) {
+        val s = server.accept()
+        accepted.add(s)
+        connections.incrementAndGet()
+        val t = new Thread(() => serve(s), s"bolt-query-${connections.get}")
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch { case _: SocketException => () } // close() racing accept()
+  }, "bolt-query-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    server.close()
+    accepted.iterator().asScala.foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
+    accepted.clear()
+  }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true) // small SUCCESS/RECORD frames must not sit in Nagle
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(magic.sameElements(BoltSocket.Magic), "bad Bolt magic")
+      val proposed = Seq.fill(4)(in.readInt())
+      val supported = Set(0x00000105, 0x00000005, 0x00000404)
+      val chosen = proposed.find(supported.contains).getOrElse(0)
+      out.writeInt(chosen); out.flush()
+      if (chosen == 0) { sock.close(); return }
+      val (major, minor) = BoltSocket.versionParts(chosen)
+      var loggedOn = !(major > 5 || (major == 5 && minor >= 1))
+
+      // RUN compiles + executes + collects; PULL streams the rows
+      var pending: Option[(Seq[String], Array[Seq[Any]])] = None
+      var failedState = false
+      var open = true
+      def fail(code: String, m: String): Unit = {
+        failedState = true
+        BoltSocket.writeMessage(out, PackStream.Struct(BoltSocket.MsgFailure,
+          Seq(Map[String, Any]("code" -> code, "message" -> m))))
+      }
+      def success(meta: Map[String, Any]): Unit =
+        BoltSocket.writeMessage(out,
+          PackStream.Struct(BoltSocket.MsgSuccess, Seq(meta)))
+
+      while (open) {
+        val msg =
+          try BoltSocket.readMessage(in)
+          catch { case _: EOFException => open = false; null }
+        if (open) msg.signature match {
+          case BoltSocket.MsgHello =>
+            success(Map("server" -> "graft/bolt-query",
+              "connection_id" -> s"graft-${connections.get}"))
+          case BoltSocket.MsgLogon =>
+            loggedOn = true; success(Map.empty[String, Any])
+          case BoltSocket.MsgGoodbye => open = false
+          case _ if failedState =>
+            BoltSocket.writeMessage(out,
+              PackStream.Struct(BoltSocket.MsgIgnored, Seq.empty))
+          case BoltSocket.MsgRun =>
+            val stmt = msg.fields.head.asInstanceOf[String]
+            val params = msg.fields(1).asInstanceOf[Map[String, Any]]
+            if (!loggedOn)
+              fail("Neo.ClientError.Security.Unauthorized",
+                "RUN before LOGON on a 5.1+ connection")
+            else try {
+              val df = CypherCompiler.run(graph,
+                CypherParser.parse(stmt), params)
+              val fields = df.columns.toSeq
+              val rows = df.collect().map(r =>
+                Seq.tabulate(r.length)(i => wireValue(r.get(i))))
+              pending = Some((fields, rows))
+              success(Map("fields" -> fields))
+            } catch {
+              case e: IllegalArgumentException =>
+                fail("Neo.ClientError.Statement.SyntaxError",
+                  String.valueOf(e.getMessage))
+              case scala.util.control.NonFatal(e) =>
+                fail("Neo.ClientError.Statement.SemanticError",
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          case BoltSocket.MsgPull =>
+            pending match {
+              case Some((_, rows)) =>
+                rows.foreach { r =>
+                  BoltSocket.writeMessage(out,
+                    PackStream.Struct(BoltSocket.MsgRecord, Seq(r)))
+                }
+                pending = None
+                success(Map.empty[String, Any])
+              case None =>
+                fail("Neo.ClientError.Request.Invalid",
+                  "PULL with no open result")
+            }
+          case other =>
+            fail("Neo.ClientError.Request.Invalid",
+              f"query server does not handle message 0x$other%02X")
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => () // client went away
+    } finally { sock.close(); accepted.remove(sock) }
+  }
+
+  /** Spark cell → PackStream-encodable value. Temporal and decimal
+    * cells go as ISO/plain strings (PackStream core has no temporal
+    * types; Bolt structures for them are out of this subset's scope —
+    * the Cypher surface's props are strings already). */
+  private def wireValue(v: Any): Any = v match {
+    case null => null
+    case s: String => s
+    case b: Boolean => b
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n
+    case f @ (_: Float | _: Double) => f
+    case b: Array[Byte] => b
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case other => other.toString
+  }
+}

@@ -159,14 +159,45 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
     await("PULL")
   }
 
-  /** Read until SUCCESS (draining RECORDs); FAILURE throws. */
-  private def await(what: String): Unit = {
-    var done = false
-    while (!done) {
+  /** One READ statement over the wire: RUN + PULL pipelined; returns
+    * (field names from the RUN SUCCESS meta, record rows). The sink
+    * path keeps using [[run]] (drain-and-discard); this is the query
+    * path a Bolt CLIENT of the engine's own
+    * [[graft.cypher.BoltQueryServer]] uses. */
+  def query(cypher: String, params: Map[String, Any] = Map.empty)
+      : (Seq[String], Seq[Seq[Any]]) = {
+    writeMessage(out, PackStream.Struct(MsgRun,
+      Seq(cypher, params, Map.empty[String, Any])))
+    writeMessage(out, PackStream.Struct(MsgPull,
+      Seq(Map[String, Any]("n" -> -1L))))
+    val runMeta = await("RUN")
+    val fields = runMeta.get("fields") match {
+      case Some(s: Seq[_]) => s.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    await("PULL", Some(rows))
+    (fields, rows.toSeq)
+  }
+
+  /** Read until SUCCESS (collecting RECORDs into `sink` when given,
+    * draining otherwise); FAILURE throws. Returns the SUCCESS meta. */
+  private def await(what: String,
+                    sink: Option[scala.collection.mutable.Growable[Seq[Any]]] =
+                      None): Map[String, Any] = {
+    while (true) {
       val msg = readMessage(in)
       msg.signature match {
-        case MsgSuccess => done = true
-        case MsgRecord => // drain
+        case MsgSuccess =>
+          return msg.fields.headOption match {
+            case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty[String, Any]
+          }
+        case MsgRecord =>
+          sink.foreach(_ += (msg.fields.headOption match {
+            case Some(s: Seq[_]) => s.asInstanceOf[Seq[Any]]
+            case _ => Seq.empty[Any]
+          }))
         case MsgIgnored => throw new IllegalStateException(
           s"$what was IGNORED — connection is in a failed state")
         case MsgFailure =>
@@ -182,6 +213,7 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
           f"unexpected Bolt message 0x$other%02X during $what")
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   override def close(): Unit = {

@@ -315,6 +315,40 @@ class CypherSpec extends AnyFunSuite {
       "Cypher label pattern did not partition-prune:\n" + plan)
   }
 
+  test("Bolt query server: records round-trip, failures are frames") {
+    val srv = new graft.cypher.BoltQueryServer(g)
+    try {
+      val sess = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-spec", 5000)
+      try {
+        val (fields, rows) = sess.query(
+          """MATCH (p:Person)-[:LIKES]->(f:Food)
+             RETURN p.name AS name, toInteger(p.age) AS age,
+                    count(*) AS n ORDER BY name""",
+          Map.empty)
+        assert(fields == Seq("name", "age", "n"))
+        assert(rows == Seq(Seq("ann", 30L, 1L), Seq("bob", 25L, 1L)))
+      } finally sess.close()
+      // a parse error must surface as a Bolt FAILURE frame, and the
+      // connection then enters the failed state (next request IGNORED)
+      val bad = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-spec", 5000)
+      try {
+        val e = intercept[graft.sinks.bolt.BoltFailure](
+          bad.query("MATCH (a)-[*]->(b) RETURN a"))
+        assert(e.code.contains("SyntaxError"))
+      } finally bad.close()
+      // fresh connection still works after another's failure
+      val again = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-spec", 5000)
+      try {
+        val (_, rows2) = again.query(
+          "MATCH (p:Person {name: $w}) RETURN id(p) AS i", Map("w" -> "cat"))
+        assert(rows2 == Seq(Seq("Person:3")))
+      } finally again.close()
+    } finally srv.close()
+  }
+
   test("catalog entries parse (full Cypher text of Queries54)") {
     // compile-time smoke over the real entry queries: the parser
     // accepts them and the compiled plan resolves against the demo
