@@ -368,7 +368,40 @@ object Queries53 {
     s1_pgwire_copy_roundtrip.oracle,
     bench = false)
 
+  /** The engine as a pgwire SERVER: the SAME ANSI SQL text runs
+    * through the wire into `spark.sql` AND in the DuckDB oracle — any
+    * psql-speaking tool could issue it. Closes the last wire
+    * direction (Bolt write r9 / Bolt read + pgwire read + pgwire
+    * serve r10). RowDescription OIDs come from the Spark schema; the
+    * client helper talks bytes only ([[SparkSqlPgServer.simpleQuery]]).
+    */
+  val s1_pgwire_sql_server = Q(
+    (s, dir) => {
+      Seq("customer", "orders").foreach(t =>
+        Tables.read(s, dir, t).createOrReplaceTempView(t))
+      val srv = new graft.sources.pgwire.SparkSqlPgServer(s)
+      try {
+        val (fields, rows) = graft.sources.pgwire.SparkSqlPgServer
+          .simpleQuery(srv.host, srv.port, sqlServerQuery)
+        require(fields.map(_.name) == Seq("seg", "n_orders"),
+          s"unexpected wire fields: ${fields.map(_.name)}")
+        import s.implicits._
+        rows.map(r => (r(0), r(1).toLong)).toSeq.toDF("seg", "n_orders")
+      } finally srv.close()
+    },
+    Some(sqlServerQuery),
+    bench = false)
+
+  /** One SQL text, three engines: the wire entry ships it to
+    * spark.sql THROUGH the socket, and the driver runs it in DuckDB. */
+  private def sqlServerQuery: String =
+    """SELECT c_mktsegment AS seg, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority LIKE '1%'
+      GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "s1_pgwire_sql_server" -> s1_pgwire_sql_server,
     "s1_pgwire_scan" -> s1_pgwire_scan,
     "s1_pgwire_extended" -> s1_pgwire_extended,
     "s1_pgwire_scram" -> s1_pgwire_scram,

@@ -1,0 +1,201 @@
+package graft.sources.pgwire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** The engine as a pgwire-v3 SERVER: any psql-speaking client
+  * connects over genuine TCP, sends ANSI SQL through the simple-query
+  * protocol, and gets RowDescription + DataRow streams back — where
+  * the statement executes as `spark.sql(...)` against the session's
+  * registered views. The relational twin of
+  * [[graft.cypher.BoltQueryServer]]: round 10's pgwire SOURCE proved
+  * the engine can READ through the public relational wire; this
+  * proves it can ANSWER on it, closing both directions on both
+  * protocols (Bolt write r9 / Bolt read r10 / pgwire read r10 /
+  * pgwire serve r10).
+  *
+  * Protocol: startup → AuthenticationOk (trust — credentials belong
+  * to the SCRAM layer the loopback source fixture already proves) →
+  * ParameterStatus → ReadyForQuery; then per 'Q': RowDescription
+  * (OIDs mapped from the Spark schema), text-format DataRows,
+  * CommandComplete("SELECT n"), ReadyForQuery. Errors become
+  * ErrorResponse + ReadyForQuery (the connection survives, per
+  * protocol). 'X' terminates.
+  *
+  * Same serving-boundary note as the Bolt query server: the result
+  * set materializes server-side before streaming — the wire front
+  * door is for interactive consumers and aggregates; bulk egress
+  * belongs on the DataFrame API or the COPY sink.
+  */
+final class SparkSqlPgServer(spark: SparkSession) {
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+  val connections = new AtomicLong(0L)
+
+  private val accepted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (!server.isClosed) {
+        val s = server.accept()
+        accepted.add(s)
+        connections.incrementAndGet()
+        val t = new Thread(() => serve(s), s"pg-sql-${connections.get}")
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch { case _: SocketException => () }
+  }, "pg-sql-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    server.close()
+    accepted.iterator().asScala.foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
+    accepted.clear()
+  }
+
+  /** Postgres type OID for a Spark type (text wire format). */
+  private def oidOf(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ShortType => 21
+    case IntegerType => 23
+    case LongType => 20
+    case FloatType => 700
+    case DoubleType => 701
+    case _: DecimalType => 1700
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case _ => 25 // text
+  }
+
+  /** Text-format cell, matching Postgres text conventions for the
+    * types the OID map covers; null → NULL marker at the frame layer. */
+  private def cellText(v: Any): String = v match {
+    case null => null
+    case b: Boolean => if (b) "t" else "f"
+    case d: java.math.BigDecimal => d.toPlainString
+    case t: java.sql.Timestamp =>
+      t.toInstant.toString.stripSuffix("Z").replace("T", " ")
+    case other => other.toString
+  }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      PgWire.readStartup(in)
+      PgWire.writeAuthOk(out)
+      PgWire.writeParameterStatus(out, "server_version", "16.0-graft-sql")
+      PgWire.writeReadyForQuery(out)
+      out.flush()
+      var open = true
+      while (open) {
+        val msg =
+          try PgWire.readMsg(in)
+          catch { case _: EOFException => open = false; null }
+        if (open) msg.tag.toChar match {
+          case 'Q' =>
+            // body: NUL-terminated SQL text
+            val sql = new String(msg.body.takeWhile(_ != 0), "UTF-8")
+            try {
+              val df = spark.sql(sql)
+              val schema = df.schema
+              val fields = schema.fields.toSeq.map(f =>
+                PgWire.Field(f.name, oidOf(f.dataType)))
+              PgWire.writeRowDescription(out, fields)
+              var n = 0L
+              df.collect().foreach { r =>
+                PgWire.writeDataRow(out,
+                  Seq.tabulate(r.length)(i => cellText(r.get(i))))
+                n += 1
+              }
+              PgWire.writeCommandComplete(out, s"SELECT $n")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                // 42601 syntax_error is close enough for the fixture;
+                // the message carries the real analyzer text
+                PgWire.writeError(out, "42601",
+                  s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            }
+            PgWire.writeReadyForQuery(out)
+            out.flush()
+          case 'X' => open = false
+          case other =>
+            PgWire.writeError(out, "0A000",
+              s"sql server does not handle message '$other'")
+            PgWire.writeReadyForQuery(out)
+            out.flush()
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => ()
+    } finally { sock.close(); accepted.remove(sock) }
+  }
+}
+
+object SparkSqlPgServer {
+
+  /** Minimal simple-query CLIENT (what psql does for a plain
+    * statement): startup → drain to ReadyForQuery → 'Q' sql → collect
+    * (RowDescription, text DataRows) → Terminate. A server
+    * ErrorResponse throws with the wire message; the helper exists so
+    * specs and entries exercise the server exactly the way a foreign
+    * client would, through bytes only. */
+  def simpleQuery(host: String, port: Int, sql: String,
+                  connectTimeoutMs: Int = 5000)
+      : (Seq[PgWire.Field], Seq[Array[String]]) = {
+    val sock = new Socket()
+    sock.setTcpNoDelay(true)
+    sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+    try {
+      val out = new DataOutputStream(
+        new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+      val in = new DataInputStream(
+        new BufferedInputStream(sock.getInputStream, 1 << 16))
+      PgWire.writeStartup(out, Map("user" -> "graft", "database" -> "graft"))
+      out.flush()
+      var m = PgWire.readMsg(in)
+      while (m.tag.toChar != 'Z') {
+        if (m.tag.toChar == 'E') throw new IllegalStateException(
+          "startup failed: " + new String(m.body, "UTF-8"))
+        m = PgWire.readMsg(in)
+      }
+      PgWire.writeQuery(out, sql)
+      out.flush()
+      var fields: Seq[PgWire.Field] = Seq.empty
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      var err: Option[String] = None
+      m = PgWire.readMsg(in)
+      while (m.tag.toChar != 'Z') {
+        m.tag.toChar match {
+          case 'T' => fields = PgWire.parseRowDescription(m.body)
+          case 'D' => rows += PgWire.parseDataRow(m.body)
+          case 'C' | 'N' => () // CommandComplete / NoticeResponse
+          case 'E' => err = Some(new String(m.body, "UTF-8"))
+          case other => throw new IllegalStateException(
+            s"unexpected message '$other' in simple-query response")
+        }
+        m = PgWire.readMsg(in)
+      }
+      err.foreach(e => throw new IllegalStateException(s"server error: $e"))
+      PgWire.writeTerminate(out)
+      out.flush()
+      (fields, rows.toSeq)
+    } finally sock.close()
+  }
+}

@@ -684,4 +684,30 @@ class PgWireSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
     graft.operators.CacheScope.global.release()
   }
+
+  test("SparkSqlPgServer: SQL over the wire, errors keep the connection") {
+    import graft.sources.pgwire.SparkSqlPgServer
+    import spark.implicits._
+    Seq((1, "a", 2.5), (2, "b", 1.0), (3, "a", 4.0))
+      .toDF("k", "grp", "v").createOrReplaceTempView("pg_sql_t")
+    val srv = new SparkSqlPgServer(spark)
+    try {
+      val (fields, rows) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        "SELECT grp, COUNT(*) AS n, SUM(v) AS s FROM pg_sql_t GROUP BY 1 ORDER BY 1")
+      assert(fields.map(_.name) == Seq("grp", "n", "s"))
+      // OIDs from the Spark schema: text, int8, float8
+      assert(fields.map(_.oid) == Seq(25, 20, 701))
+      assert(rows.map(_.toSeq) ==
+        Seq(Seq("a", "2", "6.5"), Seq("b", "1", "1.0")))
+      // a bad statement is an ErrorResponse, not a dead socket — and
+      // the SAME server keeps answering fresh connections
+      val e = intercept[IllegalStateException](
+        SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+          "SELECT definitely_not_a_column FROM pg_sql_t"))
+      assert(e.getMessage.contains("server error"))
+      val (_, again) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        "SELECT COUNT(*) AS n FROM pg_sql_t")
+      assert(again.map(_.toSeq) == Seq(Seq("3")))
+    } finally srv.close()
+  }
 }
