@@ -51,6 +51,7 @@ object Orchestrator {
     "lake_ops" -> Seq("ingest"),
     "vectors" -> Seq("ingest"),
     "graph" -> Seq("joins"),
+    "cypher" -> Seq("graph"),
     "multimodal" -> Seq("ingest"))
 
   /** Expand an `--only` set with its transitive upstream closure.
@@ -125,6 +126,7 @@ object Orchestrator {
         "lake_")),
     ("vectors", "similarity search + retrieval eval", Seq("vec_", "eval_")),
     ("graph", "graph view + analytics + embedding prep", Seq("g_", "pipeline_graph")),
+    ("cypher", "Cypher read queries over the property graph", Seq("cy_")),
     ("multimodal", "media decode plumbing + multimodal corpus prep",
       Seq("mm_", "pipeline_multimodal")))
 

@@ -348,6 +348,27 @@ object Queries54 {
     // batch plan — same bench policy as the other wire entries
     bench = false)
 
+  /** UNWIND (the reference's batch idiom, read-side: a parameter
+    * list becomes rows, correlated in WHERE — Catalyst folds the
+    * cross + equality into a broadcast join) chained by UNION with a
+    * second full query; column names matched per openCypher. No
+    * global ORDER BY: union output order is engine-defined and the
+    * gate canonicalizes. */
+  val cy_unwind_union = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """UNWIND $segs AS seg
+         MATCH (c:Customer) WHERE c.mktsegment = seg
+         RETURN seg, count(*) AS n
+         UNION
+         MATCH (c:Customer {mktsegment: 'FURNITURE'})
+         RETURN 'FURNITURE' AS seg, count(*) AS n""",
+      Map("segs" -> Seq("BUILDING", "MACHINERY"))),
+    Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') GROUP BY 1
+      UNION
+      SELECT 'FURNITURE' AS seg, COUNT(*) AS n FROM customer
+        WHERE c_mktsegment = 'FURNITURE'"""))
+
   val all: Map[String, Q] = Map(
     "cy_assembly_read" -> cy_assembly_read,
     "cy_with_having" -> cy_with_having,
@@ -355,6 +376,7 @@ object Queries54 {
     "cy_params" -> cy_params,
     "cy_arith" -> cy_arith,
     "cy_bolt_server" -> cy_bolt_server,
+    "cy_unwind_union" -> cy_unwind_union,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,

@@ -96,6 +96,8 @@ object CypherAst {
     * params map (the reference parameterizes every statement it
     * sends; the read side gets the same contract). */
   final case class Param(name: String) extends Expr
+  /** `[lit, lit, …]` — a literal list (UNWIND position). */
+  final case class ListLit(vals: Seq[Lit]) extends Expr
   final case class ToInt(e: Expr) extends Expr
   final case class ToFloat(e: Expr) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
@@ -131,14 +133,20 @@ object CypherAst {
                               orderBy: Seq[OrderItem], skip: Option[Long],
                               limit: Option[Long], where: Option[Expr])
 
-  /** One pipeline segment: MATCH parts, an optional WHERE, and the
-    * WITH that hands its projection to the next segment (absent only
-    * on the final segment, which ends in RETURN instead). */
-  final case class Segment(matches: Seq[MatchPart], where: Option[Expr],
+  /** One pipeline segment: UNWIND bindings (list expr → row-per-
+    * element value variable, the reference's batch idiom), MATCH
+    * parts, an optional WHERE, and the WITH that hands its projection
+    * to the next segment (absent only on the final segment, which
+    * ends in RETURN instead). */
+  final case class Segment(unwinds: Seq[(Expr, String)],
+                           matches: Seq[MatchPart], where: Option[Expr],
                            withPart: Option[WithClause])
 
-  /** The whole query: 1+ segments, then RETURN. */
-  final case class Query(segments: Seq[Segment], ret: Return) {
+  /** The whole query: 1+ segments, then RETURN; `union` chains a
+    * following query (`true` = UNION ALL, `false` = UNION with
+    * distinct), columns matched by name per openCypher. */
+  final case class Query(segments: Seq[Segment], ret: Return,
+                         union: Option[(Boolean, Query)] = None) {
     /** First segment's MATCH parts (convenience for single-segment
       * queries — most of them). */
     def matches: Seq[MatchPart] = segments.head.matches

@@ -114,8 +114,26 @@ object CypherCompiler {
 
   def run(g: PropertyGraph, q: Query,
           params: Map[String, Any] = Map.empty): DataFrame = {
+    // openCypher forbids mixing UNION and UNION ALL in one chain
+    val flags = Iterator.iterate(q.union)(_.flatMap(_._2.union))
+      .takeWhile(_.isDefined).map(_.get._1).toSeq
+    if (flags.distinct.size > 1) throw new IllegalArgumentException(
+      "cannot mix UNION and UNION ALL in one query")
+    val self = runSingle(g, q, params)
+    q.union match {
+      case None => self
+      case Some((all, next)) =>
+        // columns match by NAME (openCypher requires identical names)
+        val u = self.unionByName(run(g, next, params))
+        if (all) u else u.distinct()
+    }
+  }
+
+  private def runSingle(g: PropertyGraph, q: Query,
+                        params: Map[String, Any]): DataFrame = {
     val st = new St(g, params)
     q.segments.foreach { seg =>
+      seg.unwinds.foreach { case (e, v) => applyUnwind(st, g, e, v) }
       seg.matches.foreach { part =>
         val partFrame = compilePart(st, part)
         attach(st, partFrame._1, partFrame._2, part.optional)
@@ -127,6 +145,56 @@ object CypherCompiler {
     val df0 = st.frame.getOrElse(
       throw new IllegalArgumentException("query bound no variables"))
     returnClause(st, df0, q.ret)
+  }
+
+  /** UNWIND: one row per list element, bound as a value variable —
+    * a LOCAL relation crossed onto the frame (Catalyst turns the
+    * cross + a correlating equality in WHERE into a plain join, and
+    * broadcasts the list side). The reference's batch idiom
+    * (`UNWIND $rows`), read-side. */
+  private def applyUnwind(st: St, g: PropertyGraph, e: Expr,
+                          v: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val raw: Seq[Any] = e match {
+      case ListLit(vals) => vals.map(_.value)
+      case Param(n) => st.params.getOrElse(n,
+        throw new IllegalArgumentException(
+          s"missing query parameter $$$n")) match {
+        case s: Seq[_] => s
+        case a: Array[_] => a.toSeq
+        case other => throw new IllegalArgumentException(
+          s"UNWIND $$$n must be a list, got ${other.getClass.getSimpleName}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"UNWIND takes a literal list or $$param, got $other")
+    }
+    val norm = raw.map {
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case f: Float => f.toDouble
+      case x => x
+    }
+    val dt: DataType = norm.find(_ != null) match {
+      case Some(_: String) => StringType
+      case Some(_: Long) => LongType
+      case Some(_: Double) => DoubleType
+      case Some(_: Boolean) => BooleanType
+      case Some(other) => throw new IllegalArgumentException(
+        s"UNWIND element type not supported: ${other.getClass.getSimpleName}")
+      case None => StringType
+    }
+    val colName = s"$v __val"
+    val schema = StructType(Seq(StructField(colName, dt, nullable = true)))
+    val rows = new java.util.ArrayList[Row](norm.length)
+    norm.foreach(x => rows.add(Row(x)))
+    val df = g.vertices.sparkSession.createDataFrame(rows, schema)
+    st.frame = st.frame match {
+      case None => Some(df)
+      case Some(f) => Some(f.crossJoin(df))
+    }
+    st.valueCols += v -> colName
   }
 
   /** The WITH pipeline step: project (and possibly aggregate) the

@@ -98,16 +98,43 @@ object CypherParser {
     }
   }
 
-  /** Parse one read query. Throws IllegalArgumentException with a
-    * position on malformed input. */
+  /** Parse one read query (possibly a UNION chain). Throws
+    * IllegalArgumentException with a position on malformed input. */
   def parse(q: String): Query = {
     val p = new P(lex(q))
+    val query = parseQuery(p)
+    if (p.peek.kind != "eof")
+      fail(p.peek.pos, s"trailing input '${p.peek.s}'")
+    query
+  }
+
+  private def parseQuery(p: P): Query = {
     val segments = Vector.newBuilder[Segment]
     var isFirstSegment = true
     var done = false
     while (!done) {
+      val unwinds = Vector.newBuilder[(Expr, String)]
+      while (p.atKw("unwind")) {
+        p.eatKw("unwind")
+        val listE: Expr =
+          if (p.peek.kind == "param") Param(p.next().s)
+          else if (p.atOp("[")) {
+            p.eatOp("[")
+            val vals = Vector.newBuilder[Lit]
+            if (!p.atOp("]")) {
+              vals += literal(p)
+              while (p.atOp(",")) { p.eatOp(","); vals += literal(p) }
+            }
+            p.eatOp("]")
+            ListLit(vals.result())
+          } else fail(p.peek.pos,
+            "UNWIND takes a literal list or a $param list")
+        p.eatKw("as")
+        unwinds += ((listE, p.ident()))
+      }
+      val uw = unwinds.result()
       val matches = Vector.newBuilder[MatchPart]
-      var first = true
+      var first = uw.isEmpty
       while (p.atKw("match") || p.atKw("optional")) {
         val optional = p.atKw("optional")
         if (optional) {
@@ -123,23 +150,29 @@ object CypherParser {
         first = false
       }
       val ms = matches.result()
-      if (ms.isEmpty && isFirstSegment) fail(p.peek.pos, "expected MATCH")
+      if (ms.isEmpty && uw.isEmpty && isFirstSegment)
+        fail(p.peek.pos, "expected MATCH or UNWIND")
       val where = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
                   else None
       if (p.atKw("with")) {
         p.eatKw("with")
-        segments += Segment(ms, where, Some(withClause(p)))
+        segments += Segment(uw, ms, where, Some(withClause(p)))
         isFirstSegment = false
       } else {
         p.eatKw("return")
-        segments += Segment(ms, where, None)
+        segments += Segment(uw, ms, where, None)
         done = true
       }
     }
     val ret = returnClause(p)
-    if (p.peek.kind != "eof")
-      fail(p.peek.pos, s"trailing input '${p.peek.s}'")
-    Query(segments.result(), ret)
+    val union =
+      if (p.atKw("union")) {
+        p.eatKw("union")
+        val all = p.atKw("all")
+        if (all) p.eatKw("all")
+        Some((all, parseQuery(p)))
+      } else None
+    Query(segments.result(), ret, union)
   }
 
   /** The WITH projection reuses the RETURN item grammar, plus the

@@ -315,6 +315,43 @@ class CypherSpec extends AnyFunSuite {
       "Cypher label pattern did not partition-prune:\n" + plan)
   }
 
+  test("UNWIND: one row per element, literal and $param lists") {
+    val out = g.cypher(
+      """UNWIND ['ann', 'cat', 'ann'] AS w
+         MATCH (p:Person) WHERE p.name = w
+         RETURN w, count(*) AS n ORDER BY w""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // duplicates in the list are preserved: ann appears twice
+    assert(out.toSeq == Seq(("ann", 2L), ("cat", 1L)))
+    val viaParam = g.cypher(
+      """UNWIND $ages AS a
+         MATCH (p:Person) WHERE toInteger(p.age) = a
+         RETURN p.name AS name ORDER BY name""",
+      Map("ages" -> Seq(25, 30))).collect().map(_.getString(0))
+    assert(viaParam.toSeq == Seq("ann", "bob"))
+    val e = intercept[IllegalArgumentException](g.cypher(
+      "UNWIND $xs AS x RETURN x", Map("xs" -> 7)))
+    assert(e.getMessage.contains("list"))
+  }
+
+  test("UNION dedups by name, UNION ALL concatenates, mixing rejected") {
+    val u = g.cypher(
+      """MATCH (p:Person {name: 'ann'}) RETURN label(p) AS l
+         UNION MATCH (q:Person {name: 'bob'}) RETURN label(q) AS l""")
+      .collect().map(_.getString(0))
+    assert(u.toSeq == Seq("Person")) // deduped
+    val ua = g.cypher(
+      """MATCH (p:Person {name: 'ann'}) RETURN label(p) AS l
+         UNION ALL MATCH (q:Person {name: 'bob'}) RETURN label(q) AS l""")
+      .collect().map(_.getString(0))
+    assert(ua.toSeq == Seq("Person", "Person"))
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (a:Person) RETURN a.name AS x
+         UNION MATCH (b:Person) RETURN b.name AS x
+         UNION ALL MATCH (c:Person) RETURN c.name AS x"""))
+    assert(e.getMessage.contains("mix"))
+  }
+
   test("Bolt query server: records round-trip, failures are frames") {
     val srv = new graft.cypher.BoltQueryServer(g)
     try {
