@@ -156,6 +156,10 @@ object CypherCompiler {
                           v: String): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    if (st.nodes.contains(v) || st.edgeVars.contains(v) ||
+        st.valueCols.contains(v) || st.pathVars.contains(v))
+      throw new IllegalArgumentException(
+        s"UNWIND … AS $v: variable $v is already declared")
     val raw: Seq[Any] = e match {
       case ListLit(vals) => vals.map(_.value)
       case Param(n) => st.params.getOrElse(n,

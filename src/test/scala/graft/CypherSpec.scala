@@ -332,6 +332,9 @@ class CypherSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](g.cypher(
       "UNWIND $xs AS x RETURN x", Map("xs" -> 7)))
     assert(e.getMessage.contains("list"))
+    val e2 = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person) WITH p UNWIND [1] AS p RETURN id(p) AS i"))
+    assert(e2.getMessage.contains("already declared"))
   }
 
   test("UNION dedups by name, UNION ALL concatenates, mixing rejected") {
