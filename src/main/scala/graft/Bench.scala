@@ -123,7 +123,15 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         results.flatMap { case (name, sec) =>
           medians.get(name).collect {
-            case med if sec > 1.5 * med && sec - med > 0.5 =>
+            // absolute floor: 0.5s for multi-second entries; 1.2s for
+            // sub-second ones. A reps=1 cold pass pays each entry's
+            // whole-stage-codegen COMPILE (~0.5-1.2s, independent of
+            // query size), so a 0.3s query measuring 0.9s cold is the
+            // compiler, not a regression — measured: an idle-box cold
+            // pass put the entire sub-second a*/w_* head at 2-3.4x
+            // while the total sat inside the documented 1.2-1.5x band
+            case med if sec > 1.5 * med &&
+                sec - med > (if (med < 1.0) 1.2 else 0.5) =>
               f""""$name":{"sec":$sec%.3f,"median":$med%.3f,"ratio":${sec / med}%.2f}"""
           }
         }
