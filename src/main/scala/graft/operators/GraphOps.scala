@@ -373,14 +373,18 @@ object GraphOps {
     var changed = 1L
     var iter = 0
     while (changed > 0L && iter < maxIterations) {
+      // prev folded into the checkpointed frame: the changed-probe is
+      // then a limit-1 scan of materialized partitions instead of a
+      // fresh next⋈comp shuffle job per iteration (same rewrite as
+      // pageRankConverged)
       val next = scope.checkpoint(
         undirected.join(comp, undirected("src") === comp("id"))
           .groupBy(col("dst").as("id"))
-          .agg(min(col("comp")).as("comp")))
+          .agg(min(col("comp")).as("comp"))
+          .join(comp.select(col("id"), col("comp").as("prev")), "id"))
       // labels only decrease, so "any row strictly smaller" == "changed"
-      changed = next.join(comp.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev")).limit(1).count()
-      comp = next
+      changed = next.filter(col("comp") < col("prev")).limit(1).count()
+      comp = next.select(col("id"), col("comp"))
       iter += 1
     }
     comp
@@ -479,13 +483,19 @@ object GraphOps {
         .select(col("dst").as("id"),
           (col("rank") * col("inv_outdeg")).as("contrib"))
         .unionByName(zeroContribs)
+      // fold prev INTO the checkpointed frame: the convergence probe
+      // then scans materialized partitions with limit-1 early exit —
+      // the old form re-joined next⋈ranks, a full extra shuffle job
+      // per iteration (half the loop's job count at 30+ iterations
+      // to 1e-7)
       val next = scope.checkpoint(contribs.groupBy(col("id"))
         .agg((lit(reset) + lit(damp) *
           (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
-            .cast("long").cast("double") / 1.0e9)).as("rank")))
-      moved = next.join(ranks.select(col("id"), col("rank").as("prev")), "id")
-        .filter(abs(col("rank") - col("prev")) > tol).limit(1).count()
-      ranks = next
+            .cast("long").cast("double") / 1.0e9)).as("rank"))
+        .join(ranks.select(col("id"), col("rank").as("prev")), "id"))
+      moved = next.filter(abs(col("rank") - col("prev")) > tol)
+        .limit(1).count()
+      ranks = next.select(col("id"), col("rank"))
       iter += 1
     }
     ranks
