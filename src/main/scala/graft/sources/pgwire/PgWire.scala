@@ -510,6 +510,32 @@ object PgWire {
 
   /** Server side: read the startup message's parameter map (the
     * length-prefixed, untagged first message of a connection). */
+  /** Startup read that answers SSLRequest (80877103) / GSSENCRequest
+    * (80877104) with the single 'N' (not supported) byte, the way a
+    * real TLS-less server does — an unmodified psql/libpq client
+    * sends SSLRequest BEFORE the startup message, and a server that
+    * chokes on it never sees a real client at all. Loops until the
+    * genuine v3 startup arrives. */
+  def readStartupNegotiating(in: DataInputStream,
+                             out: DataOutputStream): Map[String, String] = {
+    while (true) {
+      val len = in.readInt()
+      require(len >= 8 && len <= (1 << 20), s"pgwire startup length $len")
+      val proto = in.readInt()
+      if (proto == 80877103 || proto == 80877104) {
+        out.write('N'.toInt); out.flush() // no TLS / no GSS here
+      } else {
+        require(proto == ProtocolV3,
+          f"unsupported pgwire protocol 0x$proto%08X (only 3.0)")
+        val body = new Array[Byte](len - 8)
+        in.readFully(body)
+        val parts = new String(body, UTF_8).split("\u0000").filter(_.nonEmpty)
+        return parts.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def readStartup(in: DataInputStream): Map[String, String] = {
     val len = in.readInt()
     require(len >= 8 && len <= (1 << 20), s"pgwire startup length $len")

@@ -98,7 +98,7 @@ final class SparkSqlPgServer(spark: SparkSession) {
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     try {
-      PgWire.readStartup(in)
+      PgWire.readStartupNegotiating(in, out)
       PgWire.writeAuthOk(out)
       PgWire.writeParameterStatus(out, "server_version", "16.0-graft-sql")
       PgWire.writeReadyForQuery(out)

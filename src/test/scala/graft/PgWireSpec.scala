@@ -685,6 +685,36 @@ class PgWireSpec extends AnyFunSuite {
     graft.operators.CacheScope.global.release()
   }
 
+  test("SparkSqlPgServer answers SSLRequest with 'N' then serves (libpq)") {
+    import graft.sources.pgwire.SparkSqlPgServer
+    import spark.implicits._
+    Seq((1, "x")).toDF("k", "s").createOrReplaceTempView("pg_ssl_t")
+    val srv = new SparkSqlPgServer(spark)
+    try {
+      // bytes-level client doing what unmodified libpq does: SSLRequest
+      // first, expect a single 'N', then the real startup
+      val sock = new java.net.Socket(srv.host, srv.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        out.writeInt(8); out.writeInt(80877103); out.flush() // SSLRequest
+        assert(in.read() == 'N'.toInt)
+        PgWire.writeStartup(out, Map("user" -> "u", "database" -> "d"))
+        var m = PgWire.readMsg(in)
+        while (m.tag.toChar != 'Z') m = PgWire.readMsg(in)
+        PgWire.writeQuery(out, "SELECT COUNT(*) AS n FROM pg_ssl_t")
+        out.flush()
+        val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+        m = PgWire.readMsg(in)
+        while (m.tag.toChar != 'Z') {
+          if (m.tag.toChar == 'D') rows += PgWire.parseDataRow(m.body)(0)
+          m = PgWire.readMsg(in)
+        }
+        assert(rows.toSeq == Seq("1"))
+      } finally sock.close()
+    } finally srv.close()
+  }
+
   test("SparkSqlPgServer: SQL over the wire, errors keep the connection") {
     import graft.sources.pgwire.SparkSqlPgServer
     import spark.implicits._
