@@ -38,6 +38,9 @@ object Bench {
     // g_assembly) — a guaranteed ~6x "regression" vs the warm median
     // that says nothing about the engine (round-9 verdict item 1a).
     val _ = Queries6.stagedAssembly(spark, sfDir)
+    // same rationale for the Cypher-over-export entry's one-off
+    // demo-graph export
+    val _2 = Queries54.stagedExport(spark, sfDir)
     // One untimed throwaway pass through the FULL timed path — hash
     // agg + join + window + the noop writer — so the first timed
     // queries (alphabetically the a* family) don't absorb the

@@ -369,6 +369,52 @@ object Queries54 {
       SELECT 'FURNITURE' AS seg, COUNT(*) AS n FROM customer
         WHERE c_mktsegment = 'FURNITURE'"""))
 
+  /** Cypher over the EXPORTED graph: demoGraph goes through
+    * [[graft.operators.GraphExport]]'s gated label/rel-partitioned
+    * layout, is read back from parquet, and the label pattern prunes
+    * partition DIRECTORIES (CypherSpec asserts PartitionFilters on
+    * this exact path) — the full terminal-artifact story: a
+    * consumable on-disk graph any engine can scan, with a Cypher
+    * front end on top. Staged once per (dataset, JVM) like the
+    * assembly. */
+  /** Export demoGraph once per (dataset, JVM) and return the layout
+    * root — the staging Bench's warmup block pays OUTSIDE the timed
+    * region (same discipline as Queries6.stagedAssembly; a reps=1
+    * driver pass must not time the one-off export inside the read
+    * entry). */
+  def stagedExport(s: SparkSession, dir: String): String = {
+    val root = graft.sources.Staging.path(dir, "cy_demo_export")
+    exportStaged.synchronized {
+      if (!exportStaged.contains(dir)) {
+        val g0 = demoGraph(s, dir)
+        graft.operators.GraphExport.exportGraph(s, g0.vertices,
+          g0.edges.drop("props"), root)
+        exportStaged += dir
+      }
+    }
+    root
+  }
+
+  val cy_export_read = Q(
+    (s, dir) => {
+      val root = stagedExport(s, dir)
+      val g = PropertyGraph(
+        s.read.parquet(s"$root/vertices"),
+        s.read.parquet(s"$root/edges"))
+      g.cypher(
+        """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+           WHERE c.mktsegment IN ['HOUSEHOLD', 'BUILDING']
+           RETURN n.name AS nation, c.mktsegment AS seg, count(*) AS n_cust
+           ORDER BY nation, seg""")
+    },
+    Some("""SELECT n_name AS nation, c_mktsegment AS seg,
+        COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_mktsegment IN ('HOUSEHOLD', 'BUILDING')
+      GROUP BY 1, 2 ORDER BY nation, seg"""))
+
+  private val exportStaged = scala.collection.mutable.Set.empty[String]
+
   val all: Map[String, Q] = Map(
     "cy_assembly_read" -> cy_assembly_read,
     "cy_with_having" -> cy_with_having,
@@ -377,6 +423,7 @@ object Queries54 {
     "cy_arith" -> cy_arith,
     "cy_bolt_server" -> cy_bolt_server,
     "cy_unwind_union" -> cy_unwind_union,
+    "cy_export_read" -> cy_export_read,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,
