@@ -379,10 +379,16 @@ object Queries53 {
     (s, dir) => {
       Seq("customer", "orders").foreach(t =>
         Tables.read(s, dir, t).createOrReplaceTempView(t))
-      val srv = new graft.sources.pgwire.SparkSqlPgServer(s)
+      // SCRAM-protected: the entry authenticates like a real client
+      // (mutual verification via PgWireClient's machinery)
+      val salt = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+      val srv = new graft.sources.pgwire.SparkSqlPgServer(s,
+        Map("analyst" -> graft.sources.pgwire.Scram
+          .deriveVerifier("graft-entry-pw", salt, 4096)))
       try {
         val (fields, rows) = graft.sources.pgwire.SparkSqlPgServer
-          .simpleQuery(srv.host, srv.port, sqlServerQuery)
+          .simpleQuery(srv.host, srv.port, sqlServerQuery,
+            user = "analyst", password = Some("graft-entry-pw"))
         require(fields.map(_.name) == Seq("seg", "n_orders"),
           s"unexpected wire fields: ${fields.map(_.name)}")
         import s.implicits._

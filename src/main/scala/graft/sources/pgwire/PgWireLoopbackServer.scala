@@ -309,53 +309,11 @@ final class PgWireLoopbackServer(
     * with nonce or channel-binding breaks the proof. */
   private def scramExchange(user: String, in: DataInputStream,
                             out: DataOutputStream): Boolean = {
-    def fail(msg: String): Boolean = {
-      authAttempts.add((user, false))
-      // the peer may already be gone (e.g. client had no password and
-      // hung up mid-exchange) — the refusal must not kill the handler
-      try PgWire.writeError(out, "28P01", msg)
-      catch { case _: java.io.IOException => () }
-      false
-    }
-    try {
-      PgWire.writeAuthSasl(out, Seq(Scram.Mechanism))
-      val init = PgWire.readMsg(in)
-      if (init.tag.toChar != 'p')
-        return fail(s"expected SASLInitialResponse, got '${init.tag.toChar}'")
-      val (mech, clientFirst) = PgWire.parseSaslInitialResponse(init.body)
-      if (mech != Scram.Mechanism)
-        return fail(s"unsupported SASL mechanism $mech")
-      val (_, clientNonce) = Scram.parseClientFirst(clientFirst)
-      val verifier = users.get(user) match {
-        case Some(v) => v
-        case None => return fail(s"password authentication failed for user \"$user\"")
-      }
-      val fullNonce = clientNonce + Scram.newNonce()
-      val serverFirst =
-        Scram.serverFirst(fullNonce, verifier.salt, verifier.iterations)
-      PgWire.writeAuthSaslContinue(out, serverFirst)
-      val fin = PgWire.readMsg(in)
-      if (fin.tag.toChar != 'p')
-        return fail(s"expected SASLResponse, got '${fin.tag.toChar}'")
-      val clientFinal = new String(fin.body,
-        java.nio.charset.StandardCharsets.UTF_8)
-      val (cb, nonce, proof) = Scram.parseClientFinal(clientFinal)
-      val cut = clientFinal.lastIndexOf(",p=")
-      if (cb != "biws" || nonce != fullNonce || cut < 0)
-        return fail("SCRAM channel-binding/nonce mismatch")
-      val authMsg = Scram.clientFirstBare(clientFirst) + "," +
-        serverFirst + "," + clientFinal.substring(0, cut)
-      if (!Scram.verifyProof(verifier, authMsg, proof))
-        return fail(s"password authentication failed for user \"$user\"")
-      PgWire.writeAuthSaslFinal(out,
-        Scram.serverFinal(Scram.serverSignature(verifier, authMsg)))
-      PgWire.writeAuthOk(out)
-      authAttempts.add((user, true))
-      true
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        fail(s"SCRAM exchange failed: ${e.getMessage}")
-    }
+    // shared exchange (Scram.serverExchange — also behind
+    // SparkSqlPgServer); this fixture additionally records attempts
+    val ok = Scram.serverExchange(user, users.toMap, in, out)
+    authAttempts.add((user, ok))
+    ok
   }
 
   // ---- COPY FROM STDIN (the bulk-ingest write path) ----

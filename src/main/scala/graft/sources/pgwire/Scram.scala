@@ -165,4 +165,59 @@ object Scram {
     val chars = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
     Iterator.continually(chars(rnd.nextInt(chars.length))).take(24).mkString
   }
+
+  /** Full server half of the SCRAM-SHA-256 exchange over pgwire
+    * (AuthenticationSASL → SASLInitialResponse → SASLContinue →
+    * SASLResponse → SASLFinal + AuthenticationOk), verifying the
+    * client proof against the stored verifier and sending the mutual
+    * server signature. Returns true on success; on ANY failure writes
+    * the 28P01 ErrorResponse (best-effort — the peer may be gone) and
+    * returns false. Shared by the loopback source fixture and
+    * [[SparkSqlPgServer]].
+    */
+  def serverExchange(user: String, users: Map[String, Verifier],
+                     in: java.io.DataInputStream,
+                     out: java.io.DataOutputStream): Boolean = {
+    def fail(msg: String): Boolean = {
+      try PgWire.writeError(out, "28P01", msg)
+      catch { case _: java.io.IOException => () }
+      false
+    }
+    try {
+      PgWire.writeAuthSasl(out, Seq(Mechanism))
+      val init = PgWire.readMsg(in)
+      if (init.tag.toChar != 'p')
+        return fail(s"expected SASLInitialResponse, got '${init.tag.toChar}'")
+      val (mech, cFirst) = PgWire.parseSaslInitialResponse(init.body)
+      if (mech != Mechanism)
+        return fail(s"unsupported SASL mechanism $mech")
+      val (_, clientNonce) = parseClientFirst(cFirst)
+      val verifier = users.get(user) match {
+        case Some(v) => v
+        case None =>
+          return fail(s"password authentication failed for user \"$user\"")
+      }
+      val fullNonce = clientNonce + newNonce()
+      val sFirst = serverFirst(fullNonce, verifier.salt, verifier.iterations)
+      PgWire.writeAuthSaslContinue(out, sFirst)
+      val fin = PgWire.readMsg(in)
+      if (fin.tag.toChar != 'p')
+        return fail(s"expected SASLResponse, got '${fin.tag.toChar}'")
+      val cFinal = new String(fin.body, UTF_8)
+      val (cb, nonce, proof) = parseClientFinal(cFinal)
+      val cut = cFinal.lastIndexOf(",p=")
+      if (cb != "biws" || nonce != fullNonce || cut < 0)
+        return fail("SCRAM channel-binding/nonce mismatch")
+      val authMsg = clientFirstBare(cFirst) + "," + sFirst + "," +
+        cFinal.substring(0, cut)
+      if (!verifyProof(verifier, authMsg, proof))
+        return fail(s"password authentication failed for user \"$user\"")
+      PgWire.writeAuthSaslFinal(out, serverFinal(serverSignature(verifier, authMsg)))
+      PgWire.writeAuthOk(out)
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fail(s"SCRAM exchange failed: ${e.getMessage}")
+    }
+  }
 }

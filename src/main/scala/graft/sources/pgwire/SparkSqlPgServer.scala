@@ -33,7 +33,8 @@ import org.apache.spark.sql.types._
   * door is for interactive consumers and aggregates; bulk egress
   * belongs on the DataFrame API or the COPY sink.
   */
-final class SparkSqlPgServer(spark: SparkSession) {
+final class SparkSqlPgServer(spark: SparkSession,
+                             users: Map[String, Scram.Verifier] = Map.empty) {
   private val server = new ServerSocket(0, 64,
     java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -98,8 +99,16 @@ final class SparkSqlPgServer(spark: SparkSession) {
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     try {
-      PgWire.readStartupNegotiating(in, out)
-      PgWire.writeAuthOk(out)
+      val startup = PgWire.readStartupNegotiating(in, out)
+      if (users.nonEmpty) {
+        // SCRAM-SHA-256 keyed on the startup 'user', same shared
+        // exchange as the loopback fixture (mutual auth, verifiers
+        // only — no plaintext server-side)
+        if (!Scram.serverExchange(startup.getOrElse("user", ""),
+            users, in, out)) {
+          out.flush(); return
+        }
+      } else PgWire.writeAuthOk(out)
       PgWire.writeParameterStatus(out, "server_version", "16.0-graft-sql")
       PgWire.writeReadyForQuery(out)
       out.flush()
@@ -151,36 +160,23 @@ final class SparkSqlPgServer(spark: SparkSession) {
 object SparkSqlPgServer {
 
   /** Minimal simple-query CLIENT (what psql does for a plain
-    * statement): startup → drain to ReadyForQuery → 'Q' sql → collect
-    * (RowDescription, text DataRows) → Terminate. A server
+    * statement): startup (+ SCRAM when `password` is given, mutual
+    * verification included — rides [[PgWireClient]]'s auth machinery)
+    * → 'Q' sql → collect (RowDescription, text DataRows). A server
     * ErrorResponse throws with the wire message; the helper exists so
     * specs and entries exercise the server exactly the way a foreign
     * client would, through bytes only. */
   def simpleQuery(host: String, port: Int, sql: String,
-                  connectTimeoutMs: Int = 5000)
+                  user: String = "graft",
+                  password: Option[String] = None)
       : (Seq[PgWire.Field], Seq[Array[String]]) = {
-    val sock = new Socket()
-    sock.setTcpNoDelay(true)
-    sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+    val c = new PgWireClient(host, port, user, password)
     try {
-      val out = new DataOutputStream(
-        new BufferedOutputStream(sock.getOutputStream, 1 << 16))
-      val in = new DataInputStream(
-        new BufferedInputStream(sock.getInputStream, 1 << 16))
-      PgWire.writeStartup(out, Map("user" -> "graft", "database" -> "graft"))
-      out.flush()
-      var m = PgWire.readMsg(in)
-      while (m.tag.toChar != 'Z') {
-        if (m.tag.toChar == 'E') throw new IllegalStateException(
-          "startup failed: " + new String(m.body, "UTF-8"))
-        m = PgWire.readMsg(in)
-      }
-      PgWire.writeQuery(out, sql)
-      out.flush()
+      c.send(sql)
       var fields: Seq[PgWire.Field] = Seq.empty
       val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
       var err: Option[String] = None
-      m = PgWire.readMsg(in)
+      var m = c.read()
       while (m.tag.toChar != 'Z') {
         m.tag.toChar match {
           case 'T' => fields = PgWire.parseRowDescription(m.body)
@@ -190,12 +186,10 @@ object SparkSqlPgServer {
           case other => throw new IllegalStateException(
             s"unexpected message '$other' in simple-query response")
         }
-        m = PgWire.readMsg(in)
+        m = c.read()
       }
       err.foreach(e => throw new IllegalStateException(s"server error: $e"))
-      PgWire.writeTerminate(out)
-      out.flush()
       (fields, rows.toSeq)
-    } finally sock.close()
+    } finally c.close()
   }
 }

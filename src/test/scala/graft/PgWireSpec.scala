@@ -715,6 +715,29 @@ class PgWireSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SparkSqlPgServer: SCRAM demanded, wrong password refused") {
+    import graft.sources.pgwire.{Scram, SparkSqlPgServer}
+    import spark.implicits._
+    Seq((1, "x")).toDF("k", "s").createOrReplaceTempView("pg_scram_t")
+    val salt = Array.tabulate[Byte](16)(i => (i * 11 + 1).toByte)
+    val srv = new SparkSqlPgServer(spark,
+      Map("u1" -> Scram.deriveVerifier("pw1", salt, 4096)))
+    try {
+      val (_, rows) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        "SELECT COUNT(*) AS n FROM pg_scram_t",
+        user = "u1", password = Some("pw1"))
+      assert(rows.map(_.toSeq) == Seq(Seq("1")))
+      val bad = intercept[java.io.IOException](
+        SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+          "SELECT 1 AS x", user = "u1", password = Some("wrong")))
+      assert(bad.getMessage.contains("auth"))
+      val noUser = intercept[java.io.IOException](
+        SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+          "SELECT 1 AS x", user = "ghost", password = Some("pw1")))
+      assert(noUser.getMessage.contains("auth"))
+    } finally srv.close()
+  }
+
   test("SparkSqlPgServer: SQL over the wire, errors keep the connection") {
     import graft.sources.pgwire.SparkSqlPgServer
     import spark.implicits._
