@@ -415,6 +415,41 @@ object Queries54 {
 
   private val exportStaged = scala.collection.mutable.Set.empty[String]
 
+  /** Cypher over a STREAMING graph: the orders feed accretes into the
+    * property graph micro-batch by micro-batch and the same compiled
+    * MATCH re-evaluates per tick ([[graft.streaming.StreamingCypherRead]]).
+    * The returned frame is the FINAL tick's answer; the oracle is the
+    * batch replay over the complete feed — convergence regardless of
+    * batch boundaries, the read-side twin of `stream_cypher_sink`'s
+    * idempotence-as-exactly-once. */
+  val stream_cypher_read = Q(
+    (s, dir) => {
+      val acc = java.nio.file.Files
+        .createTempDirectory("graft_stream_cy").toString + "/acc"
+      val (rows, schema, ticks) =
+        graft.streaming.StreamingCypherRead.ordersCypherOnce(
+          s, s"$dir/orders.parquet",
+          Tables.read(s, dir, "customer"),
+          Tables.read(s, dir, "nation"),
+          """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)-[:PLACED]->(o:Order)
+             RETURN n.name AS nation, count(*) AS n_orders
+             ORDER BY nation""",
+          accPath = acc)
+      require(ticks >= 1, "stream produced no micro-batches")
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+    },
+    Some("""SELECT n_name AS nation, COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY nation"""),
+    // stream-drain cost model, excluded from the bench set like every
+    // streaming runner
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "cy_assembly_read" -> cy_assembly_read,
     "cy_with_having" -> cy_with_having,
@@ -424,6 +459,7 @@ object Queries54 {
     "cy_bolt_server" -> cy_bolt_server,
     "cy_unwind_union" -> cy_unwind_union,
     "cy_export_read" -> cy_export_read,
+    "stream_cypher_read" -> stream_cypher_read,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,
     "cy_multi_hop_agg" -> cy_multi_hop_agg,
