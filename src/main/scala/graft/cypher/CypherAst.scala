@@ -100,6 +100,8 @@ object CypherAst {
   final case class ListLit(vals: Seq[Lit]) extends Expr
   final case class ToInt(e: Expr) extends Expr
   final case class ToFloat(e: Expr) extends Expr
+  /** `coalesce(e1, e2, …)` — first non-null, openCypher builtin. */
+  final case class Coalesce(es: Seq[Expr]) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
   /** `+ - * / %` with the usual precedence (mul over add). */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr

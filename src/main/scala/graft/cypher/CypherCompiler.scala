@@ -467,6 +467,7 @@ object CypherCompiler {
     case Param(n) => st.paramLit(n)
     case ToInt(x) => exprCol(st, x).cast("long")
     case ToFloat(x) => exprCol(st, x).cast("double")
+    case Coalesce(es) => coalesce(es.map(exprCol(st, _)): _*)
     case Cmp(op, l, r) =>
       val (a, b) = (exprCol(st, l), exprCol(st, r))
       op match {

@@ -379,6 +379,11 @@ object CypherParser {
         case "length" => PathLen(p.ident())
         case "tointeger" => ToInt(atom(p))
         case "tofloat" => ToFloat(atom(p))
+        case "coalesce" =>
+          val es = Vector.newBuilder[Expr]
+          es += addExpr(p)
+          while (p.atOp(",")) { p.eatOp(","); es += addExpr(p) }
+          Coalesce(es.result())
         case other => fail(p.peek.pos, s"unknown function $other()")
       }
       p.eatOp(")")

@@ -139,6 +139,17 @@ class CypherSpec extends AnyFunSuite {
       Seq(("ann", 1L), ("bob", 1L), ("cat", 0L), ("dan", 0L)))
   }
 
+  test("coalesce defaults OPTIONAL MATCH nulls") {
+    val out = g.cypher(
+      """MATCH (p:Person)
+         OPTIONAL MATCH (p)-[:LIKES]->(f:Food)
+         RETURN p.name AS name, coalesce(f.name, 'none') AS food
+         ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("ann", "fig"), ("bob", "fig"),
+      ("cat", "none"), ("dan", "none")))
+  }
+
   test("OPTIONAL MATCH with no shared variable is rejected") {
     val e = intercept[IllegalArgumentException](g.cypher(
       "MATCH (p:Person) OPTIONAL MATCH (f:Food) RETURN p.name AS n"))
