@@ -372,20 +372,27 @@ object GraphOps {
     var comp = scope.checkpoint(vertices.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var iter = 0
+    // Windowed probe (same cadence as pageRankConverged): labels only
+    // DECREASE, so "no vertex changed across the whole window" is
+    // EXACTLY "no step in the window changed anything" — the window
+    // probe against the window-start state is exact, and 3 min-
+    // propagation steps pipeline as one lazy job between checkpoints.
+    val probeEvery = 3
     while (changed > 0L && iter < maxIterations) {
-      // prev folded into the checkpointed frame: the changed-probe is
-      // then a limit-1 scan of materialized partitions instead of a
-      // fresh next⋈comp shuffle job per iteration (same rewrite as
-      // pageRankConverged)
-      val next = scope.checkpoint(
-        undirected.join(comp, undirected("src") === comp("id"))
+      val steps = math.min(probeEvery, maxIterations - iter)
+      val prev = comp
+      var cur = comp
+      for (_ <- 1 to steps) {
+        cur = undirected.join(cur, undirected("src") === cur("id"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("comp")).as("comp"))
-          .join(comp.select(col("id"), col("comp").as("prev")), "id"))
+      }
+      val next = scope.checkpoint(
+        cur.join(prev.select(col("id"), col("comp").as("prev")), "id"))
       // labels only decrease, so "any row strictly smaller" == "changed"
       changed = next.filter(col("comp") < col("prev")).limit(1).count()
       comp = next.select(col("id"), col("comp"))
-      iter += 1
+      iter += steps
     }
     comp
   }
@@ -478,25 +485,43 @@ object GraphOps {
     var ranks = scope.checkpoint(vertices.select(col("id"), lit(1.0).as("rank")))
     var moved = 1L
     var iter = 0
+    // Probe cadence: convergence is checked every `probeEvery`
+    // iterations, so a window of 3 recurrence steps runs as ONE job
+    // of pipelined shuffle stages (each rank_t is referenced once —
+    // linear lazy chain, the fixed-iteration pageRank discipline)
+    // instead of 3 blocking checkpoint jobs. A tol-fixpoint stays a
+    // fixpoint under extra iterations (the recurrence is a
+    // contraction), so overshooting by ≤2 steps changes nothing the
+    // certificate or oracle can see; prev is folded into the
+    // window-end checkpoint so the probe is a limit-1 scan of
+    // materialized partitions.
+    val probeEvery = 3
     while (moved > 0L && iter < maxIterations) {
-      val contribs = edgesCached.join(ranks, edgesCached("src") === ranks("id"))
-        .select(col("dst").as("id"),
-          (col("rank") * col("inv_outdeg")).as("contrib"))
-        .unionByName(zeroContribs)
-      // fold prev INTO the checkpointed frame: the convergence probe
-      // then scans materialized partitions with limit-1 early exit —
-      // the old form re-joined next⋈ranks, a full extra shuffle job
-      // per iteration (half the loop's job count at 30+ iterations
-      // to 1e-7)
-      val next = scope.checkpoint(contribs.groupBy(col("id"))
-        .agg((lit(reset) + lit(damp) *
-          (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
-            .cast("long").cast("double") / 1.0e9)).as("rank"))
-        .join(ranks.select(col("id"), col("rank").as("prev")), "id"))
+      val steps = math.min(probeEvery, maxIterations - iter)
+      // the stopping criterion stays the SINGLE-step delta (what the
+      // certificate's residual bound assumes): compare the window's
+      // last step against the state just before it — beforeLast is
+      // referenced twice (inside cur's plan and by the probe join),
+      // which at window size 3 keeps plans bounded
+      var beforeLast = ranks
+      var cur = ranks
+      for (_ <- 1 to steps) {
+        beforeLast = cur
+        val contribs = edgesCached.join(cur, edgesCached("src") === cur("id"))
+          .select(col("dst").as("id"),
+            (col("rank") * col("inv_outdeg")).as("contrib"))
+          .unionByName(zeroContribs)
+        cur = contribs.groupBy(col("id"))
+          .agg((lit(reset) + lit(damp) *
+            (round(sum(col("contrib").cast("decimal(27,15)")) * 1000000000L)
+              .cast("long").cast("double") / 1.0e9)).as("rank"))
+      }
+      val next = scope.checkpoint(
+        cur.join(beforeLast.select(col("id"), col("rank").as("prev")), "id"))
       moved = next.filter(abs(col("rank") - col("prev")) > tol)
         .limit(1).count()
       ranks = next.select(col("id"), col("rank"))
-      iter += 1
+      iter += steps
     }
     ranks
   }
