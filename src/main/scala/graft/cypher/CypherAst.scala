@@ -76,8 +76,14 @@ object CypherAst {
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
                            shortest: Option[String] = None)
 
-  /** One MATCH clause (possibly OPTIONAL) holding 1+ comma patterns. */
-  final case class MatchPart(paths: Seq[PathPat], optional: Boolean)
+  /** One MATCH clause (possibly OPTIONAL) holding 1+ comma patterns,
+    * with ITS OWN trailing WHERE — openCypher attaches WHERE to the
+    * preceding MATCH, which matters for OPTIONAL MATCH: the filter
+    * applies to the optional side BEFORE the null-extension, so an
+    * unmatched (or filtered-out) row keeps its left side with nulls
+    * rather than disappearing. */
+  final case class MatchPart(paths: Seq[PathPat], optional: Boolean,
+                             where: Option[Expr] = None)
 
   // ---- expressions ----------------------------------------------
   sealed trait Expr

@@ -136,7 +136,7 @@ object CypherCompiler {
       seg.unwinds.foreach { case (e, v) => applyUnwind(st, g, e, v) }
       seg.matches.foreach { part =>
         val partFrame = compilePart(st, part)
-        attach(st, partFrame._1, partFrame._2, part.optional)
+        attach(st, partFrame._1, partFrame._2, part.optional, part.where)
       }
       seg.where.foreach(e =>
         st.frame = st.frame.map(_.filter(exprCol(st, e))))
@@ -404,32 +404,57 @@ object CypherCompiler {
 
   /** Join a compiled MATCH part onto the accumulated frame: inner on
     * shared variables for plain MATCH, left outer for OPTIONAL; cross
-    * product when nothing is shared (plain MATCH only). */
+    * product when nothing is shared (plain MATCH only). `where` is
+    * the part's own WHERE (openCypher binds WHERE to the preceding
+    * MATCH): for plain parts it is a post-join filter (== a join
+    * condition under inner semantics); for OPTIONAL parts it must
+    * filter the MATCHES, not the joined rows — a left row whose every
+    * candidate fails the filter keeps its row with nulls. The filter
+    * may reference outer variables, so it evaluates on the joined
+    * frame; null-extension then goes per shared KEY, which is
+    * row-correct because a part's matches depend only on the shared
+    * keys. */
   private def attach(st: St, pf: DataFrame, bound: Seq[String],
-                     optional: Boolean): Unit = {
+                     optional: Boolean, where: Option[Expr]): Unit = {
     st.frame match {
       case None =>
         require(!optional, "query cannot start with OPTIONAL MATCH")
-        st.frame = Some(pf)
         st.nodes ++= bound
+        st.frame = Some(where.fold(pf)(e => pf.filter(exprCol(st, e))))
       case Some(f) =>
         val shared = bound.filter(st.nodes.contains)
         val fresh = bound.filterNot(st.nodes.contains)
+        st.nodes ++= fresh // in scope for the part's own WHERE
         if (shared.isEmpty) {
           if (optional) throw new IllegalArgumentException(
             "OPTIONAL MATCH must share at least one variable with an " +
             "earlier MATCH")
-          st.frame = Some(f.crossJoin(pf))
+          val joined = f.crossJoin(pf)
+          st.frame =
+            Some(where.fold(joined)(e => joined.filter(exprCol(st, e))))
         } else {
           // shared vars: drop the re-bound label/props duplicates and
           // using-join on the id columns (left side keeps its values)
           val pfPruned = shared.foldLeft(pf)((d, v) =>
             d.drop(s"$v __label", s"$v __props"))
           val keys = shared.map(v => s"$v __id")
-          st.frame = Some(f.join(pfPruned, keys,
-            if (optional) "left_outer" else "inner"))
+          st.frame = (optional, where) match {
+            case (false, w) =>
+              val joined = f.join(pfPruned, keys, "inner")
+              Some(w.fold(joined)(e => joined.filter(exprCol(st, e))))
+            case (true, None) =>
+              Some(f.join(pfPruned, keys, "left_outer"))
+            case (true, Some(e)) =>
+              val kept = f.join(pfPruned, keys, "inner")
+                .filter(exprCol(st, e))
+              val extra = pfPruned.schema.filterNot(sf => keys.contains(sf.name))
+              val missing = f.join(
+                  kept.select(keys.map(col): _*).distinct(), keys, "left_anti")
+                .select(f.columns.map(col).toSeq ++
+                  extra.map(sf => lit(null).cast(sf.dataType).as(sf.name)): _*)
+              Some(kept.unionByName(missing))
+          }
         }
-        st.nodes ++= fresh
     }
   }
 

@@ -146,12 +146,20 @@ object CypherParser {
         val paths = Vector.newBuilder[PathPat]
         paths += pathPat(p)
         while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
-        matches += MatchPart(paths.result(), optional)
+        // WHERE binds to THIS match clause (openCypher): for an
+        // OPTIONAL MATCH it filters the optional side before the
+        // null-extension rather than the joined rows after
+        val partWhere =
+          if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+          else None
+        matches += MatchPart(paths.result(), optional, partWhere)
         first = false
       }
       val ms = matches.result()
       if (ms.isEmpty && uw.isEmpty && isFirstSegment)
         fail(p.peek.pos, "expected MATCH or UNWIND")
+      // a WHERE here (not after a MATCH — e.g. directly after UNWIND)
+      // filters the segment's current rows
       val where = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
                   else None
       if (p.atKw("with")) {

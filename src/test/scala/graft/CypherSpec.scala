@@ -139,6 +139,28 @@ class CypherSpec extends AnyFunSuite {
       Seq(("ann", 1L), ("bob", 1L), ("cat", 0L), ("dan", 0L)))
   }
 
+  test("WHERE on OPTIONAL MATCH filters matches, not rows (openCypher)") {
+    // the filter rejects every LIKES edge below 3 stars: bob's match
+    // dies (2 stars) but bob's ROW survives with null f — the
+    // null-extension semantics a post-join filter would get wrong
+    val out = g.cypher(
+      """MATCH (p:Person)
+         OPTIONAL MATCH (p)-[l:LIKES]->(f:Food) WHERE toInteger(l.stars) >= 3
+         RETURN p.name AS name, f.name AS food ORDER BY name""")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq(("ann", Some("fig")), ("bob", None),
+      ("cat", None), ("dan", None)))
+    // outer-variable reference inside the optional WHERE
+    val outer = g.cypher(
+      """MATCH (p:Person)
+         OPTIONAL MATCH (p)-[:LIKES]->(f:Food) WHERE f.name = p.name
+         RETURN p.name AS name, count(f) AS n ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // nobody likes a food named after themselves; all rows survive
+    assert(outer.toSeq == Seq(("ann", 0L), ("bob", 0L),
+      ("cat", 0L), ("dan", 0L)))
+  }
+
   test("coalesce defaults OPTIONAL MATCH nulls") {
     val out = g.cypher(
       """MATCH (p:Person)
