@@ -135,8 +135,13 @@ object CypherCompiler {
     q.segments.foreach { seg =>
       seg.unwinds.foreach { case (e, v) => applyUnwind(st, g, e, v) }
       seg.matches.foreach { part =>
+        val edgesBefore = st.edgeVars.toSet
+        val pathsBefore = st.pathVars.keySet.toSet
         val partFrame = compilePart(st, part)
-        attach(st, partFrame._1, partFrame._2, part.optional, part.where)
+        val partLocal = (st.edgeVars.toSet -- edgesBefore) ++
+          (st.pathVars.keySet.toSet -- pathsBefore)
+        attach(st, partFrame._1, partFrame._2, part.optional, part.where,
+          partLocal)
       }
       seg.where.foreach(e =>
         st.frame = st.frame.map(_.filter(exprCol(st, e))))
@@ -414,8 +419,30 @@ object CypherCompiler {
     * frame; null-extension then goes per shared KEY, which is
     * row-correct because a part's matches depend only on the shared
     * keys. */
+  /** Variable names an expression references. */
+  private def freeVars(e: Expr): Set[String] = e match {
+    case Prop(v, _) => Set(v)
+    case Id(v) => Set(v)
+    case Var(v) => Set(v)
+    case LabelOf(v) => Set(v)
+    case PathLen(v) => Set(v)
+    case ToInt(x) => freeVars(x)
+    case ToFloat(x) => freeVars(x)
+    case Coalesce(es) => es.flatMap(freeVars).toSet
+    case Cmp(_, l, r) => freeVars(l) ++ freeVars(r)
+    case Arith(_, l, r) => freeVars(l) ++ freeVars(r)
+    case IsNull(x, _) => freeVars(x)
+    case InList(x, _) => freeVars(x)
+    case StrPred(_, l, r) => freeVars(l) ++ freeVars(r)
+    case And(l, r) => freeVars(l) ++ freeVars(r)
+    case Or(l, r) => freeVars(l) ++ freeVars(r)
+    case Not(x) => freeVars(x)
+    case _ => Set.empty // Lit, Param, ListLit
+  }
+
   private def attach(st: St, pf: DataFrame, bound: Seq[String],
-                     optional: Boolean, where: Option[Expr]): Unit = {
+                     optional: Boolean, where: Option[Expr],
+                     partLocal: Set[String]): Unit = {
     st.frame match {
       case None =>
         require(!optional, "query cannot start with OPTIONAL MATCH")
@@ -445,6 +472,18 @@ object CypherCompiler {
             case (true, None) =>
               Some(f.join(pfPruned, keys, "left_outer"))
             case (true, Some(e)) =>
+              // soundness of the per-key null-extension: every value
+              // the filter reads must be determined by the shared
+              // keys — true for the part's own variables and for
+              // shared nodes (their id/label/props are functions of
+              // the id), NOT for other outer variables. Reject the
+              // rest loudly instead of extending wrongly.
+              val allowed = bound.toSet ++ partLocal
+              val outerRefs = freeVars(e) -- allowed
+              if (outerRefs.nonEmpty) throw new IllegalArgumentException(
+                s"OPTIONAL MATCH WHERE may reference the optional " +
+                s"pattern's variables and the ones it shares with " +
+                s"earlier clauses; not: ${outerRefs.mkString(", ")}")
               val kept = f.join(pfPruned, keys, "inner")
                 .filter(exprCol(st, e))
               val extra = pfPruned.schema.filterNot(sf => keys.contains(sf.name))

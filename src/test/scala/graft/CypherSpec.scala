@@ -161,6 +161,17 @@ class CypherSpec extends AnyFunSuite {
       ("cat", 0L), ("dan", 0L)))
   }
 
+  test("OPTIONAL MATCH WHERE rejects non-shared outer references") {
+    // q is bound earlier but NOT part of the optional pattern: its
+    // values are not determined by the join keys, so the per-key
+    // null-extension would be unsound — must reject, not guess
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (p:Person)-[:KNOWS]->(q:Person)
+         OPTIONAL MATCH (p)-[:LIKES]->(f:Food) WHERE f.name = q.name
+         RETURN p.name AS name"""))
+    assert(e.getMessage.contains("OPTIONAL MATCH WHERE"))
+  }
+
   test("coalesce defaults OPTIONAL MATCH nulls") {
     val out = g.cypher(
       """MATCH (p:Person)
