@@ -125,7 +125,9 @@ object CypherAst {
     * openCypher implicit grouping: non-aggregate items are the keys. */
   final case class Item(expr: Option[Expr], agg: Option[String],
                         distinct: Boolean, alias: String)
-  final case class OrderItem(key: String, asc: Boolean)
+  /** ORDER BY item: a bare item-alias reference, or any expression
+    * (computed into a hidden column, dropped after the sort). */
+  final case class OrderItem(key: Expr, asc: Boolean)
   final case class Return(distinct: Boolean, items: Seq[Item],
                           orderBy: Seq[OrderItem], skip: Option[Long],
                           limit: Option[Long])

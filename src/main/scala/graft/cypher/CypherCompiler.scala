@@ -257,11 +257,13 @@ object CypherCompiler {
     st.valueCols.clear()
     valueItems.foreach(it => st.valueCols += it.alias -> s"${it.alias} __val")
     def orderCol(o: OrderItem): Column = {
-      val c =
-        if (st.valueCols.contains(o.key)) col(st.valueCols(o.key))
-        else if (st.nodes.contains(o.key)) idCol(o.key)
-        else throw new IllegalArgumentException(
-          s"ORDER BY ${o.key}: not a WITH item")
+      // the projection kept every scope column (node triples + value
+      // cols), so any expression over the NEW scope evaluates directly;
+      // a bare node variable sorts by its id
+      val c = o.key match {
+        case Var(v) if st.nodes.contains(v) => idCol(v)
+        case e => exprCol(st, e)
+      }
       if (o.asc) c.asc else c.desc
     }
     val ordered =
@@ -569,28 +571,63 @@ object CypherCompiler {
   // ---- RETURN -------------------------------------------------------
   private def returnClause(st: St, df: DataFrame, r: Return): DataFrame = {
     val hasAgg = r.items.exists(_.agg.isDefined)
-    val projected =
-      if (!hasAgg) {
-        val cols = r.items.map(it => exprCol(st, it.expr.get).as(it.alias))
-        val d = df.select(cols: _*)
-        if (r.distinct) d.distinct() else d
+    val aliasSet = r.items.map(_.alias).toSet
+    // a bare identifier in ORDER BY resolves against the RETURN item
+    // aliases first (the common `ORDER BY alias` form); anything else
+    // is an expression over the pre-projection scope, computed into a
+    // hidden column and dropped after the sort
+    def aliasRef(e: Expr): Option[String] = e match {
+      case Var(v) if aliasSet(v) => Some(v)
+      case _ => None
+    }
+    val needsHidden = r.orderBy.exists(o => aliasRef(o.key).isEmpty)
+    def dir(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc
+
+    val sorted =
+      if (!hasAgg && needsHidden) {
+        if (r.distinct) throw new IllegalArgumentException(
+          "ORDER BY on an expression not in RETURN cannot follow " +
+          "RETURN DISTINCT (the sorted value is not part of the rows)")
+        val itemCols = r.items.map(it => exprCol(st, it.expr.get).as(it.alias))
+        val hidden = r.orderBy.zipWithIndex.map { case (o, i) =>
+          aliasRef(o.key) match {
+            case Some(a) => (None, dir(col(a), o.asc))
+            case None =>
+              val h = s"  ord$i"
+              (Some(exprCol(st, o.key).as(h)), dir(col(h), o.asc))
+          }
+        }
+        val withHidden = df.select(itemCols ++ hidden.flatMap(_._1): _*)
+        withHidden.orderBy(hidden.map(_._2): _*)
+          .drop(hidden.zipWithIndex.collect {
+            case ((Some(_), _), i) => s"  ord$i" }: _*)
       } else {
-        // openCypher implicit grouping: non-aggregate items are keys
-        val keys = r.items.filter(_.agg.isEmpty)
-          .map(it => exprCol(st, it.expr.get).as(it.alias))
-        val aggs = r.items.filter(_.agg.isDefined)
-          .map(it => aggCol(st, it).as(it.alias))
-        val grouped =
-          if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-          else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-        // restore the RETURN item order (groupBy puts keys first)
-        grouped.select(r.items.map(it => col(it.alias)): _*)
+        val projected =
+          if (!hasAgg) {
+            val cols = r.items.map(it => exprCol(st, it.expr.get).as(it.alias))
+            val d = df.select(cols: _*)
+            if (r.distinct) d.distinct() else d
+          } else {
+            // openCypher implicit grouping: non-aggregate items are keys
+            val keys = r.items.filter(_.agg.isEmpty)
+              .map(it => exprCol(st, it.expr.get).as(it.alias))
+            val aggs = r.items.filter(_.agg.isDefined)
+              .map(it => aggCol(st, it).as(it.alias))
+            val grouped =
+              if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+              else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+            // restore the RETURN item order (groupBy puts keys first)
+            grouped.select(r.items.map(it => col(it.alias)): _*)
+          }
+        if (r.orderBy.isEmpty) projected
+        else projected.orderBy(r.orderBy.map { o =>
+          val a = aliasRef(o.key).getOrElse(
+            throw new IllegalArgumentException(
+              "after aggregation, ORDER BY must reference RETURN aliases"))
+          dir(col(a), o.asc)
+        }: _*)
       }
-    val ordered =
-      if (r.orderBy.isEmpty) projected
-      else projected.orderBy(r.orderBy.map(o =>
-        if (o.asc) col(o.key).asc else col(o.key).desc): _*)
-    val skipped = r.skip.fold(ordered)(n => ordered.offset(n.toInt))
+    val skipped = r.skip.fold(sorted)(n => sorted.offset(n.toInt))
     r.limit.fold(skipped)(n => skipped.limit(n.toInt))
   }
 }

@@ -419,7 +419,9 @@ object CypherParser {
     if (p.atKw("order")) {
       p.eatKw("order"); p.eatKw("by")
       def oitem(): OrderItem = {
-        val k = p.ident()
+        // any expression; a bare identifier resolves against the item
+        // aliases first (the common `ORDER BY alias` form)
+        val k = addExpr(p)
         val asc =
           if (p.atKw("desc")) { p.eatKw("desc"); false }
           else { if (p.atKw("asc")) p.eatKw("asc"); true }

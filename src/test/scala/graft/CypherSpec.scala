@@ -46,7 +46,7 @@ class CypherSpec extends AnyFunSuite {
       NodePat("a", Some("Person"), Map("name" -> Lit("ann"))))
     assert(q.matches.head.paths.head.edges.head.types == Seq("KNOWS", "LIKES"))
     assert(q.ret.items.map(_.alias) == Seq("who", "n"))
-    assert(q.ret.orderBy == Seq(OrderItem("who", asc = false)))
+    assert(q.ret.orderBy == Seq(OrderItem(Var("who"), asc = false)))
     assert((q.ret.skip, q.ret.limit) == (Some(1L), Some(5L)))
   }
 
@@ -323,6 +323,31 @@ class CypherSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](g.cypher(
       "MATCH (p:Person {name: $who}) RETURN p.name AS n").collect())
     assert(e.getMessage.contains("parameter"))
+  }
+
+  test("ORDER BY expressions: non-returned sort keys, hidden and dropped") {
+    val out = g.cypher(
+      """MATCH (p:Person) WHERE p.age IS NOT NULL
+         RETURN p.name AS name ORDER BY toInteger(p.age) DESC""")
+    assert(out.columns.toSeq == Seq("name"))
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("cat", "ann", "bob")) // ages 35, 30, 25
+    // mixed alias + expression keys
+    val mixed = g.cypher(
+      """MATCH (p:Person)-[:KNOWS]->(q)
+         RETURN p.name AS name, q.name AS friend
+         ORDER BY friend, toInteger(p.age) DESC""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(mixed.length == 3)
+    // DISTINCT + non-returned sort key is rejected (openCypher too)
+    val e = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person) RETURN DISTINCT p.name AS n ORDER BY toInteger(p.age)"))
+    assert(e.getMessage.contains("DISTINCT"))
+    // aggregated RETURN: ORDER BY must use aliases
+    val e2 = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (p:Person) RETURN label(p) AS l, count(*) AS n
+         ORDER BY toInteger(p.age)"""))
+    assert(e2.getMessage.contains("aggregation"))
   }
 
   test("arithmetic: precedence and grouping on computed expressions") {
