@@ -413,6 +413,27 @@ object Queries54 {
       WHERE c_mktsegment IN ('HOUSEHOLD', 'BUILDING')
       GROUP BY 1, 2 ORDER BY nation, seg"""))
 
+  /** CASE WHEN as an implicit-grouping key plus the string builtins
+    * (toUpper / substring with openCypher's 0-based start / replace),
+    * all oracle-replayed (DuckDB substring is 1-based — the offset
+    * shift is part of what the hash proves). */
+  val cy_case_strings = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)
+         RETURN CASE WHEN toFloat(c.acctbal) >= 5000.0 THEN 'high'
+                     WHEN toFloat(c.acctbal) >= 0.0 THEN 'mid'
+                     ELSE 'neg' END AS tier,
+                count(*) AS n,
+                max(replace(toUpper(substring(c.mktsegment, 0, 4)), 'U', '_'))
+                  AS seg4
+         ORDER BY tier"""),
+    Some("""SELECT CASE WHEN CAST(c_acctbal AS DOUBLE) >= 5000.0 THEN 'high'
+                WHEN CAST(c_acctbal AS DOUBLE) >= 0.0 THEN 'mid'
+                ELSE 'neg' END AS tier,
+        COUNT(*) AS n,
+        MAX(replace(upper(substring(c_mktsegment, 1, 4)), 'U', '_')) AS seg4
+      FROM customer GROUP BY 1 ORDER BY tier"""))
+
   private val exportStaged = scala.collection.mutable.Set.empty[String]
 
   /** Cypher over a STREAMING graph: the orders feed accretes into the
@@ -459,6 +480,7 @@ object Queries54 {
     "cy_bolt_server" -> cy_bolt_server,
     "cy_unwind_union" -> cy_unwind_union,
     "cy_export_read" -> cy_export_read,
+    "cy_case_strings" -> cy_case_strings,
     "stream_cypher_read" -> stream_cypher_read,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,

@@ -108,6 +108,14 @@ object CypherAst {
   final case class ToFloat(e: Expr) extends Expr
   /** `coalesce(e1, e2, …)` — first non-null, openCypher builtin. */
   final case class Coalesce(es: Seq[Expr]) extends Expr
+  /** Scalar string builtins: toLower/toUpper/trim/size (arity 1),
+    * substring (2-3, openCypher 0-BASED start), replace (3). */
+  final case class StrFn(name: String, args: Seq[Expr]) extends Expr
+  /** `type(r)` — the relationship type of an edge variable. */
+  final case class TypeOf(v: String) extends Expr
+  /** `CASE WHEN c THEN v … [ELSE d] END` (searched form). */
+  final case class CaseWhen(branches: Seq[(Expr, Expr)],
+                            otherwise: Option[Expr]) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
   /** `+ - * / %` with the usual precedence (mul over add). */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr

@@ -431,6 +431,11 @@ object CypherCompiler {
     case ToInt(x) => freeVars(x)
     case ToFloat(x) => freeVars(x)
     case Coalesce(es) => es.flatMap(freeVars).toSet
+    case StrFn(_, args) => args.flatMap(freeVars).toSet
+    case TypeOf(v) => Set(v)
+    case CaseWhen(bs, o) =>
+      bs.flatMap { case (c, v) => freeVars(c) ++ freeVars(v) }.toSet ++
+        o.map(freeVars).getOrElse(Set.empty)
     case Cmp(_, l, r) => freeVars(l) ++ freeVars(r)
     case Arith(_, l, r) => freeVars(l) ++ freeVars(r)
     case IsNull(x, _) => freeVars(x)
@@ -534,6 +539,34 @@ object CypherCompiler {
     case ToInt(x) => exprCol(st, x).cast("long")
     case ToFloat(x) => exprCol(st, x).cast("double")
     case Coalesce(es) => coalesce(es.map(exprCol(st, _)): _*)
+    case TypeOf(v) =>
+      if (st.edgeVars.contains(v)) col(s"$v __rel")
+      else throw new IllegalArgumentException(
+        s"type($v): $v is not a relationship variable")
+    case StrFn(name, args) =>
+      val a = args.map(exprCol(st, _))
+      name match {
+        case "tolower" => lower(a.head)
+        case "toupper" => upper(a.head)
+        case "trim" => trim(a.head)
+        case "size" => length(a.head).cast("long")
+        case "substring" =>
+          // openCypher start is 0-BASED; Column.substr is 1-based
+          val start = a(1).cast("int") + lit(1)
+          val len = if (a.length == 3) a(2).cast("int")
+                    else length(a.head) // to the end
+          a.head.substr(start, len)
+        case "replace" => replace(a.head, a(1), a(2))
+        case other =>
+          throw new IllegalArgumentException(s"unknown function $other")
+      }
+    case CaseWhen(branches, otherwise) =>
+      val first = when(exprCol(st, branches.head._1),
+        exprCol(st, branches.head._2))
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(exprCol(st, c), exprCol(st, v))
+      }
+      otherwise.fold(chained)(e => chained.otherwise(exprCol(st, e)))
     case Cmp(op, l, r) =>
       val (a, b) = (exprCol(st, l), exprCol(st, r))
       op match {

@@ -374,9 +374,35 @@ object CypherParser {
     l
   }
 
+  private def argList(p: P): Seq[Expr] = {
+    val es = Vector.newBuilder[Expr]
+    es += addExpr(p)
+    while (p.atOp(",")) { p.eatOp(","); es += addExpr(p) }
+    es.result()
+  }
+
+  /** `CASE WHEN c THEN v … [ELSE d] END` (the searched form — the
+    * simple `CASE e WHEN …` form rewrites to it client-side). */
+  private def caseExpr(p: P): Expr = {
+    val branches = Vector.newBuilder[(Expr, Expr)]
+    while (p.atKw("when")) {
+      p.eatKw("when")
+      val c = orExpr(p)
+      p.eatKw("then")
+      branches += ((c, addExpr(p)))
+    }
+    val bs = branches.result()
+    if (bs.isEmpty) fail(p.peek.pos, "CASE needs at least one WHEN")
+    val other = if (p.atKw("else")) { p.eatKw("else"); Some(addExpr(p)) }
+                else None
+    p.eatKw("end")
+    CaseWhen(bs, other)
+  }
+
   /** Shared by WHERE and RETURN items (minus aggregates, which only
     * RETURN may hold). */
   private def atom(p: P): Expr = {
+    if (p.atKw("case")) { p.eatKw("case"); return caseExpr(p) }
     if (p.atOp("(")) { p.eatOp("("); val e = orExpr(p); p.eatOp(")"); e }
     else if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "(") {
       val fname = p.ident().toLowerCase
@@ -388,10 +414,19 @@ object CypherParser {
         case "tointeger" => ToInt(atom(p))
         case "tofloat" => ToFloat(atom(p))
         case "coalesce" =>
-          val es = Vector.newBuilder[Expr]
-          es += addExpr(p)
-          while (p.atOp(",")) { p.eatOp(","); es += addExpr(p) }
-          Coalesce(es.result())
+          Coalesce(argList(p))
+        case "type" => TypeOf(p.ident())
+        case f @ ("tolower" | "toupper" | "trim" | "size" |
+                  "substring" | "replace") =>
+          val args = argList(p)
+          val arity = f match {
+            case "substring" => 2 to 3
+            case "replace" => 3 to 3
+            case _ => 1 to 1
+          }
+          if (!arity.contains(args.length))
+            fail(p.peek.pos, s"$f() takes ${arity.mkString("-")} arguments")
+          StrFn(f, args)
         case other => fail(p.peek.pos, s"unknown function $other()")
       }
       p.eatOp(")")

@@ -325,6 +325,30 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("parameter"))
   }
 
+  test("string functions, type(), and CASE WHEN") {
+    val out = g.cypher(
+      """MATCH (p:Person)
+         RETURN toUpper(p.name) AS up, size(p.name) AS len,
+                substring(p.name, 0, 2) AS pre,
+                replace(p.name, 'a', 'o') AS rep,
+                CASE WHEN toInteger(p.age) >= 30 THEN 'senior'
+                     WHEN toInteger(p.age) >= 0 THEN 'junior'
+                     ELSE 'unknown' END AS tier
+         ORDER BY up""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("ANN", 3L, "an", "onn", "senior"),
+      ("BOB", 3L, "bo", "bob", "junior"),
+      ("CAT", 3L, "ca", "cot", "senior"),
+      ("DAN", 3L, "da", "don", "unknown")))
+    val rels = g.cypher(
+      """MATCH (a:Person {name: 'ann'})-[r]->(x)
+         RETURN type(r) AS t, trim(toLower(' FIG ')) AS s ORDER BY t""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rels.toSeq == Seq(("KNOWS", "fig"), ("LIKES", "fig")))
+  }
+
   test("ORDER BY expressions: non-returned sort keys, hidden and dropped") {
     val out = g.cypher(
       """MATCH (p:Person) WHERE p.age IS NOT NULL
