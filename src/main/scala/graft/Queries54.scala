@@ -434,6 +434,26 @@ object Queries54 {
         MAX(replace(upper(substring(c_mktsegment, 1, 4)), 'U', '_')) AS seg4
       FROM customer GROUP BY 1 ORDER BY tier"""))
 
+  /** Pattern predicates: exists() → left_semi, NOT exists() →
+    * left_anti — existential decorrelation into one hash join per
+    * predicate (the Cypher spelling of the reference's J6 existence
+    * guards; never a per-row probe). */
+  val cy_exists = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)
+         WHERE exists((c)-[:PLACED]->(o:Order))
+           AND NOT exists((c)-[:FROM_NATION]->(n:Nation {name: 'NATION_0'}))
+         RETURN c.mktsegment AS seg, count(*) AS n
+         ORDER BY seg"""),
+    Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        AND c_custkey NOT IN (
+          SELECT c2.c_custkey FROM customer c2
+          JOIN nation ON c2.c_nationkey = n_nationkey
+          WHERE n_name = 'NATION_0')
+      GROUP BY 1 ORDER BY seg"""))
+
   private val exportStaged = scala.collection.mutable.Set.empty[String]
 
   /** Cypher over a STREAMING graph: the orders feed accretes into the
@@ -481,6 +501,7 @@ object Queries54 {
     "cy_unwind_union" -> cy_unwind_union,
     "cy_export_read" -> cy_export_read,
     "cy_case_strings" -> cy_case_strings,
+    "cy_exists" -> cy_exists,
     "stream_cypher_read" -> stream_cypher_read,
     "cy_node_filter" -> cy_node_filter,
     "cy_hop" -> cy_hop,

@@ -116,6 +116,11 @@ object CypherAst {
   /** `CASE WHEN c THEN v … [ELSE d] END` (searched form). */
   final case class CaseWhen(branches: Seq[(Expr, Expr)],
                             otherwise: Option[Expr]) extends Expr
+  /** `exists((a)-[:R]->(b))` — pattern predicate; compiles to a
+    * semi-join (anti under NOT), the Cypher spelling of the
+    * reference's existence guards (J6). Valid only as a WHERE
+    * conjunct. */
+  final case class ExistsPat(path: PathPat) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
   /** `+ - * / %` with the usual precedence (mul over add). */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr

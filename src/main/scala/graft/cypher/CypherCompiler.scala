@@ -144,7 +144,7 @@ object CypherCompiler {
           partLocal)
       }
       seg.where.foreach(e =>
-        st.frame = st.frame.map(_.filter(exprCol(st, e))))
+        st.frame = st.frame.map(applyPredicate(st, _, e)))
       seg.withPart.foreach(w => applyWith(st, w))
     }
     val df0 = st.frame.getOrElse(
@@ -271,7 +271,7 @@ object CypherCompiler {
       else projected.orderBy(w.orderBy.map(orderCol): _*)
     val skipped = w.skip.fold(ordered)(n => ordered.offset(n.toInt))
     val limited = w.limit.fold(skipped)(n => skipped.limit(n.toInt))
-    val filtered = w.where.fold(limited)(e => limited.filter(exprCol(st, e)))
+    val filtered = w.where.fold(limited)(e => applyPredicate(st, limited, e))
     st.frame = Some(filtered)
   }
 
@@ -433,6 +433,7 @@ object CypherCompiler {
     case Coalesce(es) => es.flatMap(freeVars).toSet
     case StrFn(_, args) => args.flatMap(freeVars).toSet
     case TypeOf(v) => Set(v)
+    case ExistsPat(path) => path.nodes.map(_.name).toSet
     case CaseWhen(bs, o) =>
       bs.flatMap { case (c, v) => freeVars(c) ++ freeVars(v) }.toSet ++
         o.map(freeVars).getOrElse(Set.empty)
@@ -454,7 +455,7 @@ object CypherCompiler {
       case None =>
         require(!optional, "query cannot start with OPTIONAL MATCH")
         st.nodes ++= bound
-        st.frame = Some(where.fold(pf)(e => pf.filter(exprCol(st, e))))
+        st.frame = Some(where.fold(pf)(e => applyPredicate(st, pf, e)))
       case Some(f) =>
         val shared = bound.filter(st.nodes.contains)
         val fresh = bound.filterNot(st.nodes.contains)
@@ -465,7 +466,7 @@ object CypherCompiler {
             "earlier MATCH")
           val joined = f.crossJoin(pf)
           st.frame =
-            Some(where.fold(joined)(e => joined.filter(exprCol(st, e))))
+            Some(where.fold(joined)(e => applyPredicate(st, joined, e)))
         } else {
           // shared vars: drop the re-bound label/props duplicates and
           // using-join on the id columns (left side keeps its values)
@@ -475,7 +476,7 @@ object CypherCompiler {
           st.frame = (optional, where) match {
             case (false, w) =>
               val joined = f.join(pfPruned, keys, "inner")
-              Some(w.fold(joined)(e => joined.filter(exprCol(st, e))))
+              Some(w.fold(joined)(e => applyPredicate(st, joined, e)))
             case (true, None) =>
               Some(f.join(pfPruned, keys, "left_outer"))
             case (true, Some(e)) =>
@@ -599,6 +600,39 @@ object CypherCompiler {
     case And(l, r) => exprCol(st, l) && exprCol(st, r)
     case Or(l, r) => exprCol(st, l) || exprCol(st, r)
     case Not(x) => !exprCol(st, x)
+    case ExistsPat(_) => throw new IllegalArgumentException(
+      "exists(pattern) is supported as a top-level WHERE conjunct " +
+      "(optionally under NOT) — not inside OR / expressions")
+  }
+
+  /** Apply a WHERE expression: top-level AND conjuncts split so
+    * `exists(pattern)` / `NOT exists(pattern)` conjuncts become
+    * semi / anti joins (existential decorrelation — one hash join per
+    * predicate, never a per-row probe); everything else is a Column
+    * filter. */
+  private def applyPredicate(st: St, df: DataFrame, e: Expr): DataFrame =
+    e match {
+      case And(l, r) => applyPredicate(st, applyPredicate(st, df, l), r)
+      case ExistsPat(path) => existsJoin(st, df, path, anti = false)
+      case Not(ExistsPat(path)) => existsJoin(st, df, path, anti = true)
+      case other => df.filter(exprCol(st, other))
+    }
+
+  /** Semi/anti join for a pattern predicate: the pattern compiles
+    * standalone (its non-shared variables are existentially
+    * quantified away by projecting the shared keys), then joins the
+    * frame on the shared variables' ids. */
+  private def existsJoin(st: St, df: DataFrame, path: PathPat,
+                         anti: Boolean): DataFrame = {
+    val snapshot = st.nodes.toSet
+    val (pf, bound) = compilePart(st, MatchPart(Seq(path), optional = false))
+    val shared = bound.filter(snapshot.contains)
+    if (shared.isEmpty) throw new IllegalArgumentException(
+      "exists(pattern) must share at least one variable with the " +
+      "surrounding query")
+    val keys = shared.map(v => s"$v __id")
+    val keyFrame = pf.select(keys.map(col): _*)
+    df.join(keyFrame, keys, if (anti) "left_anti" else "left_semi")
   }
 
   // ---- RETURN -------------------------------------------------------

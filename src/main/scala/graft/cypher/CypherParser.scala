@@ -408,6 +408,7 @@ object CypherParser {
       val fname = p.ident().toLowerCase
       p.eatOp("(")
       val e = fname match {
+        case "exists" => ExistsPat(linearPat(p))
         case "id" => Id(p.ident())
         case "label" | "labeloffirst" => LabelOf(p.ident())
         case "length" => PathLen(p.ident())

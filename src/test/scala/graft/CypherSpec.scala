@@ -325,6 +325,35 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("parameter"))
   }
 
+  test("exists(pattern) semi-joins; NOT exists anti-joins; OR rejected") {
+    val likers = g.cypher(
+      """MATCH (p:Person)
+         WHERE exists((p)-[:LIKES]->(f:Food))
+         RETURN p.name AS name ORDER BY name""")
+      .collect().map(_.getString(0))
+    assert(likers.toSeq == Seq("ann", "bob"))
+    val nonLikers = g.cypher(
+      """MATCH (p:Person)
+         WHERE NOT exists((p)-[:LIKES]->(f:Food)) AND p.age IS NOT NULL
+         RETURN p.name AS name ORDER BY name""")
+      .collect().map(_.getString(0))
+    assert(nonLikers.toSeq == Seq("cat"))
+    // correlated on a prop-map-constrained pattern
+    val fiveStar = g.cypher(
+      """MATCH (p:Person)
+         WHERE exists((p)-[:LIKES {stars: 5}]->(f:Food))
+         RETURN p.name AS name""").collect().map(_.getString(0))
+    assert(fiveStar.toSeq == Seq("ann"))
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (p:Person)
+         WHERE exists((p)-[:LIKES]->(f)) OR p.age IS NULL
+         RETURN p.name AS n"""))
+    assert(e.getMessage.contains("conjunct"))
+    val e2 = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person) WHERE exists((a:Food)-[:LIKES]->(b)) RETURN p.name AS n"))
+    assert(e2.getMessage.contains("share"))
+  }
+
   test("string functions, type(), and CASE WHEN") {
     val out = g.cypher(
       """MATCH (p:Person)
