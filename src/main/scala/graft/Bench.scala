@@ -57,6 +57,17 @@ object Bench {
       d.groupBy("g").agg(sum("v").as("s"))
         .join(d.select(col("g"), row_number().over(w).as("r")), "g")
         .write.format("noop").mode("overwrite").save()
+      // …and the fallback-union shape (left_anti + unionByName with
+      // missing columns) — a3_fallback_union's first-touch machinery
+      // that the agg/join/window pass above doesn't reach (round-10
+      // verdict: driver flagged a3 at 4.23x, BenchOne rep 1 = 2.09s
+      // vs reps 2-3 on-median — pure warmup, now paid here)
+      val left = d.groupBy("g").agg(max("v").as("m"))
+      left.unionByName(
+          d.withColumn("extra", col("v") * 2)
+            .join(left.select("g").distinct().limit(50), Seq("g"), "left_anti"),
+          allowMissingColumns = true)
+        .write.format("noop").mode("overwrite").save()
     }
     graft.operators.CacheScope.global.release()
     System.gc()
@@ -127,14 +138,17 @@ object Bench {
         results.flatMap { case (name, sec) =>
           medians.get(name).collect {
             // absolute floor: 0.5s for multi-second entries; 1.2s for
-            // sub-second ones. A reps=1 cold pass pays each entry's
-            // whole-stage-codegen COMPILE (~0.5-1.2s, independent of
-            // query size), so a 0.3s query measuring 0.9s cold is the
-            // compiler, not a regression — measured: an idle-box cold
-            // pass put the entire sub-second a*/w_* head at 2-3.4x
-            // while the total sat inside the documented 1.2-1.5x band
+            // sub-second ones ONLY on reps=1 passes. A reps=1 cold
+            // pass pays each entry's whole-stage-codegen COMPILE
+            // (~0.5-1.2s, independent of query size), so a 0.3s query
+            // measuring 0.9s cold is the compiler, not a regression —
+            // measured: an idle-box cold pass put the entire
+            // sub-second a*/w_* head at 2-3.4x while the total sat
+            // inside the documented 1.2-1.5x band. With reps>1 the
+            // median already absorbs the compile, and the wide floor
+            // would mask a genuine 0.3s→1.4s regression — keep 0.5s.
             case med if sec > 1.5 * med &&
-                sec - med > (if (med < 1.0) 1.2 else 0.5) =>
+                sec - med > (if (med < 1.0 && reps == 1) 1.2 else 0.5) =>
               f""""$name":{"sec":$sec%.3f,"median":$med%.3f,"ratio":${sec / med}%.2f}"""
           }
         }

@@ -57,31 +57,41 @@ object Queries54 {
     * ONE edge per triple, the MERGE-idempotent identity the compiler
     * documents).
     */
+  /** Round 11: the demo graph uses the STRUCTURED props layout
+    * ([[GraphAssembly.verticesMapProps]], `map<string,string>`) — the
+    * compiler emits codegen'd GetMapValue instead of the interpreted
+    * get_json_object JSON parse (round-10 verdict item 4: the JSON
+    * boundary was ~3s of cy_edge_props and the one plan shape not
+    * wanted at 100×). The JSON layout stays first-class and stays
+    * covered: cy_assembly_read (27-label assembly, JSON props) and any
+    * export read back from a JSON-props layout exercise the other
+    * branch; the compiler picks the access path from the column type.
+    */
   def demoGraph(s: SparkSession, dir: String): PropertyGraph = {
-    val customer = GraphAssembly.vertices(
+    val customer = GraphAssembly.verticesMapProps(
       T_(s, dir, "customer").select(col("c_custkey").as("k"),
         col("c_name").as("name"), col("c_acctbal").as("acctbal"),
         col("c_mktsegment").as("mktsegment")),
       "Customer", Seq("k"))
-    val nation = GraphAssembly.vertices(
+    val nation = GraphAssembly.verticesMapProps(
       T_(s, dir, "nation").select(col("n_nationkey").as("k"),
         col("n_name").as("name")),
       "Nation", Seq("k"))
-    val region = GraphAssembly.vertices(
+    val region = GraphAssembly.verticesMapProps(
       T_(s, dir, "region").select(col("r_regionkey").as("k"),
         col("r_name").as("name")),
       "Region", Seq("k"))
     // dates as 'yyyy-MM-dd' STRINGS in props: JSON props have no
     // temporal type — same modeling the reference itself uses for its
     // string-date vertices (graph_et0.py:67-71)
-    val order = GraphAssembly.vertices(
+    val order = GraphAssembly.verticesMapProps(
       T_(s, dir, "orders").select(col("o_orderkey").as("k"),
         col("o_orderstatus").as("orderstatus"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority").as("orderpriority"),
         col("o_totalprice").as("totalprice")),
       "Order", Seq("k"))
-    val part = GraphAssembly.vertices(
+    val part = GraphAssembly.verticesMapProps(
       T_(s, dir, "part").select(col("p_partkey").as("k"),
         col("p_name").as("name"), col("p_brand").as("brand"),
         col("p_size").as("size")),
@@ -90,7 +100,7 @@ object Queries54 {
       .reduce(_ unionByName _)
 
     def noProps(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("props", lit(null).cast("string"))
+      df.withColumn("props", lit(null).cast("map<string,string>"))
     val fromNation = noProps(GraphAssembly.edges(T_(s, dir, "customer"),
       "FROM_NATION", "Customer", Seq("c_custkey"), "Nation", Seq("c_nationkey")))
     val inRegion = noProps(GraphAssembly.edges(T_(s, dir, "nation"),
@@ -104,7 +114,7 @@ object Queries54 {
         concat_ws(":", lit("Order"), col("l_orderkey")).as("src"),
         concat_ws(":", lit("Part"), col("l_partkey")).as("dst"),
         lit("CONTAINS").as("rel"),
-        to_json(struct(col("quantity"))).as("props"))
+        map(lit("quantity"), col("quantity").cast("string")).as("props"))
     val edges = Seq(fromNation, inRegion, placed, contains)
       .reduce(_ unionByName _)
     PropertyGraph(vertices, edges)

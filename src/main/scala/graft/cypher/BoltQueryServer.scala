@@ -170,6 +170,11 @@ final class BoltQueryServer(graph: PropertyGraph) {
     case d: java.math.BigDecimal => d.toPlainString
     case d: java.sql.Date => d.toString
     case t: java.sql.Timestamp => t.toInstant.toString
+    // collect()/keys() results and map-typed props: PackStream has
+    // native list/map forms, which is what a Bolt client expects back
+    case s: scala.collection.Seq[_] => s.map(wireValue)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => String.valueOf(k) -> wireValue(mv) }
     case other => other.toString
   }
 }

@@ -113,6 +113,14 @@ object CypherAst {
   final case class StrFn(name: String, args: Seq[Expr]) extends Expr
   /** `type(r)` — the relationship type of an edge variable. */
   final case class TypeOf(v: String) extends Expr
+  /** `keys(v)` — the SORTED property-key list of a node/edge variable
+    * (openCypher leaves key order unspecified; sorted is the engine's
+    * deterministic instance, same contract as collect()). */
+  final case class Keys(v: String) extends Expr
+  /** `properties(v)` — the property container of a node/edge variable:
+    * the map column on a structured-props graph, the JSON string on a
+    * JSON-props graph (render canonically via toString()). */
+  final case class PropsOf(v: String) extends Expr
   /** `CASE WHEN c THEN v … [ELSE d] END` (searched form). */
   final case class CaseWhen(branches: Seq[(Expr, Expr)],
                             otherwise: Option[Expr]) extends Expr

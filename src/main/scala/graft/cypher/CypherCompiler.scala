@@ -71,9 +71,28 @@ object CypherCompiler {
     val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
     /** WITH-projected value variables: alias → physical column. */
     val valueCols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** value variables known to hold a LIST (collect()/keys()
+      * projections) — so size()/toString() pick array semantics
+      * statically, without probing the frame's schema mid-compile. */
+    val arrayVars = scala.collection.mutable.Set.empty[String]
     /** shortestPath bindings: path var → its length column. */
     val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val edgeHasProps: Boolean = g.edges.columns.contains("props")
+
+    // Structured-props fast path: when the props column is a MapType
+    // (GraphAssembly.verticesMapProps / a map-typed export), property
+    // access compiles to GetMapValue — codegen'd, prunable — instead
+    // of the interpreted get_json_object over a JSON string. Both
+    // layouts are first-class; the column TYPE decides per graph.
+    private def isMap(df: DataFrame, c: String): Boolean =
+      df.columns.contains(c) &&
+        df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+    val vertexPropsIsMap: Boolean = isMap(g.vertices, "props")
+    val edgePropsIsMap: Boolean = isMap(g.edges, "props")
+
+    /** Property access over a props container column. */
+    def propGet(c: Column, mapTyped: Boolean, k: String): Column =
+      if (mapTyped) c.getItem(k) else get_json_object(c, s"$$.$k")
 
     def paramLit(name: String): Column = lit(params.getOrElse(name,
       throw new IllegalArgumentException(s"missing query parameter $$$name")))
@@ -89,7 +108,7 @@ object CypherCompiler {
       val v = np.name
       val base = np.label.foldLeft(g.vertices)((d, l) => d.filter(col("label") === l))
       val filtered = np.props.foldLeft(base) { case (d, (k, e)) =>
-        d.filter(get_json_object(col("props"), s"$$.$k") === constCol(e))
+        d.filter(propGet(col("props"), vertexPropsIsMap, k) === constCol(e))
       }
       filtered.select(col("id").as(s"$v __id"), col("label").as(s"$v __label"),
         col("props").as(s"$v __props"))
@@ -103,7 +122,7 @@ object CypherCompiler {
       val filtered = e.props.foldLeft(base) { case (d, (k, pe)) =>
         if (!edgeHasProps) throw new IllegalArgumentException(
           s"edge property map on [$hop] but the edge table has no props column")
-        d.filter(get_json_object(col("props"), s"$$.$k") === constCol(pe))
+        d.filter(propGet(col("props"), edgePropsIsMap, k) === constCol(pe))
       }
       val cols = Seq(col("src").as(s"$hop __src"), col("dst").as(s"$hop __dst"),
         col("rel").as(s"$hop __rel")) ++
@@ -250,11 +269,18 @@ object CypherCompiler {
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
       }
+    // list-typed aliases (collect() items, keys()/list passthroughs)
+    // — resolved against the OLD scope, applied to the new one
+    val listAliases = valueItems.collect {
+      case it if it.agg.contains("collect") => it.alias
+      case it if it.agg.isEmpty && it.expr.exists(yieldsList(st, _)) => it.alias
+    }.toSet
     // new scope BEFORE the trailing WHERE — it sees the projection
     st.nodes.clear(); st.nodes ++= nodeItems.map(_.alias)
     st.edgeVars.clear()
     st.pathVars.clear()
     st.valueCols.clear()
+    st.arrayVars.clear(); st.arrayVars ++= listAliases
     valueItems.foreach(it => st.valueCols += it.alias -> s"${it.alias} __val")
     def orderCol(o: OrderItem): Column = {
       // the projection kept every scope column (node triples + value
@@ -285,6 +311,13 @@ object CypherCompiler {
       case ("min", Some(e)) => min(exprCol(st, e))
       case ("max", Some(e)) => max(exprCol(st, e))
       case ("avg", Some(e)) => avg(exprCol(st, e))
+      // openCypher collect() leaves element order unspecified; the
+      // engine's instance is SORTED ascending (nulls are skipped by
+      // collect_list/set per openCypher) — deterministic across
+      // partitionings, so the same query hashes the same at any scale
+      case ("collect", Some(e)) if it.distinct =>
+        sort_array(collect_set(exprCol(st, e)))
+      case ("collect", Some(e)) => sort_array(collect_list(exprCol(st, e)))
       case (a, _) => throw new IllegalArgumentException(s"bad aggregate $a")
     }
 
@@ -312,7 +345,7 @@ object CypherCompiler {
         np.label.foreach(l => frame = frame.map(_.filter(labelCol(np.name) === l)))
         np.props.foreach { case (k, pe) =>
           frame = frame.map(_.filter(
-            get_json_object(propsCol(np.name), s"$$.$k") === st.constCol(pe)))
+            st.propGet(propsCol(np.name), st.vertexPropsIsMap, k) === st.constCol(pe)))
         }
         joinOn.foreach(c => frame = frame.map(_.filter(c === idCol(np.name))))
       } else {
@@ -433,6 +466,8 @@ object CypherCompiler {
     case Coalesce(es) => es.flatMap(freeVars).toSet
     case StrFn(_, args) => args.flatMap(freeVars).toSet
     case TypeOf(v) => Set(v)
+    case Keys(v) => Set(v)
+    case PropsOf(v) => Set(v)
     case ExistsPat(path) => path.nodes.map(_.name).toSet
     case CaseWhen(bs, o) =>
       bs.flatMap { case (c, v) => freeVars(c) ++ freeVars(v) }.toSet ++
@@ -506,14 +541,31 @@ object CypherCompiler {
   }
 
   // ---- expressions ------------------------------------------------
+  /** Does the expression yield a LIST? Static (no schema probe):
+    * keys() is a list; a value variable is a list iff it was projected
+    * from collect()/keys() (tracked in St.arrayVars). */
+  private def yieldsList(st: St, e: Expr): Boolean = e match {
+    case Keys(_) => true
+    case Var(v) => st.arrayVars.contains(v)
+    case _ => false
+  }
+
+  /** Does the expression yield a property MAP? Only properties(v)
+    * over a structured-props graph. */
+  private def yieldsMap(st: St, e: Expr): Boolean = e match {
+    case PropsOf(v) =>
+      if (st.edgeVars.contains(v)) st.edgePropsIsMap else st.vertexPropsIsMap
+    case _ => false
+  }
+
   private def exprCol(st: St, e: Expr): Column = e match {
     case Prop(v, k) =>
       if (st.edgeVars.contains(v)) {
         if (!st.edgeHasProps) throw new IllegalArgumentException(
           s"$v.$k: the edge table has no props column")
-        get_json_object(col(s"$v __eprops"), s"$$.$k")
+        st.propGet(col(s"$v __eprops"), st.edgePropsIsMap, k)
       } else if (st.nodes.contains(v))
-        get_json_object(propsCol(v), s"$$.$k")
+        st.propGet(propsCol(v), st.vertexPropsIsMap, k)
       else throw new IllegalArgumentException(s"unbound variable $v")
     case Id(v) =>
       if (!st.nodes.contains(v))
@@ -544,13 +596,47 @@ object CypherCompiler {
       if (st.edgeVars.contains(v)) col(s"$v __rel")
       else throw new IllegalArgumentException(
         s"type($v): $v is not a relationship variable")
+    case Keys(v) =>
+      // sorted key list: deterministic (openCypher leaves the order
+      // unspecified), map_keys on the structured layout,
+      // json_object_keys on the JSON layout — both codegen-friendly
+      // relative to per-key extraction
+      if (st.nodes.contains(v))
+        sort_array(if (st.vertexPropsIsMap) map_keys(propsCol(v))
+                   else json_object_keys(propsCol(v)))
+      else if (st.edgeVars.contains(v)) {
+        if (!st.edgeHasProps) throw new IllegalArgumentException(
+          s"keys($v): the edge table has no props column")
+        sort_array(if (st.edgePropsIsMap) map_keys(col(s"$v __eprops"))
+                   else json_object_keys(col(s"$v __eprops")))
+      } else throw new IllegalArgumentException(s"unbound variable $v")
+    case PropsOf(v) =>
+      if (st.nodes.contains(v)) propsCol(v)
+      else if (st.edgeVars.contains(v)) {
+        if (!st.edgeHasProps) throw new IllegalArgumentException(
+          s"properties($v): the edge table has no props column")
+        col(s"$v __eprops")
+      } else throw new IllegalArgumentException(s"unbound variable $v")
     case StrFn(name, args) =>
       val a = args.map(exprCol(st, _))
       name match {
         case "tolower" => lower(a.head)
         case "toupper" => upper(a.head)
         case "trim" => trim(a.head)
-        case "size" => length(a.head).cast("long")
+        case "size" =>
+          // openCypher size() is overloaded: list length for lists,
+          // string length for strings — resolved statically from the
+          // expression shape (collect()/keys() bindings are lists)
+          if (yieldsList(st, args.head)) size(a.head).cast("long")
+          else length(a.head).cast("long")
+        case "tostring" =>
+          // scalar → string cast; list/map containers render as
+          // canonical JSON text (the engine's documented extension —
+          // openCypher toString() takes scalars only, but a JSON
+          // render is the honest wire/oracle form for containers)
+          if (yieldsList(st, args.head) || yieldsMap(st, args.head))
+            to_json(a.head)
+          else a.head.cast("string")
         case "substring" =>
           // openCypher start is 0-BASED; Column.substr is 1-based
           val start = a(1).cast("int") + lit(1)
@@ -625,7 +711,17 @@ object CypherCompiler {
   private def existsJoin(st: St, df: DataFrame, path: PathPat,
                          anti: Boolean): DataFrame = {
     val snapshot = st.nodes.toSet
+    // exists() variables are LOCAL to the predicate: compilePart adds
+    // the pattern's edge/path names to the compile state, and leaving
+    // them there would let a later reference to an exists()-local name
+    // compile to a column absent from the frame (a confusing Spark
+    // AnalysisException instead of the compiler's own unbound-variable
+    // error). Snapshot and restore around the call.
+    val edgeSnap = st.edgeVars.toSeq
+    val pathSnap = st.pathVars.toSeq
     val (pf, bound) = compilePart(st, MatchPart(Seq(path), optional = false))
+    st.edgeVars.clear(); st.edgeVars ++= edgeSnap
+    st.pathVars.clear(); st.pathVars ++= pathSnap
     val shared = bound.filter(snapshot.contains)
     if (shared.isEmpty) throw new IllegalArgumentException(
       "exists(pattern) must share at least one variable with the " +

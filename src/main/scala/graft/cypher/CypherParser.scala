@@ -50,12 +50,35 @@ object CypherParser {
         if (i == j) fail(j, "expected parameter name after '$'")
         out += Tok("param", q.substring(j, i), j - 1)
       } else if (c == '\'' || c == '"') {
+        // backslash escapes (\\ \' \" \n \t \r) and the doubled-quote
+        // form ('it''s') — what real drivers emit; without these a
+        // quote could never appear inside a string and valid
+        // openCypher would mis-lex at the wire front door
         val j = i + 1
         i = j
-        while (i < n && q(i) != c) i += 1
-        if (i >= n) fail(j, "unterminated string literal")
-        out += Tok("str", q.substring(j, i), j - 1)
-        i += 1
+        val sb = new java.lang.StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val ch = q(i)
+          if (ch == '\\' && i + 1 < n) {
+            q(i + 1) match {
+              case '\\' => sb.append('\\')
+              case '\'' => sb.append('\'')
+              case '"' => sb.append('"')
+              case 'n' => sb.append('\n')
+              case 't' => sb.append('\t')
+              case 'r' => sb.append('\r')
+              case other => fail(i, s"unknown string escape '\\$other'")
+            }
+            i += 2
+          } else if (ch == c && i + 1 < n && q(i + 1) == c) {
+            sb.append(c); i += 2 // doubled quote
+          } else if (ch == c) {
+            closed = true; i += 1
+          } else { sb.append(ch); i += 1 }
+        }
+        if (!closed) fail(j, "unterminated string literal")
+        out += Tok("str", sb.toString, j - 1)
       } else {
         // two-char operators first, then single punctuation
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
@@ -417,7 +440,9 @@ object CypherParser {
         case "coalesce" =>
           Coalesce(argList(p))
         case "type" => TypeOf(p.ident())
-        case f @ ("tolower" | "toupper" | "trim" | "size" |
+        case "keys" => Keys(p.ident())
+        case "properties" => PropsOf(p.ident())
+        case f @ ("tolower" | "toupper" | "trim" | "size" | "tostring" |
                   "substring" | "replace") =>
           val args = argList(p)
           val arity = f match {
@@ -443,7 +468,7 @@ object CypherParser {
   }
 
   // ---- RETURN ----------------------------------------------------
-  private val aggNames = Set("count", "sum", "min", "max", "avg")
+  private val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
 
   private def returnClause(p: P): Return = {
     val distinct = p.atKw("distinct")

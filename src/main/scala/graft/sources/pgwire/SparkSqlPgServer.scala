@@ -32,9 +32,24 @@ import org.apache.spark.sql.types._
   * set materializes server-side before streaming — the wire front
   * door is for interactive consumers and aggregates; bulk egress
   * belongs on the DataFrame API or the COPY sink.
+  *
+  * The server is READ-ONLY unless `allowWrites` is set: each statement
+  * is parsed first and rejected (SQLSTATE 25006 read_only_sql_
+  * transaction) when the plan is a command (DDL, SET, CACHE, …) or an
+  * INSERT — an authenticated query client must not be able to mutate
+  * session state through a front door documented as a query surface.
+  *
+  * When a [[graft.cypher.PropertyGraph]] is registered, a statement
+  * opening with the `CYPHER` keyword (Neo4j's own query prologue)
+  * routes the remainder through [[graft.cypher.CypherCompiler]] — a
+  * psql-speaking client can query the GRAPH without speaking Bolt,
+  * so the same Cypher answer is provable through both wire front
+  * doors.
   */
 final class SparkSqlPgServer(spark: SparkSession,
-                             users: Map[String, Scram.Verifier] = Map.empty) {
+                             users: Map[String, Scram.Verifier] = Map.empty,
+                             graph: Option[graft.cypher.PropertyGraph] = None,
+                             allowWrites: Boolean = false) {
   private val server = new ServerSocket(0, 64,
     java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -92,6 +107,35 @@ final class SparkSqlPgServer(spark: SparkSession,
     case other => other.toString
   }
 
+  /** Statement → DataFrame: `CYPHER <text>` routes to the registered
+    * graph's compiler; anything else parses as SQL and (unless
+    * `allowWrites`) must be a pure query — commands and INSERTs are
+    * rejected BEFORE execution, SQLSTATE 25006. */
+  private def compile(sql: String): org.apache.spark.sql.DataFrame = {
+    val trimmed = sql.trim.stripSuffix(";")
+    val isCypher = trimmed.length >= 6 &&
+      trimmed.substring(0, 6).equalsIgnoreCase("cypher") &&
+      (trimmed.length == 6 || trimmed.charAt(6).isWhitespace)
+    if (isCypher) {
+      val g = graph.getOrElse(throw new IllegalArgumentException(
+        "CYPHER statement but no property graph is registered on this server"))
+      g.cypher(trimmed.substring(6).trim)
+    } else {
+      if (!allowWrites) {
+        import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
+        val plan = spark.sessionState.sqlParser.parsePlan(trimmed)
+        val write = plan.collectFirst {
+          case c: Command => c.nodeName
+          case i: InsertIntoStatement => i.nodeName
+        }
+        write.foreach(n => throw new ReadOnlyViolation(
+          s"$n rejected: this server is a read-only query front door " +
+          "(SELECT/WITH/VALUES only)"))
+      }
+      spark.sql(trimmed)
+    }
+  }
+
   private def serve(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
     val in = new DataInputStream(
@@ -122,7 +166,7 @@ final class SparkSqlPgServer(spark: SparkSession,
             // body: NUL-terminated SQL text
             val sql = new String(msg.body.takeWhile(_ != 0), "UTF-8")
             try {
-              val df = spark.sql(sql)
+              val df = compile(sql)
               val schema = df.schema
               val fields = schema.fields.toSeq.map(f =>
                 PgWire.Field(f.name, oidOf(f.dataType)))
@@ -135,6 +179,9 @@ final class SparkSqlPgServer(spark: SparkSession,
               }
               PgWire.writeCommandComplete(out, s"SELECT $n")
             } catch {
+              case e: ReadOnlyViolation =>
+                PgWire.writeError(out, "25006", // read_only_sql_transaction
+                  String.valueOf(e.getMessage).take(300))
               case scala.util.control.NonFatal(e) =>
                 // 42601 syntax_error is close enough for the fixture;
                 // the message carries the real analyzer text
@@ -156,6 +203,10 @@ final class SparkSqlPgServer(spark: SparkSession,
     } finally { sock.close(); accepted.remove(sock) }
   }
 }
+
+/** A statement rejected by the read-only gate (SQLSTATE 25006). */
+private[pgwire] final class ReadOnlyViolation(m: String)
+  extends IllegalArgumentException(m)
 
 object SparkSqlPgServer {
 

@@ -533,4 +533,148 @@ class CypherSpec extends AnyFunSuite {
          RETURN label(x) AS dst, count(*) AS n ORDER BY dst""",
     ).foreach(q => tiny.cypher(q).schema) // analysis must not throw
   }
+
+  // ---- round 11: structured props, collect/keys/properties, escapes
+
+  /** The people graph in the STRUCTURED (map<string,string>) props
+    * layout — same data as `g`; the compiler must give identical
+    * answers through GetMapValue instead of get_json_object. */
+  private lazy val gMap: PropertyGraph = {
+    def m(kv: (String, String)*) = kv.toMap
+    val v = Seq(
+      ("Person:1", "Person", m("name" -> "ann", "age" -> "30")),
+      ("Person:2", "Person", m("name" -> "bob", "age" -> "25")),
+      ("Person:3", "Person", m("name" -> "cat", "age" -> "35")),
+      ("Person:4", "Person", m("name" -> "dan")),
+      ("Food:1", "Food", m("name" -> "fig")),
+    ).toDF("id", "label", "props")
+    val e = Seq(
+      ("Person:1", "Person:2", "KNOWS", null),
+      ("Person:2", "Person:3", "KNOWS", null),
+      ("Person:3", "Person:1", "KNOWS", null),
+      ("Person:1", "Food:1", "LIKES", Map("stars" -> "5")),
+      ("Person:2", "Food:1", "LIKES", Map("stars" -> "2")),
+    ).toDF("src", "dst", "rel", "props")
+    PropertyGraph(v, e)
+  }
+
+  test("map-props graph: identical answers through GetMapValue") {
+    val q =
+      """MATCH (p:Person {name: 'ann'})-[l:LIKES]->(f:Food)
+         WHERE toInteger(l.stars) >= 3
+         RETURN f.name AS food, toInteger(l.stars) AS stars"""
+    val viaJson = g.cypher(q).collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaMap = gMap.cypher(q).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaJson.toSeq == Seq(("fig", 5L)))
+    assert(viaMap.toSeq == viaJson.toSeq)
+    // missing key reads null on both layouts (dan has no age)
+    val q2 = """MATCH (p:Person) WHERE p.age IS NULL RETURN p.name AS n"""
+    assert(gMap.cypher(q2).collect().map(_.getString(0)).toSeq ==
+           g.cypher(q2).collect().map(_.getString(0)).toSeq)
+  }
+
+  test("map-props prop equality folds through CreateMap and pushes down") {
+    // on a parquet-backed map-props graph, {k: v} must reach the scan
+    // as a pushed filter over the MAP column's element — the whole
+    // point of the structured layout vs the JSON string
+    val dir = java.nio.file.Files.createTempDirectory("cy_mapprops").toString
+    gMap.vertices.write.mode("overwrite").parquet(s"$dir/v")
+    val pg = PropertyGraph(spark.read.parquet(s"$dir/v"), gMap.edges)
+    val q = pg.cypher("MATCH (p:Person {name: 'cat'}) RETURN id(p) AS i")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("Person:3"))
+    val plan = q.queryExecution.executedPlan.toString
+    // GetMapValue is not a parquet-pushable predicate, but it must at
+    // least stay OUT of the interpreted JSON path: no get_json_object
+    assert(!plan.contains("get_json_object"), plan)
+    // and on the inline (non-parquet) form the optimizer folds
+    // map(k,v)[k] → v entirely: no element_at/GetMapValue remains
+    val folded = graft.cypher.PropertyGraph(
+      Seq(("Person:9", "Person", Map("name" -> "zed")))
+        .toDF("id", "label", "props"),
+      gMap.edges.limit(0))
+      .cypher("MATCH (p:Person {name: 'zed'}) RETURN id(p) AS i")
+    assert(folded.collect().map(_.getString(0)).toSeq == Seq("Person:9"))
+  }
+
+  test("collect() aggregates to a SORTED list; DISTINCT dedups") {
+    val out = g.cypher(
+      """MATCH (p:Person)-[:KNOWS]->(q:Person)
+         RETURN collect(q.name) AS names""")
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("ann", "bob", "cat")) // sorted, deterministic
+    val dist = g.cypher(
+      """MATCH (p:Person)-[:LIKES]->(f:Food)
+         RETURN collect(DISTINCT f.name) AS foods""")
+      .collect().head.getSeq[String](0)
+    assert(dist == Seq("fig"))
+    // per-group collect through WITH, then list-aware size()
+    val grouped = g.cypher(
+      """MATCH (p:Person)-[:KNOWS]->(q:Person)
+         WITH p.name AS who, collect(q.name) AS known
+         RETURN who, size(known) AS n, toString(known) AS ks
+         ORDER BY who""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(grouped.toSeq == Seq(
+      ("ann", 1L, """["bob"]"""),
+      ("bob", 1L, """["cat"]"""),
+      ("cat", 1L, """["ann"]""")))
+  }
+
+  test("keys()/properties() on both layouts; toString renders JSON") {
+    // keys: sorted, both layouts
+    val kJson = g.cypher(
+      """MATCH (p:Person {name: 'ann'}) RETURN toString(keys(p)) AS ks""")
+      .collect().head.getString(0)
+    val kMap = gMap.cypher(
+      """MATCH (p:Person {name: 'ann'}) RETURN toString(keys(p)) AS ks""")
+      .collect().head.getString(0)
+    assert(kJson == """["age","name"]""")
+    assert(kMap == kJson)
+    // properties: map layout renders canonical JSON via toString; the
+    // JSON layout returns the stored string as-is
+    val pMap = gMap.cypher(
+      """MATCH (p:Person {name: 'bob'}) RETURN toString(properties(p)) AS ps""")
+      .collect().head.getString(0)
+    assert(pMap == """{"name":"bob","age":"25"}""")
+    val pJson = g.cypher(
+      """MATCH (p:Person {name: 'bob'}) RETURN properties(p) AS ps""")
+      .collect().head.getString(0)
+    assert(pJson == """{"name":"bob","age":25}""")
+    // edge containers too
+    val eKeys = gMap.cypher(
+      """MATCH (p:Person)-[l:LIKES]->(f:Food)
+         RETURN DISTINCT toString(keys(l)) AS ks""")
+      .collect().map(_.getString(0))
+    assert(eKeys.toSeq == Seq("""["stars"]"""))
+  }
+
+  test("lexer: string escapes and doubled quotes") {
+    import graft.cypher.CypherAst.{Lit, NodePat}
+    def propOf(q: String): Any =
+      CypherParser.parse(q).matches.head.paths.head.nodes.head
+        .props("name").asInstanceOf[Lit].value
+    assert(propOf("""MATCH (p {name: 'it\'s'}) RETURN p""") == "it's")
+    assert(propOf("""MATCH (p {name: "say \"hi\""}) RETURN p""") == "say \"hi\"")
+    assert(propOf("""MATCH (p {name: 'it''s'}) RETURN p""") == "it's")
+    assert(propOf("""MATCH (p {name: 'a\\b'}) RETURN p""") == "a\\b")
+    assert(propOf("""MATCH (p {name: 'x\ny'}) RETURN p""") == "x\ny")
+    val e = intercept[IllegalArgumentException](
+      CypherParser.parse("""MATCH (p {name: 'bad\q'}) RETURN p"""))
+    assert(e.getMessage.contains("escape"))
+    val e2 = intercept[IllegalArgumentException](
+      CypherParser.parse("MATCH (p {name: 'unterminated}) RETURN p"))
+    assert(e2.getMessage.contains("unterminated"))
+  }
+
+  test("exists() variables stay local to the predicate") {
+    // the edge/path names bound inside exists() must NOT leak into
+    // the outer scope: a later reference is the compiler's own
+    // unbound-variable error, not a Spark AnalysisException
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (p:Person)
+         WHERE exists((p)-[r:KNOWS]->(q:Person))
+         RETURN type(r) AS t"""))
+    assert(e.getMessage.contains("not a relationship variable") ||
+           e.getMessage.contains("unbound"), e.getMessage)
+  }
 }

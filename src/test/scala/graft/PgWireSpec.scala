@@ -763,4 +763,70 @@ class PgWireSpec extends AnyFunSuite {
       assert(again.map(_.toSeq) == Seq(Seq("3")))
     } finally srv.close()
   }
+
+  test("SparkSqlPgServer is read-only: DDL/DML rejected before execution") {
+    import graft.sources.pgwire.SparkSqlPgServer
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "s").createOrReplaceTempView("pg_ro_t")
+    val srv = new SparkSqlPgServer(spark)
+    try {
+      // commands and INSERTs are refused with SQLSTATE 25006 and the
+      // session state they would have mutated is untouched
+      Seq(
+        "DROP VIEW pg_ro_t",
+        "CREATE TABLE pg_ro_mk AS SELECT 1 AS x",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE pg_ro_t",
+        "INSERT INTO pg_ro_t VALUES (9, 'z')",
+      ).foreach { stmt =>
+        val e = intercept[IllegalStateException](
+          SparkSqlPgServer.simpleQuery(srv.host, srv.port, stmt))
+        assert(e.getMessage.contains("25006") ||
+               e.getMessage.contains("read-only"), s"$stmt → ${e.getMessage}")
+      }
+      // the view survived the DROP attempt; plain queries still serve
+      val (_, rows) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        "SELECT COUNT(*) AS n FROM pg_ro_t")
+      assert(rows.map(_.toSeq) == Seq(Seq("1")))
+      // ...and the gate is a policy, not a capability hole: the
+      // allowWrites constructor flag restores full spark.sql
+      val rw = new SparkSqlPgServer(spark, allowWrites = true)
+      try {
+        SparkSqlPgServer.simpleQuery(rw.host, rw.port,
+          "CREATE OR REPLACE TEMP VIEW pg_ro_mk AS SELECT 1 AS x")
+        val (_, r2) = SparkSqlPgServer.simpleQuery(rw.host, rw.port,
+          "SELECT x FROM pg_ro_mk")
+        assert(r2.map(_.toSeq) == Seq(Seq("1")))
+      } finally rw.close()
+    } finally srv.close()
+  }
+
+  test("SparkSqlPgServer routes CYPHER statements to the graph") {
+    import graft.sources.pgwire.SparkSqlPgServer
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val g = graft.cypher.PropertyGraph(
+      Seq(("Person:1", "Person", Map("name" -> "ann")),
+          ("Person:2", "Person", Map("name" -> "bob")))
+        .toDF("id", "label", "props"),
+      Seq(("Person:1", "Person:2", "KNOWS"))
+        .toDF("src", "dst", "rel")
+        .withColumn("props", lit(null).cast("map<string,string>")))
+    val srv = new SparkSqlPgServer(spark, graph = Some(g))
+    try {
+      val (fields, rows) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        """CYPHER MATCH (a:Person)-[:KNOWS]->(b:Person)
+           RETURN a.name AS who, b.name AS whom""")
+      assert(fields.map(_.name) == Seq("who", "whom"))
+      assert(rows.map(_.toSeq) == Seq(Seq("ann", "bob")))
+      // no graph registered → loud error, connection survives
+      val bare = new SparkSqlPgServer(spark)
+      try {
+        val e = intercept[IllegalStateException](
+          SparkSqlPgServer.simpleQuery(bare.host, bare.port,
+            "CYPHER MATCH (x) RETURN id(x) AS i"))
+        assert(e.getMessage.contains("no property graph"))
+      } finally bare.close()
+    } finally srv.close()
+  }
 }
