@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cypher.PropertyGraph
+import Queries.Q
+import Queries54.demoGraph
+
+/** Batch 55 (round 11): the Cypher surface's round-10 verdict items —
+  * `collect()` (openCypher's most idiomatic aggregate),
+  * `keys()`/`properties()` introspection, and the same Cypher answer
+  * proven through BOTH wire front doors (Bolt and pgwire). All run
+  * over [[Queries54.demoGraph]]'s STRUCTURED (map-props) layout; the
+  * DuckDB oracle recomputes everything relationally from the raw
+  * tables, so a hash match proves parse + compile + the container
+  * semantics (sorted collect, sorted keys, canonical JSON render).
+  */
+object Queries55 {
+
+  /** collect() through the WITH pipeline: per-nation list of its
+    * top-balance customers, then list-aware size() and the canonical
+    * toString() JSON render (the driver's checker cannot hash raw
+    * list columns — the JSON text is the stable wire/oracle form, and
+    * proving THE STRING proves the sorted-list contract exactly). */
+  val cy_collect = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+         WHERE toFloat(c.acctbal) >= 9900.0
+         WITH n.name AS nation, collect(c.name) AS names
+         RETURN nation, size(names) AS n, toString(names) AS names
+         ORDER BY nation"""),
+    Some("""SELECT n_name AS nation,
+        CAST(len(list_sort(list(c_name))) AS BIGINT) AS n,
+        to_json(list_sort(list(c_name))) AS names
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(c_acctbal AS DOUBLE) >= 9900.0
+      GROUP BY 1 ORDER BY nation"""))
+
+  /** collect(DISTINCT) directly in RETURN (implicit grouping): the
+    * distinct order-priority list per order status — a set-valued
+    * group profile, sorted by the engine's determinism contract. */
+  val cy_collect_distinct = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WHERE c.mktsegment = 'BUILDING'
+         RETURN o.orderstatus AS status,
+                toString(collect(DISTINCT o.orderpriority)) AS priorities,
+                count(*) AS n
+         ORDER BY status"""),
+    Some("""SELECT o_orderstatus AS status,
+        to_json(list_sort(list(DISTINCT o_orderpriority))) AS priorities,
+        COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1 ORDER BY status"""))
+
+  /** keys() + properties() introspection over the structured layout:
+    * sorted key list and the canonical JSON render of the whole
+    * property map (map construction order = the select order in
+    * demoGraph, so the text is deterministic and the oracle rebuilds
+    * it character-for-character). */
+  val cy_props_keys = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (o:Order) WHERE o.orderstatus = 'P'
+         RETURN toString(keys(o)) AS ks, count(*) AS n,
+                min(toString(properties(o))) AS first_props"""),
+    Some("""WITH p AS (SELECT
+          '{"orderstatus":"' || o_orderstatus ||
+          '","orderdate":"' || strftime(o_orderdate, '%Y-%m-%d') ||
+          '","orderpriority":"' || o_orderpriority ||
+          '","totalprice":"' || CAST(o_totalprice AS VARCHAR) || '"}'
+          AS props
+        FROM orders WHERE o_orderstatus = 'P')
+      SELECT '["orderdate","orderpriority","orderstatus","totalprice"]' AS ks,
+        COUNT(*) AS n, MIN(props) AS first_props FROM p"""))
+
+  /** The SAME Cypher statement answered through BOTH wire front doors
+    * — an unmodified Bolt client against [[graft.cypher.BoltQueryServer]]
+    * and a psql-speaking client against
+    * [[graft.sources.pgwire.SparkSqlPgServer]]'s `CYPHER` routing —
+    * with the two record streams required equal before either is
+    * returned. The oracle then recomputes the answer relationally, so
+    * the hash proves graph → compile → execute → BOTH codecs. */
+  val cy_pgwire_cypher = Q(
+    (s, dir) => {
+      val g = demoGraph(s, dir)
+      val cypherText =
+        """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+           WHERE c.mktsegment = 'MACHINERY'
+           RETURN n.name AS nation, count(*) AS n_cust
+           ORDER BY nation"""
+      // front door 1: Bolt (typed PackStream records)
+      val bolt = new graft.cypher.BoltQueryServer(g)
+      val viaBolt =
+        try {
+          val sess = new graft.sinks.bolt.BoltSocketSession(
+            bolt.host, bolt.port, "graft-entry", 5000)
+          try sess.query(cypherText, Map.empty)._2
+            .map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Long]))
+          finally sess.close()
+        } finally bolt.close()
+      // front door 2: pgwire (text-format DataRows)
+      val pg = new graft.sources.pgwire.SparkSqlPgServer(s, graph = Some(g))
+      val viaPg =
+        try {
+          val (fields, rows) = graft.sources.pgwire.SparkSqlPgServer
+            .simpleQuery(pg.host, pg.port, "CYPHER " + cypherText)
+          require(fields.map(_.name) == Seq("nation", "n_cust"),
+            s"unexpected pgwire fields: $fields")
+          rows.map(r => (r(0), r(1).toLong))
+        } finally pg.close()
+      require(viaBolt == viaPg,
+        s"wire front doors disagree: bolt=$viaBolt pg=$viaPg")
+      import s.implicits._
+      viaPg.toDF("nation", "n_cust")
+    },
+    Some("""SELECT n_name AS nation, COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_mktsegment = 'MACHINERY'
+      GROUP BY 1 ORDER BY nation"""),
+    // wire fixture: measures two socket round-trips, not a batch plan
+    bench = false)
+
+  val all: Map[String, Q] = Map(
+    "cy_collect" -> cy_collect,
+    "cy_collect_distinct" -> cy_collect_distinct,
+    "cy_props_keys" -> cy_props_keys,
+    "cy_pgwire_cypher" -> cy_pgwire_cypher,
+  )
+}

@@ -124,6 +124,15 @@ object CypherAst {
   /** `CASE WHEN c THEN v … [ELSE d] END` (searched form). */
   final case class CaseWhen(branches: Seq[(Expr, Expr)],
                             otherwise: Option[Expr]) extends Expr
+  /** An aggregate call NESTED inside a RETURN/WITH item expression —
+    * `toString(collect(x))`, `sum(a) * 2` — openCypher allows scalar
+    * expressions over aggregates in projection items. `arg` = None is
+    * `count(*)`. A bare top-level aggregate item normalizes to
+    * [[Item]]'s `agg` field at parse time (same compiled form); this
+    * node carries the nested occurrences. Invalid in WHERE (Spark
+    * rejects aggregates in filters, loudly). */
+  final case class AggFn(name: String, distinct: Boolean,
+                         arg: Option[Expr]) extends Expr
   /** `exists((a)-[:R]->(b))` — pattern predicate; compiles to a
     * semi-join (anti under NOT), the Cypher spelling of the
     * reference's existence guards (J6). Valid only as a WHERE

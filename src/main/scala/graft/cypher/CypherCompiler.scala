@@ -236,7 +236,7 @@ object CypherCompiler {
   private def applyWith(st: St, w: WithClause): Unit = {
     val df = st.frame.getOrElse(
       throw new IllegalArgumentException("WITH before any MATCH bound rows"))
-    val hasAgg = w.items.exists(_.agg.isDefined)
+    val hasAgg = w.items.exists(isAggItem)
     // bare node variables pass through as nodes: WITH c AS x rebinds
     final case class NodeItem(v: String, alias: String)
     val nodeItems = w.items.collect {
@@ -262,9 +262,9 @@ object CypherCompiler {
         if (w.distinct) d.distinct() else d
       } else {
         val keys = nodeItems.flatMap(nodeCols) ++
-          valueItems.filter(_.agg.isEmpty).map(valueKeyCol)
-        val aggs = valueItems.filter(_.agg.isDefined).map { it =>
-          aggCol(st, it).as(s"${it.alias} __val")
+          valueItems.filterNot(isAggItem).map(valueKeyCol)
+        val aggs = valueItems.filter(isAggItem).map { it =>
+          aggItemCol(st, it).as(s"${it.alias} __val")
         }
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -301,11 +301,12 @@ object CypherCompiler {
     st.frame = Some(filtered)
   }
 
-  /** Aggregate column for a RETURN/WITH item (shared). */
-  private def aggCol(st: St, it: Item): Column =
-    (it.agg.get, it.expr) match {
+  /** Aggregate column (shared by top-level items and nested AggFn). */
+  private def aggColumn(st: St, name: String, distinct: Boolean,
+                        arg: Option[Expr]): Column =
+    (name, arg) match {
       case ("count", None) => count(lit(1))
-      case ("count", Some(e)) if it.distinct => countDistinct(exprCol(st, e))
+      case ("count", Some(e)) if distinct => countDistinct(exprCol(st, e))
       case ("count", Some(e)) => count(exprCol(st, e))
       case ("sum", Some(e)) => sum(exprCol(st, e))
       case ("min", Some(e)) => min(exprCol(st, e))
@@ -315,11 +316,47 @@ object CypherCompiler {
       // engine's instance is SORTED ascending (nulls are skipped by
       // collect_list/set per openCypher) — deterministic across
       // partitionings, so the same query hashes the same at any scale
-      case ("collect", Some(e)) if it.distinct =>
+      case ("collect", Some(e)) if distinct =>
         sort_array(collect_set(exprCol(st, e)))
       case ("collect", Some(e)) => sort_array(collect_list(exprCol(st, e)))
       case (a, _) => throw new IllegalArgumentException(s"bad aggregate $a")
     }
+
+  /** Aggregate column for a RETURN/WITH item with a top-level agg. */
+  private def aggCol(st: St, it: Item): Column =
+    aggColumn(st, it.agg.get, it.distinct, it.expr)
+
+  /** Does the item expression contain a nested aggregate? Such items
+    * compile INSIDE agg() (Spark allows scalar expressions over
+    * aggregates there) rather than as grouping keys. */
+  private def containsAgg(e: Expr): Boolean = e match {
+    case AggFn(_, _, _) => true
+    case ToInt(x) => containsAgg(x)
+    case ToFloat(x) => containsAgg(x)
+    case Coalesce(es) => es.exists(containsAgg)
+    case StrFn(_, args) => args.exists(containsAgg)
+    case CaseWhen(bs, o) =>
+      bs.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
+        o.exists(containsAgg)
+    case Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
+    case IsNull(x, _) => containsAgg(x)
+    case InList(x, _) => containsAgg(x)
+    case StrPred(_, l, r) => containsAgg(l) || containsAgg(r)
+    case And(l, r) => containsAgg(l) || containsAgg(r)
+    case Or(l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case _ => false
+  }
+
+  /** Is the item an aggregating one (top-level agg or nested AggFn)? */
+  private def isAggItem(it: Item): Boolean =
+    it.agg.isDefined || it.expr.exists(containsAgg)
+
+  /** Compile an aggregating item: top-level agg via [[aggCol]], nested
+    * via [[exprCol]] (AggFn resolves inside the expression). */
+  private def aggItemCol(st: St, it: Item): Column =
+    if (it.agg.isDefined) aggCol(st, it) else exprCol(st, it.expr.get)
 
   /** Compile one MATCH part into (frame, boundVars). The part is
     * compiled standalone — variables already bound in earlier parts
@@ -472,6 +509,7 @@ object CypherCompiler {
     case CaseWhen(bs, o) =>
       bs.flatMap { case (c, v) => freeVars(c) ++ freeVars(v) }.toSet ++
         o.map(freeVars).getOrElse(Set.empty)
+    case AggFn(_, _, arg) => arg.map(freeVars).getOrElse(Set.empty)
     case Cmp(_, l, r) => freeVars(l) ++ freeVars(r)
     case Arith(_, l, r) => freeVars(l) ++ freeVars(r)
     case IsNull(x, _) => freeVars(x)
@@ -546,6 +584,7 @@ object CypherCompiler {
     * from collect()/keys() (tracked in St.arrayVars). */
   private def yieldsList(st: St, e: Expr): Boolean = e match {
     case Keys(_) => true
+    case AggFn("collect", _, _) => true
     case Var(v) => st.arrayVars.contains(v)
     case _ => false
   }
@@ -589,6 +628,7 @@ object CypherCompiler {
       labelCol(v)
     case Lit(value) => lit(value)
     case Param(n) => st.paramLit(n)
+    case AggFn(name, dist, arg) => aggColumn(st, name, dist, arg)
     case ToInt(x) => exprCol(st, x).cast("long")
     case ToFloat(x) => exprCol(st, x).cast("double")
     case Coalesce(es) => coalesce(es.map(exprCol(st, _)): _*)
@@ -733,7 +773,7 @@ object CypherCompiler {
 
   // ---- RETURN -------------------------------------------------------
   private def returnClause(st: St, df: DataFrame, r: Return): DataFrame = {
-    val hasAgg = r.items.exists(_.agg.isDefined)
+    val hasAgg = r.items.exists(isAggItem)
     val aliasSet = r.items.map(_.alias).toSet
     // a bare identifier in ORDER BY resolves against the RETURN item
     // aliases first (the common `ORDER BY alias` form); anything else
@@ -772,10 +812,10 @@ object CypherCompiler {
             if (r.distinct) d.distinct() else d
           } else {
             // openCypher implicit grouping: non-aggregate items are keys
-            val keys = r.items.filter(_.agg.isEmpty)
+            val keys = r.items.filterNot(isAggItem)
               .map(it => exprCol(st, it.expr.get).as(it.alias))
-            val aggs = r.items.filter(_.agg.isDefined)
-              .map(it => aggCol(st, it).as(it.alias))
+            val aggs = r.items.filter(isAggItem)
+              .map(it => aggItemCol(st, it).as(it.alias))
             val grouped =
               if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
               else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

@@ -431,6 +431,18 @@ object CypherParser {
       val fname = p.ident().toLowerCase
       p.eatOp("(")
       val e = fname match {
+        case a if aggNames(a) =>
+          // aggregates are expressions (nestable: toString(collect(x)),
+          // sum(a)*2); a bare top-level aggregate item normalizes back
+          // to Item.agg in returnItem
+          if (p.atOp("*")) {
+            if (a != "count") fail(p.peek.pos, s"$a(*) is not Cypher")
+            p.eatOp("*"); AggFn("count", distinct = false, None)
+          } else {
+            val d = p.atKw("distinct")
+            if (d) p.eatKw("distinct")
+            AggFn(a, d, Some(addExpr(p)))
+          }
         case "exists" => ExistsPat(linearPat(p))
         case "id" => Id(p.ident())
         case "label" | "labeloffirst" => LabelOf(p.ident())
@@ -509,27 +521,14 @@ object CypherParser {
   }
 
   private def returnItem(p: P, idx: Int): Item = {
-    val t = p.peek
-    val item =
-      if (t.kind == "ident" && aggNames(t.s.toLowerCase) &&
-          p.peek2.kind == "op" && p.peek2.s == "(") {
-        val agg = p.ident().toLowerCase
-        p.eatOp("(")
-        val (dist, expr) =
-          if (p.atOp("*")) {
-            if (agg != "count") fail(p.peek.pos, s"$agg(*) is not Cypher")
-            p.eatOp("*"); (false, None)
-          } else {
-            val d = p.atKw("distinct")
-            if (d) p.eatKw("distinct")
-            (d, Some(addExpr(p)))
-          }
-        p.eatOp(")")
-        Item(expr, Some(agg), dist, defaultAlias(agg, expr, idx))
-      } else {
-        val e = addExpr(p)
+    val item = addExpr(p) match {
+      // bare top-level aggregate keeps the Item.agg shape (and its
+      // default-alias convention); nested AggFns stay in the tree
+      case AggFn(name, dist, arg) =>
+        Item(arg, Some(name), dist, defaultAlias(name, arg, idx))
+      case e =>
         Item(Some(e), None, distinct = false, defaultAlias("", Some(e), idx))
-      }
+    }
     if (p.atKw("as")) { p.eatKw("as"); item.copy(alias = p.ident()) }
     else item
   }

@@ -620,6 +620,28 @@ class CypherSpec extends AnyFunSuite {
       ("cat", 1L, """["ann"]""")))
   }
 
+  test("nested aggregates: scalar expressions over agg results") {
+    // openCypher allows expressions over aggregates in items —
+    // toString(collect(x)), sum(a)*2 — compiled inside agg()
+    val out = g.cypher(
+      """MATCH (p:Person)-[:KNOWS]->(q:Person)
+         RETURN toString(collect(DISTINCT q.name)) AS ks,
+                sum(toInteger(q.age)) * 2 AS dbl""")
+      .collect().head
+    assert(out.getString(0) == """["ann","bob","cat"]""")
+    assert(out.getLong(1) == 180L) // (30+25+35)*2
+    // per-group nested agg through WITH
+    val grouped = g.cypher(
+      """MATCH (p:Person)-[:LIKES]->(f:Food)
+         WITH f.name AS food, size(collect(p.name)) AS fans
+         RETURN food, fans""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.toSeq == Seq(("fig", 2L)))
+    // aggregates in WHERE are rejected (by Spark's analyzer, loudly)
+    intercept[Exception](g.cypher(
+      "MATCH (p:Person) WHERE count(*) > 1 RETURN p.name AS n").collect())
+  }
+
   test("keys()/properties() on both layouts; toString renders JSON") {
     // keys: sorted, both layouts
     val kJson = g.cypher(
