@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.cypher.PropertyGraph
+import graft.sources.Tables
 import Queries.Q
 import Queries54.demoGraph
 
@@ -122,10 +123,110 @@ object Queries55 {
     // wire fixture: measures two socket round-trips, not a batch plan
     bench = false)
 
+  /** The Cypher WRITE surface end-to-end over genuine TCP: an
+    * unmodified Bolt client sends the reference's own statement
+    * shapes — batched `UNWIND $rows AS row MERGE … SET …` for two
+    * node labels, then a pattern-complete relationship MERGE — into
+    * [[graft.cypher.GraphStore]] via the read-write
+    * [[graft.cypher.BoltQueryServer]]; the graph is then read back
+    * through the SAME wire with a compiled MATCH and hash-checked
+    * against DuckDB recomputing relationally from the raw tables.
+    *
+    * Idempotence (the reference's core guarantee, every projector is
+    * MERGE text) is PROVEN, not assumed: all three statements replay
+    * and the second pass must report zero nodes/relationships created
+    * and leave the read-back identical.
+    */
+  val cy_write = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      // the wire client's source rows (the reference fetches Postgres
+      // rows, then sends MERGE batches — same shape here)
+      val custRows = Tables.read(s, dir, "customer")
+        .filter(col("c_acctbal").cast("double") >= 9950.0)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").cast("double").cast("string").as("acctbal"),
+          col("c_nationkey").as("nk"))
+        .collect()
+      val nationRows = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+        .collect()
+      val nations: Seq[Map[String, Any]] =
+        nationRows.toSeq.map(r => Map("k" -> r.get(0), "name" -> r.get(1)))
+      val customers: Seq[Map[String, Any]] = custRows.toSeq.map(r =>
+        Map("k" -> r.get(0), "name" -> r.get(1), "acctbal" -> r.get(2)))
+      val links: Seq[Map[String, Any]] = custRows.toSeq.map(r =>
+        Map("ck" -> r.get(0), "nk" -> r.get(3)))
+
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty,
+        Map("Customer" -> Seq("k"), "Nation" -> Seq("k")))
+      val srv = new graft.cypher.BoltQueryServer(store)
+      try {
+        val sess = new graft.sinks.bolt.BoltSocketSession(
+          srv.host, srv.port, "graft-entry", 15000)
+        try {
+          def writeAll(): Unit = {
+            sess.run(
+              """UNWIND $rows AS row
+                 MERGE (n:Nation {k: row.k}) SET n.name = row.name""",
+              Map("rows" -> nations))
+            sess.run(
+              """UNWIND $rows AS row
+                 MERGE (c:Customer {k: row.k})
+                 SET c.name = row.name, c.acctbal = row.acctbal""",
+              Map("rows" -> customers))
+            sess.run(
+              """UNWIND $rows AS row
+                 MERGE (c:Customer {k: row.ck})-[:FROM_NATION]->(n:Nation {k: row.nk})""",
+              Map("rows" -> links))
+          }
+          writeAll()
+          val readback =
+            """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+               RETURN n.name AS nation, count(*) AS n_cust,
+                      max(toFloat(c.acctbal)) AS max_bal
+               ORDER BY nation"""
+          val (fields, rows1) = sess.query(readback, Map.empty)
+          require(fields == Seq("nation", "n_cust", "max_bal"),
+            s"unexpected wire fields: $fields")
+          // REPLAY all three statements: MERGE is a fixpoint — the
+          // store must report zero creations and read back identically
+          val before = (store.graph.vertices.count(),
+            store.graph.edges.count())
+          writeAll()
+          val after = (store.graph.vertices.count(),
+            store.graph.edges.count())
+          require(before == after,
+            s"MERGE replay changed the graph: $before -> $after")
+          val (_, rows2) = sess.query(readback, Map.empty)
+          require(rows1 == rows2, "MERGE replay changed the read-back")
+          rows1.map(r => (r(0).asInstanceOf[String],
+              r(1).asInstanceOf[Long], r(2).asInstanceOf[Double]))
+            .toDF("nation", "n_cust", "max_bal")
+        } finally sess.close()
+      } finally srv.close()
+    },
+    Some("""SELECT n_name AS nation, COUNT(*) AS n_cust,
+        MAX(CAST(c_acctbal AS DOUBLE)) AS max_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(c_acctbal AS DOUBLE) >= 9950.0
+      GROUP BY 1 ORDER BY nation"""),
+    // wire fixture: socket + per-statement store transitions, not a
+    // batch plan — excluded from the bench set like the other wire
+    // entries
+    bench = false)
+
   val all: Map[String, Q] = Map(
     "cy_collect" -> cy_collect,
     "cy_collect_distinct" -> cy_collect_distinct,
     "cy_props_keys" -> cy_props_keys,
     "cy_pgwire_cypher" -> cy_pgwire_cypher,
+    "cy_write" -> cy_write,
   )
 }

@@ -34,7 +34,17 @@ import graft.sinks.bolt.{BoltSocket, PackStream}
   * against a graph are aggregates/top-k by construction. Wide-open
   * scans belong on the DataFrame API, not a wire cursor.
   */
-final class BoltQueryServer(graph: PropertyGraph) {
+final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
+  /** Read-only server over a fixed graph (the round-10 surface). */
+  def this(graph: PropertyGraph) = this(new GraphStore(graph), true)
+  /** Read-WRITE server over a [[GraphStore]] (round 11): an
+    * unmodified Bolt client can MERGE/CREATE/SET into the engine —
+    * the exact consumer surface of the reference's store (every
+    * projector is MERGE text, app/graph_fields.py:14-30). Write
+    * statements answer SUCCESS with Neo4j-shaped `stats` metadata on
+    * the PULL summary. */
+  def this(store: GraphStore) = this(store, false)
+
   private val server = new ServerSocket(0, 64,
     java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -86,6 +96,8 @@ final class BoltQueryServer(graph: PropertyGraph) {
 
       // RUN compiles + executes + collects; PULL streams the rows
       var pending: Option[(Seq[String], Array[Seq[Any]])] = None
+      // write statements: stats for the PULL summary frame
+      var pendingStats: Option[Map[String, Any]] = None
       var failedState = false
       var open = true
       def fail(code: String, m: String): Unit = {
@@ -118,13 +130,28 @@ final class BoltQueryServer(graph: PropertyGraph) {
               fail("Neo.ClientError.Security.Unauthorized",
                 "RUN before LOGON on a 5.1+ connection")
             else try {
-              val df = CypherCompiler.run(graph,
-                CypherParser.parse(stmt), params)
-              val fields = df.columns.toSeq
-              val rows = df.collect().map(r =>
-                Seq.tabulate(r.length)(i => wireValue(r.get(i))))
-              pending = Some((fields, rows))
-              success(Map("fields" -> fields))
+              CypherParser.parseAny(stmt) match {
+                case Left(_) =>
+                  if (readOnly)
+                    fail("Neo.ClientError.Security.Forbidden",
+                      "write statement on a read-only server")
+                  else {
+                    // the store's execute holds the single-writer
+                    // lock and the compaction cadence
+                    val s = store.execute(stmt, params)
+                    pending = Some((Seq.empty, Array.empty))
+                    pendingStats = Some(s.toWireMap)
+                    success(Map("fields" -> Seq.empty[String]))
+                  }
+                case Right(q) =>
+                  val df = CypherCompiler.run(store.graph, q, params)
+                  val fields = df.columns.toSeq
+                  val rows = df.collect().map(r =>
+                    Seq.tabulate(r.length)(i => wireValue(r.get(i))))
+                  pending = Some((fields, rows))
+                  pendingStats = None
+                  success(Map("fields" -> fields))
+              }
             } catch {
               case e: IllegalArgumentException =>
                 fail("Neo.ClientError.Statement.SyntaxError",
@@ -141,7 +168,11 @@ final class BoltQueryServer(graph: PropertyGraph) {
                     PackStream.Struct(BoltSocket.MsgRecord, Seq(r)))
                 }
                 pending = None
-                success(Map.empty[String, Any])
+                val meta = pendingStats
+                  .map(s => Map[String, Any]("stats" -> s))
+                  .getOrElse(Map.empty[String, Any])
+                pendingStats = None
+                success(meta)
               case None =>
                 fail("Neo.ClientError.Request.Invalid",
                   "PULL with no open result")

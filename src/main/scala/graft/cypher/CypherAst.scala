@@ -191,4 +191,40 @@ object CypherAst {
       * queries — most of them). */
     def matches: Seq[MatchPart] = segments.head.matches
   }
+
+  // ---- writes (round 11) ------------------------------------------
+  /** One SET item: `v.key = expr` updates a property (a null value
+    * REMOVES the key, openCypher semantics); `key = None` is the
+    * map-add form `v += $props` (every key of the map upserts). */
+  final case class SetItem(v: String, key: Option[String], value: Expr)
+
+  /** A write clause, executed in statement order. The statement
+    * shapes are the reference's own projector idioms
+    * (app/graph_fields.py:14-45, graph_weather_day.py:230-257):
+    * node MERGE + SET, MATCH…SET update, MATCH…MERGE relationship,
+    * CREATE, and the batched `UNWIND $rows AS row MERGE …` form. */
+  sealed trait WriteClause
+  /** `MERGE (v:Label {keyProps}) [ON CREATE SET …] [ON MATCH SET …]`
+    * — node upsert. The pattern's prop map is the node identity (the
+    * per-label uniqueness key, reference graph_constraints.py); a
+    * trailing plain SET targeting `v` folds into `always`. */
+  final case class MergeNode(pat: NodePat, onCreate: Seq[SetItem],
+                             onMatch: Seq[SetItem],
+                             always: Seq[SetItem]) extends WriteClause
+  /** `MERGE (a)-[:R {props}]->(b)` — relationship upsert between
+    * bound endpoints; identity is the (src, dst, rel) triple. */
+  final case class MergeRel(path: PathPat) extends WriteClause
+  /** `CREATE pattern, …` — plain creation (nodes and/or single-hop
+    * relationships); violating a declared uniqueness key fails the
+    * statement loudly, like Neo4j under a constraint. */
+  final case class Create(paths: Seq[PathPat]) extends WriteClause
+  /** `SET items` targeting MATCH-bound variables — pure update. */
+  final case class SetOnly(items: Seq[SetItem]) extends WriteClause
+
+  /** A write statement: optional UNWIND bindings (the batch idiom),
+    * optional MATCH parts (endpoint/update binding), then 1+ write
+    * clauses. No RETURN (the reference's projectors never return). */
+  final case class WriteQuery(unwinds: Seq[(Expr, String)],
+                              matches: Seq[MatchPart],
+                              clauses: Seq[WriteClause])
 }

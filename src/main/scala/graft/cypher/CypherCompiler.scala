@@ -64,8 +64,10 @@ object CypherCompiler {
   private def propsCol(v: String) = col(s"$v __props")
 
   /** Per-query compile state: which variables are bound, and which
-    * edge-variable hops exist per MATCH part (for trail semantics). */
-  private final class St(g: PropertyGraph, val params: Map[String, Any]) {
+    * edge-variable hops exist per MATCH part (for trail semantics).
+    * `private[cypher]`: the write compiler ([[CypherWrite]]) binds its
+    * UNWIND/MATCH prefix through the same machinery. */
+  private[cypher] final class St(g: PropertyGraph, val params: Map[String, Any]) {
     var frame: Option[DataFrame] = None
     val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
     val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -75,6 +77,10 @@ object CypherCompiler {
       * projections) — so size()/toString() pick array semantics
       * statically, without probing the frame's schema mid-compile. */
     val arrayVars = scala.collection.mutable.Set.empty[String]
+    /** value variables known to hold a MAP (UNWIND over a list of
+      * maps — the batch-write row variable): `row.k` compiles to map
+      * access instead of an unbound-variable error. */
+    val mapVars = scala.collection.mutable.Set.empty[String]
     /** shortestPath bindings: path var → its length column. */
     val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val edgeHasProps: Boolean = g.edges.columns.contains("props")
@@ -131,6 +137,36 @@ object CypherCompiler {
     }
   }
 
+  /** Entry points for the write compiler ([[CypherWrite]]): fresh
+    * compile state, expression compilation, and binding of a write
+    * statement's UNWIND/MATCH prefix through the exact read machinery
+    * (so endpoint matching behaves identically to MATCH in queries). */
+  private[cypher] def newState(g: PropertyGraph,
+                               params: Map[String, Any]): St =
+    new St(g, params)
+
+  private[cypher] def expr(st: St, e: Expr): Column = exprCol(st, e)
+
+  private[cypher] def nodeId(st: St, v: String): Column = {
+    if (!st.nodes.contains(v))
+      throw new IllegalArgumentException(s"unbound variable $v")
+    idCol(v)
+  }
+
+  private[cypher] def bindPrefix(st: St, g: PropertyGraph,
+                                 unwinds: Seq[(Expr, String)],
+                                 matches: Seq[MatchPart]): Unit = {
+    unwinds.foreach { case (e, v) => applyUnwind(st, g, e, v) }
+    matches.foreach { part =>
+      val edgesBefore = st.edgeVars.toSet
+      val pathsBefore = st.pathVars.keySet.toSet
+      val (pf, bound) = compilePart(st, part)
+      val partLocal = (st.edgeVars.toSet -- edgesBefore) ++
+        (st.pathVars.keySet.toSet -- pathsBefore)
+      attach(st, pf, bound, part.optional, part.where, partLocal)
+    }
+  }
+
   def run(g: PropertyGraph, q: Query,
           params: Map[String, Any] = Map.empty): DataFrame = {
     // openCypher forbids mixing UNION and UNION ALL in one chain
@@ -176,8 +212,8 @@ object CypherCompiler {
     * cross + a correlating equality in WHERE into a plain join, and
     * broadcasts the list side). The reference's batch idiom
     * (`UNWIND $rows`), read-side. */
-  private def applyUnwind(st: St, g: PropertyGraph, e: Expr,
-                          v: String): Unit = {
+  private[cypher] def applyUnwind(st: St, g: PropertyGraph, e: Expr,
+                                  v: String): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     if (st.nodes.contains(v) || st.edgeVars.contains(v) ||
@@ -204,25 +240,47 @@ object CypherCompiler {
       case f: Float => f.toDouble
       case x => x
     }
-    val dt: DataType = norm.find(_ != null) match {
-      case Some(_: String) => StringType
-      case Some(_: Long) => LongType
-      case Some(_: Double) => DoubleType
-      case Some(_: Boolean) => BooleanType
-      case Some(other) => throw new IllegalArgumentException(
-        s"UNWIND element type not supported: ${other.getClass.getSimpleName}")
-      case None => StringType
-    }
     val colName = s"$v __val"
+    val isMapList = norm.exists(_.isInstanceOf[scala.collection.Map[_, _]])
+    val (dt: DataType, rows: Seq[Row]) =
+      if (isMapList) {
+        // list of maps — the batch-write row idiom (`UNWIND $rows AS
+        // row MERGE (n {k: row.k}) …`). Values land STRINGLY, matching
+        // the structured props layout's map<string,string> contract.
+        val maps = norm.map {
+          case null => null
+          case m: scala.collection.Map[_, _] =>
+            m.map { case (k, mv) =>
+              String.valueOf(k) ->
+                (if (mv == null) null else String.valueOf(mv))
+            }.toMap
+          case other => throw new IllegalArgumentException(
+            "UNWIND list mixes maps and scalars: " +
+              other.getClass.getSimpleName)
+        }
+        (MapType(StringType, StringType), maps.map(Row(_)))
+      } else {
+        val d: DataType = norm.find(_ != null) match {
+          case Some(_: String) => StringType
+          case Some(_: Long) => LongType
+          case Some(_: Double) => DoubleType
+          case Some(_: Boolean) => BooleanType
+          case Some(other) => throw new IllegalArgumentException(
+            s"UNWIND element type not supported: ${other.getClass.getSimpleName}")
+          case None => StringType
+        }
+        (d, norm.map(Row(_)))
+      }
     val schema = StructType(Seq(StructField(colName, dt, nullable = true)))
-    val rows = new java.util.ArrayList[Row](norm.length)
-    norm.foreach(x => rows.add(Row(x)))
-    val df = g.vertices.sparkSession.createDataFrame(rows, schema)
+    val jrows = new java.util.ArrayList[Row](rows.length)
+    rows.foreach(jrows.add)
+    val df = g.vertices.sparkSession.createDataFrame(jrows, schema)
     st.frame = st.frame match {
       case None => Some(df)
       case Some(f) => Some(f.crossJoin(df))
     }
     st.valueCols += v -> colName
+    if (isMapList) st.mapVars += v
   }
 
   /** The WITH pipeline step: project (and possibly aggregate) the
@@ -363,7 +421,7 @@ object CypherCompiler {
     * are REBOUND from the graph here and reconciled by [[attach]]'s
     * join on the shared ids, which is what makes the same code path
     * serve both plain (inner) and OPTIONAL (left outer) MATCH. */
-  private def compilePart(st: St, part: MatchPart): (DataFrame, Seq[String]) = {
+  private[cypher] def compilePart(st: St, part: MatchPart): (DataFrame, Seq[String]) = {
     var frame: Option[DataFrame] = None
     val bound = scala.collection.mutable.LinkedHashSet.empty[String]
     // (hopName, typeSet) per materialized hop in THIS part, for the
@@ -605,6 +663,8 @@ object CypherCompiler {
         st.propGet(col(s"$v __eprops"), st.edgePropsIsMap, k)
       } else if (st.nodes.contains(v))
         st.propGet(propsCol(v), st.vertexPropsIsMap, k)
+      else if (st.mapVars.contains(v)) // UNWIND row variable
+        col(st.valueCols(v)).getItem(k)
       else throw new IllegalArgumentException(s"unbound variable $v")
     case Id(v) =>
       if (!st.nodes.contains(v))

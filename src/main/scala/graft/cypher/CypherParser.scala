@@ -82,7 +82,8 @@ object CypherParser {
       } else {
         // two-char operators first, then single punctuation
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (two == "<>" || two == "<=" || two == ">=" || two == "..") {
+        if (two == "<>" || two == "<=" || two == ">=" || two == ".." ||
+            two == "+=") {
           out += Tok("op", two, i); i += 2
         } else if ("()[]{},:.|*->=<+/%".indexOf(c) >= 0) {
           out += Tok("op", c.toString, i); i += 1
@@ -129,6 +130,123 @@ object CypherParser {
     if (p.peek.kind != "eof")
       fail(p.peek.pos, s"trailing input '${p.peek.s}'")
     query
+  }
+
+  /** Parse a statement that may be a READ query or a WRITE statement
+    * (MERGE/CREATE/SET — the reference's projector idioms). Statement
+    * kind is decided by clause-position keywords: `merge`/`create`/
+    * `set` tokens not preceded by `.` / `:` / `{` / `,` (which would
+    * make them property keys, labels, or map keys). */
+  def parseAny(q: String): Either[WriteQuery, Query] = {
+    val toks = lex(q)
+    val writeKw = Set("merge", "create", "set")
+    val isWrite = toks.zipWithIndex.exists { case (t, i) =>
+      t.kind == "ident" && writeKw(t.s.toLowerCase) && (i == 0 || {
+        val prev = toks(i - 1)
+        !(prev.kind == "op" && Set(".", ":", "{", ",")(prev.s))
+      })
+    }
+    if (isWrite) {
+      val p = new P(toks)
+      val w = parseWrite(p)
+      if (p.peek.kind != "eof")
+        fail(p.peek.pos, s"trailing input '${p.peek.s}'")
+      Left(w)
+    } else Right(parse(q))
+  }
+
+  // ---- write statements (round 11) ---------------------------------
+  private def parseWrite(p: P): WriteQuery = {
+    val unwinds = Vector.newBuilder[(Expr, String)]
+    while (p.atKw("unwind")) {
+      p.eatKw("unwind")
+      val listE: Expr =
+        if (p.peek.kind == "param") Param(p.next().s)
+        else fail(p.peek.pos, "write UNWIND takes a $param list")
+      p.eatKw("as")
+      unwinds += ((listE, p.ident()))
+    }
+    val matches = Vector.newBuilder[MatchPart]
+    while (p.atKw("match")) {
+      p.eatKw("match")
+      val paths = Vector.newBuilder[PathPat]
+      paths += pathPat(p)
+      while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
+      val where =
+        if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) } else None
+      matches += MatchPart(paths.result(), optional = false, where)
+    }
+    val clauses = Vector.newBuilder[WriteClause]
+    var last: Option[MergeNode] = None
+    def flush(): Unit = { last.foreach(clauses += _); last = None }
+    var any = false
+    while (p.atKw("merge") || p.atKw("create") || p.atKw("set")) {
+      any = true
+      if (p.atKw("merge")) {
+        flush()
+        p.eatKw("merge")
+        val pat = linearPat(p)
+        if (pat.edges.isEmpty) {
+          var onCreate = Seq.empty[SetItem]
+          var onMatch = Seq.empty[SetItem]
+          while (p.atKw("on")) {
+            p.eatKw("on")
+            if (p.atKw("create")) {
+              p.eatKw("create"); p.eatKw("set"); onCreate ++= setItems(p)
+            } else {
+              p.eatKw("match"); p.eatKw("set"); onMatch ++= setItems(p)
+            }
+          }
+          last = Some(MergeNode(pat.nodes.head, onCreate, onMatch, Nil))
+        } else {
+          if (pat.edges.length != 1 || pat.edges.head.range.isDefined)
+            fail(p.peek.pos,
+              "MERGE supports one fixed-length relationship per clause")
+          clauses += MergeRel(pat)
+        }
+      } else if (p.atKw("create")) {
+        flush()
+        p.eatKw("create")
+        val paths = Vector.newBuilder[PathPat]
+        paths += linearPat(p)
+        while (p.atOp(",")) { p.eatOp(","); paths += linearPat(p) }
+        clauses += Create(paths.result())
+      } else {
+        p.eatKw("set")
+        val items = setItems(p)
+        // a plain SET whose every item targets the just-MERGEd node
+        // folds into that MERGE (the reference's `MERGE … SET …`)
+        last match {
+          case Some(mn) if items.forall(_.v == mn.pat.name) =>
+            last = Some(mn.copy(always = mn.always ++ items))
+          case _ =>
+            flush()
+            clauses += SetOnly(items)
+        }
+      }
+    }
+    flush()
+    if (!any) fail(p.peek.pos, "expected MERGE, CREATE or SET")
+    WriteQuery(unwinds.result(), matches.result(), clauses.result())
+  }
+
+  private def setItems(p: P): Seq[SetItem] = {
+    val items = Vector.newBuilder[SetItem]
+    def one(): SetItem = {
+      val v = p.ident()
+      if (p.atOp("+=")) {
+        p.eatOp("+=")
+        SetItem(v, None, addExpr(p))
+      } else {
+        p.eatOp(".")
+        val k = p.ident()
+        p.eatOp("=")
+        SetItem(v, Some(k), addExpr(p))
+      }
+    }
+    items += one()
+    while (p.atOp(",")) { p.eatOp(","); items += one() }
+    items.result()
   }
 
   private def parseQuery(p: P): Query = {
@@ -310,8 +428,18 @@ object CypherParser {
     while (more) {
       val k = p.ident()
       p.eatOp(":")
-      m += k -> (if (p.peek.kind == "param") Param(p.next().s)
-                 else literal(p))
+      val v: Expr =
+        if (p.peek.kind == "param") Param(p.next().s)
+        else if (p.peek.kind == "ident" && p.peek2.kind == "op" &&
+                 p.peek2.s == "." &&
+                 !Set("true", "false", "null")(p.peek.s.toLowerCase)) {
+          // `{pid: row.pid}` — a property/field reference (the batch
+          // write idiom binds pattern keys from the UNWIND row var);
+          // the READ compiler rejects these in scan position, the
+          // WRITE compiler evaluates them on the bound frame
+          val v0 = p.ident(); p.eatOp("."); Prop(v0, p.ident())
+        } else literal(p)
+      m += k -> v
       more = p.atOp(",")
       if (more) p.eatOp(",")
     }

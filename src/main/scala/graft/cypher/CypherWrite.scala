@@ -1,0 +1,361 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+
+import CypherAst._
+
+/** Compiles the Cypher WRITE subset ([[CypherAst.WriteQuery]]) to a
+  * set-wise update of a [[PropertyGraph]] — the statement surface of
+  * the reference's projectors (`MERGE (f:Field {field_id: $id}) SET
+  * f.name = $name …`, `MATCH …, … MERGE (a)-[:R]->(b)`, the batched
+  * `UNWIND $rows AS row MERGE …`; app/graph_fields.py:14-45,
+  * graph_weather_day.py:230-257) executed by the engine's own MERGE
+  * machinery instead of row-at-a-time statements:
+  *
+  *   - a statement's UNWIND/MATCH prefix binds through the READ
+  *     compiler (identical semantics to queries);
+  *   - every node MERGE/CREATE/SET in the statement contributes one
+  *     row per bound frame row to a small NODE DELTA
+  *     `(id, label, pat, oncreate, onmatch, always)` — the delta is
+  *     deduplicated by id and materialized eagerly (it is
+  *     param/match-sized, not graph-sized);
+  *   - the delta applies to the standing vertex table with ONE
+  *     full-outer join on id — AQE broadcasts the delta side, so the
+  *     100 TB vertex table never shuffles and untouched rows stream
+  *     through unchanged. Matched rows get `props ⊕ onmatch ⊕ always`
+  *     (⊕ = per-key map upsert, null value REMOVES the key — the
+  *     openCypher `SET n.x = null` contract); created rows get
+  *     `pat ⊕ oncreate ⊕ always`;
+  *   - relationship MERGE deduplicates on the (src, dst, rel) triple
+  *     identity and appends only the missing triples (one anti join)
+  *     — re-running any statement is a FIXPOINT, the reference's core
+  *     idempotence guarantee.
+  *
+  * Writes require the STRUCTURED props layout (`map<string,string>`,
+  * [[graft.domain.GraphAssembly.verticesMapProps]]); node identity is
+  * `label:key1:key2` using the per-label key columns declared on the
+  * [[GraphStore]] (the engine's spelling of the reference's
+  * uniqueness constraints, app/graph_constraints.py:2-133) — labels
+  * without a declared key use the MERGE pattern's prop names, sorted.
+  * Non-key pattern props act as set-on-create (the reference never
+  * puts non-key props in a MERGE pattern).
+  */
+object CypherWrite {
+
+  final case class Stats(nodesCreated: Long, nodesMatched: Long,
+                         relsCreated: Long, relsMatched: Long) {
+    def +(o: Stats): Stats = Stats(nodesCreated + o.nodesCreated,
+      nodesMatched + o.nodesMatched, relsCreated + o.relsCreated,
+      relsMatched + o.relsMatched)
+    def toWireMap: Map[String, Any] = Map(
+      "nodes-created" -> nodesCreated, "nodes-matched" -> nodesMatched,
+      "relationships-created" -> relsCreated,
+      "relationships-matched" -> relsMatched)
+  }
+
+  private def emptyMap: Column = typedLit(Map.empty[String, String])
+
+  /** Per-key map upsert: delta keys replace base keys; a null delta
+    * value removes the key. All lambda higher-order functions —
+    * codegen-friendly, no UDFs. */
+  private def mapUpsert(base: Column, delta: Column): Column = {
+    val b = coalesce(base, emptyMap)
+    val d = coalesce(delta, emptyMap)
+    map_filter(
+      map_concat(map_filter(b, (k, _) => !map_contains_key(d, k)), d),
+      (_, v) => v.isNotNull)
+  }
+
+  def apply(g: PropertyGraph, wq: WriteQuery, params: Map[String, Any],
+            labelKeys: Map[String, Seq[String]]): (PropertyGraph, Stats) = {
+    require(g.vertices.schema("props").dataType.isInstanceOf[MapType],
+      "Cypher writes require the structured props layout " +
+      "(map<string,string> — GraphAssembly.verticesMapProps)")
+    val spark = g.vertices.sparkSession
+    val st = CypherCompiler.newState(g, params)
+    CypherCompiler.bindPrefix(st, g, wq.unwinds, wq.matches)
+    val frame = st.frame.getOrElse(spark.range(1).toDF())
+
+    def expr(e: Expr): Column = CypherCompiler.expr(st, e)
+
+    /** `label:key1:key2` — the engine's vertex-id convention
+      * (GraphAssembly), keys from the store's declared constraints. */
+    def idExpr(np: NodePat): (Column, String, Seq[String]) = {
+      val label = np.label.getOrElse(throw new IllegalArgumentException(
+        s"write pattern (${np.name.trim}) needs a label — node identity " +
+        "is per-label (the reference's uniqueness constraints)"))
+      val keyCols = labelKeys.getOrElse(label, np.props.keys.toSeq.sorted)
+      val missing = keyCols.filterNot(np.props.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"MERGE on :$label must bind its key props ${keyCols.mkString(", ")} " +
+        s"(missing: ${missing.mkString(", ")})")
+      val id = concat_ws(":",
+        (lit(label) +: keyCols.map(k => expr(np.props(k)).cast("string"))): _*)
+      (id, label, keyCols)
+    }
+
+    /** SET items → one delta map column. `v.k = e` keys; `v += $m`
+      * map-adds fold on top in statement order. */
+    def setMap(items: Seq[SetItem]): Column = {
+      val keyed = items.filter(_.key.isDefined)
+      val adds = items.filter(_.key.isEmpty)
+      val base =
+        if (keyed.isEmpty) emptyMap
+        else map(keyed.flatMap(si =>
+          Seq(lit(si.key.get), expr(si.value).cast("string"))): _*)
+      adds.foldLeft(base) { (acc, si) =>
+        val m = si.value match {
+          case Param(n) => params.getOrElse(n,
+            throw new IllegalArgumentException(
+              s"missing query parameter $$$n")) match {
+            case mm: scala.collection.Map[_, _] =>
+              typedLit(mm.map { case (k, v) =>
+                String.valueOf(k) ->
+                  (if (v == null) null else String.valueOf(v))
+              }.toMap)
+            case other => throw new IllegalArgumentException(
+              s"`+=` needs a map parameter, got ${other.getClass.getSimpleName}")
+          }
+          case other => throw new IllegalArgumentException(
+            s"`+=` supports $$param maps, got $other")
+        }
+        mapUpsert(acc, m)
+      }
+    }
+
+    /** One node-delta row set: (id, dlabel, pat, oncreate, onmatch,
+      * always) per frame row, deduplicated by id. */
+    def nodeDelta(np: NodePat, onCreate: Seq[SetItem], onMatch: Seq[SetItem],
+                  always: Seq[SetItem]): DataFrame = {
+      val (id, label, _) = idExpr(np)
+      // ALL pattern props (key props included) land in the props map:
+      // in the reference's model the key IS an ordinary property
+      // (field_id etc.), and a later MATCH pattern-matches on it —
+      // the id carries the key REDUNDANTLY as the join/identity handle
+      val pat =
+        if (np.props.isEmpty) emptyMap
+        else map(np.props.toSeq.flatMap { case (k, e) =>
+          Seq(lit(k), expr(e).cast("string")) }: _*)
+      frame.select(id.as("id"), lit(label).as("dlabel"), pat.as("pat"),
+          setMap(onCreate).as("oncreate"), setMap(onMatch).as("onmatch"),
+          setMap(always).as("always"))
+        .groupBy(col("id"))
+        .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
+          first(col("oncreate")).as("oncreate"),
+          first(col("onmatch")).as("onmatch"),
+          first(col("always")).as("always"))
+    }
+
+    /** SET on a MATCH-bound node variable: update-only delta. */
+    def setDelta(items: Seq[SetItem]): DataFrame = {
+      val byVar = items.groupBy(_.v)
+      byVar.map { case (v, its) =>
+        if (!st.nodes.contains(v)) throw new IllegalArgumentException(
+          s"SET target $v is not a bound node variable")
+        frame.select(CypherCompiler.nodeId(st, v).as("id"),
+            lit(null).cast("string").as("dlabel"), emptyMap.as("pat"),
+            emptyMap.as("oncreate"), emptyMap.as("onmatch"),
+            setMap(its).as("always"))
+          .groupBy(col("id"))
+          .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
+            first(col("oncreate")).as("oncreate"),
+            first(col("onmatch")).as("onmatch"),
+            first(col("always")).as("always"))
+      }.reduce(_ unionByName _)
+    }
+
+    /** Relationship delta (src, dst, rel, eprops) from a single-hop
+      * path whose endpoints are MATCH/statement-bound or inline
+      * key-complete patterns. */
+    // node vars bound by earlier MERGE/CREATE clauses IN THIS
+    // statement (MERGE (c:City {…}) MERGE (p)-[:R]->(c)): their id is
+    // recomputable from the pattern, so later relationship clauses
+    // can reference them without a MATCH round-trip
+    val writeBound = scala.collection.mutable.Map.empty[String, Column]
+
+    def relDelta(path: PathPat): DataFrame = {
+      val edge = path.edges.head
+      if (edge.types.size != 1) throw new IllegalArgumentException(
+        "relationship MERGE/CREATE needs exactly one type")
+      def endpoint(np: NodePat): Column =
+        if (st.nodes.contains(np.name)) {
+          if (np.label.isDefined || np.props.nonEmpty)
+            throw new IllegalArgumentException(
+              s"bound endpoint ${np.name} cannot re-specify label/props " +
+              "in a write pattern")
+          CypherCompiler.nodeId(st, np.name)
+        } else if (np.label.isEmpty && np.props.isEmpty &&
+                   writeBound.contains(np.name))
+          writeBound(np.name)
+        else idExpr(np)._1
+      val (from, to) =
+        if (edge.out) (path.nodes.head, path.nodes(1))
+        else (path.nodes(1), path.nodes.head)
+      val eprops =
+        if (edge.props.isEmpty) emptyMap
+        else map(edge.props.toSeq.flatMap { case (k, e) =>
+          Seq(lit(k), expr(e).cast("string")) }: _*)
+      frame.select(endpoint(from).as("src"), endpoint(to).as("dst"),
+          lit(edge.types.head).as("rel"), eprops.as("eprops"))
+        .groupBy(col("src"), col("dst"), col("rel"))
+        .agg(first(col("eprops")).as("eprops"))
+    }
+
+    // ---- collect deltas across the statement's clauses -------------
+    val nodeDeltas = Vector.newBuilder[DataFrame]
+    val createOnlyNodes = Vector.newBuilder[DataFrame] // constraint check
+    val relDeltas = Vector.newBuilder[DataFrame]
+    wq.clauses.foreach {
+      case MergeNode(pat, onCreate, onMatch, always) =>
+        nodeDeltas += nodeDelta(pat, onCreate, onMatch, always)
+        if (!pat.name.startsWith("  ")) writeBound(pat.name) = idExpr(pat)._1
+      case SetOnly(items) =>
+        nodeDeltas += setDelta(items)
+      case MergeRel(path) =>
+        // openCypher MERGE on a relationship pattern creates missing
+        // INLINE endpoints too (pattern-complete merge); bound
+        // endpoints are left untouched
+        path.nodes.filter(np => !st.nodes.contains(np.name) &&
+            !writeBound.contains(np.name) &&
+            (np.label.isDefined || np.props.nonEmpty))
+          .foreach(np => nodeDeltas += nodeDelta(np, Nil, Nil, Nil))
+        relDeltas += relDelta(path)
+      case Create(paths) =>
+        paths.foreach { path =>
+          if (path.edges.isEmpty) {
+            val np = path.nodes.head
+            val d = nodeDelta(np, Nil, Nil, Nil)
+            nodeDeltas += d
+            createOnlyNodes += d.select(col("id"))
+            if (!np.name.startsWith("  ")) writeBound(np.name) = idExpr(np)._1
+          } else {
+            if (path.edges.length != 1 || path.edges.head.range.isDefined)
+              throw new IllegalArgumentException(
+                "CREATE supports one fixed-length relationship per path")
+            // inline endpoints with labels also create their nodes
+            path.nodes.filterNot(np => st.nodes.contains(np.name))
+              .foreach { np => nodeDeltas += nodeDelta(np, Nil, Nil, Nil) }
+            relDeltas += relDelta(path)
+          }
+        }
+    }
+
+    // ---- apply node deltas: ONE outer join on id --------------------
+    var stats = Stats(0, 0, 0, 0)
+    var vertices = g.vertices
+    val nds = nodeDeltas.result()
+    if (nds.nonEmpty) {
+      // delta is param/match-sized: materialize it eagerly so the
+      // stats counts and the standing-graph plan reference a local
+      // truncated lineage, not a recompute of the whole bind
+      val delta = nds.reduce(_ unionByName _)
+        .groupBy(col("id"))
+        .agg(first(col("dlabel"), ignoreNulls = true).as("dlabel"),
+          first(col("pat")).as("pat"),
+          first(col("oncreate")).as("oncreate"),
+          first(col("onmatch")).as("onmatch"),
+          first(col("always")).as("always"))
+        .localCheckpoint(true)
+      val existingIds = g.vertices.select(col("id"))
+      val matchedIds = delta.select(col("id"))
+        .join(existingIds, Seq("id"), "left_semi")
+      val nMatched = matchedIds.count()
+      val nTotal = delta.count()
+      // declared-key CREATE constraint: creating an existing id fails
+      val cos = createOnlyNodes.result()
+      if (cos.nonEmpty) {
+        val dup = cos.reduce(_ unionByName _)
+          .join(existingIds, Seq("id"), "left_semi").limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalStateException(
+          s"CREATE violates uniqueness: node ${dup.head.getString(0)} " +
+          "already exists (use MERGE)")
+      }
+      stats = stats + Stats(nTotal - nMatched, nMatched, 0, 0)
+      val d = delta.withColumn("__d", lit(true))
+      val e = g.vertices.withColumn("__e", lit(true))
+      vertices = e.join(d, Seq("id"), "full_outer").select(
+        col("id"),
+        coalesce(col("label"), col("dlabel")).as("label"),
+        when(col("__e").isNotNull && col("__d").isNotNull,
+            mapUpsert(mapUpsert(col("props"), col("onmatch")), col("always")))
+          .when(col("__e").isNotNull, col("props"))
+          .otherwise(mapUpsert(mapUpsert(col("pat"), col("oncreate")),
+            col("always")))
+          .as("props"))
+    }
+
+    // ---- apply relationship deltas: ONE anti join per statement ----
+    var edges = g.edges
+    val rds = relDeltas.result()
+    if (rds.nonEmpty) {
+      val delta = rds.reduce(_ unionByName _)
+        .groupBy(col("src"), col("dst"), col("rel"))
+        .agg(first(col("eprops")).as("eprops"))
+        .localCheckpoint(true)
+      val keyCols = Seq("src", "dst", "rel")
+      val created = delta.join(g.edges.select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      val nCreated = created.count()
+      stats = stats + Stats(0, 0, nCreated, delta.count() - nCreated)
+      val createdAligned =
+        if (g.edges.columns.contains("props"))
+          created.withColumnRenamed("eprops", "props")
+        else created.drop("eprops")
+      edges = g.edges.unionByName(createdAligned,
+        allowMissingColumns = true)
+    }
+
+    (PropertyGraph(vertices, edges), stats)
+  }
+}
+
+/** A writable property graph: holds the current [[PropertyGraph]] and
+  * applies Cypher WRITE statements through [[CypherWrite]] — the
+  * engine-side equivalent of the reference's Neo4j database behind
+  * its session pool (app/neo4j_pool.py:6-19). `labelKeys` declares
+  * per-label uniqueness keys (graph_constraints.py); statements are
+  * serialized (single-writer, like every sink in the engine), reads
+  * can run concurrently against the current snapshot.
+  *
+  * Each statement stacks one (broadcast) join on the standing frames;
+  * call [[compact]] periodically on long-lived stores to truncate the
+  * plan (the Bolt server does this every 32 write statements).
+  */
+final class GraphStore(initial: PropertyGraph,
+                       val labelKeys: Map[String, Seq[String]] = Map.empty) {
+  @volatile private var g: PropertyGraph = initial
+  private var writesSinceCompact = 0
+
+  def graph: PropertyGraph = g
+
+  def cypher(q: String, params: Map[String, Any] = Map.empty): DataFrame =
+    g.cypher(q, params)
+
+  /** Execute one WRITE statement (MERGE/CREATE/SET). Returns the
+    * write stats; the store's graph advances atomically. */
+  def execute(stmt: String,
+              params: Map[String, Any] = Map.empty): CypherWrite.Stats =
+    synchronized {
+      CypherParser.parseAny(stmt) match {
+        case Left(w) =>
+          val (ng, stats) = CypherWrite(g, w, params, labelKeys)
+          g = ng
+          writesSinceCompact += 1
+          if (writesSinceCompact >= 32) compact()
+          stats
+        case Right(_) => throw new IllegalArgumentException(
+          "read query passed to execute(); use cypher()")
+      }
+    }
+
+  /** Truncate the stacked write plan: materialize both frames. The
+    * frames are localCheckpoint'd (block-manager-backed); a durable
+    * store would land them via GraphExport instead. */
+  def compact(): Unit = synchronized {
+    g = PropertyGraph(g.vertices.localCheckpoint(true),
+      g.edges.localCheckpoint(true))
+    writesSinceCompact = 0
+  }
+}

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.{CypherParser, CypherWrite, GraphStore, PropertyGraph}
+
+/** Semantics of the Cypher WRITE subset (graft.cypher.CypherWrite +
+  * GraphStore): the reference's projector statement shapes executed
+  * set-wise, with MERGE idempotence (fixpoint on re-run) as the
+  * core invariant — the reference's own guarantee.
+  */
+class CypherWriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyStore(keys: Map[String, Seq[String]] = Map(
+      "Person" -> Seq("pid"), "City" -> Seq("name"))): GraphStore = {
+    val v = Seq.empty[(String, String, Map[String, String])]
+      .toDF("id", "label", "props")
+    val e = Seq.empty[(String, String, String, Map[String, String])]
+      .toDF("src", "dst", "rel", "props")
+    new GraphStore(PropertyGraph(v, e), keys)
+  }
+
+  private def propsOf(s: GraphStore, id: String): Map[String, String] = {
+    val rows = s.graph.vertices.filter(col("id") === id).collect()
+    assert(rows.length == 1, s"expected exactly one $id")
+    Option(rows.head.getMap[String, String](2)).map(_.toMap)
+      .getOrElse(Map.empty)
+  }
+
+  test("MERGE creates, then matches: fixpoint with SET update") {
+    val s = emptyStore()
+    val st1 = s.execute(
+      "MERGE (p:Person {pid: $id}) SET p.name = $name, p.age = $age",
+      Map("id" -> 7, "name" -> "ann", "age" -> 30))
+    assert((st1.nodesCreated, st1.nodesMatched) == (1L, 0L))
+    assert(propsOf(s, "Person:7") ==
+      Map("pid" -> "7", "name" -> "ann", "age" -> "30"))
+    // re-run with a changed prop: matched, props updated, no new node
+    val st2 = s.execute(
+      "MERGE (p:Person {pid: $id}) SET p.name = $name, p.age = $age",
+      Map("id" -> 7, "name" -> "ann", "age" -> 31))
+    assert((st2.nodesCreated, st2.nodesMatched) == (0L, 1L))
+    assert(propsOf(s, "Person:7") ==
+      Map("pid" -> "7", "name" -> "ann", "age" -> "31"))
+    assert(s.graph.vertices.count() == 1)
+    // exact re-run is a fixpoint
+    val before = s.graph.vertices.collect().toSeq
+    s.execute(
+      "MERGE (p:Person {pid: $id}) SET p.name = $name, p.age = $age",
+      Map("id" -> 7, "name" -> "ann", "age" -> 31))
+    assert(s.graph.vertices.collect().toSeq == before)
+  }
+
+  test("ON CREATE SET vs ON MATCH SET branch correctly") {
+    val s = emptyStore()
+    val stmt =
+      """MERGE (p:Person {pid: $id})
+         ON CREATE SET p.made = 'yes', p.touched = '0'
+         ON MATCH SET p.touched = '1'"""
+    s.execute(stmt, Map("id" -> 1))
+    assert(propsOf(s, "Person:1") ==
+      Map("pid" -> "1", "made" -> "yes", "touched" -> "0"))
+    s.execute(stmt, Map("id" -> 1))
+    assert(propsOf(s, "Person:1") ==
+      Map("pid" -> "1", "made" -> "yes", "touched" -> "1"))
+  }
+
+  test("SET x = null removes the key; += map-add upserts") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.a = 'x', p.b = 'y'")
+    s.execute("MERGE (p:Person {pid: 1}) SET p.a = null")
+    assert(propsOf(s, "Person:1") == Map("pid" -> "1", "b" -> "y"))
+    // the reference's WeatherForecast idiom: SET wf += $props
+    s.execute("MERGE (p:Person {pid: 1}) SET p += $m",
+      Map("m" -> Map("b" -> "z", "c" -> 9)))
+    assert(propsOf(s, "Person:1") ==
+      Map("pid" -> "1", "b" -> "z", "c" -> "9"))
+  }
+
+  test("MATCH ... SET updates without creating") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.seg = 'a', p.v = '1'")
+    s.execute("MERGE (p:Person {pid: 2}) SET p.seg = 'b', p.v = '1'")
+    val st = s.execute(
+      "MATCH (p:Person) WHERE p.seg = 'a' SET p.v = '2'")
+    assert((st.nodesCreated, st.nodesMatched) == (0L, 1L))
+    assert(propsOf(s, "Person:1")("v") == "2")
+    assert(propsOf(s, "Person:2")("v") == "1")
+  }
+
+  test("MATCH, MATCH ... MERGE relationship: created once, fixpoint") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1})")
+    s.execute("MERGE (c:City {name: 'oslo'})")
+    val stmt =
+      """MATCH (p:Person {pid: 1})
+         MATCH (c:City {name: 'oslo'})
+         MERGE (p)-[:LIVES_IN]->(c)"""
+    val st1 = s.execute(stmt)
+    assert((st1.relsCreated, st1.relsMatched) == (1L, 0L))
+    val st2 = s.execute(stmt)
+    assert((st2.relsCreated, st2.relsMatched) == (0L, 1L))
+    val edges = s.graph.edges.collect()
+    assert(edges.length == 1)
+    assert((edges.head.getString(0), edges.head.getString(1),
+      edges.head.getString(2)) == ("Person:1", "City:oslo", "LIVES_IN"))
+    // and the read compiler sees it
+    val read = s.cypher(
+      """MATCH (p:Person)-[:LIVES_IN]->(c:City)
+         RETURN id(p) AS p, c.name AS city""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(read.toSeq == Seq(("Person:1", "oslo")))
+  }
+
+  test("UNWIND $rows batch MERGE (the reference's batcher idiom)") {
+    val s = emptyStore()
+    val rows = Seq(
+      Map("pid" -> 1, "name" -> "ann"),
+      Map("pid" -> 2, "name" -> "bob"),
+      Map("pid" -> 3, "name" -> "cat"))
+    val st = s.execute(
+      """UNWIND $rows AS row
+         MERGE (p:Person {pid: row.pid})
+         SET p.name = row.name""",
+      Map("rows" -> rows))
+    assert((st.nodesCreated, st.nodesMatched) == (3L, 0L))
+    // replay with one change and one addition: 1 created, 3 matched
+    val st2 = s.execute(
+      """UNWIND $rows AS row
+         MERGE (p:Person {pid: row.pid})
+         SET p.name = row.name""",
+      Map("rows" -> (rows.map(_.updated("name", "upd")) :+
+        Map[String, Any]("pid" -> 4, "name" -> "dan"))))
+    assert((st2.nodesCreated, st2.nodesMatched) == (1L, 3L))
+    assert(propsOf(s, "Person:2") == Map("pid" -> "2", "name" -> "upd"))
+    assert(s.graph.vertices.count() == 4)
+  }
+
+  test("CREATE inserts; duplicate CREATE under a key fails loudly") {
+    val s = emptyStore()
+    s.execute("CREATE (p:Person {pid: 1, name: 'ann'})")
+    assert(propsOf(s, "Person:1") == Map("pid" -> "1", "name" -> "ann"))
+    val e = intercept[IllegalStateException](
+      s.execute("CREATE (p:Person {pid: 1, name: 'dup'})"))
+    assert(e.getMessage.contains("uniqueness"))
+    // CREATE with an inline relationship creates nodes + edge
+    s.execute(
+      "CREATE (a:Person {pid: 8})-[:KNOWS {since: '2020'}]->(b:Person {pid: 9})")
+    assert(s.graph.vertices.count() == 3)
+    val ed = s.graph.edges.collect().head
+    assert((ed.getString(0), ed.getString(1), ed.getString(2)) ==
+      ("Person:8", "Person:9", "KNOWS"))
+    assert(ed.getMap[String, String](3).toMap == Map("since" -> "2020"))
+  }
+
+  test("MERGE without its declared key props is rejected") {
+    val s = emptyStore()
+    val e = intercept[IllegalArgumentException](
+      s.execute("MERGE (p:Person {name: 'ann'})"))
+    assert(e.getMessage.contains("key props"))
+    val e2 = intercept[IllegalArgumentException](
+      s.execute("MERGE (p {pid: 1})")) // no label
+    assert(e2.getMessage.contains("label"))
+  }
+
+  test("undeclared label: identity from sorted pattern prop names") {
+    val s = emptyStore(keys = Map.empty)
+    s.execute("MERGE (x:Thing {b: '2', a: '1'})")
+    s.execute("MERGE (x:Thing {a: '1', b: '2'}) SET x.seen = 'y'")
+    val ids = s.graph.vertices.collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("Thing:1:2")) // sorted prop-name order: a, b
+    assert(propsOf(s, "Thing:1:2") ==
+      Map("a" -> "1", "b" -> "2", "seen" -> "y"))
+  }
+
+  test("parseAny routes reads vs writes; prop keys named 'set' survive") {
+    assert(CypherParser.parseAny("MATCH (a) RETURN id(a) AS i").isRight)
+    assert(CypherParser.parseAny("MERGE (a:L {k: 1})").isLeft)
+    assert(CypherParser.parseAny(
+      "MATCH (a) MERGE (a)-[:R]->(a)").isLeft)
+    assert(CypherParser.parseAny(
+      "MATCH (a) WHERE a.set = '1' RETURN a.create AS c").isRight)
+    assert(CypherParser.parseAny(
+      "MATCH (a:Person) SET a.x = '1'").isLeft)
+  }
+
+  test("writes require the structured props layout") {
+    val v = Seq(("A:1", "A", "{}")).toDF("id", "label", "props")
+    val e = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
+    val s = new GraphStore(PropertyGraph(v, e))
+    val err = intercept[IllegalArgumentException](
+      s.execute("MERGE (x:A {k: 1})"))
+    assert(err.getMessage.contains("structured props"))
+  }
+
+  test("Bolt server accepts writes over TCP; read-only refuses") {
+    val store = emptyStore()
+    val srv = new graft.cypher.BoltQueryServer(store)
+    try {
+      val sess = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-test", 5000)
+      try {
+        sess.run("MERGE (p:Person {pid: $id}) SET p.name = $n",
+          Map("id" -> 5, "n" -> "eve"))
+        sess.run(
+          """MATCH (p:Person {pid: 5}) MERGE (c:City {name: 'rome'})
+             MERGE (p)-[:LIVES_IN]->(c)""", Map.empty)
+        // read back THROUGH THE SAME WIRE
+        val (fields, rows) = sess.query(
+          """MATCH (p:Person)-[:LIVES_IN]->(c:City)
+             RETURN p.name AS name, c.name AS city""", Map.empty)
+        assert(fields == Seq("name", "city"))
+        assert(rows == Seq(Seq("eve", "rome")))
+      } finally sess.close()
+      assert(store.graph.vertices.count() == 2)
+    } finally srv.close()
+    // a read-only server refuses the same statement with Forbidden
+    val ro = new graft.cypher.BoltQueryServer(store.graph)
+    try {
+      val sess = new graft.sinks.bolt.BoltSocketSession(
+        ro.host, ro.port, "graft-test", 5000)
+      try {
+        val e = intercept[graft.sinks.bolt.BoltFailure](
+          sess.run("MERGE (p:Person {pid: 6})", Map.empty))
+        assert(e.code.contains("Forbidden"))
+      } finally sess.close()
+    } finally ro.close()
+  }
+
+  test("GraphStore.compact truncates the stacked plan, data intact") {
+    val s = emptyStore()
+    (1 to 5).foreach(i =>
+      s.execute(s"MERGE (p:Person {pid: $i}) SET p.v = '$i'"))
+    s.compact()
+    assert(s.graph.vertices.count() == 5)
+    assert(propsOf(s, "Person:3") == Map("pid" -> "3", "v" -> "3"))
+    // writes continue after compaction
+    s.execute("MERGE (p:Person {pid: 3}) SET p.v = 'x'")
+    assert(propsOf(s, "Person:3") == Map("pid" -> "3", "v" -> "x"))
+  }
+}
