@@ -84,6 +84,14 @@ object CypherCompiler {
     /** shortestPath bindings: path var → its length column. */
     val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val edgeHasProps: Boolean = g.edges.columns.contains("props")
+    // endpoint/rel column types, for null-padding var-length chain
+    // hop columns to a uniform union schema
+    val srcType: org.apache.spark.sql.types.DataType =
+      g.edges.schema("src").dataType
+    val dstType: org.apache.spark.sql.types.DataType =
+      g.edges.schema("dst").dataType
+    val relTypeDt: org.apache.spark.sql.types.DataType =
+      g.edges.schema("rel").dataType
 
     // Structured-props fast path: when the props column is a MapType
     // (GraphAssembly.verticesMapProps / a map-typed export), property
@@ -427,8 +435,21 @@ object CypherCompiler {
     // (hopName, typeSet) per materialized hop in THIS part, for the
     // openCypher relationship-uniqueness (trail) conditions
     val hops = scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+    // var-length expansions in THIS part: (chain hop names, typeSet).
+    // Their triple columns are RETAINED (null-padded to the upper
+    // bound) until the end of the part so uniqueness holds between a
+    // var-length chain and fixed hops, and between two var-length
+    // chains — not just inside one chain. Dropped after filtering.
+    val varHops = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Set[String])]
     var anonHop = 0
     def freshHop(): String = { anonHop += 1; s"  h$anonHop" }
+    // null-safe triple inequality: a padded (null) chain hop can never
+    // equal a real hop, so the condition stays TRUE for short chains
+    def tripleNeq(a: String, b: String): Column =
+      not(col(s"$a __src") <=> col(s"$b __src") &&
+          col(s"$a __dst") <=> col(s"$b __dst") &&
+          col(s"$a __rel") <=> col(s"$b __rel"))
 
     def bindNode(np: NodePat, joinOn: Option[Column]): Unit = {
       if (bound.contains(np.name)) {
@@ -480,9 +501,16 @@ object CypherCompiler {
                 "(openCypher binds it to a LIST; project endpoints instead)")
             // union of fixed-length chains: (start, end) per PATH —
             // no distinct, one output row per path instantiation
-            // (shortestPath collapses to min length per pair below)
+            // (shortestPath collapses to min length per pair below).
+            // For plain expansions the chain hop triples are kept
+            // (null-padded to `hi`) so end-of-part trail conditions
+            // can compare them against fixed hops / other chains;
+            // shortestPath aggregates them away (its uniqueness scope
+            // is the pattern's own single var-length edge).
+            val hopNames = (1 to hi).map(_ => freshHop())
+            val keepHops = path.shortest.isEmpty
             val chains = (lo to hi).map { k =>
-              val names = (1 to k).map(_ => freshHop())
+              val names = hopNames.take(k)
               var cf = st.edgeFrame(e.copy(name = names.head), names.head)
               (1 until k).foreach { j =>
                 val prev = names(j - 1); val cur = names(j)
@@ -495,14 +523,23 @@ object CypherCompiler {
               // be pairwise-distinct triples
               val uniq = for {
                 a <- names.indices; b <- (a + 1) until names.length
-              } yield not(col(s"${names(a)} __src") === col(s"${names(b)} __src") &&
-                          col(s"${names(a)} __dst") === col(s"${names(b)} __dst") &&
-                          col(s"${names(a)} __rel") === col(s"${names(b)} __rel"))
+              } yield tripleNeq(names(a), names(b))
               val cu = uniq.foldLeft(cf)((d, c) => d.filter(c))
               val startC = if (e.out) s"${names.head} __src" else s"${names.head} __dst"
               val endC = if (e.out) s"${names.last} __dst" else s"${names.last} __src"
-              cu.select(col(startC).as("  vstart"), col(endC).as("  vend"),
-                lit(k.toLong).as("  vdepth"))
+              val base = Seq(col(startC).as("  vstart"),
+                col(endC).as("  vend"), lit(k.toLong).as("  vdepth"))
+              val hopCols =
+                if (!keepHops) Nil
+                else hopNames.zipWithIndex.flatMap { case (n, j) =>
+                  if (j < k)
+                    Seq(col(s"$n __src"), col(s"$n __dst"), col(s"$n __rel"))
+                  else Seq(
+                    lit(null).cast(st.srcType).as(s"$n __src"),
+                    lit(null).cast(st.dstType).as(s"$n __dst"),
+                    lit(null).cast(st.relTypeDt).as(s"$n __rel"))
+                }
+              cu.select(base ++ hopCols: _*)
             }
             val unioned = chains.reduce(_ unionByName _)
             val expanded = path.shortest match {
@@ -520,21 +557,41 @@ object CypherCompiler {
               idCol(leftV) === col("  vstart")))
             bindNode(rightN, Some(col("  vend")))
             frame = frame.map(_.drop("  vstart", "  vend"))
+            if (keepHops) varHops += ((hopNames, e.types.toSet))
         }
       }
     }
-    // trail semantics ACROSS fixed hops of this part: any two hops
+    // trail semantics ACROSS the hops of this part: any two hops
     // whose type sets can overlap must be distinct edges. (Hops with
     // disjoint explicit type sets can never collide — no condition.)
+    // Three pair classes: fixed↔fixed, fixed↔var-length chain hop,
+    // chain↔chain of different var-length edges — the retained
+    // (null-padded) chain columns make the last two checkable here.
+    def mayCollide(ta: Set[String], tb: Set[String]): Boolean =
+      ta.isEmpty || tb.isEmpty || (ta intersect tb).nonEmpty
     val cross = for {
       a <- hops.indices; b <- (a + 1) until hops.length
       (na, ta) = hops(a); (nb, tb) = hops(b)
-      if ta.isEmpty || tb.isEmpty || (ta intersect tb).nonEmpty
-    } yield not(col(s"$na __src") === col(s"$nb __src") &&
-                col(s"$na __dst") === col(s"$nb __dst") &&
-                col(s"$na __rel") === col(s"$nb __rel"))
-    val framed = cross.foldLeft(frame.get)((d, c) => d.filter(c))
-    (framed, bound.toSeq)
+      if mayCollide(ta, tb)
+    } yield tripleNeq(na, nb)
+    val fixedVar = for {
+      (na, ta) <- hops
+      (vnames, vt) <- varHops
+      if mayCollide(ta, vt)
+      nb <- vnames
+    } yield tripleNeq(na, nb)
+    val varVar = for {
+      i <- varHops.indices; j <- (i + 1) until varHops.length
+      (va, ta) = varHops(i); (vb, tb) = varHops(j)
+      if mayCollide(ta, tb)
+      a <- va; b <- vb
+    } yield tripleNeq(a, b)
+    val framed = (cross ++ fixedVar ++ varVar)
+      .foldLeft(frame.get)((d, c) => d.filter(c))
+    // the chain hop columns served the trail conditions only
+    val varCols = varHops.flatMap(_._1)
+      .flatMap(n => Seq(s"$n __src", s"$n __dst", s"$n __rel"))
+    (framed.drop(varCols.toSeq: _*), bound.toSeq)
   }
 
   /** Join a compiled MATCH part onto the accumulated frame: inner on

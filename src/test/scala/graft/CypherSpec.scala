@@ -688,6 +688,32 @@ class CypherSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unterminated"))
   }
 
+  test("trail semantics hold BETWEEN var-length and fixed hops") {
+    // KNOWS cycle 1→2→3→1: for the fixed hop (a)-[:KNOWS]->(b), the
+    // 3-hop expansion from b walks the full cycle and would REUSE the
+    // fixed edge — openCypher excludes those rows. Per fixed edge the
+    // legal chains are length 1 and 2 only: 3 × 2 = 6 rows (an
+    // engine enforcing uniqueness only inside the chain returns 9).
+    val n = g.cypher(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS*1..3]->(c:Person)
+         RETURN count(*) AS n""").collect().head.getLong(0)
+    assert(n == 6L)
+    // and between two var-length chains: a self-loop satisfies both
+    // 1-hop chains only by reusing the same edge — zero rows
+    val loop = PropertyGraph(
+      Seq(("S:1", "S", "{}")).toDF("id", "label", "props"),
+      Seq(("S:1", "S:1", "R")).toDF("src", "dst", "rel"))
+    val m = loop.cypher(
+      """MATCH (x:S)-[:R*1..1]->(y:S)-[:R*1..1]->(z:S)
+         RETURN count(*) AS n""").collect().head.getLong(0)
+    assert(m == 0L)
+    // disjoint type sets still skip the condition (no false negatives)
+    val mixed = g.cypher(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)-[:LIKES*1..1]->(f)
+         RETURN count(*) AS n""").collect().head.getLong(0)
+    assert(mixed == 2L) // 1→2 then 2-LIKES->fig; 3→1 then 1-LIKES->fig
+  }
+
   test("exists() variables stay local to the predicate") {
     // the edge/path names bound inside exists() must NOT leak into
     // the outer scope: a later reference is the compiler's own
