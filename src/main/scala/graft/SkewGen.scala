@@ -114,7 +114,14 @@ object SkewGen {
       (h(22, 1000000L).cast("double") / 100.0).as("o_totalprice"),
       (lit("2024-01-01").cast("timestamp").cast("long") + h(23, 365L * 86400))
         .cast("timestamp").as("o_orderdate"),
-      concat(lit("P"), h(24, 5)).as("o_orderpriority"))
+      // testdata-shaped priority domain (round 11): the cy_* oracle
+      // sweep's `STARTS WITH '1'/'2'` predicates used to select
+      // NOTHING on the old "P0".."P4" domain, leaving those entries
+      // empty-but-agreeing at 10× — weak evidence. Same 5-way hash
+      // split, real values.
+      element_at(lit(Array("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")), (h(24, 5) + 1).cast("int"))
+        .as("o_orderpriority"))
   }
 
   def customer(spark: SparkSession, n: Long): DataFrame =
