@@ -222,7 +222,37 @@ object Queries55 {
     // entries
     bench = false)
 
+  /** DELETE lifecycle (write-surface extension — the reference is
+    * MERGE-only, but a graph store's consumer needs deletion): DETACH
+    * DELETE every BUILDING customer from the demo graph (node ids +
+    * both endpoint directions of their edges removed by broadcast
+    * anti joins — the standing graph never shuffles), prove the
+    * delete is idempotent (re-run removes nothing), then read the
+    * surviving graph back through the compiler; the oracle recomputes
+    * the exclusion relationally. */
+  val cy_delete = Q(
+    (s, dir) => {
+      val store = new graft.cypher.GraphStore(demoGraph(s, dir))
+      val del =
+        "MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' DETACH DELETE c"
+      val st1 = store.execute(del)
+      require(st1.nodesDeleted > 0 && st1.relsDeleted > 0,
+        s"expected deletions, got $st1")
+      val st2 = store.execute(del)
+      require(st2.nodesDeleted == 0 && st2.relsDeleted == 0,
+        s"DELETE replay must be a no-op, got $st2")
+      store.cypher(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN c.mktsegment AS seg, count(*) AS n
+           ORDER BY seg""")
+    },
+    Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment <> 'BUILDING'
+      GROUP BY 1 ORDER BY seg"""))
+
   val all: Map[String, Q] = Map(
+    "cy_delete" -> cy_delete,
     "cy_collect" -> cy_collect,
     "cy_collect_distinct" -> cy_collect_distinct,
     "cy_props_keys" -> cy_props_keys,

@@ -220,6 +220,14 @@ object CypherAst {
   final case class Create(paths: Seq[PathPat]) extends WriteClause
   /** `SET items` targeting MATCH-bound variables — pure update. */
   final case class SetOnly(items: Seq[SetItem]) extends WriteClause
+  /** `[DETACH] DELETE v, …` — delete MATCH-bound nodes (or edge
+    * variables: their (src,dst,rel) triples). Plain DELETE of a node
+    * with attached relationships fails loudly (Neo4j semantics);
+    * DETACH removes the attached relationships too. An extension
+    * beyond the reference (which is MERGE-only) — a real consumer of
+    * a graph store needs the full lifecycle. */
+  final case class Delete(vars: Seq[String], detach: Boolean)
+    extends WriteClause
 
   /** A write statement: optional UNWIND bindings (the batch idiom),
     * optional MATCH parts (endpoint/update binding), then 1+ write

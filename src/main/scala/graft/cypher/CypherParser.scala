@@ -139,7 +139,7 @@ object CypherParser {
     * make them property keys, labels, or map keys). */
   def parseAny(q: String): Either[WriteQuery, Query] = {
     val toks = lex(q)
-    val writeKw = Set("merge", "create", "set")
+    val writeKw = Set("merge", "create", "set", "delete", "detach", "remove")
     val isWrite = toks.zipWithIndex.exists { case (t, i) =>
       t.kind == "ident" && writeKw(t.s.toLowerCase) && (i == 0 || {
         val prev = toks(i - 1)
@@ -180,9 +180,30 @@ object CypherParser {
     var last: Option[MergeNode] = None
     def flush(): Unit = { last.foreach(clauses += _); last = None }
     var any = false
-    while (p.atKw("merge") || p.atKw("create") || p.atKw("set")) {
+    while (p.atKw("merge") || p.atKw("create") || p.atKw("set") ||
+           p.atKw("delete") || p.atKw("detach") || p.atKw("remove")) {
       any = true
-      if (p.atKw("merge")) {
+      if (p.atKw("delete") || p.atKw("detach")) {
+        flush()
+        val detach = p.atKw("detach")
+        if (detach) p.eatKw("detach")
+        p.eatKw("delete")
+        val vars = Vector.newBuilder[String]
+        vars += p.ident()
+        while (p.atOp(",")) { p.eatOp(","); vars += p.ident() }
+        clauses += Delete(vars.result(), detach)
+      } else if (p.atKw("remove")) {
+        // REMOVE v.k desugars to SET v.k = null (same map semantics)
+        flush()
+        p.eatKw("remove")
+        val items = Vector.newBuilder[SetItem]
+        def one(): SetItem = {
+          val v = p.ident(); p.eatOp("."); SetItem(v, Some(p.ident()), Lit(null))
+        }
+        items += one()
+        while (p.atOp(",")) { p.eatOp(","); items += one() }
+        clauses += SetOnly(items.result())
+      } else if (p.atKw("merge")) {
         flush()
         p.eatKw("merge")
         val pat = linearPat(p)

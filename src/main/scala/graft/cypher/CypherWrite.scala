@@ -45,14 +45,18 @@ import CypherAst._
 object CypherWrite {
 
   final case class Stats(nodesCreated: Long, nodesMatched: Long,
-                         relsCreated: Long, relsMatched: Long) {
+                         relsCreated: Long, relsMatched: Long,
+                         nodesDeleted: Long = 0L, relsDeleted: Long = 0L) {
     def +(o: Stats): Stats = Stats(nodesCreated + o.nodesCreated,
       nodesMatched + o.nodesMatched, relsCreated + o.relsCreated,
-      relsMatched + o.relsMatched)
+      relsMatched + o.relsMatched, nodesDeleted + o.nodesDeleted,
+      relsDeleted + o.relsDeleted)
     def toWireMap: Map[String, Any] = Map(
       "nodes-created" -> nodesCreated, "nodes-matched" -> nodesMatched,
       "relationships-created" -> relsCreated,
-      "relationships-matched" -> relsMatched)
+      "relationships-matched" -> relsMatched,
+      "nodes-deleted" -> nodesDeleted,
+      "relationships-deleted" -> relsDeleted)
   }
 
   private def emptyMap: Column = typedLit(Map.empty[String, String])
@@ -207,12 +211,29 @@ object CypherWrite {
     val nodeDeltas = Vector.newBuilder[DataFrame]
     val createOnlyNodes = Vector.newBuilder[DataFrame] // constraint check
     val relDeltas = Vector.newBuilder[DataFrame]
+    // deletions: node ids (plain vs detach) and edge triples
+    val plainDelIds = Vector.newBuilder[DataFrame]
+    val detachDelIds = Vector.newBuilder[DataFrame]
+    val delTriples = Vector.newBuilder[DataFrame]
     wq.clauses.foreach {
       case MergeNode(pat, onCreate, onMatch, always) =>
         nodeDeltas += nodeDelta(pat, onCreate, onMatch, always)
         if (!pat.name.startsWith("  ")) writeBound(pat.name) = idExpr(pat)._1
       case SetOnly(items) =>
         nodeDeltas += setDelta(items)
+      case Delete(vars, detach) =>
+        vars.foreach { v =>
+          if (st.nodes.contains(v)) {
+            val ids = frame
+              .select(CypherCompiler.nodeId(st, v).as("id")).distinct()
+            if (detach) detachDelIds += ids else plainDelIds += ids
+          } else if (st.edgeVars.contains(v)) {
+            delTriples += frame.select(col(s"$v __src").as("src"),
+              col(s"$v __dst").as("dst"), col(s"$v __rel").as("rel"))
+              .distinct()
+          } else throw new IllegalArgumentException(
+            s"DELETE target $v is not a bound node or relationship variable")
+        }
       case MergeRel(path) =>
         // openCypher MERGE on a relationship pattern creates missing
         // INLINE endpoints too (pattern-complete merge); bound
@@ -305,6 +326,56 @@ object CypherWrite {
         else created.drop("eprops")
       edges = g.edges.unionByName(createdAligned,
         allowMissingColumns = true)
+    }
+
+    // ---- apply deletions (after merges; one anti join per relation) -
+    val plainDel = plainDelIds.result()
+    val detachDel = detachDelIds.result()
+    val triplesDel = delTriples.result()
+    if (plainDel.nonEmpty || detachDel.nonEmpty || triplesDel.nonEmpty) {
+      val plain = plainDel.reduceOption(_ unionByName _)
+        .map(_.distinct().localCheckpoint(true))
+      val allIds = (plainDel ++ detachDel).reduceOption(_ unionByName _)
+        .map(_.distinct().localCheckpoint(true))
+      val triples = triplesDel.reduceOption(_ unionByName _)
+        .map(_.distinct().localCheckpoint(true))
+      // Neo4j semantics: plain DELETE of a node with attached
+      // relationships fails the statement (use DETACH DELETE). The
+      // probe is a delta-broadcast semi join on each endpoint.
+      plain.foreach { p =>
+        val bySrc = edges.join(broadcast(p.withColumnRenamed("id", "src")),
+          Seq("src"), "left_semi").limit(1).count()
+        val byDst = edges.join(broadcast(p.withColumnRenamed("id", "dst")),
+          Seq("dst"), "left_semi").limit(1).count()
+        if (bySrc + byDst > 0) throw new IllegalStateException(
+          "DELETE on a node with attached relationships — use DETACH DELETE")
+      }
+      val nDel = allIds.map(ids => ids.join(vertices.select(col("id")),
+        Seq("id"), "left_semi").count()).getOrElse(0L)
+      allIds.foreach { ids =>
+        vertices = vertices.join(broadcast(ids), Seq("id"), "left_anti")
+      }
+      var rDel = 0L
+      triples.foreach { t =>
+        rDel += edges.join(broadcast(t), Seq("src", "dst", "rel"),
+          "left_semi").count()
+        edges = edges.join(broadcast(t), Seq("src", "dst", "rel"),
+          "left_anti")
+      }
+      // DETACH: drop every edge touching a deleted node (both ends)
+      detachDel.reduceOption(_ unionByName _)
+        .map(_.distinct().localCheckpoint(true)).foreach { ids =>
+        val asSrc = ids.withColumnRenamed("id", "src")
+        val asDst = ids.withColumnRenamed("id", "dst")
+        rDel += edges.join(broadcast(asSrc), Seq("src"), "left_semi")
+          .unionByName(
+            edges.join(broadcast(asDst), Seq("dst"), "left_semi")
+              .join(broadcast(asSrc), Seq("src"), "left_anti"))
+          .count()
+        edges = edges.join(broadcast(asSrc), Seq("src"), "left_anti")
+          .join(broadcast(asDst), Seq("dst"), "left_anti")
+      }
+      stats = stats + Stats(0, 0, 0, 0, nDel, rDel)
     }
 
     (PropertyGraph(vertices, edges), stats)

@@ -230,6 +230,39 @@ class CypherWriteSpec extends AnyFunSuite {
     } finally ro.close()
   }
 
+  test("DELETE / DETACH DELETE / REMOVE: full lifecycle") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.a = 'x'")
+    s.execute("MERGE (p:Person {pid: 2})")
+    s.execute("MERGE (c:City {name: 'oslo'})")
+    s.execute(
+      "MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)")
+    // plain DELETE on an attached node fails loudly (Neo4j semantics)
+    val e = intercept[IllegalStateException](
+      s.execute("MATCH (p:Person {pid: 1}) DELETE p"))
+    assert(e.getMessage.contains("DETACH"))
+    // unattached node deletes fine
+    val st = s.execute("MATCH (p:Person {pid: 2}) DELETE p")
+    assert((st.nodesDeleted, st.relsDeleted) == (1L, 0L))
+    assert(s.graph.vertices.count() == 2)
+    // REMOVE drops a property
+    s.execute("MATCH (p:Person {pid: 1}) REMOVE p.a")
+    assert(propsOf(s, "Person:1") == Map("pid" -> "1"))
+    // edge-variable DELETE removes the triple, endpoints stay
+    val st2 = s.execute(
+      "MATCH (p:Person)-[r:LIVES_IN]->(c:City) DELETE r")
+    assert((st2.nodesDeleted, st2.relsDeleted) == (0L, 1L))
+    assert(s.graph.edges.count() == 0)
+    assert(s.graph.vertices.count() == 2)
+    // DETACH DELETE removes node + its relationships in one statement
+    s.execute(
+      "MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)")
+    val st3 = s.execute("MATCH (p:Person {pid: 1}) DETACH DELETE p")
+    assert((st3.nodesDeleted, st3.relsDeleted) == (1L, 1L))
+    assert(s.graph.vertices.count() == 1) // only the City remains
+    assert(s.graph.edges.count() == 0)
+  }
+
   test("GraphStore.compact truncates the stacked plan, data intact") {
     val s = emptyStore()
     (1 to 5).foreach(i =>
