@@ -251,7 +251,105 @@ object Queries55 {
       WHERE c_mktsegment <> 'BUILDING'
       GROUP BY 1 ORDER BY seg"""))
 
+  /** Streaming ingest THROUGH the Cypher write surface: the orders
+    * feed drains micro-batch by micro-batch, each batch applied as
+    * the reference's `UNWIND $rows MERGE` idiom against a
+    * [[graft.cypher.GraphStore]]; redelivery of the final batch is
+    * proven a fixpoint inside the ingest (exactly-once by MERGE
+    * idempotence — the write twin of `stream_cypher_read`). The
+    * final graph is read back through the compiler and the oracle
+    * recomputes from the complete feed, so the hash proves
+    * convergence regardless of batch boundaries. */
+  val stream_cypher_write = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty,
+        Map("Order" -> Seq("k"), "Customer" -> Seq("k")))
+      val ticks = graft.streaming.StreamingCypherIngest.ordersMergeOnce(
+        s, s"$dir/orders.parquet", store)
+      require(ticks >= 1, "stream produced no micro-batches")
+      store.cypher(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN o.status AS status, count(*) AS n,
+                  count(DISTINCT c) AS n_cust
+           ORDER BY status""")
+    },
+    Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+        COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders GROUP BY 1 ORDER BY status"""),
+    // stream-drain cost model, excluded from the bench set like every
+    // streaming runner
+    bench = false)
+
+  /** Durability: the writable store saves as the engine's terminal
+    * lake layout (gated GraphExport), reloads from disk, and the
+    * RELOADED store keeps writing — write → save → load → write →
+    * read, all through the Cypher surface; the oracle recomputes the
+    * final state relationally. */
+  val cy_store_roundtrip = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      val custRows = Tables.read(s, dir, "customer")
+        .filter(col("c_acctbal").cast("double") >= 9900.0)
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast("double").cast("string").as("acctbal"),
+          col("c_nationkey").as("nk"))
+        .collect()
+      val nations: Seq[Map[String, Any]] = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+        .collect().toSeq
+        .map(r => Map[String, Any]("k" -> r.get(0), "name" -> r.get(1)))
+      val customers: Seq[Map[String, Any]] = custRows.toSeq.map(r =>
+        Map[String, Any]("k" -> r.get(0), "acctbal" -> r.get(1),
+          "nk" -> r.get(2)))
+      val keys = Map("Customer" -> Seq("k"), "Nation" -> Seq("k"))
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, keys)
+      store.execute(
+        """UNWIND $rows AS row
+           MERGE (n:Nation {k: row.k}) SET n.name = row.name""",
+        Map("rows" -> nations))
+      store.execute(
+        """UNWIND $rows AS row
+           MERGE (c:Customer {k: row.k}) SET c.acctbal = row.acctbal""",
+        Map("rows" -> customers))
+      store.execute(
+        """UNWIND $rows AS row
+           MERGE (c:Customer {k: row.k})-[:FROM_NATION]->(n:Nation {k: row.nk})""",
+        Map("rows" -> customers))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cy_store").toString + "/graph"
+      store.save(root)
+      // reopen from disk; the loaded store must keep accepting writes
+      val re = GraphStore.load(s, root, keys)
+      re.execute(
+        """MATCH (c:Customer) WHERE toFloat(c.acctbal) >= 9990.0
+           SET c.tier = 'top'""")
+      re.cypher(
+        """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+           WHERE c.tier = 'top'
+           RETURN n.name AS nation, count(*) AS n
+           ORDER BY nation""")
+    },
+    Some("""SELECT n_name AS nation, COUNT(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(c_acctbal AS DOUBLE) >= 9990.0
+      GROUP BY 1 ORDER BY nation"""))
+
   val all: Map[String, Q] = Map(
+    "stream_cypher_write" -> stream_cypher_write,
+    "cy_store_roundtrip" -> cy_store_roundtrip,
     "cy_delete" -> cy_delete,
     "cy_collect" -> cy_collect,
     "cy_collect_distinct" -> cy_collect_distinct,

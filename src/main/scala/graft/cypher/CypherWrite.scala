@@ -422,11 +422,36 @@ final class GraphStore(initial: PropertyGraph,
     }
 
   /** Truncate the stacked write plan: materialize both frames. The
-    * frames are localCheckpoint'd (block-manager-backed); a durable
-    * store would land them via GraphExport instead. */
+    * frames are localCheckpoint'd (block-manager-backed); [[save]] is
+    * the durable form. */
   def compact(): Unit = synchronized {
     g = PropertyGraph(g.vertices.localCheckpoint(true),
       g.edges.localCheckpoint(true))
     writesSinceCompact = 0
   }
+
+  /** Persist the current graph as the engine's terminal lake layout
+    * (gated [[graft.operators.GraphExport]]: id uniqueness + no
+    * dangling endpoints enforced BEFORE any byte lands — the store's
+    * own MERGE/DETACH discipline keeps both invariants, so a gate
+    * failure means corrupted input, loudly). After save, the store
+    * reads from the durable layout: lineage truncates to
+    * label/rel-partitioned parquet scans, and a restart resumes from
+    * disk via [[GraphStore.load]]. */
+  def save(root: String): Unit = synchronized {
+    val spark = g.vertices.sparkSession
+    val (v, e) = graft.operators.GraphExport.exportGraph(
+      spark, g.vertices, g.edges, root)
+    g = PropertyGraph(v, e)
+    writesSinceCompact = 0
+  }
+}
+
+object GraphStore {
+  /** Reopen a writable store from a [[save]]d GraphExport layout. */
+  def load(spark: org.apache.spark.sql.SparkSession, root: String,
+           labelKeys: Map[String, Seq[String]] = Map.empty): GraphStore =
+    new GraphStore(PropertyGraph(
+      spark.read.parquet(s"$root/vertices"),
+      spark.read.parquet(s"$root/edges")), labelKeys)
 }
