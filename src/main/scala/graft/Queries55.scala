@@ -347,7 +347,53 @@ object Queries55 {
       WHERE CAST(c_acctbal AS DOUBLE) >= 9990.0
       GROUP BY 1 ORDER BY nation"""))
 
+  /** Cypher WRITES through the pgwire front door: the simple-query
+    * protocol carries TEXT statements only (no parameter maps), so
+    * this is the reference's literal row-at-a-time client model — one
+    * `CYPHER MERGE …` statement per nation over psql wire bytes, then
+    * a MATCH…SET update, then the read-back through the same socket.
+    * With Bolt covered by cy_write, every statement shape the
+    * reference sends now round-trips through BOTH public protocols. */
+  val cy_pgwire_write = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import graft.sources.pgwire.SparkSqlPgServer
+      import s.implicits._
+      val nations = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+        .collect()
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, Map("Nation" -> Seq("k")))
+      val srv = new SparkSqlPgServer(s, store = Some(store))
+      try {
+        nations.foreach { r =>
+          SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+            s"CYPHER MERGE (n:Nation {k: ${r.get(0)}}) " +
+            s"SET n.name = '${r.getString(1)}'")
+        }
+        SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+          "CYPHER MATCH (n:Nation) WHERE n.name ENDS WITH '3' SET n.tag = 'x'")
+        val (fields, rows) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+          """CYPHER MATCH (n:Nation)
+             RETURN n.name AS name, coalesce(n.tag, '-') AS tag
+             ORDER BY name""")
+        require(fields.map(_.name) == Seq("name", "tag"),
+          s"unexpected wire fields: $fields")
+        rows.map(r => (r(0), r(1))).toDF("name", "tag")
+      } finally srv.close()
+    },
+    Some("""SELECT n_name AS name,
+        CASE WHEN n_name LIKE '%3' THEN 'x' ELSE '-' END AS tag
+      FROM nation ORDER BY name"""),
+    // wire fixture: one socket round-trip per statement by design
+    bench = false)
+
   val all: Map[String, Q] = Map(
+    "cy_pgwire_write" -> cy_pgwire_write,
     "stream_cypher_write" -> stream_cypher_write,
     "cy_store_roundtrip" -> cy_store_roundtrip,
     "cy_delete" -> cy_delete,

@@ -44,12 +44,18 @@ import org.apache.spark.sql.types._
   * routes the remainder through [[graft.cypher.CypherCompiler]] — a
   * psql-speaking client can query the GRAPH without speaking Bolt,
   * so the same Cypher answer is provable through both wire front
-  * doors.
+  * doors. When a writable [[graft.cypher.GraphStore]] is registered
+  * instead (`store`), CYPHER WRITE statements (MERGE/CREATE/SET/
+  * DELETE) also execute — CommandComplete reports `MERGE <n>` with
+  * the write's node+relationship delta — closing the matrix: every
+  * statement shape the reference sends works through BOTH public
+  * wire protocols.
   */
 final class SparkSqlPgServer(spark: SparkSession,
                              users: Map[String, Scram.Verifier] = Map.empty,
                              graph: Option[graft.cypher.PropertyGraph] = None,
-                             allowWrites: Boolean = false) {
+                             allowWrites: Boolean = false,
+                             store: Option[graft.cypher.GraphStore] = None) {
   private val server = new ServerSocket(0, 64,
     java.net.InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -107,19 +113,39 @@ final class SparkSqlPgServer(spark: SparkSession,
     case other => other.toString
   }
 
-  /** Statement → DataFrame: `CYPHER <text>` routes to the registered
-    * graph's compiler; anything else parses as SQL and (unless
+  private sealed trait StmtResult
+  private final case class QueryResult(df: org.apache.spark.sql.DataFrame)
+    extends StmtResult
+  private final case class WriteResult(tag: String) extends StmtResult
+
+  /** Statement dispatch: `CYPHER <text>` routes to the registered
+    * graph/store (reads compile, writes execute against the store
+    * when one is registered); anything else parses as SQL and (unless
     * `allowWrites`) must be a pure query — commands and INSERTs are
     * rejected BEFORE execution, SQLSTATE 25006. */
-  private def compile(sql: String): org.apache.spark.sql.DataFrame = {
+  private def compile(sql: String): StmtResult = {
     val trimmed = sql.trim.stripSuffix(";")
     val isCypher = trimmed.length >= 6 &&
       trimmed.substring(0, 6).equalsIgnoreCase("cypher") &&
       (trimmed.length == 6 || trimmed.charAt(6).isWhitespace)
     if (isCypher) {
-      val g = graph.getOrElse(throw new IllegalArgumentException(
-        "CYPHER statement but no property graph is registered on this server"))
-      g.cypher(trimmed.substring(6).trim)
+      val text = trimmed.substring(6).trim
+      graft.cypher.CypherParser.parseAny(text) match {
+        case Left(_) =>
+          val st = store.getOrElse(throw new ReadOnlyViolation(
+            "CYPHER write statement but no writable graph store is " +
+            "registered on this server"))
+          val stats = st.execute(text)
+          WriteResult("MERGE " + (stats.nodesCreated + stats.nodesMatched +
+            stats.relsCreated + stats.relsMatched + stats.nodesDeleted +
+            stats.relsDeleted))
+        case Right(q) =>
+          val g = store.map(_.graph).orElse(graph).getOrElse(
+            throw new IllegalArgumentException(
+              "CYPHER statement but no property graph is registered " +
+              "on this server"))
+          QueryResult(graft.cypher.CypherCompiler.run(g, q))
+      }
     } else {
       if (!allowWrites) {
         import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
@@ -132,7 +158,7 @@ final class SparkSqlPgServer(spark: SparkSession,
           s"$n rejected: this server is a read-only query front door " +
           "(SELECT/WITH/VALUES only)"))
       }
-      spark.sql(trimmed)
+      QueryResult(spark.sql(trimmed))
     }
   }
 
@@ -166,18 +192,23 @@ final class SparkSqlPgServer(spark: SparkSession,
             // body: NUL-terminated SQL text
             val sql = new String(msg.body.takeWhile(_ != 0), "UTF-8")
             try {
-              val df = compile(sql)
-              val schema = df.schema
-              val fields = schema.fields.toSeq.map(f =>
-                PgWire.Field(f.name, oidOf(f.dataType)))
-              PgWire.writeRowDescription(out, fields)
-              var n = 0L
-              df.collect().foreach { r =>
-                PgWire.writeDataRow(out,
-                  Seq.tabulate(r.length)(i => cellText(r.get(i))))
-                n += 1
+              compile(sql) match {
+                case WriteResult(tag) =>
+                  // row-less command: CommandComplete only, per protocol
+                  PgWire.writeCommandComplete(out, tag)
+                case QueryResult(df) =>
+                  val schema = df.schema
+                  val fields = schema.fields.toSeq.map(f =>
+                    PgWire.Field(f.name, oidOf(f.dataType)))
+                  PgWire.writeRowDescription(out, fields)
+                  var n = 0L
+                  df.collect().foreach { r =>
+                    PgWire.writeDataRow(out,
+                      Seq.tabulate(r.length)(i => cellText(r.get(i))))
+                    n += 1
+                  }
+                  PgWire.writeCommandComplete(out, s"SELECT $n")
               }
-              PgWire.writeCommandComplete(out, s"SELECT $n")
             } catch {
               case e: ReadOnlyViolation =>
                 PgWire.writeError(out, "25006", // read_only_sql_transaction

@@ -827,6 +827,42 @@ class PgWireSpec extends AnyFunSuite {
             "CYPHER MATCH (x) RETURN id(x) AS i"))
         assert(e.getMessage.contains("no property graph"))
       } finally bare.close()
+      // a read-only graph (no store) refuses CYPHER writes
+      val e2 = intercept[IllegalStateException](
+        SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+          "CYPHER MERGE (p:Person {pid: 9})"))
+      assert(e2.getMessage.contains("25006") ||
+             e2.getMessage.contains("writable"))
+    } finally srv.close()
+  }
+
+  test("SparkSqlPgServer executes CYPHER writes against a GraphStore") {
+    import graft.sources.pgwire.SparkSqlPgServer
+    import graft.cypher.{GraphStore, PropertyGraph}
+    import spark.implicits._
+    val empty = PropertyGraph(
+      Seq.empty[(String, String, Map[String, String])]
+        .toDF("id", "label", "props"),
+      Seq.empty[(String, String, String, Map[String, String])]
+        .toDF("src", "dst", "rel", "props"))
+    val gs = new GraphStore(empty, Map("Person" -> Seq("pid")))
+    val srv = new SparkSqlPgServer(spark, store = Some(gs))
+    try {
+      // write, write, link — all as psql simple-query statements
+      SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        "CYPHER MERGE (p:Person {pid: 1}) SET p.name = 'ann'")
+      SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        "CYPHER MERGE (p:Person {pid: 2}) SET p.name = 'bob'")
+      SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        """CYPHER MATCH (a:Person {pid: 1}) MATCH (b:Person {pid: 2})
+           MERGE (a)-[:KNOWS]->(b)""")
+      // read back through the same wire
+      val (fields, rows) = SparkSqlPgServer.simpleQuery(srv.host, srv.port,
+        """CYPHER MATCH (a:Person)-[:KNOWS]->(b:Person)
+           RETURN a.name AS who, b.name AS whom""")
+      assert(fields.map(_.name) == Seq("who", "whom"))
+      assert(rows.map(_.toSeq) == Seq(Seq("ann", "bob")))
+      assert(gs.graph.vertices.count() == 2)
     } finally srv.close()
   }
 }
