@@ -392,7 +392,31 @@ object Queries55 {
     // wire fixture: one socket round-trip per statement by design
     bench = false)
 
+  /** The stats aggregates a graph consumer reaches for (openCypher
+    * stDev / percentileCont / percentileDisc) over the demo graph —
+    * per-segment balance statistics, plus legacy `exists(n.prop)` and
+    * `labels()` in the same query. percentileCont is Spark's EXACT
+    * interpolated percentile (DuckDB quantile_cont); percentileDisc
+    * is the element at ceil(f·n) of the sorted collected list. */
+  val cy_stats = Q(
+    (s, dir) => demoGraph(s, dir).cypher(
+      """MATCH (c:Customer)
+         WHERE exists(c.acctbal) AND toString(labels(c)) = '["Customer"]'
+         RETURN c.mktsegment AS seg,
+                round(stDev(toFloat(c.acctbal)), 4) AS sd,
+                percentileCont(toFloat(c.acctbal), 0.5) AS med,
+                percentileDisc(toFloat(c.acctbal), 0.25) AS q1
+         ORDER BY seg"""),
+    Some("""WITH b AS (SELECT c_mktsegment AS seg,
+          CAST(c_acctbal AS DOUBLE) AS bal FROM customer
+        WHERE c_acctbal IS NOT NULL)
+      SELECT seg, ROUND(stddev_samp(bal), 4) AS sd,
+        quantile_cont(bal, 0.5) AS med,
+        (list_sort(list(bal)))[CAST(GREATEST(ceil(0.25 * COUNT(bal)), 1) AS BIGINT)] AS q1
+      FROM b GROUP BY 1 ORDER BY seg"""))
+
   val all: Map[String, Q] = Map(
+    "cy_stats" -> cy_stats,
     "cy_pgwire_write" -> cy_pgwire_write,
     "stream_cypher_write" -> stream_cypher_write,
     "cy_store_roundtrip" -> cy_store_roundtrip,

@@ -113,6 +113,10 @@ object CypherAst {
   final case class StrFn(name: String, args: Seq[Expr]) extends Expr
   /** `type(r)` — the relationship type of an edge variable. */
   final case class TypeOf(v: String) extends Expr
+  /** `labels(v)` — openCypher's list form (the engine's graphs are
+    * single-label by construction, so this is a 1-element list;
+    * scalar `label(v)` remains the ergonomic form). */
+  final case class LabelsOf(v: String) extends Expr
   /** `keys(v)` — the SORTED property-key list of a node/edge variable
     * (openCypher leaves key order unspecified; sorted is the engine's
     * deterministic instance, same contract as collect()). */
@@ -132,7 +136,8 @@ object CypherAst {
     * node carries the nested occurrences. Invalid in WHERE (Spark
     * rejects aggregates in filters, loudly). */
   final case class AggFn(name: String, distinct: Boolean,
-                         arg: Option[Expr]) extends Expr
+                         arg: Option[Expr],
+                         extra: Option[Expr] = None) extends Expr
   /** `exists((a)-[:R]->(b))` — pattern predicate; compiles to a
     * semi-join (anti under NOT), the Cypher spelling of the
     * reference's existence guards (J6). Valid only as a WHERE

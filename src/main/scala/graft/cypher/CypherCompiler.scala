@@ -369,8 +369,25 @@ object CypherCompiler {
 
   /** Aggregate column (shared by top-level items and nested AggFn). */
   private def aggColumn(st: St, name: String, distinct: Boolean,
-                        arg: Option[Expr]): Column =
+                        arg: Option[Expr],
+                        extra: Option[Expr] = None): Column =
     (name, arg) match {
+      case ("stdev", Some(e)) => stddev_samp(exprCol(st, e))
+      case ("stdevp", Some(e)) => stddev_pop(exprCol(st, e))
+      // percentileCont: EXACT interpolated percentile (Spark's
+      // percentile aggregate — sort-based exact, matching DuckDB's
+      // quantile_cont for the oracle)
+      case ("percentilecont", Some(e)) =>
+        percentile(exprCol(st, e), exprCol(st, extra.get))
+      // percentileDisc: the smallest actual element at or above the
+      // fraction — element ceil(f·n) of the sorted collected list
+      // (exact, an aggregate composition; openCypher returns a real
+      // element here, not an interpolation)
+      case ("percentiledisc", Some(e)) =>
+        val c = exprCol(st, e)
+        val f = exprCol(st, extra.get)
+        element_at(sort_array(collect_list(c)),
+          greatest(ceil(f * count(c)), lit(1)).cast("int"))
       case ("count", None) => count(lit(1))
       case ("count", Some(e)) if distinct => countDistinct(exprCol(st, e))
       case ("count", Some(e)) => count(exprCol(st, e))
@@ -390,13 +407,13 @@ object CypherCompiler {
 
   /** Aggregate column for a RETURN/WITH item with a top-level agg. */
   private def aggCol(st: St, it: Item): Column =
-    aggColumn(st, it.agg.get, it.distinct, it.expr)
+    aggColumn(st, it.agg.get, it.distinct, it.expr, None)
 
   /** Does the item expression contain a nested aggregate? Such items
     * compile INSIDE agg() (Spark allows scalar expressions over
     * aggregates there) rather than as grouping keys. */
   private def containsAgg(e: Expr): Boolean = e match {
-    case AggFn(_, _, _) => true
+    case AggFn(_, _, _, _) => true
     case ToInt(x) => containsAgg(x)
     case ToFloat(x) => containsAgg(x)
     case Coalesce(es) => es.exists(containsAgg)
@@ -612,6 +629,7 @@ object CypherCompiler {
     case Id(v) => Set(v)
     case Var(v) => Set(v)
     case LabelOf(v) => Set(v)
+    case LabelsOf(v) => Set(v)
     case PathLen(v) => Set(v)
     case ToInt(x) => freeVars(x)
     case ToFloat(x) => freeVars(x)
@@ -624,7 +642,9 @@ object CypherCompiler {
     case CaseWhen(bs, o) =>
       bs.flatMap { case (c, v) => freeVars(c) ++ freeVars(v) }.toSet ++
         o.map(freeVars).getOrElse(Set.empty)
-    case AggFn(_, _, arg) => arg.map(freeVars).getOrElse(Set.empty)
+    case AggFn(_, _, arg, extra) =>
+      arg.map(freeVars).getOrElse(Set.empty) ++
+        extra.map(freeVars).getOrElse(Set.empty)
     case Cmp(_, l, r) => freeVars(l) ++ freeVars(r)
     case Arith(_, l, r) => freeVars(l) ++ freeVars(r)
     case IsNull(x, _) => freeVars(x)
@@ -699,7 +719,8 @@ object CypherCompiler {
     * from collect()/keys() (tracked in St.arrayVars). */
   private def yieldsList(st: St, e: Expr): Boolean = e match {
     case Keys(_) => true
-    case AggFn("collect", _, _) => true
+    case LabelsOf(_) => true
+    case AggFn("collect", _, _, _) => true
     case Var(v) => st.arrayVars.contains(v)
     case _ => false
   }
@@ -743,9 +764,14 @@ object CypherCompiler {
       if (!st.nodes.contains(v))
         throw new IllegalArgumentException(s"unbound variable $v")
       labelCol(v)
+    case LabelsOf(v) =>
+      // openCypher's list form; single-label graphs → 1-element list
+      if (!st.nodes.contains(v))
+        throw new IllegalArgumentException(s"unbound variable $v")
+      array(labelCol(v))
     case Lit(value) => lit(value)
     case Param(n) => st.paramLit(n)
-    case AggFn(name, dist, arg) => aggColumn(st, name, dist, arg)
+    case AggFn(name, dist, arg, extra) => aggColumn(st, name, dist, arg, extra)
     case ToInt(x) => exprCol(st, x).cast("long")
     case ToFloat(x) => exprCol(st, x).cast("double")
     case Coalesce(es) => coalesce(es.map(exprCol(st, _)): _*)
@@ -794,6 +820,16 @@ object CypherCompiler {
           if (yieldsList(st, args.head) || yieldsMap(st, args.head))
             to_json(a.head)
           else a.head.cast("string")
+        case "abs" => abs(a.head)
+        case "round" =>
+          // openCypher round(x) and the 2-arg precision form; the
+          // scale must be a literal (Spark's round signature)
+          if (args.length == 1) round(a.head)
+          else args(1) match {
+            case Lit(n: Long) => round(a.head, n.toInt)
+            case other => throw new IllegalArgumentException(
+              s"round() scale must be an integer literal, got $other")
+          }
         case "substring" =>
           // openCypher start is 0-BASED; Column.substr is 1-based
           val start = a(1).cast("int") + lit(1)

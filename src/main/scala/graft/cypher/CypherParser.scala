@@ -580,6 +580,12 @@ object CypherParser {
       val fname = p.ident().toLowerCase
       p.eatOp("(")
       val e = fname match {
+        case "exists" if p.peek.kind == "ident" &&
+            p.peek2.kind == "op" && p.peek2.s == "." =>
+          // legacy openCypher `exists(n.prop)` — drivers still send it;
+          // identical to `n.prop IS NOT NULL`
+          val v = p.ident(); p.eatOp(".")
+          IsNull(Prop(v, p.ident()), not = true)
         case a if aggNames(a) =>
           // aggregates are expressions (nestable: toString(collect(x)),
           // sum(a)*2); a bare top-level aggregate item normalizes back
@@ -590,11 +596,20 @@ object CypherParser {
           } else {
             val d = p.atKw("distinct")
             if (d) p.eatKw("distinct")
-            AggFn(a, d, Some(addExpr(p)))
+            val arg = addExpr(p)
+            val extra =
+              if (p.atOp(",")) { p.eatOp(","); Some(addExpr(p)) } else None
+            val needsExtra = a == "percentilecont" || a == "percentiledisc"
+            if (needsExtra && extra.isEmpty)
+              fail(p.peek.pos, s"$a() takes (expression, fraction)")
+            if (!needsExtra && extra.isDefined)
+              fail(p.peek.pos, s"$a() takes one argument")
+            AggFn(a, d, Some(arg), extra)
           }
         case "exists" => ExistsPat(linearPat(p))
         case "id" => Id(p.ident())
         case "label" | "labeloffirst" => LabelOf(p.ident())
+        case "labels" => LabelsOf(p.ident())
         case "length" => PathLen(p.ident())
         case "tointeger" => ToInt(atom(p))
         case "tofloat" => ToFloat(atom(p))
@@ -604,11 +619,12 @@ object CypherParser {
         case "keys" => Keys(p.ident())
         case "properties" => PropsOf(p.ident())
         case f @ ("tolower" | "toupper" | "trim" | "size" | "tostring" |
-                  "substring" | "replace") =>
+                  "substring" | "replace" | "round" | "abs") =>
           val args = argList(p)
           val arity = f match {
             case "substring" => 2 to 3
             case "replace" => 3 to 3
+            case "round" => 1 to 2
             case _ => 1 to 1
           }
           if (!arity.contains(args.length))
@@ -629,7 +645,8 @@ object CypherParser {
   }
 
   // ---- RETURN ----------------------------------------------------
-  private val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
+  private val aggNames = Set("count", "sum", "min", "max", "avg", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
 
   private def returnClause(p: P): Return = {
     val distinct = p.atKw("distinct")
@@ -672,8 +689,9 @@ object CypherParser {
   private def returnItem(p: P, idx: Int): Item = {
     val item = addExpr(p) match {
       // bare top-level aggregate keeps the Item.agg shape (and its
-      // default-alias convention); nested AggFns stay in the tree
-      case AggFn(name, dist, arg) =>
+      // default-alias convention); nested AggFns and two-argument
+      // aggregates (percentiles) stay in the tree
+      case AggFn(name, dist, arg, None) =>
         Item(arg, Some(name), dist, defaultAlias(name, arg, idx))
       case e =>
         Item(Some(e), None, distinct = false, defaultAlias("", Some(e), idx))

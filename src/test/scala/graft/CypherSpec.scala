@@ -714,6 +714,41 @@ class CypherSpec extends AnyFunSuite {
     assert(mixed == 2L) // 1→2 then 2-LIKES->fig; 3→1 then 1-LIKES->fig
   }
 
+  test("labels() list, exists(n.prop), stats aggregates") {
+    // labels(): openCypher's list form — 1-element on our graphs
+    val ls = g.cypher(
+      "MATCH (p:Person {name: 'ann'}) RETURN toString(labels(p)) AS ls")
+      .collect().head.getString(0)
+    assert(ls == """["Person"]""")
+    // legacy exists(n.prop) == n.prop IS NOT NULL (dan has no age)
+    val withAge = g.cypher(
+      """MATCH (p:Person) WHERE exists(p.age)
+         RETURN count(*) AS n""").collect().head.getLong(0)
+    assert(withAge == 3L)
+    // stDev / stDevP over ages 30, 25, 35
+    val sd = g.cypher(
+      """MATCH (p:Person)
+         RETURN stDev(toInteger(p.age)) AS s, stDevP(toInteger(p.age)) AS sp""")
+      .collect().head
+    assert(math.abs(sd.getDouble(0) - 5.0) < 1e-9)
+    assert(math.abs(sd.getDouble(1) - math.sqrt(50.0 / 3)) < 1e-9)
+    // percentileCont interpolates; percentileDisc returns an element
+    val pc = g.cypher(
+      """MATCH (p:Person)
+         RETURN percentileCont(toInteger(p.age), 0.5) AS med,
+                percentileDisc(toInteger(p.age), 0.5) AS dmed,
+                percentileDisc(toInteger(p.age), 1.0) AS dmax""")
+      .collect().head
+    assert(pc.getDouble(0) == 30.0)
+    assert(pc.getLong(1) == 30L)
+    assert(pc.getLong(2) == 35L)
+    // two-arg validation is loud
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (p) RETURN percentileCont(p.age) AS x"))
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (p) RETURN sum(p.age, 0.5) AS x"))
+  }
+
   test("exists() variables stay local to the predicate") {
     // the edge/path names bound inside exists() must NOT leak into
     // the outer scope: a later reference is the compiler's own
