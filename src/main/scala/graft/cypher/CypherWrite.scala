@@ -263,7 +263,15 @@ object CypherWrite {
         }
     }
 
-    // ---- apply node deltas: ONE outer join on id --------------------
+    // ---- apply node deltas: broadcast probes ONLY -------------------
+    // The standing vertex table must NEVER shuffle for a write: a
+    // full-outer join cannot broadcast a side (Spark has no broadcast
+    // full-outer hash join), so the apply is decomposed into
+    //   1. matchedIds  = existing ⋉ broadcast(deltaIds)   (one probe)
+    //   2. updated     = existing ⟕ broadcast(delta)      (one probe)
+    //   3. created     = delta ▷ broadcast(matchedIds)    (tiny ⋈ tiny)
+    // — two broadcast-probe passes over the standing table, zero
+    // exchanges on it (CypherWriteSpec pins the plan shape).
     var stats = Stats(0, 0, 0, 0)
     var vertices = g.vertices
     val nds = nodeDeltas.result()
@@ -280,34 +288,39 @@ object CypherWrite {
           first(col("always")).as("always"))
         .localCheckpoint(true)
       val existingIds = g.vertices.select(col("id"))
-      val matchedIds = delta.select(col("id"))
-        .join(existingIds, Seq("id"), "left_semi")
+      val matchedIds = existingIds
+        .join(broadcast(delta.select(col("id"))), Seq("id"), "left_semi")
+        .localCheckpoint(true)
       val nMatched = matchedIds.count()
       val nTotal = delta.count()
       // declared-key CREATE constraint: creating an existing id fails
       val cos = createOnlyNodes.result()
       if (cos.nonEmpty) {
-        val dup = cos.reduce(_ unionByName _)
-          .join(existingIds, Seq("id"), "left_semi").limit(1).collect()
+        val dup = existingIds
+          .join(broadcast(cos.reduce(_ unionByName _)), Seq("id"),
+            "left_semi")
+          .limit(1).collect()
         if (dup.nonEmpty) throw new IllegalStateException(
           s"CREATE violates uniqueness: node ${dup.head.getString(0)} " +
           "already exists (use MERGE)")
       }
       stats = stats + Stats(nTotal - nMatched, nMatched, 0, 0)
-      val d = delta.withColumn("__d", lit(true))
-      val e = g.vertices.withColumn("__e", lit(true))
-      vertices = e.join(d, Seq("id"), "full_outer").select(
-        col("id"),
-        coalesce(col("label"), col("dlabel")).as("label"),
-        when(col("__e").isNotNull && col("__d").isNotNull,
+      val d = broadcast(delta.withColumn("__d", lit(true)))
+      val updated = g.vertices.join(d, Seq("id"), "left_outer").select(
+        col("id"), col("label"),
+        when(col("__d").isNotNull,
             mapUpsert(mapUpsert(col("props"), col("onmatch")), col("always")))
-          .when(col("__e").isNotNull, col("props"))
-          .otherwise(mapUpsert(mapUpsert(col("pat"), col("oncreate")),
-            col("always")))
+          .otherwise(col("props"))
           .as("props"))
+      val created = delta
+        .join(broadcast(matchedIds), Seq("id"), "left_anti")
+        .select(col("id"), col("dlabel").as("label"),
+          mapUpsert(mapUpsert(col("pat"), col("oncreate")), col("always"))
+            .as("props"))
+      vertices = updated.unionByName(created)
     }
 
-    // ---- apply relationship deltas: ONE anti join per statement ----
+    // ---- apply relationship deltas: same broadcast-probe shape -----
     var edges = g.edges
     val rds = relDeltas.result()
     if (rds.nonEmpty) {
@@ -316,8 +329,14 @@ object CypherWrite {
         .agg(first(col("eprops")).as("eprops"))
         .localCheckpoint(true)
       val keyCols = Seq("src", "dst", "rel")
-      val created = delta.join(g.edges.select(keyCols.map(col): _*),
-        keyCols, "left_anti")
+      // which delta triples already exist: one broadcast probe over
+      // the standing edges, output bounded by the delta size
+      val matchedTriples = g.edges.select(keyCols.map(col): _*)
+        .join(broadcast(delta.select(keyCols.map(col): _*)), keyCols,
+          "left_semi")
+        .localCheckpoint(true)
+      val created = delta.join(broadcast(matchedTriples), keyCols,
+        "left_anti")
       val nCreated = created.count()
       stats = stats + Stats(0, 0, nCreated, delta.count() - nCreated)
       val createdAligned =

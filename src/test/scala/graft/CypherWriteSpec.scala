@@ -263,6 +263,24 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(s.graph.edges.count() == 0)
   }
 
+  test("the standing graph never shuffles for a write (plan-pinned)") {
+    // a MERGE's apply must be broadcast probes over the standing
+    // vertex/edge tables: no SortMergeJoin, no ShuffledHashJoin, and
+    // no Exchange hashing the full tables (a full-outer formulation
+    // would SMJ-shuffle the 100 TB side on every statement)
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.a = 'x'")
+    s.execute("MERGE (p:Person {pid: 2})")
+    s.execute(
+      """MATCH (a:Person {pid: 1}) MATCH (b:Person {pid: 2})
+         MERGE (a)-[:KNOWS]->(b)""")
+    val vPlan = s.graph.vertices.queryExecution.executedPlan.toString
+    val ePlan = s.graph.edges.queryExecution.executedPlan.toString
+    assert(vPlan.contains("BroadcastHashJoin"), vPlan)
+    assert(!vPlan.contains("SortMergeJoin"), vPlan)
+    assert(!ePlan.contains("SortMergeJoin"), ePlan)
+  }
+
   test("GraphStore.compact truncates the stacked plan, data intact") {
     val s = emptyStore()
     (1 to 5).foreach(i =>
