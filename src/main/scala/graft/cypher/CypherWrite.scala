@@ -130,7 +130,12 @@ object CypherWrite {
     }
 
     /** One node-delta row set: (id, dlabel, pat, oncreate, onmatch,
-      * always) per frame row, deduplicated by id. */
+      * always) per frame row, deduplicated by id. Contract: rows of
+      * one statement targeting the SAME id must carry the same SET
+      * values (first() picks the survivor otherwise) — the batch
+      * idiom is one row per key, which is what the reference's
+      * batcher produces; Neo4j's sequential row application is not
+      * reproduced within a single set-wise statement. */
     def nodeDelta(np: NodePat, onCreate: Seq[SetItem], onMatch: Seq[SetItem],
                   always: Seq[SetItem]): DataFrame = {
       val (id, label, _) = idExpr(np)
