@@ -415,7 +415,97 @@ object Queries55 {
         (list_sort(list(bal)))[CAST(GREATEST(ceil(0.25 * COUNT(bal)), 1) AS BIGINT)] AS q1
       FROM b GROUP BY 1 ORDER BY seg"""))
 
+  /** The reference's WeatherDay projector, replayed VERBATIM against
+    * the engine: the daily roll-up computes distributed (the
+    * reference's upstream "fetch_daily"), then each station-day runs
+    * the EXACT statement sequence of graph_weather_day.py:230-257 —
+    * `MERGE (wd:WeatherDay { station_serial: $serial, date:
+    * datetime($dt) })`, the per-measurement backquoted SET, and the
+    * Station→WeatherDay edge MERGE — over genuine Bolt TCP with the
+    * reference's datetime component-map params (app/utils.py:45-57).
+    * Read-back through the compiler, oracle recomputed relationally:
+    * the hash proves an unmodified consumer of the reference could
+    * point their projector at this engine and get the same graph. */
+  val cy_ref_weather = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      // bounded window: one station, first 10 days — the statement
+      // sequence is row-at-a-time BY REFERENCE DESIGN (3 wire
+      // statements per station-day), so the fixture bounds the day
+      // count, not the per-day data volume
+      val daily = Tables.read(s, dir, "events")
+        .filter(col("user_id") === 1L &&
+          col("ts") < lit("2024-01-11").cast("timestamp"))
+        .groupBy(col("user_id").as("station"),
+          to_date(col("ts")).as("date"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          (sum(col("value").cast("decimal(27,8)")).cast("double") /
+            count(col("value"))).cast("double").as("vavg"),
+          sum(col("value").cast("decimal(27,8)")).cast("double").as("vsum"))
+        .collect()
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, Map(
+        "Station" -> Seq("serial_number"),
+        "WeatherDay" -> Seq("station_serial", "date")))
+      val srv = new graft.cypher.BoltQueryServer(store)
+      try {
+        val sess = new graft.sinks.bolt.BoltSocketSession(
+          srv.host, srv.port, "graft-entry", 30000)
+        try {
+          sess.run(
+            "MERGE (st:Station {serial_number: $serial}) SET st.label = $label",
+            Map("serial" -> "S1", "label" -> "station 1"))
+          daily.foreach { r =>
+            val serial = s"S${r.getLong(0)}"
+            val dt = graft.sinks.CypherSink.datetimeParams(
+              r.getDate(1).getTime * 1000L)
+            sess.run(
+              "MERGE (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })",
+              Map("serial" -> serial, "dt" -> dt))
+            sess.run(
+              """MATCH (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })
+                 SET wd.`value_min`  = $min,
+                     wd.`value_max`  = $max,
+                     wd.`value_avg`  = $avg,
+                     wd.`value_sum`  = $sum""",
+              Map("serial" -> serial, "dt" -> dt, "min" -> r.getDouble(2),
+                "max" -> r.getDouble(3), "avg" -> r.getDouble(4),
+                "sum" -> r.getDouble(5)))
+            sess.run(
+              """MATCH (s:Station { serial_number: $serial })
+                 MATCH (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })
+                 MERGE (s)-[:HAS_WEATHER_DAY]->(wd)""",
+              Map("serial" -> serial, "dt" -> dt))
+          }
+        } finally sess.close()
+      } finally srv.close()
+      store.cypher(
+        """MATCH (st:Station)-[:HAS_WEATHER_DAY]->(wd:WeatherDay)
+           RETURN id(st) AS station, wd.date AS date,
+                  toFloat(wd.`value_min`) AS vmin,
+                  toFloat(wd.`value_max`) AS vmax,
+                  toFloat(wd.`value_avg`) AS vavg,
+                  toFloat(wd.`value_sum`) AS vsum
+           ORDER BY station, date""")
+    },
+    Some("""SELECT 'Station:S' || CAST(user_id AS VARCHAR) AS station,
+        strftime(CAST(ts AS DATE), '%Y-%m-%d') || 'T00:00:00' AS date,
+        MIN(value) AS vmin, MAX(value) AS vmax,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS vavg,
+        CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS vsum
+      FROM events
+      WHERE user_id = 1 AND ts < TIMESTAMP '2024-01-11'
+      GROUP BY 1, 2 ORDER BY station, date"""),
+    // row-at-a-time wire replay by reference design: not a batch plan
+    bench = false)
+
   val all: Map[String, Q] = Map(
+    "cy_ref_weather" -> cy_ref_weather,
     "cy_stats" -> cy_stats,
     "cy_pgwire_write" -> cy_pgwire_write,
     "stream_cypher_write" -> stream_cypher_write,

@@ -113,6 +113,15 @@ object CypherAst {
   final case class StrFn(name: String, args: Seq[Expr]) extends Expr
   /** `type(r)` — the relationship type of an edge variable. */
   final case class TypeOf(v: String) extends Expr
+  /** `datetime(e)` / `date(e)` — Neo4j temporal constructors over a
+    * $param (the reference sends a component map
+    * {year,month,day,hour,minute,second[,timezone]},
+    * app/utils.py:45-57, in MERGE patterns and SET values) or an ISO
+    * string. The engine's props are strings, so these render the
+    * CANONICAL ISO text at compile time (params resolve at compile
+    * time) — making the reference's verbatim projector statements
+    * executable against the engine's servers. */
+  final case class TemporalFn(kind: String, e: Expr) extends Expr
   /** `labels(v)` — openCypher's list form (the engine's graphs are
     * single-label by construction, so this is a 1-element list;
     * scalar `label(v)` remains the ergonomic form). */

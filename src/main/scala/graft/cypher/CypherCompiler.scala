@@ -63,6 +63,40 @@ object CypherCompiler {
   private def labelCol(v: String) = col(s"$v __label")
   private def propsCol(v: String) = col(s"$v __props")
 
+  /** Canonical ISO render of a Neo4j temporal constructor's argument:
+    * the reference's component map (app/utils.py:45-57, ints for
+    * year…second plus an optional `timezone` offset string) →
+    * `yyyy-MM-ddTHH:mm:ss[±offset]`; ISO text passes through;
+    * timestamps render from the instant. String-typed props are the
+    * engine's graph contract, so a temporal IS its canonical text. */
+  private[graft] def renderTemporal(kind: String, v: Any): String = v match {
+    case null => null
+    case s: String => s
+    case m: scala.collection.Map[_, _] =>
+      val mm = m.map { case (k, x) => String.valueOf(k) -> x }
+      def i(k: String, d: Int): Int = mm.get(k).map {
+        case n: Number => n.intValue
+        case s: String => s.toInt
+        case other => throw new IllegalArgumentException(
+          s"temporal component $k must be a number, got $other")
+      }.getOrElse(d)
+      val date = f"${i("year", 0)}%04d-${i("month", 1)}%02d-${i("day", 1)}%02d"
+      if (kind == "date") date
+      else {
+        val t = f"${i("hour", 0)}%02d:${i("minute", 0)}%02d:${i("second", 0)}%02d"
+        val tz = mm.get("timezone").map(String.valueOf).getOrElse("")
+        s"${date}T$t$tz"
+      }
+    case t: java.sql.Timestamp =>
+      val s = t.toInstant.toString.stripSuffix("Z")
+      if (kind == "date") s.take(10) else s
+    case d: java.sql.Date =>
+      if (kind == "date") d.toString else s"${d}T00:00:00"
+    case other => throw new IllegalArgumentException(
+      s"$kind() takes a component map, ISO string or timestamp, " +
+      s"got ${other.getClass.getSimpleName}")
+  }
+
   /** Per-query compile state: which variables are bound, and which
     * edge-variable hops exist per MATCH part (for trail semantics).
     * `private[cypher]`: the write compiler ([[CypherWrite]]) binds its
@@ -114,8 +148,19 @@ object CypherCompiler {
     def constCol(e: Expr): Column = e match {
       case Lit(value) => lit(value)
       case Param(n) => paramLit(n)
+      case TemporalFn(kind, inner) =>
+        lit(renderTemporal(kind, constValue(inner)))
       case other => throw new IllegalArgumentException(
         s"prop map value must be a literal or $$param, got $other")
+    }
+
+    /** Raw compile-time value of a literal/param expression. */
+    def constValue(e: Expr): Any = e match {
+      case Lit(value) => value
+      case Param(n) => params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing query parameter $$$n"))
+      case other => throw new IllegalArgumentException(
+        s"expected a literal or $$param, got $other")
     }
 
     def nodeFrame(np: NodePat): DataFrame = {
@@ -771,6 +816,8 @@ object CypherCompiler {
       array(labelCol(v))
     case Lit(value) => lit(value)
     case Param(n) => st.paramLit(n)
+    case TemporalFn(kind, inner) =>
+      lit(renderTemporal(kind, st.constValue(inner)))
     case AggFn(name, dist, arg, extra) => aggColumn(st, name, dist, arg, extra)
     case ToInt(x) => exprCol(st, x).cast("long")
     case ToFloat(x) => exprCol(st, x).cast("double")

@@ -451,7 +451,18 @@ object CypherParser {
       p.eatOp(":")
       val v: Expr =
         if (p.peek.kind == "param") Param(p.next().s)
-        else if (p.peek.kind == "ident" && p.peek2.kind == "op" &&
+        else if (p.peek.kind == "ident" &&
+                 Set("datetime", "date")(p.peek.s.toLowerCase) &&
+                 p.peek2.kind == "op" && p.peek2.s == "(") {
+          // `{date: datetime($dt)}` — the reference's MERGE-pattern
+          // idiom (e.g. graph_weather_day.py:230)
+          val k = p.ident().toLowerCase
+          p.eatOp("(")
+          val inner =
+            if (p.peek.kind == "param") Param(p.next().s) else literal(p)
+          p.eatOp(")")
+          TemporalFn(k, inner)
+        } else if (p.peek.kind == "ident" && p.peek2.kind == "op" &&
                  p.peek2.s == "." &&
                  !Set("true", "false", "null")(p.peek.s.toLowerCase)) {
           // `{pid: row.pid}` — a property/field reference (the batch
@@ -610,6 +621,7 @@ object CypherParser {
         case "id" => Id(p.ident())
         case "label" | "labeloffirst" => LabelOf(p.ident())
         case "labels" => LabelsOf(p.ident())
+        case k @ ("datetime" | "date") => TemporalFn(k, addExpr(p))
         case "length" => PathLen(p.ident())
         case "tointeger" => ToInt(atom(p))
         case "tofloat" => ToFloat(atom(p))

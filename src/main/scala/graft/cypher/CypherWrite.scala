@@ -438,7 +438,14 @@ final class GraphStore(initial: PropertyGraph,
           val (ng, stats) = CypherWrite(g, w, params, labelKeys)
           g = ng
           writesSinceCompact += 1
-          if (writesSinceCompact >= 32) compact()
+          // each statement stacks one broadcast join AND one union on
+          // the standing frames; past a handful of layers the
+          // ANALYSIS/codegen cost of every subsequent probe grows
+          // super-linearly (measured: a 90-statement row-at-a-time
+          // replay crawled at compaction=32). Eight keeps row-at-a-
+          // time wire clients linear; batched UNWIND statements (the
+          // scale path) rarely stack past two or three.
+          if (writesSinceCompact >= 8) compact()
           stats
         case Right(_) => throw new IllegalArgumentException(
           "read query passed to execute(); use cypher()")

@@ -281,6 +281,59 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(!ePlan.contains("SortMergeJoin"), ePlan)
   }
 
+  test("the reference's VERBATIM WeatherDay statements execute") {
+    // the exact projector text from /root/reference/app/
+    // graph_weather_day.py:230-257 (with the f-string `{base}`
+    // interpolated to a concrete measurement name, as the reference
+    // itself does before sending) and graph_stations.py's Station
+    // MERGE — byte-for-byte what an unmodified consumer of the
+    // reference would point at this engine, datetime($dt) component
+    // maps included (app/utils.py:45-57; the same maps the engine's
+    // own CypherSink emits)
+    val s = emptyStore(keys = Map(
+      "Station" -> Seq("serial_number"),
+      "WeatherDay" -> Seq("station_serial", "date")))
+    val dt = graft.sinks.CypherSink.datetimeParams(
+      java.sql.Timestamp.valueOf("2024-03-05 00:00:00").getTime * 1000L)
+    s.execute("MERGE (st:Station {serial_number: $serial}) SET st.label = $label",
+      Map("serial" -> "S1", "label" -> "north field"))
+    s.execute(
+      "MERGE (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })",
+      Map("serial" -> "S1", "dt" -> dt))
+    s.execute(
+      """MATCH (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })
+         SET wd.`temp`      = $val,
+             wd.`temp_min`  = $min,
+             wd.`temp_max`  = $max,
+             wd.`temp_avg`  = $avg,
+             wd.`temp_sum`  = $sum""",
+      Map("serial" -> "S1", "dt" -> dt, "val" -> 21.5, "min" -> 12.0,
+        "max" -> 29.5, "avg" -> 21.5, "sum" -> 86.0))
+    s.execute(
+      """MATCH (s:Station { serial_number: $serial })
+         MATCH (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })
+         MERGE (s)-[:HAS_WEATHER_DAY]->(wd)""",
+      Map("serial" -> "S1", "dt" -> dt))
+    // the canonical temporal render is the id AND the key prop
+    assert(propsOf(s, "WeatherDay:S1:2024-03-05T00:00:00") == Map(
+      "station_serial" -> "S1", "date" -> "2024-03-05T00:00:00",
+      "temp" -> "21.5", "temp_min" -> "12.0", "temp_max" -> "29.5",
+      "temp_avg" -> "21.5", "temp_sum" -> "86.0"))
+    val read = s.cypher(
+      """MATCH (st:Station)-[:HAS_WEATHER_DAY]->(wd:WeatherDay)
+         RETURN id(st) AS st, wd.date AS date,
+                toFloat(wd.`temp_max`) AS tmax""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(read.toSeq == Seq(("Station:S1", "2024-03-05T00:00:00", 29.5)))
+    // a timezone-carrying component map renders the offset
+    assert(graft.cypher.CypherCompiler.renderTemporal("datetime",
+      Map("year" -> 2024, "month" -> 7, "day" -> 1, "hour" -> 9,
+        "minute" -> 30, "second" -> 0, "timezone" -> "+03:00"))
+      == "2024-07-01T09:30:00+03:00")
+    assert(graft.cypher.CypherCompiler.renderTemporal("date",
+      Map("year" -> 2024, "month" -> 7, "day" -> 1)) == "2024-07-01")
+  }
+
   test("GraphStore.compact truncates the stacked plan, data intact") {
     val s = emptyStore()
     (1 to 5).foreach(i =>
