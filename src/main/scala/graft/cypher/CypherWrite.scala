@@ -188,6 +188,10 @@ object CypherWrite {
       val edge = path.edges.head
       if (edge.types.size != 1) throw new IllegalArgumentException(
         "relationship MERGE/CREATE needs exactly one type")
+      if (edge.props.nonEmpty && !g.edges.columns.contains("props"))
+        throw new IllegalArgumentException(
+          s"relationship props on [:${edge.types.head}] but the edge " +
+          "table has no props column — the write would silently drop them")
       def endpoint(np: NodePat): Column =
         if (st.nodes.contains(np.name)) {
           if (np.label.isDefined || np.props.nonEmpty)
