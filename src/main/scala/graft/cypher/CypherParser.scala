@@ -143,7 +143,10 @@ object CypherParser {
     val isWrite = toks.zipWithIndex.exists { case (t, i) =>
       t.kind == "ident" && writeKw(t.s.toLowerCase) && (i == 0 || {
         val prev = toks(i - 1)
-        !(prev.kind == "op" && Set(".", ":", "{", ",")(prev.s))
+        // a keyword after . : { , ( [ is a prop key, label, map key,
+        // or a VARIABLE named `set`/`create`/… inside a pattern — the
+        // write clauses themselves never follow those tokens
+        !(prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s))
       })
     }
     if (isWrite) {

@@ -95,8 +95,16 @@ object CypherWrite {
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"MERGE on :$label must bind its key props ${keyCols.mkString(", ")} " +
         s"(missing: ${missing.mkString(", ")})")
-      val id = concat_ws(":",
-        (lit(label) +: keyCols.map(k => expr(np.props(k)).cast("string"))): _*)
+      // a null key value would silently collapse into a malformed id
+      // (concat_ws skips nulls) — raise at delta materialization
+      // instead: zero cost on the non-null path, loud on bad data
+      val keyVals = keyCols.map { k =>
+        val c = expr(np.props(k)).cast("string")
+        when(c.isNull, raise_error(
+          lit(s"null key prop $k in MERGE/CREATE on :$label")))
+          .otherwise(c)
+      }
+      val id = concat_ws(":", (lit(label) +: keyVals): _*)
       (id, label, keyCols)
     }
 

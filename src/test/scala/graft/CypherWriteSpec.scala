@@ -176,6 +176,21 @@ class CypherWriteSpec extends AnyFunSuite {
       Map("a" -> "1", "b" -> "2", "seen" -> "y"))
   }
 
+  test("null key props fail loudly; variables named like keywords read") {
+    val s = emptyStore()
+    val e = intercept[Exception](
+      s.execute("MERGE (p:Person {pid: $id}) SET p.x = '1'",
+        Map("id" -> null)))
+    assert(String.valueOf(e.getMessage).contains("null key prop") ||
+           Option(e.getCause).exists(
+             c => String.valueOf(c.getMessage).contains("null key prop")),
+      s"unexpected: $e")
+    // a variable named `set`/`create` inside a pattern is a READ
+    assert(CypherParser.parseAny("MATCH (set) RETURN id(set) AS i").isRight)
+    assert(CypherParser.parseAny(
+      "MATCH (a)-[create:R]->(b) RETURN type(create) AS t").isRight)
+  }
+
   test("parseAny routes reads vs writes; prop keys named 'set' survive") {
     assert(CypherParser.parseAny("MATCH (a) RETURN id(a) AS i").isRight)
     assert(CypherParser.parseAny("MERGE (a:L {k: 1})").isLeft)
