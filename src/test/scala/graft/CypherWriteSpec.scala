@@ -340,6 +340,23 @@ class CypherWriteSpec extends AnyFunSuite {
                 toFloat(wd.`temp_max`) AS tmax""")
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(read.toSeq == Seq(("Station:S1", "2024-03-05T00:00:00", 29.5)))
+    // the reference's range-MATCH idiom (range_to_neo_params,
+    // utils.py:66-70): datetime() bounds in WHERE — canonical ISO
+    // text compares chronologically as strings
+    val dt2 = graft.sinks.CypherSink.datetimeParams(
+      java.sql.Timestamp.valueOf("2024-03-09 00:00:00").getTime * 1000L)
+    s.execute(
+      "MERGE (wd:WeatherDay { station_serial: $serial, date: datetime($dt) })",
+      Map("serial" -> "S1", "dt" -> dt2))
+    val inRange = s.cypher(
+      """MATCH (wd:WeatherDay)
+         WHERE wd.date >= datetime($start) AND wd.date < datetime($end)
+         RETURN wd.date AS d ORDER BY d""",
+      Map(
+        "start" -> Map("year" -> 2024, "month" -> 3, "day" -> 1),
+        "end" -> Map("year" -> 2024, "month" -> 3, "day" -> 8)))
+      .collect().map(_.getString(0))
+    assert(inRange.toSeq == Seq("2024-03-05T00:00:00"))
     // a timezone-carrying component map renders the offset
     assert(graft.cypher.CypherCompiler.renderTemporal("datetime",
       Map("year" -> 2024, "month" -> 7, "day" -> 1, "hour" -> 9,
