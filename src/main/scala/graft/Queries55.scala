@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cypher.PropertyGraph
 import graft.sources.Tables
 import Queries.Q
-import Queries54.demoGraph
+import Queries54.{demoGraph, stagedDemo}
 
 /** Batch 55 (round 11): the Cypher surface's round-10 verdict items —
   * `collect()` (openCypher's most idiomatic aggregate),
@@ -25,7 +25,7 @@ object Queries55 {
     * list columns — the JSON text is the stable wire/oracle form, and
     * proving THE STRING proves the sorted-list contract exactly). */
   val cy_collect = Q(
-    (s, dir) => demoGraph(s, dir).cypher(
+    (s, dir) => stagedDemo(s, dir).cypher(
       """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
          WHERE toFloat(c.acctbal) >= 9900.0
          WITH n.name AS nation, collect(c.name) AS names
@@ -42,7 +42,7 @@ object Queries55 {
     * distinct order-priority list per order status — a set-valued
     * group profile, sorted by the engine's determinism contract. */
   val cy_collect_distinct = Q(
-    (s, dir) => demoGraph(s, dir).cypher(
+    (s, dir) => stagedDemo(s, dir).cypher(
       """MATCH (c:Customer)-[:PLACED]->(o:Order)
          WHERE c.mktsegment = 'BUILDING'
          RETURN o.orderstatus AS status,
@@ -62,7 +62,7 @@ object Queries55 {
     * demoGraph, so the text is deterministic and the oracle rebuilds
     * it character-for-character). */
   val cy_props_keys = Q(
-    (s, dir) => demoGraph(s, dir).cypher(
+    (s, dir) => stagedDemo(s, dir).cypher(
       """MATCH (o:Order) WHERE o.orderstatus = 'P'
          RETURN toString(keys(o)) AS ks, count(*) AS n,
                 min(toString(properties(o))) AS first_props"""),
@@ -85,7 +85,7 @@ object Queries55 {
     * the hash proves graph → compile → execute → BOTH codecs. */
   val cy_pgwire_cypher = Q(
     (s, dir) => {
-      val g = demoGraph(s, dir)
+      val g = stagedDemo(s, dir)
       val cypherText =
         """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
            WHERE c.mktsegment = 'MACHINERY'
@@ -232,7 +232,7 @@ object Queries55 {
     * the exclusion relationally. */
   val cy_delete = Q(
     (s, dir) => {
-      val store = new graft.cypher.GraphStore(demoGraph(s, dir))
+      val store = new graft.cypher.GraphStore(stagedDemo(s, dir))
       val del =
         "MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' DETACH DELETE c"
       val st1 = store.execute(del)
@@ -399,7 +399,7 @@ object Queries55 {
     * interpolated percentile (DuckDB quantile_cont); percentileDisc
     * is the element at ceil(f·n) of the sorted collected list. */
   val cy_stats = Q(
-    (s, dir) => demoGraph(s, dir).cypher(
+    (s, dir) => stagedDemo(s, dir).cypher(
       """MATCH (c:Customer)
          WHERE exists(c.acctbal) AND toString(labels(c)) = '["Customer"]'
          RETURN c.mktsegment AS seg,

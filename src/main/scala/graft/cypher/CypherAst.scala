@@ -63,11 +63,16 @@ object CypherAst {
                            props: Map[String, Expr])
 
   /** One relationship hop. `types` empty = any type; `range` =
-    * Some((m, n)) for `*m..n`. `out=true` is `-[…]->`, else
-    * `<-[…]-`. */
+    * Some((m, n)) for `*m..n` (open forms `[*]` / `[*..n]` / `[*m..]`
+    * fill the missing bound with 1 / [[CypherParser.DefaultHopCap]];
+    * `[*n]` is the fixed length n). `out=true` is `-[…]->`, else
+    * `<-[…]-`; `undirected=true` is `-[…]-` (matches the stored edge
+    * in EITHER direction — compiled as a union of both orientations,
+    * never an OR-join; `out` is meaningless then). */
   final case class EdgePat(name: String, types: Seq[String],
                            out: Boolean, range: Option[(Int, Int)],
-                           props: Map[String, Expr])
+                           props: Map[String, Expr],
+                           undirected: Boolean = false)
 
   /** A linear pattern `n0 e0 n1 e1 n2 …`. `shortest` = Some(pathVar)
     * for `p = shortestPath((a)-[:R*m..n]->(b))` — exactly one
@@ -225,9 +230,21 @@ object CypherAst {
   final case class MergeNode(pat: NodePat, onCreate: Seq[SetItem],
                              onMatch: Seq[SetItem],
                              always: Seq[SetItem]) extends WriteClause
-  /** `MERGE (a)-[:R {props}]->(b)` — relationship upsert between
-    * bound endpoints; identity is the (src, dst, rel) triple. */
-  final case class MergeRel(path: PathPat) extends WriteClause
+  /** `MERGE (a)-[r:R {props}]->(b) [ON CREATE SET r.…] [ON MATCH SET
+    * r.…]` — relationship upsert between bound endpoints; identity is
+    * the (src, dst, rel) TRIPLE, never the props. Pattern props are
+    * SET-ON-CREATE (the same contract as node MERGE's non-key props):
+    * a triple that already exists matches regardless of its stored
+    * props and the pattern's props are NOT applied — openCypher would
+    * instead create a parallel relationship on a props mismatch, which
+    * this graph model cannot represent (MERGE-idempotent assembly
+    * dedupes on the triple). Use ON MATCH SET to update a matched
+    * relationship's props; a trailing plain SET targeting the edge
+    * variable folds into `always` (applied to matched AND created). */
+  final case class MergeRel(path: PathPat,
+                            onCreate: Seq[SetItem] = Nil,
+                            onMatch: Seq[SetItem] = Nil,
+                            always: Seq[SetItem] = Nil) extends WriteClause
   /** `CREATE pattern, …` — plain creation (nodes and/or single-hop
     * relationships); violating a declared uniqueness key fails the
     * statement loudly, like Neo4j under a constraint. */

@@ -188,6 +188,32 @@ object CypherCompiler {
         (if (edgeHasProps) Seq(col("props").as(s"$hop __eprops")) else Nil)
       filtered.select(cols: _*)
     }
+
+    /** [[edgeFrame]] plus explicit TRAVERSAL columns `__from`/`__to`:
+      * for a directed hop they alias the stored endpoints per the
+      * arrow; for an UNDIRECTED hop (`-[…]-`) the frame is the union
+      * of both orientations — an ordinary equi-join shape, never an
+      * OR-join (which would nested-loop at scale). The stored
+      * `__src`/`__dst`/`__rel` columns keep the edge's true identity
+      * regardless of traversal direction, so trail uniqueness and
+      * DELETE on the edge variable stay orientation-independent. A
+      * self-loop is emitted once (the flipped copy filters src=dst),
+      * matching openCypher's one-row-per-relationship contract. */
+    def edgeFrameDir(e: EdgePat, hop: String): DataFrame = {
+      val ef = edgeFrame(e, hop)
+      val (srcC, dstC) = (col(s"$hop __src"), col(s"$hop __dst"))
+      if (!e.undirected) {
+        val (f, t) = if (e.out) (srcC, dstC) else (dstC, srcC)
+        ef.withColumn(s"$hop __from", f).withColumn(s"$hop __to", t)
+      } else {
+        val fwd = ef.withColumn(s"$hop __from", srcC)
+          .withColumn(s"$hop __to", dstC)
+        val bwd = ef.filter(srcC =!= dstC)
+          .withColumn(s"$hop __from", dstC)
+          .withColumn(s"$hop __to", srcC)
+        fwd.unionByName(bwd)
+      }
+    }
   }
 
   /** Entry points for the write compiler ([[CypherWrite]]): fresh
@@ -548,14 +574,14 @@ object CypherCompiler {
         val rightN = path.nodes(i + 1)
         e.range match {
           case None =>
-            val ef = st.edgeFrame(e, e.name)
+            val ef = st.edgeFrameDir(e, e.name)
             st.edgeVars += e.name
             hops += ((e.name, e.types.toSet))
             val (fromSide, toSide) =
-              if (e.out) (s"${e.name} __src", s"${e.name} __dst")
-              else (s"${e.name} __dst", s"${e.name} __src")
+              (s"${e.name} __from", s"${e.name} __to")
             frame = Some(frame.get.join(ef, idCol(leftV) === col(fromSide)))
             bindNode(rightN, Some(col(toSide)))
+            frame = frame.map(_.drop(fromSide, toSide))
           case Some((lo, hi)) =>
             if (!e.name.startsWith("  "))
               throw new IllegalArgumentException(
@@ -573,22 +599,21 @@ object CypherCompiler {
             val keepHops = path.shortest.isEmpty
             val chains = (lo to hi).map { k =>
               val names = hopNames.take(k)
-              var cf = st.edgeFrame(e.copy(name = names.head), names.head)
+              var cf = st.edgeFrameDir(e.copy(name = names.head), names.head)
               (1 until k).foreach { j =>
                 val prev = names(j - 1); val cur = names(j)
-                val ef = st.edgeFrame(e.copy(name = cur), cur)
-                val prevEnd = if (e.out) s"$prev __dst" else s"$prev __src"
-                val curStart = if (e.out) s"$cur __src" else s"$cur __dst"
-                cf = cf.join(ef, col(prevEnd) === col(curStart))
+                val ef = st.edgeFrameDir(e.copy(name = cur), cur)
+                cf = cf.join(ef, col(s"$prev __to") === col(s"$cur __from"))
               }
               // trail semantics inside the chain: same-type hops must
-              // be pairwise-distinct triples
+              // be pairwise-distinct triples (stored orientation — an
+              // undirected chain cannot re-walk an edge backwards)
               val uniq = for {
                 a <- names.indices; b <- (a + 1) until names.length
               } yield tripleNeq(names(a), names(b))
               val cu = uniq.foldLeft(cf)((d, c) => d.filter(c))
-              val startC = if (e.out) s"${names.head} __src" else s"${names.head} __dst"
-              val endC = if (e.out) s"${names.last} __dst" else s"${names.last} __src"
+              val startC = s"${names.head} __from"
+              val endC = s"${names.last} __to"
               val base = Seq(col(startC).as("  vstart"),
                 col(endC).as("  vend"), lit(k.toLong).as("  vdepth"))
               val hopCols =

@@ -140,14 +140,25 @@ object CypherParser {
   def parseAny(q: String): Either[WriteQuery, Query] = {
     val toks = lex(q)
     val writeKw = Set("merge", "create", "set", "delete", "detach", "remove")
-    val isWrite = toks.zipWithIndex.exists { case (t, i) =>
-      t.kind == "ident" && writeKw(t.s.toLowerCase) && (i == 0 || {
-        val prev = toks(i - 1)
-        // a keyword after . : { , ( [ is a prop key, label, map key,
-        // or a VARIABLE named `set`/`create`/… inside a pattern — the
-        // write clauses themselves never follow those tokens
-        !(prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s))
-      })
+    // a keyword after . : { , ( [ is a prop key, label, map key, or a
+    // VARIABLE named `set`/`return`/… inside a pattern — clause
+    // keywords never follow those tokens
+    def clausePos(i: Int): Boolean = i == 0 || {
+      val prev = toks(i - 1)
+      !(prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s))
+    }
+    // Statement-kind rule: in THIS grammar every read query ends in a
+    // RETURN clause and no write statement contains one — so one
+    // clause-position RETURN token decides READ, regardless of any
+    // `set`/`create`/`delete` identifiers used as variables or aliases
+    // elsewhere (`MATCH (set:X) RETURN set.name`, `RETURN n.a AS set`).
+    // Only with no RETURN anywhere does a clause-position write
+    // keyword route the statement to the write parser.
+    val isRead = toks.zipWithIndex.exists { case (t, i) =>
+      t.kind == "ident" && t.s.equalsIgnoreCase("return") && clausePos(i)
+    }
+    val isWrite = !isRead && toks.zipWithIndex.exists { case (t, i) =>
+      t.kind == "ident" && writeKw(t.s.toLowerCase) && clausePos(i)
     }
     if (isWrite) {
       val p = new P(toks)
@@ -180,7 +191,10 @@ object CypherParser {
       matches += MatchPart(paths.result(), optional = false, where)
     }
     val clauses = Vector.newBuilder[WriteClause]
-    var last: Option[MergeNode] = None
+    // the most recent MERGE clause, held open so a following plain SET
+    // that targets only its bound variable folds into it (the
+    // reference's `MERGE … SET …` idiom — node and relationship form)
+    var last: Option[WriteClause] = None
     def flush(): Unit = { last.foreach(clauses += _); last = None }
     var any = false
     while (p.atKw("merge") || p.atKw("create") || p.atKw("set") ||
@@ -210,23 +224,27 @@ object CypherParser {
         flush()
         p.eatKw("merge")
         val pat = linearPat(p)
-        if (pat.edges.isEmpty) {
-          var onCreate = Seq.empty[SetItem]
-          var onMatch = Seq.empty[SetItem]
-          while (p.atKw("on")) {
-            p.eatKw("on")
-            if (p.atKw("create")) {
-              p.eatKw("create"); p.eatKw("set"); onCreate ++= setItems(p)
-            } else {
-              p.eatKw("match"); p.eatKw("set"); onMatch ++= setItems(p)
-            }
+        var onCreate = Seq.empty[SetItem]
+        var onMatch = Seq.empty[SetItem]
+        while (p.atKw("on")) {
+          p.eatKw("on")
+          if (p.atKw("create")) {
+            p.eatKw("create"); p.eatKw("set"); onCreate ++= setItems(p)
+          } else {
+            p.eatKw("match"); p.eatKw("set"); onMatch ++= setItems(p)
           }
+        }
+        if (pat.edges.isEmpty) {
           last = Some(MergeNode(pat.nodes.head, onCreate, onMatch, Nil))
         } else {
           if (pat.edges.length != 1 || pat.edges.head.range.isDefined)
             fail(p.peek.pos,
               "MERGE supports one fixed-length relationship per clause")
-          clauses += MergeRel(pat)
+          if (pat.edges.head.undirected)
+            fail(p.peek.pos,
+              "MERGE on an undirected relationship is ambiguous — " +
+              "write patterns need a direction")
+          last = Some(MergeRel(pat, onCreate, onMatch, Nil))
         }
       } else if (p.atKw("create")) {
         flush()
@@ -238,11 +256,15 @@ object CypherParser {
       } else {
         p.eatKw("set")
         val items = setItems(p)
-        // a plain SET whose every item targets the just-MERGEd node
-        // folds into that MERGE (the reference's `MERGE … SET …`)
+        // a plain SET whose every item targets the just-MERGEd node or
+        // relationship folds into that MERGE (the reference's
+        // `MERGE … SET …`)
         last match {
-          case Some(mn) if items.forall(_.v == mn.pat.name) =>
+          case Some(mn: MergeNode) if items.forall(_.v == mn.pat.name) =>
             last = Some(mn.copy(always = mn.always ++ items))
+          case Some(mr: MergeRel)
+              if items.forall(_.v == mr.path.edges.head.name) =>
+            last = Some(mr.copy(always = mr.always ++ items))
           case _ =>
             flush()
             clauses += SetOnly(items)
@@ -397,15 +419,27 @@ object CypherParser {
     NodePat(name, label, props)
   }
 
+  /** Default upper hop bound for open-range var-length patterns
+    * (`[*]`, `[*m..]`): the expansion machinery is a UNION of
+    * fixed-length join chains, so an explicit cap is what makes the
+    * consumer idioms executable — a truly unbounded `[*]` over 100 TB
+    * is a query bug, and Neo4j consumers cap traversals in practice
+    * anyway. Eight hops covers every diameter in the engine's graph
+    * shapes (the demo/assembly graphs bottom out at 2-3); queries that
+    * genuinely need more write the bound explicitly (`[*1..12]`). */
+  val DefaultHopCap: Int = 8
+
   private def edgePat(p: P): EdgePat = {
-    // '<' '-' '[' … ']' '-'   |   '-' '[' … ']' '-' '>'
+    // '<' '-' '[' … ']' '-'  |  '-' '[' … ']' '-' '>'  |  '-[…]-'
     val in = p.atOp("<")
     if (in) { p.eatOp("<"); p.eatOp("-") } else p.eatOp("-")
-    // bare edge `-->` / `<--` (no bracket part)
+    // bare edge `-->` / `<--` / `--` (no bracket part)
     if (!p.atOp("[")) {
       p.eatOp("-")
-      if (!in) p.eatOp(">")
-      return EdgePat(p.freshName("e"), Nil, out = !in, None, Map.empty)
+      val out = !in && p.atOp(">")
+      if (out) p.eatOp(">")
+      return EdgePat(p.freshName("e"), Nil, out = out || in == false,
+        None, Map.empty, undirected = !in && !out)
     }
     p.eatOp("[")
     val name = if (p.peek.kind == "ident") p.ident() else p.freshName("e")
@@ -421,16 +455,23 @@ object CypherParser {
     val range =
       if (p.atOp("*")) {
         p.eatOp("*")
-        val lo = p.next() match {
+        def intTok(what: String): Int = p.next() match {
           case Tok("int", s, _) => s.toInt
-          case t => fail(t.pos,
-            "variable-length needs an explicit bounded range *m..n")
+          case t => fail(t.pos, s"expected $what")
         }
-        p.eatOp("..")
-        val hi = p.next() match {
-          case Tok("int", s, _) => s.toInt
-          case t => fail(t.pos, "expected upper bound after '..'")
-        }
+        val r =
+          if (p.atOp("]") || p.atOp("{")) (1, DefaultHopCap) // [*]
+          else if (p.atOp("..")) { // [*..n]
+            p.eatOp(".."); (1, intTok("upper bound after '..'"))
+          } else {
+            val lo = intTok("hop count after '*'")
+            if (p.atOp("..")) {
+              p.eatOp("..")
+              if (p.peek.kind == "int") (lo, intTok("upper bound")) // [*m..n]
+              else (lo, math.max(lo, DefaultHopCap)) // [*m..]
+            } else (lo, lo) // [*n] — exactly n hops
+          }
+        val (lo, hi) = r
         if (lo < 1 || hi < lo)
           fail(p.peek.pos, s"bad variable-length range *$lo..$hi")
         Some((lo, hi))
@@ -441,8 +482,8 @@ object CypherParser {
     val out = p.atOp(">")
     if (out) p.eatOp(">")
     if (in && out) fail(p.peek.pos, "edge cannot be both <- and ->")
-    if (!in && !out) fail(p.peek.pos, "undirected edges not supported")
-    EdgePat(name, types.result(), out, range, props)
+    EdgePat(name, types.result(), out = out || in == false, range, props,
+      undirected = !in && !out)
   }
 
   private def propMap(p: P): Map[String, Expr] = {

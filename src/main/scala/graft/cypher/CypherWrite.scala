@@ -165,22 +165,45 @@ object CypherWrite {
           first(col("always")).as("always"))
     }
 
-    /** SET on a MATCH-bound node variable: update-only delta. */
-    def setDelta(items: Seq[SetItem]): DataFrame = {
-      val byVar = items.groupBy(_.v)
-      byVar.map { case (v, its) =>
-        if (!st.nodes.contains(v)) throw new IllegalArgumentException(
-          s"SET target $v is not a bound node variable")
-        frame.select(CypherCompiler.nodeId(st, v).as("id"),
-            lit(null).cast("string").as("dlabel"), emptyMap.as("pat"),
-            emptyMap.as("oncreate"), emptyMap.as("onmatch"),
-            setMap(its).as("always"))
-          .groupBy(col("id"))
-          .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
-            first(col("oncreate")).as("oncreate"),
-            first(col("onmatch")).as("onmatch"),
-            first(col("always")).as("always"))
-      }.reduce(_ unionByName _)
+    /** SET on a MATCH-bound node variable: update-only node delta. */
+    def nodeSetDelta(v: String, its: Seq[SetItem]): DataFrame =
+      frame.select(CypherCompiler.nodeId(st, v).as("id"),
+          lit(null).cast("string").as("dlabel"), emptyMap.as("pat"),
+          emptyMap.as("oncreate"), emptyMap.as("onmatch"),
+          setMap(its).as("always"))
+        .groupBy(col("id"))
+        .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
+          first(col("oncreate")).as("oncreate"),
+          first(col("onmatch")).as("onmatch"),
+          first(col("always")).as("always"))
+
+    /** Raise unless the standing edge table can hold relationship
+      * props (a structured map column) — otherwise a rel-prop write
+      * would silently drop them. */
+    def requireEdgeProps(what: String): Unit = {
+      if (!g.edges.columns.contains("props"))
+        throw new IllegalArgumentException(
+          s"$what but the edge table has no props column — the write " +
+          "would silently drop them")
+      if (!g.edges.schema("props").dataType.isInstanceOf[MapType])
+        throw new IllegalArgumentException(
+          s"$what but the edge props column is not map<string,string> " +
+          "— relationship-prop writes require the structured layout")
+    }
+
+    /** SET on a MATCH-bound relationship variable: update-only edge
+      * delta keyed by the (src, dst, rel) triple. */
+    def edgeSetDelta(v: String, its: Seq[SetItem]): DataFrame = {
+      requireEdgeProps(s"SET on relationship variable $v")
+      frame.select(col(s"$v __src").as("src"), col(s"$v __dst").as("dst"),
+          col(s"$v __rel").as("rel"), emptyMap.as("eprops"),
+          emptyMap.as("eoncreate"), emptyMap.as("eonmatch"),
+          setMap(its).as("ealways"))
+        .groupBy(col("src"), col("dst"), col("rel"))
+        .agg(first(col("eprops")).as("eprops"),
+          first(col("eoncreate")).as("eoncreate"),
+          first(col("eonmatch")).as("eonmatch"),
+          first(col("ealways")).as("ealways"))
     }
 
     /** Relationship delta (src, dst, rel, eprops) from a single-hop
@@ -192,14 +215,24 @@ object CypherWrite {
     // can reference them without a MATCH round-trip
     val writeBound = scala.collection.mutable.Map.empty[String, Column]
 
-    def relDelta(path: PathPat): DataFrame = {
+    def relDelta(path: PathPat, onCreate: Seq[SetItem] = Nil,
+                 onMatch: Seq[SetItem] = Nil,
+                 always: Seq[SetItem] = Nil): DataFrame = {
       val edge = path.edges.head
       if (edge.types.size != 1) throw new IllegalArgumentException(
         "relationship MERGE/CREATE needs exactly one type")
-      if (edge.props.nonEmpty && !g.edges.columns.contains("props"))
-        throw new IllegalArgumentException(
-          s"relationship props on [:${edge.types.head}] but the edge " +
-          "table has no props column — the write would silently drop them")
+      if (edge.undirected) throw new IllegalArgumentException(
+        "an undirected relationship in a write pattern is ambiguous — " +
+        "MERGE/CREATE need a direction")
+      if (edge.props.nonEmpty || onCreate.nonEmpty || onMatch.nonEmpty ||
+          always.nonEmpty)
+        requireEdgeProps(s"relationship props on [:${edge.types.head}]")
+      // ON CREATE/ON MATCH/plain SET items must target the pattern's
+      // own edge variable (the only relationship this clause binds)
+      (onCreate ++ onMatch ++ always).foreach { si =>
+        if (si.v != edge.name) throw new IllegalArgumentException(
+          s"SET target ${si.v} is not this MERGE's relationship variable")
+      }
       def endpoint(np: NodePat): Column =
         if (st.nodes.contains(np.name)) {
           if (np.label.isDefined || np.props.nonEmpty)
@@ -219,25 +252,56 @@ object CypherWrite {
         else map(edge.props.toSeq.flatMap { case (k, e) =>
           Seq(lit(k), expr(e).cast("string")) }: _*)
       frame.select(endpoint(from).as("src"), endpoint(to).as("dst"),
-          lit(edge.types.head).as("rel"), eprops.as("eprops"))
+          lit(edge.types.head).as("rel"), eprops.as("eprops"),
+          setMap(onCreate).as("eoncreate"), setMap(onMatch).as("eonmatch"),
+          setMap(always).as("ealways"))
         .groupBy(col("src"), col("dst"), col("rel"))
-        .agg(first(col("eprops")).as("eprops"))
+        .agg(first(col("eprops")).as("eprops"),
+          first(col("eoncreate")).as("eoncreate"),
+          first(col("eonmatch")).as("eonmatch"),
+          first(col("ealways")).as("ealways"))
     }
 
     // ---- collect deltas across the statement's clauses -------------
     val nodeDeltas = Vector.newBuilder[DataFrame]
     val createOnlyNodes = Vector.newBuilder[DataFrame] // constraint check
     val relDeltas = Vector.newBuilder[DataFrame]
+    // do any rel deltas update MATCHED edges (ON MATCH / plain SET)?
+    // false keeps the historical append-only edge apply (one probe)
+    var edgeUpdates = false
     // deletions: node ids (plain vs detach) and edge triples
     val plainDelIds = Vector.newBuilder[DataFrame]
     val detachDelIds = Vector.newBuilder[DataFrame]
     val delTriples = Vector.newBuilder[DataFrame]
+    /** Inline endpoints of an edge-path write pattern that are not
+      * statement-bound create their nodes (pattern-complete MERGE /
+      * CREATE); bound endpoints are left untouched. Returns the node
+      * deltas so CREATE can add them to the uniqueness check. */
+    def inlineEndpoints(path: PathPat): Seq[DataFrame] =
+      path.nodes.filter(np => !st.nodes.contains(np.name) &&
+          !writeBound.contains(np.name) &&
+          (np.label.isDefined || np.props.nonEmpty))
+        .map { np =>
+          val d = nodeDelta(np, Nil, Nil, Nil)
+          nodeDeltas += d
+          // a named, labeled inline endpoint is recomputable — later
+          // clauses in this statement may reference it bare
+          if (!np.name.startsWith("  ")) writeBound(np.name) = idExpr(np)._1
+          d
+        }
     wq.clauses.foreach {
       case MergeNode(pat, onCreate, onMatch, always) =>
         nodeDeltas += nodeDelta(pat, onCreate, onMatch, always)
         if (!pat.name.startsWith("  ")) writeBound(pat.name) = idExpr(pat)._1
       case SetOnly(items) =>
-        nodeDeltas += setDelta(items)
+        items.groupBy(_.v).foreach { case (v, its) =>
+          if (st.nodes.contains(v)) nodeDeltas += nodeSetDelta(v, its)
+          else if (st.edgeVars.contains(v)) {
+            relDeltas += edgeSetDelta(v, its)
+            edgeUpdates = true
+          } else throw new IllegalArgumentException(
+            s"SET target $v is not a bound node or relationship variable")
+        }
       case Delete(vars, detach) =>
         vars.foreach { v =>
           if (st.nodes.contains(v)) {
@@ -251,15 +315,10 @@ object CypherWrite {
           } else throw new IllegalArgumentException(
             s"DELETE target $v is not a bound node or relationship variable")
         }
-      case MergeRel(path) =>
-        // openCypher MERGE on a relationship pattern creates missing
-        // INLINE endpoints too (pattern-complete merge); bound
-        // endpoints are left untouched
-        path.nodes.filter(np => !st.nodes.contains(np.name) &&
-            !writeBound.contains(np.name) &&
-            (np.label.isDefined || np.props.nonEmpty))
-          .foreach(np => nodeDeltas += nodeDelta(np, Nil, Nil, Nil))
-        relDeltas += relDelta(path)
+      case MergeRel(path, onCreate, onMatch, always) =>
+        inlineEndpoints(path)
+        if (onMatch.nonEmpty || always.nonEmpty) edgeUpdates = true
+        relDeltas += relDelta(path, onCreate, onMatch, always)
       case Create(paths) =>
         paths.foreach { path =>
           if (path.edges.isEmpty) {
@@ -272,9 +331,12 @@ object CypherWrite {
             if (path.edges.length != 1 || path.edges.head.range.isDefined)
               throw new IllegalArgumentException(
                 "CREATE supports one fixed-length relationship per path")
-            // inline endpoints with labels also create their nodes
-            path.nodes.filterNot(np => st.nodes.contains(np.name))
-              .foreach { np => nodeDeltas += nodeDelta(np, Nil, Nil, Nil) }
+            // CREATE-always-creates: an inline endpoint whose id
+            // already exists violates the declared uniqueness exactly
+            // like the node-only CREATE form — loud, never a silent
+            // MERGE fallback
+            inlineEndpoints(path).foreach(d =>
+              createOnlyNodes += d.select(col("id")))
             relDeltas += relDelta(path)
           }
         }
@@ -338,12 +400,20 @@ object CypherWrite {
     }
 
     // ---- apply relationship deltas: same broadcast-probe shape -----
+    // Delta rows of one statement targeting the SAME triple keep the
+    // first survivor's maps (the node-delta contract); the parser's
+    // SET folding puts the common `MERGE …-[r]-… SET r.…` shape in ONE
+    // delta row, so the survivor rule only bites on genuinely
+    // conflicting multi-clause statements.
     var edges = g.edges
     val rds = relDeltas.result()
     if (rds.nonEmpty) {
       val delta = rds.reduce(_ unionByName _)
         .groupBy(col("src"), col("dst"), col("rel"))
-        .agg(first(col("eprops")).as("eprops"))
+        .agg(first(col("eprops")).as("eprops"),
+          first(col("eoncreate")).as("eoncreate"),
+          first(col("eonmatch")).as("eonmatch"),
+          first(col("ealways")).as("ealways"))
         .localCheckpoint(true)
       val keyCols = Seq("src", "dst", "rel")
       // which delta triples already exist: one broadcast probe over
@@ -358,9 +428,26 @@ object CypherWrite {
       stats = stats + Stats(0, 0, nCreated, delta.count() - nCreated)
       val createdAligned =
         if (g.edges.columns.contains("props"))
-          created.withColumnRenamed("eprops", "props")
-        else created.drop("eprops")
-      edges = g.edges.unionByName(createdAligned,
+          created.select(col("src"), col("dst"), col("rel"),
+            mapUpsert(mapUpsert(col("eprops"), col("eoncreate")),
+              col("ealways")).as("props"))
+        else created.select(keyCols.map(col): _*)
+      // ON MATCH SET / SET r.… updates: one broadcast left-outer probe
+      // over the standing edges (matched triples get props ⊕ onmatch ⊕
+      // always) — skipped entirely for the historical append-only
+      // statements, whose standing-edge pass stays a bare union
+      val base =
+        if (!edgeUpdates) g.edges
+        else {
+          val d = broadcast(delta.withColumn("__d", lit(true)))
+          g.edges.join(d, keyCols, "left_outer").select(
+            col("src"), col("dst"), col("rel"),
+            when(col("__d").isNotNull,
+                mapUpsert(mapUpsert(col("props"), col("eonmatch")),
+                  col("ealways")))
+              .otherwise(col("props")).as("props"))
+        }
+      edges = base.unionByName(createdAligned,
         allowMissingColumns = true)
     }
 
@@ -375,14 +462,31 @@ object CypherWrite {
         .map(_.distinct().localCheckpoint(true))
       val triples = triplesDel.reduceOption(_ unionByName _)
         .map(_.distinct().localCheckpoint(true))
+      val detachIds = detachDel.reduceOption(_ unionByName _)
+        .map(_.distinct().localCheckpoint(true))
       // Neo4j semantics: plain DELETE of a node with attached
       // relationships fails the statement (use DETACH DELETE). The
-      // probe is a delta-broadcast semi join on each endpoint.
+      // probe is a delta-broadcast semi join on each endpoint, run
+      // against the edges REMAINING after this same statement's
+      // relationship deletions (explicit edge variables and
+      // detach-scoped edges) — so the standard Neo4j idiom
+      // `MATCH (a)-[r:R]->(b) DELETE r, a` succeeds when r covers all
+      // of a's relationships.
       plain.foreach { p =>
-        val bySrc = edges.join(broadcast(p.withColumnRenamed("id", "src")),
-          Seq("src"), "left_semi").limit(1).count()
-        val byDst = edges.join(broadcast(p.withColumnRenamed("id", "dst")),
-          Seq("dst"), "left_semi").limit(1).count()
+        val afterTriples = triples.fold(edges)(t =>
+          edges.join(broadcast(t), Seq("src", "dst", "rel"), "left_anti"))
+        val probeEdges = detachIds.fold(afterTriples)(ids =>
+          afterTriples
+            .join(broadcast(ids.withColumnRenamed("id", "src")),
+              Seq("src"), "left_anti")
+            .join(broadcast(ids.withColumnRenamed("id", "dst")),
+              Seq("dst"), "left_anti"))
+        val bySrc = probeEdges
+          .join(broadcast(p.withColumnRenamed("id", "src")),
+            Seq("src"), "left_semi").limit(1).count()
+        val byDst = probeEdges
+          .join(broadcast(p.withColumnRenamed("id", "dst")),
+            Seq("dst"), "left_semi").limit(1).count()
         if (bySrc + byDst > 0) throw new IllegalStateException(
           "DELETE on a node with attached relationships — use DETACH DELETE")
       }
@@ -399,8 +503,7 @@ object CypherWrite {
           "left_anti")
       }
       // DETACH: drop every edge touching a deleted node (both ends)
-      detachDel.reduceOption(_ unionByName _)
-        .map(_.distinct().localCheckpoint(true)).foreach { ids =>
+      detachIds.foreach { ids =>
         val asSrc = ids.withColumnRenamed("id", "src")
         val asDst = ids.withColumnRenamed("id", "dst")
         rDel += edges.join(broadcast(asSrc), Seq("src"), "left_semi")

@@ -52,9 +52,9 @@ class CypherSpec extends AnyFunSuite {
 
   test("parser: rejects unbounded and malformed input with positions") {
     val bad = Seq(
-      "MATCH (a)-[*]->(b) RETURN a",              // unbounded var-length
+      "MATCH (a)-[:R*0..2]->(b) RETURN a",        // zero lower bound
       "MATCH (a)-[:R*2..1]->(b) RETURN a",        // inverted range
-      "MATCH (a)-[r]-(b) RETURN a",               // undirected
+      "MATCH (a)-[:R*..]->(b) RETURN a",          // dangling '..'
       "MATCH (a RETURN a",                        // unclosed node
       "RETURN 1",                                 // no MATCH
       "OPTIONAL MATCH (a) RETURN a",              // leading OPTIONAL
@@ -497,7 +497,7 @@ class CypherSpec extends AnyFunSuite {
         srv.host, srv.port, "graft-spec", 5000)
       try {
         val e = intercept[graft.sinks.bolt.BoltFailure](
-          bad.query("MATCH (a)-[*]->(b) RETURN a"))
+          bad.query("MATCH (a)-[:R*2..1]->(b) RETURN a"))
         assert(e.code.contains("SyntaxError"))
       } finally bad.close()
       // fresh connection still works after another's failure
@@ -747,6 +747,86 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (p) RETURN percentileCont(p.age) AS x"))
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (p) RETURN sum(p.age, 0.5) AS x"))
+  }
+
+  test("undirected edges: union of both orientations, never an OR-join") {
+    // ann's KNOWS edges regardless of direction: out 1→2 (bob) and
+    // in 3→1 (cat)
+    val out = g.cypher(
+      """MATCH (a:Person {name: 'ann'})-[:KNOWS]-(b)
+         RETURN b.name AS who ORDER BY who""")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("bob", "cat"))
+    // every stored KNOWS edge is traversable both ways: 3 edges → 6
+    val n = g.cypher(
+      "MATCH (a:Person)-[:KNOWS]-(b:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 6L)
+    // the edge variable keeps its STORED identity under either
+    // traversal: type() works and the triple is orientation-free
+    val t = g.cypher(
+      """MATCH (a:Person {name: 'cat'})-[r]-(b)
+         RETURN type(r) AS t, count(*) AS n ORDER BY t""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t.toSeq == Seq(("KNOWS", 2L))) // 2→3 in, 3→1 out
+    // bare `--` parses as an anonymous undirected hop
+    val bare = g.cypher(
+      "MATCH (a:Person {name: 'ann'})--(b) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(bare == 3L) // bob, cat via KNOWS; fig via LIKES
+    // a self-loop is matched ONCE, not twice (openCypher: one row per
+    // relationship)
+    val v2 = Seq(("A:1", "A", "{}"), ("A:2", "A", "{}"))
+      .toDF("id", "label", "props")
+    val e2 = Seq(("A:1", "A:1", "R"), ("A:1", "A:2", "R"))
+      .toDF("src", "dst", "rel")
+    val loops = PropertyGraph(v2, e2).cypher(
+      "MATCH (a:A)-[:R]-(b) RETURN id(a) AS a, id(b) AS b ORDER BY a, b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(loops.toSeq ==
+      Seq(("A:1", "A:1"), ("A:1", "A:2"), ("A:2", "A:1")))
+  }
+
+  test("open-range var-length: [*] / [*..n] / [*m..] / [*n]") {
+    def range(q: String) = CypherParser.parse(q)
+      .matches.head.paths.head.edges.head.range
+    val cap = CypherParser.DefaultHopCap
+    assert(range("MATCH (a)-[:R*]->(b) RETURN id(a) AS i") == Some((1, cap)))
+    assert(range("MATCH (a)-[:R*..4]->(b) RETURN id(a) AS i") == Some((1, 4)))
+    assert(range("MATCH (a)-[:R*2..]->(b) RETURN id(a) AS i") == Some((2, cap)))
+    assert(range("MATCH (a)-[:R*3]->(b) RETURN id(a) AS i") == Some((3, 3)))
+    // semantics over the KNOWS cycle 1→2→3→1 from ann, trail rules:
+    // depth 1 = bob, 2 = cat, 3 = ann, then the edges are exhausted —
+    // [*] converges at the cycle length, well under the default cap
+    val all = g.cypher(
+      """MATCH (a:Person {name: 'ann'})-[:KNOWS*]->(b)
+         RETURN b.name AS who ORDER BY who""")
+      .collect().map(_.getString(0))
+    assert(all.toSeq == Seq("ann", "bob", "cat"))
+    val upTo2 = g.cypher(
+      """MATCH (a:Person {name: 'ann'})-[:KNOWS*..2]->(b)
+         RETURN b.name AS who ORDER BY who""")
+      .collect().map(_.getString(0))
+    assert(upTo2.toSeq == Seq("bob", "cat"))
+    val from2 = g.cypher(
+      """MATCH (a:Person {name: 'ann'})-[:KNOWS*2..]->(b)
+         RETURN b.name AS who ORDER BY who""")
+      .collect().map(_.getString(0))
+    assert(from2.toSeq == Seq("ann", "cat"))
+    val exactly2 = g.cypher(
+      """MATCH (a:Person {name: 'ann'})-[:KNOWS*2]->(b)
+         RETURN b.name AS who""")
+      .collect().map(_.getString(0))
+    assert(exactly2.toSeq == Seq("cat"))
+    // undirected var-length: from bob at depth exactly 2, both
+    // orientations per hop, trail rules forbid re-walking an edge —
+    // 2→3 then 3→1 (ann), 1→2 then 1's other edges: 3→1 (cat)… each
+    // simple 2-path lands on the remaining cycle member
+    val und2 = g.cypher(
+      """MATCH (a:Person {name: 'bob'})-[:KNOWS*2]-(b)
+         RETURN b.name AS who ORDER BY who""")
+      .collect().map(_.getString(0))
+    assert(und2.toSeq == Seq("ann", "cat"))
   }
 
   test("exists() variables stay local to the predicate") {

@@ -202,6 +202,140 @@ class CypherWriteSpec extends AnyFunSuite {
       "MATCH (a:Person) SET a.x = '1'").isLeft)
   }
 
+  private def epropsOf(s: GraphStore, src: String, dst: String,
+                       rel: String): Map[String, String] = {
+    val rows = s.graph.edges.filter(col("src") === src &&
+      col("dst") === dst && col("rel") === rel).collect()
+    assert(rows.length == 1, s"expected exactly one ($src)-[$rel]->($dst)")
+    Option(rows.head.getMap[String, String](3)).map(_.toMap)
+      .getOrElse(Map.empty)
+  }
+
+  test("relationship properties: pattern props, ON CREATE/MATCH, SET r.x") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1})")
+    s.execute("MERGE (c:City {name: 'oslo'})")
+    // pattern props are SET-ON-CREATE on the (src,dst,rel) identity
+    val st1 = s.execute(
+      """MATCH (p:Person), (c:City)
+         MERGE (p)-[r:LIVES_IN {since: '2020'}]->(c)
+         ON CREATE SET r.made = 'yes'""")
+    assert((st1.relsCreated, st1.relsMatched) == (1L, 0L))
+    assert(epropsOf(s, "Person:1", "City:oslo", "LIVES_IN") ==
+      Map("since" -> "2020", "made" -> "yes"))
+    // matched: pattern props NOT re-applied (documented contract),
+    // ON MATCH fires, trailing plain SET folds in as `always`
+    val st2 = s.execute(
+      """MATCH (p:Person), (c:City)
+         MERGE (p)-[r:LIVES_IN {since: '1999'}]->(c)
+         ON MATCH SET r.upd = '1'
+         SET r.seen = 'y'""")
+    assert((st2.relsCreated, st2.relsMatched) == (0L, 1L))
+    assert(epropsOf(s, "Person:1", "City:oslo", "LIVES_IN") ==
+      Map("since" -> "2020", "made" -> "yes", "upd" -> "1", "seen" -> "y"))
+    // SET on a MATCH-bound relationship variable; null removes a key
+    s.execute(
+      """MATCH (p:Person)-[r:LIVES_IN]->(c:City)
+         SET r.since = '2021', r.made = null""")
+    assert(epropsOf(s, "Person:1", "City:oslo", "LIVES_IN") ==
+      Map("since" -> "2021", "upd" -> "1", "seen" -> "y"))
+    // read back through the compiler: r.x projections
+    val back = s.cypher(
+      """MATCH (p:Person)-[r:LIVES_IN]->(c:City)
+         RETURN r.since AS since, r.seen AS seen""").collect().head
+    assert((back.getString(0), back.getString(1)) == ("2021", "y"))
+    // the untouched-edge path: another edge keeps its props bit-exact
+    s.execute("MERGE (p:Person {pid: 2})")
+    s.execute(
+      """MATCH (p:Person {pid: 2}), (c:City)
+         MERGE (p)-[:LIVES_IN {since: '2022'}]->(c)""")
+    s.execute(
+      """MATCH (p:Person {pid: 1})-[r:LIVES_IN]->(c:City)
+         SET r.only = 'one'""")
+    assert(epropsOf(s, "Person:2", "City:oslo", "LIVES_IN") ==
+      Map("since" -> "2022"))
+  }
+
+  test("rel-prop writes onto a PROPLESS edge table still raise loudly") {
+    val v = Seq(("Person:1", "Person", Map("pid" -> "1")),
+        ("City:oslo", "City", Map("name" -> "oslo")))
+      .toDF("id", "label", "props")
+    val e = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
+    val s = new GraphStore(PropertyGraph(v, e),
+      Map("Person" -> Seq("pid"), "City" -> Seq("name")))
+    val err = intercept[IllegalArgumentException](s.execute(
+      """MATCH (p:Person), (c:City)
+         MERGE (p)-[r:LIVES_IN]->(c) ON CREATE SET r.x = '1'"""))
+    assert(err.getMessage.contains("no props column"))
+    // propless MERGE without props still works (append-only path)
+    val st = s.execute(
+      "MATCH (p:Person), (c:City) MERGE (p)-[:LIVES_IN]->(c)")
+    assert(st.relsCreated == 1L)
+  }
+
+  test("CREATE edge paths: shared variables, inline endpoints, uniqueness") {
+    // the ADVICE shape: a variable CREATEd in one path, referenced
+    // bare as an edge endpoint in another path of the SAME statement
+    val s = emptyStore()
+    s.execute("CREATE (a:Person {pid: 1}), (a)-[:KNOWS]->(b:Person {pid: 2})")
+    assert(s.graph.vertices.count() == 2)
+    assert(s.graph.edges.count() == 1)
+    // inline endpoints of an edge CREATE are CREATE-always-creates:
+    // an existing id violates uniqueness loudly, never a silent MERGE
+    val err = intercept[Exception](s.execute(
+      "CREATE (x:Person {pid: 1})-[:KNOWS]->(y:Person {pid: 9})"))
+    assert(String.valueOf(err.getMessage).contains("uniqueness") ||
+      Option(err.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("uniqueness")), s"$err")
+    // and across two CREATE clauses in one statement
+    val s2 = emptyStore()
+    s2.execute(
+      "CREATE (a:Person {pid: 1}) CREATE (a)-[:KNOWS]->(b:Person {pid: 2})")
+    assert(s2.graph.edges.count() == 1)
+  }
+
+  test("DELETE r, a in one statement: Neo4j's attached-rel idiom works") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1})")
+    s.execute("MERGE (p:Person {pid: 2})")
+    s.execute(
+      """MATCH (a:Person {pid: 1}), (b:Person {pid: 2})
+         MERGE (a)-[:KNOWS]->(b)""")
+    // r covers ALL of a's relationships → plain DELETE a is legal
+    val st = s.execute(
+      "MATCH (a:Person {pid: 1})-[r:KNOWS]->(b) DELETE r, a")
+    assert((st.nodesDeleted, st.relsDeleted) == (1L, 1L))
+    assert(s.graph.vertices.count() == 1)
+    assert(s.graph.edges.count() == 0)
+    // but a node with an edge NOT covered by the deleted rels still
+    // refuses plain DELETE
+    val s3 = emptyStore()
+    s3.execute("MERGE (p:Person {pid: 1})")
+    s3.execute("MERGE (p:Person {pid: 2})")
+    s3.execute("MERGE (p:Person {pid: 3})")
+    s3.execute(
+      """MATCH (a:Person {pid: 1}), (b:Person {pid: 2}) MERGE (a)-[:KNOWS]->(b)""")
+    s3.execute(
+      """MATCH (a:Person {pid: 3}), (b:Person {pid: 1}) MERGE (a)-[:KNOWS]->(b)""")
+    val err = intercept[IllegalStateException](s3.execute(
+      "MATCH (a:Person {pid: 1})-[r:KNOWS]->(b) DELETE r, a"))
+    assert(err.getMessage.contains("DETACH"))
+  }
+
+  test("parseAny: clause-position RETURN decides READ") {
+    // write keywords as aliases/variables in expression position no
+    // longer misroute the statement to the write parser
+    assert(CypherParser.parseAny(
+      "MATCH (set:X) RETURN set.name AS n").isRight)
+    assert(CypherParser.parseAny(
+      "MATCH (n:X) RETURN n.a AS set").isRight)
+    assert(CypherParser.parseAny(
+      "MATCH (n:X) WHERE n.k = 'delete' RETURN n.a AS remove").isRight)
+    // …while real writes (no RETURN in this subset) still route left
+    assert(CypherParser.parseAny(
+      "MATCH (n:X {k: 1}) SET n.a = '1'").isLeft)
+  }
+
   test("writes require the structured props layout") {
     val v = Seq(("A:1", "A", "{}")).toDF("id", "label", "props")
     val e = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
