@@ -99,6 +99,13 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
       // write statements: stats for the PULL summary frame
       var pendingStats: Option[Map[String, Any]] = None
       var failedState = false
+      // explicit transaction (BEGIN…COMMIT/ROLLBACK): a fork of the
+      // standing graph. Statements apply to the fork — the tx reads
+      // its own writes — and COMMIT swaps the fork in atomically;
+      // ROLLBACK just drops it. Compaction cadence mirrors the
+      // GraphStore's (stacked broadcast probes get super-linear).
+      var txGraph: Option[PropertyGraph] = None
+      var txWrites = 0
       var open = true
       def fail(code: String, m: String): Unit = {
         failedState = true
@@ -120,9 +127,41 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
           case BoltSocket.MsgLogon =>
             loggedOn = true; success(Map.empty[String, Any])
           case BoltSocket.MsgGoodbye => open = false
+          case BoltSocket.MsgReset =>
+            // RESET is the one request a failed connection must still
+            // honor: it clears the failed state, any open result, and
+            // any open (uncommitted) transaction — back to ready
+            failedState = false
+            pending = None; pendingStats = None
+            txGraph = None; txWrites = 0
+            success(Map.empty[String, Any])
           case _ if failedState =>
             BoltSocket.writeMessage(out,
               PackStream.Struct(BoltSocket.MsgIgnored, Seq.empty))
+          case BoltSocket.MsgBegin =>
+            if (txGraph.isDefined)
+              fail("Neo.ClientError.Request.Invalid",
+                "BEGIN inside an open transaction")
+            else { txGraph = Some(store.graph); success(Map.empty[String, Any]) }
+          case BoltSocket.MsgCommit =>
+            txGraph match {
+              case Some(g) =>
+                store.commitTx(g)
+                txGraph = None; txWrites = 0
+                success(Map("bookmark" -> s"graft:tx-${connections.get}"))
+              case None =>
+                fail("Neo.ClientError.Request.Invalid",
+                  "COMMIT with no open transaction")
+            }
+          case BoltSocket.MsgRollback =>
+            txGraph match {
+              case Some(_) =>
+                txGraph = None; txWrites = 0
+                success(Map.empty[String, Any])
+              case None =>
+                fail("Neo.ClientError.Request.Invalid",
+                  "ROLLBACK with no open transaction")
+            }
           case BoltSocket.MsgRun =>
             val stmt = msg.fields.head.asInstanceOf[String]
             val params = msg.fields(1).asInstanceOf[Map[String, Any]]
@@ -135,16 +174,30 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
                   if (readOnly)
                     fail("Neo.ClientError.Security.Forbidden",
                       "write statement on a read-only server")
-                  else {
-                    // the store's execute holds the single-writer
-                    // lock and the compaction cadence
-                    val s = store.execute(stmt, params)
-                    pending = Some((Seq.empty, Array.empty))
-                    pendingStats = Some(s.toWireMap)
-                    success(Map("fields" -> Seq.empty[String]))
+                  else txGraph match {
+                    case Some(g) =>
+                      // apply to the FORK: the transaction reads its
+                      // own writes; nothing lands until COMMIT
+                      val (ng, s) = store.executeOn(g, stmt, params)
+                      txGraph = Some(
+                        if ({ txWrites += 1; txWrites } % 8 == 0)
+                          PropertyGraph(ng.vertices.localCheckpoint(true),
+                            ng.edges.localCheckpoint(true))
+                        else ng)
+                      pending = Some((Seq.empty, Array.empty))
+                      pendingStats = Some(s.toWireMap)
+                      success(Map("fields" -> Seq.empty[String]))
+                    case None =>
+                      // auto-commit: the store's execute holds the
+                      // single-writer lock and the compaction cadence
+                      val s = store.execute(stmt, params)
+                      pending = Some((Seq.empty, Array.empty))
+                      pendingStats = Some(s.toWireMap)
+                      success(Map("fields" -> Seq.empty[String]))
                   }
                 case Right(q) =>
-                  val df = CypherCompiler.run(store.graph, q, params)
+                  val df = CypherCompiler.run(
+                    txGraph.getOrElse(store.graph), q, params)
                   val fields = df.columns.toSeq
                   val rows = df.collect().map(r =>
                     Seq.tabulate(r.length)(i => wireValue(r.get(i))))

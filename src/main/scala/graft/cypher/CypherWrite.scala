@@ -567,6 +567,32 @@ final class GraphStore(initial: PropertyGraph,
       }
     }
 
+  /** Apply one parsed-or-text WRITE statement against an arbitrary
+    * graph snapshot (an explicit transaction's fork) using THIS
+    * store's label keys, without touching the standing graph. The
+    * Bolt server builds `BEGIN…COMMIT` on it: statements apply to the
+    * fork (so the transaction reads its own writes), and [[commitTx]]
+    * swaps the fork in atomically. */
+  def executeOn(g0: PropertyGraph, stmt: String,
+                params: Map[String, Any] = Map.empty)
+      : (PropertyGraph, CypherWrite.Stats) =
+    CypherParser.parseAny(stmt) match {
+      case Left(w) => CypherWrite(g0, w, params, labelKeys)
+      case Right(_) => throw new IllegalArgumentException(
+        "read query passed to executeOn(); use cypher()")
+    }
+
+  /** Commit an explicit transaction: atomically replace the standing
+    * graph with the fork's final state. The engine's write discipline
+    * is single-writer (the reference drives one session pool); a
+    * concurrent auto-commit writer between BEGIN and COMMIT is NOT
+    * merged — the commit is last-write-wins, exactly the contract of
+    * swapping in a fork. */
+  def commitTx(ng: PropertyGraph): Unit = synchronized {
+    g = ng
+    writesSinceCompact = 0
+  }
+
   /** Truncate the stacked write plan: materialize both frames. The
     * frames are localCheckpoint'd (block-manager-backed); [[save]] is
     * the durable form. */

@@ -47,8 +47,12 @@ object BoltSocket {
 
   final val MsgHello = 0x01.toByte
   final val MsgGoodbye = 0x02.toByte
+  final val MsgReset = 0x0F.toByte
   final val MsgLogon = 0x6A.toByte
   final val MsgRun = 0x10.toByte
+  final val MsgBegin = 0x11.toByte
+  final val MsgCommit = 0x12.toByte
+  final val MsgRollback = 0x13.toByte
   final val MsgPull = 0x3F.toByte
   final val MsgSuccess = 0x70.toByte
   final val MsgRecord = 0x71.toByte
@@ -178,6 +182,33 @@ final class BoltSocketSession(host: String, port: Int, userAgent: String,
     val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     await("PULL", Some(rows))
     (fields, rows.toSeq)
+  }
+
+  /** Explicit-transaction messages (Bolt BEGIN 0x11 / COMMIT 0x12 /
+    * ROLLBACK 0x13) and RESET 0x0F — what a real driver's
+    * `execute_write` / `execute_read` unit-of-work sends. Statements
+    * between [[begin]] and [[commit]] apply atomically on COMMIT;
+    * [[rollback]] provably discards them; [[reset]] clears a failed
+    * connection back to ready. */
+  def begin(): Unit = {
+    writeMessage(out, PackStream.Struct(MsgBegin,
+      Seq(Map.empty[String, Any])))
+    await("BEGIN"): Unit
+  }
+
+  def commit(): Unit = {
+    writeMessage(out, PackStream.Struct(MsgCommit, Seq.empty))
+    await("COMMIT"): Unit
+  }
+
+  def rollback(): Unit = {
+    writeMessage(out, PackStream.Struct(MsgRollback, Seq.empty))
+    await("ROLLBACK"): Unit
+  }
+
+  def reset(): Unit = {
+    writeMessage(out, PackStream.Struct(MsgReset, Seq.empty))
+    await("RESET"): Unit
   }
 
   /** Read until SUCCESS (collecting RECORDs into `sink` when given,

@@ -379,6 +379,50 @@ class CypherWriteSpec extends AnyFunSuite {
     } finally ro.close()
   }
 
+  test("Bolt explicit transactions: BEGIN/COMMIT/ROLLBACK/RESET") {
+    val store = emptyStore()
+    val srv = new graft.cypher.BoltQueryServer(store)
+    try {
+      val sess = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-test", 5000)
+      try {
+        // committed tx: both statements land atomically
+        sess.begin()
+        sess.run("MERGE (p:Person {pid: 1}) SET p.name = 'ann'", Map.empty)
+        // the transaction reads ITS OWN writes before commit…
+        val (_, inTx) = sess.query(
+          "MATCH (p:Person) RETURN p.name AS n", Map.empty)
+        assert(inTx == Seq(Seq("ann")))
+        // …while the standing store does not see them yet
+        assert(store.graph.vertices.count() == 0)
+        sess.run("MERGE (c:City {name: 'rome'})", Map.empty)
+        sess.commit()
+        assert(store.graph.vertices.count() == 2)
+        // rolled-back tx: provably discarded
+        sess.begin()
+        sess.run("MERGE (p:Person {pid: 99})", Map.empty)
+        sess.rollback()
+        assert(store.graph.vertices.count() == 2)
+        val (_, after) = sess.query(
+          "MATCH (p:Person) RETURN count(*) AS n", Map.empty)
+        assert(after == Seq(Seq(1L)))
+        // protocol errors: COMMIT with no tx fails, RESET recovers
+        val e = intercept[graft.sinks.bolt.BoltFailure](sess.commit())
+        assert(e.code.contains("Request.Invalid"))
+        sess.reset()
+        val (_, ok) = sess.query(
+          "MATCH (c:City) RETURN c.name AS n", Map.empty)
+        assert(ok == Seq(Seq("rome")))
+        // RESET also discards an open transaction
+        sess.begin()
+        sess.run("MERGE (p:Person {pid: 50})", Map.empty)
+        sess.reset()
+        sess.run("MERGE (c:City {name: 'oslo'})", Map.empty) // auto-commit
+        assert(store.graph.vertices.count() == 3) // pid:50 never landed
+      } finally sess.close()
+    } finally srv.close()
+  }
+
   test("DELETE / DETACH DELETE / REMOVE: full lifecycle") {
     val s = emptyStore()
     s.execute("MERGE (p:Person {pid: 1}) SET p.a = 'x'")
