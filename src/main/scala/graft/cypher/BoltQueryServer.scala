@@ -181,8 +181,7 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
                       val (ng, s) = store.executeOn(g, stmt, params)
                       txGraph = Some(
                         if ({ txWrites += 1; txWrites } % 8 == 0)
-                          PropertyGraph(ng.vertices.localCheckpoint(true),
-                            ng.edges.localCheckpoint(true))
+                          store.compacted(ng)
                         else ng)
                       pending = Some((Seq.empty, Array.empty))
                       pendingStats = Some(s.toWireMap)

@@ -538,7 +538,57 @@ final class GraphStore(initial: PropertyGraph,
   @volatile private var g: PropertyGraph = initial
   private var writesSinceCompact = 0
 
+  /** Partition budget for [[compact]]: the initial graph's own layout
+    * (a big standing graph keeps its source partitioning), floored at
+    * the cluster parallelism. Every write statement's apply UNIONS a
+    * delta-sized `created` side onto the standing frames, and union
+    * partitioning is ADDITIVE — without a coalesce at compaction the
+    * partition count grows linearly in statements, every subsequent
+    * probe/count schedules thousands of near-empty tasks, and a
+    * row-at-a-time replay goes quadratic (round-12 soak measured
+    * 2.8 → 6.3 s/statement inside 120 statements; a sampled stage had
+    * 19k tasks). Writes add param-sized row counts, never meaningful
+    * bytes, so the initial layout stays the right one at any scale. */
+  private val targetParts: Int = {
+    val sc = initial.vertices.sparkSession.sparkContext
+    math.max(sc.defaultParallelism,
+      math.max(initial.vertices.rdd.getNumPartitions,
+        initial.edges.rdd.getNumPartitions))
+  }
+
+  /** Compacted (plan-truncated, partition-bounded) form of a graph —
+    * shared by [[compact]] and the Bolt server's transaction forks. */
+  private[cypher] def compacted(pg: PropertyGraph): PropertyGraph =
+    withoutConstraintPropagation {
+      PropertyGraph(
+        pg.vertices.coalesce(targetParts).localCheckpoint(true),
+        pg.edges.coalesce(targetParts).localCheckpoint(true))
+    }
+
   def graph: PropertyGraph = g
+
+  /** Run `f` with Catalyst constraint propagation OFF, restoring the
+    * previous setting after. Why: every write statement stacks a
+    * union + join layer on the standing frames, and Union CONSTRAINTS
+    * are the OR of the children's — worse, `localCheckpoint` bakes
+    * the accumulated constraint set into the new LogicalRDD's origin
+    * constraints, so the OR snowballs ACROSS compactions and every
+    * later statement's optimizer pass re-sorts and re-folds a
+    * constraint expression that grows with total statement count
+    * (round-12 soak: per-statement cost crept 0.65 → 1.5 s inside 300
+    * statements with jstack samples pinned in Or.orderCommutative /
+    * ConstraintHelper). Constraint inference buys nothing on these
+    * param-sized write plans; reads outside the write path keep it. */
+  private def withoutConstraintPropagation[T](f: => T): T = {
+    val spark = g.vertices.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   def cypher(q: String, params: Map[String, Any] = Map.empty): DataFrame =
     g.cypher(q, params)
@@ -550,7 +600,8 @@ final class GraphStore(initial: PropertyGraph,
     synchronized {
       CypherParser.parseAny(stmt) match {
         case Left(w) =>
-          val (ng, stats) = CypherWrite(g, w, params, labelKeys)
+          val (ng, stats) =
+            withoutConstraintPropagation(CypherWrite(g, w, params, labelKeys))
           g = ng
           writesSinceCompact += 1
           // each statement stacks one broadcast join AND one union on
@@ -577,7 +628,8 @@ final class GraphStore(initial: PropertyGraph,
                 params: Map[String, Any] = Map.empty)
       : (PropertyGraph, CypherWrite.Stats) =
     CypherParser.parseAny(stmt) match {
-      case Left(w) => CypherWrite(g0, w, params, labelKeys)
+      case Left(w) =>
+        withoutConstraintPropagation(CypherWrite(g0, w, params, labelKeys))
       case Right(_) => throw new IllegalArgumentException(
         "read query passed to executeOn(); use cypher()")
     }
@@ -597,8 +649,7 @@ final class GraphStore(initial: PropertyGraph,
     * frames are localCheckpoint'd (block-manager-backed); [[save]] is
     * the durable form. */
   def compact(): Unit = synchronized {
-    g = PropertyGraph(g.vertices.localCheckpoint(true),
-      g.edges.localCheckpoint(true))
+    g = compacted(g)
     writesSinceCompact = 0
   }
 

@@ -242,22 +242,33 @@ object Multimodal {
   def syntheticWav(id: Long): Array[Byte] = {
     val n = (400 + id % 600).toInt
     val rate = (8000 + (id % 3) * 4000).toInt
-    val pcm = new Array[Byte](n * 2)
+    // canonical RIFF/WAVE container, written directly: the 44-byte
+    // PCM header is a fixed public layout, and hand-rolling it is
+    // ~2.5x cheaper than driving javax.sound's writer per clip
+    // (AudioFloorBench measured 262 us/clip through AudioSystem.write
+    // vs ~35 us direct) — legitimate because the ENCODE half is
+    // fixture-building; the DECODE half stays the real JDK codec,
+    // which parses this container exactly as it parsed the
+    // AudioSystem-written one (Queries14Spec pins the round-trip).
+    val dataLen = n * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(1) // mono
+    b.putInt(rate)
+    b.putInt(rate * 2) // byte rate
+    b.putShort(2) // block align
+    b.putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      val s = ((id * 31 + i * 17) % 2001 - 1000).toShort
-      pcm(2 * i) = (s & 0xff).toByte          // little-endian
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      b.putShort(((id * 31 + i * 17) % 2001 - 1000).toShort)
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
-      true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    b.array()
   }
 
   /** Encode one synthetic WAV per input id — the fixture-building half
