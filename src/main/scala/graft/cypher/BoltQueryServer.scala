@@ -21,6 +21,16 @@ import graft.sinks.bolt.{BoltSocket, PackStream}
   *
   * Protocol per statement: RUN → SUCCESS {fields: […]} (the compiled
   * frame's column names), PULL {n: -1} → RECORD per row → SUCCESS.
+  * Round 12 adds the EXPLICIT-transaction messages a real driver's
+  * `execute_read`/`execute_write` unit of work sends: BEGIN opens a
+  * fork of the standing graph (statements apply to the fork, so the
+  * transaction reads its own writes), COMMIT swaps the fork in
+  * atomically, ROLLBACK discards it, and RESET — honored even from
+  * the failed state — clears failure, any open result, and any open
+  * transaction. The engine's write discipline stays single-writer
+  * (the reference drives one session pool); two transactions racing
+  * BEGIN→COMMIT are last-commit-wins, the documented contract of a
+  * fork swap.
   * A parse/compile/execution error surfaces as a Bolt FAILURE frame
   * with `Statement.SyntaxError` / `Statement.SemanticError`, and the
   * connection enters the protocol's failed state (subsequent

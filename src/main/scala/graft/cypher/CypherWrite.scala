@@ -531,7 +531,8 @@ object CypherWrite {
   *
   * Each statement stacks one (broadcast) join on the standing frames;
   * call [[compact]] periodically on long-lived stores to truncate the
-  * plan (the Bolt server does this every 32 write statements).
+  * plan ([[execute]] does this every 8 write statements, and the
+  * compaction also re-coalesces — see `targetParts`).
   */
 final class GraphStore(initial: PropertyGraph,
                        val labelKeys: Map[String, Seq[String]] = Map.empty) {
