@@ -235,7 +235,12 @@ object CypherCompiler {
   private[cypher] def bindPrefix(st: St, g: PropertyGraph,
                                  unwinds: Seq[(Expr, String)],
                                  matches: Seq[MatchPart]): Unit = {
-    unwinds.foreach { case (e, v) => applyUnwind(st, g, e, v) }
+    // preferMap: a write statement's UNWIND is the batch idiom (`$rows`
+    // is a list of maps, `row.k` binds pattern keys), and an EMPTY
+    // batch — what a real batcher sends on a quiet tick — must still
+    // compile to a zero-stat no-op rather than fail `row.k` as unbound
+    unwinds.foreach { case (e, v) =>
+      applyUnwind(st, g, e, v, preferMap = true) }
     matches.foreach { part =>
       val edgesBefore = st.edgeVars.toSet
       val pathsBefore = st.pathVars.keySet.toSet
@@ -292,7 +297,8 @@ object CypherCompiler {
     * broadcasts the list side). The reference's batch idiom
     * (`UNWIND $rows`), read-side. */
   private[cypher] def applyUnwind(st: St, g: PropertyGraph, e: Expr,
-                                  v: String): Unit = {
+                                  v: String,
+                                  preferMap: Boolean = false): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     if (st.nodes.contains(v) || st.edgeVars.contains(v) ||
@@ -320,7 +326,13 @@ object CypherCompiler {
       case x => x
     }
     val colName = s"$v __val"
-    val isMapList = norm.exists(_.isInstanceOf[scala.collection.Map[_, _]])
+    // an EMPTY list carries no type evidence: the write path prefers
+    // the batch-idiom map layout (so `row.k` compiles and the
+    // statement is a zero-row no-op); the read path keeps the scalar
+    // default (so comparisons against the variable still analyze)
+    val isMapList =
+      norm.exists(_.isInstanceOf[scala.collection.Map[_, _]]) ||
+        (norm.isEmpty && preferMap)
     val (dt: DataType, rows: Seq[Row]) =
       if (isMapList) {
         // list of maps — the batch-write row idiom (`UNWIND $rows AS

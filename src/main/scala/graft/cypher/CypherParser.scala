@@ -150,23 +150,37 @@ object CypherParser {
     // Statement-kind rule: in THIS grammar every read query ends in a
     // RETURN clause and no write statement contains one — so one
     // clause-position RETURN token decides READ, regardless of any
-    // `set`/`create`/`delete` identifiers used as variables or aliases
-    // elsewhere (`MATCH (set:X) RETURN set.name`, `RETURN n.a AS set`).
-    // Only with no RETURN anywhere does a clause-position write
-    // keyword route the statement to the write parser.
-    val isRead = toks.zipWithIndex.exists { case (t, i) =>
-      t.kind == "ident" && t.s.equalsIgnoreCase("return") && clausePos(i)
-    }
-    val isWrite = !isRead && toks.zipWithIndex.exists { case (t, i) =>
-      t.kind == "ident" && writeKw(t.s.toLowerCase) && clausePos(i)
-    }
+    // `set`/`create`/`delete` identifiers used as variables or
+    // aliases anywhere (`MATCH (set:X) RETURN set.name`, `WITH n.a AS
+    // set WHERE set = '1' RETURN …`). Only with no RETURN does a
+    // clause-position write keyword route to the write parser.
+    def firstClause(pred: String => Boolean): Int =
+      toks.zipWithIndex.collectFirst {
+        case (t, i) if t.kind == "ident" && pred(t.s.toLowerCase) &&
+          clausePos(i) => i
+      }.getOrElse(Int.MaxValue)
+    val firstReturn = firstClause(_ == "return")
+    val firstWrite = firstClause(writeKw)
+    val isWrite = firstWrite != Int.MaxValue && firstReturn == Int.MaxValue
     if (isWrite) {
       val p = new P(toks)
       val w = parseWrite(p)
       if (p.peek.kind != "eof")
         fail(p.peek.pos, s"trailing input '${p.peek.s}'")
       Left(w)
-    } else Right(parse(q))
+    } else {
+      try Right(parse(q))
+      catch {
+        case e: IllegalArgumentException if firstWrite < firstReturn =>
+          // the likeliest author intent behind a failed parse that
+          // LEADS with a write clause is `MERGE … RETURN n` — point
+          // at the actual gap instead of the read grammar's error
+          fail(toks(firstWrite).pos,
+            "RETURN on a write statement is not supported — run the " +
+            "write (stats come back on the summary), then MATCH what " +
+            s"you need (read parse said: ${e.getMessage})")
+      }
+    }
   }
 
   // ---- write statements (round 11) ---------------------------------
@@ -273,6 +287,10 @@ object CypherParser {
     }
     flush()
     if (!any) fail(p.peek.pos, "expected MERGE, CREATE or SET")
+    if (p.atKw("return"))
+      fail(p.peek.pos,
+        "RETURN on a write statement is not supported — run the write " +
+        "(stats come back on the summary), then MATCH what you need")
     WriteQuery(unwinds.result(), matches.result(), clauses.result())
   }
 

@@ -334,6 +334,29 @@ class CypherWriteSpec extends AnyFunSuite {
     // …while real writes (no RETURN in this subset) still route left
     assert(CypherParser.parseAny(
       "MATCH (n:X {k: 1}) SET n.a = '1'").isLeft)
+    // a write followed by RETURN routes to the WRITE parser and fails
+    // with a targeted message, not the read parser's misleading one
+    val e = intercept[IllegalArgumentException](CypherParser.parseAny(
+      "MERGE (n:X {k: 1}) RETURN n.k AS k"))
+    assert(e.getMessage.contains("RETURN on a write statement"))
+  }
+
+  test("an EMPTY UNWIND batch is a zero-stat no-op (quiet-tick batcher)") {
+    val s = emptyStore()
+    val st = s.execute(
+      """UNWIND $rows AS row
+         MERGE (p:Person {pid: row.pid}) SET p.name = row.name""",
+      Map("rows" -> Seq.empty[Map[String, Any]]))
+    assert(st == CypherWrite.Stats(0, 0, 0, 0))
+    assert(s.graph.vertices.count() == 0)
+    // read-side UNWIND of an empty literal list keeps scalar typing:
+    // comparisons against the variable still analyze, result is empty
+    val v = Seq(("A:1", "A", "{}")).toDF("id", "label", "props")
+    val e = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
+    val g = PropertyGraph(v, e)
+    assert(g.cypher(
+      "UNWIND [] AS x MATCH (a:A) WHERE id(a) = x RETURN id(a) AS i")
+      .count() == 0)
   }
 
   test("writes require the structured props layout") {
