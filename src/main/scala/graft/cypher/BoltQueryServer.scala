@@ -28,9 +28,11 @@ import graft.sinks.bolt.{BoltSocket, PackStream}
   * atomically, ROLLBACK discards it, and RESET — honored even from
   * the failed state — clears failure, any open result, and any open
   * transaction. The engine's write discipline stays single-writer
-  * (the reference drives one session pool); two transactions racing
-  * BEGIN→COMMIT are last-commit-wins, the documented contract of a
-  * fork swap.
+  * (the reference drives one session pool); two WRITING transactions
+  * racing BEGIN→COMMIT are last-commit-wins, the documented contract
+  * of a fork swap — while COMMIT of a transaction that ran NO write
+  * is a protocol no-op (round 13), so a driver's execute_read can
+  * never revert concurrent writers.
   * A parse/compile/execution error surfaces as a Bolt FAILURE frame
   * with `Statement.SyntaxError` / `Statement.SemanticError`, and the
   * connection enters the protocol's failed state (subsequent
@@ -152,11 +154,20 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
             if (txGraph.isDefined)
               fail("Neo.ClientError.Request.Invalid",
                 "BEGIN inside an open transaction")
-            else { txGraph = Some(store.graph); success(Map.empty[String, Any]) }
+            else {
+              txGraph = Some(store.graph); txWrites = 0
+              success(Map.empty[String, Any])
+            }
           case BoltSocket.MsgCommit =>
             txGraph match {
               case Some(g) =>
-                store.commitTx(g)
+                // COMMIT of a READ-ONLY transaction is a protocol
+                // no-op (round 13, advisor): swapping in the BEGIN-time
+                // fork unconditionally would silently revert writes
+                // committed by OTHER connections between this tx's
+                // BEGIN and COMMIT — a driver's execute_read must
+                // never be a destructive write.
+                if (txWrites > 0) store.commitTx(g)
                 txGraph = None; txWrites = 0
                 success(Map("bookmark" -> s"graft:tx-${connections.get}"))
               case None =>
@@ -184,25 +195,40 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
                   if (readOnly)
                     fail("Neo.ClientError.Security.Forbidden",
                       "write statement on a read-only server")
-                  else txGraph match {
-                    case Some(g) =>
-                      // apply to the FORK: the transaction reads its
-                      // own writes; nothing lands until COMMIT
-                      val (ng, s) = store.executeOn(g, stmt, params)
-                      txGraph = Some(
-                        if ({ txWrites += 1; txWrites } % 8 == 0)
-                          store.compacted(ng)
-                        else ng)
-                      pending = Some((Seq.empty, Array.empty))
-                      pendingStats = Some(s.toWireMap)
-                      success(Map("fields" -> Seq.empty[String]))
-                    case None =>
-                      // auto-commit: the store's execute holds the
-                      // single-writer lock and the compaction cadence
-                      val s = store.execute(stmt, params)
-                      pending = Some((Seq.empty, Array.empty))
-                      pendingStats = Some(s.toWireMap)
-                      success(Map("fields" -> Seq.empty[String]))
+                  else {
+                    // a write with a RETURN/WITH continuation streams
+                    // its rows back like any query; fields/records
+                    // stay empty for the plain (stats-only) statements
+                    def collectRows(rows: Option[
+                        org.apache.spark.sql.DataFrame])
+                        : (Seq[String], Array[Seq[Any]]) = rows match {
+                      case Some(df) =>
+                        (df.columns.toSeq, df.collect().map(r =>
+                          Seq.tabulate(r.length)(i => wireValue(r.get(i)))))
+                      case None => (Seq.empty, Array.empty)
+                    }
+                    txGraph match {
+                      case Some(g) =>
+                        // apply to the FORK: the transaction reads its
+                        // own writes; nothing lands until COMMIT
+                        val (ng, s, rows) = store.executeOn(g, stmt, params)
+                        txGraph = Some(
+                          if ({ txWrites += 1; txWrites } % 8 == 0)
+                            store.compacted(ng)
+                          else ng)
+                        val (fields, recs) = collectRows(rows)
+                        pending = Some((fields, recs))
+                        pendingStats = Some(s.toWireMap)
+                        success(Map("fields" -> fields))
+                      case None =>
+                        // auto-commit: the store's execute holds the
+                        // single-writer lock and the compaction cadence
+                        val (s, rows) = store.executeReturning(stmt, params)
+                        val (fields, recs) = collectRows(rows)
+                        pending = Some((fields, recs))
+                        pendingStats = Some(s.toWireMap)
+                        success(Map("fields" -> fields))
+                    }
                   }
                 case Right(q) =>
                   val df = CypherCompiler.run(

@@ -47,11 +47,19 @@ package graft.cypher
   *   - `label(v)` is scalar (the engine's graphs are single-label by
   *     construction — GraphAssembly.vertices), where openCypher's
   *     `labels(v)` returns a list;
-  *   - variable-length paths require an explicit bounded range
-  *     `*m..n` (an unbounded `*` over 100 TB is a query bug, not a
-  *     feature) and expand to a union of fixed-length join chains
-  *     with openCypher's relationship-uniqueness (trail) semantics;
-  *   - no CREATE/MERGE/SET/DELETE — writes are the CypherSink's job.
+  *   - bounded variable-length ranges `*m..n` expand to a union of
+  *     fixed-length join chains with openCypher's
+  *     relationship-uniqueness (trail) semantics; OPEN ranges
+  *     (`[*]`, `[*m..]`) expand by converging iteration — one hop
+  *     per level until the frontier is empty (trail uniqueness makes
+  *     that finite), so results match openCypher's unbounded
+  *     semantics exactly, with no silent hop cap (round 13; the
+  *     expansion is data-dependent, so compiling an open range runs
+  *     Spark jobs);
+  *   - CREATE/MERGE/SET/DELETE parse as WRITE statements
+  *     ([[WriteQuery]], executed by [[CypherWrite]]/[[GraphStore]]),
+  *     including the `MERGE … RETURN`/`… WITH … RETURN` read
+  *     continuations.
   */
 object CypherAst {
 
@@ -63,14 +71,18 @@ object CypherAst {
                            props: Map[String, Expr])
 
   /** One relationship hop. `types` empty = any type; `range` =
-    * Some((m, n)) for `*m..n` (open forms `[*]` / `[*..n]` / `[*m..]`
-    * fill the missing bound with 1 / [[CypherParser.DefaultHopCap]];
-    * `[*n]` is the fixed length n). `out=true` is `-[…]->`, else
+    * Some((m, Some(n))) for `*m..n` (`[*..n]` fills the lower bound
+    * with 1; `[*n]` is the fixed length n) and Some((m, None)) for the
+    * OPEN forms `[*]` / `[*m..]` — no upper bound: the compiler
+    * expands to the trail-semantics FIXPOINT (iterate until the
+    * frontier is empty; relationship uniqueness makes every expansion
+    * finite), matching openCypher's unbounded semantics instead of a
+    * silent hop cap. `out=true` is `-[…]->`, else
     * `<-[…]-`; `undirected=true` is `-[…]-` (matches the stored edge
     * in EITHER direction — compiled as a union of both orientations,
     * never an OR-join; `out` is meaningless then). */
   final case class EdgePat(name: String, types: Seq[String],
-                           out: Boolean, range: Option[(Int, Int)],
+                           out: Boolean, range: Option[(Int, Option[Int])],
                            props: Map[String, Expr],
                            undirected: Boolean = false)
 
@@ -262,8 +274,18 @@ object CypherAst {
 
   /** A write statement: optional UNWIND bindings (the batch idiom),
     * optional MATCH parts (endpoint/update binding), then 1+ write
-    * clauses. No RETURN (the reference's projectors never return). */
+    * clauses, then an optional READ CONTINUATION (round 13):
+    * `… RETURN items` or `… WITH items [MATCH …]* RETURN items` —
+    * the get-or-create-and-read idiom every Neo4j application types
+    * first (`MERGE (n:X {k:$k}) RETURN n`). `returning`'s first
+    * segment carries no UNWIND/MATCH of its own (the write's bound
+    * rows ARE the segment input, re-probed against the POST-APPLY
+    * graph so RETURN sees the written values); subsequent segments
+    * are ordinary read pipeline over the post-write graph. The
+    * reference's projectors never return, so this is consumer
+    * surface, not reference parity. */
   final case class WriteQuery(unwinds: Seq[(Expr, String)],
                               matches: Seq[MatchPart],
-                              clauses: Seq[WriteClause])
+                              clauses: Seq[WriteClause],
+                              returning: Option[Query] = None)
 }

@@ -39,10 +39,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   *   - each hop is one equi-join edges⋈vertices on the id key — the
   *     shape AQE broadcast-converts when a pattern side is small;
   *   - variable-length `*m..n` expands to a UNION of fixed-length
-  *     join chains (bounded at parse time: unbounded expansion over
-  *     100 TB is a query bug), one row per path, with openCypher's
+  *     join chains, one row per path, with openCypher's
   *     relationship-uniqueness enforced as pairwise triple
-  *     inequality between same-type hops;
+  *     inequality between same-type hops; OPEN ranges (`[*]`,
+  *     `[*m..]`) iterate level-by-level to the empty frontier
+  *     (finite under trail uniqueness — a path holds each edge at
+  *     most once), each level a frontier⋈edges join seeded from the
+  *     pattern's start ids;
   *   - OPTIONAL MATCH is a left outer join on the shared variables;
   *   - WITH is a projection (plus hash aggregate when it aggregates)
   *     followed by a variable-scope reset — openCypher pipeline
@@ -271,6 +274,16 @@ object CypherCompiler {
   private def runSingle(g: PropertyGraph, q: Query,
                         params: Map[String, Any]): DataFrame = {
     val st = new St(g, params)
+    runContinuation(st, g, q)
+  }
+
+  /** Run a query's segments + RETURN against a PRE-SEEDED compile
+    * state — the shared read pipeline, and the write compiler's entry
+    * point for `MERGE … RETURN` / `… WITH … RETURN` continuations
+    * ([[CypherWrite]] seeds `st.frame` with the statement's bound
+    * rows, node/edge vars re-probed against the post-apply graph). */
+  private[cypher] def runContinuation(st: St, g: PropertyGraph,
+                                      q: Query): DataFrame = {
     q.segments.foreach { seg =>
       seg.unwinds.foreach { case (e, v) => applyUnwind(st, g, e, v) }
       seg.matches.foreach { part =>
@@ -594,43 +607,23 @@ object CypherCompiler {
             frame = Some(frame.get.join(ef, idCol(leftV) === col(fromSide)))
             bindNode(rightN, Some(col(toSide)))
             frame = frame.map(_.drop(fromSide, toSide))
-          case Some((lo, hi)) =>
+          case Some((lo, hiOpt)) =>
             if (!e.name.startsWith("  "))
               throw new IllegalArgumentException(
                 "a variable-length relationship cannot be named " +
                 "(openCypher binds it to a LIST; project endpoints instead)")
-            // union of fixed-length chains: (start, end) per PATH —
-            // no distinct, one output row per path instantiation
-            // (shortestPath collapses to min length per pair below).
-            // For plain expansions the chain hop triples are kept
-            // (null-padded to `hi`) so end-of-part trail conditions
-            // can compare them against fixed hops / other chains;
-            // shortestPath aggregates them away (its uniqueness scope
-            // is the pattern's own single var-length edge).
-            val hopNames = (1 to hi).map(_ => freshHop())
             val keepHops = path.shortest.isEmpty
-            val chains = (lo to hi).map { k =>
-              val names = hopNames.take(k)
-              var cf = st.edgeFrameDir(e.copy(name = names.head), names.head)
-              (1 until k).foreach { j =>
-                val prev = names(j - 1); val cur = names(j)
-                val ef = st.edgeFrameDir(e.copy(name = cur), cur)
-                cf = cf.join(ef, col(s"$prev __to") === col(s"$cur __from"))
-              }
-              // trail semantics inside the chain: same-type hops must
-              // be pairwise-distinct triples (stored orientation — an
-              // undirected chain cannot re-walk an edge backwards)
-              val uniq = for {
-                a <- names.indices; b <- (a + 1) until names.length
-              } yield tripleNeq(names(a), names(b))
-              val cu = uniq.foldLeft(cf)((d, c) => d.filter(c))
-              val startC = s"${names.head} __from"
-              val endC = s"${names.last} __to"
-              val base = Seq(col(startC).as("  vstart"),
-                col(endC).as("  vend"), lit(k.toLong).as("  vdepth"))
+            /** Null-pad a depth-k level to the full hop-column set so
+              * the per-depth frames union to one schema (the retained
+              * triples feed the end-of-part trail conditions). */
+            def depthSelect(lvl: DataFrame, names: Seq[String], k: Int,
+                            startC: Column): DataFrame = {
+              val base = Seq(startC.as("  vstart"),
+                col(s"${names(k - 1)} __to").as("  vend"),
+                lit(k.toLong).as("  vdepth"))
               val hopCols =
                 if (!keepHops) Nil
-                else hopNames.zipWithIndex.flatMap { case (n, j) =>
+                else names.zipWithIndex.flatMap { case (n, j) =>
                   if (j < k)
                     Seq(col(s"$n __src"), col(s"$n __dst"), col(s"$n __rel"))
                   else Seq(
@@ -638,9 +631,82 @@ object CypherCompiler {
                     lit(null).cast(st.dstType).as(s"$n __dst"),
                     lit(null).cast(st.relTypeDt).as(s"$n __rel"))
                 }
-              cu.select(base ++ hopCols: _*)
+              lvl.select(base ++ hopCols: _*)
             }
-            val unioned = chains.reduce(_ unionByName _)
+            val (hopNames: Seq[String], unioned: DataFrame) = hiOpt match {
+              case Some(hi) =>
+                // BOUNDED range: union of fixed-length join chains,
+                // (start, end) per PATH — no distinct, one output row
+                // per path instantiation (shortestPath collapses to
+                // min length per pair below). Chain hop triples are
+                // kept (null-padded to `hi`) so end-of-part trail
+                // conditions can compare them against fixed hops /
+                // other chains; pairwise triple inequality INSIDE the
+                // chain is openCypher's relationship uniqueness (an
+                // undirected chain cannot re-walk an edge backwards —
+                // the stored orientation is the identity).
+                val names = (1 to hi).map(_ => freshHop())
+                val chains = (lo to hi).map { k =>
+                  val ns = names.take(k)
+                  var cf = st.edgeFrameDir(e.copy(name = ns.head), ns.head)
+                  (1 until k).foreach { j =>
+                    val prev = ns(j - 1); val cur = ns(j)
+                    val ef = st.edgeFrameDir(e.copy(name = cur), cur)
+                    cf = cf.join(ef, col(s"$prev __to") === col(s"$cur __from"))
+                  }
+                  val uniq = for {
+                    a <- ns.indices; b <- (a + 1) until ns.length
+                  } yield tripleNeq(ns(a), ns(b))
+                  val cu = uniq.foldLeft(cf)((d, c) => d.filter(c))
+                  depthSelect(cu, names, k, col(s"${ns.head} __from"))
+                }
+                (names, chains.reduce(_ unionByName _))
+              case None =>
+                // OPEN range ([*], [*m..]): converge to the
+                // trail-semantics FIXPOINT — openCypher's unbounded
+                // semantics, no silent hop cap (round 13; the round-12
+                // cap silently truncated >8-hop paths and collapsed
+                // [*m..] with m>8 to exactly m). The expansion is
+                // data-dependent, so compiling it RUNS JOBS: each
+                // level joins the previous frontier to the edge frame
+                // under the trail condition (the new hop must differ
+                // from every prior hop of the path — which also makes
+                // the iteration finite: a path holds each edge at most
+                // once), localCheckpoints the level (path-set sized,
+                // lineage-truncated) and stops at the first empty one.
+                // Seeded from the DISTINCT start ids, so the work is
+                // proportional to paths from the pattern's actual
+                // start set, never to the global graph.
+                val starts = frame.get
+                  .select(idCol(leftV).as("  vstart")).distinct()
+                  .localCheckpoint(true)
+                val names = scala.collection.mutable.ArrayBuffer.empty[String]
+                val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                var growing = !starts.isEmpty
+                while (growing) {
+                  val n = freshHop()
+                  val ef = st.edgeFrameDir(e.copy(name = n), n)
+                  val prev = if (levels.isEmpty) starts else levels.last
+                  val key = if (levels.isEmpty) col("  vstart")
+                            else col(s"${names.last} __to")
+                  val joined = prev.join(ef, key === col(s"$n __from"))
+                  val filtered = names.foldLeft(joined)((d, m) =>
+                    d.filter(tripleNeq(m, n)))
+                  // __from served the join; __eprops is unreadable on
+                  // a var-length edge (it cannot be named) — drop both
+                  val lvl = filtered.drop(s"$n __from", s"$n __eprops")
+                    .localCheckpoint(true)
+                  if (lvl.isEmpty) growing = false
+                  else { names += n; levels += lvl }
+                }
+                val chains = (lo to levels.length).map(k =>
+                  depthSelect(levels(k - 1), names.toSeq, k, col("  vstart")))
+                val u =
+                  if (chains.nonEmpty) chains.reduce(_ unionByName _)
+                  else starts.limit(0).select(col("  vstart"),
+                    col("  vstart").as("  vend"), lit(0L).as("  vdepth"))
+                (names.toSeq, u)
+            }
             val expanded = path.shortest match {
               case Some(pvar) =>
                 // openCypher shortestPath: ONE row per (start, end)

@@ -133,54 +133,42 @@ object CypherParser {
   }
 
   /** Parse a statement that may be a READ query or a WRITE statement
-    * (MERGE/CREATE/SET — the reference's projector idioms). Statement
-    * kind is decided by clause-position keywords: `merge`/`create`/
-    * `set` tokens not preceded by `.` / `:` / `{` / `,` (which would
-    * make them property keys, labels, or map keys). */
+    * (MERGE/CREATE/SET — the reference's projector idioms, now with
+    * the `MERGE … RETURN` / `… WITH … RETURN` read continuations).
+    * Statement kind: the statement is a WRITE iff a clause-position
+    * write keyword appears BEFORE any clause-position RETURN. A
+    * keyword after `.` / `:` / `{` / `,` / `(` / `[` is a prop key,
+    * label, map key or pattern variable, never a clause; and `set` —
+    * the one write keyword commonly used as an alias (`WITH n.a AS
+    * set WHERE set = '1' …`) — counts as a clause only when followed
+    * by `ident.`/`ident +=` (the SET-item shape). */
   def parseAny(q: String): Either[WriteQuery, Query] = {
     val toks = lex(q)
-    val writeKw = Set("merge", "create", "set", "delete", "detach", "remove")
-    // a keyword after . : { , ( [ is a prop key, label, map key, or a
-    // VARIABLE named `set`/`return`/… inside a pattern — clause
-    // keywords never follow those tokens
+    val strongKw = Set("merge", "create", "delete", "detach", "remove")
     def clausePos(i: Int): Boolean = i == 0 || {
       val prev = toks(i - 1)
       !(prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s))
     }
-    // Statement-kind rule: in THIS grammar every read query ends in a
-    // RETURN clause and no write statement contains one — so one
-    // clause-position RETURN token decides READ, regardless of any
-    // `set`/`create`/`delete` identifiers used as variables or
-    // aliases anywhere (`MATCH (set:X) RETURN set.name`, `WITH n.a AS
-    // set WHERE set = '1' RETURN …`). Only with no RETURN does a
-    // clause-position write keyword route to the write parser.
-    def firstClause(pred: String => Boolean): Int =
-      toks.zipWithIndex.collectFirst {
-        case (t, i) if t.kind == "ident" && pred(t.s.toLowerCase) &&
-          clausePos(i) => i
+    def looksSetClause(i: Int): Boolean =
+      i + 2 < toks.length && toks(i + 1).kind == "ident" &&
+        toks(i + 2).kind == "op" &&
+        (toks(i + 2).s == "." || toks(i + 2).s == "+=")
+    def firstClause(pred: Int => Boolean): Int =
+      toks.indices.collectFirst {
+        case i if toks(i).kind == "ident" && clausePos(i) && pred(i) => i
       }.getOrElse(Int.MaxValue)
-    val firstReturn = firstClause(_ == "return")
-    val firstWrite = firstClause(writeKw)
-    val isWrite = firstWrite != Int.MaxValue && firstReturn == Int.MaxValue
-    if (isWrite) {
+    val firstReturn = firstClause(i => toks(i).s.equalsIgnoreCase("return"))
+    val firstWrite = firstClause { i =>
+      val s = toks(i).s.toLowerCase
+      strongKw(s) || (s == "set" && looksSetClause(i))
+    }
+    if (firstWrite < firstReturn) {
       val p = new P(toks)
       val w = parseWrite(p)
       if (p.peek.kind != "eof")
         fail(p.peek.pos, s"trailing input '${p.peek.s}'")
       Left(w)
-    } else {
-      try Right(parse(q))
-      catch {
-        case e: IllegalArgumentException if firstWrite < firstReturn =>
-          // the likeliest author intent behind a failed parse that
-          // LEADS with a write clause is `MERGE … RETURN n` — point
-          // at the actual gap instead of the read grammar's error
-          fail(toks(firstWrite).pos,
-            "RETURN on a write statement is not supported — run the " +
-            "write (stats come back on the summary), then MATCH what " +
-            s"you need (read parse said: ${e.getMessage})")
-      }
-    }
+    } else Right(parse(q))
   }
 
   // ---- write statements (round 11) ---------------------------------
@@ -287,11 +275,26 @@ object CypherParser {
     }
     flush()
     if (!any) fail(p.peek.pos, "expected MERGE, CREATE or SET")
-    if (p.atKw("return"))
-      fail(p.peek.pos,
-        "RETURN on a write statement is not supported — run the write " +
-        "(stats come back on the summary), then MATCH what you need")
-    WriteQuery(unwinds.result(), matches.result(), clauses.result())
+    // read continuation (round 13): `… RETURN items` projects the
+    // statement's bound rows against the POST-APPLY graph; `… WITH
+    // items [MATCH …]* RETURN items` threads them through the read
+    // pipeline (the write-then-read idiom). The continuation reuses
+    // the read grammar wholesale.
+    val returning: Option[Query] =
+      if (p.atKw("return")) {
+        p.eatKw("return")
+        Some(Query(Seq(Segment(Nil, Nil, None, None)), returnClause(p)))
+      } else if (p.atKw("with")) {
+        p.eatKw("with")
+        val w = withClause(p)
+        val rest = parseQuery(p, isFirst = false)
+        if (rest.union.isDefined)
+          fail(p.peek.pos, "UNION after a write statement is not supported")
+        Some(Query(Segment(Nil, Nil, None, Some(w)) +: rest.segments,
+          rest.ret))
+      } else None
+    WriteQuery(unwinds.result(), matches.result(), clauses.result(),
+      returning)
   }
 
   private def setItems(p: P): Seq[SetItem] = {
@@ -313,9 +316,12 @@ object CypherParser {
     items.result()
   }
 
-  private def parseQuery(p: P): Query = {
+  /** `isFirst = false` parses a query CONTINUATION (after a write
+    * statement's WITH): the first segment may be empty — the write's
+    * bound rows are its input. */
+  private def parseQuery(p: P, isFirst: Boolean = true): Query = {
     val segments = Vector.newBuilder[Segment]
-    var isFirstSegment = true
+    var isFirstSegment = isFirst
     var done = false
     while (!done) {
       val unwinds = Vector.newBuilder[(Expr, String)]
@@ -437,16 +443,6 @@ object CypherParser {
     NodePat(name, label, props)
   }
 
-  /** Default upper hop bound for open-range var-length patterns
-    * (`[*]`, `[*m..]`): the expansion machinery is a UNION of
-    * fixed-length join chains, so an explicit cap is what makes the
-    * consumer idioms executable — a truly unbounded `[*]` over 100 TB
-    * is a query bug, and Neo4j consumers cap traversals in practice
-    * anyway. Eight hops covers every diameter in the engine's graph
-    * shapes (the demo/assembly graphs bottom out at 2-3); queries that
-    * genuinely need more write the bound explicitly (`[*1..12]`). */
-  val DefaultHopCap: Int = 8
-
   private def edgePat(p: P): EdgePat = {
     // '<' '-' '[' … ']' '-'  |  '-' '[' … ']' '-' '>'  |  '-[…]-'
     val in = p.atOp("<")
@@ -477,22 +473,26 @@ object CypherParser {
           case Tok("int", s, _) => s.toInt
           case t => fail(t.pos, s"expected $what")
         }
-        val r =
-          if (p.atOp("]") || p.atOp("{")) (1, DefaultHopCap) // [*]
+        // an absent upper bound is the OPEN form (hi = None): the
+        // compiler converges it to the trail-semantics fixpoint —
+        // openCypher's unbounded semantics, never a silent hop cap
+        val r: (Int, Option[Int]) =
+          if (p.atOp("]") || p.atOp("{")) (1, None) // [*]
           else if (p.atOp("..")) { // [*..n]
-            p.eatOp(".."); (1, intTok("upper bound after '..'"))
+            p.eatOp(".."); (1, Some(intTok("upper bound after '..'")))
           } else {
             val lo = intTok("hop count after '*'")
             if (p.atOp("..")) {
               p.eatOp("..")
-              if (p.peek.kind == "int") (lo, intTok("upper bound")) // [*m..n]
-              else (lo, math.max(lo, DefaultHopCap)) // [*m..]
-            } else (lo, lo) // [*n] — exactly n hops
+              if (p.peek.kind == "int")
+                (lo, Some(intTok("upper bound"))) // [*m..n]
+              else (lo, None) // [*m..]
+            } else (lo, Some(lo)) // [*n] — exactly n hops
           }
         val (lo, hi) = r
-        if (lo < 1 || hi < lo)
-          fail(p.peek.pos, s"bad variable-length range *$lo..$hi")
-        Some((lo, hi))
+        if (lo < 1 || hi.exists(_ < lo))
+          fail(p.peek.pos, s"bad variable-length range *$lo..${hi.getOrElse("")}")
+        Some(r)
       } else None
     val props = if (p.atOp("{")) propMap(p) else Map.empty[String, Lit]
     p.eatOp("]")

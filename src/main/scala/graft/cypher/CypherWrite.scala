@@ -59,6 +59,14 @@ object CypherWrite {
       "relationships-deleted" -> relsDeleted)
   }
 
+  /** One applied write statement: the post-apply graph, the Neo4j-
+    * shaped counters, and — when the statement carried a RETURN / WITH
+    * continuation (round 13) — the returned rows, projected from the
+    * statement's bound rows against the POST-APPLY graph (so `MERGE …
+    * RETURN n.x` reads the value the statement just wrote). */
+  final case class Applied(graph: PropertyGraph, stats: Stats,
+                           rows: Option[DataFrame])
+
   private def emptyMap: Column = typedLit(Map.empty[String, String])
 
   /** Per-key map upsert: delta keys replace base keys; a null delta
@@ -73,7 +81,7 @@ object CypherWrite {
   }
 
   def apply(g: PropertyGraph, wq: WriteQuery, params: Map[String, Any],
-            labelKeys: Map[String, Seq[String]]): (PropertyGraph, Stats) = {
+            labelKeys: Map[String, Seq[String]]): Applied = {
     require(g.vertices.schema("props").dataType.isInstanceOf[MapType],
       "Cypher writes require the structured props layout " +
       "(map<string,string> — GraphAssembly.verticesMapProps)")
@@ -214,6 +222,11 @@ object CypherWrite {
     // recomputable from the pattern, so later relationship clauses
     // can reference them without a MATCH round-trip
     val writeBound = scala.collection.mutable.Map.empty[String, Column]
+    // relationship vars bound by MERGE/CREATE edge patterns — their
+    // (src, dst, rel) triple is recomputable, which is what a RETURN
+    // continuation needs to read the written edge back
+    val writeBoundRels =
+      scala.collection.mutable.Map.empty[String, (Column, Column, String)]
 
     def relDelta(path: PathPat, onCreate: Seq[SetItem] = Nil,
                  onMatch: Seq[SetItem] = Nil,
@@ -251,6 +264,9 @@ object CypherWrite {
         if (edge.props.isEmpty) emptyMap
         else map(edge.props.toSeq.flatMap { case (k, e) =>
           Seq(lit(k), expr(e).cast("string")) }: _*)
+      if (!edge.name.startsWith("  "))
+        writeBoundRels(edge.name) =
+          (endpoint(from), endpoint(to), edge.types.head)
       frame.select(endpoint(from).as("src"), endpoint(to).as("dst"),
           lit(edge.types.head).as("rel"), eprops.as("eprops"),
           setMap(onCreate).as("eoncreate"), setMap(onMatch).as("eonmatch"),
@@ -458,11 +474,18 @@ object CypherWrite {
     if (plainDel.nonEmpty || detachDel.nonEmpty || triplesDel.nonEmpty) {
       val plain = plainDel.reduceOption(_ unionByName _)
         .map(_.distinct().localCheckpoint(true))
-      val allIds = (plainDel ++ detachDel).reduceOption(_ unionByName _)
-        .map(_.distinct().localCheckpoint(true))
-      val triples = triplesDel.reduceOption(_ unionByName _)
-        .map(_.distinct().localCheckpoint(true))
       val detachIds = detachDel.reduceOption(_ unionByName _)
+        .map(_.distinct().localCheckpoint(true))
+      // one-sided statements (all-plain / all-detach — every real
+      // DELETE is one of them) reuse the side's checkpoint instead of
+      // re-materializing the same distinct id set a second time
+      val allIds = (plain, detachIds) match {
+        case (p, None) => p
+        case (None, d) => d
+        case (Some(p), Some(d)) =>
+          Some(p.unionByName(d).distinct().localCheckpoint(true))
+      }
+      val triples = triplesDel.reduceOption(_ unionByName _)
         .map(_.distinct().localCheckpoint(true))
       // Neo4j semantics: plain DELETE of a node with attached
       // relationships fails the statement (use DETACH DELETE). The
@@ -517,7 +540,74 @@ object CypherWrite {
       stats = stats + Stats(0, 0, 0, 0, nDel, rDel)
     }
 
-    (PropertyGraph(vertices, edges), stats)
+    val applied = PropertyGraph(vertices, edges)
+
+    // ---- read continuation (round 13): RETURN / WITH after writes --
+    // One row per bound frame row (openCypher: MERGE under UNWIND
+    // returns one row per input row). Every node variable — MATCH-
+    // bound or write-bound — is re-probed against the POST-APPLY
+    // vertex table so the projection reads what the statement wrote
+    // (a MATCH-bound var's frame props are pre-write). The probe
+    // discipline matches the apply's: ONE broadcast-semi pass over the
+    // standing table collects all referenced ids (frame-sized output,
+    // localCheckpoint'd), then per-var broadcast lookups — the
+    // standing graph never shuffles for a write's RETURN either.
+    val rowsOpt: Option[DataFrame] = wq.returning.map { contQ =>
+      val st2 = CypherCompiler.newState(applied, params)
+      st2.valueCols ++= st.valueCols
+      st2.mapVars ++= st.mapVars
+      st2.arrayVars ++= st.arrayVars
+      st2.pathVars ++= st.pathVars
+      var f = frame
+      writeBound.foreach { case (v, idc) =>
+        if (!st.nodes.contains(v)) f = f.withColumn(s"$v __id", idc)
+      }
+      writeBoundRels.foreach { case (v, (srcC, dstC, rel)) =>
+        if (!st.edgeVars.contains(v))
+          f = f.withColumn(s"$v __src", srcC)
+            .withColumn(s"$v __dst", dstC)
+            .withColumn(s"$v __rel", lit(rel))
+      }
+      val nodeVars = (st.nodes.toSeq ++ writeBound.keys).distinct
+      if (nodeVars.nonEmpty) {
+        val idU = nodeVars.map(v => f.select(col(s"$v __id").as("id")))
+          .reduce(_ unionByName _).distinct()
+        val lookup = vertices
+          .join(broadcast(idU), Seq("id"), "left_semi")
+          .localCheckpoint(true)
+        nodeVars.foreach { v =>
+          // left_outer: a node DELETEd by this same statement keeps
+          // its returned row (null label/props), Neo4j-style
+          f = f.drop(s"$v __label", s"$v __props")
+            .join(broadcast(lookup.select(col("id").as(s"$v __id"),
+              col("label").as(s"$v __label"),
+              col("props").as(s"$v __props"))),
+              Seq(s"$v __id"), "left_outer")
+        }
+      }
+      val relVars = (st.edgeVars.toSeq ++ writeBoundRels.keys).distinct
+      if (relVars.nonEmpty && st2.edgeHasProps) {
+        val triU = relVars.map(v => f.select(col(s"$v __src").as("src"),
+            col(s"$v __dst").as("dst"), col(s"$v __rel").as("rel")))
+          .reduce(_ unionByName _).distinct()
+        val elookup = edges
+          .join(broadcast(triU), Seq("src", "dst", "rel"), "left_semi")
+          .localCheckpoint(true)
+        relVars.foreach { v =>
+          f = f.drop(s"$v __eprops")
+            .join(broadcast(elookup.select(col("src").as(s"$v __src"),
+              col("dst").as(s"$v __dst"), col("rel").as(s"$v __rel"),
+              col("props").as(s"$v __eprops"))),
+              Seq(s"$v __src", s"$v __dst", s"$v __rel"), "left_outer")
+        }
+      }
+      st2.nodes ++= nodeVars
+      st2.edgeVars ++= relVars
+      st2.frame = Some(f)
+      CypherCompiler.runContinuation(st2, applied, contQ)
+    }
+
+    Applied(applied, stats, rowsOpt)
   }
 }
 
@@ -568,42 +658,33 @@ final class GraphStore(initial: PropertyGraph,
 
   def graph: PropertyGraph = g
 
-  /** Run `f` with Catalyst constraint propagation OFF, restoring the
-    * previous setting after. Why: every write statement stacks a
-    * union + join layer on the standing frames, and Union CONSTRAINTS
-    * are the OR of the children's — worse, `localCheckpoint` bakes
-    * the accumulated constraint set into the new LogicalRDD's origin
-    * constraints, so the OR snowballs ACROSS compactions and every
-    * later statement's optimizer pass re-sorts and re-folds a
-    * constraint expression that grows with total statement count
-    * (round-12 soak: per-statement cost crept 0.65 → 1.5 s inside 300
-    * statements with jstack samples pinned in Or.orderCommutative /
-    * ConstraintHelper). Constraint inference buys nothing on these
-    * param-sized write plans; reads outside the write path keep it. */
-  private def withoutConstraintPropagation[T](f: => T): T = {
-    val spark = g.vertices.sparkSession
-    val key = "spark.sql.constraintPropagation.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withoutConstraintPropagation[T](f: => T): T =
+    GraphStore.withoutConstraintPropagation(g.vertices.sparkSession)(f)
 
   def cypher(q: String, params: Map[String, Any] = Map.empty): DataFrame =
     g.cypher(q, params)
 
   /** Execute one WRITE statement (MERGE/CREATE/SET). Returns the
-    * write stats; the store's graph advances atomically. */
+    * write stats; the store's graph advances atomically. A statement
+    * with a RETURN/WITH continuation runs fine here — the returned
+    * rows are simply dropped; use [[executeReturning]] to read them. */
   def execute(stmt: String,
               params: Map[String, Any] = Map.empty): CypherWrite.Stats =
+    executeReturning(stmt, params)._1
+
+  /** [[execute]] plus the statement's returned rows (round 13:
+    * `MERGE … RETURN n.x`, `MERGE … WITH … MATCH … RETURN …`). The
+    * rows project the statement's bound rows against the post-apply
+    * graph; the frame stays valid after later writes (DataFrames are
+    * immutable snapshots of their lineage). */
+  def executeReturning(stmt: String, params: Map[String, Any] = Map.empty)
+      : (CypherWrite.Stats, Option[DataFrame]) =
     synchronized {
       CypherParser.parseAny(stmt) match {
         case Left(w) =>
-          val (ng, stats) =
+          val a =
             withoutConstraintPropagation(CypherWrite(g, w, params, labelKeys))
-          g = ng
+          g = a.graph
           writesSinceCompact += 1
           // each statement stacks one broadcast join AND one union on
           // the standing frames; past a handful of layers the
@@ -613,7 +694,7 @@ final class GraphStore(initial: PropertyGraph,
           // time wire clients linear; batched UNWIND statements (the
           // scale path) rarely stack past two or three.
           if (writesSinceCompact >= 8) compact()
-          stats
+          (a.stats, a.rows)
         case Right(_) => throw new IllegalArgumentException(
           "read query passed to execute(); use cypher()")
       }
@@ -627,10 +708,12 @@ final class GraphStore(initial: PropertyGraph,
     * swaps the fork in atomically. */
   def executeOn(g0: PropertyGraph, stmt: String,
                 params: Map[String, Any] = Map.empty)
-      : (PropertyGraph, CypherWrite.Stats) =
+      : (PropertyGraph, CypherWrite.Stats, Option[DataFrame]) =
     CypherParser.parseAny(stmt) match {
       case Left(w) =>
-        withoutConstraintPropagation(CypherWrite(g0, w, params, labelKeys))
+        val a = withoutConstraintPropagation(
+          CypherWrite(g0, w, params, labelKeys))
+        (a.graph, a.stats, a.rows)
       case Right(_) => throw new IllegalArgumentException(
         "read query passed to executeOn(); use cypher()")
     }
@@ -672,6 +755,52 @@ final class GraphStore(initial: PropertyGraph,
 }
 
 object GraphStore {
+  /** Run `f` with Catalyst constraint propagation OFF, restoring the
+    * previous setting when the LAST concurrent caller on the session
+    * exits. Why OFF: every write statement stacks a union + join layer
+    * on the standing frames, and Union CONSTRAINTS are the OR of the
+    * children's — worse, `localCheckpoint` bakes the accumulated
+    * constraint set into the new LogicalRDD's origin constraints, so
+    * the OR snowballs ACROSS compactions and every later statement's
+    * optimizer pass re-sorts and re-folds a constraint expression that
+    * grows with total statement count (round-12 soak: per-statement
+    * cost crept 0.65 → 1.5 s inside 300 statements with jstack samples
+    * pinned in Or.orderCommutative / ConstraintHelper). Constraint
+    * inference buys nothing on these param-sized write plans; reads
+    * outside the write path keep it.
+    *
+    * Why REFERENCE-COUNTED and session-keyed (round 13, advisor): the
+    * old per-call save/restore raced — executeOn runs on Bolt
+    * connection threads without the store lock, so two interleaved
+    * callers could each record the other's transient "false" as the
+    * previous value and leave propagation permanently disabled for
+    * all later reads. The counter makes restore happen exactly once,
+    * at the true outermost exit, with the true pre-toggle value. A
+    * read compiled concurrently with a write still sees the flag off
+    * (the conf is session-global) — harmless: constraint propagation
+    * is an optimization, never a correctness input. */
+  private val cpDepth = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.SparkSession, (Int, Option[String])]
+  private[graft] def withoutConstraintPropagation[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    cpDepth.synchronized {
+      val (n, prev) = cpDepth.getOrElse(spark, (0, spark.conf.getOption(key)))
+      if (n == 0) spark.conf.set(key, "false")
+      cpDepth(spark) = (n + 1, prev)
+    }
+    try f finally cpDepth.synchronized {
+      val (n, prev) = cpDepth(spark)
+      if (n == 1) {
+        cpDepth.remove(spark)
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else cpDepth(spark) = (n - 1, prev)
+    }
+  }
+
   /** Reopen a writable store from a [[save]]d GraphExport layout. */
   def load(spark: org.apache.spark.sql.SparkSession, root: String,
            labelKeys: Map[String, Seq[String]] = Map.empty): GraphStore =

@@ -135,10 +135,17 @@ final class SparkSqlPgServer(spark: SparkSession,
           val st = store.getOrElse(throw new ReadOnlyViolation(
             "CYPHER write statement but no writable graph store is " +
             "registered on this server"))
-          val stats = st.execute(text)
-          WriteResult("MERGE " + (stats.nodesCreated + stats.nodesMatched +
-            stats.relsCreated + stats.relsMatched + stats.nodesDeleted +
-            stats.relsDeleted))
+          val (stats, rows) = st.executeReturning(text)
+          // a write with a RETURN/WITH continuation answers with a
+          // row set (like SELECT); plain writes keep the command tag
+          rows match {
+            case Some(df) => QueryResult(df)
+            case None =>
+              WriteResult("MERGE " + (stats.nodesCreated +
+                stats.nodesMatched + stats.relsCreated +
+                stats.relsMatched + stats.nodesDeleted +
+                stats.relsDeleted))
+          }
         case Right(q) =>
           val g = store.map(_.graph).orElse(graph).getOrElse(
             throw new IllegalArgumentException(

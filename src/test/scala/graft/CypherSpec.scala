@@ -790,14 +790,17 @@ class CypherSpec extends AnyFunSuite {
   test("open-range var-length: [*] / [*..n] / [*m..] / [*n]") {
     def range(q: String) = CypherParser.parse(q)
       .matches.head.paths.head.edges.head.range
-    val cap = CypherParser.DefaultHopCap
-    assert(range("MATCH (a)-[:R*]->(b) RETURN id(a) AS i") == Some((1, cap)))
-    assert(range("MATCH (a)-[:R*..4]->(b) RETURN id(a) AS i") == Some((1, 4)))
-    assert(range("MATCH (a)-[:R*2..]->(b) RETURN id(a) AS i") == Some((2, cap)))
-    assert(range("MATCH (a)-[:R*3]->(b) RETURN id(a) AS i") == Some((3, 3)))
+    assert(range("MATCH (a)-[:R*]->(b) RETURN id(a) AS i") ==
+      Some((1, None)))
+    assert(range("MATCH (a)-[:R*..4]->(b) RETURN id(a) AS i") ==
+      Some((1, Some(4))))
+    assert(range("MATCH (a)-[:R*2..]->(b) RETURN id(a) AS i") ==
+      Some((2, None)))
+    assert(range("MATCH (a)-[:R*3]->(b) RETURN id(a) AS i") ==
+      Some((3, Some(3))))
     // semantics over the KNOWS cycle 1→2→3→1 from ann, trail rules:
     // depth 1 = bob, 2 = cat, 3 = ann, then the edges are exhausted —
-    // [*] converges at the cycle length, well under the default cap
+    // the open range converges at the cycle length (fixpoint, no cap)
     val all = g.cypher(
       """MATCH (a:Person {name: 'ann'})-[:KNOWS*]->(b)
          RETURN b.name AS who ORDER BY who""")

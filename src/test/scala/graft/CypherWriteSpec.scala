@@ -331,14 +331,18 @@ class CypherWriteSpec extends AnyFunSuite {
       "MATCH (n:X) RETURN n.a AS set").isRight)
     assert(CypherParser.parseAny(
       "MATCH (n:X) WHERE n.k = 'delete' RETURN n.a AS remove").isRight)
-    // …while real writes (no RETURN in this subset) still route left
+    // …while real writes still route left
     assert(CypherParser.parseAny(
       "MATCH (n:X {k: 1}) SET n.a = '1'").isLeft)
-    // a write followed by RETURN routes to the WRITE parser and fails
-    // with a targeted message, not the read parser's misleading one
-    val e = intercept[IllegalArgumentException](CypherParser.parseAny(
-      "MERGE (n:X {k: 1}) RETURN n.k AS k"))
-    assert(e.getMessage.contains("RETURN on a write statement"))
+    // a write followed by RETURN routes to the WRITE parser with the
+    // continuation attached (round 13)
+    val w = CypherParser.parseAny("MERGE (n:X {k: 1}) RETURN n.k AS k")
+    assert(w.isLeft && w.swap.toOption.get.returning.isDefined)
+    // and a WITH continuation parses through the read grammar
+    val w2 = CypherParser.parseAny(
+      "MERGE (n:X {k: 1}) WITH n MATCH (n)-[:R]->(m) RETURN count(*) AS c")
+    assert(w2.isLeft && w2.swap.toOption.get.returning.exists(
+      _.segments.length == 2))
   }
 
   test("an EMPTY UNWIND batch is a zero-stat no-op (quiet-tick batcher)") {
@@ -577,5 +581,184 @@ class CypherWriteSpec extends AnyFunSuite {
     // writes continue after compaction
     s.execute("MERGE (p:Person {pid: 3}) SET p.v = 'x'")
     assert(propsOf(s, "Person:3") == Map("pid" -> "3", "v" -> "x"))
+  }
+
+  // ---- round 13: RETURN / WITH continuations on writes --------------
+
+  test("MERGE … RETURN n: create and match forms read the written props") {
+    val s = emptyStore()
+    // MERGE-new: the returned row reads the props the statement wrote
+    val (st1, rows1) = s.executeReturning(
+      """MERGE (p:Person {pid: $id})
+         ON CREATE SET p.made = 'yes'
+         SET p.name = $name
+         RETURN id(p) AS i, p.name AS name, p.made AS made""",
+      Map("id" -> 7, "name" -> "ann"))
+    assert((st1.nodesCreated, st1.nodesMatched) == (1L, 0L))
+    val r1 = rows1.get.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2)))
+    assert(r1.toSeq == Seq(("Person:7", "ann", "yes")))
+    // MERGE-existing: matched, ON CREATE skipped, updated value visible
+    val (st2, rows2) = s.executeReturning(
+      """MERGE (p:Person {pid: $id}) SET p.name = $name
+         RETURN p.name AS name, p.made AS made""",
+      Map("id" -> 7, "name" -> "ANN"))
+    assert((st2.nodesCreated, st2.nodesMatched) == (0L, 1L))
+    assert(rows2.get.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("ANN", "yes")))
+    // CREATE … RETURN
+    val (st3, rows3) = s.executeReturning(
+      "CREATE (c:City {name: 'oslo'}) RETURN id(c) AS i, c.name AS n")
+    assert(st3.nodesCreated == 1L)
+    assert(rows3.get.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("City:oslo", "oslo")))
+    // batched UNWIND MERGE RETURN: one returned row per input row
+    val (_, rows4) = s.executeReturning(
+      """UNWIND $rows AS row
+         MERGE (p:Person {pid: row.pid}) SET p.name = row.name
+         RETURN p.pid AS pid, p.name AS name""",
+      Map("rows" -> Seq(Map("pid" -> 1, "name" -> "bo"),
+        Map("pid" -> 7, "name" -> "re-ann"))))
+    assert(rows4.get.collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq(("1", "bo"), ("7", "re-ann")))
+  }
+
+  test("MERGE rel … RETURN r: written relationship props read back") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1})")
+    s.execute("MERGE (c:City {name: 'oslo'})")
+    val (st, rows) = s.executeReturning(
+      """MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'})
+         MERGE (p)-[r:LIVES_IN {since: '2020'}]->(c)
+         RETURN type(r) AS t, r.since AS since, id(p) AS who""")
+    assert(st.relsCreated == 1L)
+    assert(rows.get.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSeq == Seq(("LIVES_IN", "2020", "Person:1")))
+    // MATCH-bound edge SET + RETURN sees the post-write value
+    val (_, rows2) = s.executeReturning(
+      """MATCH (p:Person)-[r:LIVES_IN]->(c:City)
+         SET r.since = '2021'
+         RETURN r.since AS since""")
+    assert(rows2.get.collect().map(_.getString(0)).toSeq == Seq("2021"))
+  }
+
+  test("write … WITH … MATCH … RETURN: read pipeline over the post-write graph") {
+    val s = emptyStore()
+    s.execute("MERGE (c:City {name: 'oslo'})")
+    (1 to 3).foreach { i =>
+      s.execute(
+        s"""MATCH (c:City {name: 'oslo'}) MERGE (p:Person {pid: $i})
+            MERGE (p)-[:LIVES_IN]->(c)""")
+    }
+    // upsert a NEW person + edge, then aggregate the post-write graph
+    // in the same statement: the count must include the new edge
+    val (st, rows) = s.executeReturning(
+      """MATCH (c:City {name: 'oslo'})
+         MERGE (p:Person {pid: 9}) SET p.name = 'new'
+         MERGE (p)-[:LIVES_IN]->(c)
+         WITH c
+         MATCH (q:Person)-[:LIVES_IN]->(c)
+         RETURN c.name AS city, count(*) AS n""")
+    assert(st.nodesCreated == 1L && st.relsCreated == 1L)
+    assert(rows.get.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("oslo", 4L)))
+    // plain-SET statement with WITH/WHERE continuation
+    val (_, rows2) = s.executeReturning(
+      """MATCH (p:Person {pid: 9}) SET p.tier = 'top'
+         WITH p.tier AS tier WHERE tier = 'top'
+         RETURN tier""")
+    assert(rows2.get.collect().map(_.getString(0)).toSeq == Seq("top"))
+  }
+
+  test("DETACH DELETE replay is a no-op (idempotence, spec-side proof)") {
+    // moved out of the cy_delete oracle entry's timed body (round 13):
+    // the replay is a correctness proof, not the measured operator
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1})")
+    s.execute("MERGE (c:City {name: 'oslo'})")
+    s.execute(
+      "MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)")
+    val st1 = s.execute("MATCH (p:Person {pid: 1}) DETACH DELETE p")
+    assert((st1.nodesDeleted, st1.relsDeleted) == (1L, 1L))
+    val st2 = s.execute("MATCH (p:Person {pid: 1}) DETACH DELETE p")
+    assert((st2.nodesDeleted, st2.relsDeleted) == (0L, 0L))
+    assert(s.graph.vertices.count() == 1 && s.graph.edges.count() == 0)
+  }
+
+  test("open var-length [*] / [*m..] converge past any fixed cap") {
+    // a 12-hop chain: the round-12 DefaultHopCap=8 would silently
+    // truncate; the converged expansion walks the full chain
+    val n = 13
+    val v = (0 until n).map(i => (s"N:$i", "N", Map("k" -> i.toString)))
+      .toDF("id", "label", "props")
+    val e = (0 until n - 1).map(i => (s"N:$i", s"N:${i + 1}", "NEXT"))
+      .toDF("src", "dst", "rel")
+    val g = PropertyGraph(v, e)
+    val all = g.cypher(
+      """MATCH (a:N {k: '0'})-[:NEXT*]->(b) RETURN count(*) AS c""")
+      .collect().head.getLong(0)
+    assert(all == (n - 1).toLong) // every depth 1..12 reached
+    // [*m..] with m > the old cap: depths 9..12 — the round-12 parser
+    // collapsed [*9..] to exactly 9 hops (advisor finding)
+    val deep = g.cypher(
+      """MATCH (a:N {k: '0'})-[:NEXT*9..]->(b) RETURN b.k AS k ORDER BY k""")
+      .collect().map(_.getString(0))
+    assert(deep.toSeq == Seq("10", "11", "12", "9"))
+    // open shortestPath converges too
+    val sp = g.cypher(
+      """MATCH p = shortestPath((a:N {k: '0'})-[:NEXT*]->(b:N {k: '12'}))
+         RETURN length(p) AS l""").collect().map(_.getLong(0))
+    assert(sp.toSeq == Seq(12L))
+    // an open range from a start with no outgoing edges is empty
+    val none = g.cypher(
+      """MATCH (a:N {k: '12'})-[:NEXT*]->(b) RETURN count(*) AS c""")
+      .collect().head.getLong(0)
+    assert(none == 0L)
+  }
+
+  test("read-only Bolt transaction COMMIT is a no-op (advisor fix)") {
+    val store = emptyStore()
+    store.execute("MERGE (p:Person {pid: 1})")
+    val srv = new graft.cypher.BoltQueryServer(store)
+    try {
+      val a = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-test", 15000)
+      val b = new graft.sinks.bolt.BoltSocketSession(
+        srv.host, srv.port, "graft-test", 15000)
+      try {
+        // a BEGINs a read-only tx; b commits a write meanwhile
+        a.begin()
+        val (_, r) = a.query("MATCH (p:Person) RETURN count(*) AS c",
+          Map.empty)
+        assert(r == Seq(Seq(1L)))
+        b.run("MERGE (p:Person {pid: 2})", Map.empty)
+        assert(store.graph.vertices.count() == 2)
+        // COMMIT of the read-only tx must NOT revert b's write
+        a.commit()
+        assert(store.graph.vertices.count() == 2)
+      } finally { a.close(); b.close() }
+    } finally srv.close()
+  }
+
+  test("constraint-propagation guard: nested/concurrent callers restore once") {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val before = spark.conf.getOption(key)
+    // nested entry: inner exit must NOT restore early
+    graft.cypher.GraphStore.withoutConstraintPropagation(spark) {
+      assert(spark.conf.get(key) == "false")
+      graft.cypher.GraphStore.withoutConstraintPropagation(spark) {
+        assert(spark.conf.get(key) == "false")
+      }
+      assert(spark.conf.get(key) == "false") // still off: outer is open
+    }
+    assert(spark.conf.getOption(key) == before)
+    // concurrent interleave (the advisor's race): N threads toggling;
+    // after ALL exit, the original value is restored exactly
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      graft.cypher.GraphStore.withoutConstraintPropagation(spark) {
+        Thread.sleep(20)
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(spark.conf.getOption(key) == before)
   }
 }
