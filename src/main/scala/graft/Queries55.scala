@@ -226,21 +226,19 @@ object Queries55 {
     * MERGE-only, but a graph store's consumer needs deletion): DETACH
     * DELETE every BUILDING customer from the demo graph (node ids +
     * both endpoint directions of their edges removed by broadcast
-    * anti joins — the standing graph never shuffles), prove the
-    * delete is idempotent (re-run removes nothing), then read the
+    * anti joins — the standing graph never shuffles), then read the
     * surviving graph back through the compiler; the oracle recomputes
-    * the exclusion relationally. */
+    * the exclusion relationally. The idempotence replay (re-run
+    * removes nothing) is a correctness proof, not the measured
+    * operator — it lives in CypherWriteSpec ("DETACH DELETE replay is
+    * a no-op"), out of this timed body (round-13 verdict item 3). */
   val cy_delete = Q(
     (s, dir) => {
       val store = new graft.cypher.GraphStore(stagedDemo(s, dir))
-      val del =
-        "MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' DETACH DELETE c"
-      val st1 = store.execute(del)
+      val st1 = store.execute(
+        "MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' DETACH DELETE c")
       require(st1.nodesDeleted > 0 && st1.relsDeleted > 0,
         s"expected deletions, got $st1")
-      val st2 = store.execute(del)
-      require(st2.nodesDeleted == 0 && st2.relsDeleted == 0,
-        s"DELETE replay must be a no-op, got $st2")
       store.cypher(
         """MATCH (c:Customer)-[:PLACED]->(o:Order)
            RETURN c.mktsegment AS seg, count(*) AS n
