@@ -35,12 +35,13 @@ object Queries56 {
         FROM nation WHERE n_name <> 'NATION_0'
       ORDER BY lbl"""))
 
-  /** Open var-length range `[*]`: expands to the bounded union of
-    * fixed-length join chains up to [[graft.cypher.CypherParser
-    * .DefaultHopCap]] (a documented cap — truly unbounded expansion
-    * over 100 TB is a query bug). The real graph bottoms out at depth
-    * 2 (Customer → Nation → Region); chains 3..cap are pruned to
-    * empty by the joins, which AQE collapses at runtime. */
+  /** Open var-length range `[*]`: since round 13 this CONVERGES —
+    * one frontier⋈edges level per hop, seeded from the BUILDING
+    * customers, stopping at the empty frontier (trail uniqueness
+    * makes it finite). The real graph bottoms out at depth 2
+    * (Customer → Nation → Region), so the expansion runs exactly 3
+    * levels (the third is empty) instead of the round-12 fixed
+    * 8-chain union. */
   val cy_var_open = Q(
     (s, dir) => stagedDemo(s, dir).cypher(
       """MATCH (c:Customer {mktsegment: 'BUILDING'})

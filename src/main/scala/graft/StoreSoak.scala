@@ -28,14 +28,28 @@ import graft.cypher.{GraphStore, PropertyGraph}
   * counts and tag checksum): row-at-a-time and batched are the same
   * semantics at very different constant factors.
   *
-  * Usage: `runMain graft.StoreSoak [days] [stations]` (defaults 90 ×
-  * 4 = 1080 statements). Prints one summary line per checkpoint plus
-  * the final linearity verdict; numbers are recorded in SCALE.md.
+  * Round 13 adds the OTHER scale axis: store SIZE. The round-12 soak
+  * proved linearity in statement COUNT on a near-empty standing
+  * graph; the 100-TB question is per-statement cost as the standing
+  * graph GROWS. A third argument pre-seeds the store with N synthetic
+  * vertices + N edges (localCheckpoint'd OUTSIDE the timed region, so
+  * the windows measure the write path only) and the same replay runs
+  * against the big store. The write apply is broadcast-probe-only —
+  * the standing table is scanned (in parallel), never shuffled, and
+  * the delta side is param-sized — so per-statement cost must stay
+  * near-flat in store size; the seeded run vs the empty run is the
+  * measurement that proves it (recorded in SCALE.md).
+  *
+  * Usage: `runMain graft.StoreSoak [days] [stations] [seedRows]`
+  * (defaults 90 × 4 = 1080 statements, seedRows=0). Prints one
+  * summary line per checkpoint plus the final linearity verdict;
+  * numbers are recorded in SCALE.md.
   */
 object StoreSoak {
   def main(args: Array[String]): Unit = {
     val days = if (args.length > 0) args(0).toInt else 90
     val stations = if (args.length > 1) args(1).toInt else 4
+    val seedRows = if (args.length > 2) args(2).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,12 +60,40 @@ object StoreSoak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    import org.apache.spark.sql.functions._
+
+    // optional standing-graph seed: a ring of `seedRows` Seed vertices
+    // + edges in the store's structured layout, materialized eagerly
+    // (localCheckpoint) before any window opens — the soak then
+    // measures the write path against a BIG standing graph, not the
+    // seed build
+    val seed: Option[PropertyGraph] =
+      if (seedRows <= 0) None
+      else Some {
+        val v = spark.range(seedRows).select(
+          concat_ws(":", lit("Seed"), col("id")).as("id"),
+          lit("Seed").as("label"),
+          map(lit("k"), col("id").cast("string")).as("props"))
+          .localCheckpoint(true)
+        val e = spark.range(seedRows).select(
+          concat_ws(":", lit("Seed"), col("id")).as("src"),
+          concat_ws(":", lit("Seed"), (col("id") + 1) % seedRows).as("dst"),
+          lit("SEED_NEXT").as("rel"),
+          lit(null).cast("map<string,string>").as("props"))
+          .localCheckpoint(true)
+        System.err.println(
+          s"[soak] seeded standing graph: ${v.count()} vertices, " +
+          s"${e.count()} edges")
+        PropertyGraph(v, e)
+      }
+
     def emptyStore(): GraphStore = {
       val v = Seq.empty[(String, String, Map[String, String])]
         .toDF("id", "label", "props")
       val e = Seq.empty[(String, String, String, Map[String, String])]
         .toDF("src", "dst", "rel", "props")
-      new GraphStore(PropertyGraph(v, e),
+      val initial = seed.getOrElse(PropertyGraph(v, e))
+      new GraphStore(initial,
         Map("Station" -> Seq("sid"), "WeatherDay" -> Seq("sid", "date")))
     }
 

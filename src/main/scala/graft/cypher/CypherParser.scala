@@ -144,7 +144,8 @@ object CypherParser {
     * by `ident.`/`ident +=` (the SET-item shape). */
   def parseAny(q: String): Either[WriteQuery, Query] = {
     val toks = lex(q)
-    val strongKw = Set("merge", "create", "delete", "detach", "remove")
+    val strongKw = Set("merge", "create", "delete", "detach", "remove",
+      "foreach")
     def clausePos(i: Int): Boolean = i == 0 || {
       val prev = toks(i - 1)
       !(prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s))
@@ -182,6 +183,40 @@ object CypherParser {
       p.eatKw("as")
       unwinds += ((listE, p.ident()))
     }
+    // `FOREACH (v IN $list | <write clauses>)` (round 13) — supported
+    // as the statement's SOLE write block (after any UNWIND/MATCH
+    // prefix) and desugared to the statement-level UNWIND batch form:
+    // under the engine's set-wise apply the two are identical (one
+    // frame row per element, deltas dedup by id/triple). The sole-
+    // block restriction keeps the empty-list no-op semantics honest —
+    // an empty FOREACH must not erase sibling writes' frame rows.
+    def parseForeach(): WriteQuery = {
+      p.eatKw("foreach")
+      p.eatOp("(")
+      val v = p.ident()
+      p.eatKw("in")
+      val listE: Expr =
+        if (p.peek.kind == "param") Param(p.next().s)
+        else if (p.atOp("[")) {
+          p.eatOp("[")
+          val vals = Vector.newBuilder[Lit]
+          if (!p.atOp("]")) {
+            vals += literal(p)
+            while (p.atOp(",")) { p.eatOp(","); vals += literal(p) }
+          }
+          p.eatOp("]")
+          ListLit(vals.result())
+        } else fail(p.peek.pos, "FOREACH takes `v IN $param` or a literal list")
+      p.eatOp("|")
+      val inner = parseWriteClauses(p)
+      p.eatOp(")")
+      if (p.atKw("foreach") || p.atKw("merge") || p.atKw("create") ||
+          p.atKw("set") || p.atKw("delete") || p.atKw("detach") ||
+          p.atKw("remove"))
+        fail(p.peek.pos,
+          "FOREACH is supported as the statement's only write block")
+      WriteQuery(Seq((listE, v)), Nil, inner)
+    }
     val matches = Vector.newBuilder[MatchPart]
     while (p.atKw("match")) {
       p.eatKw("match")
@@ -192,6 +227,36 @@ object CypherParser {
         if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) } else None
       matches += MatchPart(paths.result(), optional = false, where)
     }
+    val clauses: Seq[WriteClause] =
+      if (p.atKw("foreach")) {
+        val fe = parseForeach()
+        unwinds ++= fe.unwinds
+        fe.clauses
+      } else parseWriteClauses(p)
+    // read continuation (round 13): `… RETURN items` projects the
+    // statement's bound rows against the POST-APPLY graph; `… WITH
+    // items [MATCH …]* RETURN items` threads them through the read
+    // pipeline (the write-then-read idiom). The continuation reuses
+    // the read grammar wholesale.
+    val returning: Option[Query] =
+      if (p.atKw("return")) {
+        p.eatKw("return")
+        Some(Query(Seq(Segment(Nil, Nil, None, None)), returnClause(p)))
+      } else if (p.atKw("with")) {
+        p.eatKw("with")
+        val w = withClause(p)
+        val rest = parseQuery(p, isFirst = false)
+        if (rest.union.isDefined)
+          fail(p.peek.pos, "UNION after a write statement is not supported")
+        Some(Query(Segment(Nil, Nil, None, Some(w)) +: rest.segments,
+          rest.ret))
+      } else None
+    WriteQuery(unwinds.result(), matches.result(), clauses, returning)
+  }
+
+  /** The write-clause sequence (MERGE/CREATE/SET/DELETE/REMOVE) —
+    * shared by the statement top level and FOREACH bodies. */
+  private def parseWriteClauses(p: P): Seq[WriteClause] = {
     val clauses = Vector.newBuilder[WriteClause]
     // the most recent MERGE clause, held open so a following plain SET
     // that targets only its bound variable folds into it (the
@@ -275,26 +340,7 @@ object CypherParser {
     }
     flush()
     if (!any) fail(p.peek.pos, "expected MERGE, CREATE or SET")
-    // read continuation (round 13): `… RETURN items` projects the
-    // statement's bound rows against the POST-APPLY graph; `… WITH
-    // items [MATCH …]* RETURN items` threads them through the read
-    // pipeline (the write-then-read idiom). The continuation reuses
-    // the read grammar wholesale.
-    val returning: Option[Query] =
-      if (p.atKw("return")) {
-        p.eatKw("return")
-        Some(Query(Seq(Segment(Nil, Nil, None, None)), returnClause(p)))
-      } else if (p.atKw("with")) {
-        p.eatKw("with")
-        val w = withClause(p)
-        val rest = parseQuery(p, isFirst = false)
-        if (rest.union.isDefined)
-          fail(p.peek.pos, "UNION after a write statement is not supported")
-        Some(Query(Segment(Nil, Nil, None, Some(w)) +: rest.segments,
-          rest.ret))
-      } else None
-    WriteQuery(unwinds.result(), matches.result(), clauses.result(),
-      returning)
+    clauses.result()
   }
 
   private def setItems(p: P): Seq[SetItem] = {
@@ -532,6 +578,11 @@ object CypherParser {
           // the READ compiler rejects these in scan position, the
           // WRITE compiler evaluates them on the bound frame
           val v0 = p.ident(); p.eatOp("."); Prop(v0, p.ident())
+        } else if (p.peek.kind == "ident" &&
+                 !Set("true", "false", "null")(p.peek.s.toLowerCase)) {
+          // `{name: t}` — a bare bound variable (the FOREACH element /
+          // scalar-UNWIND idiom); same read/write split as Prop above
+          Var(p.ident())
         } else literal(p)
       m += k -> v
       more = p.atOp(",")

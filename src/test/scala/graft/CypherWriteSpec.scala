@@ -740,6 +740,32 @@ class CypherWriteSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("FOREACH desugars to the UNWIND batch form (sole write block)") {
+    val s = emptyStore()
+    val st = s.execute(
+      "FOREACH (row IN $rows | MERGE (p:Person {pid: row.pid}) SET p.name = row.name)",
+      Map("rows" -> Seq(Map("pid" -> 1, "name" -> "ann"),
+        Map("pid" -> 2, "name" -> "bo"))))
+    assert(st.nodesCreated == 2L)
+    assert(propsOf(s, "Person:1") == Map("pid" -> "1", "name" -> "ann"))
+    // MATCH prefix + FOREACH, literal list, RETURN continuation
+    val (_, rows) = s.executeReturning(
+      """MATCH (p:Person {pid: 1})
+         FOREACH (tag IN ['x'] | MERGE (c:City {name: tag}))
+         RETURN p.name AS who, count(*) AS n""")
+    assert(rows.get.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("ann", 1L)))
+    assert(s.graph.vertices.filter(col("id") === "City:x").count() == 1)
+    // empty list: zero-stat no-op (the conditional-write idiom)
+    val st2 = s.execute(
+      "FOREACH (t IN [] | MERGE (c:City {name: t}))")
+    assert(st2 == CypherWrite.Stats(0, 0, 0, 0))
+    // a second write block alongside FOREACH is rejected loudly
+    val e = intercept[IllegalArgumentException](s.execute(
+      "FOREACH (t IN ['a'] | MERGE (c:City {name: t})) MERGE (p:Person {pid: 9})"))
+    assert(e.getMessage.contains("only write block"))
+  }
+
   test("constraint-propagation guard: nested/concurrent callers restore once") {
     val key = "spark.sql.constraintPropagation.enabled"
     val before = spark.conf.getOption(key)
