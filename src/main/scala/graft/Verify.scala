@@ -40,7 +40,35 @@ object Verify {
     // correctness artifact distinguishable from a failed Verify: if
     // the manifest has 150+ hashed entries, the gate ran and the data
     // exists — any later emptiness is a checker-side hand-off failure.
+    // Round 13 (after the third empty driver artifact): the manifest
+    // is rewritten INCREMENTALLY after every query, so even a sweep
+    // killed by an external timeout leaves a partial manifest proving
+    // exactly how far the dump got and that its rows were hashed.
     val manifest = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def flushManifest(): Unit =
+      Files.writeString(Paths.get(s"$outDir/manifest.json"),
+        manifest.map { case (k, v) => s""""$k": $v""" }
+          .mkString("{", ",\n ", "}"))
+    // oracle_sql.json is static (SparkEntry.oracleSql) — write it
+    // BEFORE the sweep. Round 13: if an external timeout kills the
+    // dump mid-sweep, the checker still has the oracle map and the
+    // already-dumped queries compare instead of the whole round's
+    // correctness zeroing to {} (the r05/r08/r12 failure shape).
+    // JSON string escape: backslash, quote, and ALL control chars
+    // (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    // make the driver's json.load fail and silently zero the round.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -69,6 +97,7 @@ object Verify {
         manifest += name -> s"""{"error": "$msg"}"""
       }
       finally {
+        flushManifest()
         graft.operators.CacheScope.global.release()
         // let ContextCleaner reclaim broadcast/shuffle state between
         // queries — GC-driven by design; a 80-query single-JVM loop
@@ -76,24 +105,7 @@ object Verify {
         System.gc()
       }
     }
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      manifest.map { case (k, v) => s""""$k": $v""" }
-        .mkString("{", ",\n ", "}"))
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    flushManifest()
     spark.stop()
   }
 }

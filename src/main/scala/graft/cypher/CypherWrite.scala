@@ -59,13 +59,32 @@ object CypherWrite {
       "relationships-deleted" -> relsDeleted)
   }
 
+  /** The delta-sized row sets one statement touched — what
+    * [[GraphStore]]'s overlay compaction folds instead of
+    * re-materializing the standing graph (round 13: the store-size
+    * soak measured the full-store localCheckpoint every 8 statements
+    * at 1.7-2.3× the empty-store per-statement cost on a 3.3M-row
+    * standing graph). Every frame here is already localCheckpoint'd
+    * by the apply (they are the apply's own delta/deletion sets) and
+    * bounded by the statement's parameter/match size, never the
+    * graph. */
+  final case class Touched(
+      nodeIds: Option[DataFrame],            // (id) created/updated
+      edgeTriples: Option[DataFrame],        // (src,dst,rel) created/updated
+      deletedNodeIds: Option[DataFrame],     // (id) plain + detach
+      deletedEdgeTriples: Option[DataFrame], // (src,dst,rel) explicit
+      detachedNodeIds: Option[DataFrame])    // (id) endpoint-scoped edge removal
+
   /** One applied write statement: the post-apply graph, the Neo4j-
-    * shaped counters, and — when the statement carried a RETURN / WITH
-    * continuation (round 13) — the returned rows, projected from the
-    * statement's bound rows against the POST-APPLY graph (so `MERGE …
-    * RETURN n.x` reads the value the statement just wrote). */
+    * shaped counters, the statement's [[Touched]] row sets, and —
+    * when the statement carried a RETURN / WITH continuation (round
+    * 13) — the returned rows, projected from the statement's bound
+    * rows against the POST-APPLY graph (so `MERGE … RETURN n.x` reads
+    * the value the statement just wrote). */
   final case class Applied(graph: PropertyGraph, stats: Stats,
-                           rows: Option[DataFrame])
+                           rows: Option[DataFrame],
+                           touched: Touched = Touched(None, None, None,
+                             None, None))
 
   private def emptyMap: Column = typedLit(Map.empty[String, String])
 
@@ -368,6 +387,11 @@ object CypherWrite {
     // — two broadcast-probe passes over the standing table, zero
     // exchanges on it (CypherWriteSpec pins the plan shape).
     var stats = Stats(0, 0, 0, 0)
+    var touchedNodeIds: Option[DataFrame] = None
+    var touchedTriples: Option[DataFrame] = None
+    var deletedNodeIds: Option[DataFrame] = None
+    var deletedTriples: Option[DataFrame] = None
+    var detachedIds: Option[DataFrame] = None
     var vertices = g.vertices
     val nds = nodeDeltas.result()
     if (nds.nonEmpty) {
@@ -382,6 +406,7 @@ object CypherWrite {
           first(col("onmatch")).as("onmatch"),
           first(col("always")).as("always"))
         .localCheckpoint(true)
+      touchedNodeIds = Some(delta.select(col("id")))
       val existingIds = g.vertices.select(col("id"))
       val matchedIds = existingIds
         .join(broadcast(delta.select(col("id"))), Seq("id"), "left_semi")
@@ -432,6 +457,7 @@ object CypherWrite {
           first(col("ealways")).as("ealways"))
         .localCheckpoint(true)
       val keyCols = Seq("src", "dst", "rel")
+      touchedTriples = Some(delta.select(keyCols.map(col): _*))
       // which delta triples already exist: one broadcast probe over
       // the standing edges, output bounded by the delta size
       val matchedTriples = g.edges.select(keyCols.map(col): _*)
@@ -538,7 +564,17 @@ object CypherWrite {
           .join(broadcast(asDst), Seq("dst"), "left_anti")
       }
       stats = stats + Stats(0, 0, 0, 0, nDel, rDel)
+      deletedNodeIds = allIds
+      deletedTriples = triples
+      detachedIds = detachIds
     }
+
+    // pin the column ORDER to the input graph's: Spark's using-column
+    // semi/anti joins move the using columns to the front (a DETACH's
+    // endpoint anti joins leave (dst, src, …)), and positional
+    // consumers of store.graph must see a stable layout
+    vertices = vertices.select(g.vertices.columns.map(col).toSeq: _*)
+    edges = edges.select(g.edges.columns.map(col).toSeq: _*)
 
     val applied = PropertyGraph(vertices, edges)
 
@@ -607,7 +643,9 @@ object CypherWrite {
       CypherCompiler.runContinuation(st2, applied, contQ)
     }
 
-    Applied(applied, stats, rowsOpt)
+    Applied(applied, stats, rowsOpt,
+      Touched(touchedNodeIds, touchedTriples, deletedNodeIds,
+        deletedTriples, detachedIds))
   }
 }
 
@@ -619,15 +657,48 @@ object CypherWrite {
   * serialized (single-writer, like every sink in the engine), reads
   * can run concurrently against the current snapshot.
   *
-  * Each statement stacks one (broadcast) join on the standing frames;
-  * call [[compact]] periodically on long-lived stores to truncate the
-  * plan ([[execute]] does this every 8 write statements, and the
-  * compaction also re-coalesces — see `targetParts`).
+  * Each statement stacks one (broadcast) join on the standing frames,
+  * and every 8 statements the stack is folded. Round 13 changes WHAT
+  * the fold materializes: the old fold localCheckpointed the ENTIRE
+  * standing graph — measured on the store-size soak (StoreSoak, 3.3M
+  * seeded rows) at 1.7-2.3× the empty-store per-statement cost, with
+  * checkpoint blocks accumulating faster than the GC-driven cleaner
+  * reclaimed them. A write touches param-sized row sets, so the fold
+  * now maintains a delta-sized OVERLAY instead: `base` (the pinned
+  * initial/saved frames, NEVER re-materialized) plus materialized
+  * overlay rows + deletion masks, and the standing view is rebuilt as
+  * the constant-depth plan
+  * `base ▷ broadcast(mask) ∪ overlay` — per-fold cost is a base SCAN
+  * (probe, delta-sized output), never a base WRITE. The overlay folds
+  * fully into a new base only when it outgrows
+  * [[GraphStore.OverlayFoldRows]] (or after an untracked transaction
+  * swap), so per-statement cost stays flat in store size — the
+  * 100 TB posture.
   */
 final class GraphStore(initial: PropertyGraph,
                        val labelKeys: Map[String, Seq[String]] = Map.empty) {
   @volatile private var g: PropertyGraph = initial
   private var writesSinceCompact = 0
+
+  // ---- overlay-compaction state (round 13; all guarded by `this`) --
+  private var baseV: DataFrame = initial.vertices
+  private var baseE: DataFrame = initial.edges
+  /** Materialized post-apply rows for every vertex/edge touched since
+    * the base was pinned (created or updated). */
+  private var ovV: Option[DataFrame] = None
+  private var ovE: Option[DataFrame] = None
+  /** Cumulative deletion masks against the base. */
+  private var delVIds: Option[DataFrame] = None
+  private var delETriples: Option[DataFrame] = None
+  /** DETACH-deleted node ids: base edges die by ENDPOINT match (new
+    * edges to a re-created id live in the overlay — never masked). */
+  private var detachedIds: Option[DataFrame] = None
+  private var ovRows = 0L
+  /** Touched sets of the statements since the last fold. */
+  private var window = List.empty[CypherWrite.Touched]
+  /** False after an untracked graph swap ([[commitTx]]): the overlay
+    * no longer describes `g` vs `base`, so the next fold is FULL. */
+  private var baseValid = true
 
   /** Partition budget for [[compact]]: the initial graph's own layout
     * (a big standing graph keeps its source partitioning), floored at
@@ -685,6 +756,7 @@ final class GraphStore(initial: PropertyGraph,
           val a =
             withoutConstraintPropagation(CypherWrite(g, w, params, labelKeys))
           g = a.graph
+          window ::= a.touched
           writesSinceCompact += 1
           // each statement stacks one broadcast join AND one union on
           // the standing frames; past a handful of layers the
@@ -723,18 +795,127 @@ final class GraphStore(initial: PropertyGraph,
     * is single-writer (the reference drives one session pool); a
     * concurrent auto-commit writer between BEGIN and COMMIT is NOT
     * merged — the commit is last-write-wins, exactly the contract of
-    * swapping in a fork. */
+    * swapping in a fork. The fork's statements were not overlay-
+    * tracked, so the next fold is a full one. */
   def commitTx(ng: PropertyGraph): Unit = synchronized {
     g = ng
+    baseValid = false
+    window = Nil
     writesSinceCompact = 0
   }
 
-  /** Truncate the stacked write plan: materialize both frames. The
-    * frames are localCheckpoint'd (block-manager-backed); [[save]] is
-    * the durable form. */
+  /** Truncate the stacked write plan. Delta fold (overlay-sized work)
+    * when the overlay tracks the graph and is still broadcast-sized;
+    * full fold (materialize the view as the new base) otherwise. */
   def compact(): Unit = synchronized {
-    g = compacted(g)
+    if (!baseValid || ovRows > GraphStore.OverlayFoldRows) fullFold()
+    else deltaFold()
     writesSinceCompact = 0
+  }
+
+  private def fullFold(): Unit = {
+    g = compacted(g)
+    baseV = g.vertices; baseE = g.edges
+    ovV = None; ovE = None
+    delVIds = None; delETriples = None; detachedIds = None
+    ovRows = 0L; window = Nil; baseValid = true
+  }
+
+  private val eKeys = Seq("src", "dst", "rel")
+
+  /** Fold the window's statements into the overlay and rebuild the
+    * standing view at constant plan depth. Work is proportional to
+    * the overlay + one PROBE pass over the stacked view per frame
+    * family — the base is scanned, never re-written. */
+  private def deltaFold(): Unit = if (window.nonEmpty)
+    withoutConstraintPropagation {
+      val spark = g.vertices.sparkSession
+      import org.apache.spark.sql.functions.{broadcast, col}
+      def ckpt(df: DataFrame): DataFrame =
+        df.coalesce(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+      def unionAll(fs: Seq[DataFrame]): Option[DataFrame] =
+        fs.reduceOption(_ unionByName _)
+      val tV = unionAll(window.flatMap(_.nodeIds)).map(_.distinct())
+      val tE = unionAll(window.flatMap(_.edgeTriples)).map(_.distinct())
+      val dV = unionAll(window.flatMap(_.deletedNodeIds)).map(_.distinct())
+      val dE = unionAll(window.flatMap(_.deletedEdgeTriples))
+        .map(_.distinct())
+      val dt = unionAll(window.flatMap(_.detachedNodeIds)).map(_.distinct())
+
+      // vertices: post-apply rows for the window's touched ids (the
+      // stacked view is the truth — a touched-then-deleted id simply
+      // yields no row), replacing any older overlay copies
+      val newOvV = tV.map(ids =>
+        g.vertices.join(broadcast(ids), Seq("id"), "left_semi"))
+      val keptOvV = Seq(tV, dV).flatten.foldLeft(ovV)((cur, ids) =>
+        cur.map(_.join(broadcast(ids), Seq("id"), "left_anti")))
+      ovV = ((keptOvV, newOvV) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }).map(ckpt)
+
+      // edges: same shape; DETACH also removes overlay edges by
+      // endpoint (base copies die via the cumulative endpoint mask)
+      val newOvE = tE.map(tr =>
+        g.edges.join(broadcast(tr), eKeys, "left_semi"))
+      var keptOvE = Seq(tE, dE).flatten.foldLeft(ovE)((cur, tr) =>
+        cur.map(_.join(broadcast(tr), eKeys, "left_anti")))
+      dt.foreach { ids =>
+        keptOvE = keptOvE.map(
+          _.join(broadcast(ids.withColumnRenamed("id", "src")),
+              Seq("src"), "left_anti")
+            .join(broadcast(ids.withColumnRenamed("id", "dst")),
+              Seq("dst"), "left_anti"))
+      }
+      ovE = ((keptOvE, newOvE) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }).map(ckpt)
+
+      def accum(cur: Option[DataFrame],
+                add: Option[DataFrame]): Option[DataFrame] = (cur, add) match {
+        case (Some(a), Some(b)) => Some(ckpt(a.unionByName(b).distinct()))
+        case (None, Some(b)) => Some(ckpt(b))
+        case (a, None) => a
+      }
+      delVIds = accum(delVIds, dV)
+      delETriples = accum(delETriples, dE)
+      detachedIds = accum(detachedIds, dt)
+
+      ovRows = ovV.map(_.count()).getOrElse(0L) +
+        ovE.map(_.count()).getOrElse(0L)
+      window = Nil
+      g = rebuildView()
+    }
+
+  /** The standing view at constant plan depth:
+    * `base ▷ broadcast(deleted ∪ overlayKeys) ∪ overlay` per frame
+    * family, plus the endpoint mask for DETACHed nodes on edges. */
+  private def rebuildView(): PropertyGraph = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    def orUnion(a: Option[DataFrame],
+                b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
+      case (Some(x), Some(y)) => Some(x.unionByName(y))
+      case (x, y) => x.orElse(y)
+    }
+    val vMask = orUnion(delVIds, ovV.map(_.select(col("id"))))
+    val v0 = vMask.fold(baseV)(m =>
+      baseV.join(broadcast(m), Seq("id"), "left_anti"))
+    val v = ovV.fold(v0)(o => v0.unionByName(o))
+    val eMask = orUnion(delETriples, ovE.map(_.select(eKeys.map(col): _*)))
+    var e0 = eMask.fold(baseE)(m => baseE.join(broadcast(m), eKeys, "left_anti"))
+    detachedIds.foreach { ids =>
+      e0 = e0.join(broadcast(ids.withColumnRenamed("id", "src")),
+          Seq("src"), "left_anti")
+        .join(broadcast(ids.withColumnRenamed("id", "dst")),
+          Seq("dst"), "left_anti")
+    }
+    val e = ovE.fold(e0)(o => e0.unionByName(o))
+    // stable positional layout (using-column anti joins front-load
+    // their keys — same normalization as the apply's)
+    PropertyGraph(v.select(baseV.columns.map(col).toSeq: _*),
+      e.select(baseE.columns.map(col).toSeq: _*))
   }
 
   /** Persist the current graph as the engine's terminal lake layout
@@ -750,11 +931,25 @@ final class GraphStore(initial: PropertyGraph,
     val (v, e) = graft.operators.GraphExport.exportGraph(
       spark, g.vertices, g.edges, root)
     g = PropertyGraph(v, e)
+    // the durable layout IS the new base: overlay state resets
+    baseV = v; baseE = e
+    ovV = None; ovE = None
+    delVIds = None; delETriples = None; detachedIds = None
+    ovRows = 0L; window = Nil; baseValid = true
     writesSinceCompact = 0
   }
 }
 
 object GraphStore {
+  /** Overlay size (vertex + edge rows) past which [[GraphStore]]'s
+    * fold materializes a new base instead of maintaining the overlay:
+    * the overlay rides broadcast joins, so it must stay comfortably
+    * under the broadcast budget; a quarter-million keyed rows is a
+    * few tens of MB. Below it, compaction cost is delta-sized and
+    * per-statement cost is flat in store size (the round-13 soak
+    * measurement). */
+  val OverlayFoldRows: Long = 1L << 18
+
   /** Run `f` with Catalyst constraint propagation OFF, restoring the
     * previous setting when the LAST concurrent caller on the session
     * exits. Why OFF: every write statement stacks a union + join layer

@@ -740,6 +740,57 @@ class CypherWriteSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("overlay fold ≡ stacked apply across create/update/delete/detach") {
+    // round-13 compaction: the store folds a delta-sized OVERLAY onto
+    // a pinned base instead of re-materializing the standing graph.
+    // Equivalence proof: the same statement sequence lands the same
+    // graph whether folds happen after every statement, never, or on
+    // the default cadence — including deletion masks, DETACH endpoint
+    // masks, and re-creation AFTER deletion (mask vs overlay order).
+    val stmts: Seq[(String, Map[String, Any])] = Seq(
+      ("MERGE (p:Person {pid: 1}) SET p.a = 'x'", Map.empty),
+      ("MERGE (p:Person {pid: 2}) SET p.a = 'y'", Map.empty),
+      ("MERGE (c:City {name: 'oslo'})", Map.empty),
+      ("MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)",
+        Map.empty),
+      ("MATCH (p:Person {pid: 2}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[r:LIVES_IN]->(c) SET r.since = '2020'",
+        Map.empty),
+      ("MATCH (p:Person {pid: 1}) SET p.a = 'z', p.b = '1'", Map.empty),
+      ("MATCH (p:Person {pid: 1}) DETACH DELETE p", Map.empty),
+      // re-create a DELETED id: the overlay row must win over the mask
+      ("MERGE (p:Person {pid: 1}) SET p.a = 'reborn'", Map.empty),
+      ("MATCH (p:Person {pid: 2})-[r:LIVES_IN]->(c) DELETE r", Map.empty),
+      ("MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)",
+        Map.empty),
+      ("MERGE (c:City {name: 'rome'}) SET c.cc = 'it'", Map.empty))
+    def runStore(foldEvery: Int): (Set[(String, String, Map[String, String])],
+        Set[(String, String, String)]) = {
+      val s = emptyStore()
+      stmts.zipWithIndex.foreach { case ((q, ps), i) =>
+        s.execute(q, ps)
+        if (foldEvery > 0 && (i + 1) % foldEvery == 0) s.compact()
+      }
+      val vs = s.graph.vertices.collect().map(r => (r.getString(0),
+        r.getString(1), Option(r.getMap[String, String](2))
+          .map(_.toMap).getOrElse(Map.empty))).toSet
+      val es = s.graph.edges.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      (vs, es)
+    }
+    val everyStmt = runStore(1)   // fold after every statement
+    val never = runStore(0)       // pure stacked apply (11 < cadence... 8 triggers once)
+    val defaults = runStore(4)
+    assert(everyStmt == never, s"fold-every-statement diverges:\n$everyStmt\nvs\n$never")
+    assert(defaults == never, s"fold-every-4 diverges")
+    // expected end state, spelled out
+    assert(never._1 == Set(
+      ("Person:1", "Person", Map("pid" -> "1", "a" -> "reborn")),
+      ("Person:2", "Person", Map("pid" -> "2", "a" -> "y")),
+      ("City:oslo", "City", Map("name" -> "oslo")),
+      ("City:rome", "City", Map("name" -> "rome", "cc" -> "it"))))
+    assert(never._2 == Set(("Person:1", "City:oslo", "LIVES_IN")))
+  }
+
   test("FOREACH desugars to the UNWIND batch form (sole write block)") {
     val s = emptyStore()
     val st = s.execute(
