@@ -676,7 +676,8 @@ object CypherWrite {
   * 100 TB posture.
   */
 final class GraphStore(initial: PropertyGraph,
-                       val labelKeys: Map[String, Seq[String]] = Map.empty) {
+                       val labelKeys: Map[String, Seq[String]] = Map.empty,
+                       forceOverlay: Boolean = false) {
   @volatile private var g: PropertyGraph = initial
   private var writesSinceCompact = 0
 
@@ -687,12 +688,15 @@ final class GraphStore(initial: PropertyGraph,
     * the base was pinned (created or updated). */
   private var ovV: Option[DataFrame] = None
   private var ovE: Option[DataFrame] = None
-  /** Cumulative deletion masks against the base. */
-  private var delVIds: Option[DataFrame] = None
-  private var delETriples: Option[DataFrame] = None
-  /** DETACH-deleted node ids: base edges die by ENDPOINT match (new
+  /** Cumulative masks of base rows superseded or deleted — PRE-
+    * INTERSECTED with the base at fold time (one base scan per fold),
+    * so an append-mostly workload (the reference's: new day nodes
+    * every statement) keeps them EMPTY and the standing view is a
+    * plain `base ∪ overlay` with zero extra join stages per probe.
+    * DETACH masks resolve to the base edge TRIPLES at fold time (new
     * edges to a re-created id live in the overlay — never masked). */
-  private var detachedIds: Option[DataFrame] = None
+  private var maskV: Option[DataFrame] = None
+  private var maskE: Option[DataFrame] = None
   private var ovRows = 0L
   /** Touched sets of the statements since the last fold. */
   private var window = List.empty[CypherWrite.Touched]
@@ -804,20 +808,32 @@ final class GraphStore(initial: PropertyGraph,
     writesSinceCompact = 0
   }
 
-  /** Truncate the stacked write plan. Delta fold (overlay-sized work)
-    * when the overlay tracks the graph and is still broadcast-sized;
-    * full fold (materialize the view as the new base) otherwise. */
+  /** Truncate the stacked write plan. SMALL stores (base within
+    * [[GraphStore.OverlayFoldRows]]) keep the round-12 full fold —
+    * copying a broadcast-sized store is cheaper than overlay
+    * bookkeeping. BIG stores delta-fold: the base is scanned (probe,
+    * delta-sized output) but NEVER re-written — at 100 TB a full fold
+    * would re-materialize the store every 8 statements. Full fold
+    * also fires when the overlay outgrows its broadcast budget or
+    * after an untracked tx swap. `forceOverlay` (tests) pins the
+    * delta path regardless of base size. */
   def compact(): Unit = synchronized {
-    if (!baseValid || ovRows > GraphStore.OverlayFoldRows) fullFold()
+    if (baseRows < 0) baseRows = baseV.count() + baseE.count()
+    if (!baseValid ||
+        (!forceOverlay && baseRows <= GraphStore.OverlayFoldRows) ||
+        ovRows > GraphStore.OverlayFoldRows) fullFold()
     else deltaFold()
     writesSinceCompact = 0
   }
 
+  private var baseRows = -1L
+
   private def fullFold(): Unit = {
     g = compacted(g)
     baseV = g.vertices; baseE = g.edges
+    baseRows = baseV.count() + baseE.count() // cheap: just checkpointed
     ovV = None; ovE = None
-    delVIds = None; delETriples = None; detachedIds = None
+    maskV = None; maskE = None
     ovRows = 0L; window = Nil; baseValid = true
   }
 
@@ -829,6 +845,10 @@ final class GraphStore(initial: PropertyGraph,
     * family — the base is scanned, never re-written. */
   private def deltaFold(): Unit = if (window.nonEmpty)
     withoutConstraintPropagation {
+      val dbg = sys.env.contains("GRAFT_FOLD_DEBUG")
+      val t0 = System.nanoTime()
+      def mark(what: String): Unit = if (dbg)
+        System.err.println(f"[fold] $what at ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val spark = g.vertices.sparkSession
       import org.apache.spark.sql.functions.{broadcast, col}
       def ckpt(df: DataFrame): DataFrame =
@@ -856,7 +876,7 @@ final class GraphStore(initial: PropertyGraph,
       }).map(ckpt)
 
       // edges: same shape; DETACH also removes overlay edges by
-      // endpoint (base copies die via the cumulative endpoint mask)
+      // endpoint (base copies die via the triple mask below)
       val newOvE = tE.map(tr =>
         g.edges.join(broadcast(tr), eKeys, "left_semi"))
       var keptOvE = Seq(tE, dE).flatten.foldLeft(ovE)((cur, tr) =>
@@ -868,49 +888,65 @@ final class GraphStore(initial: PropertyGraph,
             .join(broadcast(ids.withColumnRenamed("id", "dst")),
               Seq("dst"), "left_anti"))
       }
+      mark("ovV ckpt")
       ovE = ((keptOvE, newOvE) match {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b) => a.orElse(b)
       }).map(ckpt)
 
-      def accum(cur: Option[DataFrame],
-                add: Option[DataFrame]): Option[DataFrame] = (cur, add) match {
-        case (Some(a), Some(b)) => Some(ckpt(a.unionByName(b).distinct()))
-        case (None, Some(b)) => Some(ckpt(b))
-        case (a, None) => a
+      mark("ovE ckpt")
+      // masks: which BASE rows the window superseded (touched) or
+      // deleted — resolved against the base NOW (one base scan per
+      // family per fold) so the per-probe view pays a mask stage only
+      // when base rows actually died. DETACH resolves to the base
+      // edge triples it kills, by endpoint.
+      def orUnion(a: Option[DataFrame],
+                  b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
+        case (Some(x), Some(y)) => Some(x.unionByName(y))
+        case (x, y) => x.orElse(y)
       }
-      delVIds = accum(delVIds, dV)
-      delETriples = accum(delETriples, dE)
-      detachedIds = accum(detachedIds, dt)
+      val nonEmpty: Option[DataFrame] => Option[DataFrame] =
+        _.filter(df => df.limit(1).count() > 0)
+      val candV = orUnion(tV, dV).map(_.distinct())
+      val newMaskV = candV.map(ids => baseV.select(col("id"))
+        .join(broadcast(ids), Seq("id"), "left_semi"))
+      maskV = nonEmpty(orUnion(maskV, newMaskV).map(m => ckpt(m.distinct())))
+      mark("maskV")
+      val candE = orUnion(tE, dE).map(_.distinct())
+      val newMaskE0 = candE.map(tr => baseE.select(eKeys.map(col): _*)
+        .join(broadcast(tr), eKeys, "left_semi"))
+      val detachMaskE = dt.map { ids =>
+        val be = baseE.select(eKeys.map(col): _*)
+        be.join(broadcast(ids.withColumnRenamed("id", "src")),
+            Seq("src"), "left_semi")
+          .unionByName(be.join(
+            broadcast(ids.withColumnRenamed("id", "dst")),
+            Seq("dst"), "left_semi"))
+      }
+      maskE = nonEmpty(orUnion(maskE, orUnion(newMaskE0, detachMaskE))
+        .map(m => ckpt(m.distinct())))
 
+      mark("maskE")
       ovRows = ovV.map(_.count()).getOrElse(0L) +
         ovE.map(_.count()).getOrElse(0L)
+      mark("counts")
       window = Nil
       g = rebuildView()
+      mark("done")
     }
 
   /** The standing view at constant plan depth:
-    * `base ▷ broadcast(deleted ∪ overlayKeys) ∪ overlay` per frame
-    * family, plus the endpoint mask for DETACHed nodes on edges. */
+    * `base [▷ broadcast(mask)] ∪ overlay` per frame family — the
+    * mask stage exists only when base rows actually died
+    * (pre-intersected at fold time), so the append-mostly reference
+    * workload probes a plain base ∪ overlay. */
   private def rebuildView(): PropertyGraph = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    def orUnion(a: Option[DataFrame],
-                b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
-      case (Some(x), Some(y)) => Some(x.unionByName(y))
-      case (x, y) => x.orElse(y)
-    }
-    val vMask = orUnion(delVIds, ovV.map(_.select(col("id"))))
-    val v0 = vMask.fold(baseV)(m =>
+    val v0 = maskV.fold(baseV)(m =>
       baseV.join(broadcast(m), Seq("id"), "left_anti"))
     val v = ovV.fold(v0)(o => v0.unionByName(o))
-    val eMask = orUnion(delETriples, ovE.map(_.select(eKeys.map(col): _*)))
-    var e0 = eMask.fold(baseE)(m => baseE.join(broadcast(m), eKeys, "left_anti"))
-    detachedIds.foreach { ids =>
-      e0 = e0.join(broadcast(ids.withColumnRenamed("id", "src")),
-          Seq("src"), "left_anti")
-        .join(broadcast(ids.withColumnRenamed("id", "dst")),
-          Seq("dst"), "left_anti")
-    }
+    val e0 = maskE.fold(baseE)(m =>
+      baseE.join(broadcast(m), eKeys, "left_anti"))
     val e = ovE.fold(e0)(o => e0.unionByName(o))
     // stable positional layout (using-column anti joins front-load
     // their keys — same normalization as the apply's)
@@ -933,8 +969,9 @@ final class GraphStore(initial: PropertyGraph,
     g = PropertyGraph(v, e)
     // the durable layout IS the new base: overlay state resets
     baseV = v; baseE = e
+    baseRows = -1L // durable layout: recount lazily at the next fold
     ovV = None; ovE = None
-    delVIds = None; delETriples = None; detachedIds = None
+    maskV = None; maskE = None
     ovRows = 0L; window = Nil; baseValid = true
     writesSinceCompact = 0
   }

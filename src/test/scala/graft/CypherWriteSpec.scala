@@ -763,9 +763,16 @@ class CypherWriteSpec extends AnyFunSuite {
       ("MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)",
         Map.empty),
       ("MERGE (c:City {name: 'rome'}) SET c.cc = 'it'", Map.empty))
-    def runStore(foldEvery: Int): (Set[(String, String, Map[String, String])],
-        Set[(String, String, String)]) = {
-      val s = emptyStore()
+    def runStore(foldEvery: Int, overlay: Boolean = false)
+        : (Set[(String, String, Map[String, String])],
+           Set[(String, String, String)]) = {
+      val v = Seq.empty[(String, String, Map[String, String])]
+        .toDF("id", "label", "props")
+      val e = Seq.empty[(String, String, String, Map[String, String])]
+        .toDF("src", "dst", "rel", "props")
+      val s = new GraphStore(PropertyGraph(v, e),
+        Map("Person" -> Seq("pid"), "City" -> Seq("name")),
+        forceOverlay = overlay)
       stmts.zipWithIndex.foreach { case ((q, ps), i) =>
         s.execute(q, ps)
         if (foldEvery > 0 && (i + 1) % foldEvery == 0) s.compact()
@@ -777,11 +784,15 @@ class CypherWriteSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
       (vs, es)
     }
-    val everyStmt = runStore(1)   // fold after every statement
-    val never = runStore(0)       // pure stacked apply (11 < cadence... 8 triggers once)
-    val defaults = runStore(4)
-    assert(everyStmt == never, s"fold-every-statement diverges:\n$everyStmt\nvs\n$never")
-    assert(defaults == never, s"fold-every-4 diverges")
+    // the adaptive switch sends tiny bases down the full-fold path —
+    // overlay = true pins the DELTA path, so both are proven
+    val everyStmt = runStore(1, overlay = true)
+    val never = runStore(0)       // pure stacked apply
+    val defaults = runStore(4, overlay = true)
+    val fullPath = runStore(1)    // small-base full-fold path
+    assert(everyStmt == never, s"overlay fold-every-statement diverges:\n$everyStmt\nvs\n$never")
+    assert(defaults == never, s"overlay fold-every-4 diverges")
+    assert(fullPath == never, s"full fold-every-statement diverges")
     // expected end state, spelled out
     assert(never._1 == Set(
       ("Person:1", "Person", Map("pid" -> "1", "a" -> "reborn")),
