@@ -658,22 +658,24 @@ object CypherWrite {
   * can run concurrently against the current snapshot.
   *
   * Each statement stacks one (broadcast) join on the standing frames,
-  * and every 8 statements the stack is folded. Round 13 changes WHAT
-  * the fold materializes: the old fold localCheckpointed the ENTIRE
-  * standing graph — measured on the store-size soak (StoreSoak, 3.3M
-  * seeded rows) at 1.7-2.3× the empty-store per-statement cost, with
-  * checkpoint blocks accumulating faster than the GC-driven cleaner
-  * reclaimed them. A write touches param-sized row sets, so the fold
-  * now maintains a delta-sized OVERLAY instead: `base` (the pinned
+  * and every 8 statements the stack is folded. Round 13 makes the
+  * fold SIZE-ADAPTIVE. Up to [[GraphStore.FullFoldBaseRows]] the fold
+  * copies the store (the round-12 full localCheckpoint) — measured
+  * cheaper than any bookkeeping while the store fits in memory. Past
+  * it, the fold maintains a delta-sized OVERLAY: `base` (the pinned
   * initial/saved frames, NEVER re-materialized) plus materialized
-  * overlay rows + deletion masks, and the standing view is rebuilt as
-  * the constant-depth plan
-  * `base ▷ broadcast(mask) ∪ overlay` — per-fold cost is a base SCAN
-  * (probe, delta-sized output), never a base WRITE. The overlay folds
-  * fully into a new base only when it outgrows
+  * overlay rows + base-row masks (pre-intersected with the base at
+  * fold time, so append-mostly workloads carry NO mask stage), and
+  * the standing view is the constant-depth plan
+  * `base [▷ broadcast(mask)] ∪ overlay` — per-fold cost is a base
+  * SCAN (probe, delta-sized output), never a base WRITE. The overlay
+  * folds fully into a new base only when it outgrows
   * [[GraphStore.OverlayFoldRows]] (or after an untracked transaction
-  * swap), so per-statement cost stays flat in store size — the
-  * 100 TB posture.
+  * swap). Re-writing a 100 TB store every 8 statements is the one
+  * unviable design; the overlay is what keeps big-store compaction
+  * possible, and the measured in-memory crossover (see
+  * [[GraphStore.FullFoldBaseRows]]) is why small stores keep the
+  * copy.
   */
 final class GraphStore(initial: PropertyGraph,
                        val labelKeys: Map[String, Seq[String]] = Map.empty,
@@ -820,7 +822,7 @@ final class GraphStore(initial: PropertyGraph,
   def compact(): Unit = synchronized {
     if (baseRows < 0) baseRows = baseV.count() + baseE.count()
     if (!baseValid ||
-        (!forceOverlay && baseRows <= GraphStore.OverlayFoldRows) ||
+        (!forceOverlay && baseRows <= GraphStore.FullFoldBaseRows) ||
         ovRows > GraphStore.OverlayFoldRows) fullFold()
     else deltaFold()
     writesSinceCompact = 0
@@ -982,10 +984,23 @@ object GraphStore {
     * fold materializes a new base instead of maintaining the overlay:
     * the overlay rides broadcast joins, so it must stay comfortably
     * under the broadcast budget; a quarter-million keyed rows is a
-    * few tens of MB. Below it, compaction cost is delta-sized and
-    * per-statement cost is flat in store size (the round-13 soak
-    * measurement). */
+    * few tens of MB. */
   val OverlayFoldRows: Long = 1L << 18
+
+  /** Base size (rows) up to which the fold COPIES the store (the
+    * round-12 full localCheckpoint) instead of overlay-folding. The
+    * round-13 store-size soak measured the crossover empirically: at
+    * 3.3M in-memory map-typed rows, one full copy (~2 s) is CHEAPER
+    * than the overlay fold's four standing probe scans (~3 s) plus
+    * the per-probe view overhead (seeded soak: 1.6-1.9 s/stmt copied
+    * vs 2.3-2.4 overlaid), because scanning map-typed rows costs
+    * nearly as much as writing them while the store fits in memory.
+    * Past this bound — and always for stores too big to
+    * re-materialize per 8 statements, the 100 TB posture — the
+    * overlay's never-rewrite-the-base property is what keeps
+    * compaction viable at all. 8M rows is the comfortable in-memory
+    * bound at the target executor sizing. */
+  val FullFoldBaseRows: Long = 1L << 23
 
   /** Run `f` with Catalyst constraint propagation OFF, restoring the
     * previous setting when the LAST concurrent caller on the session
