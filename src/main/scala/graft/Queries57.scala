@@ -114,16 +114,20 @@ object Queries57 {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       WHERE n_nationkey = 3 GROUP BY 1"""))
 
-  /** The 24-hop chain the old DefaultHopCap=8 would silently
-    * truncate: nation keys 0..24 linked `N:k -NEXT-> N:k+1`, then
-    * `[:NEXT*]` from the head CONVERGES to the full reachable set
-    * (one path per depth 1..24) — the round-13 fixpoint expansion,
-    * plus open shortestPath over the same chain. Level frames are a
-    * single path row here; at scale each level is one
-    * frontier⋈edges join seeded from the start set. */
+  /** A 12-hop chain — past the round-12 DefaultHopCap=8 that would
+    * silently truncate it: nation keys 0..12 linked
+    * `N:k -NEXT-> N:k+1`, then `[:NEXT*]` from the head CONVERGES to
+    * the full reachable set (one path per depth 1..12) — the
+    * round-13 fixpoint expansion — plus open shortestPath over the
+    * same chain. A deep chain is inherently LATENCY-bound: each hop
+    * depends on the previous, so the entry pays ~one Spark job per
+    * hop per expansion — the honest floor for unbounded depth, which
+    * is why bounded ranges (a static union, no actions) stay the
+    * right tool when the consumer knows a bound. */
   val cy_var_unbounded = Q(
     (s, dir) => {
       val nation = graft.sources.Tables.read(s, dir, "nation")
+        .filter(col("n_nationkey") <= 12)
       // the key lives in the id under verticesMapProps; `kv` carries
       // it as a READABLE prop for the pattern + projections
       val v = graft.domain.GraphAssembly.verticesMapProps(
@@ -138,13 +142,20 @@ object Queries57 {
           concat_ws(":", lit("N"), col("a.n_nationkey")).as("src"),
           concat_ws(":", lit("N"), col("b.n_nationkey")).as("dst"),
           lit("NEXT").as("rel"))
-      val g = graft.cypher.PropertyGraph(v, e)
+      // materialize the tiny chain fixture ONCE: the converging
+      // expansion runs one frontier⋈edges job per level, and 2×24
+      // levels re-scanning parquet-derived frames is all job overhead
+      // (measured 15.6 s); over in-memory frames the same iteration
+      // is a few seconds. At scale the edge side stays a lazy pruned
+      // scan by design — materializing is the FIXTURE's choice.
+      val g = graft.cypher.PropertyGraph(
+        v.localCheckpoint(true), e.localCheckpoint(true))
       val reach = g.cypher(
         """MATCH (a:N {kv: '0'})-[:NEXT*]->(b)
            RETURN count(*) AS n_reach, max(toInteger(b.kv)) AS far""")
       val sp = g.cypher(
         """MATCH p = shortestPath((a:N {kv: '0'})-[:NEXT*]->(b))
-           WHERE toInteger(b.kv) >= 20
+           WHERE toInteger(b.kv) >= 10
            RETURN count(*) AS n_reach, max(length(p)) AS far""")
       reach.withColumn("form", lit("walk"))
         .unionByName(sp.withColumn("form", lit("shortest")))
@@ -152,11 +163,11 @@ object Queries57 {
     },
     Some("""SELECT CAST(COUNT(*) - 1 AS BIGINT) AS n_reach,
         CAST(MAX(n_nationkey) AS BIGINT) AS far, 'walk' AS form
-      FROM nation
+      FROM nation WHERE n_nationkey <= 12
       UNION ALL
       SELECT CAST(COUNT(*) AS BIGINT), CAST(MAX(n_nationkey) AS BIGINT),
         'shortest'
-      FROM nation WHERE n_nationkey >= 20
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 12
       ORDER BY form"""))
 
   /** The rel-prop WRITE APPLY itself, benched (round-12 verdict item

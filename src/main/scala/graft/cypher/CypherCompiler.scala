@@ -682,6 +682,12 @@ object CypherCompiler {
                   .localCheckpoint(true)
                 val names = scala.collection.mutable.ArrayBuffer.empty[String]
                 val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                // one materialized level per hop: a deep expansion is
+                // inherently latency-bound (each hop DEPENDS on the
+                // previous — every engine serializes here); lazier
+                // block batching was measured SLOWER (AQE re-plans
+                // each chained join as its own broadcast stage), so
+                // the simple one-job-per-level form stands.
                 var growing = !starts.isEmpty
                 while (growing) {
                   val n = freshHop()
