@@ -319,19 +319,30 @@ object CypherParser {
         val paths = Vector.newBuilder[PathPat]
         paths += linearPat(p)
         while (p.atOp(",")) { p.eatOp(","); paths += linearPat(p) }
-        clauses += Create(paths.result())
+        last = Some(Create(paths.result()))
       } else {
         p.eatKw("set")
         val items = setItems(p)
         // a plain SET whose every item targets the just-MERGEd node or
         // relationship folds into that MERGE (the reference's
-        // `MERGE … SET …`)
+        // `MERGE … SET …`); a keyed SET on a just-CREATEd single node
+        // folds into the CREATE pattern's props (round 13 — the
+        // `CREATE (x:L {k:1}) SET x.y = 2` idiom: identical semantics
+        // here, since SET values cannot reference the created node)
         last match {
           case Some(mn: MergeNode) if items.forall(_.v == mn.pat.name) =>
             last = Some(mn.copy(always = mn.always ++ items))
           case Some(mr: MergeRel)
               if items.forall(_.v == mr.path.edges.head.name) =>
             last = Some(mr.copy(always = mr.always ++ items))
+          case Some(Create(Seq(path)))
+              if path.edges.isEmpty &&
+                items.forall(si => si.v == path.nodes.head.name &&
+                  si.key.isDefined) =>
+            val np = path.nodes.head
+            val folded = np.copy(props = np.props ++
+              items.map(si => si.key.get -> si.value))
+            last = Some(Create(Seq(path.copy(nodes = Seq(folded)))))
           case _ =>
             flush()
             clauses += SetOnly(items)

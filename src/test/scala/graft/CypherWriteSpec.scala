@@ -802,6 +802,24 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(never._2 == Set(("Person:1", "City:oslo", "LIVES_IN")))
   }
 
+  test("CREATE … SET folds into the pattern (keyed items, single node)") {
+    val s = emptyStore()
+    val (st, rows) = s.executeReturning(
+      """CREATE (c:City {name: 'oslo'}) SET c.cc = 'no', c.pop = $p
+         RETURN c.name AS name, c.cc AS cc, c.pop AS pop""",
+      Map("p" -> 700000))
+    assert(st.nodesCreated == 1L)
+    assert(rows.get.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("oslo", "no", "700000")))
+    assert(propsOf(s, "City:oslo") ==
+      Map("name" -> "oslo", "cc" -> "no", "pop" -> "700000"))
+    // a SET targeting a DIFFERENT variable still raises (not a silent fold)
+    val e = intercept[IllegalArgumentException](s.execute(
+      "CREATE (a:City {name: 'rome'}) SET b.x = '1'"))
+    assert(e.getMessage.contains("not a bound node"))
+  }
+
   test("FOREACH desugars to the UNWIND batch form (sole write block)") {
     val s = emptyStore()
     val st = s.execute(
