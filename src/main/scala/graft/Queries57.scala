@@ -19,7 +19,8 @@ import Queries54.stagedDemo
   *   - `MERGE … WITH … MATCH … RETURN` threads the written rows into
   *     the read pipeline over the POST-APPLY graph in one statement.
   *   - `[*]` now CONVERGES (trail-semantics fixpoint) instead of
-  *     silently capping at 8 hops — proven here on a 24-hop chain.
+  *     silently capping at 8 hops — proven here on a 12-hop chain
+  *     (13 nodes), past the old cap.
   *
   * The DuckDB oracle recomputes every answer relationally from the
   * raw tables, so a hash match proves parse → set-wise apply →
@@ -143,7 +144,7 @@ object Queries57 {
           concat_ws(":", lit("N"), col("b.n_nationkey")).as("dst"),
           lit("NEXT").as("rel"))
       // materialize the tiny chain fixture ONCE: the converging
-      // expansion runs one frontier⋈edges job per level, and 2×24
+      // expansion runs one frontier⋈edges job per level, and ~2×13
       // levels re-scanning parquet-derived frames is all job overhead
       // (measured 15.6 s); over in-memory frames the same iteration
       // is a few seconds. At scale the edge side stays a lazy pruned

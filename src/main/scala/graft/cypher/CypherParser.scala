@@ -138,17 +138,26 @@ object CypherParser {
     * Statement kind: the statement is a WRITE iff a clause-position
     * write keyword appears BEFORE any clause-position RETURN. A
     * keyword after `.` / `:` / `{` / `,` / `(` / `[` is a prop key,
-    * label, map key or pattern variable, never a clause; and `set` —
-    * the one write keyword commonly used as an alias (`WITH n.a AS
-    * set WHERE set = '1' …`) — counts as a clause only when followed
-    * by `ident.`/`ident +=` (the SET-item shape). */
+    * label, map key or pattern variable, never a clause; a keyword
+    * after `AS` is an alias (`WITH n.a AS delete`, `UNWIND xs AS
+    * merge`), never a clause; and `set` — the write keyword most
+    * commonly used as a bare identifier elsewhere — counts as a
+    * clause only when followed by `ident.`/`ident +=` (the SET-item
+    * shape). The shape tests are a fast ROUTER, not the grammar: if
+    * the write parse rejects a statement the router sent it (a write
+    * keyword used as an identifier in a position the shapes miss,
+    * e.g. `WHERE delete IS NULL`), the statement is re-tried as a
+    * read query, and only if BOTH grammars reject does the write
+    * error surface. A valid read can never silently misroute the
+    * other way — the read grammar has no write clauses. */
   def parseAny(q: String): Either[WriteQuery, Query] = {
     val toks = lex(q)
     val strongKw = Set("merge", "create", "delete", "detach", "remove",
       "foreach")
     def clausePos(i: Int): Boolean = i == 0 || {
       val prev = toks(i - 1)
-      !(prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s))
+      !((prev.kind == "op" && Set(".", ":", "{", ",", "(", "[")(prev.s)) ||
+        (prev.kind == "ident" && prev.s.equalsIgnoreCase("as")))
     }
     def looksSetClause(i: Int): Boolean =
       i + 2 < toks.length && toks(i + 1).kind == "ident" &&
@@ -164,11 +173,17 @@ object CypherParser {
       strongKw(s) || (s == "set" && looksSetClause(i))
     }
     if (firstWrite < firstReturn) {
-      val p = new P(toks)
-      val w = parseWrite(p)
-      if (p.peek.kind != "eof")
-        fail(p.peek.pos, s"trailing input '${p.peek.s}'")
-      Left(w)
+      try {
+        val p = new P(toks)
+        val w = parseWrite(p)
+        if (p.peek.kind != "eof")
+          fail(p.peek.pos, s"trailing input '${p.peek.s}'")
+        Left(w)
+      } catch {
+        case we: IllegalArgumentException =>
+          try Right(parse(q))
+          catch { case _: IllegalArgumentException => throw we }
+      }
     } else Right(parse(q))
   }
 
