@@ -166,9 +166,36 @@ object CypherCompiler {
         s"expected a literal or $$param, got $other")
     }
 
+    /** Write-path scan pruning (round 14, set by [[CypherWrite]]):
+      * `(labelKeys, prunedVertices)` — when a MATCH pattern names a
+      * label with declared uniqueness keys AND binds every key prop
+      * to a literal/param, its identity is store-computable
+      * (`label:key1:key2`, the same contract the MERGE match probe
+      * relies on), so the scan reads only the id's bucket. The usual
+      * label/prop filters still apply on top, so the result set is
+      * identical; patterns outside the contract scan as before.
+      * Contract fine print: key props must be bound with the same
+      * type discipline the writes used — a mixed-type key binding
+      * (`sid: 7` written, `sid: 7.0` matched) hashes to a different
+      * id and already breaks MERGE identity itself, so it is outside
+      * the store's constraint contract, not a pruning regression. */
+    var writeScanPrune
+        : Option[(Map[String, Seq[String]], DataFrame => DataFrame)] = None
+
     def nodeFrame(np: NodePat): DataFrame = {
       val v = np.name
-      val base = np.label.foldLeft(g.vertices)((d, l) => d.filter(col("label") === l))
+      val source = writeScanPrune.flatMap { case (labelKeys, prunedV) =>
+        for {
+          l <- np.label
+          ks <- labelKeys.get(l)
+          if ks.nonEmpty && ks.forall(np.props.contains)
+          idc <- scala.util.Try(concat_ws(":",
+            (lit(l) +: ks.map(k => constCol(np.props(k)).cast("string")))
+              : _*)).toOption
+        } yield prunedV(
+          g.vertices.sparkSession.range(1).select(idc.as("id")))
+      }.getOrElse(g.vertices)
+      val base = np.label.foldLeft(source)((d, l) => d.filter(col("label") === l))
       val filtered = np.props.foldLeft(base) { case (d, (k, e)) =>
         d.filter(propGet(col("props"), vertexPropsIsMap, k) === constCol(e))
       }

@@ -73,7 +73,30 @@ object CypherWrite {
       edgeTriples: Option[DataFrame],        // (src,dst,rel) created/updated
       deletedNodeIds: Option[DataFrame],     // (id) plain + detach
       deletedEdgeTriples: Option[DataFrame], // (src,dst,rel) explicit
-      detachedNodeIds: Option[DataFrame])    // (id) endpoint-scoped edge removal
+      detachedNodeIds: Option[DataFrame],    // (id) endpoint-scoped edge removal
+      // POST-APPLY rows for the touched ids/triples — computed inside
+      // the apply from BUCKET-PRUNED standing probes (round 14), so a
+      // bucketed store can fold a statement without ever probing the
+      // full standing graph. None when no [[ProbeHint]] was supplied.
+      nodeRows: Option[DataFrame] = None,
+      edgeRows: Option[DataFrame] = None)
+
+  /** Store-provided bucket-pruned standing views for the apply's
+    * probe passes (round 14 — SCALE.md round-13 mechanism 4: the
+    * per-statement standing probes were the last O(store) term on
+    * the row-at-a-time write path). Each function takes a PARAM-SIZED
+    * key frame and returns the standing rows restricted to the key
+    * buckets — a SUPERSET (whole buckets) of the rows matching the
+    * keys, which every caller immediately semi/anti-joins down, and a
+    * SUBSET of the standing frame, so probe results are unchanged.
+    *
+    * `vertices`: keys frame has column `id`. `edgesBySrc`: keys frame
+    * has column `src`; the edge index is clustered by src only, so
+    * dst-keyed probes (DETACH endpoint checks — rare) fall back to
+    * the full standing frame. */
+  final case class ProbeHint(
+      vertices: DataFrame => DataFrame,
+      edgesBySrc: DataFrame => DataFrame)
 
   /** One applied write statement: the post-apply graph, the Neo4j-
     * shaped counters, the statement's [[Touched]] row sets, and —
@@ -100,12 +123,19 @@ object CypherWrite {
   }
 
   def apply(g: PropertyGraph, wq: WriteQuery, params: Map[String, Any],
-            labelKeys: Map[String, Seq[String]]): Applied = {
+            labelKeys: Map[String, Seq[String]],
+            hint: Option[ProbeHint] = None): Applied = {
     require(g.vertices.schema("props").dataType.isInstanceOf[MapType],
       "Cypher writes require the structured props layout " +
       "(map<string,string> — GraphAssembly.verticesMapProps)")
     val spark = g.vertices.sparkSession
     val st = CypherCompiler.newState(g, params)
+    // bucket-pruned MATCH-prefix scans: a pattern on a DECLARED-KEY
+    // label that binds every key prop has a store-computable identity
+    // (the MERGE contract — id = label:keys, the same assumption the
+    // MERGE match probe itself makes), so its scan prunes to the id's
+    // bucket instead of the standing table
+    hint.foreach(h => st.writeScanPrune = Some((labelKeys, h.vertices)))
     CypherCompiler.bindPrefix(st, g, wq.unwinds, wq.matches)
     val frame = st.frame.getOrElse(spark.range(1).toDF())
 
@@ -392,7 +422,17 @@ object CypherWrite {
     var deletedNodeIds: Option[DataFrame] = None
     var deletedTriples: Option[DataFrame] = None
     var detachedIds: Option[DataFrame] = None
-    var vertices = g.vertices
+    // the vertex-side plan as a FUNCTION of the standing frame: every
+    // layer (merge upsert, deletion anti joins) composes here, so a
+    // probe that only needs delta-sized output can evaluate the same
+    // layers over a BUCKET-PRUNED standing base (round 14) while the
+    // full standing view applies them to g.vertices unchanged
+    var vertexView: DataFrame => DataFrame = identity
+    /** Standing vertices for a probe keyed by `keys` (col `id`):
+      * bucket-pruned when the store supplied a hint, the full frame
+      * otherwise. Superset of the matching rows either way. */
+    def standingV(keys: => DataFrame): DataFrame =
+      hint.map(_.vertices(keys)).getOrElse(g.vertices)
     val nds = nodeDeltas.result()
     if (nds.nonEmpty) {
       // delta is param/match-sized: materialize it eagerly so the
@@ -406,19 +446,22 @@ object CypherWrite {
           first(col("onmatch")).as("onmatch"),
           first(col("always")).as("always"))
         .localCheckpoint(true)
-      touchedNodeIds = Some(delta.select(col("id")))
-      val existingIds = g.vertices.select(col("id"))
-      val matchedIds = existingIds
-        .join(broadcast(delta.select(col("id"))), Seq("id"), "left_semi")
+      val deltaIds = delta.select(col("id"))
+      touchedNodeIds = Some(deltaIds)
+      // ONE probe over the (pruned) standing ids, delta-sized output
+      val matchedIds = standingV(deltaIds).select(col("id"))
+        .join(broadcast(deltaIds), Seq("id"), "left_semi")
         .localCheckpoint(true)
       val nMatched = matchedIds.count()
       val nTotal = delta.count()
-      // declared-key CREATE constraint: creating an existing id fails
+      // declared-key CREATE constraint: creating an existing id fails.
+      // matchedIds = standing ∩ delta and every create-only id is in
+      // the delta, so the check is a delta-sized join — no second
+      // standing probe (round 14; previously re-scanned the store)
       val cos = createOnlyNodes.result()
       if (cos.nonEmpty) {
-        val dup = existingIds
-          .join(broadcast(cos.reduce(_ unionByName _)), Seq("id"),
-            "left_semi")
+        val dup = cos.reduce(_ unionByName _)
+          .join(broadcast(matchedIds), Seq("id"), "left_semi")
           .limit(1).collect()
         if (dup.nonEmpty) throw new IllegalStateException(
           s"CREATE violates uniqueness: node ${dup.head.getString(0)} " +
@@ -426,18 +469,21 @@ object CypherWrite {
       }
       stats = stats + Stats(nTotal - nMatched, nMatched, 0, 0)
       val d = broadcast(delta.withColumn("__d", lit(true)))
-      val updated = g.vertices.join(d, Seq("id"), "left_outer").select(
-        col("id"), col("label"),
-        when(col("__d").isNotNull,
-            mapUpsert(mapUpsert(col("props"), col("onmatch")), col("always")))
-          .otherwise(col("props"))
-          .as("props"))
       val created = delta
         .join(broadcast(matchedIds), Seq("id"), "left_anti")
         .select(col("id"), col("dlabel").as("label"),
           mapUpsert(mapUpsert(col("pat"), col("oncreate")), col("always"))
             .as("props"))
-      vertices = updated.unionByName(created)
+      vertexView = (base: DataFrame) => {
+        val updated = base.join(d, Seq("id"), "left_outer").select(
+          col("id"), col("label"),
+          when(col("__d").isNotNull,
+              mapUpsert(mapUpsert(col("props"), col("onmatch")),
+                col("always")))
+            .otherwise(col("props"))
+            .as("props"))
+        updated.unionByName(created)
+      }
     }
 
     // ---- apply relationship deltas: same broadcast-probe shape -----
@@ -446,7 +492,13 @@ object CypherWrite {
     // SET folding puts the common `MERGE …-[r]-… SET r.…` shape in ONE
     // delta row, so the survivor rule only bites on genuinely
     // conflicting multi-clause statements.
-    var edges = g.edges
+    // the edge-side plan as a function of the standing edge frame —
+    // same discipline as vertexView
+    var edgeView: DataFrame => DataFrame = identity
+    /** Standing edges for a probe keyed by `keys` (col `src`):
+      * bucket-pruned by src when the store supplied a hint. */
+    def standingE(keys: => DataFrame): DataFrame =
+      hint.map(_.edgesBySrc(keys)).getOrElse(g.edges)
     val rds = relDeltas.result()
     if (rds.nonEmpty) {
       val delta = rds.reduce(_ unionByName _)
@@ -457,12 +509,13 @@ object CypherWrite {
           first(col("ealways")).as("ealways"))
         .localCheckpoint(true)
       val keyCols = Seq("src", "dst", "rel")
-      touchedTriples = Some(delta.select(keyCols.map(col): _*))
+      val deltaTriples = delta.select(keyCols.map(col): _*)
+      touchedTriples = Some(deltaTriples)
       // which delta triples already exist: one broadcast probe over
-      // the standing edges, output bounded by the delta size
-      val matchedTriples = g.edges.select(keyCols.map(col): _*)
-        .join(broadcast(delta.select(keyCols.map(col): _*)), keyCols,
-          "left_semi")
+      // the (src-bucket-pruned) standing edges, delta-sized output
+      val matchedTriples = standingE(deltaTriples)
+        .select(keyCols.map(col): _*)
+        .join(broadcast(deltaTriples), keyCols, "left_semi")
         .localCheckpoint(true)
       val created = delta.join(broadcast(matchedTriples), keyCols,
         "left_anti")
@@ -478,22 +531,22 @@ object CypherWrite {
       // over the standing edges (matched triples get props ⊕ onmatch ⊕
       // always) — skipped entirely for the historical append-only
       // statements, whose standing-edge pass stays a bare union
-      val base =
-        if (!edgeUpdates) g.edges
-        else {
-          val d = broadcast(delta.withColumn("__d", lit(true)))
-          g.edges.join(d, keyCols, "left_outer").select(
+      val dEdge = broadcast(delta.withColumn("__d", lit(true)))
+      edgeView = (standing: DataFrame) => {
+        val base =
+          if (!edgeUpdates) standing
+          else standing.join(dEdge, keyCols, "left_outer").select(
             col("src"), col("dst"), col("rel"),
             when(col("__d").isNotNull,
                 mapUpsert(mapUpsert(col("props"), col("eonmatch")),
                   col("ealways")))
               .otherwise(col("props")).as("props"))
-        }
-      edges = base.unionByName(createdAligned,
-        allowMissingColumns = true)
+        base.unionByName(createdAligned, allowMissingColumns = true)
+      }
     }
 
     // ---- apply deletions (after merges; one anti join per relation) -
+    val eKeys = Seq("src", "dst", "rel")
     val plainDel = plainDelIds.result()
     val detachDel = detachDelIds.result()
     val triplesDel = delTriples.result()
@@ -520,48 +573,59 @@ object CypherWrite {
       // relationship deletions (explicit edge variables and
       // detach-scoped edges) — so the standard Neo4j idiom
       // `MATCH (a)-[r:R]->(b) DELETE r, a` succeeds when r covers all
-      // of a's relationships.
+      // of a's relationships. The src-side probe prunes through the
+      // store's src index; the dst side has no index → full frame.
       plain.foreach { p =>
-        val afterTriples = triples.fold(edges)(t =>
-          edges.join(broadcast(t), Seq("src", "dst", "rel"), "left_anti"))
-        val probeEdges = detachIds.fold(afterTriples)(ids =>
-          afterTriples
-            .join(broadcast(ids.withColumnRenamed("id", "src")),
-              Seq("src"), "left_anti")
-            .join(broadcast(ids.withColumnRenamed("id", "dst")),
-              Seq("dst"), "left_anti"))
-        val bySrc = probeEdges
-          .join(broadcast(p.withColumnRenamed("id", "src")),
-            Seq("src"), "left_semi").limit(1).count()
-        val byDst = probeEdges
+        def remaining(base: DataFrame): DataFrame = {
+          val afterTriples = triples.fold(base)(t =>
+            base.join(broadcast(t), eKeys, "left_anti"))
+          detachIds.fold(afterTriples)(ids =>
+            afterTriples
+              .join(broadcast(ids.withColumnRenamed("id", "src")),
+                Seq("src"), "left_anti")
+              .join(broadcast(ids.withColumnRenamed("id", "dst")),
+                Seq("dst"), "left_anti"))
+        }
+        val pSrc = p.withColumnRenamed("id", "src")
+        val bySrc = remaining(edgeView(standingE(pSrc)))
+          .join(broadcast(pSrc), Seq("src"), "left_semi").limit(1).count()
+        val byDst = remaining(edgeView(g.edges))
           .join(broadcast(p.withColumnRenamed("id", "dst")),
             Seq("dst"), "left_semi").limit(1).count()
         if (bySrc + byDst > 0) throw new IllegalStateException(
           "DELETE on a node with attached relationships — use DETACH DELETE")
       }
-      val nDel = allIds.map(ids => ids.join(vertices.select(col("id")),
-        Seq("id"), "left_semi").count()).getOrElse(0L)
+      val nDel = allIds.map(ids =>
+        ids.join(vertexView(standingV(ids)).select(col("id")),
+          Seq("id"), "left_semi").count()).getOrElse(0L)
       allIds.foreach { ids =>
-        vertices = vertices.join(broadcast(ids), Seq("id"), "left_anti")
+        val prev = vertexView
+        vertexView = (b: DataFrame) =>
+          prev(b).join(broadcast(ids), Seq("id"), "left_anti")
       }
       var rDel = 0L
       triples.foreach { t =>
-        rDel += edges.join(broadcast(t), Seq("src", "dst", "rel"),
-          "left_semi").count()
-        edges = edges.join(broadcast(t), Seq("src", "dst", "rel"),
-          "left_anti")
+        rDel += edgeView(standingE(t))
+          .join(broadcast(t), eKeys, "left_semi").count()
+        val prev = edgeView
+        edgeView = (b: DataFrame) =>
+          prev(b).join(broadcast(t), eKeys, "left_anti")
       }
-      // DETACH: drop every edge touching a deleted node (both ends)
+      // DETACH: drop every edge touching a deleted node (both ends —
+      // the dst-side count probes the full frame, no dst index)
       detachIds.foreach { ids =>
         val asSrc = ids.withColumnRenamed("id", "src")
         val asDst = ids.withColumnRenamed("id", "dst")
-        rDel += edges.join(broadcast(asSrc), Seq("src"), "left_semi")
+        rDel += edgeView(standingE(asSrc))
+          .join(broadcast(asSrc), Seq("src"), "left_semi")
           .unionByName(
-            edges.join(broadcast(asDst), Seq("dst"), "left_semi")
+            edgeView(g.edges).join(broadcast(asDst), Seq("dst"), "left_semi")
               .join(broadcast(asSrc), Seq("src"), "left_anti"))
           .count()
-        edges = edges.join(broadcast(asSrc), Seq("src"), "left_anti")
-          .join(broadcast(asDst), Seq("dst"), "left_anti")
+        val prev = edgeView
+        edgeView = (b: DataFrame) =>
+          prev(b).join(broadcast(asSrc), Seq("src"), "left_anti")
+            .join(broadcast(asDst), Seq("dst"), "left_anti")
       }
       stats = stats + Stats(0, 0, 0, 0, nDel, rDel)
       deletedNodeIds = allIds
@@ -572,11 +636,36 @@ object CypherWrite {
     // pin the column ORDER to the input graph's: Spark's using-column
     // semi/anti joins move the using columns to the front (a DETACH's
     // endpoint anti joins leave (dst, src, …)), and positional
-    // consumers of store.graph must see a stable layout
-    vertices = vertices.select(g.vertices.columns.map(col).toSeq: _*)
-    edges = edges.select(g.edges.columns.map(col).toSeq: _*)
+    // consumers of store.graph must see a stable layout. Composed into
+    // the view functions so pruned probes see the same layout.
+    locally {
+      val pv = vertexView
+      vertexView = (b: DataFrame) =>
+        pv(b).select(g.vertices.columns.map(col).toSeq: _*)
+      val pe = edgeView
+      edgeView = (b: DataFrame) =>
+        pe(b).select(g.edges.columns.map(col).toSeq: _*)
+    }
+    val vertices = vertexView(g.vertices)
+    val edges = edgeView(g.edges)
 
     val applied = PropertyGraph(vertices, edges)
+
+    // post-apply rows for the statement's touched ids/triples — the
+    // bucketed store's fold input (computed here, where the pruned
+    // standing views exist, so the fold never probes the full store)
+    val touchedNodeRows: Option[DataFrame] =
+      if (hint.isEmpty) None
+      else touchedNodeIds.map(ids =>
+        vertexView(standingV(ids))
+          .join(broadcast(ids), Seq("id"), "left_semi")
+          .localCheckpoint(true))
+    val touchedEdgeRows: Option[DataFrame] =
+      if (hint.isEmpty) None
+      else touchedTriples.map(tr =>
+        edgeView(standingE(tr))
+          .join(broadcast(tr), eKeys, "left_semi")
+          .localCheckpoint(true))
 
     // ---- read continuation (round 13): RETURN / WITH after writes --
     // One row per bound frame row (openCypher: MERGE under UNWIND
@@ -608,7 +697,7 @@ object CypherWrite {
       if (nodeVars.nonEmpty) {
         val idU = nodeVars.map(v => f.select(col(s"$v __id").as("id")))
           .reduce(_ unionByName _).distinct()
-        val lookup = vertices
+        val lookup = vertexView(standingV(idU))
           .join(broadcast(idU), Seq("id"), "left_semi")
           .localCheckpoint(true)
         nodeVars.foreach { v =>
@@ -626,7 +715,7 @@ object CypherWrite {
         val triU = relVars.map(v => f.select(col(s"$v __src").as("src"),
             col(s"$v __dst").as("dst"), col(s"$v __rel").as("rel")))
           .reduce(_ unionByName _).distinct()
-        val elookup = edges
+        val elookup = edgeView(standingE(triU))
           .join(broadcast(triU), Seq("src", "dst", "rel"), "left_semi")
           .localCheckpoint(true)
         relVars.foreach { v =>
@@ -645,7 +734,7 @@ object CypherWrite {
 
     Applied(applied, stats, rowsOpt,
       Touched(touchedNodeIds, touchedTriples, deletedNodeIds,
-        deletedTriples, detachedIds))
+        deletedTriples, detachedIds, touchedNodeRows, touchedEdgeRows))
   }
 }
 
@@ -679,7 +768,8 @@ object CypherWrite {
   */
 final class GraphStore(initial: PropertyGraph,
                        val labelKeys: Map[String, Seq[String]] = Map.empty,
-                       forceOverlay: Boolean = false) {
+                       forceOverlay: Boolean = false,
+                       forceBucketed: Boolean = false) {
   @volatile private var g: PropertyGraph = initial
   private var writesSinceCompact = 0
 
@@ -705,6 +795,32 @@ final class GraphStore(initial: PropertyGraph,
   /** False after an untracked graph swap ([[commitTx]]): the overlay
     * no longer describes `g` vs `base`, so the next fold is FULL. */
   private var baseValid = true
+
+  // ---- bucket-pruned probe index (round 14) ------------------------
+  // Past [[GraphStore.BucketProbeRows]] the base frames are clustered
+  // by key hash ([[BucketedFrame]]) and every per-statement standing
+  // probe — MERGE match ids, edge triples, declared-key MATCH-prefix
+  // scans, RETURN lookups, the fold's own probes — prunes to the
+  // O(delta) buckets a statement can touch, closing SCALE.md
+  // round-13 mechanism 4 (2-3 full standing scans per row-at-a-time
+  // statement). In bucketed mode the standing view is ALWAYS
+  // `base [▷ mask] ∪ overlay ∪ window-segments` at bounded plan
+  // depth: each statement appends one SEGMENT (its post-apply touched
+  // rows + dead sets, all delta-sized and checkpointed inside the
+  // apply), and every 8 statements the segments collapse into the
+  // overlay with bucket-pruned probes — the base is scanned only
+  // bucket-wise, never re-written, until the overlay outgrows its
+  // broadcast budget (then one rebucketize, amortized over ~2^18
+  // touched rows).
+  private var bktV: Option[BucketedFrame] = None
+  private var bktE: Option[BucketedFrame] = None
+  /** One write statement's delta-sized effect, oldest first. */
+  private final case class Seg(
+      vRows: Option[DataFrame], vIds: Option[DataFrame],
+      vDead: Option[DataFrame],
+      eRows: Option[DataFrame], eTriples: Option[DataFrame],
+      eDeadTriples: Option[DataFrame], eDeadEndpoints: Option[DataFrame])
+  private var segs = Vector.empty[Seg]
 
   /** Partition budget for [[compact]]: the initial graph's own layout
     * (a big standing graph keeps its source partitioning), floored at
@@ -759,10 +875,28 @@ final class GraphStore(initial: PropertyGraph,
     synchronized {
       CypherParser.parseAny(stmt) match {
         case Left(w) =>
-          val a =
-            withoutConstraintPropagation(CypherWrite(g, w, params, labelKeys))
-          g = a.graph
-          window ::= a.touched
+          ensureProbeIndex()
+          val hintOpt =
+            if (bktV.isDefined) Some(probeHint()) else None
+          val a = withoutConstraintPropagation(
+            CypherWrite(g, w, params, labelKeys, hintOpt))
+          if (bktV.isDefined) {
+            // bucketed mode: the statement's exact delta-sized effect
+            // (checkpointed inside the apply from PRUNED probes)
+            // becomes a window segment; the standing view rebuilds at
+            // bounded depth — a.graph's stacked plan is equivalent
+            // but would pin the full-base probe shape
+            segs :+= Seg(
+              vRows = a.touched.nodeRows, vIds = a.touched.nodeIds,
+              vDead = a.touched.deletedNodeIds,
+              eRows = a.touched.edgeRows, eTriples = a.touched.edgeTriples,
+              eDeadTriples = a.touched.deletedEdgeTriples,
+              eDeadEndpoints = a.touched.detachedNodeIds)
+            g = rebuildBucketedView()
+          } else {
+            g = a.graph
+            window ::= a.touched
+          }
           writesSinceCompact += 1
           // each statement stacks one broadcast join AND one union on
           // the standing frames; past a handful of layers the
@@ -808,6 +942,12 @@ final class GraphStore(initial: PropertyGraph,
     baseValid = false
     window = Nil
     writesSinceCompact = 0
+    // the fork's statements were neither overlay- nor segment-tracked:
+    // drop the probe index; the next write rebuckets from the swapped
+    // graph (one index rebuild per explicit transaction — documented)
+    bktV = None; bktE = None; segs = Vector.empty
+    ovV = None; ovE = None; maskV = None; maskE = None; ovRows = 0L
+    baseV = ng.vertices; baseE = ng.edges; baseRows = -1L
   }
 
   /** Truncate the stacked write plan. SMALL stores (base within
@@ -820,12 +960,16 @@ final class GraphStore(initial: PropertyGraph,
     * after an untracked tx swap. `forceOverlay` (tests) pins the
     * delta path regardless of base size. */
   def compact(): Unit = synchronized {
+    if (bktV.isDefined) { collapseSegs(); writesSinceCompact = 0; return }
     if (baseRows < 0) baseRows = baseV.count() + baseE.count()
     if (!baseValid ||
         (!forceOverlay && baseRows <= GraphStore.FullFoldBaseRows) ||
         ovRows > GraphStore.OverlayFoldRows) fullFold()
     else deltaFold()
     writesSinceCompact = 0
+    // a store that GREW past the probe-index bound on the unbucketed
+    // path switches modes here (state is clean right after a fold)
+    if (!forceOverlay && baseRows > GraphStore.BucketProbeRows) bucketize()
   }
 
   private var baseRows = -1L
@@ -956,6 +1100,207 @@ final class GraphStore(initial: PropertyGraph,
       e.select(baseE.columns.map(col).toSeq: _*))
   }
 
+  // ---- bucketed mode (round 14) ------------------------------------
+
+  /** Enter bucketed mode when the base outgrows
+    * [[GraphStore.BucketProbeRows]] (or `forceBucketed`, for specs
+    * and A/B soaks). Called at the top of every write while the
+    * index is absent; the only non-trivial work is the one-time
+    * index build. */
+  private def ensureProbeIndex(): Unit =
+    if (bktV.isEmpty && !forceOverlay) {
+      if (baseRows < 0 && window.isEmpty && baseValid)
+        baseRows = g.vertices.count() + g.edges.count()
+      if (forceBucketed || baseRows > GraphStore.BucketProbeRows) {
+        if (window.nonEmpty || !baseValid) fullFold()
+        bucketize()
+      }
+    }
+
+  /** Build the probe index: cluster the CURRENT graph by key hash —
+    * one repartition shuffle per frame (the index build, the analogue
+    * of Neo4j's uniqueness-constraint index behind the reference's
+    * MERGE projectors), paid once per base pin and amortized over
+    * every subsequent statement. Requires a clean window (callers
+    * fold first). */
+  private def bucketize(): Unit = withoutConstraintPropagation {
+    val spark = g.vertices.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val nV = g.vertices.count()
+    val nE = g.edges.count()
+    bktV = Some(BucketedFrame.build(g.vertices, Seq("id"),
+      BucketedFrame.bucketCountFor(nV, par)))
+    bktE = Some(BucketedFrame.build(g.edges, Seq("src"),
+      BucketedFrame.bucketCountFor(nE, par)))
+    baseV = bktV.get.df; baseE = bktE.get.df
+    baseRows = nV + nE
+    ovV = None; ovE = None; maskV = None; maskE = None
+    ovRows = 0L; window = Nil; segs = Vector.empty; baseValid = true
+    g = PropertyGraph(baseV, baseE)
+  }
+
+  /** The pruned standing views the write apply probes through. The
+    * memo collapses repeat probes on the SAME key frame (the apply
+    * probes delta ids two or three times) to one bucket collect. */
+  private def probeHint(): CypherWrite.ProbeHint = {
+    val memoV = new java.util.IdentityHashMap[DataFrame, DataFrame]
+    val memoE = new java.util.IdentityHashMap[DataFrame, DataFrame]
+    CypherWrite.ProbeHint(
+      vertices = keys => memoV.computeIfAbsent(keys,
+        k => bucketedVertexView(bktV.get.pruned(k))),
+      edgesBySrc = keys => memoE.computeIfAbsent(keys,
+        k => bucketedEdgeView(bktE.get.pruned(k))))
+  }
+
+  /** The standing vertex view over an arbitrary base frame (the full
+    * bucketed base, or a bucket-pruned slice of it): base minus the
+    * collapsed mask minus every segment's touched/dead ids, plus the
+    * collapsed overlay and each segment's rows — every layer after
+    * the base is delta-sized and broadcast, and newer segments
+    * supersede older rows by anti join, so the view is EXACT for any
+    * id whose bucket the base slice covers. */
+  private def bucketedVertexView(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def minusIds(df: DataFrame, ids: DataFrame): DataFrame =
+      df.join(broadcast(ids), Seq("id"), "left_anti")
+    def segIds(s: Seg): Seq[DataFrame] = Seq(s.vIds, s.vDead).flatten
+    val allSegIds = segs.flatMap(segIds)
+    val basePart = allSegIds.foldLeft(
+      maskV.fold(base)(m => minusIds(base, m)))(minusIds)
+    val ovPart = ovV.map(o => allSegIds.foldLeft(o)(minusIds))
+    val segLayers = segs.zipWithIndex.flatMap { case (s, i) =>
+      s.vRows.map(rows =>
+        segs.drop(i + 1).flatMap(segIds).foldLeft(rows)(minusIds))
+    }
+    (Seq(basePart) ++ ovPart ++ segLayers)
+      .reduce(_ unionByName _)
+      .select(baseV.columns.map(col).toSeq: _*)
+  }
+
+  /** Edge-side twin of [[bucketedVertexView]]: segments kill older
+    * edge rows by (src,dst,rel) triple and — for DETACH — by either
+    * endpoint. */
+  private def bucketedEdgeView(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def minusSeg(df: DataFrame, s: Seg): DataFrame = {
+      val afterTriples = Seq(s.eTriples, s.eDeadTriples).flatten
+        .foldLeft(df)((d, tr) => d.join(broadcast(tr), eKeys, "left_anti"))
+      s.eDeadEndpoints.fold(afterTriples)(ids =>
+        afterTriples
+          .join(broadcast(ids.withColumnRenamed("id", "src")),
+            Seq("src"), "left_anti")
+          .join(broadcast(ids.withColumnRenamed("id", "dst")),
+            Seq("dst"), "left_anti"))
+    }
+    val basePart = segs.foldLeft(
+      maskE.fold(base)(m =>
+        base.join(broadcast(m), eKeys, "left_anti")))(minusSeg)
+    val ovPart = ovE.map(o => segs.foldLeft(o)(minusSeg))
+    val segLayers = segs.zipWithIndex.flatMap { case (s, i) =>
+      s.eRows.map(rows => segs.drop(i + 1).foldLeft(rows)(minusSeg))
+    }
+    (Seq(basePart) ++ ovPart ++ segLayers)
+      .reduce(_ unionByName _)
+      .select(baseE.columns.map(col).toSeq: _*)
+  }
+
+  private def rebuildBucketedView(): PropertyGraph =
+    PropertyGraph(bucketedVertexView(baseV), bucketedEdgeView(baseE))
+
+  /** Collapse the window segments into the overlay + mask with
+    * BUCKET-PRUNED probes — work proportional to the window's touched
+    * rows plus the overlay, never the base. The base is re-written
+    * only when the overlay outgrows its broadcast budget (one
+    * rebucketize per ~[[GraphStore.OverlayFoldRows]] touched rows). */
+  private def collapseSegs(): Unit = if (segs.nonEmpty)
+    withoutConstraintPropagation {
+      import org.apache.spark.sql.functions.broadcast
+      val spark = g.vertices.sparkSession
+      def ckpt(df: DataFrame): DataFrame =
+        df.coalesce(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+      def unionAll(fs: Seq[DataFrame]): Option[DataFrame] =
+        fs.reduceOption(_ unionByName _)
+      val nonEmpty: Option[DataFrame] => Option[DataFrame] =
+        _.filter(df => df.limit(1).count() > 0)
+
+      // ---- vertices: touched/dead ids across the window ------------
+      val idsAll = unionAll(segs.flatMap(s => Seq(s.vIds, s.vDead).flatten))
+        .map(_.distinct().localCheckpoint(true))
+      idsAll.foreach { ids =>
+        val prunedBase = bktV.get.pruned(ids)
+        // live rows for the window's ids — via the PRUNED view
+        val newRows = bucketedVertexView(prunedBase)
+          .join(broadcast(ids), Seq("id"), "left_semi")
+        val keptOv = ovV.map(_.join(broadcast(ids), Seq("id"), "left_anti"))
+        ovV = Some(ckpt(keptOv.fold(newRows)(_ unionByName newRows)))
+        // base rows those ids supersede/delete — pruned probe
+        val newMask = prunedBase.select(col("id"))
+          .join(broadcast(ids), Seq("id"), "left_semi")
+        maskV = nonEmpty(Some(ckpt(
+          maskV.fold(newMask)(_ unionByName newMask).distinct())))
+      }
+
+      // ---- edges ----------------------------------------------------
+      val trAll = unionAll(
+        segs.flatMap(s => Seq(s.eTriples, s.eDeadTriples).flatten))
+        .map(_.distinct().localCheckpoint(true))
+      val epAll = unionAll(segs.flatMap(_.eDeadEndpoints))
+        .map(_.distinct().localCheckpoint(true))
+      if (trAll.isDefined || epAll.isDefined) {
+        val newRows = trAll.map(tr =>
+          bucketedEdgeView(bktE.get.pruned(tr))
+            .join(broadcast(tr), eKeys, "left_semi"))
+        var keptOv = trAll.foldLeft(ovE)((cur, tr) =>
+          cur.map(_.join(broadcast(tr), eKeys, "left_anti")))
+        epAll.foreach { ids =>
+          keptOv = keptOv.map(
+            _.join(broadcast(ids.withColumnRenamed("id", "src")),
+                Seq("src"), "left_anti")
+              .join(broadcast(ids.withColumnRenamed("id", "dst")),
+                Seq("dst"), "left_anti"))
+        }
+        ovE = ((keptOv, newRows) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }).map(ckpt)
+        // mask: base triples superseded/deleted. Triple and src-side
+        // endpoint kills prune through the src index; the dst side of
+        // a DETACH has no index → one full base scan, only on
+        // detach-bearing windows (rare)
+        val newMaskTr = trAll.map(tr =>
+          bktE.get.pruned(tr).select(eKeys.map(col): _*)
+            .join(broadcast(tr), eKeys, "left_semi"))
+        val newMaskEp = epAll.map { ids =>
+          bktE.get.pruned(ids.withColumnRenamed("id", "src"))
+            .select(eKeys.map(col): _*)
+            .join(broadcast(ids.withColumnRenamed("id", "src")),
+              Seq("src"), "left_semi")
+            .unionByName(baseE.select(eKeys.map(col): _*)
+              .join(broadcast(ids.withColumnRenamed("id", "dst")),
+                Seq("dst"), "left_semi"))
+        }
+        val addMask = (newMaskTr, newMaskEp) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        addMask.foreach { m =>
+          maskE = nonEmpty(Some(ckpt(
+            maskE.fold(m)(_ unionByName m).distinct())))
+        }
+      }
+
+      segs = Vector.empty
+      ovRows = ovV.map(_.count()).getOrElse(0L) +
+        ovE.map(_.count()).getOrElse(0L)
+      if (ovRows > GraphStore.OverlayFoldRows) {
+        // overlay outgrew its broadcast budget: fold it into a fresh
+        // bucketed base (one store re-write per ~2^18 touched rows)
+        g = rebuildBucketedView()
+        bucketize()
+      } else g = rebuildBucketedView()
+    }
+
   /** Persist the current graph as the engine's terminal lake layout
     * (gated [[graft.operators.GraphExport]]: id uniqueness + no
     * dangling endpoints enforced BEFORE any byte lands — the store's
@@ -969,17 +1314,32 @@ final class GraphStore(initial: PropertyGraph,
     val (v, e) = graft.operators.GraphExport.exportGraph(
       spark, g.vertices, g.edges, root)
     g = PropertyGraph(v, e)
-    // the durable layout IS the new base: overlay state resets
+    // the durable layout IS the new base: overlay state resets, and
+    // the probe index rebuilds lazily from the durable frames (at
+    // 100 TB the durable key-partitioned layout itself is the index —
+    // the in-memory rebuild is the local-mode stand-in)
     baseV = v; baseE = e
     baseRows = -1L // durable layout: recount lazily at the next fold
     ovV = None; ovE = None
     maskV = None; maskE = None
+    bktV = None; bktE = None; segs = Vector.empty
     ovRows = 0L; window = Nil; baseValid = true
     writesSinceCompact = 0
   }
 }
 
 object GraphStore {
+  /** Base size (vertex + edge rows) past which the store builds the
+    * bucket-pruned probe index (round 14) and switches to segment
+    * compaction: below it, full standing probes on an in-memory store
+    * cost less than the index build + per-probe bucket bookkeeping;
+    * above it, every row-at-a-time statement would otherwise pay 2-3
+    * O(store) probe scans (SCALE.md round-13 mechanism 4 — measured
+    * ~0.45 s/scan at 3.3 M map-typed rows). Env-overridable for A/B
+    * soak runs. */
+  val BucketProbeRows: Long = sys.env.get("GRAFT_BUCKET_PROBE_ROWS")
+    .map(_.toLong).getOrElse(1L << 20)
+
   /** Overlay size (vertex + edge rows) past which [[GraphStore]]'s
     * fold materializes a new base instead of maintaining the overlay:
     * the overlay rides broadcast joins, so it must stay comfortably

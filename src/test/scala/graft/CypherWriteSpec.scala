@@ -202,6 +202,40 @@ class CypherWriteSpec extends AnyFunSuite {
       "MATCH (a:Person) SET a.x = '1'").isLeft)
   }
 
+  test("RETURN after same-statement DELETE yields null props (documented " +
+       "deviation: Neo4j raises on deleted-entity property access)") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.name = 'ann'")
+    val (st, rows) = s.executeReturning(
+      "MATCH (p:Person {pid: 1}) DELETE p RETURN p.name AS n, id(p) AS i")
+    assert(st.nodesDeleted == 1L)
+    val r = rows.get.collect()
+    assert(r.length == 1)
+    // the bound row survives; its post-apply lookup finds nothing
+    assert(r.head.isNullAt(r.head.fieldIndex("n")))
+    assert(s.graph.vertices.count() == 0)
+  }
+
+  test("parseAny: write keywords as aliases/identifiers stay READ (r14)") {
+    // `AS <kw>` is alias position, never a clause
+    assert(CypherParser.parseAny(
+      "MATCH (n) WITH n.a AS delete WHERE delete = '1' RETURN delete")
+      .isRight)
+    assert(CypherParser.parseAny(
+      "UNWIND [1, 2] AS merge RETURN merge").isRight)
+    assert(CypherParser.parseAny(
+      "MATCH (n) WITH n.a AS create RETURN create AS c").isRight)
+    // a keyword-named variable in a predicate position the shape
+    // tests miss falls back through the read grammar
+    assert(CypherParser.parseAny(
+      "MATCH (delete) WHERE delete.x IS NULL RETURN id(delete) AS i")
+      .isRight)
+    // …and genuinely malformed writes still surface the WRITE error
+    val e = intercept[IllegalArgumentException](
+      CypherParser.parseAny("MERGE (n:X {k: )"))
+    assert(e.getMessage.contains("parse error"))
+  }
+
   private def epropsOf(s: GraphStore, src: String, dst: String,
                        rel: String): Map[String, String] = {
     val rows = s.graph.edges.filter(col("src") === src &&
@@ -763,7 +797,8 @@ class CypherWriteSpec extends AnyFunSuite {
       ("MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)",
         Map.empty),
       ("MERGE (c:City {name: 'rome'}) SET c.cc = 'it'", Map.empty))
-    def runStore(foldEvery: Int, overlay: Boolean = false)
+    def runStore(foldEvery: Int, overlay: Boolean = false,
+                 bucketed: Boolean = false)
         : (Set[(String, String, Map[String, String])],
            Set[(String, String, String)]) = {
       val v = Seq.empty[(String, String, Map[String, String])]
@@ -772,7 +807,7 @@ class CypherWriteSpec extends AnyFunSuite {
         .toDF("src", "dst", "rel", "props")
       val s = new GraphStore(PropertyGraph(v, e),
         Map("Person" -> Seq("pid"), "City" -> Seq("name")),
-        forceOverlay = overlay)
+        forceOverlay = overlay, forceBucketed = bucketed)
       stmts.zipWithIndex.foreach { case ((q, ps), i) =>
         s.execute(q, ps)
         if (foldEvery > 0 && (i + 1) % foldEvery == 0) s.compact()
@@ -793,6 +828,14 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(everyStmt == never, s"overlay fold-every-statement diverges:\n$everyStmt\nvs\n$never")
     assert(defaults == never, s"overlay fold-every-4 diverges")
     assert(fullPath == never, s"full fold-every-statement diverges")
+    // round 14: the bucket-pruned probe path (segment compaction) —
+    // same sequence includes MATCH-prefix scans on declared-key
+    // labels (pruned), DETACH, re-creation after deletion, edge
+    // deletes — all through the pruned probes + segment window
+    val bucketedNever = runStore(0, bucketed = true)
+    val bucketedFolded = runStore(2, bucketed = true)
+    assert(bucketedNever == never, s"bucketed store diverges:\n$bucketedNever\nvs\n$never")
+    assert(bucketedFolded == never, s"bucketed fold-every-2 diverges")
     // expected end state, spelled out
     assert(never._1 == Set(
       ("Person:1", "Person", Map("pid" -> "1", "a" -> "reborn")),
@@ -800,6 +843,66 @@ class CypherWriteSpec extends AnyFunSuite {
       ("City:oslo", "City", Map("name" -> "oslo")),
       ("City:rome", "City", Map("name" -> "rome", "cc" -> "it"))))
     assert(never._2 == Set(("Person:1", "City:oslo", "LIVES_IN")))
+  }
+
+  test("bucket pruning: repartition(n, id) partition index IS " +
+       "pmod(hash(id), n) — the contract the pruned probes rest on") {
+    import org.apache.spark.sql.functions.{spark_partition_id, hash => h}
+    val df = (1 to 500).map(i => s"Person:$i").toDF("id")
+    val b = graft.cypher.BucketedFrame.build(df, Seq("id"), 13)
+    val bad = b.df.select(col("id"), spark_partition_id().as("p"),
+        (((h(col("id")) % 13) + 13) % 13).as("b"))
+      .filter(col("p") =!= col("b")).count()
+    assert(bad == 0, s"$bad rows landed outside their hash bucket")
+    // pruned() returns exactly the matching rows' buckets
+    val keys = Seq("Person:7", "Person:400").toDF("id")
+    val pr = b.pruned(keys)
+    assert(pr.join(keys, Seq("id"), "left_semi").count() == 2)
+    // and is a subset of the frame
+    assert(pr.join(b.df, Seq("id"), "left_anti").count() == 0)
+  }
+
+  test("bucketed store: RETURN continuations, stats, unkeyed-label " +
+       "fallback, >8-statement collapse") {
+    val s = new GraphStore(
+      PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props")),
+      Map("Person" -> Seq("pid"), "City" -> Seq("name")),
+      forceBucketed = true)
+    // MERGE … RETURN reads the post-apply value through pruned lookups
+    val (st1, r1) = s.executeReturning(
+      "MERGE (p:Person {pid: 1}) SET p.name = 'ann' RETURN p.name AS n")
+    assert(st1.nodesCreated == 1L)
+    assert(r1.get.collect().map(_.getString(0)).toSeq == Seq("ann"))
+    // MATCH prefix on a declared-key label goes through the PRUNED scan
+    val st2 = s.execute(
+      "MATCH (p:Person {pid: 1}) MERGE (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)")
+    assert((st2.nodesCreated, st2.relsCreated) == (1L, 1L))
+    // re-run: idempotent through the pruned match probes
+    val st3 = s.execute(
+      "MATCH (p:Person {pid: 1}) MERGE (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)")
+    assert((st3.nodesCreated, st3.nodesMatched, st3.relsCreated,
+      st3.relsMatched) == (0L, 1L, 0L, 1L))
+    // a label WITHOUT declared keys falls back to the unpruned scan
+    s.execute("MERGE (t:Tag {k: 'x'})")
+    assert(s.cypher("MATCH (t:Tag) RETURN count(*) AS c")
+      .collect().head.getLong(0) == 1L)
+    // push past the 8-statement window so collapseSegs runs, then read
+    (2 to 12).foreach(i => s.execute(
+      "MERGE (p:Person {pid: $i}) SET p.name = $n",
+      Map("i" -> i, "n" -> s"p$i")))
+    assert(s.graph.vertices.filter(col("label") === "Person").count() == 12)
+    val rows = s.cypher(
+      "MATCH (p:Person) WHERE p.pid = '7' RETURN p.name AS n").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p7"))
+    // write-then-read in one statement over the bucketed store
+    val (_, r4) = s.executeReturning(
+      """MERGE (p:Person {pid: 99}) SET p.name = 'neo'
+         WITH p MATCH (q:Person {pid: 99}) RETURN q.name AS n""")
+    assert(r4.get.collect().map(_.getString(0)).toSeq == Seq("neo"))
   }
 
   test("CREATE … SET folds into the pattern (keyed items, single node)") {
