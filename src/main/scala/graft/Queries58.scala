@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Queries.Q
+
+/** Batch 58 (round 14): the reference's CONDITIONAL-WRITE statement
+  * family — `CALL { WITH … WHERE … MATCH … MERGE … RETURN 0 }` — on
+  * the Cypher write front door, replayed VERBATIM.
+  *
+  * graph_app_nutrient_content.py:144-163 is the ONE statement shape
+  * in the reference's projector corpus the front door still rejected
+  * (r13 verdict, missing #1): a batched UNWIND that MATCHes the
+  * parent ProductApplication by row-bound keys, MERGEs the nutrient
+  * node + HAS_NUTRIENT_CONTENT edge unconditionally, then links
+  * FertilizerProduct → AppNutrientContent ONLY for rows whose
+  * name/brand are present (and whose product node exists). Round 14
+  * adds: line and block comment lexing (the reference's statement
+  * text carries inline `//` comments), frame-reference pattern props in
+  * write-prefix MATCH (lifted to join predicates), and the CALL tail
+  * block itself (filter + inner MATCH + writes into the SAME
+  * statement's deltas).
+  */
+object Queries58 {
+
+  /** The reference's nutrient-content writer statement, QUOTED
+    * verbatim (graph_app_nutrient_content.py:146-162 — replay data,
+    * the point of the entry). */
+  private val refNutrientStmt =
+    """
+        UNWIND $rows AS r
+        // Ensure parent ProductApplication exists.
+        MATCH (pa:ProductApplication { application_event_id: r.app_ev_id, idx: r.pa_idx })
+        // Upsert AppNutrientContent node keyed by PA id + nutrient name.
+        MERGE (anc:AppNutrientContent { product_application_id: r.pa_id, nutrient: r.nutrient })
+        SET anc.pct_or_g_L = r.val
+        // Link PA → ANC.
+        MERGE (pa)-[:HAS_NUTRIENT_CONTENT]->(anc)
+        // Optionally link FertilizerProduct → ANC when name/brand exist.
+        WITH anc, r
+        CALL {
+          WITH anc, r
+          WITH anc, r WHERE r.name IS NOT NULL AND r.brand IS NOT NULL
+          MATCH (fp:FertilizerProduct { name: r.name, brand: r.brand })
+          MERGE (fp)-[:CONTAINS_NUTRIENT]->(anc)
+          RETURN 0
+        }
+        """
+
+  /** Replays the reference's nutrient chain end-to-end against a
+    * [[graft.cypher.GraphStore]] through the Bolt TCP server, at the
+    * reference's own batch size (BATCH_SIZE = 1000,
+    * graph_app_nutrient_content.py:138):
+    *
+    *   1. upstream projectors seed ProductApplication (keyed
+    *      application_event_id + idx — lineitem's natural key) and
+    *      FertilizerProduct (keyed name + brand — part's columns);
+    *      FP is seeded from a NARROWER slice, so some named rows have
+    *      no product node and the CALL's inner MATCH must drop them
+    *      (not just the WHERE);
+    *   2. the verbatim statement lands nutrient nodes + edges,
+    *      batched;
+    *   3. replay proves the fixpoint (zero creations second pass);
+    *   4. the graph reads back per-nutrient counts of both edge
+    *      families through the compiler.
+    *
+    * The DuckDB oracle recomputes the same counts relationally. */
+  val cy_ref_nutrient = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      // the synthetic lineitem is TPC-H-ISH: (orderkey, linenumber) is
+      // NOT unique, so the application-event key dedups to one
+      // deterministic representative per pair (min row) — mirrored in
+      // the oracle's QUALIFY
+      val slice = {
+        import org.apache.spark.sql.expressions.Window
+        Tables.read(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 97 === 0)
+          .join(Tables.read(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").cast("long").as("ok"),
+            col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            col("p_name").as("pname"), col("p_brand").as("pbrand"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("ok"), col("ln"))
+            .orderBy(col("qty"), col("pname"), col("pbrand"))))
+          .filter(col("rn") === 1).drop("rn")
+          .collect()
+      }
+      val pas: Seq[Map[String, Any]] = slice.toSeq.map(r =>
+        Map("app_ev_id" -> r.getLong(0), "idx" -> r.getLong(1)))
+      val fps: Seq[Map[String, Any]] = slice.toSeq
+        .filter(_.getLong(2) > 30)
+        .map(r => Map[String, Any]("name" -> r.getString(3),
+          "brand" -> r.getString(4)))
+        .distinct
+      val rows: Seq[Map[String, Any]] = slice.toSeq.map { r =>
+        val named = r.getLong(2) > 25
+        Map[String, Any](
+          "app_ev_id" -> r.getLong(0), "pa_idx" -> r.getLong(1),
+          "pa_id" -> (r.getLong(0) * 10 + r.getLong(1)),
+          "nutrient" -> (r.getLong(2) % 3 match {
+            case 0 => "nitrogen"; case 1 => "phosphorus"
+            case _ => "potassium"
+          }),
+          "val" -> (r.getLong(2).toString),
+          "name" -> (if (named) r.getString(3) else null),
+          "brand" -> (if (named) r.getString(4) else null))
+      }
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, Map(
+        "ProductApplication" -> Seq("application_event_id", "idx"),
+        "FertilizerProduct" -> Seq("name", "brand"),
+        "AppNutrientContent" -> Seq("product_application_id", "nutrient")))
+      val srv = new graft.cypher.BoltQueryServer(store)
+      try {
+        val sess = new graft.sinks.bolt.BoltSocketSession(
+          srv.host, srv.port, "graft-entry", 30000)
+        try {
+          // upstream projectors (batched, like the reference's)
+          def batched(stmt: String, rs: Seq[Map[String, Any]]): Unit =
+            rs.grouped(1000).foreach(b => sess.run(stmt, Map("rows" -> b)))
+          batched(
+            """UNWIND $rows AS row
+               MERGE (pa:ProductApplication {application_event_id: row.app_ev_id, idx: row.idx})""",
+            pas)
+          batched(
+            """UNWIND $rows AS row
+               MERGE (fp:FertilizerProduct {name: row.name, brand: row.brand})""",
+            fps)
+          // the reference's statement, verbatim, at its batch size
+          batched(refNutrientStmt, rows)
+          // fixpoint: the replay must create nothing
+          val before = (store.graph.vertices.count(),
+            store.graph.edges.count())
+          batched(refNutrientStmt, rows)
+          val after = (store.graph.vertices.count(),
+            store.graph.edges.count())
+          require(before == after,
+            s"nutrient replay changed the graph: $before -> $after")
+          store.cypher(
+            """MATCH (pa:ProductApplication)-[:HAS_NUTRIENT_CONTENT]->(anc:AppNutrientContent)
+               RETURN 'has_nutrient' AS kind, anc.nutrient AS nutrient,
+                      count(*) AS n
+               UNION ALL
+               MATCH (fp:FertilizerProduct)-[:CONTAINS_NUTRIENT]->(anc:AppNutrientContent)
+               RETURN 'contains' AS kind, anc.nutrient AS nutrient,
+                      count(*) AS n""")
+            .orderBy(col("kind"), col("nutrient"))
+        } finally sess.close()
+      } finally srv.close()
+    },
+    Some("""WITH slice AS (
+        SELECT CAST(l_orderkey AS BIGINT) AS ok,
+               CAST(l_linenumber AS BIGINT) AS ln,
+               CAST(l_quantity AS BIGINT) AS qty,
+               p_name AS pname, p_brand AS pbrand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_orderkey % 97 = 0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+          ORDER BY CAST(l_quantity AS BIGINT), p_name, p_brand) = 1
+      ), rows_ AS (
+        SELECT ok * 10 + ln AS pa_id,
+          CASE qty % 3 WHEN 0 THEN 'nitrogen' WHEN 1 THEN 'phosphorus'
+            ELSE 'potassium' END AS nutrient,
+          CASE WHEN qty > 25 THEN pname END AS name,
+          CASE WHEN qty > 25 THEN pbrand END AS brand
+        FROM slice
+      ), fp_seed AS (
+        SELECT DISTINCT pname, pbrand FROM slice WHERE qty > 30
+      )
+      SELECT 'contains' AS kind, nutrient, COUNT(*) AS n
+      FROM rows_ r
+      WHERE r.name IS NOT NULL AND r.brand IS NOT NULL
+        AND EXISTS (SELECT 1 FROM fp_seed f
+                    WHERE f.pname = r.name AND f.pbrand = r.brand)
+      GROUP BY 2
+      UNION ALL
+      SELECT 'has_nutrient' AS kind, nutrient, COUNT(*) AS n
+      FROM rows_ GROUP BY 2
+      ORDER BY kind, nutrient"""),
+    // wire fixture (socket + per-batch store transitions) — excluded
+    // from the bench set like the other wire entries; a socket-free
+    // benched twin is cy_call_apply below
+    bench = false)
+
+  /** Socket-free benched twin of the CALL apply: the same conditional
+    * CALL statement through GraphStore.execute directly (no Bolt), so
+    * the filter + inner-MATCH + same-statement-delta machinery sits
+    * inside the bench gate. */
+  val cy_call_apply = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      val nations = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"), col("n_regionkey").cast("long").as("rk"))
+        .collect()
+      val regions = Tables.read(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("k"),
+          col("r_name").as("name"))
+        .collect()
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, Map(
+        "Region" -> Seq("k"), "Nation" -> Seq("k")))
+      // seed regions 0-3 only: region 4's nations must drop in the
+      // CALL's inner MATCH, not just the WHERE
+      store.execute(
+        "UNWIND $rows AS row MERGE (r:Region {k: row.k}) SET r.name = row.name",
+        Map("rows" -> regions.toSeq.filter(_.getLong(0) <= 3)
+          .map(r => Map[String, Any]("k" -> r.getLong(0),
+            "name" -> r.getString(1)))))
+      // nations with an even key carry a region ref; odd ones don't
+      store.execute(
+        """UNWIND $rows AS row
+           MERGE (n:Nation {k: row.k}) SET n.name = row.name
+           WITH n, row
+           CALL {
+             WITH n, row WHERE row.rk IS NOT NULL
+             MATCH (r:Region {k: row.rk})
+             MERGE (n)-[:IN_REGION]->(r)
+             RETURN 0
+           }""",
+        Map("rows" -> nations.toSeq.map(r => Map[String, Any](
+          "k" -> r.getLong(0), "name" -> r.getString(1),
+          "rk" -> (if (r.getLong(0) % 2 == 0) r.getLong(2) else null)))))
+      store.cypher(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+           RETURN r.name AS region, count(*) AS n_nations
+           ORDER BY region""")
+    },
+    Some("""SELECT r_name AS region, COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE n_nationkey % 2 = 0 AND r_regionkey <= 3
+      GROUP BY 1 ORDER BY region"""))
+
+  /** `SET n:Label` / `REMOVE n:Label` (round 14): promote big-balance
+    * customers to :VipCustomer, demote a subset again, then read back
+    * BY THE NEW LABEL — add + remove + match-by-new-label, the full
+    * label-mutation lifecycle over the write apply's broadcast-delta
+    * path. Single-label model (SET reassigns — see
+    * [[graft.cypher.CypherAst.SetLabel]] for the documented
+    * deviation vs openCypher's label sets). */
+  val cy_label_set = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      val custRows = Tables.read(s, dir, "customer")
+        .filter(col("c_acctbal").cast("double") >= 9000.0)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_name").as("name"),
+          col("c_mktsegment").as("seg"))
+        .collect()
+      val customers: Seq[Map[String, Any]] = custRows.toSeq.map(r =>
+        Map[String, Any]("k" -> r.getLong(0), "name" -> r.getString(1),
+          "seg" -> r.getString(2)))
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, Map("Customer" -> Seq("k")))
+      store.execute(
+        """UNWIND $rows AS row
+           MERGE (c:Customer {k: row.k})
+           SET c.name = row.name, c.seg = row.seg""",
+        Map("rows" -> customers))
+      // promote: every matched customer gains the Vip label (and a
+      // prop in the SAME SET — the mixed-items shape)
+      store.execute(
+        "MATCH (c:Customer) SET c.tier = 'gold', c:VipCustomer")
+      // demote the AUTOMOBILE segment back to an untagged state
+      store.execute(
+        """MATCH (v:VipCustomer) WHERE v.seg = 'AUTOMOBILE'
+           REMOVE v:VipCustomer""")
+      // read back BY THE NEW LABEL
+      store.cypher(
+        """MATCH (v:VipCustomer)
+           RETURN v.seg AS seg, count(*) AS n, min(v.name) AS first_name
+           ORDER BY seg""")
+    },
+    Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        MIN(c_name) AS first_name
+      FROM customer
+      WHERE CAST(c_acctbal AS DOUBLE) >= 9000.0
+        AND c_mktsegment <> 'AUTOMOBILE'
+      GROUP BY 1 ORDER BY seg"""))
+
+  val all: Map[String, Q] = Map(
+    "cy_ref_nutrient" -> cy_ref_nutrient,
+    "cy_call_apply" -> cy_call_apply,
+    "cy_label_set" -> cy_label_set,
+  )
+}

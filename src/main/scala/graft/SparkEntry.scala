@@ -27,7 +27,8 @@ object SparkEntry {
       Queries42.all ++ Queries43.all ++ Queries44.all ++ Queries45.all ++
       Queries46.all ++ Queries47.all ++ Queries48.all ++ Queries49.all ++
       Queries50.all ++ Queries51.all ++ Queries52.all ++ Queries53.all ++
-      Queries54.all ++ Queries55.all ++ Queries56.all ++ Queries57.all
+      Queries54.all ++ Queries55.all ++ Queries56.all ++ Queries57.all ++
+      Queries58.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

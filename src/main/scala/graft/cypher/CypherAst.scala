@@ -263,6 +263,19 @@ object CypherAst {
   final case class Create(paths: Seq[PathPat]) extends WriteClause
   /** `SET items` targeting MATCH-bound variables — pure update. */
   final case class SetOnly(items: Seq[SetItem]) extends WriteClause
+  /** `SET v:Label` / `REMOVE v:Label` (round 14) — label mutation on
+    * a MATCH-bound node. DOCUMENTED DEVIATION: this graph model is
+    * single-label (the vertex frame's `label` column), so SET
+    * REASSIGNS the label (openCypher adds to a label set) and REMOVE
+    * clears it only when it matches the stored label. Relabeling INTO
+    * a label with declared uniqueness keys is rejected — node
+    * identity (`label:keys`) is minted at MERGE time and a keyed
+    * label reached by relabel would corrupt the identity contract the
+    * match probes rely on. The id handle itself never changes: a
+    * later MERGE on the ORIGINAL label/key still addresses the same
+    * node (engine identity = id). */
+  final case class SetLabel(v: String, label: String, add: Boolean)
+    extends WriteClause
   /** `[DETACH] DELETE v, …` — delete MATCH-bound nodes (or edge
     * variables: their (src,dst,rel) triples). Plain DELETE of a node
     * with attached relationships fails loudly (Neo4j semantics);
@@ -287,5 +300,24 @@ object CypherAst {
   final case class WriteQuery(unwinds: Seq[(Expr, String)],
                               matches: Seq[MatchPart],
                               clauses: Seq[WriteClause],
-                              returning: Option[Query] = None)
+                              returning: Option[Query] = None,
+                              call: Option[CallBlock] = None)
+
+  /** `[WITH vars] CALL { [WITH vars [WHERE pred]]* [MATCH …]*
+    * <write clauses> [RETURN expr] }` — the CONDITIONAL WRITE
+    * subquery, the reference's own idiom for an optional edge
+    * (graph_app_nutrient_content.py:155-162: link FertilizerProduct →
+    * AppNutrientContent only when name/brand are present). Semantics
+    * executed set-wise: the statement's bound rows filter by the
+    * accumulated WHERE, the block's MATCH parts bind (inner join —
+    * non-matching rows drop, exactly the CALL cardinality contract
+    * for a tail block), and the write clauses contribute to the SAME
+    * statement's deltas. The trailing RETURN (openCypher requires
+    * one inside CALL) is parsed and discarded — a CALL block is
+    * supported as the statement's TAIL, so its output rows feed
+    * nothing. `imports` is recorded for fidelity; the engine's frame
+    * carries all bound columns, so the projection is a no-op. */
+  final case class CallBlock(imports: Seq[String], where: Option[Expr],
+                             matches: Seq[MatchPart],
+                             clauses: Seq[WriteClause])
 }

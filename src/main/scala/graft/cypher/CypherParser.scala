@@ -82,8 +82,17 @@ object CypherParser {
       } else {
         // two-char operators first, then single punctuation
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (two == "<>" || two == "<=" || two == ">=" || two == ".." ||
-            two == "+=") {
+        if (two == "//") {
+          // openCypher line comment — the reference's projector
+          // statement text carries these inline
+          // (graph_app_nutrient_content.py:146-160)
+          while (i < n && q(i) != '\n') i += 1
+        } else if (two == "/*") {
+          val close = q.indexOf("*/", i + 2)
+          if (close < 0) fail(i, "unterminated /* comment")
+          i = close + 2
+        } else if (two == "<>" || two == "<=" || two == ">=" ||
+            two == ".." || two == "+=") {
           out += Tok("op", two, i); i += 2
         } else if ("()[]{},:.|*->=<+/%".indexOf(c) >= 0) {
           out += Tok("op", c.toString, i); i += 1
@@ -162,7 +171,8 @@ object CypherParser {
     def looksSetClause(i: Int): Boolean =
       i + 2 < toks.length && toks(i + 1).kind == "ident" &&
         toks(i + 2).kind == "op" &&
-        (toks(i + 2).s == "." || toks(i + 2).s == "+=")
+        (toks(i + 2).s == "." || toks(i + 2).s == "+=" ||
+          toks(i + 2).s == ":") // SET v:Label (round 14)
     def firstClause(pred: Int => Boolean): Int =
       toks.indices.collectFirst {
         case i if toks(i).kind == "ident" && clausePos(i) && pred(i) => i
@@ -248,13 +258,46 @@ object CypherParser {
         unwinds ++= fe.unwinds
         fe.clauses
       } else parseWriteClauses(p)
+    // `[WITH vars] CALL { … }` — the conditional-write TAIL block
+    // (round 14; the reference's optional-edge idiom,
+    // graph_app_nutrient_content.py:155-162). Tentative parse: a
+    // computed WITH or a WITH not followed by CALL restores and falls
+    // through to the read continuation below.
+    val call: Option[CallBlock] = {
+      val save = p.i
+      val imports0 = Vector.newBuilder[String]
+      var ok = true
+      if (p.atKw("with")) {
+        p.eatKw("with")
+        if (p.peek.kind == "ident" && !p.atKw("call") &&
+            !(p.peek2.kind == "op" && Set(".", "(")(p.peek2.s))) {
+          imports0 += p.ident()
+          while (ok && p.atOp(",")) {
+            p.eatOp(",")
+            if (p.peek.kind == "ident" &&
+                !(p.peek2.kind == "op" && Set(".", "(")(p.peek2.s)))
+              imports0 += p.ident()
+            else ok = false
+          }
+        } else ok = false
+      }
+      if (ok && p.atKw("call") && p.peek2.kind == "op" && p.peek2.s == "{") {
+        p.eatKw("call")
+        Some(parseCallBlock(p, imports0.result()))
+      } else { p.i = save; None }
+    }
+    if (call.isDefined && (p.atKw("return") || p.atKw("with")))
+      fail(p.peek.pos,
+        "a read continuation after CALL { … } is not supported " +
+        "(CALL is the statement's tail block)")
     // read continuation (round 13): `… RETURN items` projects the
     // statement's bound rows against the POST-APPLY graph; `… WITH
     // items [MATCH …]* RETURN items` threads them through the read
     // pipeline (the write-then-read idiom). The continuation reuses
     // the read grammar wholesale.
     val returning: Option[Query] =
-      if (p.atKw("return")) {
+      if (call.isDefined) None
+      else if (p.atKw("return")) {
         p.eatKw("return")
         Some(Query(Seq(Segment(Nil, Nil, None, None)), returnClause(p)))
       } else if (p.atKw("with")) {
@@ -266,7 +309,43 @@ object CypherParser {
         Some(Query(Segment(Nil, Nil, None, Some(w)) +: rest.segments,
           rest.ret))
       } else None
-    WriteQuery(unwinds.result(), matches.result(), clauses, returning)
+    WriteQuery(unwinds.result(), matches.result(), clauses, returning, call)
+  }
+
+  /** The inside of `CALL { … }`: scope WITHs (bare variable lists,
+    * each with an optional WHERE — accumulated conjunctively), MATCH
+    * parts, write clauses, and an optional trailing RETURN (openCypher
+    * requires one; its value feeds nothing in a tail block, so it is
+    * parsed and discarded). */
+  private def parseCallBlock(p: P, outerImports: Seq[String]): CallBlock = {
+    p.eatOp("{")
+    val imports = Vector.newBuilder[String]
+    imports ++= outerImports
+    var where: Option[Expr] = None
+    while (p.atKw("with")) {
+      p.eatKw("with")
+      imports += p.ident()
+      while (p.atOp(",")) { p.eatOp(","); imports += p.ident() }
+      if (p.atKw("where")) {
+        p.eatKw("where")
+        val w = orExpr(p)
+        where = Some(where.fold(w)(And(_, w)))
+      }
+    }
+    val matches = Vector.newBuilder[MatchPart]
+    while (p.atKw("match")) {
+      p.eatKw("match")
+      val paths = Vector.newBuilder[PathPat]
+      paths += pathPat(p)
+      while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
+      val w = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+              else None
+      matches += MatchPart(paths.result(), optional = false, w)
+    }
+    val clauses = parseWriteClauses(p)
+    if (p.atKw("return")) { p.eatKw("return"); returnClause(p) }
+    p.eatOp("}")
+    CallBlock(imports.result().distinct, where, matches.result(), clauses)
   }
 
   /** The write-clause sequence (MERGE/CREATE/SET/DELETE/REMOVE) —
@@ -292,16 +371,24 @@ object CypherParser {
         while (p.atOp(",")) { p.eatOp(","); vars += p.ident() }
         clauses += Delete(vars.result(), detach)
       } else if (p.atKw("remove")) {
-        // REMOVE v.k desugars to SET v.k = null (same map semantics)
+        // REMOVE v.k desugars to SET v.k = null (same map semantics);
+        // REMOVE v:Label clears a matching stored label (round 14)
         flush()
         p.eatKw("remove")
         val items = Vector.newBuilder[SetItem]
-        def one(): SetItem = {
-          val v = p.ident(); p.eatOp("."); SetItem(v, Some(p.ident()), Lit(null))
+        def one(): Unit = {
+          val v = p.ident()
+          if (p.atOp(":")) {
+            p.eatOp(":"); clauses += SetLabel(v, p.ident(), add = false)
+          } else {
+            p.eatOp(".")
+            items += SetItem(v, Some(p.ident()), Lit(null))
+          }
         }
-        items += one()
-        while (p.atOp(",")) { p.eatOp(","); items += one() }
-        clauses += SetOnly(items.result())
+        one()
+        while (p.atOp(",")) { p.eatOp(","); one() }
+        val its = items.result()
+        if (its.nonEmpty) clauses += SetOnly(its)
       } else if (p.atKw("merge")) {
         flush()
         p.eatKw("merge")
@@ -337,7 +424,31 @@ object CypherParser {
         last = Some(Create(paths.result()))
       } else {
         p.eatKw("set")
-        val items = setItems(p)
+        // plain SET also accepts the label form `SET v:Label`
+        // (round 14) — collected apart from the prop items
+        val itemsB = Vector.newBuilder[SetItem]
+        val labelsB = Vector.newBuilder[SetLabel]
+        def oneSet(): Unit = {
+          val v = p.ident()
+          if (p.atOp(":")) {
+            p.eatOp(":"); labelsB += SetLabel(v, p.ident(), add = true)
+          } else if (p.atOp("+=")) {
+            p.eatOp("+="); itemsB += SetItem(v, None, addExpr(p))
+          } else {
+            p.eatOp(".")
+            val k = p.ident()
+            p.eatOp("=")
+            itemsB += SetItem(v, Some(k), addExpr(p))
+          }
+        }
+        oneSet()
+        while (p.atOp(",")) { p.eatOp(","); oneSet() }
+        val items = itemsB.result()
+        val labels = labelsB.result()
+        if (items.isEmpty) {
+          flush()
+          clauses ++= labels
+        } else {
         // a plain SET whose every item targets the just-MERGEd node or
         // relationship folds into that MERGE (the reference's
         // `MERGE … SET …`); a keyed SET on a just-CREATEd single node
@@ -361,6 +472,8 @@ object CypherParser {
           case _ =>
             flush()
             clauses += SetOnly(items)
+        }
+        if (labels.nonEmpty) { flush(); clauses ++= labels }
         }
       }
     }

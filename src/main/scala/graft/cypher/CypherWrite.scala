@@ -111,6 +111,38 @@ object CypherWrite {
 
   private def emptyMap: Column = typedLit(Map.empty[String, String])
 
+  /** A write-statement MATCH pattern may bind props to FRAME
+    * references (`MATCH (pa:PA {id: r.app_ev_id})` under a batched
+    * UNWIND — the reference's nutrient statement,
+    * graph_app_nutrient_content.py:148-149,160): those are JOIN
+    * conditions, not scan constants, so they lift out of the pattern
+    * into the part's WHERE (`pa.id = r.app_ev_id`) — identical
+    * semantics (a null ref matches nothing either way), and Catalyst
+    * turns the cross-join + equality into a hash join. Literal/param
+    * props stay in the pattern and keep the pruned-scan fast path. */
+  private def liftFrameRefProps(parts: Seq[MatchPart]): Seq[MatchPart] =
+    parts.map { mp =>
+      var extra: Option[Expr] = None
+      val paths = mp.paths.map { pp =>
+        val nodes = pp.nodes.map { np =>
+          val (refs, consts) = np.props.partition {
+            case (_, _: Prop) | (_, _: Var) => true
+            case _ => false
+          }
+          refs.foreach { case (k, e) =>
+            val c: Expr = Cmp("=", Prop(np.name, k), e)
+            extra = Some(extra.fold(c)(And(_, c)))
+          }
+          np.copy(props = consts)
+        }
+        pp.copy(nodes = nodes)
+      }
+      mp.copy(paths = paths, where = (mp.where, extra) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b)
+      })
+    }
+
   /** Per-key map upsert: delta keys replace base keys; a null delta
     * value removes the key. All lambda higher-order functions —
     * codegen-friendly, no UDFs. */
@@ -129,15 +161,19 @@ object CypherWrite {
       "Cypher writes require the structured props layout " +
       "(map<string,string> — GraphAssembly.verticesMapProps)")
     val spark = g.vertices.sparkSession
-    val st = CypherCompiler.newState(g, params)
+    // `st`/`frame` are vars: a CALL { … } tail block re-binds them to
+    // the block's filtered/extended scope so the shared delta builders
+    // below compile its clauses against the right rows
+    var st = CypherCompiler.newState(g, params)
     // bucket-pruned MATCH-prefix scans: a pattern on a DECLARED-KEY
     // label that binds every key prop has a store-computable identity
     // (the MERGE contract — id = label:keys, the same assumption the
     // MERGE match probe itself makes), so its scan prunes to the id's
     // bucket instead of the standing table
     hint.foreach(h => st.writeScanPrune = Some((labelKeys, h.vertices)))
-    CypherCompiler.bindPrefix(st, g, wq.unwinds, wq.matches)
-    val frame = st.frame.getOrElse(spark.range(1).toDF())
+    CypherCompiler.bindPrefix(st, g, wq.unwinds,
+      liftFrameRefProps(wq.matches))
+    var frame = st.frame.getOrElse(spark.range(1).toDF())
 
     def expr(e: Expr): Column = CypherCompiler.expr(st, e)
 
@@ -214,12 +250,16 @@ object CypherWrite {
           Seq(lit(k), expr(e).cast("string")) }: _*)
       frame.select(id.as("id"), lit(label).as("dlabel"), pat.as("pat"),
           setMap(onCreate).as("oncreate"), setMap(onMatch).as("onmatch"),
-          setMap(always).as("always"))
+          setMap(always).as("always"),
+          lit(null).cast("string").as("slabel"),
+          lit(null).cast("string").as("unlabel"))
         .groupBy(col("id"))
         .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
           first(col("oncreate")).as("oncreate"),
           first(col("onmatch")).as("onmatch"),
-          first(col("always")).as("always"))
+          first(col("always")).as("always"),
+          first(col("slabel"), ignoreNulls = true).as("slabel"),
+          first(col("unlabel"), ignoreNulls = true).as("unlabel"))
     }
 
     /** SET on a MATCH-bound node variable: update-only node delta. */
@@ -227,12 +267,39 @@ object CypherWrite {
       frame.select(CypherCompiler.nodeId(st, v).as("id"),
           lit(null).cast("string").as("dlabel"), emptyMap.as("pat"),
           emptyMap.as("oncreate"), emptyMap.as("onmatch"),
-          setMap(its).as("always"))
+          setMap(its).as("always"),
+          lit(null).cast("string").as("slabel"),
+          lit(null).cast("string").as("unlabel"))
         .groupBy(col("id"))
         .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
           first(col("oncreate")).as("oncreate"),
           first(col("onmatch")).as("onmatch"),
-          first(col("always")).as("always"))
+          first(col("always")).as("always"),
+          first(col("slabel"), ignoreNulls = true).as("slabel"),
+          first(col("unlabel"), ignoreNulls = true).as("unlabel"))
+
+    /** `SET v:Label` / `REMOVE v:Label` on a MATCH-bound node: a
+      * label-only node delta (single-label model — see
+      * [[CypherAst.SetLabel]] for the documented deviation). */
+    def labelDelta(v: String, label: String, add: Boolean): DataFrame = {
+      // NULL maps, not empty ones: the statement-level delta merge
+      // skips nulls, so a label-only row never shadows a prop-SET row
+      // targeting the same id in the same statement
+      val nullMap = lit(null).cast("map<string,string>")
+      frame.select(CypherCompiler.nodeId(st, v).as("id"),
+          lit(null).cast("string").as("dlabel"), nullMap.as("pat"),
+          nullMap.as("oncreate"), nullMap.as("onmatch"),
+          nullMap.as("always"),
+          (if (add) lit(label) else lit(null).cast("string")).as("slabel"),
+          (if (add) lit(null).cast("string") else lit(label)).as("unlabel"))
+        .groupBy(col("id"))
+        .agg(first(col("dlabel")).as("dlabel"), first(col("pat")).as("pat"),
+          first(col("oncreate")).as("oncreate"),
+          first(col("onmatch")).as("onmatch"),
+          first(col("always")).as("always"),
+          first(col("slabel"), ignoreNulls = true).as("slabel"),
+          first(col("unlabel"), ignoreNulls = true).as("unlabel"))
+    }
 
     /** Raise unless the standing edge table can hold relationship
       * props (a structured map column) — otherwise a rel-prop write
@@ -354,7 +421,7 @@ object CypherWrite {
           if (!np.name.startsWith("  ")) writeBound(np.name) = idExpr(np)._1
           d
         }
-    wq.clauses.foreach {
+    def processClauses(cs: Seq[WriteClause]): Unit = cs.foreach {
       case MergeNode(pat, onCreate, onMatch, always) =>
         nodeDeltas += nodeDelta(pat, onCreate, onMatch, always)
         if (!pat.name.startsWith("  ")) writeBound(pat.name) = idExpr(pat)._1
@@ -367,6 +434,17 @@ object CypherWrite {
           } else throw new IllegalArgumentException(
             s"SET target $v is not a bound node or relationship variable")
         }
+      case SetLabel(v, label, add) =>
+        if (!st.nodes.contains(v)) throw new IllegalArgumentException(
+          s"SET/REMOVE label target $v is not a MATCH-bound node " +
+          "variable (label mutation on just-MERGEd nodes is not " +
+          "supported — include the label in the MERGE pattern)")
+        if (add && labelKeys.contains(label))
+          throw new IllegalArgumentException(
+            s"SET $v:$label — :$label has declared uniqueness keys; " +
+            "node identity is minted at MERGE time, so relabeling " +
+            "into a keyed label would corrupt the identity contract")
+        nodeDeltas += labelDelta(v, label, add)
       case Delete(vars, detach) =>
         vars.foreach { v =>
           if (st.nodes.contains(v)) {
@@ -406,6 +484,43 @@ object CypherWrite {
           }
         }
     }
+    processClauses(wq.clauses)
+
+    // ---- CALL { … } tail block (round 14): conditional writes ------
+    // The block's clauses contribute to the SAME statement's deltas,
+    // over the statement frame FILTERED by the block's WHERE and
+    // inner-joined through its MATCH parts (rows that fail either
+    // drop — the CALL cardinality contract for a tail block). The
+    // block's MATCH reads the PRE-APPLY graph: its pattern must not
+    // depend on nodes this same statement creates (the reference's
+    // idiom matches a dimension node written by an earlier projector,
+    // graph_app_nutrient_content.py:158-161); write-bound variables
+    // from the statement's own MERGEs join by recomputed id instead.
+    wq.call.foreach { cb =>
+      val stc = CypherCompiler.newState(g, params)
+      stc.valueCols ++= st.valueCols
+      stc.mapVars ++= st.mapVars
+      stc.arrayVars ++= st.arrayVars
+      stc.pathVars ++= st.pathVars
+      stc.nodes ++= st.nodes
+      stc.edgeVars ++= st.edgeVars
+      hint.foreach(h => stc.writeScanPrune = Some((labelKeys, h.vertices)))
+      var f2 = frame
+      writeBound.foreach { case (v, idc) =>
+        if (!st.nodes.contains(v)) {
+          f2 = f2.withColumn(s"$v __id", idc)
+          stc.nodes += v
+        }
+      }
+      stc.frame = Some(f2)
+      cb.where.foreach { w =>
+        stc.frame = Some(stc.frame.get.filter(CypherCompiler.expr(stc, w)))
+      }
+      CypherCompiler.bindPrefix(stc, g, Nil, liftFrameRefProps(cb.matches))
+      st = stc
+      frame = stc.frame.getOrElse(f2)
+      processClauses(cb.clauses)
+    }
 
     // ---- apply node deltas: broadcast probes ONLY -------------------
     // The standing vertex table must NEVER shuffle for a write: a
@@ -438,13 +553,17 @@ object CypherWrite {
       // delta is param/match-sized: materialize it eagerly so the
       // stats counts and the standing-graph plan reference a local
       // truncated lineage, not a recompute of the whole bind
+      // ignoreNulls everywhere: label-only delta rows carry NULL maps
+      // so they can never shadow a prop-carrying row for the same id
       val delta = nds.reduce(_ unionByName _)
         .groupBy(col("id"))
         .agg(first(col("dlabel"), ignoreNulls = true).as("dlabel"),
-          first(col("pat")).as("pat"),
-          first(col("oncreate")).as("oncreate"),
-          first(col("onmatch")).as("onmatch"),
-          first(col("always")).as("always"))
+          first(col("pat"), ignoreNulls = true).as("pat"),
+          first(col("oncreate"), ignoreNulls = true).as("oncreate"),
+          first(col("onmatch"), ignoreNulls = true).as("onmatch"),
+          first(col("always"), ignoreNulls = true).as("always"),
+          first(col("slabel"), ignoreNulls = true).as("slabel"),
+          first(col("unlabel"), ignoreNulls = true).as("unlabel"))
         .localCheckpoint(true)
       val deltaIds = delta.select(col("id"))
       touchedNodeIds = Some(deltaIds)
@@ -476,7 +595,15 @@ object CypherWrite {
             .as("props"))
       vertexView = (base: DataFrame) => {
         val updated = base.join(d, Seq("id"), "left_outer").select(
-          col("id"), col("label"),
+          col("id"),
+          // label mutation (single-label model): SET reassigns,
+          // REMOVE clears only a matching stored label
+          when(col("__d").isNotNull && col("slabel").isNotNull,
+              col("slabel"))
+            .when(col("__d").isNotNull && col("unlabel").isNotNull &&
+                col("unlabel") === col("label"), lit(null).cast("string"))
+            .otherwise(col("label"))
+            .as("label"),
           when(col("__d").isNotNull,
               mapUpsert(mapUpsert(col("props"), col("onmatch")),
                 col("always")))

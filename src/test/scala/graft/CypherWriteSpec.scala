@@ -905,6 +905,93 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(r4.get.collect().map(_.getString(0)).toSeq == Seq("neo"))
   }
 
+  test("CALL { WITH … WHERE … MATCH … MERGE … RETURN 0 }: the " +
+       "reference's conditional-edge tail block (r14)") {
+    val s = new GraphStore(
+      PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props")),
+      Map("Prod" -> Seq("name"), "Nut" -> Seq("pid", "n")))
+    s.execute("MERGE (p:Prod {name: 'npk'})")
+    // two rows: one with a product name (edge expected), one without
+    val st = s.execute(
+      """UNWIND $rows AS r
+         // upsert the nutrient node          <- inline comment, like the reference's text
+         MERGE (a:Nut {pid: r.pid, n: r.n})
+         SET a.v = r.v
+         WITH a, r
+         CALL {
+           WITH a, r
+           WITH a, r WHERE r.name IS NOT NULL
+           MATCH (p:Prod {name: r.name})
+           MERGE (p)-[:CONTAINS]->(a)
+           RETURN 0
+         }""",
+      Map("rows" -> Seq(
+        Map("pid" -> 1, "n" -> "N", "v" -> "1.5", "name" -> "npk"),
+        Map("pid" -> 1, "n" -> "P", "v" -> "0.5", "name" -> null),
+        Map("pid" -> 2, "n" -> "N", "v" -> "2.0", "name" -> "nope"))))
+    // all three nutrient nodes land; only the matching named row edges
+    assert(st.nodesCreated == 3L)
+    assert(st.relsCreated == 1L)
+    assert(s.graph.edges.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("Prod:npk", "Nut:1:N", "CONTAINS")))
+    // re-run: full fixpoint (conditional edge matched, not recreated)
+    val st2 = s.execute(
+      """UNWIND $rows AS r
+         MERGE (a:Nut {pid: r.pid, n: r.n}) SET a.v = r.v
+         WITH a, r
+         CALL {
+           WITH a, r WHERE r.name IS NOT NULL
+           MATCH (p:Prod {name: r.name})
+           MERGE (p)-[:CONTAINS]->(a)
+           RETURN 0
+         }""",
+      Map("rows" -> Seq(
+        Map("pid" -> 1, "n" -> "N", "v" -> "1.5", "name" -> "npk"))))
+    assert((st2.relsCreated, st2.relsMatched) == (0L, 1L))
+    // a RETURN after the CALL tail is rejected loudly
+    val e = intercept[IllegalArgumentException](CypherParser.parseAny(
+      "MERGE (a:Nut {pid: 1, n: 'N'}) WITH a CALL { WITH a MATCH (p:Prod {name: 'x'}) MERGE (p)-[:C]->(a) RETURN 0 } RETURN a.v AS v"))
+    assert(e.getMessage.contains("CALL"))
+    // block comments lex too
+    assert(CypherParser.parseAny(
+      "/* header */ MATCH (p:Prod) RETURN count(*) AS c").isRight)
+  }
+
+  test("SET n:Label / REMOVE n:Label — single-label mutation (r14)") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.name = 'ann'")
+    // mixed prop + label items in ONE SET: both must apply (the
+    // label-only delta row must not shadow the prop row)
+    s.execute("MATCH (p:Person {pid: 1}) SET p.age = '30', p:Vip")
+    assert(s.cypher("MATCH (v:Vip) RETURN v.name AS n, v.age AS a")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("ann", "30")))
+    assert(s.graph.vertices.filter(col("label") === "Person").count() == 0)
+    // id handle unchanged: MERGE on the ORIGINAL label/key still
+    // addresses the node (engine identity = id)
+    val st = s.execute("MERGE (p:Person {pid: 1}) SET p.x = '1'")
+    assert((st.nodesCreated, st.nodesMatched) == (0L, 1L))
+    // REMOVE with a non-matching label is a no-op
+    s.execute("MATCH (v:Vip) REMOVE v:Gold")
+    assert(s.graph.vertices.filter(col("label") === "Vip").count() == 1)
+    // REMOVE the matching label clears it
+    s.execute("MATCH (v:Vip) REMOVE v:Vip")
+    assert(s.graph.vertices.filter(col("label").isNull).count() == 1)
+    // relabeling INTO a declared-key label is rejected
+    val e1 = intercept[IllegalArgumentException](s.execute(
+      "MATCH (p) WHERE p.pid = '1' SET p:City"))
+    assert(e1.getMessage.contains("uniqueness keys"))
+    // label mutation on a just-MERGEd variable is rejected
+    val e2 = intercept[IllegalArgumentException](s.execute(
+      "MERGE (q:Person {pid: 2}) SET q:Vip"))
+    assert(e2.getMessage.contains("MATCH-bound"))
+  }
+
   test("CREATE … SET folds into the pattern (keyed items, single node)") {
     val s = emptyStore()
     val (st, rows) = s.executeReturning(
