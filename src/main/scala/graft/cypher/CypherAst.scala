@@ -276,6 +276,17 @@ object CypherAst {
     * node (engine identity = id). */
   final case class SetLabel(v: String, label: String, add: Boolean)
     extends WriteClause
+  /** `FOREACH (v IN list | <write clauses>)` (round 14 — first-class
+    * clause, siblings and nesting allowed). Executed set-wise as a
+    * SUB-SCOPE: the statement frame cross-joins the list (one row per
+    * frame row × element), the body's clauses contribute to the SAME
+    * statement's deltas, and the outer frame is untouched — so an
+    * EMPTY list skips the body while the statement's other clauses
+    * and its RETURN/WITH continuation keep every bound row
+    * (openCypher's cardinality-neutral FOREACH). Body-bound variables
+    * go out of scope at the closing paren, per openCypher. */
+  final case class Foreach(v: String, list: Expr,
+                           clauses: Seq[WriteClause]) extends WriteClause
   /** `[DETACH] DELETE v, …` — delete MATCH-bound nodes (or edge
     * variables: their (src,dst,rel) triples). Plain DELETE of a node
     * with attached relationships fails loudly (Neo4j semantics);

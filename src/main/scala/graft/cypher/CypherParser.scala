@@ -208,40 +208,6 @@ object CypherParser {
       p.eatKw("as")
       unwinds += ((listE, p.ident()))
     }
-    // `FOREACH (v IN $list | <write clauses>)` (round 13) — supported
-    // as the statement's SOLE write block (after any UNWIND/MATCH
-    // prefix) and desugared to the statement-level UNWIND batch form:
-    // under the engine's set-wise apply the two are identical (one
-    // frame row per element, deltas dedup by id/triple). The sole-
-    // block restriction keeps the empty-list no-op semantics honest —
-    // an empty FOREACH must not erase sibling writes' frame rows.
-    def parseForeach(): WriteQuery = {
-      p.eatKw("foreach")
-      p.eatOp("(")
-      val v = p.ident()
-      p.eatKw("in")
-      val listE: Expr =
-        if (p.peek.kind == "param") Param(p.next().s)
-        else if (p.atOp("[")) {
-          p.eatOp("[")
-          val vals = Vector.newBuilder[Lit]
-          if (!p.atOp("]")) {
-            vals += literal(p)
-            while (p.atOp(",")) { p.eatOp(","); vals += literal(p) }
-          }
-          p.eatOp("]")
-          ListLit(vals.result())
-        } else fail(p.peek.pos, "FOREACH takes `v IN $param` or a literal list")
-      p.eatOp("|")
-      val inner = parseWriteClauses(p)
-      p.eatOp(")")
-      if (p.atKw("foreach") || p.atKw("merge") || p.atKw("create") ||
-          p.atKw("set") || p.atKw("delete") || p.atKw("detach") ||
-          p.atKw("remove"))
-        fail(p.peek.pos,
-          "FOREACH is supported as the statement's only write block")
-      WriteQuery(Seq((listE, v)), Nil, inner)
-    }
     val matches = Vector.newBuilder[MatchPart]
     while (p.atKw("match")) {
       p.eatKw("match")
@@ -252,12 +218,7 @@ object CypherParser {
         if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) } else None
       matches += MatchPart(paths.result(), optional = false, where)
     }
-    val clauses: Seq[WriteClause] =
-      if (p.atKw("foreach")) {
-        val fe = parseForeach()
-        unwinds ++= fe.unwinds
-        fe.clauses
-      } else parseWriteClauses(p)
+    val clauses: Seq[WriteClause] = parseWriteClauses(p)
     // `[WITH vars] CALL { … }` — the conditional-write TAIL block
     // (round 14; the reference's optional-edge idiom,
     // graph_app_nutrient_content.py:155-162). Tentative parse: a
@@ -359,9 +320,36 @@ object CypherParser {
     def flush(): Unit = { last.foreach(clauses += _); last = None }
     var any = false
     while (p.atKw("merge") || p.atKw("create") || p.atKw("set") ||
-           p.atKw("delete") || p.atKw("detach") || p.atKw("remove")) {
+           p.atKw("delete") || p.atKw("detach") || p.atKw("remove") ||
+           p.atKw("foreach")) {
       any = true
-      if (p.atKw("delete") || p.atKw("detach")) {
+      if (p.atKw("foreach")) {
+        // `FOREACH (v IN list | <write clauses>)` — round 14: a
+        // first-class clause (siblings before/after, nesting via the
+        // recursive body parse), executed as a sub-scope by the apply
+        flush()
+        p.eatKw("foreach")
+        p.eatOp("(")
+        val v = p.ident()
+        p.eatKw("in")
+        val listE: Expr =
+          if (p.peek.kind == "param") Param(p.next().s)
+          else if (p.atOp("[")) {
+            p.eatOp("[")
+            val vals = Vector.newBuilder[Lit]
+            if (!p.atOp("]")) {
+              vals += literal(p)
+              while (p.atOp(",")) { p.eatOp(","); vals += literal(p) }
+            }
+            p.eatOp("]")
+            ListLit(vals.result())
+          } else fail(p.peek.pos,
+            "FOREACH takes `v IN $param` or a literal list")
+        p.eatOp("|")
+        val inner = parseWriteClauses(p)
+        p.eatOp(")")
+        clauses += Foreach(v, listE, inner)
+      } else if (p.atKw("delete") || p.atKw("detach")) {
         flush()
         val detach = p.atKw("detach")
         if (detach) p.eatKw("detach")

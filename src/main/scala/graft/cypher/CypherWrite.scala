@@ -434,6 +434,35 @@ object CypherWrite {
           } else throw new IllegalArgumentException(
             s"SET target $v is not a bound node or relationship variable")
         }
+      case Foreach(v, listE, cs) =>
+        // sub-scope: frame × list elements for the body's clauses,
+        // then the OUTER scope restores — an empty list skips the
+        // body without touching the statement's other rows
+        // (cardinality-neutral, openCypher), and body-bound variables
+        // (including write-bound ids, whose exprs reference the
+        // body-only element column) go out of scope
+        val stf = CypherCompiler.newState(g, params)
+        stf.valueCols ++= st.valueCols
+        stf.mapVars ++= st.mapVars
+        stf.arrayVars ++= st.arrayVars
+        stf.pathVars ++= st.pathVars
+        stf.nodes ++= st.nodes
+        stf.edgeVars ++= st.edgeVars
+        hint.foreach(h => stf.writeScanPrune = Some((labelKeys, h.vertices)))
+        stf.frame = Some(frame)
+        CypherCompiler.bindPrefix(stf, g, Seq((listE, v)), Nil)
+        val (savedSt, savedFrame) = (st, frame)
+        val savedBound = writeBound.keySet.toSet
+        val savedBoundRels = writeBoundRels.keySet.toSet
+        st = stf
+        frame = stf.frame.getOrElse(frame)
+        processClauses(cs)
+        st = savedSt
+        frame = savedFrame
+        (writeBound.keySet.toSet -- savedBound)
+          .foreach(writeBound.remove)
+        (writeBoundRels.keySet.toSet -- savedBoundRels)
+          .foreach(writeBoundRels.remove)
       case SetLabel(v, label, add) =>
         if (!st.nodes.contains(v)) throw new IllegalArgumentException(
           s"SET/REMOVE label target $v is not a MATCH-bound node " +

@@ -1010,7 +1010,7 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a bound node"))
   }
 
-  test("FOREACH desugars to the UNWIND batch form (sole write block)") {
+  test("FOREACH basics: param + literal lists, MATCH prefix, RETURN") {
     val s = emptyStore()
     val st = s.execute(
       "FOREACH (row IN $rows | MERGE (p:Person {pid: row.pid}) SET p.name = row.name)",
@@ -1030,10 +1030,38 @@ class CypherWriteSpec extends AnyFunSuite {
     val st2 = s.execute(
       "FOREACH (t IN [] | MERGE (c:City {name: t}))")
     assert(st2 == CypherWrite.Stats(0, 0, 0, 0))
-    // a second write block alongside FOREACH is rejected loudly
-    val e = intercept[IllegalArgumentException](s.execute(
-      "FOREACH (t IN ['a'] | MERGE (c:City {name: t})) MERGE (p:Person {pid: 9})"))
-    assert(e.getMessage.contains("only write block"))
+  }
+
+  test("FOREACH as a first-class clause: siblings, nesting, " +
+       "cardinality-neutral empty list (r14)") {
+    val s = emptyStore()
+    // sibling write AFTER a FOREACH block — both land
+    val st = s.execute(
+      "FOREACH (t IN ['a', 'b'] | MERGE (c:City {name: t})) MERGE (p:Person {pid: 9})")
+    assert(st.nodesCreated == 3L)
+    // sibling BEFORE, empty list: the sibling still lands
+    val st2 = s.execute(
+      "MERGE (p:Person {pid: 10}) FOREACH (t IN [] | MERGE (c:City {name: t}))")
+    assert(st2.nodesCreated == 1L)
+    // EMPTY list is cardinality-neutral: the MATCH rows survive into
+    // the RETURN continuation (the r13 advisor's openCypher gap)
+    val (_, rows) = s.executeReturning(
+      """MATCH (p:Person) FOREACH (x IN [] | SET p.x = '1')
+         RETURN count(*) AS n""")
+    assert(rows.get.collect().head.getLong(0) == 2L)
+    // and the body was skipped: no props written
+    assert(s.graph.vertices
+      .filter(col("props")("x").isNotNull).count() == 0)
+    // nested FOREACH
+    val st3 = s.execute(
+      """FOREACH (a IN ['x'] |
+           FOREACH (b IN ['1', '2'] | MERGE (c:City {name: b}))
+           MERGE (c2:City {name: a}))""")
+    assert(st3.nodesCreated == 3L)
+    // body-bound variables go out of scope: a RETURN referencing the
+    // FOREACH element fails to compile, Neo4j-style
+    intercept[Exception](s.executeReturning(
+      "FOREACH (t IN ['q'] | MERGE (c:City {name: t})) RETURN t AS t"))
   }
 
   test("constraint-propagation guard: nested/concurrent callers restore once") {
