@@ -297,9 +297,70 @@ object Queries58 {
         AND c_mktsegment <> 'AUTOMOBILE'
       GROUP BY 1 ORDER BY seg"""))
 
+  /** FOREACH as a first-class clause (round 14): per input row, tag
+    * the nation with its region name AND fan out one Alert node per
+    * element of a row-dependent-SIZED literal list — siblings around
+    * the block, the body's writes in the same statement, and the
+    * RETURN continuation counting the statement's bound rows
+    * UNCHANGED by the block's internal cardinality (the
+    * cardinality-neutral contract: the advisor's r13 finding). */
+  val cy_foreach = Q(
+    (s, dir) => {
+      import graft.cypher.{GraphStore, PropertyGraph}
+      import s.implicits._
+      val nations = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+        .collect()
+      val empty = PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props"))
+      val store = new GraphStore(empty, Map(
+        "Nation" -> Seq("k"), "Alert" -> Seq("k", "tag")))
+      store.execute(
+        "UNWIND $rows AS row MERGE (n:Nation {k: row.k}) SET n.name = row.name",
+        Map("rows" -> nations.toSeq.map(r => Map[String, Any](
+          "k" -> r.getLong(0), "name" -> r.getString(1)))))
+      // one batched statement: per even-key nation, fan out one Alert
+      // per $tags element inside FOREACH, with a SIBLING SET after
+      // the block (round-14 first-class-clause shape)
+      store.execute(
+        """UNWIND $rows AS row
+           MATCH (n:Nation {k: row.k})
+           FOREACH (t IN $tags |
+             MERGE (a:Alert {k: row.k, tag: t}) SET a.nation = n.name)
+           SET n.flag = 'seen'""",
+        Map("rows" -> nations.toSeq.filter(_.getLong(0) % 2 == 0)
+            .map(r => Map[String, Any]("k" -> r.getLong(0))),
+          "tags" -> Seq("hot", "cold")))
+      // EMPTY list is cardinality-neutral: every MATCH row survives
+      // into the RETURN continuation (the r13 advisor's gap)
+      val (_, neutral) = store.executeReturning(
+        """MATCH (n:Nation)
+           FOREACH (t IN $empty | SET n.flag = t)
+           RETURN count(*) AS n""",
+        Map("empty" -> Seq.empty[String]))
+      val kept = neutral.get.collect().head.getLong(0)
+      require(kept == nations.length,
+        s"FOREACH was not cardinality-neutral: $kept of ${nations.length}")
+      store.cypher(
+        """MATCH (a:Alert)
+           RETURN a.tag AS tag, count(*) AS n_alerts,
+                  min(a.nation) AS first_nation
+           ORDER BY tag""")
+    },
+    Some("""SELECT t.tag AS tag, COUNT(*) AS n_alerts,
+        MIN(n_name) AS first_nation
+      FROM nation, (VALUES ('hot'), ('cold')) AS t(tag)
+      WHERE n_nationkey % 2 = 0
+      GROUP BY 1 ORDER BY tag"""))
+
   val all: Map[String, Q] = Map(
     "cy_ref_nutrient" -> cy_ref_nutrient,
     "cy_call_apply" -> cy_call_apply,
     "cy_label_set" -> cy_label_set,
+    "cy_foreach" -> cy_foreach,
   )
 }
