@@ -593,7 +593,10 @@ object CypherWrite {
           first(col("always"), ignoreNulls = true).as("always"),
           first(col("slabel"), ignoreNulls = true).as("slabel"),
           first(col("unlabel"), ignoreNulls = true).as("unlabel"))
-        .localCheckpoint(true)
+        // ONE partition: the delta is param-sized and every later
+        // broadcast build re-reads it — a 1-task job instead of a
+        // shuffle-partition-count job per broadcast
+        .coalesce(1).localCheckpoint(true)
       val deltaIds = delta.select(col("id"))
       touchedNodeIds = Some(deltaIds)
       // ONE probe over the (pruned) standing ids, delta-sized output
@@ -663,7 +666,7 @@ object CypherWrite {
           first(col("eoncreate")).as("eoncreate"),
           first(col("eonmatch")).as("eonmatch"),
           first(col("ealways")).as("ealways"))
-        .localCheckpoint(true)
+        .coalesce(1).localCheckpoint(true) // param-sized, see node delta
       val keyCols = Seq("src", "dst", "rel")
       val deltaTriples = delta.select(keyCols.map(col): _*)
       touchedTriples = Some(deltaTriples)
@@ -708,9 +711,9 @@ object CypherWrite {
     val triplesDel = delTriples.result()
     if (plainDel.nonEmpty || detachDel.nonEmpty || triplesDel.nonEmpty) {
       val plain = plainDel.reduceOption(_ unionByName _)
-        .map(_.distinct().localCheckpoint(true))
+        .map(_.distinct().coalesce(1).localCheckpoint(true))
       val detachIds = detachDel.reduceOption(_ unionByName _)
-        .map(_.distinct().localCheckpoint(true))
+        .map(_.distinct().coalesce(1).localCheckpoint(true))
       // one-sided statements (all-plain / all-detach — every real
       // DELETE is one of them) reuse the side's checkpoint instead of
       // re-materializing the same distinct id set a second time
@@ -718,10 +721,11 @@ object CypherWrite {
         case (p, None) => p
         case (None, d) => d
         case (Some(p), Some(d)) =>
-          Some(p.unionByName(d).distinct().localCheckpoint(true))
+          Some(p.unionByName(d).distinct().coalesce(1)
+            .localCheckpoint(true))
       }
       val triples = triplesDel.reduceOption(_ unionByName _)
-        .map(_.distinct().localCheckpoint(true))
+        .map(_.distinct().coalesce(1).localCheckpoint(true))
       // Neo4j semantics: plain DELETE of a node with attached
       // relationships fails the statement (use DETACH DELETE). The
       // probe is a delta-broadcast semi join on each endpoint, run
@@ -815,13 +819,13 @@ object CypherWrite {
       else touchedNodeIds.map(ids =>
         vertexView(standingV(ids))
           .join(broadcast(ids), Seq("id"), "left_semi")
-          .localCheckpoint(true))
+          .coalesce(1).localCheckpoint(true))
     val touchedEdgeRows: Option[DataFrame] =
       if (hint.isEmpty) None
       else touchedTriples.map(tr =>
         edgeView(standingE(tr))
           .join(broadcast(tr), eKeys, "left_semi")
-          .localCheckpoint(true))
+          .coalesce(1).localCheckpoint(true))
 
     // ---- read continuation (round 13): RETURN / WITH after writes --
     // One row per bound frame row (openCypher: MERGE under UNWIND
@@ -1308,25 +1312,35 @@ final class GraphStore(initial: PropertyGraph,
         k => bucketedEdgeView(bktE.get.pruned(k))))
   }
 
+  private def orUnion(a: Option[DataFrame],
+                      b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x.unionByName(y))
+    case (x, y) => x.orElse(y)
+  }
+
   /** The standing vertex view over an arbitrary base frame (the full
     * bucketed base, or a bucket-pruned slice of it): base minus the
     * collapsed mask minus every segment's touched/dead ids, plus the
-    * collapsed overlay and each segment's rows — every layer after
-    * the base is delta-sized and broadcast, and newer segments
-    * supersede older rows by anti join, so the view is EXACT for any
-    * id whose bucket the base slice covers. */
+    * collapsed overlay and each segment's rows — newer segments
+    * supersede older rows. Kill sets apply as SUFFIX UNIONS (one
+    * broadcast anti join per layer, O(segs) broadcasts per view) —
+    * the naive per-seg chain was O(segs²) broadcast-build jobs per
+    * probe and dominated the seeded soak's per-statement cost. */
   private def bucketedVertexView(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    def minusIds(df: DataFrame, ids: DataFrame): DataFrame =
-      df.join(broadcast(ids), Seq("id"), "left_anti")
-    def segIds(s: Seg): Seq[DataFrame] = Seq(s.vIds, s.vDead).flatten
-    val allSegIds = segs.flatMap(segIds)
-    val basePart = allSegIds.foldLeft(
-      maskV.fold(base)(m => minusIds(base, m)))(minusIds)
-    val ovPart = ovV.map(o => allSegIds.foldLeft(o)(minusIds))
+    def minus(df: DataFrame, ids: Option[DataFrame]): DataFrame =
+      ids.fold(df)(x => df.join(broadcast(x), Seq("id"), "left_anti"))
+    // suf(i) = ids touched/deleted by segs i..n-1 (tiny frames)
+    val n = segs.length
+    val suf = new Array[Option[DataFrame]](n + 1)
+    suf(n) = None
+    for (i <- (n - 1) to 0 by -1)
+      suf(i) = orUnion(
+        orUnion(segs(i).vIds, segs(i).vDead), suf(i + 1))
+    val basePart = minus(base, orUnion(maskV, suf(0)))
+    val ovPart = ovV.map(minus(_, suf(0)))
     val segLayers = segs.zipWithIndex.flatMap { case (s, i) =>
-      s.vRows.map(rows =>
-        segs.drop(i + 1).flatMap(segIds).foldLeft(rows)(minusIds))
+      s.vRows.map(minus(_, suf(i + 1)))
     }
     (Seq(basePart) ++ ovPart ++ segLayers)
       .reduce(_ unionByName _)
@@ -1335,25 +1349,34 @@ final class GraphStore(initial: PropertyGraph,
 
   /** Edge-side twin of [[bucketedVertexView]]: segments kill older
     * edge rows by (src,dst,rel) triple and — for DETACH — by either
-    * endpoint. */
+    * endpoint; kill sets apply as suffix unions, same as the vertex
+    * side. */
   private def bucketedEdgeView(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    def minusSeg(df: DataFrame, s: Seg): DataFrame = {
-      val afterTriples = Seq(s.eTriples, s.eDeadTriples).flatten
-        .foldLeft(df)((d, tr) => d.join(broadcast(tr), eKeys, "left_anti"))
-      s.eDeadEndpoints.fold(afterTriples)(ids =>
-        afterTriples
+    def minus(df: DataFrame, tr: Option[DataFrame],
+              ep: Option[DataFrame]): DataFrame = {
+      val afterTr = tr.fold(df)(x =>
+        df.join(broadcast(x), eKeys, "left_anti"))
+      ep.fold(afterTr)(ids =>
+        afterTr
           .join(broadcast(ids.withColumnRenamed("id", "src")),
             Seq("src"), "left_anti")
           .join(broadcast(ids.withColumnRenamed("id", "dst")),
             Seq("dst"), "left_anti"))
     }
-    val basePart = segs.foldLeft(
-      maskE.fold(base)(m =>
-        base.join(broadcast(m), eKeys, "left_anti")))(minusSeg)
-    val ovPart = ovE.map(o => segs.foldLeft(o)(minusSeg))
+    val n = segs.length
+    val sufTr = new Array[Option[DataFrame]](n + 1)
+    val sufEp = new Array[Option[DataFrame]](n + 1)
+    sufTr(n) = None; sufEp(n) = None
+    for (i <- (n - 1) to 0 by -1) {
+      sufTr(i) = orUnion(
+        orUnion(segs(i).eTriples, segs(i).eDeadTriples), sufTr(i + 1))
+      sufEp(i) = orUnion(segs(i).eDeadEndpoints, sufEp(i + 1))
+    }
+    val basePart = minus(base, orUnion(maskE, sufTr(0)), sufEp(0))
+    val ovPart = ovE.map(minus(_, sufTr(0), sufEp(0)))
     val segLayers = segs.zipWithIndex.flatMap { case (s, i) =>
-      s.eRows.map(rows => segs.drop(i + 1).foldLeft(rows)(minusSeg))
+      s.eRows.map(minus(_, sufTr(i + 1), sufEp(i + 1)))
     }
     (Seq(basePart) ++ ovPart ++ segLayers)
       .reduce(_ unionByName _)
@@ -1371,10 +1394,12 @@ final class GraphStore(initial: PropertyGraph,
   private def collapseSegs(): Unit = if (segs.nonEmpty)
     withoutConstraintPropagation {
       import org.apache.spark.sql.functions.broadcast
-      val spark = g.vertices.sparkSession
+      // ONE partition everywhere here: the overlay/mask frames are
+      // bounded by the broadcast budget (<= 2^18 keyed rows) and are
+      // re-read by every subsequent probe's broadcast build — 1-task
+      // jobs keep the per-statement job fan-out flat
       def ckpt(df: DataFrame): DataFrame =
-        df.coalesce(spark.sparkContext.defaultParallelism)
-          .localCheckpoint(true)
+        df.coalesce(1).localCheckpoint(true)
       def unionAll(fs: Seq[DataFrame]): Option[DataFrame] =
         fs.reduceOption(_ unionByName _)
       val nonEmpty: Option[DataFrame] => Option[DataFrame] =
@@ -1382,7 +1407,7 @@ final class GraphStore(initial: PropertyGraph,
 
       // ---- vertices: touched/dead ids across the window ------------
       val idsAll = unionAll(segs.flatMap(s => Seq(s.vIds, s.vDead).flatten))
-        .map(_.distinct().localCheckpoint(true))
+        .map(_.distinct().coalesce(1).localCheckpoint(true))
       idsAll.foreach { ids =>
         val prunedBase = bktV.get.pruned(ids)
         // live rows for the window's ids — via the PRUNED view
@@ -1400,9 +1425,9 @@ final class GraphStore(initial: PropertyGraph,
       // ---- edges ----------------------------------------------------
       val trAll = unionAll(
         segs.flatMap(s => Seq(s.eTriples, s.eDeadTriples).flatten))
-        .map(_.distinct().localCheckpoint(true))
+        .map(_.distinct().coalesce(1).localCheckpoint(true))
       val epAll = unionAll(segs.flatMap(_.eDeadEndpoints))
-        .map(_.distinct().localCheckpoint(true))
+        .map(_.distinct().coalesce(1).localCheckpoint(true))
       if (trAll.isDefined || epAll.isDefined) {
         val newRows = trAll.map(tr =>
           bucketedEdgeView(bktE.get.pruned(tr))
