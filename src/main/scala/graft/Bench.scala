@@ -84,8 +84,16 @@ object Bench {
     // a10_running_idx is also alphabetically FIRST in the timed loop,
     // absorbing whatever session warmup remains; paying it here ends
     // that class too. Same inter-run isolation as the timed loop.
+    // Round 14 extends the set with the four r13 driver flags that
+    // re-measured clean (BASELINE.md round-14 adjudication): their
+    // first-touch cold multiples are 2.4-3.4x (walk-edge sampling,
+    // embedding-pipeline codegen, pairwise-struct shuffles, zonemap
+    // interval probes), structurally above the 1.5x flag bar once
+    // ordinary box drift stacks on a reps=1 pass.
     Seq("a10_running_idx", "dd_minhash_lsh", "g_shortest_path",
-        "txt_bigram_topk", "txt_lm_score").foreach { n =>
+        "txt_bigram_topk", "txt_lm_score",
+        "g_random_walk", "pipeline_graph_embed", "pipeline_dpo_pairs",
+        "lake_zonemap_overlap").foreach { n =>
       SparkEntry.benchQueries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[warmup] $n: $e") }
