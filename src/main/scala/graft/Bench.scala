@@ -90,10 +90,15 @@ object Bench {
     // embedding-pipeline codegen, pairwise-struct shuffles, zonemap
     // interval probes), structurally above the 1.5x flag bar once
     // ordinary box drift stacks on a reps=1 pass.
+    // …and the round-14 preview's two in-pass flags, both clean warm
+    // (cy_var_open 0.85x of median isolated with a 7x first-touch
+    // multiple — the converging expansion's sequential per-level jobs
+    // all pay cold codegen; a_rfm_segments 3.3x cold multiple).
     Seq("a10_running_idx", "dd_minhash_lsh", "g_shortest_path",
         "txt_bigram_topk", "txt_lm_score",
         "g_random_walk", "pipeline_graph_embed", "pipeline_dpo_pairs",
-        "lake_zonemap_overlap").foreach { n =>
+        "lake_zonemap_overlap", "cy_var_open", "a_rfm_segments")
+      .foreach { n =>
       SparkEntry.benchQueries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[warmup] $n: $e") }
