@@ -73,11 +73,17 @@ object Queries58 {
       // the synthetic lineitem is TPC-H-ISH: (orderkey, linenumber) is
       // NOT unique, so the application-event key dedups to one
       // deterministic representative per pair (min row) — mirrored in
-      // the oracle's QUALIFY
+      // the oracle's QUALIFY. The absolute orderkey cap BOUNDS the
+      // entry's wire-statement count at any SF (each batched
+      // statement costs seconds of plan/analysis; an SF-proportional
+      // batch count made the 10× amplified sweep pathological —
+      // throughput at scale is the SOAK's job, this entry proves the
+      // verbatim statement family)
       val slice = {
         import org.apache.spark.sql.expressions.Window
         Tables.read(s, dir, "lineitem")
-          .filter(col("l_orderkey") % 97 === 0)
+          .filter(col("l_orderkey") % 97 === 0 &&
+            col("l_orderkey") <= 60000)
           .join(Tables.read(s, dir, "part"),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").cast("long").as("ok"),
@@ -163,7 +169,7 @@ object Queries58 {
                CAST(l_quantity AS BIGINT) AS qty,
                p_name AS pname, p_brand AS pbrand
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_orderkey % 97 = 0
+        WHERE l_orderkey % 97 = 0 AND l_orderkey <= 60000
         QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
           ORDER BY CAST(l_quantity AS BIGINT), p_name, p_brand) = 1
       ), rows_ AS (
