@@ -929,7 +929,10 @@ object CypherWrite {
 final class GraphStore(initial: PropertyGraph,
                        val labelKeys: Map[String, Seq[String]] = Map.empty,
                        forceOverlay: Boolean = false,
-                       forceBucketed: Boolean = false) {
+                       forceBucketed: Boolean = false,
+                       // overridable so specs can drive the overlay-
+                       // OVERFLOW branch (rebucketize) on tiny fixtures
+                       overlayFoldRows: Long = GraphStore.OverlayFoldRows) {
   @volatile private var g: PropertyGraph = initial
   private var writesSinceCompact = 0
 
@@ -1124,7 +1127,7 @@ final class GraphStore(initial: PropertyGraph,
     if (baseRows < 0) baseRows = baseV.count() + baseE.count()
     if (!baseValid ||
         (!forceOverlay && baseRows <= GraphStore.FullFoldBaseRows) ||
-        ovRows > GraphStore.OverlayFoldRows) fullFold()
+        ovRows > overlayFoldRows) fullFold()
     else deltaFold()
     writesSinceCompact = 0
     // a store that GREW past the probe-index bound on the unbucketed
@@ -1474,7 +1477,7 @@ final class GraphStore(initial: PropertyGraph,
       segs = Vector.empty
       ovRows = ovV.map(_.count()).getOrElse(0L) +
         ovE.map(_.count()).getOrElse(0L)
-      if (ovRows > GraphStore.OverlayFoldRows) {
+      if (ovRows > overlayFoldRows) {
         // overlay outgrew its broadcast budget: fold it into a fresh
         // bucketed base (one store re-write per ~2^18 touched rows)
         g = rebuildBucketedView()

@@ -905,6 +905,40 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(r4.get.collect().map(_.getString(0)).toSeq == Seq("neo"))
   }
 
+  test("bucketed store: overlay OVERFLOW rebucketizes and stays " +
+       "equivalent (r14)") {
+    // overlayFoldRows = 1 forces the overflow branch on EVERY
+    // collapse: each 8-statement window rebuilds the bucketed base
+    // from the current view — the amortized big-store fold path,
+    // never otherwise reached on unit-sized fixtures
+    val s = new GraphStore(
+      PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props")),
+      Map("Person" -> Seq("pid"), "City" -> Seq("name")),
+      forceBucketed = true, overlayFoldRows = 1L)
+    val ref = emptyStore() // plain store, same statements
+    val stmts = (1 to 10).map(i =>
+      (s"MERGE (p:Person {pid: $i}) SET p.name = 'p$i'", i)) ++ Seq(
+      ("MATCH (p:Person {pid: 3}) DETACH DELETE p", 0),
+      ("MERGE (c:City {name: 'oslo'})", 0),
+      ("MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) MERGE (p)-[:LIVES_IN]->(c)", 0),
+      ("MERGE (p:Person {pid: 3}) SET p.name = 'reborn'", 0))
+    stmts.foreach { case (q, _) => s.execute(q); ref.execute(q) }
+    def sig(st: GraphStore) = (
+      st.graph.vertices.collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getMap[String, String](2)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]))).toSet,
+      st.graph.edges.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    assert(sig(s) == sig(ref),
+      s"overflow-rebucketize diverged:\n${sig(s)}\nvs\n${sig(ref)}")
+    assert(sig(s)._1.exists(v => v._1 == "Person:3" &&
+      v._3.get("name").contains("reborn")))
+  }
+
   test("CALL { WITH … WHERE … MATCH … MERGE … RETURN 0 }: the " +
        "reference's conditional-edge tail block (r14)") {
     val s = new GraphStore(
