@@ -56,8 +56,14 @@ final case class BucketedFrame(df: DataFrame, keyCols: Seq[String],
   /** The frame restricted to the partitions that can hold rows
     * matching `keys` — a bucket-superset of the matching rows, read
     * without touching any other partition. */
-  def pruned(keys: DataFrame): DataFrame = {
-    val bset = bucketsOf(keys)
+  def pruned(keys: DataFrame): DataFrame = prunedBySet(bucketsOf(keys))
+
+  /** [[pruned]] with a PRE-COMPUTED bucket set — lets the leveled
+    * store prune the base index and every level with ONE `bucketsOf`
+    * job (all levels share the base's modulus), instead of one tiny
+    * collect per frame per probe (at wire-statement granularity the
+    * bottleneck is job count, SCALE.md round-14). */
+  def prunedBySet(bset: Set[Int]): DataFrame = {
     if (bset.isEmpty) df.limit(0)
     else {
       require(internalRdd.getNumPartitions == buckets,

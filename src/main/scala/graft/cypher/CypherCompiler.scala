@@ -902,6 +902,7 @@ object CypherCompiler {
     case Keys(_) => true
     case LabelsOf(_) => true
     case AggFn("collect", _, _, _) => true
+    case StrFn("split" | "range", _) => true
     case Var(v) => st.arrayVars.contains(v)
     case _ => false
   }
@@ -1020,6 +1021,28 @@ object CypherCompiler {
                     else length(a.head) // to the end
           a.head.substr(start, len)
         case "replace" => replace(a.head, a(1), a(2))
+        case "split" =>
+          // Neo4j split() delimiter is a LITERAL, Spark's is a regex —
+          // quote it. Literal-only: Spark's split takes a String
+          // pattern, and a dynamic delimiter doesn't appear in any
+          // consumer corpus.
+          args(1) match {
+            case Lit(s: String) =>
+              split(a.head, java.util.regex.Pattern.quote(s), -1)
+            case other => throw new IllegalArgumentException(
+              s"split() delimiter must be a string literal, got $other")
+          }
+        // head()/last() return null on an empty list (openCypher);
+        // get() is out-of-bounds-null regardless of the ANSI flag, so
+        // the compiled form doesn't depend on session config
+        case "head" => get(a.head, lit(0))
+        case "last" => get(a.head, size(a.head) - lit(1))
+        case "range" =>
+          // Cypher range(start, end[, step]) is END-INCLUSIVE — so is
+          // Spark's sequence()
+          val step = if (a.length == 3) a(2) else lit(1L)
+          sequence(a.head.cast("long"), a(1).cast("long"),
+            step.cast("long"))
         case other =>
           throw new IllegalArgumentException(s"unknown function $other")
       }

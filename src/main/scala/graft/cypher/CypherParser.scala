@@ -871,12 +871,15 @@ object CypherParser {
         case "keys" => Keys(p.ident())
         case "properties" => PropsOf(p.ident())
         case f @ ("tolower" | "toupper" | "trim" | "size" | "tostring" |
-                  "substring" | "replace" | "round" | "abs") =>
+                  "substring" | "replace" | "round" | "abs" |
+                  "split" | "head" | "last" | "range") =>
           val args = argList(p)
           val arity = f match {
             case "substring" => 2 to 3
             case "replace" => 3 to 3
             case "round" => 1 to 2
+            case "split" => 2 to 2
+            case "range" => 2 to 3
             case _ => 1 to 1
           }
           if (!arity.contains(args.length))

@@ -175,6 +175,34 @@ object CypherWrite {
       liftFrameRefProps(wq.matches))
     var frame = st.frame.getOrElse(spark.range(1).toDF())
 
+    // Driver-known cardinality bound for the bind frame: the product
+    // of the UNWIND list sizes when the statement has no MATCH prefix
+    // (the batched-sink idiom). None = unknown (MATCH-sized). Used to
+    // gate the single-partition collapse of delta checkpoints below: a
+    // wire batch (~1k rows) wants ONE partition (each broadcast build
+    // re-reads the frame as a job — 1 task, not shuffle-partition
+    // count), but a huge batched UNWIND must not serialize its whole
+    // delta through one task.
+    val frameBound: Option[Long] =
+      if (wq.matches.nonEmpty) None
+      else Some(wq.unwinds.foldLeft(1L) { case (n, (e, _)) => e match {
+        case Param(p) => params.get(p) match {
+          case Some(s: Seq[_]) => n * s.size.max(1)
+          case Some(a: Array[_]) => n * a.length.max(1)
+          case _ => n
+        }
+        case ListLit(vs) => n * vs.size.max(1)
+        case _ => n
+      }})
+    /** Checkpoint a statement-delta-sized frame: one partition unless
+      * the driver-known bound says the delta may exceed the small-
+      * frame budget (reuses the overlay-fold budget — same "rides
+      * broadcast joins" constraint). */
+    def ckptDelta(df: DataFrame): DataFrame =
+      if (frameBound.forall(_ <= GraphStore.OverlayFoldRows))
+        df.coalesce(1).localCheckpoint(true)
+      else df.localCheckpoint(true) // AQE-coalesced partitioning
+
     def expr(e: Expr): Column = CypherCompiler.expr(st, e)
 
     /** `label:key1:key2` — the engine's vertex-id convention
@@ -397,6 +425,12 @@ object CypherWrite {
     // ---- collect deltas across the statement's clauses -------------
     val nodeDeltas = Vector.newBuilder[DataFrame]
     val createOnlyNodes = Vector.newBuilder[DataFrame] // constraint check
+    // one label mutation (SET v:L / REMOVE v:L) per variable per
+    // statement: the statement-level delta merge resolves duplicates
+    // with first(ignoreNulls) after a shuffle, so a second mutation on
+    // the same variable would survive NONDETERMINISTICALLY — reject it
+    // instead (the reference corpus never stacks them)
+    val labelMutated = scala.collection.mutable.Set.empty[String]
     val relDeltas = Vector.newBuilder[DataFrame]
     // do any rel deltas update MATCHED edges (ON MATCH / plain SET)?
     // false keeps the historical append-only edge apply (one probe)
@@ -473,6 +507,10 @@ object CypherWrite {
             s"SET $v:$label — :$label has declared uniqueness keys; " +
             "node identity is minted at MERGE time, so relabeling " +
             "into a keyed label would corrupt the identity contract")
+        if (!labelMutated.add(v)) throw new IllegalArgumentException(
+          s"multiple SET/REMOVE label mutations on `$v` in one " +
+          "statement — the survivor would be nondeterministic; " +
+          "split into separate statements")
         nodeDeltas += labelDelta(v, label, add)
       case Delete(vars, detach) =>
         vars.foreach { v =>
@@ -593,10 +631,10 @@ object CypherWrite {
           first(col("always"), ignoreNulls = true).as("always"),
           first(col("slabel"), ignoreNulls = true).as("slabel"),
           first(col("unlabel"), ignoreNulls = true).as("unlabel"))
-        // ONE partition: the delta is param-sized and every later
-        // broadcast build re-reads it — a 1-task job instead of a
-        // shuffle-partition-count job per broadcast
-        .coalesce(1).localCheckpoint(true)
+        // ONE partition (via ckptDelta): the delta is param-sized and
+        // every later broadcast build re-reads it — a 1-task job
+        // instead of a shuffle-partition-count job per broadcast
+        .transform(ckptDelta)
       val deltaIds = delta.select(col("id"))
       touchedNodeIds = Some(deltaIds)
       // ONE probe over the (pruned) standing ids, delta-sized output
@@ -666,7 +704,7 @@ object CypherWrite {
           first(col("eoncreate")).as("eoncreate"),
           first(col("eonmatch")).as("eonmatch"),
           first(col("ealways")).as("ealways"))
-        .coalesce(1).localCheckpoint(true) // param-sized, see node delta
+        .transform(ckptDelta) // param-sized, see node delta
       val keyCols = Seq("src", "dst", "rel")
       val deltaTriples = delta.select(keyCols.map(col): _*)
       touchedTriples = Some(deltaTriples)
@@ -711,9 +749,9 @@ object CypherWrite {
     val triplesDel = delTriples.result()
     if (plainDel.nonEmpty || detachDel.nonEmpty || triplesDel.nonEmpty) {
       val plain = plainDel.reduceOption(_ unionByName _)
-        .map(_.distinct().coalesce(1).localCheckpoint(true))
+        .map(d => ckptDelta(d.distinct()))
       val detachIds = detachDel.reduceOption(_ unionByName _)
-        .map(_.distinct().coalesce(1).localCheckpoint(true))
+        .map(d => ckptDelta(d.distinct()))
       // one-sided statements (all-plain / all-detach — every real
       // DELETE is one of them) reuse the side's checkpoint instead of
       // re-materializing the same distinct id set a second time
@@ -721,11 +759,10 @@ object CypherWrite {
         case (p, None) => p
         case (None, d) => d
         case (Some(p), Some(d)) =>
-          Some(p.unionByName(d).distinct().coalesce(1)
-            .localCheckpoint(true))
+          Some(ckptDelta(p.unionByName(d).distinct()))
       }
       val triples = triplesDel.reduceOption(_ unionByName _)
-        .map(_.distinct().coalesce(1).localCheckpoint(true))
+        .map(d => ckptDelta(d.distinct()))
       // Neo4j semantics: plain DELETE of a node with attached
       // relationships fails the statement (use DETACH DELETE). The
       // probe is a delta-broadcast semi join on each endpoint, run
@@ -819,13 +856,13 @@ object CypherWrite {
       else touchedNodeIds.map(ids =>
         vertexView(standingV(ids))
           .join(broadcast(ids), Seq("id"), "left_semi")
-          .coalesce(1).localCheckpoint(true))
+          .transform(ckptDelta))
     val touchedEdgeRows: Option[DataFrame] =
       if (hint.isEmpty) None
       else touchedTriples.map(tr =>
         edgeView(standingE(tr))
           .join(broadcast(tr), eKeys, "left_semi")
-          .coalesce(1).localCheckpoint(true))
+          .transform(ckptDelta))
 
     // ---- read continuation (round 13): RETURN / WITH after writes --
     // One row per bound frame row (openCypher: MERGE under UNWIND
@@ -935,6 +972,10 @@ final class GraphStore(initial: PropertyGraph,
                        overlayFoldRows: Long = GraphStore.OverlayFoldRows) {
   @volatile private var g: PropertyGraph = initial
   private var writesSinceCompact = 0
+  /** One-shot: the seed graph's id-convention audit (see
+    * [[bucketize]]) — engine-minted rows always conform, so the
+    * O(store) scan never repeats on later rebucketizes. */
+  private var idConventionChecked = false
 
   // ---- overlay-compaction state (round 13; all guarded by `this`) --
   private var baseV: DataFrame = initial.vertices
@@ -977,6 +1018,39 @@ final class GraphStore(initial: PropertyGraph,
   // touched rows).
   private var bktV: Option[BucketedFrame] = None
   private var bktE: Option[BucketedFrame] = None
+
+  // ---- leveled overlay fold (round 15) -----------------------------
+  // LSM-style: an overlay that outgrows its budget PROMOTES to a
+  // bucketed LEVEL (O(overlay) repartition at the base's modulus)
+  // instead of triggering a full rebucketize (O(store)); every probe
+  // reads the union of the pruned base slice + the pruned level
+  // slices (one shared `bucketsOf` job — same modulus everywhere).
+  // Levels are kept mutually key-disjoint by an eager anti-join at
+  // promotion time (a narrow, partitioning-preserving rewrite of
+  // ≤ overlay-budget rows per level — never the base), so the view
+  // needs ONE shared kill set per family: the keys touched since the
+  // last promotion. The store re-materializes fully only when
+  // [[GraphStore.MaxLevels]] stack — one O(store) fold per
+  // ~MaxLevels × OverlayFoldRows (~1M) touched rows, the SCALE.md
+  // round-14 §4 design.
+  private var lvlV = Vector.empty[BucketedFrame]
+  private var lvlE = Vector.empty[BucketedFrame]
+  /** Ids / triples / DETACH endpoints touched since the last
+    * promotion — kill stale copies in every level (disjointness means
+    * at most one level holds any key). */
+  private var lvlKillV: Option[DataFrame] = None
+  private var lvlKillETr: Option[DataFrame] = None
+  private var lvlKillEEp: Option[DataFrame] = None
+  /** Lazy dst-keyed index over the bucketed edge base — built on the
+    * first DETACH-bearing collapse (the dst-side endpoint mask was
+    * the one probe that ignored the bucket index: a full base scan),
+    * dropped whenever the base re-materializes. */
+  private var bktEDst: Option[BucketedFrame] = None
+  private def clearLevels(): Unit = {
+    lvlV = Vector.empty; lvlE = Vector.empty
+    lvlKillV = None; lvlKillETr = None; lvlKillEEp = None
+    bktEDst = None
+  }
   /** One write statement's delta-sized effect, oldest first. */
   private final case class Seg(
       vRows: Option[DataFrame], vIds: Option[DataFrame],
@@ -1110,6 +1184,7 @@ final class GraphStore(initial: PropertyGraph,
     // graph (one index rebuild per explicit transaction — documented)
     bktV = None; bktE = None; segs = Vector.empty
     ovV = None; ovE = None; maskV = None; maskE = None; ovRows = 0L
+    clearLevels()
     baseV = ng.vertices; baseE = ng.edges; baseRows = -1L
   }
 
@@ -1291,6 +1366,38 @@ final class GraphStore(initial: PropertyGraph,
     val par = spark.sparkContext.defaultParallelism
     val nV = g.vertices.count()
     val nE = g.edges.count()
+    // Validate the id-minting convention for every DECLARED-KEY label
+    // before the index goes live: bucket-pruned probes (MERGE match,
+    // write-prefix MATCH) compute a row's bucket FROM
+    // `label:key1:key2`, so a seed graph whose keyed-label ids violate
+    // the convention would silently probe the wrong buckets (fewer
+    // MATCH rows than a full scan) once the base crosses
+    // BucketProbeRows. One aggregate pass, paid alongside the index
+    // build's own count+repartition scans; loud failure beats the
+    // silent divergence.
+    if (!idConventionChecked && labelKeys.nonEmpty &&
+        g.vertices.schema("props").dataType.isInstanceOf[MapType]) {
+      idConventionChecked = true // engine-minted rows conform; the
+      // O(store) check pays once, on the SEED graph's first index
+      val checks = labelKeys.toSeq.sortBy(_._1).map { case (l, ks) =>
+        val expect = concat_ws(":",
+          (lit(l) +: ks.map(k => col("props").getItem(k).cast("string")))
+            : _*)
+        val bad = ks.map(k => col("props").getItem(k).isNull)
+          .foldLeft(col("id") =!= expect)(_ || _)
+        sum(when(col("label") === l && bad, 1L).otherwise(0L)).as(l)
+      }
+      val row = g.vertices.agg(checks.head, checks.tail: _*).collect()(0)
+      labelKeys.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((l, ks), i) =>
+        val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (n > 0) throw new IllegalStateException(
+          s"GraphStore key index: $n :$l row(s) violate the id " +
+          s"convention id = '$l:${ks.mkString(":")}' (non-null key " +
+          "props joined by ':') — keyed-label stores require " +
+          "convention-conforming seed graphs (GraphAssembly mints " +
+          "them); fix the seed or drop the label's declared keys")
+      }
+    }
     bktV = Some(BucketedFrame.build(g.vertices, Seq("id"),
       BucketedFrame.bucketCountFor(nV, par)))
     bktE = Some(BucketedFrame.build(g.edges, Seq("src"),
@@ -1299,6 +1406,7 @@ final class GraphStore(initial: PropertyGraph,
     baseRows = nV + nE
     ovV = None; ovE = None; maskV = None; maskE = None
     ovRows = 0L; window = Nil; segs = Vector.empty; baseValid = true
+    clearLevels()
     g = PropertyGraph(baseV, baseE)
   }
 
@@ -1309,10 +1417,16 @@ final class GraphStore(initial: PropertyGraph,
     val memoV = new java.util.IdentityHashMap[DataFrame, DataFrame]
     val memoE = new java.util.IdentityHashMap[DataFrame, DataFrame]
     CypherWrite.ProbeHint(
-      vertices = keys => memoV.computeIfAbsent(keys,
-        k => bucketedVertexView(bktV.get.pruned(k))),
-      edgesBySrc = keys => memoE.computeIfAbsent(keys,
-        k => bucketedEdgeView(bktE.get.pruned(k))))
+      vertices = keys => memoV.computeIfAbsent(keys, { k =>
+        val bset = bktV.get.bucketsOf(k)
+        bucketedVertexView(bktV.get.prunedBySet(bset),
+          lvlV.map(_.prunedBySet(bset)))
+      }),
+      edgesBySrc = keys => memoE.computeIfAbsent(keys, { k =>
+        val bset = bktE.get.bucketsOf(k)
+        bucketedEdgeView(bktE.get.prunedBySet(bset),
+          lvlE.map(_.prunedBySet(bset)))
+      }))
   }
 
   private def orUnion(a: Option[DataFrame],
@@ -1329,7 +1443,8 @@ final class GraphStore(initial: PropertyGraph,
     * broadcast anti join per layer, O(segs) broadcasts per view) —
     * the naive per-seg chain was O(segs²) broadcast-build jobs per
     * probe and dominated the seeded soak's per-statement cost. */
-  private def bucketedVertexView(base: DataFrame): DataFrame = {
+  private def bucketedVertexView(base: DataFrame,
+                                 lvls: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     def minus(df: DataFrame, ids: Option[DataFrame]): DataFrame =
       ids.fold(df)(x => df.join(broadcast(x), Seq("id"), "left_anti"))
@@ -1341,11 +1456,16 @@ final class GraphStore(initial: PropertyGraph,
       suf(i) = orUnion(
         orUnion(segs(i).vIds, segs(i).vDead), suf(i + 1))
     val basePart = minus(base, orUnion(maskV, suf(0)))
+    // level rows die by the SHARED post-promotion kill set (levels are
+    // mutually disjoint, so one set serves all) plus the window's
+    // — maskV masks only BASE rows, never level rows
+    val lvlKill = orUnion(lvlKillV, suf(0))
+    val lvlParts = lvls.map(minus(_, lvlKill))
     val ovPart = ovV.map(minus(_, suf(0)))
     val segLayers = segs.zipWithIndex.flatMap { case (s, i) =>
       s.vRows.map(minus(_, suf(i + 1)))
     }
-    (Seq(basePart) ++ ovPart ++ segLayers)
+    (Seq(basePart) ++ lvlParts ++ ovPart ++ segLayers)
       .reduce(_ unionByName _)
       .select(baseV.columns.map(col).toSeq: _*)
   }
@@ -1354,7 +1474,8 @@ final class GraphStore(initial: PropertyGraph,
     * edge rows by (src,dst,rel) triple and — for DETACH — by either
     * endpoint; kill sets apply as suffix unions, same as the vertex
     * side. */
-  private def bucketedEdgeView(base: DataFrame): DataFrame = {
+  private def bucketedEdgeView(base: DataFrame,
+                               lvls: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     def minus(df: DataFrame, tr: Option[DataFrame],
               ep: Option[DataFrame]): DataFrame = {
@@ -1377,17 +1498,20 @@ final class GraphStore(initial: PropertyGraph,
       sufEp(i) = orUnion(segs(i).eDeadEndpoints, sufEp(i + 1))
     }
     val basePart = minus(base, orUnion(maskE, sufTr(0)), sufEp(0))
+    val lvlParts = lvls.map(minus(_,
+      orUnion(lvlKillETr, sufTr(0)), orUnion(lvlKillEEp, sufEp(0))))
     val ovPart = ovE.map(minus(_, sufTr(0), sufEp(0)))
     val segLayers = segs.zipWithIndex.flatMap { case (s, i) =>
       s.eRows.map(minus(_, sufTr(i + 1), sufEp(i + 1)))
     }
-    (Seq(basePart) ++ ovPart ++ segLayers)
+    (Seq(basePart) ++ lvlParts ++ ovPart ++ segLayers)
       .reduce(_ unionByName _)
       .select(baseE.columns.map(col).toSeq: _*)
   }
 
   private def rebuildBucketedView(): PropertyGraph =
-    PropertyGraph(bucketedVertexView(baseV), bucketedEdgeView(baseE))
+    PropertyGraph(bucketedVertexView(baseV, lvlV.map(_.df)),
+      bucketedEdgeView(baseE, lvlE.map(_.df)))
 
   /** Collapse the window segments into the overlay + mask with
     * BUCKET-PRUNED probes — work proportional to the window's touched
@@ -1412,9 +1536,11 @@ final class GraphStore(initial: PropertyGraph,
       val idsAll = unionAll(segs.flatMap(s => Seq(s.vIds, s.vDead).flatten))
         .map(_.distinct().coalesce(1).localCheckpoint(true))
       idsAll.foreach { ids =>
-        val prunedBase = bktV.get.pruned(ids)
+        val bset = bktV.get.bucketsOf(ids)
+        val prunedBase = bktV.get.prunedBySet(bset)
         // live rows for the window's ids — via the PRUNED view
-        val newRows = bucketedVertexView(prunedBase)
+        val newRows = bucketedVertexView(prunedBase,
+            lvlV.map(_.prunedBySet(bset)))
           .join(broadcast(ids), Seq("id"), "left_semi")
         val keptOv = ovV.map(_.join(broadcast(ids), Seq("id"), "left_anti"))
         ovV = Some(ckpt(keptOv.fold(newRows)(_ unionByName newRows)))
@@ -1423,6 +1549,10 @@ final class GraphStore(initial: PropertyGraph,
           .join(broadcast(ids), Seq("id"), "left_semi")
         maskV = nonEmpty(Some(ckpt(
           maskV.fold(newMask)(_ unionByName newMask).distinct())))
+        // stale LEVEL copies die via the shared post-promotion kill set
+        if (lvlV.nonEmpty)
+          lvlKillV = Some(ckpt(
+            lvlKillV.fold(ids)(_ unionByName ids).distinct()))
       }
 
       // ---- edges ----------------------------------------------------
@@ -1432,9 +1562,12 @@ final class GraphStore(initial: PropertyGraph,
       val epAll = unionAll(segs.flatMap(_.eDeadEndpoints))
         .map(_.distinct().coalesce(1).localCheckpoint(true))
       if (trAll.isDefined || epAll.isDefined) {
-        val newRows = trAll.map(tr =>
-          bucketedEdgeView(bktE.get.pruned(tr))
-            .join(broadcast(tr), eKeys, "left_semi"))
+        val newRows = trAll.map { tr =>
+          val bset = bktE.get.bucketsOf(tr)
+          bucketedEdgeView(bktE.get.prunedBySet(bset),
+              lvlE.map(_.prunedBySet(bset)))
+            .join(broadcast(tr), eKeys, "left_semi")
+        }
         var keptOv = trAll.foldLeft(ovE)((cur, tr) =>
           cur.map(_.join(broadcast(tr), eKeys, "left_anti")))
         epAll.foreach { ids =>
@@ -1450,8 +1583,8 @@ final class GraphStore(initial: PropertyGraph,
         }).map(ckpt)
         // mask: base triples superseded/deleted. Triple and src-side
         // endpoint kills prune through the src index; the dst side of
-        // a DETACH has no index → one full base scan, only on
-        // detach-bearing windows (rare)
+        // a DETACH prunes through the LAZY dst index (round 15 —
+        // previously the one probe that scanned the full base)
         val newMaskTr = trAll.map(tr =>
           bktE.get.pruned(tr).select(eKeys.map(col): _*)
             .join(broadcast(tr), eKeys, "left_semi"))
@@ -1460,7 +1593,9 @@ final class GraphStore(initial: PropertyGraph,
             .select(eKeys.map(col): _*)
             .join(broadcast(ids.withColumnRenamed("id", "src")),
               Seq("src"), "left_semi")
-            .unionByName(baseE.select(eKeys.map(col): _*)
+            .unionByName(dstIndex()
+              .pruned(ids.withColumnRenamed("id", "dst"))
+              .select(eKeys.map(col): _*)
               .join(broadcast(ids.withColumnRenamed("id", "dst")),
                 Seq("dst"), "left_semi"))
         }
@@ -1472,18 +1607,81 @@ final class GraphStore(initial: PropertyGraph,
           maskE = nonEmpty(Some(ckpt(
             maskE.fold(m)(_ unionByName m).distinct())))
         }
+        // stale LEVEL copies die via the shared post-promotion kills
+        if (lvlE.nonEmpty) {
+          trAll.foreach(tr => lvlKillETr = Some(ckpt(
+            lvlKillETr.fold(tr)(_ unionByName tr).distinct())))
+          epAll.foreach(ep => lvlKillEEp = Some(ckpt(
+            lvlKillEEp.fold(ep)(_ unionByName ep).distinct())))
+        }
       }
 
       segs = Vector.empty
       ovRows = ovV.map(_.count()).getOrElse(0L) +
         ovE.map(_.count()).getOrElse(0L)
       if (ovRows > overlayFoldRows) {
-        // overlay outgrew its broadcast budget: fold it into a fresh
-        // bucketed base (one store re-write per ~2^18 touched rows)
-        g = rebuildBucketedView()
-        bucketize()
+        if (math.max(lvlV.size, lvlE.size) >= GraphStore.MaxLevels) {
+          // levels stacked past the bound: ONE full re-materialization
+          // per ~MaxLevels × overlay-budget (~1M) touched rows
+          g = rebuildBucketedView()
+          bucketize()
+        } else {
+          // LSM promotion: the overlay becomes a new bucketed level —
+          // O(overlay) repartition; the base is never touched
+          promoteOverlay()
+          g = rebuildBucketedView()
+        }
       } else g = rebuildBucketedView()
     }
+
+  /** Promote the overflowing overlay to a new bucketed LEVEL at the
+    * base's modulus. Older levels are eagerly deduplicated first
+    * (anti join by the promoted keys plus the kills accumulated since
+    * the last promotion — a narrow, partitioning-preserving rewrite
+    * of ≤ overlay-budget rows per level), so levels stay mutually
+    * disjoint and the shared kill sets reset to empty. */
+  private def promoteOverlay(): Unit = withoutConstraintPropagation {
+    import org.apache.spark.sql.functions.broadcast
+    def ckpt1(df: DataFrame): DataFrame =
+      df.coalesce(1).localCheckpoint(true)
+    // ---- vertices ---------------------------------------------------
+    val killIds = orUnion(lvlKillV, ovV.map(_.select(col("id"))))
+      .map(k => ckpt1(k.distinct()))
+    if (killIds.isDefined && lvlV.nonEmpty)
+      lvlV = lvlV.map(lf => BucketedFrame(
+        lf.df.join(broadcast(killIds.get), Seq("id"), "left_anti")
+          .localCheckpoint(true), lf.keyCols, lf.buckets))
+    ovV.foreach(ov =>
+      lvlV :+= BucketedFrame.build(ov, Seq("id"), bktV.get.buckets))
+    // ---- edges ------------------------------------------------------
+    val killTr = orUnion(lvlKillETr, ovE.map(_.select(eKeys.map(col): _*)))
+      .map(k => ckpt1(k.distinct()))
+    if ((killTr.isDefined || lvlKillEEp.isDefined) && lvlE.nonEmpty)
+      lvlE = lvlE.map { lf =>
+        var kept = killTr.fold(lf.df)(tr =>
+          lf.df.join(broadcast(tr), eKeys, "left_anti"))
+        lvlKillEEp.foreach { ids =>
+          kept = kept
+            .join(broadcast(ids.withColumnRenamed("id", "src")),
+              Seq("src"), "left_anti")
+            .join(broadcast(ids.withColumnRenamed("id", "dst")),
+              Seq("dst"), "left_anti")
+        }
+        BucketedFrame(kept.localCheckpoint(true), lf.keyCols, lf.buckets)
+      }
+    ovE.foreach(ov =>
+      lvlE :+= BucketedFrame.build(ov, Seq("src"), bktE.get.buckets))
+    ovV = None; ovE = None; ovRows = 0L
+    lvlKillV = None; lvlKillETr = None; lvlKillEEp = None
+  }
+
+  /** The lazy dst-keyed edge-base index (see [[bktEDst]]). */
+  private def dstIndex(): BucketedFrame = {
+    if (bktEDst.isEmpty)
+      bktEDst = Some(BucketedFrame.build(baseE, Seq("dst"),
+        bktE.get.buckets))
+    bktEDst.get
+  }
 
   /** Persist the current graph as the engine's terminal lake layout
     * (gated [[graft.operators.GraphExport]]: id uniqueness + no
@@ -1507,6 +1705,7 @@ final class GraphStore(initial: PropertyGraph,
     ovV = None; ovE = None
     maskV = None; maskE = None
     bktV = None; bktE = None; segs = Vector.empty
+    clearLevels()
     ovRows = 0L; window = Nil; baseValid = true
     writesSinceCompact = 0
   }
@@ -1522,7 +1721,12 @@ object GraphStore {
     * ~0.45 s/scan at 3.3 M map-typed rows). Env-overridable for A/B
     * soak runs. */
   val BucketProbeRows: Long = sys.env.get("GRAFT_BUCKET_PROBE_ROWS")
-    .map(_.toLong).getOrElse(1L << 20)
+    .map(s => scala.util.Try(s.trim.toLong).getOrElse(
+      // fail with the env var NAMED — a bare .toLong here surfaces as
+      // an opaque ExceptionInInitializerError at object init
+      throw new IllegalArgumentException(
+        s"GRAFT_BUCKET_PROBE_ROWS must be a long, got '$s'")))
+    .getOrElse(1L << 20)
 
   /** Overlay size (vertex + edge rows) past which [[GraphStore]]'s
     * fold materializes a new base instead of maintaining the overlay:
@@ -1530,6 +1734,14 @@ object GraphStore {
     * under the broadcast budget; a quarter-million keyed rows is a
     * few tens of MB. */
   val OverlayFoldRows: Long = 1L << 18
+
+  /** Levels the LSM fold may stack before the store re-materializes
+    * fully: each level holds ≈ one overlay budget of rows, so the
+    * O(store) full fold amortizes over ~MaxLevels × OverlayFoldRows
+    * (~1M) touched rows — and each extra level costs one pruned-slice
+    * union branch + one broadcast anti join per probe, so the bound
+    * stays small. */
+  val MaxLevels: Int = 4
 
   /** Base size (rows) up to which the fold COPIES the store (the
     * round-12 full localCheckpoint) instead of overlay-folding. The

@@ -378,6 +378,33 @@ class CypherSpec extends AnyFunSuite {
     assert(rels.toSeq == Seq(("KNOWS", "fig"), ("LIKES", "fig")))
   }
 
+  test("list functions: split/head/last/range (r15)") {
+    val out = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN split('a,b,,c', ',') AS parts,
+                head(split('a,b', ',')) AS h,
+                last(split('a,b', ',')) AS l,
+                size(split('a.b.c', '.')) AS n,
+                range(1, 5) AS r1,
+                range(0, 10, 3) AS r2,
+                head(range(2, 2)) AS one""")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getSeq[String](0) == Seq("a", "b", "", "c"))
+    assert(r.getString(1) == "a")
+    assert(r.getString(2) == "b")
+    // split is LITERAL, not regex: '.' splits on dots, not any-char
+    assert(r.getLong(3) == 3L)
+    assert(r.getSeq[Long](4) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.getSeq[Long](5) == Seq(0L, 3L, 6L, 9L))
+    assert(r.getLong(6) == 2L)
+    // a dynamic (non-literal) split delimiter is rejected loudly
+    val err = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person) RETURN split(p.name, p.name) AS x"))
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("ORDER BY expressions: non-returned sort keys, hidden and dropped") {
     val out = g.cypher(
       """MATCH (p:Person) WHERE p.age IS NOT NULL

@@ -908,9 +908,10 @@ class CypherWriteSpec extends AnyFunSuite {
   test("bucketed store: overlay OVERFLOW rebucketizes and stays " +
        "equivalent (r14)") {
     // overlayFoldRows = 1 forces the overflow branch on EVERY
-    // collapse: each 8-statement window rebuilds the bucketed base
-    // from the current view — the amortized big-store fold path,
-    // never otherwise reached on unit-sized fixtures
+    // collapse: since round 15 that path PROMOTES the overlay to an
+    // LSM level (O(overlay)) instead of rebuilding the base — the
+    // amortized big-store fold path, never otherwise reached on
+    // unit-sized fixtures
     val s = new GraphStore(
       PropertyGraph(
         Seq.empty[(String, String, Map[String, String])]
@@ -937,6 +938,83 @@ class CypherWriteSpec extends AnyFunSuite {
       s"overflow-rebucketize diverged:\n${sig(s)}\nvs\n${sig(ref)}")
     assert(sig(s)._1.exists(v => v._1 == "Person:3" &&
       v._3.get("name").contains("reborn")))
+  }
+
+  test("leveled fold: probe results unchanged through ≥4 promotions, " +
+       "cross-level updates/deletes/edges, and the MaxLevels full " +
+       "fold (r15)") {
+    // overlayFoldRows = 1 → every 8-statement collapse promotes the
+    // overlay to a new LSM level; 40 statements drive 4 promotions
+    // and then the MaxLevels (=4) full re-materialization, exercising
+    // base ∪ levels ∪ overlay ∪ segs at every depth. The plain store
+    // replays the same statements as the truth.
+    val s = new GraphStore(
+      PropertyGraph(
+        Seq.empty[(String, String, Map[String, String])]
+          .toDF("id", "label", "props"),
+        Seq.empty[(String, String, String, Map[String, String])]
+          .toDF("src", "dst", "rel", "props")),
+      Map("Person" -> Seq("pid"), "City" -> Seq("name")),
+      forceBucketed = true, overlayFoldRows = 1L)
+    val ref = emptyStore()
+    val stmts = Seq.newBuilder[String]
+    // window 1: seed 8 people (→ level 0)
+    (1 to 8).foreach(i =>
+      stmts += s"MERGE (p:Person {pid: $i}) SET p.name = 'p$i'")
+    // window 2: update ids now living in level 0, plus new rows
+    stmts += "MERGE (p:Person {pid: 1}) SET p.name = 'one-v2'"
+    stmts += "MATCH (p:Person {pid: 2}) SET p.age = '42'"
+    (9 to 14).foreach(i =>
+      stmts += s"MERGE (p:Person {pid: $i}) SET p.name = 'p$i'")
+    // window 3: delete a level-0 id and a level-1 id, add edges whose
+    // endpoints live in different levels
+    stmts += "MATCH (p:Person {pid: 3}) DETACH DELETE p"
+    stmts += "MATCH (p:Person {pid: 9}) DETACH DELETE p"
+    stmts += "MERGE (c:City {name: 'oslo'})"
+    stmts += ("MATCH (p:Person {pid: 1}) MATCH (c:City {name: 'oslo'}) " +
+      "MERGE (p)-[:LIVES_IN]->(c)")
+    stmts += ("MATCH (p:Person {pid: 10}) MATCH (c:City {name: 'oslo'}) " +
+      "MERGE (p)-[:LIVES_IN]->(c)")
+    (15 to 17).foreach(i =>
+      stmts += s"MERGE (p:Person {pid: $i}) SET p.name = 'p$i'")
+    // window 4: re-create a deleted id; DETACH an edge endpoint whose
+    // edge row lives in an older level; more churn
+    stmts += "MERGE (p:Person {pid: 3}) SET p.name = 'reborn'"
+    stmts += "MATCH (c:City {name: 'oslo'}) DETACH DELETE c"
+    stmts += "MERGE (c:City {name: 'bergen'})"
+    stmts += ("MATCH (p:Person {pid: 4}) MATCH (c:City {name: 'bergen'}) " +
+      "MERGE (p)-[:LIVES_IN]->(c)")
+    (18 to 21).foreach(i =>
+      stmts += s"MERGE (p:Person {pid: $i}) SET p.name = 'p$i'")
+    // window 5: pushes past MaxLevels → full fold; update across all
+    // prior levels
+    stmts += "MERGE (p:Person {pid: 1}) SET p.name = 'one-v3'"
+    stmts += "MERGE (p:Person {pid: 9}) SET p.name = 'nine-back'"
+    (22 to 27).foreach(i =>
+      stmts += s"MERGE (p:Person {pid: $i}) SET p.name = 'p$i'")
+    stmts.result().foreach { q => s.execute(q); ref.execute(q) }
+    def sig(st: GraphStore) = (
+      st.graph.vertices.collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getMap[String, String](2)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]))).toSet,
+      st.graph.edges.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    assert(sig(s) == sig(ref),
+      s"leveled fold diverged:\n${sig(s)}\nvs\n${sig(ref)}")
+    // spot-check cross-level semantics survived the full fold
+    val vs = sig(s)._1
+    assert(vs.exists(v => v._1 == "Person:1" &&
+      v._3.get("name").contains("one-v3")))
+    assert(vs.exists(v => v._1 == "Person:3" &&
+      v._3.get("name").contains("reborn")))
+    assert(vs.exists(v => v._1 == "Person:9" &&
+      v._3.get("name").contains("nine-back")))
+    assert(!vs.exists(_._1 == "City:oslo"))
+    assert(sig(s)._2 == Set(("Person:4", "City:bergen", "LIVES_IN")))
+    // read path sees the same store
+    val n = s.cypher(
+      "MATCH (p:Person {pid: 1}) RETURN p.name AS n").collect()
+    assert(n.map(_.getString(0)).toSeq == Seq("one-v3"))
   }
 
   test("CALL { WITH … WHERE … MATCH … MERGE … RETURN 0 }: the " +
@@ -1024,6 +1102,12 @@ class CypherWriteSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](s.execute(
       "MERGE (q:Person {pid: 2}) SET q:Vip"))
     assert(e2.getMessage.contains("MATCH-bound"))
+    // two label mutations on one variable in one statement: the
+    // survivor would be shuffle-order nondeterministic — rejected (r15)
+    s.execute("MERGE (p:Person {pid: 3})")
+    val e3 = intercept[IllegalArgumentException](s.execute(
+      "MATCH (p) WHERE p.pid = '3' SET p:Gold SET p:Silver"))
+    assert(e3.getMessage.contains("nondeterministic"))
   }
 
   test("CREATE … SET folds into the pattern (keyed items, single node)") {
