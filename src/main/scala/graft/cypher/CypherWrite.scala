@@ -229,15 +229,62 @@ object CypherWrite {
       (id, label, keyCols)
     }
 
+    /** The reference's KEEP-EXISTING-unless-new idiom
+      * (graph_fertilizer_product.py:211-230):
+      *   `v.k = CASE WHEN $p IS NULL THEN v.k ELSE $p END`
+      *   `v.k = coalesce($p, v.k)`
+      * both mean "write the new value only when it is non-null". The
+      * self-reference targets the write-bound node's STANDING props —
+      * not a frame column — so it cannot compile through expr(); and a
+      * null delta value would REMOVE the prop ([[mapUpsert]]), the
+      * opposite semantics. Returns the new-value expression when the
+      * item matches the idiom. */
+    def keepExistingExpr(si: SetItem): Option[Expr] = si.value match {
+      case CaseWhen(Seq((IsNull(e, false), Prop(pv, pk))), Some(e2))
+          if pv == si.v && si.key.contains(pk) && e == e2 => Some(e)
+      case Coalesce(Seq(e, Prop(pv, pk)))
+          if pv == si.v && si.key.contains(pk) && !e.isInstanceOf[Prop]
+        => Some(e)
+      case _ => None
+    }
+    /** The reference's SET-IF-ABSENT idiom
+      * (graph_soil_layer.py:224-227):
+      *   `v.k = coalesce(v.k, $p)`
+      * keeps an already-present prop and writes the new value only
+      * where the key is missing — a separate SOFT delta channel
+      * applied UNDER the standing props (the props win). */
+    def setIfAbsentExpr(si: SetItem): Option[Expr] = si.value match {
+      case Coalesce(Seq(Prop(pv, pk), e))
+          if pv == si.v && si.key.contains(pk) => Some(e)
+      case _ => None
+    }
     /** SET items → one delta map column. `v.k = e` keys; `v += $m`
-      * map-adds fold on top in statement order. */
+      * map-adds fold on top in statement order. Keep-existing items
+      * land as CONDITIONAL entries (key present iff the new value is
+      * non-null). */
     def setMap(items: Seq[SetItem]): Column = {
       val keyed = items.filter(_.key.isDefined)
       val adds = items.filter(_.key.isEmpty)
-      val base =
-        if (keyed.isEmpty) emptyMap
-        else map(keyed.flatMap(si =>
+      val (kept, plain) = keyed.partition(si => keepExistingExpr(si).isDefined)
+      val base0 =
+        if (plain.isEmpty) emptyMap
+        else map(plain.flatMap(si =>
           Seq(lit(si.key.get), expr(si.value).cast("string"))): _*)
+      val base =
+        if (kept.isEmpty) base0
+        else {
+          // conditional entries: key present iff the new value is
+          // non-null. Merged null-PRESERVINGLY with the plain map —
+          // a plain `SET n.x = null` entry is REMOVE semantics and
+          // must survive to the apply ([[mapUpsert]] interprets it).
+          val keptMap = map_filter(
+            map(kept.flatMap(si => Seq(lit(si.key.get),
+              expr(keepExistingExpr(si).get).cast("string"))): _*),
+            (_, v) => v.isNotNull)
+          map_concat(
+            map_filter(base0, (k, _) => !map_contains_key(keptMap, k)),
+            keptMap)
+        }
       adds.foldLeft(base) { (acc, si) =>
         val m = si.value match {
           case Param(n) => params.getOrElse(n,
@@ -276,9 +323,11 @@ object CypherWrite {
         if (np.props.isEmpty) emptyMap
         else map(np.props.toSeq.flatMap { case (k, e) =>
           Seq(lit(k), expr(e).cast("string")) }: _*)
+      val (soft, hard) = always.partition(si =>
+        si.key.isDefined && setIfAbsentExpr(si).isDefined)
       frame.select(id.as("id"), lit(label).as("dlabel"), pat.as("pat"),
           setMap(onCreate).as("oncreate"), setMap(onMatch).as("onmatch"),
-          setMap(always).as("always"),
+          setMap(hard).as("always"), softMap(soft).as("soft"),
           lit(null).cast("string").as("slabel"),
           lit(null).cast("string").as("unlabel"))
         .groupBy(col("id"))
@@ -286,16 +335,27 @@ object CypherWrite {
           first(col("oncreate")).as("oncreate"),
           first(col("onmatch")).as("onmatch"),
           first(col("always")).as("always"),
+          first(col("soft")).as("soft"),
           first(col("slabel"), ignoreNulls = true).as("slabel"),
           first(col("unlabel"), ignoreNulls = true).as("unlabel"))
     }
 
+    /** Set-if-absent items → the SOFT delta map (applied UNDER the
+      * final props — present keys win; see [[setIfAbsentExpr]]). */
+    def softMap(items: Seq[SetItem]): Column =
+      if (items.isEmpty) emptyMap
+      else map(items.flatMap(si =>
+        Seq(lit(si.key.get), expr(setIfAbsentExpr(si).get).cast("string")))
+        : _*)
+
     /** SET on a MATCH-bound node variable: update-only node delta. */
-    def nodeSetDelta(v: String, its: Seq[SetItem]): DataFrame =
+    def nodeSetDelta(v: String, its: Seq[SetItem]): DataFrame = {
+      val (soft, hard) = its.partition(si =>
+        si.key.isDefined && setIfAbsentExpr(si).isDefined)
       frame.select(CypherCompiler.nodeId(st, v).as("id"),
           lit(null).cast("string").as("dlabel"), emptyMap.as("pat"),
           emptyMap.as("oncreate"), emptyMap.as("onmatch"),
-          setMap(its).as("always"),
+          setMap(hard).as("always"), softMap(soft).as("soft"),
           lit(null).cast("string").as("slabel"),
           lit(null).cast("string").as("unlabel"))
         .groupBy(col("id"))
@@ -303,8 +363,10 @@ object CypherWrite {
           first(col("oncreate")).as("oncreate"),
           first(col("onmatch")).as("onmatch"),
           first(col("always")).as("always"),
+          first(col("soft")).as("soft"),
           first(col("slabel"), ignoreNulls = true).as("slabel"),
           first(col("unlabel"), ignoreNulls = true).as("unlabel"))
+    }
 
     /** `SET v:Label` / `REMOVE v:Label` on a MATCH-bound node: a
       * label-only node delta (single-label model — see
@@ -317,7 +379,7 @@ object CypherWrite {
       frame.select(CypherCompiler.nodeId(st, v).as("id"),
           lit(null).cast("string").as("dlabel"), nullMap.as("pat"),
           nullMap.as("oncreate"), nullMap.as("onmatch"),
-          nullMap.as("always"),
+          nullMap.as("always"), nullMap.as("soft"),
           (if (add) lit(label) else lit(null).cast("string")).as("slabel"),
           (if (add) lit(null).cast("string") else lit(label)).as("unlabel"))
         .groupBy(col("id"))
@@ -325,6 +387,7 @@ object CypherWrite {
           first(col("oncreate")).as("oncreate"),
           first(col("onmatch")).as("onmatch"),
           first(col("always")).as("always"),
+          first(col("soft")).as("soft"),
           first(col("slabel"), ignoreNulls = true).as("slabel"),
           first(col("unlabel"), ignoreNulls = true).as("unlabel"))
     }
@@ -629,6 +692,7 @@ object CypherWrite {
           first(col("oncreate"), ignoreNulls = true).as("oncreate"),
           first(col("onmatch"), ignoreNulls = true).as("onmatch"),
           first(col("always"), ignoreNulls = true).as("always"),
+          first(col("soft"), ignoreNulls = true).as("soft"),
           first(col("slabel"), ignoreNulls = true).as("slabel"),
           first(col("unlabel"), ignoreNulls = true).as("unlabel"))
         // ONE partition (via ckptDelta): the delta is param-sized and
@@ -661,7 +725,9 @@ object CypherWrite {
       val created = delta
         .join(broadcast(matchedIds), Seq("id"), "left_anti")
         .select(col("id"), col("dlabel").as("label"),
-          mapUpsert(mapUpsert(col("pat"), col("oncreate")), col("always"))
+          mapUpsert(col("soft"),
+            mapUpsert(mapUpsert(col("pat"), col("oncreate")),
+              col("always")))
             .as("props"))
       vertexView = (base: DataFrame) => {
         val updated = base.join(d, Seq("id"), "left_outer").select(
@@ -675,8 +741,11 @@ object CypherWrite {
             .otherwise(col("label"))
             .as("label"),
           when(col("__d").isNotNull,
-              mapUpsert(mapUpsert(col("props"), col("onmatch")),
-                col("always")))
+              // soft (set-if-absent) entries apply UNDER the result:
+              // keys already present in the standing/updated props win
+              mapUpsert(col("soft"),
+                mapUpsert(mapUpsert(col("props"), col("onmatch")),
+                  col("always"))))
             .otherwise(col("props"))
             .as("props"))
         updated.unionByName(created)
