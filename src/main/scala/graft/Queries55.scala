@@ -314,6 +314,18 @@ object Queries55 {
         Seq.empty[(String, String, String, Map[String, String])]
           .toDF("src", "dst", "rel", "props"))
       val store = new GraphStore(empty, keys)
+      // GRAFT_PHASE_DEBUG=1 → per-phase wall breakdown on stderr (the
+      // cy_write_with treatment — BASELINE.md round-15 records the
+      // floor: this is the catalog's heaviest entry BY DESIGN, a
+      // 7-phase durability round-trip, not one bad plan)
+      var tPh = System.nanoTime()
+      def phase(name: String): Unit = {
+        val now = System.nanoTime()
+        if (sys.env.contains("GRAFT_PHASE_DEBUG")) System.err.println(
+          f"[phase] cy_store_roundtrip $name%-12s ${(now - tPh) / 1e9}%6.2f s")
+        tPh = now
+      }
+      phase("fixture")
       store.execute(
         """UNWIND $rows AS row
            MERGE (n:Nation {k: row.k}) SET n.name = row.name""",
@@ -326,19 +338,25 @@ object Queries55 {
         """UNWIND $rows AS row
            MERGE (c:Customer {k: row.k})-[:FROM_NATION]->(n:Nation {k: row.nk})""",
         Map("rows" -> customers))
+      phase("write-3stmt")
       val root = java.nio.file.Files
         .createTempDirectory("graft_cy_store").toString + "/graph"
       store.save(root)
+      phase("save")
       // reopen from disk; the loaded store must keep accepting writes
       val re = GraphStore.load(s, root, keys)
+      phase("load")
       re.execute(
         """MATCH (c:Customer) WHERE toFloat(c.acctbal) >= 9990.0
            SET c.tier = 'top'""")
-      re.cypher(
+      phase("match-set")
+      val out = re.cypher(
         """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
            WHERE c.tier = 'top'
            RETURN n.name AS nation, count(*) AS n
            ORDER BY nation""")
+      phase("read-plan")
+      out
     },
     Some("""SELECT n_name AS nation, COUNT(*) AS n
       FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -93,8 +93,15 @@ object StoreSoak {
       val e = Seq.empty[(String, String, String, Map[String, String])]
         .toDF("src", "dst", "rel", "props")
       val initial = seed.getOrElse(PropertyGraph(v, e))
+      // GRAFT_SOAK_OVERLAY_ROWS shrinks the overlay budget so the
+      // OVERFLOW path (round 15: LSM level promotion, then a full
+      // fold when MaxLevels stack) fires on soak-sized replays — the
+      // seeded leveled-fold measurement (SCALE.md round-15)
+      val ovBudget = sys.env.get("GRAFT_SOAK_OVERLAY_ROWS")
+        .map(_.toLong).getOrElse(GraphStore.OverlayFoldRows)
       new GraphStore(initial,
-        Map("Station" -> Seq("sid"), "WeatherDay" -> Seq("sid", "date")))
+        Map("Station" -> Seq("sid"), "WeatherDay" -> Seq("sid", "date")),
+        overlayFoldRows = ovBudget)
     }
 
     final case class Row3(sid: Int, date: String, tmin: Int, tmax: Int)

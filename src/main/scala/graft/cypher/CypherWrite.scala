@@ -1688,17 +1688,25 @@ final class GraphStore(initial: PropertyGraph,
       segs = Vector.empty
       ovRows = ovV.map(_.count()).getOrElse(0L) +
         ovE.map(_.count()).getOrElse(0L)
+      val dbg = sys.env.contains("GRAFT_FOLD_DEBUG")
       if (ovRows > overlayFoldRows) {
         if (math.max(lvlV.size, lvlE.size) >= GraphStore.MaxLevels) {
           // levels stacked past the bound: ONE full re-materialization
           // per ~MaxLevels × overlay-budget (~1M) touched rows
+          val t0 = System.nanoTime()
           g = rebuildBucketedView()
           bucketize()
+          if (dbg) System.err.println(
+            f"[fold] FULL fold (MaxLevels) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         } else {
           // LSM promotion: the overlay becomes a new bucketed level —
           // O(overlay) repartition; the base is never touched
+          val t0 = System.nanoTime()
           promoteOverlay()
           g = rebuildBucketedView()
+          if (dbg) System.err.println(
+            f"[fold] promoted overlay -> level ${lvlV.size}/${lvlE.size} " +
+            f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
       } else g = rebuildBucketedView()
     }
