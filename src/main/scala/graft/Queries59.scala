@@ -190,9 +190,14 @@ object Queries59 {
     (s, dir) => {
       import graft.cypher.{GraphStore, PropertyGraph}
       import s.implicits._
-      val groups = Tables.read(s, dir, "events")
-        .filter(col("user_id") === 1L &&
-          col("ts") < lit("2024-01-02").cast("timestamp"))
+      // the station: the smallest user_id with any event on day 1 —
+      // fixture-independent (the 10x amplified fixture has no user 1
+      // on day 1), mirrored exactly by the oracle's scalar subquery
+      val day1 = Tables.read(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      val uid = day1.agg(min(col("user_id"))).collect()(0).getLong(0)
+      val groups = day1
+        .filter(col("user_id") === uid)
         .groupBy(((col("event_id") % 3) * 10).cast("long").as("depth"))
         .agg(count(lit(1)).as("cnt"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax"),
@@ -201,7 +206,7 @@ object Queries59 {
           sum(col("value").cast("decimal(27,8)")).cast("double").as("vsum"))
         .orderBy(col("depth"))
         .collect()
-      require(groups.nonEmpty, "fixture needs user-1 events on day 1")
+      require(groups.nonEmpty, "fixture needs day-1 events")
       val empty = PropertyGraph(
         Seq.empty[(String, String, Map[String, String])]
           .toDF("id", "label", "props"),
@@ -220,21 +225,21 @@ object Queries59 {
           // upstream projector seeds the SoilDay parent
           sess.run(
             "MERGE (sd:SoilDay { station_serial: $serial, date: datetime($dt) })",
-            Map("serial" -> "S1", "dt" -> dt))
+            Map("serial" -> s"S$uid", "dt" -> dt))
           groups.foreach { r =>
             val depth = r.getLong(0)
-            sess.run(refSoilLayerStmt, Map("serial" -> "S1", "dt" -> dt,
+            sess.run(refSoilLayerStmt, Map("serial" -> s"S$uid", "dt" -> dt,
               "depth" -> depth, "depth_label" -> s"d$depth"))
-            sess.run(refSoilMetricStmt, Map("serial" -> "S1", "dt" -> dt,
+            sess.run(refSoilMetricStmt, Map("serial" -> s"S$uid", "dt" -> dt,
               "depth" -> depth, "val" -> r.getLong(1),
               "min" -> r.getDouble(2), "max" -> r.getDouble(3),
               "avg" -> r.getDouble(4), "sum" -> r.getDouble(5)))
-            sess.run(refLayerLinkStmt, Map("serial" -> "S1", "dt" -> dt,
+            sess.run(refLayerLinkStmt, Map("serial" -> s"S$uid", "dt" -> dt,
               "depth" -> depth))
           }
           // set-if-absent: a replay with a DIFFERENT label keeps the
           // stored one (the reference's _pick_label contract)
-          sess.run(refSoilLayerStmt, Map("serial" -> "S1", "dt" -> dt,
+          sess.run(refSoilLayerStmt, Map("serial" -> s"S$uid", "dt" -> dt,
             "depth" -> groups.head.getLong(0), "depth_label" -> "CHANGED"))
           store.cypher(
             """MATCH (sd:SoilDay)-[:HAS_LAYER_READING]->(sl:SoilLayerReading)
@@ -250,22 +255,25 @@ object Queries59 {
         } finally sess.close()
       } finally srv.close()
     },
-    Some("""WITH g AS (
+    Some("""WITH u AS (
+        SELECT MIN(user_id) AS uid FROM events
+        WHERE ts < TIMESTAMP '2024-01-02'
+      ), g AS (
         SELECT (event_id % 3) * 10 AS depth_cm, COUNT(*) AS cnt,
                MIN(value) AS vmin, MAX(value) AS vmax,
                CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS vavg,
                CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS vsum
-        FROM events
-        WHERE user_id = 1 AND ts < TIMESTAMP '2024-01-02'
+        FROM events, u
+        WHERE user_id = u.uid AND ts < TIMESTAMP '2024-01-02'
         GROUP BY 1
       )
-      SELECT 'SoilDay:S1:2024-01-01T00:00:00' AS soil_day,
+      SELECT 'SoilDay:S' || CAST(u.uid AS VARCHAR) || ':2024-01-01T00:00:00' AS soil_day,
              '2024-01-01T00:00:00' AS date,
              CAST(depth_cm AS BIGINT) AS depth_cm,
              'd' || CAST(depth_cm AS VARCHAR) AS depth_label,
              CAST(cnt AS BIGINT) AS m_val,
              vmin AS m_min, vmax AS m_max, vavg AS m_avg, vsum AS m_sum
-      FROM g ORDER BY depth_cm"""),
+      FROM g, u ORDER BY depth_cm"""),
     bench = false)
 
   /** Cypher list builtins through the read compiler: split (LITERAL

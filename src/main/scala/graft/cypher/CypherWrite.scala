@@ -1452,8 +1452,12 @@ final class GraphStore(initial: PropertyGraph,
         val expect = concat_ws(":",
           (lit(l) +: ks.map(k => col("props").getItem(k).cast("string")))
             : _*)
-        val bad = ks.map(k => col("props").getItem(k).isNull)
-          .foldLeft(col("id") =!= expect)(_ || _)
+        // validate only rows that STORE their key props: the assembly
+        // layout (GraphAssembly.verticesMapProps) legitimately keeps
+        // key columns OUT of the props map — the id alone carries the
+        // key there, and nothing can contradict it
+        val bad = ks.map(k => col("props").getItem(k).isNotNull)
+          .foldLeft(col("id") =!= expect)(_ && _)
         sum(when(col("label") === l && bad, 1L).otherwise(0L)).as(l)
       }
       val row = g.vertices.agg(checks.head, checks.tail: _*).collect()(0)
