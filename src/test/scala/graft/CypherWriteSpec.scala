@@ -1110,6 +1110,49 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("nondeterministic"))
   }
 
+  test("SET self-reference idioms: keep-existing (CASE / coalesce) " +
+       "and set-if-absent (r15, the reference's product-master + " +
+       "soil-layer statements)") {
+    val s = emptyStore(Map("P" -> Seq("k")))
+    s.execute(
+      """MERGE (p:P {k: 1})
+         SET p.a = CASE WHEN $a IS NULL THEN p.a ELSE $a END,
+             p.b = coalesce($b, p.b),
+             p.c = coalesce(p.c, $c)""",
+      Map("a" -> "a1", "b" -> "b1", "c" -> "c1"))
+    assert(propsOf(s, "P:1") == Map("k" -> "1", "a" -> "a1",
+      "b" -> "b1", "c" -> "c1"))
+    // null a/b KEEP; set-if-absent c keeps regardless of the new value
+    s.execute(
+      """MERGE (p:P {k: 1})
+         SET p.a = CASE WHEN $a IS NULL THEN p.a ELSE $a END,
+             p.b = coalesce($b, p.b),
+             p.c = coalesce(p.c, $c)""",
+      Map("a" -> null, "b" -> null, "c" -> "c2"))
+    assert(propsOf(s, "P:1") == Map("k" -> "1", "a" -> "a1",
+      "b" -> "b1", "c" -> "c1"))
+    // non-null a/b OVERWRITE; a fresh node takes the set-if-absent value
+    s.execute(
+      """MERGE (p:P {k: 1})
+         SET p.a = CASE WHEN $a IS NULL THEN p.a ELSE $a END,
+             p.b = coalesce($b, p.b)""",
+      Map("a" -> "a3", "b" -> "b3"))
+    assert(propsOf(s, "P:1") == Map("k" -> "1", "a" -> "a3",
+      "b" -> "b3", "c" -> "c1"))
+    s.execute("MERGE (p:P {k: 2}) SET p.c = coalesce(p.c, $c)",
+      Map("c" -> "fresh"))
+    assert(propsOf(s, "P:2") == Map("k" -> "2", "c" -> "fresh"))
+    // plain SET x = null still REMOVES (the idiom split must not
+    // swallow remove semantics)
+    s.execute("MATCH (p:P) WHERE p.k = '1' SET p.a = null")
+    assert(propsOf(s, "P:1") == Map("k" -> "1", "b" -> "b3", "c" -> "c1"))
+    // set-if-absent on a MATCH-bound variable (the soil-layer shape
+    // routes through nodeSetDelta)
+    s.execute("MATCH (p:P) WHERE p.k = '2' SET p.c = coalesce(p.c, 'x')")
+    s.execute("MATCH (p:P) WHERE p.k = '2' SET p.d = coalesce(p.d, 'dv')")
+    assert(propsOf(s, "P:2") == Map("k" -> "2", "c" -> "fresh", "d" -> "dv"))
+  }
+
   test("CREATE … SET folds into the pattern (keyed items, single node)") {
     val s = emptyStore()
     val (st, rows) = s.executeReturning(
