@@ -190,6 +190,28 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
               fail("Neo.ClientError.Security.Unauthorized",
                 "RUN before LOGON on a 5.1+ connection")
             else try {
+              // schema DDL (CREATE CONSTRAINT — the reference's
+              // bootstrap, graph_constraints.py): registers the
+              // label's keys on the store; zero-stat, no rows. Like
+              // Neo4j, schema and data statements don't mix inside an
+              // explicit transaction.
+              if (CypherParser.parseConstraintDdl(stmt).isDefined) {
+                if (readOnly)
+                  fail("Neo.ClientError.Security.Forbidden",
+                    "schema statement on a read-only server")
+                else if (txGraph.isDefined)
+                  fail("Neo.ClientError.Transaction.ForbiddenDueToTransactionType",
+                    "schema statements are not allowed in an explicit " +
+                    "transaction")
+                else {
+                  store.registerConstraint(
+                    CypherParser.parseConstraintDdl(stmt).get)
+                  pending = Some((Seq.empty, Array.empty))
+                  pendingStats =
+                    Some(CypherWrite.Stats(0, 0, 0, 0).toWireMap)
+                  success(Map("fields" -> Seq.empty))
+                }
+              } else
               CypherParser.parseAny(stmt) match {
                 case Left(_) =>
                   if (readOnly)

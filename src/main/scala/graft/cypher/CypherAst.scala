@@ -330,5 +330,19 @@ object CypherAst {
     * carries all bound columns, so the projection is a no-op. */
   final case class CallBlock(imports: Seq[String], where: Option[Expr],
                              matches: Seq[MatchPart],
-                             clauses: Seq[WriteClause])
+                             clauses: Seq[WriteClause],
+                             lets: Seq[(String, Expr)] = Nil)
+
+  /** `CREATE CONSTRAINT [name] [IF NOT EXISTS] FOR (v:Label) REQUIRE
+    * (v.k1[, v.k2…]) IS UNIQUE` — the reference's bootstrap DDL
+    * (app/graph_constraints.py:2-133, one statement per node label,
+    * run BEFORE any projector). The engine's spelling of a uniqueness
+    * constraint is the [[GraphStore]] per-label key declaration (it
+    * drives MERGE identity minting `label:key1:key2` and the bucketed
+    * probe index), so the DDL registers exactly that: the label's key
+    * columns, in the REQUIRE tuple's declared order. Only `IS UNIQUE`
+    * node constraints are supported — the only kind the reference
+    * uses. */
+  final case class ConstraintDdl(name: String, ifNotExists: Boolean,
+                                 label: String, keys: Seq[String])
 }

@@ -197,6 +197,58 @@ object CypherParser {
     } else Right(parse(q))
   }
 
+  /** Parse `CREATE CONSTRAINT [name] [IF NOT EXISTS] FOR (v:Label)
+    * REQUIRE (v.k1[, v.k2…]) IS UNIQUE` — the reference's bootstrap
+    * DDL (app/graph_constraints.py:2-133; the single-key spelling
+    * `REQUIRE v.k IS UNIQUE` included). Returns None when the text is
+    * not a CREATE CONSTRAINT statement at all; a statement that IS
+    * one but is malformed (or a non-UNIQUE constraint kind) fails
+    * loudly — a typo'd schema statement must not fall through to the
+    * write grammar's unrelated error. A trailing `;` is tolerated:
+    * the reference's own statement strings carry one. */
+  def parseConstraintDdl(q: String): Option[ConstraintDdl] = {
+    val trimmed = q.trim.stripSuffix(";").trim
+    val head = trimmed.split("\\s+", 3)
+    if (head.length < 2 || !head(0).equalsIgnoreCase("create") ||
+        !head(1).equalsIgnoreCase("constraint")) return None
+    val p = new P(lex(trimmed))
+    p.eatKw("create"); p.eatKw("constraint")
+    val name =
+      if (p.peek.kind == "ident" && !p.atKw("if") && !p.atKw("for"))
+        p.ident()
+      else ""
+    val ifNot =
+      if (p.atKw("if")) {
+        p.eatKw("if"); p.eatKw("not"); p.eatKw("exists"); true
+      } else false
+    p.eatKw("for")
+    p.eatOp("(")
+    val v = p.ident()
+    p.eatOp(":")
+    val label = p.ident()
+    p.eatOp(")")
+    p.eatKw("require")
+    val keys = Vector.newBuilder[String]
+    def prop(): Unit = {
+      val pv = p.ident()
+      if (pv != v) fail(p.peek.pos,
+        s"REQUIRE references `$pv` but the FOR pattern binds `$v`")
+      p.eatOp(".")
+      keys += p.ident()
+    }
+    if (p.atOp("(")) {
+      p.eatOp("(")
+      prop()
+      while (p.atOp(",")) { p.eatOp(","); prop() }
+      p.eatOp(")")
+    } else prop()
+    p.eatKw("is")
+    p.eatKw("unique")
+    if (p.peek.kind != "eof")
+      fail(p.peek.pos, s"trailing input '${p.peek.s}' after IS UNIQUE")
+    Some(ConstraintDdl(name, ifNot, label, keys.result()))
+  }
+
   // ---- write statements (round 11) ---------------------------------
   private def parseWrite(p: P): WriteQuery = {
     val unwinds = Vector.newBuilder[(Expr, String)]
@@ -218,33 +270,84 @@ object CypherParser {
         if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) } else None
       matches += MatchPart(paths.result(), optional = false, where)
     }
-    val clauses: Seq[WriteClause] = parseWriteClauses(p)
-    // `[WITH vars] CALL { … }` — the conditional-write TAIL block
-    // (round 14; the reference's optional-edge idiom,
-    // graph_app_nutrient_content.py:155-162). Tentative parse: a
-    // computed WITH or a WITH not followed by CALL restores and falls
+    val clauses: Seq[WriteClause] =
+      if (atWriteKw(p)) parseWriteClauses(p) else Nil
+    // `[WITH items [WHERE pred]] ( CALL { … } | [MATCH …]* <write
+    // clauses> )` — the statement TAIL. Covers the round-14
+    // conditional-write CALL block (the reference's optional-edge
+    // idiom, graph_app_nutrient_content.py:155-162) AND its two
+    // inline spellings from the projector corpus (round 15):
+    //   MATCH … WITH ie, $end AS endp WHERE endp IS NOT NULL SET …
+    //     (graph_irrigation_event.py:323-328 — conditional SET), and
+    //   MERGE (c:Crop {…}) WITH c MATCH (osr:…) MERGE (c)-[r]->(osr)
+    //     (graph_optimum_sap_range.py:39-44 — write → WITH → MATCH →
+    //     write).
+    // Both desugar onto the SAME CallBlock apply: bare items are
+    // scope imports, `expr AS alias` items become computed `lets`
+    // columns, the WHERE filters the statement frame, the MATCH parts
+    // bind against the pre-apply graph, and the clauses contribute to
+    // this statement's deltas. Tentative parse: a tail that does not
+    // end in write clauses (e.g. `WITH … RETURN`) restores and falls
     // through to the read continuation below.
     val call: Option[CallBlock] = {
       val save = p.i
-      val imports0 = Vector.newBuilder[String]
       var ok = true
+      val importsB = Vector.newBuilder[String]
+      val letsB = Vector.newBuilder[(String, Expr)]
+      var where0: Option[Expr] = None
       if (p.atKw("with")) {
         p.eatKw("with")
-        if (p.peek.kind == "ident" && !p.atKw("call") &&
-            !(p.peek2.kind == "op" && Set(".", "(")(p.peek2.s))) {
-          imports0 += p.ident()
-          while (ok && p.atOp(",")) {
-            p.eatOp(",")
-            if (p.peek.kind == "ident" &&
-                !(p.peek2.kind == "op" && Set(".", "(")(p.peek2.s)))
-              imports0 += p.ident()
+        // a bare ident NOT followed by an expression continuation is
+        // a scope import; anything else must parse as `expr AS alias`
+        def exprCont(k: String, s: String): Boolean =
+          (k == "op" && Set(".", "(", "[", "+", "-", "*", "/", "%",
+            "=", "<>", "<", "<=", ">", ">=")(s)) ||
+          (k == "ident" && Set("as", "is", "in", "contains", "starts",
+            "ends", "and", "or", "not")(s.toLowerCase))
+        def item(): Unit =
+          if (p.peek.kind == "ident" && !p.atKw("call") &&
+              !exprCont(p.peek2.kind, p.peek2.s)) importsB += p.ident()
+          else scala.util.Try {
+            val e = orExpr(p)
+            if (p.atKw("as")) { p.eatKw("as"); letsB += ((p.ident(), e)) }
             else ok = false
-          }
-        } else ok = false
+          }.getOrElse { ok = false }
+        item()
+        while (ok && p.atOp(",")) { p.eatOp(","); item() }
+        if (ok && p.atKw("where"))
+          scala.util.Try { p.eatKw("where"); where0 = Some(orExpr(p)) }
+            .getOrElse { ok = false }
       }
+      val imports0 = importsB.result()
+      val lets0 = letsB.result()
       if (ok && p.atKw("call") && p.peek2.kind == "op" && p.peek2.s == "{") {
         p.eatKw("call")
-        Some(parseCallBlock(p, imports0.result()))
+        val cb = parseCallBlock(p, imports0)
+        val w = (where0, cb.where) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        Some(cb.copy(where = w, lets = lets0))
+      } else if (ok && (imports0.nonEmpty || lets0.nonEmpty) &&
+                 (p.atKw("match") || atWriteKw(p))) {
+        // the inline tail: optional MATCH parts, then write clauses
+        val matchesB = Vector.newBuilder[MatchPart]
+        var fine = true
+        scala.util.Try {
+          while (p.atKw("match")) {
+            p.eatKw("match")
+            val paths = Vector.newBuilder[PathPat]
+            paths += pathPat(p)
+            while (p.atOp(",")) { p.eatOp(","); paths += pathPat(p) }
+            val w = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+                    else None
+            matchesB += MatchPart(paths.result(), optional = false, w)
+          }
+        }.getOrElse { fine = false }
+        if (fine && atWriteKw(p))
+          Some(CallBlock(imports0, where0, matchesB.result(),
+            parseWriteClauses(p), lets0))
+        else { p.i = save; None }
       } else { p.i = save; None }
     }
     if (call.isDefined && (p.atKw("return") || p.atKw("with")))
@@ -270,8 +373,15 @@ object CypherParser {
         Some(Query(Segment(Nil, Nil, None, Some(w)) +: rest.segments,
           rest.ret))
       } else None
+    if (clauses.isEmpty && call.isEmpty)
+      fail(p.peek.pos, "expected MERGE, CREATE or SET")
     WriteQuery(unwinds.result(), matches.result(), clauses, returning, call)
   }
+
+  private def atWriteKw(p: P): Boolean =
+    p.atKw("merge") || p.atKw("create") || p.atKw("set") ||
+    p.atKw("delete") || p.atKw("detach") || p.atKw("remove") ||
+    p.atKw("foreach")
 
   /** The inside of `CALL { … }`: scope WITHs (bare variable lists,
     * each with an optional WHERE — accumulated conjunctively), MATCH

@@ -59,6 +59,63 @@ object CypherWrite {
       "relationships-deleted" -> relsDeleted)
   }
 
+  /** Substitute `Var(alias) → replacement` through an expression tree
+    * — the CONST-lets desugar of the inline WITH tail (round 15):
+    * `WITH ie, $end AS endp … SET ie.end_datetime = datetime(endp)`
+    * compiles with `endp` replaced by `$end`, because temporal and
+    * pattern-prop positions render their argument at COMPILE time
+    * ([[CypherCompiler.renderTemporal]] via `constValue`) — a frame
+    * column cannot feed them. */
+  private def substE(e: Expr, m: Map[String, Expr]): Expr = e match {
+    case Var(v) => m.getOrElse(v, e)
+    case ToInt(x) => ToInt(substE(x, m))
+    case ToFloat(x) => ToFloat(substE(x, m))
+    case Coalesce(es) => Coalesce(es.map(substE(_, m)))
+    case StrFn(n, args) => StrFn(n, args.map(substE(_, m)))
+    case TemporalFn(k, x) => TemporalFn(k, substE(x, m))
+    case CaseWhen(bs, o) =>
+      CaseWhen(bs.map { case (c, v) => (substE(c, m), substE(v, m)) },
+        o.map(substE(_, m)))
+    case AggFn(n, d, a, x) =>
+      AggFn(n, d, a.map(substE(_, m)), x.map(substE(_, m)))
+    case Cmp(op, l, r) => Cmp(op, substE(l, m), substE(r, m))
+    case Arith(op, l, r) => Arith(op, substE(l, m), substE(r, m))
+    case IsNull(x, n) => IsNull(substE(x, m), n)
+    case InList(x, vs) => InList(substE(x, m), vs)
+    case StrPred(op, l, r) => StrPred(op, substE(l, m), substE(r, m))
+    case And(l, r) => And(substE(l, m), substE(r, m))
+    case Or(l, r) => Or(substE(l, m), substE(r, m))
+    case Not(x) => Not(substE(x, m))
+    case other => other
+  }
+  private def substNp(np: NodePat, m: Map[String, Expr]): NodePat =
+    np.copy(props = np.props.map { case (k, v) => k -> substE(v, m) })
+  private def substPath(p: PathPat, m: Map[String, Expr]): PathPat =
+    p.copy(nodes = p.nodes.map(substNp(_, m)),
+      edges = p.edges.map(ep =>
+        ep.copy(props = ep.props.map { case (k, v) => k -> substE(v, m) })))
+  private def substMp(mp: MatchPart, m: Map[String, Expr]): MatchPart =
+    mp.copy(paths = mp.paths.map(substPath(_, m)),
+      where = mp.where.map(substE(_, m)))
+  private def substSi(si: SetItem, m: Map[String, Expr]): SetItem =
+    si.copy(value = substE(si.value, m))
+  private def substWc(c: WriteClause, m: Map[String, Expr]): WriteClause =
+    c match {
+      case mn: MergeNode => mn.copy(pat = substNp(mn.pat, m),
+        onCreate = mn.onCreate.map(substSi(_, m)),
+        onMatch = mn.onMatch.map(substSi(_, m)),
+        always = mn.always.map(substSi(_, m)))
+      case mr: MergeRel => mr.copy(path = substPath(mr.path, m),
+        onCreate = mr.onCreate.map(substSi(_, m)),
+        onMatch = mr.onMatch.map(substSi(_, m)),
+        always = mr.always.map(substSi(_, m)))
+      case Create(paths) => Create(paths.map(substPath(_, m)))
+      case SetOnly(items) => SetOnly(items.map(substSi(_, m)))
+      case f: Foreach => f.copy(list = substE(f.list, m),
+        clauses = f.clauses.map(substWc(_, m)))
+      case other => other
+    }
+
   /** The delta-sized row sets one statement touched — what
     * [[GraphStore]]'s overlay compaction folds instead of
     * re-materializing the standing graph (round 13: the store-size
@@ -643,13 +700,35 @@ object CypherWrite {
         }
       }
       stc.frame = Some(f2)
-      cb.where.foreach { w =>
+      // computed WITH items (`$end AS endp` — round 15, the inline
+      // tail spelling). A CONST alias (param/literal) SUBSTITUTES
+      // into the block's AST — downstream `datetime(endp)` and
+      // pattern-prop positions need the compile-time value, not a
+      // frame column (the irrigation end-datetime idiom,
+      // graph_irrigation_event.py:323-328). A computed alias lands as
+      // a value column like any WITH projection.
+      val (constLets, colLets) = cb.lets.partition(_._2 match {
+        case _: Param | _: Lit => true
+        case _ => false
+      })
+      val sub = constLets.toMap
+      val cbS = if (sub.isEmpty) cb else cb.copy(
+        where = cb.where.map(substE(_, sub)),
+        matches = cb.matches.map(substMp(_, sub)),
+        clauses = cb.clauses.map(substWc(_, sub)))
+      colLets.foreach { case (a, e) =>
+        val c = CypherCompiler.expr(stc, e)
+        val cn = s"$a __val"
+        stc.frame = Some(stc.frame.get.withColumn(cn, c))
+        stc.valueCols += a -> cn
+      }
+      cbS.where.foreach { w =>
         stc.frame = Some(stc.frame.get.filter(CypherCompiler.expr(stc, w)))
       }
-      CypherCompiler.bindPrefix(stc, g, Nil, liftFrameRefProps(cb.matches))
+      CypherCompiler.bindPrefix(stc, g, Nil, liftFrameRefProps(cbS.matches))
       st = stc
       frame = stc.frame.getOrElse(f2)
-      processClauses(cb.clauses)
+      processClauses(cbS.clauses)
     }
 
     // ---- apply node deltas: broadcast probes ONLY -------------------
@@ -1033,13 +1112,62 @@ object CypherWrite {
   * copy.
   */
 final class GraphStore(initial: PropertyGraph,
-                       val labelKeys: Map[String, Seq[String]] = Map.empty,
+                       initialLabelKeys: Map[String, Seq[String]] = Map.empty,
                        forceOverlay: Boolean = false,
                        forceBucketed: Boolean = false,
                        // overridable so specs can drive the overlay-
                        // OVERFLOW branch (rebucketize) on tiny fixtures
                        overlayFoldRows: Long = GraphStore.OverlayFoldRows) {
   @volatile private var g: PropertyGraph = initial
+  /** Per-label uniqueness keys — the engine's spelling of the
+    * reference's constraints (app/graph_constraints.py). Mutable
+    * since round 15: `CREATE CONSTRAINT` DDL registers keys at
+    * runtime, exactly the reference's bootstrap order (constraints
+    * first, projectors after). */
+  @volatile private var keyReg: Map[String, Seq[String]] = initialLabelKeys
+  def labelKeys: Map[String, Seq[String]] = keyReg
+
+  /** Register a uniqueness constraint (`CREATE CONSTRAINT` DDL — the
+    * reference's bootstrap, graph_constraints.py:2-133). Identical
+    * keys → no-op (IF NOT EXISTS and Neo4j's idempotent re-run both
+    * land here); DIFFERENT keys on an already-constrained label fail
+    * loudly (the store's MERGE identity is one key tuple per label);
+    * a label that already has vertices is audited against the id
+    * convention `label:key1:key2` (rows that STORE their key props
+    * only — assembly layouts legitimately keep key columns out of
+    * the props map), so a late constraint over a non-conforming
+    * population fails LOUDLY instead of silently diverging MERGE
+    * identity. Returns true when the constraint was newly added. */
+  def registerConstraint(d: ConstraintDdl): Boolean = synchronized {
+    if (d.keys.isEmpty) throw new IllegalArgumentException(
+      "CREATE CONSTRAINT requires at least one key property")
+    keyReg.get(d.label) match {
+      case Some(ks) if ks == d.keys => false
+      case Some(ks) => throw new IllegalArgumentException(
+        s"label :${d.label} is already constrained on " +
+        s"(${ks.mkString(", ")}) — conflicting keys " +
+        s"(${d.keys.mkString(", ")}); the store's MERGE identity is " +
+        "one key tuple per label")
+      case None =>
+        if (g.vertices.schema("props").dataType.isInstanceOf[MapType]) {
+          val expect = concat_ws(":",
+            (lit(d.label) +: d.keys.map(k =>
+              col("props").getItem(k).cast("string"))): _*)
+          val bad = d.keys.map(k => col("props").getItem(k).isNotNull)
+            .foldLeft(col("id") =!= expect)(_ && _)
+          val hit = withoutConstraintPropagation(g.vertices
+            .filter(col("label") === d.label && bad).limit(1).count())
+          if (hit > 0) throw new IllegalStateException(
+            s"CREATE CONSTRAINT on :${d.label}: existing row(s) " +
+            "violate the id convention id = " +
+            s"'${d.label}:${d.keys.mkString(":")}' — create " +
+            "constraints before non-conforming data (the reference " +
+            "runs graph_constraints.py first)")
+        }
+        keyReg += d.label -> d.keys
+        true
+    }
+  }
   private var writesSinceCompact = 0
   /** One-shot: the seed graph's id-convention audit (see
     * [[bucketize]]) — engine-minted rows always conform, so the
@@ -1179,6 +1307,14 @@ final class GraphStore(initial: PropertyGraph,
   def executeReturning(stmt: String, params: Map[String, Any] = Map.empty)
       : (CypherWrite.Stats, Option[DataFrame]) =
     synchronized {
+      // schema DDL first: `CREATE CONSTRAINT …` (the reference's
+      // bootstrap, graph_constraints.py) registers the label's keys
+      // and is a zero-stat statement — no graph rows move
+      val ddl = CypherParser.parseConstraintDdl(stmt)
+      if (ddl.isDefined) {
+        registerConstraint(ddl.get)
+        return (CypherWrite.Stats(0, 0, 0, 0), None)
+      }
       CypherParser.parseAny(stmt) match {
         case Left(w) =>
           ensureProbeIndex()
@@ -1227,7 +1363,12 @@ final class GraphStore(initial: PropertyGraph,
   def executeOn(g0: PropertyGraph, stmt: String,
                 params: Map[String, Any] = Map.empty)
       : (PropertyGraph, CypherWrite.Stats, Option[DataFrame]) =
-    CypherParser.parseAny(stmt) match {
+    if (CypherParser.parseConstraintDdl(stmt).isDefined)
+      throw new IllegalArgumentException(
+        "schema statements (CREATE CONSTRAINT) are not supported " +
+        "inside an explicit transaction — run them auto-commit, like " +
+        "the reference's bootstrap (graph_constraints.py)")
+    else CypherParser.parseAny(stmt) match {
       case Left(w) =>
         val a = withoutConstraintPropagation(
           CypherWrite(g0, w, params, labelKeys))

@@ -1246,4 +1246,125 @@ class CypherWriteSpec extends AnyFunSuite {
     threads.foreach(_.start()); threads.foreach(_.join())
     assert(spark.conf.getOption(key) == before)
   }
+
+  // ---- round 15: CREATE CONSTRAINT DDL (graph_constraints.py) ------
+
+  test("CREATE CONSTRAINT registers the label's MERGE keys") {
+    val s = emptyStore(Map.empty)
+    // the reference's exact statement text, trailing semicolon included
+    // (app/graph_constraints.py:2-5)
+    val st = s.execute(
+      """CREATE CONSTRAINT field_id_unique IF NOT EXISTS
+         FOR (f:Field) REQUIRE f.field_id IS UNIQUE;""")
+    assert(st == CypherWrite.Stats(0, 0, 0, 0))
+    assert(s.labelKeys("Field") == Seq("field_id"))
+    // composite-key form (graph_constraints.py:17-20)
+    s.execute(
+      """CREATE CONSTRAINT weather_forecast_unique IF NOT EXISTS
+         FOR (wf:WeatherForecast)
+         REQUIRE (wf.station_serial, wf.date) IS UNIQUE;""")
+    assert(s.labelKeys("WeatherForecast") == Seq("station_serial", "date"))
+    // MERGE now mints per the registered keys
+    s.execute("MERGE (f:Field {field_id: $id}) SET f.name = $n",
+      Map("id" -> 9, "n" -> "north"))
+    assert(propsOf(s, "Field:9") == Map("field_id" -> "9", "name" -> "north"))
+    // idempotent re-run (IF NOT EXISTS / same keys): no-op
+    s.execute(
+      """CREATE CONSTRAINT field_id_unique IF NOT EXISTS
+         FOR (f:Field) REQUIRE f.field_id IS UNIQUE;""")
+    assert(s.labelKeys("Field") == Seq("field_id"))
+    // conflicting keys on a constrained label: loud failure
+    val e = intercept[IllegalArgumentException] {
+      s.execute(
+        "CREATE CONSTRAINT x FOR (f:Field) REQUIRE (f.a, f.b) IS UNIQUE")
+    }
+    assert(e.getMessage.contains("conflicting keys"))
+  }
+
+  test("CREATE CONSTRAINT over a non-conforming population fails loudly") {
+    val s = emptyStore(Map.empty)
+    // unkeyed MERGE mints from sorted pattern prop names — ids like
+    // `Plot:<name>:<zone>` (sorted: name, zone)
+    s.execute("MERGE (p:Plot {zone: $z, name: $n})",
+      Map("z" -> 1, "n" -> "a"))
+    // a late constraint with a DIFFERENT key tuple contradicts the
+    // minted ids — must fail, not silently diverge MERGE identity
+    val e = intercept[IllegalStateException] {
+      s.execute("CREATE CONSTRAINT FOR (p:Plot) REQUIRE p.zone IS UNIQUE")
+    }
+    assert(e.getMessage.contains("id convention"))
+    // while a constraint MATCHING the minted convention registers fine
+    s.execute(
+      "CREATE CONSTRAINT FOR (p:Plot) REQUIRE (p.name, p.zone) IS UNIQUE")
+    assert(s.labelKeys("Plot") == Seq("name", "zone"))
+  }
+
+  test("CREATE CONSTRAINT is rejected inside an explicit transaction") {
+    val s = emptyStore(Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      s.executeOn(s.graph,
+        "CREATE CONSTRAINT FOR (f:Field) REQUIRE f.field_id IS UNIQUE")
+    }
+    assert(e.getMessage.contains("explicit transaction"))
+    // and a malformed statement that IS a CREATE CONSTRAINT fails
+    // with the DDL grammar's error, not a write-parse one
+    val m = intercept[IllegalArgumentException] {
+      s.execute("CREATE CONSTRAINT FOR (f:Field) REQUIRE f.field_id IS NODE KEY")
+    }
+    assert(m.getMessage.toLowerCase.contains("unique"))
+  }
+
+  // ---- round 15: inline WITH tail (irrigation / optimum idioms) ----
+
+  test("MATCH … WITH v, $p AS alias WHERE … SET — conditional set") {
+    val s = emptyStore()
+    s.execute("MERGE (p:Person {pid: 1}) SET p.name = 'ann'")
+    // the reference's end-datetime idiom (graph_irrigation_event.py:
+    // 323-328): null param → WHERE drops every row → no-op
+    val cond =
+      """MATCH (p:Person { pid: $id })
+         WITH p, $end AS endp
+         WHERE endp IS NOT NULL
+         SET p.done = endp"""
+    val st0 = s.execute(cond, Map("id" -> 1, "end" -> null))
+    assert(st0 == CypherWrite.Stats(0, 0, 0, 0))
+    assert(propsOf(s, "Person:1") == Map("pid" -> "1", "name" -> "ann"))
+    // non-null param → the SET lands on the matched row
+    val st1 = s.execute(cond, Map("id" -> 1, "end" -> "2024-05-01"))
+    assert(st1.nodesMatched == 1L)
+    assert(propsOf(s, "Person:1") ==
+      Map("pid" -> "1", "name" -> "ann", "done" -> "2024-05-01"))
+  }
+
+  test("MERGE … WITH v MATCH … MERGE edge — write→WITH→MATCH→write") {
+    val s = emptyStore(Map(
+      "Crop" -> Seq("name"), "OptimumSAPRange" -> Seq("crop_name", "date")))
+    // statement 1 (graph_optimum_sap_range.py): the range node
+    s.execute("MERGE (osr:OptimumSAPRange { crop_name: $c, date: $d })",
+      Map("c" -> "wheat", "d" -> "2024-01-01"))
+    // statement 2, verbatim shape: MERGE crop, WITH, MATCH the range
+    // written by the PREVIOUS statement, MERGE the edge
+    val link =
+      """MERGE (c:Crop { name: $c })
+         WITH c
+         MATCH (osr:OptimumSAPRange { crop_name: $c, date: $d })
+         MERGE (c)-[:HAS_OPTIMUM_RANGE]->(osr)"""
+    val st = s.execute(link, Map("c" -> "wheat", "d" -> "2024-01-01"))
+    assert((st.nodesCreated, st.relsCreated) == (1L, 1L))
+    val edges = s.graph.edges.collect()
+    assert(edges.length == 1)
+    assert(edges.head.getString(0) == "Crop:wheat")
+    assert(edges.head.getString(1) == "OptimumSAPRange:wheat:2024-01-01")
+    // fixpoint
+    val st2 = s.execute(link, Map("c" -> "wheat", "d" -> "2024-01-01"))
+    assert((st2.nodesCreated, st2.relsCreated) == (0L, 0L))
+    assert(s.graph.edges.count() == 1)
+    // a WITH that ends in RETURN still routes to the read
+    // continuation, not the inline tail
+    val (_, rows) = s.executeReturning(
+      """MERGE (c:Crop { name: 'rye' })
+         WITH c
+         RETURN id(c) AS cid""")
+    assert(rows.get.collect().map(_.getString(0)).toSeq == Seq("Crop:rye"))
+  }
 }
