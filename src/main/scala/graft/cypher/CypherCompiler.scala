@@ -1072,6 +1072,14 @@ object CypherCompiler {
         case "/" => a / b
         case "%" => a % b
       }
+    case IsNull(Param(n), notNull) =>
+      // constant-fold: a param's null-ness is known at compile time,
+      // and non-scalar params (datetime component maps — the
+      // irrigation `$end IS NOT NULL` guard) have no Column literal
+      if (!st.params.contains(n))
+        throw new IllegalArgumentException(s"missing query parameter $$$n")
+      val isNull = st.params(n) == null
+      lit(if (notNull) !isNull else isNull)
     case IsNull(x, notNull) =>
       if (notNull) exprCol(st, x).isNotNull else exprCol(st, x).isNull
     case InList(x, vals) => exprCol(st, x).isin(vals.map(_.value): _*)
