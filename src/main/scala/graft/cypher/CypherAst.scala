@@ -176,6 +176,22 @@ object CypherAst {
   final case class InList(e: Expr, vals: Seq[Lit]) extends Expr
   /** CONTAINS / STARTS WITH / ENDS WITH. */
   final case class StrPred(op: String, l: Expr, r: Expr) extends Expr
+  /** `[x IN list WHERE pred | proj]` — openCypher list comprehension
+    * (both the WHERE filter and the `|` projection are optional, but
+    * at least one is present or the form is just the list). Compiles
+    * to the codegen'd higher-order builtins `filter`/`transform` —
+    * the lambda variable binds through the compile state, never a
+    * UDF. */
+  final case class ListComp(v: String, list: Expr, where: Option[Expr],
+                            proj: Option[Expr]) extends Expr
+  /** `reduce(acc = init, x IN list | body)` — openCypher list fold;
+    * compiles to the `aggregate` higher-order builtin. */
+  final case class Reduce(acc: String, init: Expr, v: String,
+                          list: Expr, body: Expr) extends Expr
+  /** `all/any/none/single(x IN list WHERE pred)` — openCypher list
+    * quantifiers; `forall`/`exists`/negation/filtered-size-1. */
+  final case class Quant(kind: String, v: String, list: Expr,
+                         pred: Expr) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr

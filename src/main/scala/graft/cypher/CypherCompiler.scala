@@ -110,6 +110,10 @@ object CypherCompiler {
     val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
     /** WITH-projected value variables: alias → physical column. */
     val valueCols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** Higher-order-function lambda bindings (list comprehension /
+      * reduce / quantifier variables, round 15) — innermost scope
+      * shadows frame variables, per openCypher. */
+    val lambdaVars = scala.collection.mutable.Map.empty[String, Column]
     /** value variables known to hold a LIST (collect()/keys()
       * projections) — so size()/toString() pick array semantics
       * statically, without probing the frame's schema mid-compile. */
@@ -552,6 +556,11 @@ object CypherCompiler {
     case And(l, r) => containsAgg(l) || containsAgg(r)
     case Or(l, r) => containsAgg(l) || containsAgg(r)
     case Not(x) => containsAgg(x)
+    case ListComp(_, l, w, proj) =>
+      containsAgg(l) || w.exists(containsAgg) || proj.exists(containsAgg)
+    case Reduce(_, init, _, l, body) =>
+      containsAgg(init) || containsAgg(l) || containsAgg(body)
+    case Quant(_, _, l, pred) => containsAgg(l) || containsAgg(pred)
     case _ => false
   }
 
@@ -834,6 +843,14 @@ object CypherCompiler {
     case And(l, r) => freeVars(l) ++ freeVars(r)
     case Or(l, r) => freeVars(l) ++ freeVars(r)
     case Not(x) => freeVars(x)
+    // lambda forms: the bound variable is NOT free in the body
+    case ListComp(v, l, w, proj) =>
+      freeVars(l) ++
+        (w.map(freeVars).getOrElse(Set.empty) ++
+          proj.map(freeVars).getOrElse(Set.empty) - v)
+    case Reduce(acc, init, v, l, body) =>
+      freeVars(init) ++ freeVars(l) ++ (freeVars(body) - acc - v)
+    case Quant(_, v, l, pred) => freeVars(l) ++ (freeVars(pred) - v)
     case _ => Set.empty // Lit, Param, ListLit
   }
 
@@ -903,8 +920,26 @@ object CypherCompiler {
     case LabelsOf(_) => true
     case AggFn("collect", _, _, _) => true
     case StrFn("split" | "range", _) => true
+    case ListLit(_) => true
+    case ListComp(_, _, _, _) => true
     case Var(v) => st.arrayVars.contains(v)
     case _ => false
+  }
+
+  /** Bind a lambda variable for the duration of `body`'s compile —
+    * the list-comprehension/reduce/quantifier scope (round 15).
+    * Innermost binding shadows; the outer binding (or absence) is
+    * restored on exit, so sibling lambdas and frame variables are
+    * unaffected. */
+  private def withLambda(st: St, v: String, x: Column)(body: => Column)
+      : Column = {
+    val old = st.lambdaVars.get(v)
+    st.lambdaVars(v) = x
+    try body
+    finally old match {
+      case Some(o) => st.lambdaVars(v) = o
+      case None => st.lambdaVars -= v
+    }
   }
 
   /** Does the expression yield a property MAP? Only properties(v)
@@ -931,7 +966,8 @@ object CypherCompiler {
         throw new IllegalArgumentException(s"unbound variable $v")
       idCol(v)
     case Var(v) =>
-      if (st.nodes.contains(v)) idCol(v)
+      if (st.lambdaVars.contains(v)) st.lambdaVars(v)
+      else if (st.nodes.contains(v)) idCol(v)
       else if (st.edgeVars.contains(v)) col(s"$v __rel")
       else if (st.valueCols.contains(v)) col(st.valueCols(v))
       else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
@@ -1043,8 +1079,50 @@ object CypherCompiler {
           val step = if (a.length == 3) a(2) else lit(1L)
           sequence(a.head.cast("long"), a(1).cast("long"),
             step.cast("long"))
+        // scalar math/string tail (round 15) — each the codegen'd
+        // Spark builtin, output types per openCypher (floor/ceil are
+        // FLOAT, sign is INTEGER)
+        case "sqrt" => sqrt(a.head.cast("double"))
+        case "floor" => floor(a.head.cast("double")).cast("double")
+        case "ceil" => ceil(a.head.cast("double")).cast("double")
+        case "sign" => signum(a.head.cast("double")).cast("long")
+        case "reverse" => reverse(a.head)
+        case "ltrim" => ltrim(a.head)
+        case "rtrim" => rtrim(a.head)
+        case "left" => a.head.substr(lit(1), a(1).cast("int"))
+        case "right" =>
+          // last n chars; n past the length clamps to the whole
+          // string (Neo4j semantics)
+          a.head.substr(
+            greatest(length(a.head) - a(1).cast("int") + lit(1), lit(1)),
+            a(1).cast("int"))
+        case "toboolean" => a.head.cast("boolean")
         case other =>
           throw new IllegalArgumentException(s"unknown function $other")
+      }
+    case ListLit(vals) => array(vals.map(l => lit(l.value)): _*)
+    case ListComp(v, l, w, proj) =>
+      // filter/transform higher-order builtins — codegen'd, no UDF;
+      // the lambda variable binds through the compile state
+      val base = exprCol(st, l)
+      val filtered = w.map(pred =>
+        filter(base, x => withLambda(st, v, x)(exprCol(st, pred))))
+        .getOrElse(base)
+      proj.map(pe =>
+        transform(filtered, x => withLambda(st, v, x)(exprCol(st, pe))))
+        .getOrElse(filtered)
+    case Reduce(acc, init, v, l, body) =>
+      aggregate(exprCol(st, l), exprCol(st, init),
+        (a0, x) => withLambda(st, acc, a0)(
+          withLambda(st, v, x)(exprCol(st, body))))
+    case Quant(kind, v, l, pred) =>
+      val base = exprCol(st, l)
+      def lam(x: Column): Column = withLambda(st, v, x)(exprCol(st, pred))
+      kind match {
+        case "all" => forall(base, lam _)
+        case "any" => exists(base, lam _)
+        case "none" => !exists(base, lam _)
+        case "single" => size(filter(base, lam _)) === lit(1)
       }
     case CaseWhen(branches, otherwise) =>
       val first = when(exprCol(st, branches.head._1),

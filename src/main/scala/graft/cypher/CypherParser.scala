@@ -936,6 +936,30 @@ object CypherParser {
     * RETURN may hold). */
   private def atom(p: P): Expr = {
     if (p.atKw("case")) { p.eatKw("case"); return caseExpr(p) }
+    if (p.atOp("[")) {
+      // `[x IN list WHERE pred | proj]` — list comprehension (round
+      // 15) — or a plain literal list in expression position
+      p.eatOp("[")
+      if (p.peek.kind == "ident" && p.peek2.kind == "ident" &&
+          p.peek2.s.equalsIgnoreCase("in")) {
+        val v = p.ident()
+        p.eatKw("in")
+        val l = addExpr(p)
+        val w = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+                else None
+        val proj = if (p.atOp("|")) { p.eatOp("|"); Some(addExpr(p)) }
+                   else None
+        p.eatOp("]")
+        return ListComp(v, l, w, proj)
+      }
+      val vals = Vector.newBuilder[Lit]
+      if (!p.atOp("]")) {
+        vals += literal(p)
+        while (p.atOp(",")) { p.eatOp(","); vals += literal(p) }
+      }
+      p.eatOp("]")
+      return ListLit(vals.result())
+    }
     if (p.atOp("(")) { p.eatOp("("); val e = orExpr(p); p.eatOp(")"); e }
     else if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "(") {
       val fname = p.ident().toLowerCase
@@ -980,9 +1004,29 @@ object CypherParser {
         case "type" => TypeOf(p.ident())
         case "keys" => Keys(p.ident())
         case "properties" => PropsOf(p.ident())
+        case "reduce" =>
+          // reduce(acc = init, x IN list | body) — openCypher fold
+          val acc = p.ident()
+          p.eatOp("=")
+          val init = addExpr(p)
+          p.eatOp(",")
+          val v = p.ident()
+          p.eatKw("in")
+          val l = addExpr(p)
+          p.eatOp("|")
+          Reduce(acc, init, v, l, addExpr(p))
+        case q @ ("all" | "any" | "none" | "single") =>
+          // all/any/none/single(x IN list WHERE pred) — quantifiers
+          val v = p.ident()
+          p.eatKw("in")
+          val l = addExpr(p)
+          p.eatKw("where")
+          Quant(q, v, l, orExpr(p))
         case f @ ("tolower" | "toupper" | "trim" | "size" | "tostring" |
                   "substring" | "replace" | "round" | "abs" |
-                  "split" | "head" | "last" | "range") =>
+                  "split" | "head" | "last" | "range" |
+                  "sqrt" | "floor" | "ceil" | "sign" | "reverse" |
+                  "ltrim" | "rtrim" | "left" | "right" | "toboolean") =>
           val args = argList(p)
           val arity = f match {
             case "substring" => 2 to 3
@@ -990,6 +1034,7 @@ object CypherParser {
             case "round" => 1 to 2
             case "split" => 2 to 2
             case "range" => 2 to 3
+            case "left" | "right" => 2 to 2
             case _ => 1 to 1
           }
           if (!arity.contains(args.length))

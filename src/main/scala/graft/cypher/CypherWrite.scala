@@ -86,6 +86,16 @@ object CypherWrite {
     case And(l, r) => And(substE(l, m), substE(r, m))
     case Or(l, r) => Or(substE(l, m), substE(r, m))
     case Not(x) => Not(substE(x, m))
+    // lambda forms (round 15): the bound variable shadows any outer
+    // alias of the same name inside the body
+    case ListComp(v, l, w, proj) =>
+      ListComp(v, substE(l, m), w.map(substE(_, m - v)),
+        proj.map(substE(_, m - v)))
+    case Reduce(acc, init, v, l, body) =>
+      Reduce(acc, substE(init, m), v, substE(l, m),
+        substE(body, m - acc - v))
+    case Quant(k, v, l, pred) =>
+      Quant(k, v, substE(l, m), substE(pred, m - v))
     case other => other
   }
   private def substNp(np: NodePat, m: Map[String, Expr]): NodePat =

@@ -870,4 +870,69 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a relationship variable") ||
            e.getMessage.contains("unbound"), e.getMessage)
   }
+
+  // ---- round 15: lambda forms + scalar tail ------------------------
+
+  test("list comprehension, reduce, quantifiers") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN [x IN [1, 2, 3, 4] WHERE x > 1 | x * 2] AS comp,
+                [x IN [1, 2, 3] | x + 10] AS projOnly,
+                [x IN [1, 2, 3, 4] WHERE x % 2 = 0] AS filterOnly,
+                reduce(t = 0, x IN [1, 2, 3, 4] | t + x) AS total,
+                reduce(s = 1, x IN [2, 3] | s * x) AS product,
+                all(x IN [1, 2, 3] WHERE x > 0) AS allPos,
+                any(x IN [1, 2, 3] WHERE x = 2) AS hasTwo,
+                none(x IN [1, 2, 3] WHERE x > 5) AS noneOver,
+                single(x IN [1, 2, 3] WHERE x = 2) AS oneTwo,
+                single(x IN [2, 2, 3] WHERE x = 2) AS twoTwos""")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(4L, 6L, 8L))
+    assert(r.getSeq[Long](1) == Seq(11L, 12L, 13L))
+    assert(r.getSeq[Long](2) == Seq(2L, 4L))
+    assert(r.getLong(3) == 10L)
+    assert(r.getLong(4) == 6L)
+    assert((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+      r.getBoolean(8), r.getBoolean(9)) ==
+      ((true, true, true, true, false)))
+  }
+
+  test("lambda variables shadow frame variables and restore on exit") {
+    // `p` inside the comprehension is the lambda element, NOT the
+    // matched node; after the bracket it is the node again
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN [p IN [5, 6] | p + 1] AS shadowed, p.name AS name""")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(6L, 7L))
+    assert(r.getString(1) == "ann")
+    // nested: inner x shadows outer x per element
+    val n = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN [x IN [1, 2] | reduce(t = 0, x IN [10, 20] | t + x) + x]
+                  AS nested""")
+      .collect().head
+    assert(n.getSeq[Long](0) == Seq(31L, 32L))
+  }
+
+  test("scalar tail: sqrt/floor/ceil/sign/left/right/reverse/trim/toBoolean") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN sqrt(16.0) AS root, floor(2.7) AS fl, ceil(2.1) AS ce,
+                sign(-3) AS sg, left('ALGERIA', 3) AS l3,
+                right('ALGERIA', 2) AS r2, right('IA', 9) AS rclamp,
+                reverse('abc') AS rev, ltrim('  x ') AS lt,
+                rtrim('  x ') AS rt, toBoolean('true') AS tb,
+                toBoolean('nope') AS nb""")
+      .collect().head
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0)
+    assert(r.getLong(3) == -1L)
+    assert(r.getString(4) == "ALG" && r.getString(5) == "IA")
+    assert(r.getString(6) == "IA")
+    assert(r.getString(7) == "cba")
+    assert(r.getString(8) == "x " && r.getString(9) == "  x")
+    assert(r.getBoolean(10))
+    assert(r.isNullAt(11))
+  }
 }
