@@ -59,7 +59,35 @@ object Queries61 {
         (n_nationkey % 2 = 0) AS even_b
       FROM nation ORDER BY name"""))
 
+  /** Pattern comprehension `[(c)-[:R]->(n) WHERE … | e]` — the
+    * per-row collected subquery (every Neo4j consumer's "children
+    * inline" idiom). Anchored at the Nation row; nations with no
+    * qualifying customer keep the EMPTY list (left-join contract).
+    * The list ships as canonical JSON (driver checker cannot hash
+    * list columns) in the engine's canonical ascending order. */
+  val cy_pattern_comp = Q(
+    (s, dir) => Queries54.stagedDemo(s, dir).cypher(
+      """MATCH (n:Nation)
+         RETURN n.name AS name,
+                toString([(c:Customer)-[:FROM_NATION]->(n)
+                          WHERE toFloat(c.acctbal) >= 9900.0 | c.name])
+                  AS rich,
+                size([(c:Customer)-[:FROM_NATION]->(n)
+                      WHERE toFloat(c.acctbal) >= 9900.0 | c.name])
+                  AS n_rich
+         ORDER BY name"""),
+    Some("""SELECT n_name AS name,
+        COALESCE(CAST(to_json(list_sort(
+          list(c_name) FILTER (WHERE c_name IS NOT NULL))) AS VARCHAR),
+          '[]') AS rich,
+        CAST(COUNT(c_name) AS BIGINT) AS n_rich
+      FROM nation LEFT JOIN customer
+        ON c_nationkey = n_nationkey
+       AND CAST(c_acctbal AS DOUBLE) >= 9900.0
+      GROUP BY n_name ORDER BY name"""))
+
   val all: Map[String, Q] = Map(
     "cy_expr_suite" -> cy_expr_suite,
+    "cy_pattern_comp" -> cy_pattern_comp,
   )
 }

@@ -192,6 +192,17 @@ object CypherAst {
     * quantifiers; `forall`/`exists`/negation/filtered-size-1. */
   final case class Quant(kind: String, v: String, list: Expr,
                          pred: Expr) extends Expr
+  /** `[(a)-[:R]->(b) WHERE pred | proj]` — openCypher PATTERN
+    * comprehension: per row, the list of `proj` over the pattern's
+    * matches anchored at the row's bound node variable(s). Valid in
+    * RETURN/WITH items (it compiles to a grouped subquery joined
+    * onto the row frame, not to a scalar Column — see
+    * CypherCompiler.liftPatComps). The collected list is in
+    * CANONICAL ascending order (sort_array): openCypher leaves the
+    * order unspecified, and a deterministic order is what an oracle
+    * can pin. */
+  final case class PatComp(path: PathPat, where: Option[Expr],
+                           proj: Expr) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr

@@ -104,7 +104,8 @@ object CypherCompiler {
     * edge-variable hops exist per MATCH part (for trail semantics).
     * `private[cypher]`: the write compiler ([[CypherWrite]]) binds its
     * UNWIND/MATCH prefix through the same machinery. */
-  private[cypher] final class St(g: PropertyGraph, val params: Map[String, Any]) {
+  private[cypher] final class St(val g: PropertyGraph,
+                                 val params: Map[String, Any]) {
     var frame: Option[DataFrame] = None
     val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
     val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -426,9 +427,13 @@ object CypherCompiler {
     * scope, which is openCypher's WITH semantics. The trailing WHERE
     * filters the projection (the HAVING position when aggregating).
     */
-  private def applyWith(st: St, w: WithClause): Unit = {
-    val df = st.frame.getOrElse(
+  private def applyWith(st: St, w0: WithClause): Unit = {
+    val df0 = st.frame.getOrElse(
       throw new IllegalArgumentException("WITH before any MATCH bound rows"))
+    // pattern comprehensions join their collected lists on first
+    // (round 15) — the projection then reads them as value columns
+    val (df, witems) = liftItems(st, df0, w0.items)
+    val w = w0.copy(items = witems)
     val hasAgg = w.items.exists(isAggItem)
     // bare node variables pass through as nodes: WITH c AS x rebinds
     final case class NodeItem(v: String, alias: String)
@@ -843,6 +848,7 @@ object CypherCompiler {
     case And(l, r) => freeVars(l) ++ freeVars(r)
     case Or(l, r) => freeVars(l) ++ freeVars(r)
     case Not(x) => freeVars(x)
+    case PatComp(path, _, _) => path.nodes.map(_.name).toSet
     // lambda forms: the bound variable is NOT free in the body
     case ListComp(v, l, w, proj) =>
       freeVars(l) ++
@@ -922,8 +928,89 @@ object CypherCompiler {
     case StrFn("split" | "range", _) => true
     case ListLit(_) => true
     case ListComp(_, _, _, _) => true
+    case PatComp(_, _, _) => true
     case Var(v) => st.arrayVars.contains(v)
     case _ => false
+  }
+
+  /** Lift pattern comprehensions out of a projection item (round 15):
+    * each `[(a)-[:R]->(b) WHERE p | e]` compiles ONCE into a grouped
+    * subframe — the pattern matched STANDALONE in a child state (its
+    * variables never leak), filtered by the WHERE, the projection
+    * collected per anchor id (`sort_array(collect_list(…))` — a
+    * canonical order, since openCypher leaves it unspecified) — then
+    * LEFT-joins onto the row frame on the anchor ids, null-coalesced
+    * to the empty list (the no-matches contract). The rewritten item
+    * references the hidden collected column through a Var, so
+    * comprehensions compose inside larger expressions
+    * (`size([…])`, `toString([…])`). The WHERE may reference the
+    * pattern's own variables (outer-row correlation beyond the
+    * anchors fails loudly as unbound). */
+  private def liftPatComps(st: St, df0: DataFrame, e0: Expr)
+      : (DataFrame, Expr) = {
+    var df = df0
+    def lift(e: Expr): Expr = e match {
+      case PatComp(path, where, proj) =>
+        val anchors =
+          path.nodes.map(_.name).filter(st.nodes.contains).distinct
+        if (anchors.isEmpty) throw new IllegalArgumentException(
+          "a pattern comprehension must anchor at a bound node variable")
+        val stc = newState(st.g, st.params)
+        val (pf, bound) =
+          compilePart(stc, MatchPart(Seq(path), optional = false, None))
+        stc.nodes ++= bound
+        stc.frame = Some(pf)
+        val filtered = where.fold(pf)(w => applyPredicate(stc, pf, w))
+        stc.frame = Some(filtered)
+        val alias = s"  pc${st.valueCols.size}"
+        val cn = s"$alias __val"
+        val keys = anchors.map(v => s"$v __id")
+        val grouped = filtered.groupBy(keys.map(col): _*)
+          .agg(sort_array(collect_list(exprCol(stc, proj))).as(cn))
+        df = df.join(grouped, keys, "left_outer")
+          .withColumn(cn, coalesce(col(cn), array()))
+        st.valueCols += alias -> cn
+        st.arrayVars += alias
+        Var(alias)
+      case ToInt(x) => ToInt(lift(x))
+      case ToFloat(x) => ToFloat(lift(x))
+      case Coalesce(es) => Coalesce(es.map(lift))
+      case StrFn(n, args) => StrFn(n, args.map(lift))
+      case CaseWhen(bs, o) =>
+        CaseWhen(bs.map { case (c, v) => (lift(c), lift(v)) }, o.map(lift))
+      case AggFn(n, d, a, x) => AggFn(n, d, a.map(lift), x.map(lift))
+      case Cmp(op, l, r) => Cmp(op, lift(l), lift(r))
+      case Arith(op, l, r) => Arith(op, lift(l), lift(r))
+      case IsNull(x, n) => IsNull(lift(x), n)
+      case StrPred(op, l, r) => StrPred(op, lift(l), lift(r))
+      case And(l, r) => And(lift(l), lift(r))
+      case Or(l, r) => Or(lift(l), lift(r))
+      case Not(x) => Not(lift(x))
+      case ListComp(v, l, w, proj) =>
+        ListComp(v, lift(l), w.map(lift), proj.map(lift))
+      case Reduce(acc, init, v, l, body) =>
+        Reduce(acc, lift(init), v, lift(l), lift(body))
+      case Quant(k, v, l, pred) => Quant(k, v, lift(l), lift(pred))
+      case other => other
+    }
+    val lifted = lift(e0)
+    (df, lifted)
+  }
+
+  /** [[liftPatComps]] over a projection item list (RETURN/WITH). */
+  private def liftItems(st: St, df0: DataFrame, items: Seq[Item])
+      : (DataFrame, Seq[Item]) = {
+    var df = df0
+    val out = items.map { it =>
+      it.expr match {
+        case Some(e) =>
+          val (d2, e2) = liftPatComps(st, df, e)
+          df = d2
+          it.copy(expr = Some(e2))
+        case None => it
+      }
+    }
+    (df, out)
   }
 
   /** Bind a lambda variable for the duration of `body`'s compile —
@@ -1124,6 +1211,9 @@ object CypherCompiler {
         case "none" => !exists(base, lam _)
         case "single" => size(filter(base, lam _)) === lit(1)
       }
+    case PatComp(_, _, _) => throw new IllegalArgumentException(
+      "pattern comprehensions are supported in RETURN/WITH items " +
+      "(they compile to a grouped subquery, not a scalar expression)")
     case CaseWhen(branches, otherwise) =>
       val first = when(exprCol(st, branches.head._1),
         exprCol(st, branches.head._2))
@@ -1217,7 +1307,11 @@ object CypherCompiler {
   }
 
   // ---- RETURN -------------------------------------------------------
-  private def returnClause(st: St, df: DataFrame, r: Return): DataFrame = {
+  private def returnClause(st: St, df0: DataFrame, r0: Return): DataFrame = {
+    // pattern comprehensions join their collected lists on first
+    // (round 15) — every later path reads them as value columns
+    val (df, items1) = liftItems(st, df0, r0.items)
+    val r = r0.copy(items = items1)
     val hasAgg = r.items.exists(isAggItem)
     val aliasSet = r.items.map(_.alias).toSet
     // a bare identifier in ORDER BY resolves against the RETURN item

@@ -940,6 +940,16 @@ object CypherParser {
       // `[x IN list WHERE pred | proj]` — list comprehension (round
       // 15) — or a plain literal list in expression position
       p.eatOp("[")
+      if (p.atOp("(")) {
+        // `[(a)-[:R]->(b) WHERE pred | proj]` — pattern comprehension
+        val path = pathPat(p)
+        val w = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+                else None
+        p.eatOp("|")
+        val proj = addExpr(p)
+        p.eatOp("]")
+        return PatComp(path, w, proj)
+      }
       if (p.peek.kind == "ident" && p.peek2.kind == "ident" &&
           p.peek2.s.equalsIgnoreCase("in")) {
         val v = p.ident()

@@ -915,6 +915,37 @@ class CypherSpec extends AnyFunSuite {
     assert(n.getSeq[Long](0) == Seq(31L, 32L))
   }
 
+  test("pattern comprehensions: RETURN, WHERE, empty list, WITH, nesting") {
+    val r = g.cypher(
+      """MATCH (p:Person)
+         RETURN p.name AS name,
+                [(p)-[:KNOWS]->(q) | q.name] AS knows,
+                [(p)-[r:LIKES]->(f) WHERE toInteger(r.stars) >= 5 | f.name]
+                  AS faves,
+                size([(p)-[:LIKES]->(f2) | f2.name]) AS n_likes
+         ORDER BY name""").collect()
+    val rows = r.map(x => (x.getString(0), x.getSeq[String](1).toList,
+      x.getSeq[String](2).toList, x.getLong(3)))
+    assert(rows.toList == List(
+      ("ann", List("bob"), List("fig"), 1L),
+      ("bob", List("cat"), Nil, 1L),
+      ("cat", List("ann"), Nil, 0L),
+      ("dan", Nil, Nil, 0L)))
+    // WITH position: the comprehension projects through the pipeline
+    val w = g.cypher(
+      """MATCH (p:Person)
+         WITH p.name AS name, [(p)-[:KNOWS]->(q) | q.name] AS ks
+         WHERE size(ks) > 0
+         RETURN name, toString(ks) AS ks_json ORDER BY name""").collect()
+    assert(w.map(x => (x.getString(0), x.getString(1))).toList == List(
+      ("ann", """["bob"]"""), ("bob", """["cat"]"""),
+      ("cat", """["ann"]""")))
+    // unanchored comprehension fails loudly
+    val e = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person) RETURN [(a)-[:KNOWS]->(b) | b.name] AS x"))
+    assert(e.getMessage.contains("anchor"), e.getMessage)
+  }
+
   test("scalar tail: sqrt/floor/ceil/sign/left/right/reverse/trim/toBoolean") {
     val r = g.cypher(
       """MATCH (p:Person {name: 'ann'})
