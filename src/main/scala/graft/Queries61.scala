@@ -86,8 +86,27 @@ object Queries61 {
        AND CAST(c_acctbal AS DOUBLE) >= 9900.0
       GROUP BY n_name ORDER BY name"""))
 
+  /** Neo4j-5 brace subqueries: `EXISTS { … WHERE … }` as a WHERE
+    * conjunct (filtered semi join — the inner predicate applies to
+    * the pattern rows BEFORE the join) and `COUNT { … }` in RETURN
+    * (sugar for the size of a 1-projecting pattern comprehension). */
+  val cy_subquery_exists = Q(
+    (s, dir) => Queries54.stagedDemo(s, dir).cypher(
+      """MATCH (n:Nation)
+         WHERE EXISTS { (c:Customer)-[:FROM_NATION]->(n)
+                        WHERE toFloat(c.acctbal) >= 9900.0 }
+         RETURN n.name AS name,
+                COUNT { (c2:Customer)-[:FROM_NATION]->(n)
+                        WHERE toFloat(c2.acctbal) >= 9900.0 } AS n_rich
+         ORDER BY name"""),
+    Some("""SELECT n_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rich
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE CAST(c_acctbal AS DOUBLE) >= 9900.0
+      GROUP BY 1 ORDER BY name"""))
+
   val all: Map[String, Q] = Map(
     "cy_expr_suite" -> cy_expr_suite,
     "cy_pattern_comp" -> cy_pattern_comp,
+    "cy_subquery_exists" -> cy_subquery_exists,
   )
 }

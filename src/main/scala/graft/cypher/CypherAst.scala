@@ -168,7 +168,11 @@ object CypherAst {
     * semi-join (anti under NOT), the Cypher spelling of the
     * reference's existence guards (J6). Valid only as a WHERE
     * conjunct. */
-  final case class ExistsPat(path: PathPat) extends Expr
+  /** `where` (round 15) carries the inner predicate of the Neo4j-5
+    * brace form `EXISTS { (a)-[:R]->(b) WHERE pred }` — applied to
+    * the pattern's rows BEFORE the semi/anti join. */
+  final case class ExistsPat(path: PathPat,
+                             where: Option[Expr] = None) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
   /** `+ - * / %` with the usual precedence (mul over add). */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr

@@ -833,7 +833,7 @@ object CypherCompiler {
     case TypeOf(v) => Set(v)
     case Keys(v) => Set(v)
     case PropsOf(v) => Set(v)
-    case ExistsPat(path) => path.nodes.map(_.name).toSet
+    case ExistsPat(path, _) => path.nodes.map(_.name).toSet
     case CaseWhen(bs, o) =>
       bs.flatMap { case (c, v) => freeVars(c) ++ freeVars(v) }.toSet ++
         o.map(freeVars).getOrElse(Set.empty)
@@ -1261,7 +1261,7 @@ object CypherCompiler {
     case And(l, r) => exprCol(st, l) && exprCol(st, r)
     case Or(l, r) => exprCol(st, l) || exprCol(st, r)
     case Not(x) => !exprCol(st, x)
-    case ExistsPat(_) => throw new IllegalArgumentException(
+    case ExistsPat(_, _) => throw new IllegalArgumentException(
       "exists(pattern) is supported as a top-level WHERE conjunct " +
       "(optionally under NOT) — not inside OR / expressions")
   }
@@ -1274,8 +1274,9 @@ object CypherCompiler {
   private def applyPredicate(st: St, df: DataFrame, e: Expr): DataFrame =
     e match {
       case And(l, r) => applyPredicate(st, applyPredicate(st, df, l), r)
-      case ExistsPat(path) => existsJoin(st, df, path, anti = false)
-      case Not(ExistsPat(path)) => existsJoin(st, df, path, anti = true)
+      case ExistsPat(path, w) => existsJoin(st, df, path, w, anti = false)
+      case Not(ExistsPat(path, w)) =>
+        existsJoin(st, df, path, w, anti = true)
       case other => df.filter(exprCol(st, other))
     }
 
@@ -1284,7 +1285,7 @@ object CypherCompiler {
     * quantified away by projecting the shared keys), then joins the
     * frame on the shared variables' ids. */
   private def existsJoin(st: St, df: DataFrame, path: PathPat,
-                         anti: Boolean): DataFrame = {
+                         where: Option[Expr], anti: Boolean): DataFrame = {
     val snapshot = st.nodes.toSet
     // exists() variables are LOCAL to the predicate: compilePart adds
     // the pattern's edge/path names to the compile state, and leaving
@@ -1294,7 +1295,18 @@ object CypherCompiler {
     // error). Snapshot and restore around the call.
     val edgeSnap = st.edgeVars.toSeq
     val pathSnap = st.pathVars.toSeq
-    val (pf, bound) = compilePart(st, MatchPart(Seq(path), optional = false))
+    val (pf0, bound) = compilePart(st, MatchPart(Seq(path), optional = false))
+    // the brace form's inner WHERE (`EXISTS { … WHERE p }`, round 15)
+    // filters the pattern rows BEFORE the join, compiled while the
+    // pattern's variables are in scope; it may reference the
+    // pattern's own variables (shared ones included)
+    val pf = where.fold(pf0) { w =>
+      val added = bound.filterNot(snapshot.contains)
+      st.nodes ++= added
+      val f = pf0.filter(exprCol(st, w))
+      st.nodes --= added
+      f
+    }
     st.edgeVars.clear(); st.edgeVars ++= edgeSnap
     st.pathVars.clear(); st.pathVars ++= pathSnap
     val shared = bound.filter(snapshot.contains)

@@ -970,6 +970,23 @@ object CypherParser {
       p.eatOp("]")
       return ListLit(vals.result())
     }
+    // Neo4j-5 brace subqueries: `EXISTS { [MATCH] pattern [WHERE p] }`
+    // (semi/anti join in WHERE position) and `COUNT { … }` (sugar for
+    // the size of a 1-projecting pattern comprehension — valid where
+    // pattern comprehensions are: RETURN/WITH items)
+    if (p.peek.kind == "ident" && p.peek2.kind == "op" &&
+        p.peek2.s == "{" &&
+        Set("exists", "count")(p.peek.s.toLowerCase)) {
+      val kind = p.ident().toLowerCase
+      p.eatOp("{")
+      if (p.atKw("match")) p.eatKw("match")
+      val path = pathPat(p)
+      val w = if (p.atKw("where")) { p.eatKw("where"); Some(orExpr(p)) }
+              else None
+      p.eatOp("}")
+      return if (kind == "exists") ExistsPat(path, w)
+             else StrFn("size", Seq(PatComp(path, w, Lit(1L))))
+    }
     if (p.atOp("(")) { p.eatOp("("); val e = orExpr(p); p.eatOp(")"); e }
     else if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "(") {
       val fname = p.ident().toLowerCase

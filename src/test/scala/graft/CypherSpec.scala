@@ -946,6 +946,30 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("anchor"), e.getMessage)
   }
 
+  test("EXISTS { } / COUNT { } brace subqueries") {
+    // EXISTS with an inner WHERE: the filter applies to the pattern
+    // rows BEFORE the semi join
+    val r = g.cypher(
+      """MATCH (p:Person)
+         WHERE EXISTS { (p)-[r:LIKES]->(f) WHERE toInteger(r.stars) >= 5 }
+         RETURN p.name AS name""").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("ann"))
+    // NOT EXISTS { MATCH … } — the anti join; full MATCH form
+    val n = g.cypher(
+      """MATCH (p:Person)
+         WHERE NOT EXISTS { MATCH (p)-[:KNOWS]->(q) }
+         RETURN p.name AS name""").collect().map(_.getString(0))
+    assert(n.toSeq == Seq("dan"))
+    // COUNT { … } in RETURN: sugar for size of a pattern comprehension
+    val c = g.cypher(
+      """MATCH (p:Person)
+         RETURN p.name AS name, COUNT { (p)-[:LIKES]->(f) } AS likes
+         ORDER BY name""").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(c.toList == List(
+      ("ann", 1L), ("bob", 1L), ("cat", 0L), ("dan", 0L)))
+  }
+
   test("scalar tail: sqrt/floor/ceil/sign/left/right/reverse/trim/toBoolean") {
     val r = g.cypher(
       """MATCH (p:Person {name: 'ann'})
