@@ -94,10 +94,16 @@ object Bench {
     // (cy_var_open 0.85x of median isolated with a 7x first-touch
     // multiple — the converging expansion's sequential per-level jobs
     // all pay cold codegen; a_rfm_segments 3.3x cold multiple).
+    // …and the round-15 session-2 expression-surface entries: their
+    // warm medians are sub-second but first touch pays staged-demo
+    // setup + the higher-order-function / grouped-subquery codegen
+    // (isolated cold multiples 10-16x, BASELINE.md r15s2)
     Seq("a10_running_idx", "dd_minhash_lsh", "g_shortest_path",
         "txt_bigram_topk", "txt_lm_score",
         "g_random_walk", "pipeline_graph_embed", "pipeline_dpo_pairs",
-        "lake_zonemap_overlap", "cy_var_open", "a_rfm_segments")
+        "lake_zonemap_overlap", "cy_var_open", "a_rfm_segments",
+        "cy_expr_suite", "cy_pattern_comp", "cy_subquery_exists",
+        "cy_map_projection")
       .foreach { n =>
       SparkEntry.benchQueries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -104,9 +104,26 @@ object Queries61 {
       WHERE CAST(c_acctbal AS DOUBLE) >= 9900.0
       GROUP BY 1 ORDER BY name"""))
 
+  /** Map projection `n {.k, alias: expr}` — the per-row shaped-map
+    * idiom; values are strings (the engine's prop model), the map
+    * ships as canonical JSON in ITEM order (both engines preserve
+    * construction order). */
+  val cy_map_projection = Q(
+    (s, dir) => Queries54.stagedDemo(s, dir).cypher(
+      """MATCH (n:Nation)
+         RETURN n.name AS name,
+                toString(n {.name, key: toInteger(last(split(id(n), ':')))})
+                  AS proj
+         ORDER BY name"""),
+    Some("""SELECT n_name AS name,
+        CAST(json_object('name', n_name,
+          'key', CAST(n_nationkey AS VARCHAR)) AS VARCHAR) AS proj
+      FROM nation ORDER BY name"""))
+
   val all: Map[String, Q] = Map(
     "cy_expr_suite" -> cy_expr_suite,
     "cy_pattern_comp" -> cy_pattern_comp,
     "cy_subquery_exists" -> cy_subquery_exists,
+    "cy_map_projection" -> cy_map_projection,
   )
 }

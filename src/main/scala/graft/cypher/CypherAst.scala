@@ -207,6 +207,15 @@ object CypherAst {
     * can pin. */
   final case class PatComp(path: PathPat, where: Option[Expr],
                            proj: Expr) extends Expr
+  /** `v {.k1, alias: expr, .*}` — openCypher MAP PROJECTION over a
+    * bound node/edge variable. `items`: `(k, None)` for a `.k`
+    * property pick, `(alias, Some(expr))` for a computed entry;
+    * `star` = `.*` includes the variable's whole props map (explicit
+    * entries override). Values land as STRINGS — the engine's prop
+    * model is map<string,string> and Spark maps are homogeneous
+    * (documented deviation from openCypher's heterogeneous maps). */
+  final case class MapProj(v: String, items: Seq[(String, Option[Expr])],
+                           star: Boolean) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr

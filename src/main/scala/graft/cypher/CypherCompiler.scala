@@ -473,12 +473,18 @@ object CypherCompiler {
       case it if it.agg.contains("collect") => it.alias
       case it if it.agg.isEmpty && it.expr.exists(yieldsList(st, _)) => it.alias
     }.toSet
+    // map-typed aliases (map projections, properties(v) passthroughs)
+    // — `m.k` after the WITH compiles to map access (round 15)
+    val mapAliases = valueItems.collect {
+      case it if it.agg.isEmpty && it.expr.exists(yieldsMap(st, _)) => it.alias
+    }.toSet
     // new scope BEFORE the trailing WHERE — it sees the projection
     st.nodes.clear(); st.nodes ++= nodeItems.map(_.alias)
     st.edgeVars.clear()
     st.pathVars.clear()
     st.valueCols.clear()
     st.arrayVars.clear(); st.arrayVars ++= listAliases
+    st.mapVars ++= mapAliases
     valueItems.foreach(it => st.valueCols += it.alias -> s"${it.alias} __val")
     def orderCol(o: OrderItem): Column = {
       // the projection kept every scope column (node triples + value
@@ -566,6 +572,8 @@ object CypherCompiler {
     case Reduce(_, init, _, l, body) =>
       containsAgg(init) || containsAgg(l) || containsAgg(body)
     case Quant(_, _, l, pred) => containsAgg(l) || containsAgg(pred)
+    case MapProj(_, items, _) =>
+      items.exists(_._2.exists(containsAgg))
     case _ => false
   }
 
@@ -849,6 +857,8 @@ object CypherCompiler {
     case Or(l, r) => freeVars(l) ++ freeVars(r)
     case Not(x) => freeVars(x)
     case PatComp(path, _, _) => path.nodes.map(_.name).toSet
+    case MapProj(v, items, _) =>
+      Set(v) ++ items.flatMap(_._2.toSeq).flatMap(freeVars)
     // lambda forms: the bound variable is NOT free in the body
     case ListComp(v, l, w, proj) =>
       freeVars(l) ++
@@ -991,6 +1001,8 @@ object CypherCompiler {
       case Reduce(acc, init, v, l, body) =>
         Reduce(acc, lift(init), v, lift(l), lift(body))
       case Quant(k, v, l, pred) => Quant(k, v, lift(l), lift(pred))
+      case MapProj(v, items, s) =>
+        MapProj(v, items.map { case (k, oe) => (k, oe.map(lift)) }, s)
       case other => other
     }
     val lifted = lift(e0)
@@ -1034,6 +1046,7 @@ object CypherCompiler {
   private def yieldsMap(st: St, e: Expr): Boolean = e match {
     case PropsOf(v) =>
       if (st.edgeVars.contains(v)) st.edgePropsIsMap else st.vertexPropsIsMap
+    case MapProj(_, _, _) => true
     case _ => false
   }
 
@@ -1214,6 +1227,36 @@ object CypherCompiler {
     case PatComp(_, _, _) => throw new IllegalArgumentException(
       "pattern comprehensions are supported in RETURN/WITH items " +
       "(they compile to a grouped subquery, not a scalar expression)")
+    case MapProj(v, items, star) =>
+      if (items.isEmpty && !star) throw new IllegalArgumentException(
+        s"empty map projection $v {}")
+      val (base, isMap) =
+        if (st.nodes.contains(v)) (propsCol(v), st.vertexPropsIsMap)
+        else if (st.edgeVars.contains(v)) {
+          if (!st.edgeHasProps) throw new IllegalArgumentException(
+            s"map projection on $v: the edge table has no props column")
+          (col(s"$v __eprops"), st.edgePropsIsMap)
+        } else throw new IllegalArgumentException(s"unbound variable $v")
+      // values cast to STRING: the engine's prop model (Spark maps
+      // are homogeneous; openCypher's heterogeneous maps are not
+      // representable — documented on the AST node)
+      val explicit = items.flatMap {
+        case (k, None) =>
+          Seq(lit(k), st.propGet(base, isMap, k).cast("string"))
+        case (a, Some(e)) => Seq(lit(a), exprCol(st, e).cast("string"))
+      }
+      if (!star) map(explicit: _*)
+      else {
+        if (!isMap) throw new IllegalArgumentException(
+          "`.*` map projection requires the structured (map-typed) " +
+          "props layout")
+        if (explicit.isEmpty) base
+        else map_concat(
+          // explicit entries OVERRIDE the star's copies
+          map_filter(base,
+            (k, _) => !k.isInCollection(items.map(_._1))),
+          map(explicit: _*))
+      }
     case CaseWhen(branches, otherwise) =>
       val first = when(exprCol(st, branches.head._1),
         exprCol(st, branches.head._2))

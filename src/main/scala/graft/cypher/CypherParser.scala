@@ -914,13 +914,17 @@ object CypherParser {
     es.result()
   }
 
-  /** `CASE WHEN c THEN v … [ELSE d] END` (the searched form — the
-    * simple `CASE e WHEN …` form rewrites to it client-side). */
+  /** `CASE WHEN c THEN v … [ELSE d] END` (the searched form) and the
+    * simple form `CASE subject WHEN v THEN r … [ELSE d] END`, which
+    * desugars to equality branches at parse time (round 15). */
   private def caseExpr(p: P): Expr = {
+    val subject: Option[Expr] =
+      if (p.atKw("when")) None else Some(addExpr(p))
     val branches = Vector.newBuilder[(Expr, Expr)]
     while (p.atKw("when")) {
       p.eatKw("when")
-      val c = orExpr(p)
+      val c0 = orExpr(p)
+      val c = subject.fold(c0)(s => Cmp("=", s, c0))
       p.eatKw("then")
       branches += ((c, addExpr(p)))
     }
@@ -1077,6 +1081,28 @@ object CypherParser {
                !Set("true", "false", "null").contains(p.peek.s.toLowerCase)) {
       val v = p.ident()
       if (p.atOp(".")) { p.eatOp("."); Prop(v, p.ident()) }
+      else if (p.atOp("{")) {
+        // map projection `v {.k, alias: expr, .*}` (round 15)
+        p.eatOp("{")
+        val items = Vector.newBuilder[(String, Option[Expr])]
+        var star = false
+        def one(): Unit =
+          if (p.atOp(".")) {
+            p.eatOp(".")
+            if (p.atOp("*")) { p.eatOp("*"); star = true }
+            else items += ((p.ident(), None))
+          } else {
+            val a = p.ident()
+            p.eatOp(":")
+            items += ((a, Some(addExpr(p))))
+          }
+        if (!p.atOp("}")) {
+          one()
+          while (p.atOp(",")) { p.eatOp(","); one() }
+        }
+        p.eatOp("}")
+        MapProj(v, items.result(), star)
+      }
       else Var(v)
     } else literal(p)
   }

@@ -946,6 +946,55 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("anchor"), e.getMessage)
   }
 
+  test("map projections: picks, computed entries, star, WITH passthrough") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN toString(p {.name, .age, upper: toUpper(p.name)}) AS m""")
+      .collect().head.getString(0)
+    assert(r == """{"name":"ann","age":"30","upper":"ANN"}""")
+    // through WITH: the alias is map-typed, `.k` access works after
+    val w = g.cypher(
+      """MATCH (p:Person {name: 'bob'})
+         WITH p {.name} AS m
+         RETURN m.name AS n""").collect().head.getString(0)
+    assert(w == "bob")
+    // `.*` needs the structured layout — loud on the JSON demo graph
+    val e = intercept[IllegalArgumentException](g.cypher(
+      "MATCH (p:Person) RETURN p {.*} AS m"))
+    assert(e.getMessage.contains("map-typed"), e.getMessage)
+    // `.*` on a map-layout graph; explicit entries override the copy
+    val mv = Seq(("N:1", "N", Map("a" -> "1", "b" -> "2")))
+      .toDF("id", "label", "props")
+    val me = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
+    val s = PropertyGraph(mv, me)
+      .cypher("MATCH (x:N) RETURN toString(x {.*, b: 'X'}) AS m")
+      .collect().head.getString(0)
+    assert(s == """{"a":"1","b":"X"}""")
+  }
+
+  test("pattern comprehension plan: anchor equi-join, never a nested loop") {
+    val q = g.cypher(
+      """MATCH (p:Person)
+         RETURN p.name AS name, [(p)-[:KNOWS]->(x) | x.name] AS ks""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      "pattern comprehension should join on the anchor ids:\n" + plan)
+  }
+
+  test("simple CASE form desugars to equality branches") {
+    val r = g.cypher(
+      """MATCH (p:Person)
+         RETURN p.name AS name,
+                CASE p.name WHEN 'ann' THEN 'first'
+                            WHEN 'bob' THEN 'second'
+                            ELSE 'other' END AS pos
+         ORDER BY name""").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r.toList == List(("ann", "first"), ("bob", "second"),
+      ("cat", "other"), ("dan", "other")))
+  }
+
   test("EXISTS { } / COUNT { } brace subqueries") {
     // EXISTS with an inner WHERE: the filter applies to the pattern
     // rows BEFORE the semi join
