@@ -1275,8 +1275,24 @@ object CypherCompiler {
         case ">=" => a >= b
       }
     case Arith(op, l, r) =>
+      // Cypher `+` CONCATENATES strings. The engine's props are typed
+      // by use (string storage, numeric via coercion), so `+` stays
+      // numeric UNLESS a side is statically a string — a string
+      // literal or a string-producing builtin — which is exactly the
+      // consumer idiom (`'Mr ' + n.name`). Numeric-prop addition
+      // (`n.a + n.b`) keeps its coercion semantics.
+      def stringy(e: Expr): Boolean = e match {
+        case Lit(_: String) => true
+        case StrFn("tostring" | "tolower" | "toupper" | "trim" |
+                   "ltrim" | "rtrim" | "replace" | "substring" |
+                   "reverse" | "left" | "right", _) => true
+        case Arith("+", a0, b0) => stringy(a0) || stringy(b0)
+        case _ => false
+      }
       val (a, b) = (exprCol(st, l), exprCol(st, r))
       op match {
+        case "+" if stringy(l) || stringy(r) =>
+          concat(a.cast("string"), b.cast("string"))
         case "+" => a + b
         case "-" => a - b
         case "*" => a * b

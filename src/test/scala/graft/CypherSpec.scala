@@ -982,6 +982,19 @@ class CypherSpec extends AnyFunSuite {
       "pattern comprehension should join on the anchor ids:\n" + plan)
   }
 
+  test("string + concatenates when a side is statically a string") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN 'Mr ' + p.name AS greet,
+                p.name + '!' AS bang,
+                'a' + 'b' + p.name AS chain,
+                toInteger(p.age) + 1 AS next_age""").collect().head
+    assert(r.getString(0) == "Mr ann")
+    assert(r.getString(1) == "ann!")
+    assert(r.getString(2) == "abann")
+    assert(r.getLong(3) == 31L) // numeric + untouched
+  }
+
   test("simple CASE form desugars to equality branches") {
     val r = g.cypher(
       """MATCH (p:Person)
