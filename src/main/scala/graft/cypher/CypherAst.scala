@@ -89,9 +89,19 @@ object CypherAst {
   /** A linear pattern `n0 e0 n1 e1 n2 …`. `shortest` = Some(pathVar)
     * for `p = shortestPath((a)-[:R*m..n]->(b))` — exactly one
     * var-length edge, and the pattern yields ONE row per (a, b) pair
-    * at the minimum path length (readable via `length(p)`). */
+    * at the minimum path length (readable via `length(p)`).
+    * `pathVar` = Some(p) for the GENERAL binding `p = (a)-[…]->(b)`
+    * (round 16): the pattern yields one row per path (trail
+    * semantics, like any MATCH), and the binding is readable via
+    * `nodes(p)` (node-id list along the traversal), `relationships(p)`
+    * (canonical `src-[REL]->dst` triple text per hop — the engine's
+    * render of a relationship value; Neo4j returns relationship
+    * OBJECTS, and the stored-orientation text is the deterministic
+    * engine spelling, same contract as bare-var → id resolution) and
+    * `length(p)` (hop count). Mutually exclusive with `shortest`. */
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
-                           shortest: Option[String] = None)
+                           shortest: Option[String] = None,
+                           pathVar: Option[String] = None)
 
   /** One MATCH clause (possibly OPTIONAL) holding 1+ comma patterns,
     * with ITS OWN trailing WHERE — openCypher attaches WHERE to the
@@ -112,8 +122,21 @@ object CypherAst {
   final case class LabelOf(v: String) extends Expr
   /** Bare `v` in RETURN/count — resolves to `id(v)`. */
   final case class Var(v: String) extends Expr
-  /** `length(p)` — hop count of a shortestPath binding. */
+  /** `length(p)` — hop count of a path binding (shortestPath or a
+    * general `p = (a)-[…]->(b)` binding). */
   final case class PathLen(v: String) extends Expr
+  /** `nodes(p)` — the node-id list along a general path binding's
+    * traversal, start to end (intermediate var-length nodes
+    * included). Ids, not node objects: the engine's bare-var
+    * resolution contract. */
+  final case class PathNodes(v: String) extends Expr
+  /** `relationships(p)` — one canonical `src-[REL]->dst` triple text
+    * per hop of a general path binding, in traversal order. The
+    * STORED orientation is rendered (the triple is the edge's
+    * identity), regardless of the arrow direction the pattern
+    * traversed — deterministic, and joinable back to the edge
+    * table. */
+  final case class PathRels(v: String) extends Expr
   final case class Lit(value: Any) extends Expr // String|Long|Double|Boolean|null
   /** `$name` — a query parameter, resolved at compile time from the
     * params map (the reference parameterizes every statement it
@@ -139,6 +162,28 @@ object CypherAst {
     * time) — making the reference's verbatim projector statements
     * executable against the engine's servers. */
   final case class TemporalFn(kind: String, e: Expr) extends Expr
+  /** `duration.between(a, b)` — Neo4j temporal arithmetic (round 16;
+    * the reference precomputes IrrigationEvent.duration_min in
+    * Python, app/graph_irrigation_event.py:296-332 — this is the
+    * engine-side equivalent over its string-typed temporal props).
+    * Arguments are ISO date / datetime strings (the engine's
+    * temporal prop contract) or timestamps; the value is a COMPONENT
+    * MAP `{days, hours, minutes, seconds, totalSeconds}` — the
+    * normalized breakdown of the signed whole-second interval a→b
+    * (days = total/86400, hours/minutes/seconds the remainder
+    * breakdown, every component long-typed). Documented deviation:
+    * Neo4j's duration carries a months component and nanoseconds;
+    * the engine's instance is the day/time normalization consumers
+    * actually read (`d.minutes`, `d.days`), with `totalSeconds` as
+    * the exact total. Accessors compile through the ordinary
+    * map-access path (`d.days` after `WITH … AS d`, or directly on
+    * the call). */
+  final case class DurBetween(a: Expr, b: Expr) extends Expr
+  /** `duration({days: 1, hours: 2, …})` — duration constructor from
+    * a component map (literals/params; weeks/days/hours/minutes/
+    * seconds accepted), normalized to the same component-map shape
+    * as [[DurBetween]]. */
+  final case class DurMake(items: Map[String, Expr]) extends Expr
   /** `labels(v)` — openCypher's list form (the engine's graphs are
     * single-label by construction, so this is a 1-element list;
     * scalar `label(v)` remains the ergonomic form). */

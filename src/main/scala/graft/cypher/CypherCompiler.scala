@@ -123,8 +123,16 @@ object CypherCompiler {
       * maps — the batch-write row variable): `row.k` compiles to map
       * access instead of an unbound-variable error. */
     val mapVars = scala.collection.mutable.Set.empty[String]
-    /** shortestPath bindings: path var → its length column. */
+    /** Path bindings (shortestPath AND general `p = (…)`): path var
+      * → its length column. */
     val pathVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** GENERAL path bindings only (round 16): path var → its
+      * (node-id list column, relationship-text list column) —
+      * nodes(p)/relationships(p) project these; shortestPath
+      * bindings collapse paths to min length per endpoint pair, so
+      * they appear in [[pathVars]] only. */
+    val pathListCols =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
     val edgeHasProps: Boolean = g.edges.columns.contains("props")
     // endpoint/rel column types, for null-padding var-length chain
     // hop columns to a uniform union schema
@@ -482,9 +490,16 @@ object CypherCompiler {
     st.nodes.clear(); st.nodes ++= nodeItems.map(_.alias)
     st.edgeVars.clear()
     st.pathVars.clear()
+    st.pathListCols.clear()
     st.valueCols.clear()
     st.arrayVars.clear(); st.arrayVars ++= listAliases
-    st.mapVars ++= mapAliases
+    // full scope reset for map-typed aliases too (round 16): a
+    // stale entry from an earlier scope would make a REBOUND name
+    // compile `v.k` as map access on the wrong column. mapAliases
+    // was resolved against the OLD scope above, so surviving
+    // re-projections (`WITH row` — Var of a map var) are already in
+    // the set being applied.
+    st.mapVars.clear(); st.mapVars ++= mapAliases
     valueItems.foreach(it => st.valueCols += it.alias -> s"${it.alias} __val")
     def orderCol(o: OrderItem): Column = {
       // the projection kept every scope column (node triples + value
@@ -642,7 +657,21 @@ object CypherCompiler {
     }
 
     part.paths.foreach { path =>
+      // general path binding (round 16): accumulate the node-id /
+      // rel-text / hop-count fragments per hop; composed into the
+      // binding's three columns after the path's last hop. The rel
+      // render is the STORED-orientation triple text (the edge's
+      // identity — see CypherAst.PathRels).
+      val wantPath = path.pathVar.isDefined
+      val pNodeFrags = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val pRelFrags = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val pLenTerms = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val pTempCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      def relText(n: String): Column =
+        concat(col(s"$n __src"), lit("-["), col(s"$n __rel"), lit("]->"),
+          col(s"$n __dst"))
       bindNode(path.nodes.head, None)
+      if (wantPath) pNodeFrags += array(idCol(path.nodes.head.name))
       path.edges.zipWithIndex.foreach { case (e, i) =>
         val leftV = path.nodes(i).name
         val rightN = path.nodes(i + 1)
@@ -656,6 +685,11 @@ object CypherCompiler {
             frame = Some(frame.get.join(ef, idCol(leftV) === col(fromSide)))
             bindNode(rightN, Some(col(toSide)))
             frame = frame.map(_.drop(fromSide, toSide))
+            if (wantPath) {
+              pNodeFrags += array(idCol(rightN.name))
+              pRelFrags += array(relText(e.name))
+              pLenTerms += lit(1L)
+            }
           case Some((lo, hiOpt)) =>
             if (!e.name.startsWith("  "))
               throw new IllegalArgumentException(
@@ -670,6 +704,15 @@ object CypherCompiler {
               val base = Seq(startC.as("  vstart"),
                 col(s"${names(k - 1)} __to").as("  vend"),
                 lit(k.toLong).as("  vdepth"))
+              // path binding: the traversal's intermediate+end node
+              // ids and per-hop rel text as per-depth ARRAYS (they
+              // union across depths without padding)
+              val pathCols =
+                if (!wantPath) Nil
+                else Seq(
+                  array(names.take(k).map(n => col(s"$n __to")): _*)
+                    .as("  vnodes"),
+                  array(names.take(k).map(relText): _*).as("  vrels"))
               val hopCols =
                 if (!keepHops) Nil
                 else names.zipWithIndex.flatMap { case (n, j) =>
@@ -834,6 +877,10 @@ object CypherCompiler {
     case LabelOf(v) => Set(v)
     case LabelsOf(v) => Set(v)
     case PathLen(v) => Set(v)
+    case PathNodes(v) => Set(v)
+    case PathRels(v) => Set(v)
+    case DurBetween(a, b) => freeVars(a) ++ freeVars(b)
+    case DurMake(items) => items.values.flatMap(freeVars).toSet
     case ToInt(x) => freeVars(x)
     case ToFloat(x) => freeVars(x)
     case Coalesce(es) => es.flatMap(freeVars).toSet
@@ -939,6 +986,8 @@ object CypherCompiler {
     case ListLit(_) => true
     case ListComp(_, _, _, _) => true
     case PatComp(_, _, _) => true
+    case PathNodes(_) => true
+    case PathRels(_) => true
     case Var(v) => st.arrayVars.contains(v)
     case _ => false
   }
@@ -1047,6 +1096,12 @@ object CypherCompiler {
     case PropsOf(v) =>
       if (st.edgeVars.contains(v)) st.edgePropsIsMap else st.vertexPropsIsMap
     case MapProj(_, _, _) => true
+    case DurBetween(_, _) => true
+    case DurMake(_) => true
+    // a re-projected map alias (`WITH row` / `WITH m`) stays a map
+    // in the next scope — applyWith resolves this against the OLD
+    // scope when rebuilding mapVars
+    case Var(v) => st.mapVars.contains(v)
     case _ => false
   }
 

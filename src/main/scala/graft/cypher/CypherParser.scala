@@ -688,18 +688,23 @@ object CypherParser {
 
   // ---- patterns --------------------------------------------------
   private def pathPat(p: P): PathPat = {
-    // `p = shortestPath((a)-[:R*m..n]->(b))`
+    // `p = shortestPath((a)-[:R*m..n]->(b))` | `p = (a)-[…]->(b)`
+    // (general path binding, round 16 — nodes(p)/relationships(p)/
+    // length(p) project over it)
     if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "=") {
       val pvar = p.ident()
       p.eatOp("=")
-      p.eatKw("shortestpath")
-      p.eatOp("(")
-      val inner = linearPat(p)
-      p.eatOp(")")
-      if (inner.edges.length != 1 || inner.edges.head.range.isEmpty)
-        fail(p.peek.pos,
-          "shortestPath needs exactly one bounded var-length edge")
-      return inner.copy(shortest = Some(pvar))
+      if (p.atKw("shortestpath")) {
+        p.eatKw("shortestpath")
+        p.eatOp("(")
+        val inner = linearPat(p)
+        p.eatOp(")")
+        if (inner.edges.length != 1 || inner.edges.head.range.isEmpty)
+          fail(p.peek.pos,
+            "shortestPath needs exactly one bounded var-length edge")
+        return inner.copy(shortest = Some(pvar))
+      }
+      return linearPat(p).copy(pathVar = Some(pvar))
     }
     linearPat(p)
   }
@@ -1028,6 +1033,18 @@ object CypherParser {
         case "labels" => LabelsOf(p.ident())
         case k @ ("datetime" | "date") => TemporalFn(k, addExpr(p))
         case "length" => PathLen(p.ident())
+        case "nodes" => PathNodes(p.ident())
+        case "relationships" => PathRels(p.ident())
+        case "duration" =>
+          // `duration({days: 1, hours: 2})` — component-map
+          // constructor; two-temporal arithmetic is the
+          // `duration.between(a, b)` form (parsed in atom's
+          // dotted-access branch)
+          if (!p.atOp("{")) fail(p.peek.pos,
+            "duration() takes a component map {days: …, hours: …}; " +
+            "for the interval between two temporals use " +
+            "duration.between(a, b)")
+          DurMake(propMap(p))
         case "tointeger" => ToInt(atom(p))
         case "tofloat" => ToFloat(atom(p))
         case "coalesce" =>
@@ -1080,7 +1097,23 @@ object CypherParser {
     } else if (p.peek.kind == "ident" &&
                !Set("true", "false", "null").contains(p.peek.s.toLowerCase)) {
       val v = p.ident()
-      if (p.atOp(".")) { p.eatOp("."); Prop(v, p.ident()) }
+      if (p.atOp(".")) {
+        p.eatOp(".")
+        val k = p.ident()
+        // `duration.between(a, b)` — namespaced temporal function,
+        // not property access (a variable literally named `duration`
+        // with a `between` prop followed by `(` is shadowed;
+        // documented with the DurBetween node)
+        if (v.toLowerCase == "duration" && k.toLowerCase == "between" &&
+            p.atOp("(")) {
+          p.eatOp("(")
+          val a = addExpr(p)
+          p.eatOp(",")
+          val b = addExpr(p)
+          p.eatOp(")")
+          DurBetween(a, b)
+        } else Prop(v, k)
+      }
       else if (p.atOp("{")) {
         // map projection `v {.k, alias: expr, .*}` (round 15)
         p.eatOp("{")
