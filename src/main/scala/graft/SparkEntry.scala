@@ -28,7 +28,8 @@ object SparkEntry {
       Queries46.all ++ Queries47.all ++ Queries48.all ++ Queries49.all ++
       Queries50.all ++ Queries51.all ++ Queries52.all ++ Queries53.all ++
       Queries54.all ++ Queries55.all ++ Queries56.all ++ Queries57.all ++
-      Queries58.all ++ Queries59.all ++ Queries60.all ++ Queries61.all
+      Queries58.all ++ Queries59.all ++ Queries60.all ++ Queries61.all ++
+      Queries62.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

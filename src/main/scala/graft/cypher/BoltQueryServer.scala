@@ -190,12 +190,29 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
               fail("Neo.ClientError.Security.Unauthorized",
                 "RUN before LOGON on a 5.1+ connection")
             else try {
+              // catalog procedures first (round 16): `CALL
+              // db.labels()` & co — what an unmodified driver,
+              // Browser, or BI tool issues on connect to browse the
+              // graph. Read-only, allowed inside transactions, served
+              // from the standing store (a tx fork's uncommitted
+              // schema is invisible to Neo4j's token procs too).
+              val proc = CypherParser.parseProcedureCall(stmt)
+              // bind the DDL parse ONCE (same discipline as
+              // executeReturning's `val ddl`)
+              val ddl = if (proc.isDefined) None
+                        else CypherParser.parseConstraintDdl(stmt)
+              if (proc.isDefined) {
+                val (fields, rows) = store.procedureRows(proc.get)
+                pending = Some((fields, rows.map(_.map(wireValue))))
+                pendingStats = None
+                success(Map("fields" -> fields))
+              }
               // schema DDL (CREATE CONSTRAINT — the reference's
               // bootstrap, graph_constraints.py): registers the
               // label's keys on the store; zero-stat, no rows. Like
               // Neo4j, schema and data statements don't mix inside an
               // explicit transaction.
-              if (CypherParser.parseConstraintDdl(stmt).isDefined) {
+              else if (ddl.isDefined) {
                 if (readOnly)
                   fail("Neo.ClientError.Security.Forbidden",
                     "schema statement on a read-only server")
@@ -204,8 +221,7 @@ final class BoltQueryServer(store: GraphStore, readOnly: Boolean) {
                     "schema statements are not allowed in an explicit " +
                     "transaction")
                 else {
-                  store.registerConstraint(
-                    CypherParser.parseConstraintDdl(stmt).get)
+                  store.registerConstraint(ddl.get)
                   pending = Some((Seq.empty, Array.empty))
                   pendingStats =
                     Some(CypherWrite.Stats(0, 0, 0, 0).toWireMap)

@@ -723,7 +723,7 @@ object CypherCompiler {
                     lit(null).cast(st.dstType).as(s"$n __dst"),
                     lit(null).cast(st.relTypeDt).as(s"$n __rel"))
                 }
-              lvl.select(base ++ hopCols: _*)
+              lvl.select(base ++ pathCols ++ hopCols: _*)
             }
             val (hopNames: Seq[String], unioned: DataFrame) = hiOpt match {
               case Some(hi) =>
@@ -801,8 +801,15 @@ object CypherCompiler {
                   depthSelect(levels(k - 1), names.toSeq, k, col("  vstart")))
                 val u =
                   if (chains.nonEmpty) chains.reduce(_ unionByName _)
-                  else starts.limit(0).select(col("  vstart"),
-                    col("  vstart").as("  vend"), lit(0L).as("  vdepth"))
+                  else {
+                    val empty = starts.limit(0).select(col("  vstart"),
+                      col("  vstart").as("  vend"), lit(0L).as("  vdepth"))
+                    if (!wantPath) empty
+                    else empty
+                      .withColumn("  vnodes", array().cast(
+                        org.apache.spark.sql.types.ArrayType(st.dstType)))
+                      .withColumn("  vrels", array().cast("array<string>"))
+                  }
                 (names.toSeq, u)
             }
             val expanded = path.shortest match {
@@ -814,6 +821,21 @@ object CypherCompiler {
                 st.pathVars += pvar -> plen
                 unioned.groupBy(col("  vstart"), col("  vend"))
                   .agg(min(col("  vdepth")).as(plen))
+              case None if wantPath =>
+                // path binding: keep this edge's depth + node/rel
+                // arrays under per-edge names (several var-length
+                // edges in one bound path cannot clash); composed
+                // into the binding's columns after the last hop
+                val vd = s"${e.name} __vdepth"
+                val vn = s"${e.name} __vnodes"
+                val vr = s"${e.name} __vrels"
+                pLenTerms += col(vd)
+                pNodeFrags += col(vn)
+                pRelFrags += col(vr)
+                pTempCols ++= Seq(vd, vn, vr)
+                unioned.withColumnRenamed("  vdepth", vd)
+                  .withColumnRenamed("  vnodes", vn)
+                  .withColumnRenamed("  vrels", vr)
               case None => unioned.drop("  vdepth")
             }
             frame = Some(frame.get.join(expanded,
@@ -822,6 +844,27 @@ object CypherCompiler {
             frame = frame.map(_.drop("  vstart", "  vend"))
             if (keepHops) varHops += ((hopNames, e.types.toSet))
         }
+      }
+      path.pathVar.foreach { pvar =>
+        if (st.nodes.contains(pvar) || st.edgeVars.contains(pvar) ||
+            st.valueCols.contains(pvar) || st.pathVars.contains(pvar))
+          throw new IllegalArgumentException(
+            s"path variable $pvar is already declared")
+        val pn = s"$pvar __pnodes"
+        val pr = s"$pvar __prels"
+        val pl = s"$pvar __plen"
+        val nodesC =
+          if (pNodeFrags.length == 1) pNodeFrags.head
+          else concat(pNodeFrags.toSeq: _*)
+        val relsC =
+          if (pRelFrags.isEmpty) lit(Array.empty[String])
+          else if (pRelFrags.length == 1) pRelFrags.head
+          else concat(pRelFrags.toSeq: _*)
+        val lenC = pLenTerms.foldLeft(lit(0L))(_ + _).cast("long")
+        frame = frame.map(_.withColumn(pn, nodesC).withColumn(pr, relsC)
+          .withColumn(pl, lenC).drop(pTempCols.toSeq: _*))
+        st.pathVars += pvar -> pl
+        st.pathListCols += pvar -> ((pn, pr))
       }
     }
     // trail semantics ACROSS the hops of this part: any two hops
@@ -997,7 +1040,11 @@ object CypherCompiler {
     * subframe — the pattern matched STANDALONE in a child state (its
     * variables never leak), filtered by the WHERE, the projection
     * collected per anchor id (`sort_array(collect_list(…))` — a
-    * canonical order, since openCypher leaves it unspecified) — then
+    * canonical order, since openCypher leaves it unspecified;
+    * documented deviation: collect_list also DROPS null projection
+    * entries, where Neo4j keeps them in match order — a projection
+    * over a sometimes-absent property yields a shorter list here,
+    * and the oracle entries mirror that null-drop) — then
     * LEFT-joins onto the row frame on the anchor ids, null-coalesced
     * to the empty list (the no-matches contract). The rewritten item
     * references the hidden collected column through a Var, so
@@ -1105,6 +1152,22 @@ object CypherCompiler {
     case _ => false
   }
 
+  /** Component map of a signed whole-second interval: `{days, hours,
+    * minutes, seconds, totalSeconds}`, all long-typed — remainders
+    * carry the interval's sign (Java truncated division, exact:
+    * total = days·86400 + hours·3600 + minutes·60 + seconds). */
+  private def durComponents(total: Column): Column = {
+    val s1 = total % lit(86400L)
+    val s2 = s1 % lit(3600L)
+    val s3 = s2 % lit(60L)
+    map(
+      lit("days"), ((total - s1) / lit(86400L)).cast("long"),
+      lit("hours"), ((s1 - s2) / lit(3600L)).cast("long"),
+      lit("minutes"), ((s2 - s3) / lit(60L)).cast("long"),
+      lit("seconds"), s3.cast("long"),
+      lit("totalSeconds"), total.cast("long"))
+  }
+
   private def exprCol(st: St, e: Expr): Column = e match {
     case Prop(v, k) =>
       if (st.edgeVars.contains(v)) {
@@ -1125,6 +1188,9 @@ object CypherCompiler {
       else if (st.nodes.contains(v)) idCol(v)
       else if (st.edgeVars.contains(v)) col(s"$v __rel")
       else if (st.valueCols.contains(v)) col(st.valueCols(v))
+      else if (st.pathListCols.contains(v)) throw new IllegalArgumentException(
+        s"$v is a path binding — project it via length($v) / " +
+        s"nodes($v) / relationships($v), not the path value itself")
       else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
         s"$v is a shortestPath binding — only length($v) is supported")
       else throw new IllegalArgumentException(s"unbound variable $v")
@@ -1132,7 +1198,47 @@ object CypherCompiler {
       if (st.pathVars.contains(v)) col(st.pathVars(v))
       else if (st.valueCols.contains(v)) col(st.valueCols(v))
       else throw new IllegalArgumentException(
-        s"length($v): $v is not a shortestPath binding")
+        s"length($v): $v is not a path binding")
+    case PathNodes(v) =>
+      if (st.pathListCols.contains(v)) col(st.pathListCols(v)._1)
+      else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
+        s"nodes($v): $v is a shortestPath binding (one row per " +
+        "endpoint pair at min length — the hop sets are collapsed); " +
+        "bind a general path (p = (a)-[…]->(b)) to project its nodes")
+      else throw new IllegalArgumentException(
+        s"nodes($v): $v is not a path binding")
+    case PathRels(v) =>
+      if (st.pathListCols.contains(v)) col(st.pathListCols(v)._2)
+      else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
+        s"relationships($v): $v is a shortestPath binding; bind a " +
+        "general path (p = (a)-[…]->(b)) to project its relationships")
+      else throw new IllegalArgumentException(
+        s"relationships($v): $v is not a path binding")
+    case DurBetween(a, b) =>
+      // normalized signed whole-second interval a→b as a component
+      // map (see CypherAst.DurBetween). unix_timestamp under the UTC
+      // session zone; ISO date and datetime strings both cast.
+      val total = (unix_timestamp(exprCol(st, b).cast("timestamp")) -
+        unix_timestamp(exprCol(st, a).cast("timestamp"))).cast("long")
+      durComponents(total)
+    case DurMake(items) =>
+      // constructor components are literals/params → the total is
+      // compile-time constant; emit a literal map
+      val unit = Map("weeks" -> 604800L, "days" -> 86400L,
+        "hours" -> 3600L, "minutes" -> 60L, "seconds" -> 1L)
+      val total = items.foldLeft(0L) { case (acc, (k, e)) =>
+        val f = unit.getOrElse(k.toLowerCase,
+          throw new IllegalArgumentException(
+            s"duration() component must be one of " +
+            s"${unit.keys.toSeq.sorted.mkString("/")}, got $k"))
+        val n = st.constValue(e) match {
+          case n: Number => n.longValue
+          case other => throw new IllegalArgumentException(
+            s"duration() component $k must be a number, got $other")
+        }
+        acc + f * n
+      }
+      durComponents(lit(total))
     case LabelOf(v) =>
       if (!st.nodes.contains(v))
         throw new IllegalArgumentException(s"unbound variable $v")
@@ -1251,7 +1357,14 @@ object CypherCompiler {
           a.head.substr(
             greatest(length(a.head) - a(1).cast("int") + lit(1), lit(1)),
             a(1).cast("int"))
-        case "toboolean" => a.head.cast("boolean")
+        case "toboolean" =>
+          // Neo4j toBoolean: case-insensitive 'true'/'false' only,
+          // null otherwise — NOT Spark's extended boolean-literal
+          // cast ('1'/'y'/'yes'/'t' …), which would silently diverge
+          val lc = lower(a.head.cast("string"))
+          when(lc === "true", lit(true))
+            .when(lc === "false", lit(false))
+            .otherwise(lit(null).cast("boolean"))
         case other =>
           throw new IllegalArgumentException(s"unknown function $other")
       }
@@ -1409,12 +1522,25 @@ object CypherCompiler {
     // error). Snapshot and restore around the call.
     val edgeSnap = st.edgeVars.toSeq
     val pathSnap = st.pathVars.toSeq
+    val pathListSnap = st.pathListCols.toSeq
     val (pf0, bound) = compilePart(st, MatchPart(Seq(path), optional = false))
     // the brace form's inner WHERE (`EXISTS { … WHERE p }`, round 15)
     // filters the pattern rows BEFORE the join, compiled while the
     // pattern's variables are in scope; it may reference the
     // pattern's own variables (shared ones included)
     val pf = where.fold(pf0) { w =>
+      // the predicate compiles against the PATTERN's standalone
+      // frame, so a reference to an outer-scope variable the pattern
+      // does not bind (legal full correlation in Neo4j) has no
+      // column there — reject it as the compiler's own unsupported
+      // error instead of a raw AnalysisException downstream
+      val patLocal = bound.toSet ++ path.edges.map(_.name) ++ path.pathVar
+      val outer = freeVars(w) -- patLocal -- st.lambdaVars.keySet
+      if (outer.nonEmpty) throw new IllegalArgumentException(
+        s"EXISTS { … WHERE … }: the predicate references " +
+        s"${outer.mkString(", ")} not bound in the pattern — " +
+        "correlation on outer variables beyond the pattern's shared " +
+        "node variables is unsupported")
       val added = bound.filterNot(snapshot.contains)
       st.nodes ++= added
       val f = pf0.filter(exprCol(st, w))
@@ -1423,6 +1549,7 @@ object CypherCompiler {
     }
     st.edgeVars.clear(); st.edgeVars ++= edgeSnap
     st.pathVars.clear(); st.pathVars ++= pathSnap
+    st.pathListCols.clear(); st.pathListCols ++= pathListSnap
     val shared = bound.filter(snapshot.contains)
     if (shared.isEmpty) throw new IllegalArgumentException(
       "exists(pattern) must share at least one variable with the " +

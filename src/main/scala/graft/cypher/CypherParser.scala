@@ -206,6 +206,32 @@ object CypherParser {
     * loudly — a typo'd schema statement must not fall through to the
     * write grammar's unrelated error. A trailing `;` is tolerated:
     * the reference's own statement strings carry one. */
+  /** Parse the built-in catalog-procedure calls a real Neo4j driver,
+    * Browser, or BI tool issues on connect (round 16): `CALL
+    * db.labels()` / `db.relationshipTypes()` / `db.propertyKeys()` /
+    * `db.schema.visualization()` — parens optional (Neo4j accepts
+    * `CALL db.labels`), a plain single-column `YIELD x` tail
+    * tolerated (drivers send it; the procedures are single-column so
+    * it renames nothing the engine serves differently). Returns the
+    * CANONICAL procedure name, or None when the text is not one of
+    * these calls — `CALL { … }` subqueries and any other statement
+    * fall through to the ordinary grammar. */
+  def parseProcedureCall(q: String): Option[String] = {
+    val procRe =
+      ("""(?is)^\s*CALL\s+db\.(labels|relationshipTypes|propertyKeys|""" +
+        """schema\.visualization)\s*(?:\(\s*\))?\s*""" +
+        """(?:YIELD\s+[A-Za-z_][A-Za-z0-9_]*\s*)?;?\s*$""").r
+    q match {
+      case procRe(name) => Some("db." + (name.toLowerCase match {
+        case "labels" => "labels"
+        case "relationshiptypes" => "relationshipTypes"
+        case "propertykeys" => "propertyKeys"
+        case _ => "schema.visualization"
+      }))
+      case _ => None
+    }
+  }
+
   def parseConstraintDdl(q: String): Option[ConstraintDdl] = {
     val trimmed = q.trim.stripSuffix(";").trim
     val head = trimmed.split("\\s+", 3)

@@ -1052,4 +1052,177 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getBoolean(10))
     assert(r.isNullAt(11))
   }
+
+  test("toBoolean is strict true/false, not Spark's extended cast") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         RETURN toBoolean('TRUE') AS t, toBoolean('False') AS f,
+                toBoolean('1') AS one, toBoolean('yes') AS yes,
+                toBoolean('t') AS tt""").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    // Spark's boolean cast accepts these; Neo4j's toBoolean does not
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("path variable: fixed-length binding projects nodes/rels/length") {
+    val r = g.cypher(
+      """MATCH p = (a:Person {name: 'ann'})-[:KNOWS]->(b)
+         RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs""")
+      .collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getSeq[String](1) == Seq("Person:1", "Person:2"))
+    assert(r.getSeq[String](2) == Seq("Person:1-[KNOWS]->Person:2"))
+  }
+
+  test("path variable: var-length binding, per-depth node/rel lists") {
+    val rows = g.cypher(
+      """MATCH p = (a:Person {name: 'ann'})-[:KNOWS*1..2]->(b)
+         RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs,
+                b.name AS who
+         ORDER BY len""").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(0).getSeq[String](1) == Seq("Person:1", "Person:2"))
+    assert(rows(0).getString(3) == "bob")
+    assert(rows(1).getLong(0) == 2L)
+    assert(rows(1).getSeq[String](1) ==
+      Seq("Person:1", "Person:2", "Person:3"))
+    assert(rows(1).getSeq[String](2) == Seq(
+      "Person:1-[KNOWS]->Person:2", "Person:2-[KNOWS]->Person:3"))
+    assert(rows(1).getString(3) == "cat")
+  }
+
+  test("path variable: trail dedup bounds the open range; list fns compose") {
+    // the KNOWS cycle: ann→bob, ann→bob→cat, ann→bob→cat→ann; a 4th
+    // hop would re-walk edge 1→2 — trail uniqueness stops it
+    val rows = g.cypher(
+      """MATCH p = (a:Person {name: 'ann'})-[:KNOWS*]->(x)
+         RETURN length(p) AS len, size(nodes(p)) AS nn,
+                head(nodes(p)) AS first, last(nodes(p)) AS lastn
+         ORDER BY len""").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // size(nodes(p)) = length(p) + 1, start is always the anchor
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 1))
+    assert(rows.forall(_.getString(2) == "Person:1"))
+    assert(rows.last.getString(3) == "Person:1") // the cycle closes
+  }
+
+  test("path variable: mixed fixed + var-length hops in one binding") {
+    val r = g.cypher(
+      """MATCH p = (a:Person {name: 'ann'})-[:KNOWS*1..1]->(b)-[:LIKES]->(f)
+         RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs""")
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[String](1) == Seq("Person:1", "Person:2", "Food:1"))
+    assert(r.getSeq[String](2) == Seq(
+      "Person:1-[KNOWS]->Person:2", "Person:2-[LIKES]->Food:1"))
+  }
+
+  test("path variable error surface: shortestPath stays length-only") {
+    val sp = intercept[IllegalArgumentException](g.cypher(
+      """MATCH q = shortestPath((a:Person)-[:KNOWS*1..3]->(b:Person))
+         RETURN nodes(q) AS ns"""))
+    assert(sp.getMessage.contains("shortestPath"))
+    val bare = intercept[IllegalArgumentException](g.cypher(
+      """MATCH p = (a:Person {name: 'ann'})-[:KNOWS]->(b) RETURN p"""))
+    assert(bare.getMessage.contains("nodes(p)"))
+    val notPath = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (a:Person) RETURN nodes(a) AS ns"""))
+    assert(notPath.getMessage.contains("not a path binding"))
+  }
+
+  test("duration.between: component map, signed; duration() constructor") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         WITH duration.between('2024-01-01T00:00:00',
+                               '2024-01-02T03:04:05') AS d,
+              duration.between('2024-01-02', '2024-01-01') AS neg,
+              duration({days: 1, hours: 2, minutes: 3}) AS w
+         RETURN d.days AS dd, d.hours AS dh, d.minutes AS dm,
+                d.seconds AS ds, d.totalSeconds AS dt,
+                neg.days AS nd, neg.totalSeconds AS nt,
+                w.totalSeconds AS wt, w.hours AS wh""").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 3L, 4L, 5L)))
+    assert(r.getLong(4) == 97445L)
+    assert(r.getLong(5) == -1L && r.getLong(6) == -86400L)
+    assert(r.getLong(7) == 93780L && r.getLong(8) == 2L)
+  }
+
+  test("duration.between over date-typed strings and bare dates") {
+    val r = g.cypher(
+      """MATCH (p:Person {name: 'ann'})
+         WITH duration.between('2024-02-27', '2024-03-01T06:30:00') AS d
+         RETURN d.days AS days, d.hours AS hours, d.minutes AS mins""")
+      .collect().head
+    // 2024 is a leap year: feb 27 → mar 1 is 3 days, plus 6:30
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 6L, 30L)))
+  }
+
+  test("WITH rebinding a map alias to a scalar clears map semantics") {
+    // positive: a map alias survives re-projection (`WITH m`)
+    val ok = g.cypher(
+      """MATCH (n:Person {name: 'ann'})
+         WITH n {.name} AS m
+         WITH m
+         RETURN m.name AS who""").collect().head
+    assert(ok.getString(0) == "ann")
+    // negative: scope 2 REBINDS m to a scalar — `m.name` must fail as
+    // unbound/clean, not compile as map access on the stale column
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (n:Person {name: 'ann'})
+         WITH n {.name} AS m
+         WITH m.name AS m
+         RETURN m.name AS who"""))
+    assert(e.getMessage.contains("unbound"))
+  }
+
+  test("EXISTS { … WHERE … } rejects outer correlation cleanly") {
+    val e = intercept[IllegalArgumentException](g.cypher(
+      """MATCH (a:Person), (f:Food)
+         WHERE EXISTS { (a)-[:KNOWS]->(b) WHERE b.name = f.name }
+         RETURN a.name AS name"""))
+    assert(e.getMessage.contains("not bound in the pattern"))
+    // pattern-local + shared references stay fine
+    val ok = g.cypher(
+      """MATCH (a:Person)
+         WHERE EXISTS { (a)-[r:KNOWS]->(b) WHERE b.name = 'cat' }
+         RETURN a.name AS name ORDER BY name""").collect()
+    assert(ok.map(_.getString(0)).toSeq == Seq("bob"))
+  }
+
+  test("catalog procedures: labels/relTypes/propertyKeys/schema triples") {
+    val store = new graft.cypher.GraphStore(g)
+    assert(store.procLabels == Seq("Food", "Person"))
+    assert(store.procRelationshipTypes == Seq("KNOWS", "LIKES"))
+    // JSON-props layout: json_object_keys path; stars is an EDGE key
+    assert(store.procPropertyKeys == Seq("age", "name", "stars"))
+    assert(store.procSchemaTriples == Seq(
+      ("Person", "KNOWS", "Person"), ("Person", "LIKES", "Food")))
+    val (vf, vr) = store.procedureRows("db.schema.visualization")
+    assert(vf == Seq("nodes", "relationships") && vr.length == 1)
+    assert(vr.head(1) == Seq("(:Person)-[:KNOWS]->(:Person)",
+      "(:Person)-[:LIKES]->(:Food)"))
+    // a registered-only label joins the catalog before its first row
+    store.registerConstraint(graft.cypher.CypherAst.ConstraintDdl(
+      name = "", ifNotExists = false, label = "Robot", keys = Seq("rid")))
+    assert(store.procLabels == Seq("Food", "Person", "Robot"))
+  }
+
+  test("parseProcedureCall: forms and non-matches") {
+    import CypherParser.parseProcedureCall
+    assert(parseProcedureCall("CALL db.labels()") == Some("db.labels"))
+    assert(parseProcedureCall("call db.labels") == Some("db.labels"))
+    assert(parseProcedureCall("CALL db.labels() YIELD label;") ==
+      Some("db.labels"))
+    assert(parseProcedureCall("CALL db.relationshipTypes()") ==
+      Some("db.relationshipTypes"))
+    assert(parseProcedureCall("CALL db.propertyKeys") ==
+      Some("db.propertyKeys"))
+    assert(parseProcedureCall("CALL db.schema.visualization()") ==
+      Some("db.schema.visualization"))
+    assert(parseProcedureCall("CALL { MATCH (n) RETURN n }").isEmpty)
+    assert(parseProcedureCall("MATCH (n) RETURN n").isEmpty)
+    assert(parseProcedureCall("CALL db.indexes()").isEmpty)
+  }
 }
