@@ -103,7 +103,11 @@ object Bench {
         "g_random_walk", "pipeline_graph_embed", "pipeline_dpo_pairs",
         "lake_zonemap_overlap", "cy_var_open", "a_rfm_segments",
         "cy_expr_suite", "cy_pattern_comp", "cy_subquery_exists",
-        "cy_map_projection")
+        "cy_map_projection",
+        // …and the round-16 additions (same class: staged-demo
+        // first touch + union-of-chains / map-constructor codegen,
+        // isolated cold multiples 8-14x vs 0.6-1.3 s warm)
+        "cy_path_var", "cy_duration")
       .foreach { n =>
       SparkEntry.benchQueries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -143,7 +143,7 @@ object Queries62 {
                 count(*) AS n
          ORDER BY days"""),
     Some("""WITH t AS (SELECT date_diff('second',
-                 CAST(o_orderdate AS TIMESTAMP),
+                 CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP),
                  TIMESTAMP '1998-08-02 12:30:45') AS total
                FROM orders
                WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1998-07-01')
