@@ -107,7 +107,7 @@ object Bench {
         // …and the round-16 additions (same class: staged-demo
         // first touch + union-of-chains / map-constructor codegen,
         // isolated cold multiples 8-14x vs 0.6-1.3 s warm)
-        "cy_path_var", "cy_duration")
+        "cy_path_var", "cy_duration", "cy_shortest_proj")
       .foreach { n =>
       SparkEntry.benchQueries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

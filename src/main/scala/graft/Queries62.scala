@@ -49,6 +49,13 @@ object Queries62 {
             "YIELD-tailed CALL db.labels diverged")
           val rels = one("CALL db.relationshipTypes()", "relationshipType")
           val keys = one("CALL db.propertyKeys()", "propertyKey")
+          // server-identity probe drivers send on connect (answered
+          // honestly as the engine's own name/version)
+          val (cfields, crows) =
+            sess.query("CALL dbms.components()", Map.empty)
+          require(cfields == Seq("name", "versions", "edition") &&
+            crows.length == 1 && crows.head.head == "graft",
+            s"dbms.components: $cfields / $crows")
           val (vfields, vrows) =
             sess.query("CALL db.schema.visualization()", Map.empty)
           require(vfields == Seq("nodes", "relationships"),
@@ -152,9 +159,37 @@ object Queries62 {
              MIN(total) AS min_total, COUNT(*) AS n
       FROM t GROUP BY 1, 2, 3, 4 ORDER BY days"""))
 
+  /** shortestPath now binds a REAL path (round 16): one
+    * deterministic representative per endpoint pair (the
+    * lexicographically smallest (depth, nodes, rels) triple — the
+    * engine's instance of openCypher's "some shortest path"),
+    * projected through nodes()/relationships()/length(). Here every
+    * (customer, region) pair has exactly one min path
+    * (Customer→Nation→Region), so the oracle recomputes each
+    * projection relationally — the hash proves the representative
+    * aggregate keeps the right hop arrays, not just the length. */
+  val cy_shortest_proj = Q(
+    (s, dir) => stagedDemo(s, dir).cypher(
+      """MATCH p = shortestPath((c:Customer {mktsegment: 'AUTOMOBILE'})
+                   -[:FROM_NATION|IN_REGION*1..2]->(r:Region))
+         RETURN r.name AS region, length(p) AS len, count(*) AS n_cust,
+                count(DISTINCT last(relationships(p))) AS n_link_rels,
+                min(head(nodes(p))) AS first_cust
+         ORDER BY region"""),
+    Some("""SELECT r_name AS region, CAST(2 AS BIGINT) AS len,
+             COUNT(*) AS n_cust,
+             COUNT(DISTINCT 'Nation:' || n_nationkey ||
+                   '-[IN_REGION]->Region:' || r_regionkey) AS n_link_rels,
+             MIN('Customer:' || c_custkey) AS first_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE c_mktsegment = 'AUTOMOBILE'
+      GROUP BY 1 ORDER BY region"""))
+
   val all: Map[String, Q] = Map(
     "cy_procedures" -> cy_procedures,
     "cy_path_var" -> cy_path_var,
     "cy_duration" -> cy_duration,
+    "cy_shortest_proj" -> cy_shortest_proj,
   )
 }

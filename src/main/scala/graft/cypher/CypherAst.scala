@@ -98,10 +98,17 @@ object CypherAst {
     * render of a relationship value; Neo4j returns relationship
     * OBJECTS, and the stored-orientation text is the deterministic
     * engine spelling, same contract as bare-var → id resolution) and
-    * `length(p)` (hop count). Mutually exclusive with `shortest`. */
+    * `length(p)` (hop count). Mutually exclusive with `shortest`.
+    * Round 16: shortestPath bindings project the same three ways —
+    * ONE representative per (start, end) pair, the lexicographically
+    * smallest (depth, nodes, rels) triple (openCypher returns SOME
+    * shortest path; the engine's instance is the deterministic,
+    * oracle-pinnable one). `shortestAll` = the `allShortestPaths`
+    * form: EVERY path at the pair's minimum length, one row each. */
   final case class PathPat(nodes: Seq[NodePat], edges: Seq[EdgePat],
                            shortest: Option[String] = None,
-                           pathVar: Option[String] = None)
+                           pathVar: Option[String] = None,
+                           shortestAll: Boolean = false)
 
   /** One MATCH clause (possibly OPTIONAL) holding 1+ comma patterns,
     * with ITS OWN trailing WHERE — openCypher attaches WHERE to the

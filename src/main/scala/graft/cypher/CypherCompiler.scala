@@ -51,8 +51,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   *     followed by a variable-scope reset — openCypher pipeline
   *     semantics, HAVING via its trailing WHERE;
   *   - `p = shortestPath((a)-[:R*m..n]->(b))` is the bounded
-  *     expansion collapsed to min hop count per (a, b) pair by one
-  *     hash aggregate — no traversal state, no driver iteration;
+  *     expansion collapsed to ONE deterministic representative per
+  *     (a, b) pair (the lexicographically smallest (depth, nodes,
+  *     rels) triple) by one hash aggregate — no traversal state, no
+  *     driver iteration; `allShortestPaths` keeps EVERY min-length
+  *     path via a per-pair-min equi-join; general `p = (a)-[…]->(b)`
+  *     bindings ride the unchanged pattern plan plus three array
+  *     columns (nodes/relationships/length projections);
   *   - RETURN with aggregates is the openCypher implicit group-by
   *     (non-aggregate items are the keys) — one hash aggregate.
   *
@@ -704,11 +709,12 @@ object CypherCompiler {
               val base = Seq(startC.as("  vstart"),
                 col(s"${names(k - 1)} __to").as("  vend"),
                 lit(k.toLong).as("  vdepth"))
-              // path binding: the traversal's intermediate+end node
-              // ids and per-hop rel text as per-depth ARRAYS (they
-              // union across depths without padding)
+              // path binding (general OR shortestPath, round 16): the
+              // traversal's intermediate+end node ids and per-hop rel
+              // text as per-depth ARRAYS (they union across depths
+              // without padding)
               val pathCols =
-                if (!wantPath) Nil
+                if (!wantPath && path.shortest.isEmpty) Nil
                 else Seq(
                   array(names.take(k).map(n => col(s"$n __to")): _*)
                     .as("  vnodes"),
@@ -804,7 +810,7 @@ object CypherCompiler {
                   else {
                     val empty = starts.limit(0).select(col("  vstart"),
                       col("  vstart").as("  vend"), lit(0L).as("  vdepth"))
-                    if (!wantPath) empty
+                    if (!wantPath && path.shortest.isEmpty) empty
                     else empty
                       .withColumn("  vnodes", array().cast(
                         org.apache.spark.sql.types.ArrayType(st.dstType)))
@@ -814,13 +820,42 @@ object CypherCompiler {
             }
             val expanded = path.shortest match {
               case Some(pvar) =>
-                // openCypher shortestPath: ONE row per (start, end)
-                // pair at the minimum hop count — a hash aggregate
-                // over the bounded expansion, never a traversal
                 val plen = s"$pvar __plen"
+                val pn = s"$pvar __pnodes"
+                val pr = s"$pvar __prels"
                 st.pathVars += pvar -> plen
-                unioned.groupBy(col("  vstart"), col("  vend"))
-                  .agg(min(col("  vdepth")).as(plen))
+                st.pathListCols += pvar -> ((pn, pr))
+                if (path.shortestAll)
+                  // allShortestPaths: EVERY path at the pair's
+                  // minimum length, one row each — the per-pair min
+                  // is a tiny aggregate (pair-sized, the broadcast
+                  // side) equi-joined back onto the expansion
+                  unioned
+                    .join(unioned
+                        .groupBy(col("  vstart").as("  mstart"),
+                          col("  vend").as("  mend"))
+                        .agg(min(col("  vdepth")).as("  mdepth")),
+                      col("  vstart") === col("  mstart") &&
+                        col("  vend") === col("  mend") &&
+                        col("  vdepth") === col("  mdepth"))
+                    .drop("  mstart", "  mend", "  mdepth")
+                    .withColumnRenamed("  vdepth", plen)
+                    .withColumnRenamed("  vnodes", pn)
+                    .withColumnRenamed("  vrels", pr)
+                else
+                  // openCypher shortestPath: ONE row per (start, end)
+                  // pair — openCypher returns SOME shortest path; the
+                  // engine's instance is the lexicographically
+                  // smallest (depth, nodes, rels) triple, i.e. ONE
+                  // deterministic, oracle-pinnable representative via
+                  // a single hash aggregate, never a traversal
+                  unioned.groupBy(col("  vstart"), col("  vend"))
+                    .agg(min(struct(col("  vdepth"), col("  vnodes"),
+                      col("  vrels"))).as("  mrep"))
+                    .select(col("  vstart"), col("  vend"),
+                      col("  mrep").getField("  vdepth").as(plen),
+                      col("  mrep").getField("  vnodes").as(pn),
+                      col("  mrep").getField("  vrels").as(pr))
               case None if wantPath =>
                 // path binding: keep this edge's depth + node/rel
                 // arrays under per-edge names (several var-length
@@ -840,6 +875,14 @@ object CypherCompiler {
             }
             frame = Some(frame.get.join(expanded,
               idCol(leftV) === col("  vstart")))
+            // shortest binding: the arrays carry the hops only —
+            // prepend the anchor to complete the node list (the
+            // general binding does this through its fragments)
+            path.shortest.foreach { pvar =>
+              val pn = s"$pvar __pnodes"
+              frame = frame.map(_.withColumn(pn,
+                concat(array(idCol(leftV)), col(pn))))
+            }
             bindNode(rightN, Some(col("  vend")))
             frame = frame.map(_.drop("  vstart", "  vend"))
             if (keepHops) varHops += ((hopNames, e.types.toSet))
@@ -1201,17 +1244,10 @@ object CypherCompiler {
         s"length($v): $v is not a path binding")
     case PathNodes(v) =>
       if (st.pathListCols.contains(v)) col(st.pathListCols(v)._1)
-      else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
-        s"nodes($v): $v is a shortestPath binding (one row per " +
-        "endpoint pair at min length — the hop sets are collapsed); " +
-        "bind a general path (p = (a)-[…]->(b)) to project its nodes")
       else throw new IllegalArgumentException(
         s"nodes($v): $v is not a path binding")
     case PathRels(v) =>
       if (st.pathListCols.contains(v)) col(st.pathListCols(v)._2)
-      else if (st.pathVars.contains(v)) throw new IllegalArgumentException(
-        s"relationships($v): $v is a shortestPath binding; bind a " +
-        "general path (p = (a)-[…]->(b)) to project its relationships")
       else throw new IllegalArgumentException(
         s"relationships($v): $v is not a path binding")
     case DurBetween(a, b) =>

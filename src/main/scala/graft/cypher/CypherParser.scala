@@ -209,25 +209,28 @@ object CypherParser {
   /** Parse the built-in catalog-procedure calls a real Neo4j driver,
     * Browser, or BI tool issues on connect (round 16): `CALL
     * db.labels()` / `db.relationshipTypes()` / `db.propertyKeys()` /
-    * `db.schema.visualization()` — parens optional (Neo4j accepts
-    * `CALL db.labels`), a plain single-column `YIELD x` tail
-    * tolerated (drivers send it; the procedures are single-column so
-    * it renames nothing the engine serves differently). Returns the
-    * CANONICAL procedure name, or None when the text is not one of
-    * these calls — `CALL { … }` subqueries and any other statement
-    * fall through to the ordinary grammar. */
+    * `db.schema.visualization()` / `dbms.components()` — parens
+    * optional (Neo4j accepts `CALL db.labels`), and the plain
+    * `YIELD x [RETURN x]` tails drivers append are tolerated (the
+    * db.* token procedures are single-column, so the tail renames
+    * nothing the engine serves differently). Returns the CANONICAL
+    * procedure name, or None when the text is not one of these
+    * calls — `CALL { … }` subqueries and any other statement fall
+    * through to the ordinary grammar. */
   def parseProcedureCall(q: String): Option[String] = {
     val procRe =
-      ("""(?is)^\s*CALL\s+db\.(labels|relationshipTypes|propertyKeys|""" +
-        """schema\.visualization)\s*(?:\(\s*\))?\s*""" +
-        """(?:YIELD\s+[A-Za-z_][A-Za-z0-9_]*\s*)?;?\s*$""").r
+      ("""(?is)^\s*CALL\s+(db\.(?:labels|relationshipTypes|propertyKeys|""" +
+        """schema\.visualization)|dbms\.components)\s*(?:\(\s*\))?\s*""" +
+        """(?:YIELD\s+[A-Za-z_][A-Za-z0-9_]*\s*""" +
+        """(?:RETURN\s+[A-Za-z_][A-Za-z0-9_]*\s*)?)?;?\s*$""").r
     q match {
-      case procRe(name) => Some("db." + (name.toLowerCase match {
-        case "labels" => "labels"
-        case "relationshiptypes" => "relationshipTypes"
-        case "propertykeys" => "propertyKeys"
-        case _ => "schema.visualization"
-      }))
+      case procRe(name) => Some(name.toLowerCase match {
+        case "db.labels" => "db.labels"
+        case "db.relationshiptypes" => "db.relationshipTypes"
+        case "db.propertykeys" => "db.propertyKeys"
+        case "dbms.components" => "dbms.components"
+        case _ => "db.schema.visualization"
+      })
       case _ => None
     }
   }
@@ -720,15 +723,16 @@ object CypherParser {
     if (p.peek.kind == "ident" && p.peek2.kind == "op" && p.peek2.s == "=") {
       val pvar = p.ident()
       p.eatOp("=")
-      if (p.atKw("shortestpath")) {
-        p.eatKw("shortestpath")
+      if (p.atKw("shortestpath") || p.atKw("allshortestpaths")) {
+        val all = p.atKw("allshortestpaths")
+        p.eatKw(if (all) "allshortestpaths" else "shortestpath")
         p.eatOp("(")
         val inner = linearPat(p)
         p.eatOp(")")
         if (inner.edges.length != 1 || inner.edges.head.range.isEmpty)
           fail(p.peek.pos,
             "shortestPath needs exactly one bounded var-length edge")
-        return inner.copy(shortest = Some(pvar))
+        return inner.copy(shortest = Some(pvar), shortestAll = all)
       }
       return linearPat(p).copy(pathVar = Some(pvar))
     }

@@ -1385,6 +1385,12 @@ final class GraphStore(initial: PropertyGraph,
           s"(:$s)-[:$r]->(:$d)" }
         (Seq("nodes", "relationships"),
           Array(Seq[Any](procLabels, rels)))
+      case "dbms.components" =>
+        // drivers probe this on connect for server identity; the
+        // engine answers honestly (its own name/version — never a
+        // Neo4j masquerade)
+        (Seq("name", "versions", "edition"),
+          Array(Seq[Any]("graft", Seq("0.16"), "spark")))
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other")
     }

@@ -1118,17 +1118,62 @@ class CypherSpec extends AnyFunSuite {
       "Person:1-[KNOWS]->Person:2", "Person:2-[LIKES]->Food:1"))
   }
 
-  test("path variable error surface: shortestPath stays length-only") {
-    val sp = intercept[IllegalArgumentException](g.cypher(
-      """MATCH q = shortestPath((a:Person)-[:KNOWS*1..3]->(b:Person))
-         RETURN nodes(q) AS ns"""))
-    assert(sp.getMessage.contains("shortestPath"))
+  test("path variable error surface: bare p and non-path vars stay loud") {
     val bare = intercept[IllegalArgumentException](g.cypher(
       """MATCH p = (a:Person {name: 'ann'})-[:KNOWS]->(b) RETURN p"""))
     assert(bare.getMessage.contains("nodes(p)"))
     val notPath = intercept[IllegalArgumentException](g.cypher(
       """MATCH (a:Person) RETURN nodes(a) AS ns"""))
     assert(notPath.getMessage.contains("not a path binding"))
+  }
+
+  // diamond: two equal-length R-paths a→d (via b, via c) — the tie
+  // case shortestPath must break deterministically
+  private lazy val diamond: PropertyGraph = {
+    val v = Seq(("X:a", "X", "{}"), ("X:b", "X", "{}"),
+      ("X:c", "X", "{}"), ("X:d", "X", "{}")).toDF("id", "label", "props")
+    val e = Seq(("X:a", "X:b", "R", null), ("X:a", "X:c", "R", null),
+      ("X:b", "X:d", "R", null), ("X:c", "X:d", "R", null))
+      .toDF("src", "dst", "rel", "props")
+    PropertyGraph(v, e)
+  }
+
+  test("shortestPath binds a real path: nodes/relationships/length") {
+    val rows = g.cypher(
+      """MATCH p = shortestPath((a:Person {name: 'ann'})-[:KNOWS*1..3]->(b))
+         RETURN id(b) AS dst, length(p) AS len, nodes(p) AS ns,
+                relationships(p) AS rs
+         ORDER BY dst""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("Person:1", 3L), ("Person:2", 1L), ("Person:3", 2L)))
+    val toBob = rows(1)
+    assert(toBob.getSeq[String](2) == Seq("Person:1", "Person:2"))
+    assert(toBob.getSeq[String](3) == Seq("Person:1-[KNOWS]->Person:2"))
+    val toCat = rows(2)
+    assert(toCat.getSeq[String](2) ==
+      Seq("Person:1", "Person:2", "Person:3"))
+  }
+
+  test("shortestPath ties break to the lexicographically smallest path") {
+    val r = diamond.cypher(
+      """MATCH p = shortestPath((s:X)-[:R*1..3]->(t))
+         WHERE id(s) = 'X:a' AND id(t) = 'X:d'
+         RETURN length(p) AS len, nodes(p) AS ns""").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 2L)
+    // via b < via c in array order — the deterministic representative
+    assert(r.head.getSeq[String](1) == Seq("X:a", "X:b", "X:d"))
+  }
+
+  test("allShortestPaths keeps every min-length path") {
+    val rows = diamond.cypher(
+      """MATCH p = allShortestPaths((s:X)-[:R*1..3]->(t))
+         WHERE id(s) = 'X:a' AND id(t) = 'X:d'
+         RETURN length(p) AS len, nodes(p) AS ns""").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(0) == 2L))
+    assert(rows.map(_.getSeq[String](1)).toSet == Set(
+      Seq("X:a", "X:b", "X:d"), Seq("X:a", "X:c", "X:d")))
   }
 
   test("duration.between: component map, signed; duration() constructor") {
@@ -1221,6 +1266,10 @@ class CypherSpec extends AnyFunSuite {
       Some("db.propertyKeys"))
     assert(parseProcedureCall("CALL db.schema.visualization()") ==
       Some("db.schema.visualization"))
+    assert(parseProcedureCall(
+      "CALL db.labels() YIELD label RETURN label") == Some("db.labels"))
+    assert(parseProcedureCall("CALL dbms.components()") ==
+      Some("dbms.components"))
     assert(parseProcedureCall("CALL { MATCH (n) RETURN n }").isEmpty)
     assert(parseProcedureCall("MATCH (n) RETURN n").isEmpty)
     assert(parseProcedureCall("CALL db.indexes()").isEmpty)
