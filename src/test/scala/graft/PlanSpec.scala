@@ -737,4 +737,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("path binding rides the chain plan: equi-joins only, no extra shuffle") {
+    // the nodes/relationships arrays are projections over hop columns
+    // the union-of-chains already carries — the plan must stay the
+    // unbound pattern's join chains (equi-joins), never a nested loop
+    val full = plan("cy_path_var")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the multi-distinct RETURN aggregate plans as Expand +
+    // SortAggregate; either aggregate form is the wanted plan
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("shortestPath representative is one hash aggregate over the expansion") {
+    val full = plan("cy_shortest_proj")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the min(struct(depth, nodes, rels)) representative collapse
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }
