@@ -26,6 +26,17 @@ object GraftSession {
       // tasks (measured 2x wall on g_assembly at local[32])
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Scale-adaptive parallelism floor (optimization guide §2.2/§2.5):
+      // AQE's parallelism-first coalescing targets
+      // max(minPartitionSize, totalBytes/defaultParallelism); the 1 MiB
+      // default floor serializes byte-small but CPU-dense shuffle
+      // stages (measured: the decimal-exact graph iterations at 2
+      // tasks on 32 cores, 2x the query wall). 256k keeps them
+      // core-wide without over-fanning many-round convergence loops
+      // (A/B sweep in OPTIMIZATION_r16.md); at cluster scale
+      // totalBytes/parallelism >> 256k so the floor is inert.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "256k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -60,6 +71,8 @@ object GraftSession {
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "256k"))
     spark
   }
 }

@@ -130,12 +130,25 @@ object Queries43 {
   val vec_ann_refine = Q(
     (s, dir) => {
       val emb = T_(s, dir, "embeddings")
-      val (indexed, centroids) =
+      // The IVF index is built ONCE and shared by the cheap base
+      // answer and the corpus 5-NN graph: vec_ivf_knn_join's own fn
+      // ran a second ivfKMeans with the IDENTICAL (corpus, nCells=16,
+      // iters=2) parameters — a deterministic seeded k-means, so the
+      // second build is bit-identical recompute (r16: 2 Lloyd rounds
+      // = 4 shuffles + a corpus assign pass removed; oracle text
+      // unchanged and still green). `indexed` is persisted because
+      // three consumers scan it (base probe, knn join, exact re-rank).
+      val scope = graft.operators.CacheScope.global
+      val (indexed0, centroids) =
         Similarity.ivfKMeans(emb, "embedding", "vec_id", nCells = 16, iters = 2)
+      val indexed = scope.persist(indexed0)
       val base = Similarity.ivfTopK(indexed, centroids,
         emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 10, nProbe = 1)
         .select(col("qid"), col("id"))
-      val knn = Queries15.vec_ivf_knn_join.fn(s, dir)
+      // same params as Queries15.vec_ivf_knn_join (k=5, nProbe=2) —
+      // kept in lock-step with that entry's oracle
+      val knn = Similarity.ivfKnnJoin(indexed, centroids, emb,
+          "embedding", "vec_id", k = 5, nProbe = 2)
         .select(col("qid").as("nid"), col("id").as("cand"))
       val expanded = base.select(col("qid"), col("id").as("cand"))
         .unionByName(base.select(col("qid"), col("id").as("nid"))

@@ -1091,8 +1091,14 @@ object GraphOps {
         .filter(col("nh") < col("h") ||
           (col("nh") === col("h") && col("n") < col("v")))
         .select(col("v")).distinct()
-      val winners = active.join(losers, Seq("v"), "left_anti")
-        .select(col("v"), lit(r).as("sel_round"))
+      // winners are CHECKPOINTED: the round's 3-way losers join is
+      // referenced both by this round's removal step and by the final
+      // mis union — unmaterialized, the terminal action re-ran every
+      // round's neighbor-compare join a second time (r16: one losers
+      // join per round instead of two; winner frames are tiny)
+      val winners = scope.checkpoint(
+        active.join(losers, Seq("v"), "left_anti")
+          .select(col("v"), lit(r).as("sel_round")))
       mis = if (mis == null) winners else mis.unionByName(winners)
       // winners and their neighbors leave
       val removed = winners.select(col("v"))
