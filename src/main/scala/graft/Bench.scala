@@ -22,22 +22,11 @@ object Bench {
       // small cached branches schedules partitions-per-branch tiny
       // tasks (measured 2x wall on g_assembly at local[32])
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // Scale-adaptive parallelism floor (optimization guide §2.2/§2.5):
-      // AQE's parallelism-first coalescing targets
-      // max(minPartitionSize, totalBytes/defaultParallelism). The 1 MiB
-      // default floor serializes byte-small but CPU-dense shuffle
-      // stages: the decimal-exact graph iterations ran as 2 tasks on 32
-      // cores (g_pagerank iteration stages 0.65-0.75 s wall each; ~12
-      // tasks and under 0.2 s with a lower floor). 256k won a REPS=3
-      // 18-entry A/B sweep over {1m, 256k, 64k} = {75.5, 67.3, 78.9} s
-      // (OPTIMIZATION_r16.md): 64k over-fans the many-round convergence
-      // loops (k-core peel, MIS) whose per-round state is tiny, 1m
-      // starves the single-aggregate-per-iteration plans. At cluster
-      // scale totalBytes/parallelism >> 256k, so the floor is inert —
-      // it only stops small-shuffle stages from under-filling the
-      // machine. Env-overridable for A/B probes.
+      // scale-adaptive parallelism floor — rationale + A/B evidence on
+      // GraftSession.minCoalescedDefault (the one place the default
+      // and env knob live)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "256k"))
+        GraftSession.minCoalescedDefault)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

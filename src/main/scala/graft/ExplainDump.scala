@@ -5,8 +5,15 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.ExplainDump <outDir> <query>[,<query>...]`
   * writes `<outDir>/<query>.txt` with the `.explain("formatted")`
   * output of each named catalog entry, under the exact session config
-  * [[Bench]] uses, so plan claims in OPTIMIZATION_r*.md are checkable
-  * without running Spark.
+  * [[Bench]] uses. The committed dumps let a reader check plan claims
+  * in OPTIMIZATION_r*.md against the recorded plans without
+  * re-running Spark (producing a dump of course runs a session here —
+  * and entries built on eager persist/localCheckpoint loops execute
+  * their iterative jobs during DataFrame construction).
+  *
+  * Any stale `<query>.txt` is deleted BEFORE the dump is attempted, so
+  * a failed re-dump can never leave a prior run's plan posing as
+  * current evidence (r16 advisor note).
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
@@ -25,9 +32,9 @@ object ExplainDump {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // scale-adaptive parallelism floor — see the Bench.scala note
+      // scale-adaptive parallelism floor — see GraftSession.minCoalescedDefault
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "256k"))
+        GraftSession.minCoalescedDefault)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,6 +44,8 @@ object ExplainDump {
         case None => System.err.println(s"[explain] no such query: $n")
         case Some(fn) =>
           try {
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(outDir, s"$n.txt"))
             val df = fn(spark, sfDir)
             val txt = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)

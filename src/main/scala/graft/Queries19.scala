@@ -125,6 +125,12 @@ object Queries19 {
     */
   val g_link_predict = Q(
     (s, dir) => {
+      // r17 negative result (OPTIMIZATION_r17.md): persisting b/und/nlow
+      // (each consumed 2-3x in this DAG; the initial plan shows 264
+      // Exchanges over 136 scans) measured WORSE at 32 cores (3.80 s
+      // vs 3.06 s warm median) — ReuseExchange already dedups the
+      // identical subtrees at runtime, and the persists only added
+      // materialization barriers. Left unpersisted on purpose.
       val urgentOrders = T_(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("ok"))

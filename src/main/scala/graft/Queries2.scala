@@ -239,6 +239,16 @@ object Queries2 {
 
   /** F10/F13 — permissive timestamp coercion round-trip
     * (app/utils.py:19-32): format timestamps three ways, coerce back.
+    *
+    * Oracle form (r17): TRY_CAST instead of try_strptime. DuckDB 1.0.0
+    * deterministically SEGFAULTS (rc=139) executing the bulk
+    * try_strptime chain on a long-lived connection right after the
+    * ~116-query a_*..eval_* sweep prefix — exactly where the driver's
+    * round-16 oracle died; a fresh connection runs the same SQL fine.
+    * The cast form parses the same three formats ('YYYY-MM-DD
+    * HH:MM:SS' | ':00'-completed 'YYYY-MM-DD HH:MM' | 'YYYY-MM-DD')
+    * and was verified cell-identical at sf0.01 (EXCEPT both
+    * directions = 0 rows, identical Arrow types).
     */
   val f10_coerce_ts = Q(
     (s, dir) => {
@@ -256,11 +266,10 @@ object Queries2 {
              ELSE strftime(ts, '%Y-%m-%d') END AS raw
       FROM events)
       SELECT event_id, raw,
-        coalesce(try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),
-                 try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
-                 try_strptime(raw, '%Y-%m-%d %H:%M'),
-                 try_strptime(raw, '%Y-%m-%d'),
-                 try_strptime(substr(raw, 1, 10), '%Y-%m-%d')) AS coerced,
+        coalesce(TRY_CAST(raw AS TIMESTAMP),
+                 TRY_CAST(CASE WHEN length(raw) = 16 THEN raw || ':00' END
+                   AS TIMESTAMP),
+                 TRY_CAST(substr(raw, 1, 10) AS TIMESTAMP)) AS coerced,
         strftime(ts, '%Y-%m-%d') AS day
       FROM t"""))
 

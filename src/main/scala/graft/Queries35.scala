@@ -82,11 +82,19 @@ object Queries35 {
     */
   val samp_negatives = Q(
     (s, dir) => {
-      val pairs = Queries34.pipeline_graph_embed.fn(s, dir)
-        .select(col("center"), col("context"))
-      val vocab = GlobalOrder.withGlobalIndex(
+      // r17 (guide §5): pairs embeds the ENTIRE walk→skip-gram pipeline
+      // (g_random_walk + explode + count agg) and is consumed 3x
+      // (pair expansion, vocab build, vocab count); vocab itself 2x.
+      // Unpersisted, each reference re-ran the walk pipeline — the
+      // same re-inline the oracle SQL already guards against with
+      // MATERIALIZED CTEs. CacheScope-registered; released by the
+      // harness after the terminal action.
+      val scope = graft.operators.CacheScope.global
+      val pairs = scope.persist(Queries34.pipeline_graph_embed.fn(s, dir)
+        .select(col("center"), col("context")))
+      val vocab = scope.persist(GlobalOrder.withGlobalIndex(
         pairs.select(col("center")).distinct(), Seq(col("center").asc))
-        .select(col("center").as("node"), col("pos"))
+        .select(col("center").as("node"), col("pos")))
       val v = vocab.agg(count(lit(1)).as("__vn"))
       pairs
         .select(col("center"), col("context"),

@@ -65,6 +65,14 @@ object Queries37 {
   val g_assortativity = Q(
     (s, dir) => {
       val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      // r17 negative result (OPTIMIZATION_r17.md): persisting op (3
+      // consumers) and deg (2) measured FLAT at 32 cores (1.72 s vs
+      // 1.70 s warm median) — ReuseExchange already dedups the
+      // identical distinct/aggregate exchanges at runtime, so the
+      // initial plan's 10-scans-for-1 shape never executes. Left
+      // unpersisted on purpose; the r16 driver's 5.7x flag on this
+      // entry was a cold-pass artifact, not a plan problem (the same
+      // binary re-measured at 1.7-2.4 s warm across all three floors).
       val op = T_(s, dir, "lineitem")
         .select((col("l_orderkey") + 10000000L).as("src"),
           (col("l_partkey") + 20000000L).as("dst"))
@@ -186,8 +194,23 @@ object Queries37 {
     */
   val dd_sketch_error = Q(
     (s, dir) => {
-      val cand = Queries3.dd_minhash_lsh.fn(s, dir)
-      val sets = T_(s, dir, "documents")
+      // r17: cand is consumed 3x (the id prune below + the join), and
+      // sets 2x — both persist (guide §5, within-query reuse released
+      // by the harness). The exact 5-gram sets are additionally built
+      // ONLY for documents that appear in a candidate pair (guide
+      // §2.3/§3.2 — prune the big side before the expensive work): the
+      // gram build is the CPU hot spot (regexp + 2000-substring
+      // transform + array_distinct per doc) and most docs are in no
+      // pair, so a semi-join on the candidate ids drops them before
+      // the build instead of after. Inner joins on id made the
+      // non-candidate grams dead weight — identical output.
+      val scope = graft.operators.CacheScope.global
+      val cand = scope.persist(Queries3.dd_minhash_lsh.fn(s, dir))
+      val candIds = cand.select(col("id_a").as("doc_id"))
+        .unionByName(cand.select(col("id_b").as("doc_id")))
+        .distinct()
+      val sets = scope.persist(T_(s, dir, "documents")
+        .join(candIds, Seq("doc_id"), "left_semi")
         // corpus parquet compresses ~100:1 → one scan partition by
         // bytes; the 5-gram build is CPU-bound, widen explicitly
         .repartition(s.sessionState.conf.numShufflePartitions)
@@ -197,7 +220,7 @@ object Queries37 {
         .filter(length(col("norm")) >= 5)
         .select(col("doc_id"), expr(
           "array_distinct(transform(sequence(1, length(norm) - 4)," +
-            " i -> substring(norm, i, 5)))").as("g"))
+            " i -> substring(norm, i, 5)))").as("g")))
       // pin the scoring width: the pair table is small in BYTES (AQE
       // coalesces it to one task) but each pair pays an array_union
       // over two ~2000-gram sets — explicit-count repartitions keep
@@ -211,12 +234,12 @@ object Queries37 {
         .repartition(n, col("id_b"))
         .join(sets.select(col("doc_id").as("id_b"), col("g").as("gb")),
           "id_b")
+        // one array_union per pair, not two (it was the per-row hot op)
+        .withColumn("uni", size(array_union(col("ga"), col("gb"))))
         .withColumn("inter",
-          size(col("ga")) + size(col("gb"))
-            - size(array_union(col("ga"), col("gb"))))
+          size(col("ga")) + size(col("gb")) - col("uni"))
         .withColumn("true_j",
-          col("inter").cast("double")
-            / (size(array_union(col("ga"), col("gb")))).cast("double"))
+          col("inter").cast("double") / col("uni").cast("double"))
         .groupBy(floor(abs(col("est_jaccard") - col("true_j")) * 100)
           .cast("int").as("err_centi"))
         .agg(count(lit(1)).as("n_pairs"))

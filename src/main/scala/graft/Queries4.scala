@@ -230,9 +230,13 @@ object Queries4 {
           to_timestamp(iso).as("parsed"),
           unix_timestamp(col("ts")).as("epoch_s"))
     },
+    // TRY_CAST instead of try_strptime: same DuckDB 1.0.0
+    // long-lived-connection segfault class as f10_coerce_ts (this is
+    // the only other bulk-strptime oracle, two entries later in the
+    // driver's alphabetical sweep). Verified cell-identical at sf0.01.
     Some("""SELECT event_id,
        strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso_z,
-       try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z', '%Y-%m-%dT%H:%M:%SZ') AS parsed,
+       TRY_CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS TIMESTAMP) AS parsed,
        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
       FROM events"""))
 

@@ -30,9 +30,9 @@ object Verify {
       // small cached branches schedules partitions-per-branch tiny
       // tasks (measured 2x wall on g_assembly at local[32])
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // scale-adaptive parallelism floor — see the Bench.scala note
+      // scale-adaptive parallelism floor — see GraftSession.minCoalescedDefault
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "256k"))
+        GraftSession.minCoalescedDefault)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,9 +33,27 @@ final class CacheScope {
     * without the RDD handle they are freed only when the ContextCleaner
     * notices the RDD got GC'd, which is why the bench previously needed
     * a System.gc() between queries.
+    *
+    * `localCheckpoint` stores blocks non-replicated on executors: an
+    * executor loss mid-job makes the RDD unrecomputable (guide §5
+    * names the tradeoff — fine on local[n], a real risk on a lossy
+    * cluster). Setting `GRAFT_CHECKPOINT_DIR` switches every scope
+    * checkpoint to a RELIABLE checkpoint under that path (HDFS/object
+    * store on a cluster): survives executor loss, costs one write +
+    * read-back of the frame. Inert locally (env unset → localCheckpoint
+    * exactly as before). Reliable checkpoint files are reclaimed by
+    * the ContextCleaner once the RDD handle released here is GC'd
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`), or by
+    * deleting the directory between runs.
     */
   private[graft] def checkpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    val cp = ds.localCheckpoint()
+    val cp = CacheScope.reliableDir match {
+      case Some(dir) =>
+        val sc = ds.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        ds.checkpoint()
+      case None => ds.localCheckpoint()
+    }
     cp.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
       .foreach(rdds += _)
     cp
@@ -51,6 +69,11 @@ final class CacheScope {
 }
 
 object CacheScope {
+  /** `GRAFT_CHECKPOINT_DIR` → reliable checkpoints for every scope
+    * checkpoint (see [[CacheScope.checkpoint]]); unset → local. */
+  private[graft] def reliableDir: Option[String] =
+    sys.env.get("GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+
   /** Process-wide default scope. Harness mains (Bench, Verify) release
     * it between queries — which is only sound because they run queries
     * STRICTLY SERIALLY: `release()` drops every block registered since

@@ -362,6 +362,11 @@ object GraphOps {
     */
   def connectedComponentsConverged(edges: DataFrame, maxIterations: Int = 50,
                                    scope: CacheScope = CacheScope.global): DataFrame = {
+    // convergence-loop floor scope (r17) — see [[kCore]]: per-window
+    // probe + checkpoint actions run at Spark's 1m floor (32-core A/B:
+    // g_connected_components 2.57 s at 256k vs 2.18 s at 1m, g_mis
+    // 6.65 vs 5.40).
+    graft.GraftSession.withMinCoalesced(edges.sparkSession, "1m") {
     val e = scope.checkpoint(edges)
     val vertices = scope.checkpoint(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
@@ -395,6 +400,7 @@ object GraphOps {
       iter += steps
     }
     comp
+    }
   }
 
   /** Personalized PageRank: random walks restart at the SOURCE set
@@ -694,18 +700,26 @@ object GraphOps {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).union(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    var e = scope.checkpoint(edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct())
-    for (_ <- 1 to iterations) {
-      val keep = degrees(e).filter(col("d") >= k).select(col("id"))
-      e = scope.checkpoint(e
-        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")))
+    // convergence-loop floor scope (r17): each peel round materializes
+    // a tiny edge set — the global 256k AQE floor over-fans those
+    // per-round shuffles into rounds x tasks x fixed-cost task storms
+    // (32-core A/B: 4.31 s at 256k vs 3.36 s at 1m). The round loop
+    // runs at Spark's 1m default; the terminal degree aggregate (lazy,
+    // runs at the caller's action) keeps the session floor.
+    graft.GraftSession.withMinCoalesced(edges.sparkSession, "1m") {
+      var e = scope.checkpoint(edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+      for (_ <- 1 to iterations) {
+        val keep = degrees(e).filter(col("d") >= k).select(col("id"))
+        e = scope.checkpoint(e
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+      }
+      degrees(e).withColumnRenamed("d", "degree")
     }
-    degrees(e).withColumnRenamed("d", "degree")
   }
 
   /** Convergence-safe k-core: same peeling recurrence as [[kCore]],
@@ -729,28 +743,33 @@ object GraphOps {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).union(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    var e = scope.checkpoint(edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct())
-    var changed = 1L
-    var iter = 0
-    while (changed > 0L && iter < maxIterations) {
-      // deg derives from the round's CHECKPOINTED edge set, so the
-      // probe and the keep-filter each cost one scan + aggregate over
-      // materialized rows — no recursive recompute of earlier rounds
-      val deg = degrees(e)
-      changed = deg.filter(col("d") < k).limit(1).count()
-      if (changed > 0L) {
-        val keep = deg.filter(col("d") >= k).select(col("id"))
-        e = scope.checkpoint(e
-          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-          .select(col("a"), col("b")))
+    // convergence-loop floor scope (r17) — see [[kCore]]: the probe +
+    // re-checkpoint actions per round run at Spark's 1m floor (32-core
+    // A/B via g_kcore_cert: 4.26 s at 256k vs 3.02 s at 1m).
+    graft.GraftSession.withMinCoalesced(edges.sparkSession, "1m") {
+      var e = scope.checkpoint(edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+      var changed = 1L
+      var iter = 0
+      while (changed > 0L && iter < maxIterations) {
+        // deg derives from the round's CHECKPOINTED edge set, so the
+        // probe and the keep-filter each cost one scan + aggregate over
+        // materialized rows — no recursive recompute of earlier rounds
+        val deg = degrees(e)
+        changed = deg.filter(col("d") < k).limit(1).count()
+        if (changed > 0L) {
+          val keep = deg.filter(col("d") >= k).select(col("id"))
+          e = scope.checkpoint(e
+            .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+        }
+        iter += 1
       }
-      iter += 1
+      degrees(e).withColumnRenamed("d", "degree")
     }
-    degrees(e).withColumnRenamed("d", "degree")
   }
 
   /** Exact triangle count via degree-ordered orientation (the MapReduce
@@ -1071,6 +1090,10 @@ object GraphOps {
   def maximalIndependentSet(edges: DataFrame, rounds: Int,
                             scope: CacheScope = CacheScope.global): DataFrame = {
     require(rounds >= 1)
+    // convergence-loop floor scope (r17) — see [[kCore]]: per-round
+    // winner/active/adj checkpoints run at Spark's 1m floor (32-core
+    // A/B: g_mis 6.65 s at 256k vs 5.40 s at 1m).
+    graft.GraftSession.withMinCoalesced(edges.sparkSession, "1m") {
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -1112,5 +1135,6 @@ object GraphOps {
         .join(active.select(col("v").as("n")), Seq("n"), "left_semi"))
     }
     mis.unionByName(active.select(col("v"), lit(-1).as("sel_round")))
+    }
   }
 }
