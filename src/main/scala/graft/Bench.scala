@@ -147,7 +147,12 @@ object Bench {
     // the default of everything)
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.filter(_.nonEmpty))
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    // batch entries + the streaming runners (r17, verdict item 8:
+    // stream_* paths had never been benched — additions-only, same
+    // timed noop-sink loop; each stream fn drains its micro-batches
+    // and returns the terminal state frame)
+    val results = (SparkEntry.benchQueries ++ SparkEntry.streamQueries)
+      .toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(_.exists(p => name == p || name.startsWith(p))) }
       .map { case (name, fn) =>

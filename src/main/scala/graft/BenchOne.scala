@@ -67,7 +67,7 @@ object BenchOne {
             }
           }
         })
-    val fn = SparkEntry.benchQueries(name)
+    val fn = SparkEntry.benchQueries.getOrElse(name, SparkEntry.queries(name))
     // listener events arrive on the async bus; give stragglers a beat
     // before clearing for the last rep / dumping at the end, so the
     // dump neither misses late completions nor blends reps

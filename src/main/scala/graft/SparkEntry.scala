@@ -40,6 +40,19 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.collect { case (k, q) if q.bench => k -> q.fn }
 
+  /** The streaming runners (micro-batch drains over rate/file sources).
+    * Excluded from [[benchQueries]] since round 3 because their cost is
+    * a drain loop, not one batch plan — but r16 verdict item 8 wants a
+    * NUMBER per streaming path in the bench JSON so streaming
+    * regressions are visible; [[Bench]] times these with the same
+    * noop-sink methodology (the fn drains its stream and returns the
+    * terminal state frame) and reports them as additional `queries`
+    * entries (additions-only; the batch set above is unchanged).
+    */
+  def streamQueries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.collect {
+      case (k, q) if !q.bench && k.startsWith("stream_") => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

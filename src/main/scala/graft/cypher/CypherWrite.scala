@@ -261,12 +261,26 @@ object CypherWrite {
         case ListLit(vs) => n * vs.size.max(1)
         case _ => n
       }})
-    /** Checkpoint a statement-delta-sized frame: one partition unless
-      * the driver-known bound says the delta may exceed the small-
-      * frame budget (reuses the overlay-fold budget — same "rides
-      * broadcast joins" constraint). */
+    // r17: a large parameter batch (`UNWIND $rows` from a streaming
+    // sink's foreachBatch) arrives as a DRIVER-LOCAL relation — one
+    // partition — so every per-row delta derivation (id concat, prop
+    // map builds) upstream of the delta's groupBy ran as ONE task
+    // (measured 2-3 s single-task stages per statement on a 150k-row
+    // batch at 32 cores). Spread the bind frame once, deterministically
+    // (round-robin repartition sorts-before-shuffling by default), when
+    // the driver-known bound exceeds the wire-batch budget; delta
+    // semantics are set-wise (dedup by id with a same-values contract),
+    // so partitioning cannot change results.
+    if (frameBound.exists(_ > GraphStore.SinglePartitionDeltaRows))
+      frame = frame.repartition(spark.sparkContext.defaultParallelism)
+    /** Checkpoint a statement-delta-sized frame: one partition for
+      * wire-batch-sized deltas (each broadcast build re-reads the frame
+      * as a job — 1 task beats shuffle-partition-count tasks), natural
+      * partitioning past [[GraphStore.SinglePartitionDeltaRows]] — the
+      * old cutoff (the 262k overlay-fold budget) let a 150k-row delta
+      * serialize its checkpoint through one task (r17). */
     def ckptDelta(df: DataFrame): DataFrame =
-      if (frameBound.forall(_ <= GraphStore.OverlayFoldRows))
+      if (frameBound.forall(_ <= GraphStore.SinglePartitionDeltaRows))
         df.coalesce(1).localCheckpoint(true)
       else df.localCheckpoint(true) // AQE-coalesced partitioning
 
@@ -2066,6 +2080,17 @@ object GraphStore {
     * under the broadcast budget; a quarter-million keyed rows is a
     * few tens of MB. */
   val OverlayFoldRows: Long = 1L << 18
+
+  /** Statement-delta size up to which the write path collapses its
+    * checkpointed delta frames to ONE partition (each broadcast build
+    * re-reads the frame as a job — one task beats 32 near-empty ones
+    * for wire-sized batches), and up to which the UNWIND bind frame
+    * stays on the driver-local single partition. Past it, deltas keep
+    * natural partitioning and the bind frame is spread across the
+    * default parallelism — a 150k-row streaming batch serialized its
+    * entire per-row derivation and checkpoint through one task under
+    * the old cutoff (= [[OverlayFoldRows]], 32x too high; r17). */
+  val SinglePartitionDeltaRows: Long = 1L << 13
 
   /** Levels the LSM fold may stack before the store re-materializes
     * fully: each level holds ≈ one overlay budget of rows, so the

@@ -54,17 +54,20 @@ object StreamingCypherIngest {
     val lastBatch = new java.util.concurrent.atomic.AtomicReference[
       Seq[Map[String, Any]]](Seq.empty)
 
-    def applyBatch(rows: Seq[Map[String, Any]]): Unit = if (rows.nonEmpty) {
-      store.execute(
-        """UNWIND $rows AS row
-           MERGE (o:Order {k: row.k})
-           SET o.status = row.status, o.price = row.price""",
-        Map("rows" -> rows))
-      store.execute(
-        """UNWIND $rows AS row
-           MERGE (c:Customer {k: row.ck})-[:PLACED]->(o:Order {k: row.k})""",
-        Map("rows" -> rows))
-    }
+    def applyBatch(rows: Seq[Map[String, Any]]): (Long, Long) =
+      if (rows.isEmpty) (0L, 0L)
+      else {
+        val s1 = store.execute(
+          """UNWIND $rows AS row
+             MERGE (o:Order {k: row.k})
+             SET o.status = row.status, o.price = row.price""",
+          Map("rows" -> rows))
+        val s2 = store.execute(
+          """UNWIND $rows AS row
+             MERGE (c:Customer {k: row.ck})-[:PLACED]->(o:Order {k: row.k})""",
+          Map("rows" -> rows))
+        (s1.nodesCreated + s2.nodesCreated, s1.relsCreated + s2.relsCreated)
+      }
 
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -84,14 +87,19 @@ object StreamingCypherIngest {
       .start()
     q.processAllAvailable()
     q.stop()
-    // at-least-once redelivery of the final batch must be a fixpoint
+    // At-least-once redelivery of the final batch must be a fixpoint.
+    // The proof reads the MERGE statement stats (nodes/rels CREATED by
+    // the re-apply must be zero) instead of counting the standing
+    // graph before and after (r17): the stats measure exactly the
+    // fixpoint property, and the old count pair cost FOUR full
+    // standing-view materializations on top of the re-apply — it was
+    // most of this runner's wall at the bench SF.
     val redelivered = lastBatch.get()
     if (redelivered.nonEmpty) {
-      val before = (store.graph.vertices.count(), store.graph.edges.count())
-      applyBatch(redelivered)
-      val after = (store.graph.vertices.count(), store.graph.edges.count())
-      require(before == after,
-        s"redelivered batch changed the graph: $before -> $after")
+      val (nCreated, rCreated) = applyBatch(redelivered)
+      require(nCreated == 0L && rCreated == 0L,
+        s"redelivered batch changed the graph: created $nCreated nodes, " +
+          s"$rCreated rels")
     }
     ticks.get()
   }
